@@ -1,0 +1,440 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational operator surface of the engine, mapped 1:1 from the
+  * reference's catalog queries (SURVEY.md §2.1-§2.8; reference file:line cited
+  * per query). Each query is a declarative DataFrame plan — Catalyst handles
+  * pushdown/pruning/join strategy — expressed over the harness tables, with a
+  * DuckDB-equivalent oracle in [[RelationalQueries.oracle]].
+  *
+  * Conventions for oracle parity (driver hashes values with columns sorted by
+  * name): every computed column is aliased identically on both sides, doubles
+  * are rounded, timestamps are emitted as formatted strings, and every query
+  * ends with a deterministic ORDER BY on a unique key.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** q1_agg — flagship: TPC-H Q1 shape; mirrors the reference's only GROUP BY
+    * aggregation pattern (UpdateDatasets impact summary,
+    * pg_containers.go:436-459 — group on dformat fields + COUNT). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** s1_find_datasets — the FindDatasets workhorse scan shape
+    * (pg_containers.go:244-348): status filter + pattern + time-range +
+    * conditional join on the "records" side + ORDER BY datetime,id + LIMIT.
+    * orders plays datasets, customer plays records (small side → broadcast,
+    * like J1 where records is broadcast-sized). */
+  def s1FindDatasets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.filter(col("o_orderstatus").isin("O", "F"))
+      .filter(col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%"))
+      .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"), col("c_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("orderdate"), col("o_orderkey"))
+      .limit(500)
+  }
+
+  /** s2_find_records — FindRecords (pg_records.go:80-154): name pattern +
+    * time range + id-list filter, ordered by datetime. */
+  def s2FindRecords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").like("p%"))
+      .filter(col("user_id").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+
+  /** s3_ordered_lookup — ReadRecords: point lookup by id list preserving the
+    * input order and deduping (pg.go:228-247). The request list is a literal
+    * inline relation with an explicit rank; order restored by joining on it —
+    * the only distributed-safe way to keep client order. */
+  def s3OrderedLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val req = Seq((4, 1), (0, 2), (14, 3), (7, 4), (4, 5)).toDF("key", "ord")
+      .groupBy("key").agg(min("ord").as("ord")) // dedup keeps first occurrence
+    t(s, dir, "nation")
+      .join(broadcast(req), col("n_nationkey") === col("key"))
+      .select(col("n_nationkey"), col("n_name"), col("ord"))
+      .orderBy("ord")
+  }
+
+  /** s4_list_active_ids — ListActiveDatasetsID (pg_containers.go:352-382):
+    * id-only projection under status+time filters; Catalyst prunes the scan
+    * to two columns. */
+  def s4ListActiveIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .filter(col("o_orderdate") >= lit("1996-06-01"))
+      .select(col("o_orderkey"))
+      .orderBy("o_orderkey")
+
+  /** s5_pattern_page — FindVariables/Layouts list scans (pg_variables.go):
+    * name-pattern + LIMIT/OFFSET paging (pg.go:217-226). Spark 4 has a native
+    * offset operator. */
+  def s5PatternPage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%al%"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy("p_partkey")
+      .offset(20)
+      .limit(40)
+
+  /** p2_pattern_split — parseLikes three-way split (pg.go:250-277): a pattern
+    * list becomes equals (no wildcard) + LIKE (+ case-insensitive ILIKE, the
+    * reference's trailing "(?i)"). */
+  def p2PatternSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(
+        col("p_brand") === "Brand#11" ||
+        col("p_type").like("%BRASS") ||
+        lower(col("p_type")).like("small%"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** p3_tag_predicates — hstore tag predicates (pg_records.go:66-77):
+    * key-exists + value-equality on a map-ish column (events.props JSON). */
+  def p3TagPredicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull && col("k") % 10 === 0)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k")
+
+  /** p4_p6_time_valid — time-range predicate (pg_records.go:57-64) + the
+    * valid-pixel-percentage filter shape (image.go:373-381): keep groups whose
+    * valid ratio exceeds a threshold — here, orders whose lineitems are >50%
+    * undiscounted. */
+  def p4TimeValid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") <= lit("1996-12-31"))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("l_discount") === 0, 1).otherwise(0)).as("n_valid"))
+      .filter(col("n_valid") * 2 > col("n_items"))
+      .orderBy("l_orderkey")
+
+  /** j2_dim_chain — records⋈aoi broadcast chain (pg_records.go:97-99), here a
+    * two-hop dimension chain customer⋈nation⋈region, both dims broadcast. */
+  def j2DimChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** j3_semi — lock semi-join (pg_records.go:89-104 EXISTS): orders having at
+    * least one high-quantity lineitem. */
+  def j3Semi(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** j6_anti_gc — GC anti-join (pg_records.go:176-191 NOT EXISTS): customers
+    * with no orders — the "delete records with no referring datasets" shape. */
+  def j6AntiGc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** j5_range_join — datasets×layout-cell spatial join proxy
+    * (consolidater.go:252-257): a non-equi broadcast theta-join of facts
+    * against small dimension ranges (size buckets). */
+  def j5RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq(
+      ("b0", 0, 9), ("b1", 10, 19), ("b2", 20, 29),
+      ("b3", 30, 39), ("b4", 40, 50)).toDF("bucket", "lo", "hi")
+    t(s, dir, "part")
+      .join(broadcast(buckets),
+        col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 2).as("avg_price"))
+      .orderBy("bucket")
+  }
+
+  /** a1_group_ordered — groupDatasetsByRecord (catalog.go:296-318): per-group
+    * ordered collection; the order-sensitive list is canonicalized to a string
+    * so the oracle can hash it. */
+  def a1GroupOrdered(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("order_keys"))
+      .orderBy("o_custkey")
+
+  /** w1_latest_first — the mosaic's latest-wins z-order (db.go:152 ordering
+    * contract + catalog.go:325-384): latest row per key via row_number. */
+  def w1LatestFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
+  /** w2_running — ordered per-key accumulation (the sequential paint loop of
+    * MergeDatasets, image.go:321-384, as a running window). */
+  def w2Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"), col("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** o1_topk — ORDER BY + LIMIT → TakeOrderedAndProject (top-k without a
+    * global sort; pg_containers.go:317-322). */
+  def o1TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+      .limit(10)
+
+  /** set_dedup_union — §2.7: dedup by key (layout-cell geometry-hash dedup,
+    * layout.go:82-102) + UNION DISTINCT (FindContainerLayouts uri union). */
+  def setDedupUnion(s: SparkSession, dir: String): DataFrame = {
+    val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    custNations.union(suppNations).distinct().orderBy("nationkey")
+  }
+
+  /** f1_cast_mapping — THE core scalar transform of the reference
+    * (dataformat.go:19-26, image.go:137-140):
+    * ve = rext.min + (rext.max-rext.min) * ((v-min)/(max-min))^exp, clamped.
+    * Applied to l_extendedprice as the pixel-value stand-in. */
+  def f1CastMapping(s: SparkSession, dir: String): DataFrame = {
+    val (vmin, vmax, emin, emax, exp) = (900.0, 105000.0, 0.0, 1.0, 2.0)
+    val ratio = (col("l_extendedprice") - lit(vmin)) / lit(vmax - vmin)
+    val clamped = least(greatest(ratio, lit(0.0)), lit(1.0))
+    val ve = lit(emin) + lit(emax - emin) * pow(clamped, lit(exp))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), round(ve, 6).as("ve"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** f12_time_format — record-key time formatting (consolidater.go:153-157)
+    * as a month-bucketed aggregation. */
+  def f12TimeFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("month")
+
+  /** f13_geom_hash — SHA-1-of-WKB dedup key (record.go:33-46), as md5 text
+    * hashing + duplicate-cluster counting on documents. */
+  def f13GeomHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+      .filter(col("n_docs") > 1)
+      .orderBy("h")
+
+  /** a9_task_counters — job active/failed task counters (create.sql:135-136)
+    * as a two-level status rollup with ROLLUP grouping. */
+  def a9TaskCounters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type")
+
+  /** stream_window_agg — the Structured-Streaming windowed aggregation shape
+    * (SURVEY §2.12) in its batch-equivalent form: tumbling 1-day windows per
+    * event type. The streaming variant (watermark + window) is exercised in
+    * StreamingSpec. */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** All queries: name → plan builder. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "s1_find_datasets" -> s1FindDatasets _,
+    "s2_find_records" -> s2FindRecords _,
+    "s3_ordered_lookup" -> s3OrderedLookup _,
+    "s4_list_active_ids" -> s4ListActiveIds _,
+    "s5_pattern_page" -> s5PatternPage _,
+    "p2_pattern_split" -> p2PatternSplit _,
+    "p3_tag_predicates" -> p3TagPredicates _,
+    "p4_time_valid" -> p4TimeValid _,
+    "j2_dim_chain" -> j2DimChain _,
+    "j3_semi" -> j3Semi _,
+    "j6_anti_gc" -> j6AntiGc _,
+    "j5_range_join" -> j5RangeJoin _,
+    "a1_group_ordered" -> a1GroupOrdered _,
+    "w1_latest_first" -> w1LatestFirst _,
+    "w2_running" -> w2Running _,
+    "o1_topk" -> o1TopK _,
+    "set_dedup_union" -> setDedupUnion _,
+    "f1_cast_mapping" -> f1CastMapping _,
+    "f12_time_format" -> f12TimeFormat _,
+    "f13_geom_hash" -> f13GeomHash _,
+    "a9_task_counters" -> a9TaskCounters _,
+    "stream_window_agg" -> streamWindowAgg _)
+
+  /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),4) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_discount),6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "s1_find_datasets" ->
+      """SELECT o_orderkey, c_name,
+         strftime(o_orderdate,'%Y-%m-%d') AS orderdate,
+         round(o_totalprice,2) AS totalprice
+         FROM orders JOIN customer ON o_custkey=c_custkey
+         WHERE o_orderstatus IN ('O','F')
+           AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+           AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+         ORDER BY orderdate, o_orderkey LIMIT 500""",
+    "s2_find_records" ->
+      """SELECT event_id, user_id, event_type,
+         strftime(ts,'%Y-%m-%d %H:%M:%S') AS ts_s, round(value,2) AS value
+         FROM events
+         WHERE event_type LIKE 'p%' AND user_id IN (1,2,3,5,8,13,21)
+         ORDER BY event_id""",
+    "s3_ordered_lookup" ->
+      """WITH req(key, ord) AS (VALUES (4,1),(0,2),(14,3),(7,4),(4,5)),
+         dedup AS (SELECT key, min(ord) AS ord FROM req GROUP BY key)
+         SELECT n_nationkey, n_name, ord FROM nation
+         JOIN dedup ON n_nationkey = key ORDER BY ord""",
+    "s4_list_active_ids" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_orderstatus='O' AND o_orderdate >= '1996-06-01'
+         ORDER BY o_orderkey""",
+    "s5_pattern_page" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE p_name LIKE '%al%'
+         ORDER BY p_partkey LIMIT 40 OFFSET 20""",
+    "p2_pattern_split" ->
+      """SELECT p_brand, count(*) AS n FROM part
+         WHERE p_brand = 'Brand#11' OR p_type LIKE '%BRASS'
+            OR lower(p_type) LIKE 'small%'
+         GROUP BY p_brand ORDER BY p_brand""",
+    "p3_tag_predicates" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+         count(*) AS n, round(sum(value),2) AS sum_value
+         FROM events
+         WHERE CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 = 0
+         GROUP BY 1 ORDER BY k""",
+    "p4_time_valid" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+         sum(CASE WHEN l_discount=0 THEN 1 ELSE 0 END) AS n_valid
+         FROM lineitem
+         WHERE l_shipdate >= '1995-01-01' AND l_shipdate <= '1996-12-31'
+         GROUP BY l_orderkey
+         HAVING sum(CASE WHEN l_discount=0 THEN 1 ELSE 0 END)*2 > count(*)
+         ORDER BY l_orderkey""",
+    "j2_dim_chain" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         round(sum(c_acctbal),2) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "j3_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey=o_orderkey AND l_quantity>=48)
+         ORDER BY o_orderkey""",
+    "j6_anti_gc" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+         ORDER BY c_custkey""",
+    "j5_range_join" ->
+      """WITH buckets(bucket, lo, hi) AS (VALUES
+           ('b0',0,9),('b1',10,19),('b2',20,29),('b3',30,39),('b4',40,50))
+         SELECT bucket, count(*) AS n, round(avg(p_retailprice),2) AS avg_price
+         FROM part JOIN buckets ON p_size >= lo AND p_size <= hi
+         GROUP BY bucket ORDER BY bucket""",
+    "a1_group_ordered" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+         string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
+         FROM orders WHERE o_custkey < 50
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "w1_latest_first" ->
+      """SELECT user_id, event_id, event_type, round(value,2) AS value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn=1 ORDER BY user_id""",
+    "w2_running" ->
+      """SELECT event_id, user_id, round(value,2) AS value,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
+         FROM events WHERE user_id < 10 ORDER BY event_id""",
+    "o1_topk" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal,2) AS s_acctbal
+         FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 10""",
+    "set_dedup_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "f1_cast_mapping" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(0.0 + 1.0 * power(
+           least(greatest((l_extendedprice-900.0)/104100.0, 0.0), 1.0),
+           2.0), 6) AS ve
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "f12_time_format" ->
+      """SELECT strftime(o_orderdate,'%Y-%m') AS month, count(*) AS n,
+         round(sum(o_totalprice),2) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "f13_geom_hash" ->
+      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
+         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",
+    "a9_task_counters" ->
+      """SELECT coalesce(event_type,'ALL') AS event_type, count(*) AS n,
+         round(sum(value),2) AS sum_value
+         FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type""",
+    "stream_window_agg" ->
+      """SELECT strftime(date_trunc('day', ts),'%Y-%m-%d') AS day, event_type,
+         count(*) AS n, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""")
+}
