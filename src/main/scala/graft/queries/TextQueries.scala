@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (builder prompt): exact/canonical
+  * dedup, MinHash+LSH near-dup, token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * All token math uses codegen'd higher-order functions (`filter`,
+  * `transform`, `array_*`) — no Scala UDFs — so the plans stay inside
+  * whole-stage codegen and scale linearly with document count. MinHash
+  * signatures use md5 (identical across engines) so the DuckDB oracle can
+  * verify them bit-for-bit.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Non-empty whitespace tokens (text has trailing blanks). */
+  private val tokensExpr = "filter(split(text, ' '), x -> x != '')"
+  /** Distinct token set, sorted — the canonical shingle set. */
+  private val tokenSetExpr = s"array_sort(array_distinct($tokensExpr))"
+
+  /** text_tokens — token counting (whitespace tokenizer): total, distinct,
+    * mean token length. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr(tokensExpr))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))") /
+          size(col("toks")), 6).as("avg_len"))
+      .orderBy("doc_id")
+
+  /** text_quality — quality scoring: char length, alpha ratio, stopword
+    * ratio, repetition ratio (1 - distinct/total tokens). */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", expr(tokensExpr))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, x -> x in ('the','a','of','and','to','in','is')))"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len"),
+        round(length(regexp_replace(col("text"), "[^a-z]", "")) /
+          length(col("text")), 6).as("alpha_ratio"),
+        round(col("n_stop") / size(col("toks")), 6).as("stop_ratio"),
+        round(lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** text_langid — language-ID heuristic (marker-token n-gram rule, the
+    * deterministic skeleton of a real classifier) scored as a confusion
+    * matrix against the labeled `lang` column. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("predicted",
+        when(col("text").contains("the ") && col("text").contains(" and "), "en")
+          .when(col("text").contains("query "), "q")
+          .otherwise("other"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** text_fingerprint — document fingerprint: md5 over the sorted distinct
+    * token set (canonical content hash, robust to reordering/repetition). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        md5(array_join(expr(tokenSetExpr), " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** dedup_canonical — exact dedup on the canonical fingerprint: one keeper
+    * (min doc_id) per cluster plus the cluster size. The exact-hash variant
+    * (md5 of raw text) is f13_geom_hash in RelationalQueries. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(array_join(expr(tokenSetExpr), " ")).as("fingerprint"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+      .orderBy("fingerprint")
+
+  /** MinHash signature k=4: mh_i = min over the token set of
+    * md5("<i>|" + token). md5 is engine-portable, and min over fixed-width
+    * hex strings is a valid uniform hash ordering. */
+  private def minhashCols: Seq[(String, String)] =
+    (0 until 4).map { i =>
+      s"mh$i" -> s"array_min(transform($tokenSetExpr, t -> md5(concat('$i|', t))))"
+    }
+
+  /** dedup_minhash — per-document MinHash signature (the map side of
+    * MinHash-LSH; O(n·tokens), embarrassingly parallel). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashCols.foldLeft(docs(s, dir)) {
+      case (df, (name, e)) => df.withColumn(name, expr(e))
+    }
+    base.select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+      .orderBy("doc_id")
+  }
+
+  /** dedup_lsh_pairs — MinHash-LSH near-dup pairs: 2 bands × 2 rows; docs
+    * sharing a band become candidates (band-hash shuffle join — the scale
+    * path: candidates ∝ collisions, never n²), then exact token-set Jaccard
+    * filters ≥ 0.5. */
+  def dedupLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = minhashCols.foldLeft(docs(s, dir)) {
+      case (df, (name, e)) => df.withColumn(name, expr(e))
+    }.withColumn("toks", expr(tokenSetExpr))
+      .select(col("doc_id"), col("toks"),
+        concat(col("mh0"), col("mh1")).as("band0"),
+        concat(col("mh2"), col("mh3")).as("band1"))
+
+    val cands = base.as("a").join(base.as("b"),
+        (col("a.band0") === col("b.band0") || col("a.band1") === col("b.band1")) &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
+        size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
+      .distinct()
+
+    cands
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dedup_simhash — 16-bit SimHash from the token set: bit j is the sign of
+    * sum over tokens of (+1 if bit j of md5(token) else -1). Portable via
+    * md5-hex nibble arithmetic; near-dups share most bits (hamming-ball
+    * lookup is a prefix-bucket join, same LSH shape as above). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // bit j of token hash = bit (j%4) of hex nibble j/4 of md5(token);
+    // simhash bit j set iff the +1/-1 vote sum over tokens is positive.
+    val sumExpr = (0 until 16).map { j =>
+      val nib = j / 4; val bit = j % 4
+      val tokenBit =
+        s"(CASE WHEN (cast(conv(substring(md5(t), ${nib + 1}, 1), 16, 10) as int) div ${1 << bit}) % 2 = 1 THEN 1 ELSE -1 END)"
+      s"CASE WHEN aggregate(transform(toks, t -> $tokenBit), 0, (a, x) -> a + x) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    docs(s, dir)
+      .withColumn("toks", expr(tokenSetExpr))
+      .select(col("doc_id"), expr(sumExpr).cast("int").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens _,
+    "text_quality" -> textQuality _,
+    "text_langid" -> textLangid _,
+    "text_fingerprint" -> textFingerprint _,
+    "dedup_canonical" -> dedupCanonical _,
+    "dedup_minhash" -> dedupMinhash _,
+    "dedup_lsh_pairs" -> dedupLshPairs _,
+    "dedup_simhash" -> dedupSimhash _)
+
+  private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private val tokSetSql = s"list_sort(list_distinct($tokSql))"
+  private def mhSql(i: Int) =
+    s"list_aggregate(list_transform($tokSetSql, t -> md5(concat('$i|', t))), 'min')"
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens,
+          len(list_distinct(toks)) AS n_uniq,
+          round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                / len(toks), 6) AS avg_len
+          FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+          ORDER BY doc_id""",
+    "text_quality" ->
+      s"""SELECT doc_id, length(text) AS len,
+          round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                / length(text), 6) AS alpha_ratio,
+          round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                / len(toks), 6) AS stop_ratio,
+          round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS rep_ratio
+          FROM (SELECT doc_id, text, $tokSql AS toks FROM documents)
+          ORDER BY doc_id""",
+    "text_langid" ->
+      """SELECT lang,
+          CASE WHEN text LIKE '%the %' AND text LIKE '% and %' THEN 'en'
+               WHEN text LIKE '%query %' THEN 'q'
+               ELSE 'other' END AS predicted,
+          count(*) AS n
+          FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(array_to_string($tokSetSql, ' ')) AS fingerprint
+          FROM documents ORDER BY doc_id""",
+    "dedup_canonical" ->
+      s"""SELECT md5(array_to_string($tokSetSql, ' ')) AS fingerprint,
+          min(doc_id) AS keeper, count(*) AS cluster_size
+          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fingerprint""",
+    "dedup_minhash" ->
+      s"""SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+          ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+          FROM documents ORDER BY doc_id""",
+    "dedup_lsh_pairs" ->
+      s"""WITH sig AS (
+            SELECT doc_id, $tokSetSql AS toks,
+                   concat(${mhSql(0)}, ${mhSql(1)}) AS band0,
+                   concat(${mhSql(2)}, ${mhSql(3)}) AS band1
+            FROM documents),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.toks, b.toks)) AS inter,
+                   len(a.toks) AS na, len(b.toks) AS nb
+            FROM sig a JOIN sig b
+              ON (a.band0 = b.band0 OR a.band1 = b.band1)
+             AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+          FROM cand
+          WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
+          ORDER BY doc_a, doc_b""",
+    "dedup_simhash" -> {
+      val bits = (0 until 16).map { j =>
+        val nib = j / 4; val bit = j % 4
+        s"""CASE WHEN list_aggregate(list_transform(toks, t ->
+            CASE WHEN (CAST(('0x' || substring(md5(t), ${nib + 1}, 1)) AS BIGINT) // ${1 << bit}) % 2 = 1
+            THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1 << j} ELSE 0 END"""
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bits AS INT) AS simhash
+          FROM (SELECT doc_id, $tokSetSql AS toks FROM documents)
+          ORDER BY doc_id"""
+    })
+}
