@@ -1,0 +1,153 @@
+package graft.geo
+
+/** Coordinate reference systems with closed-form transforms.
+  *
+  * The reference delegates to PROJ (internal/utils/proj/proj.go:26-75); we
+  * scope to the CRS whitelist SURVEY §7.4 calls for — WGS84 geographic
+  * (EPSG:4326), WebMercator (EPSG:3857), and UTM zones (EPSG:326xx/327xx)
+  * — with standard public formulas (spherical Mercator; Krüger series
+  * transverse Mercator as published in the PROJ/Snyder literature).
+  * All transforms are (lon, lat) degrees ↔ planar (x, y) meters.
+  */
+sealed trait CRS {
+  def srid: Int
+  /** planar → lon/lat degrees */
+  def toLonLat(x: Double, y: Double): (Double, Double)
+  /** lon/lat degrees → planar */
+  def fromLonLat(lon: Double, lat: Double): (Double, Double)
+  def isGeographic: Boolean = false
+}
+
+object CRS {
+  private val A = 6378137.0 // WGS84 semi-major
+  private val F = 1.0 / 298.257223563
+  private val D2R = math.Pi / 180.0
+  private val R2D = 180.0 / math.Pi
+
+  case object WGS84 extends CRS {
+    val srid = 4326
+    def toLonLat(x: Double, y: Double): (Double, Double) = (x, y)
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    override def isGeographic: Boolean = true
+  }
+
+  /** Spherical WebMercator, EPSG:3857. */
+  case object WebMercator extends CRS {
+    val srid = 3857
+    val MaxLat = 85.05112877980659 // atan(sinh(pi)) — the square-world limit
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+      val la = math.max(-MaxLat, math.min(MaxLat, lat))
+      (A * lon * D2R, A * math.log(math.tan(math.Pi / 4 + la * D2R / 2)))
+    }
+    def toLonLat(x: Double, y: Double): (Double, Double) =
+      (x / A * R2D, (2 * math.atan(math.exp(y / A)) - math.Pi / 2) * R2D)
+  }
+
+  /** UTM on WGS84 via 6th-order Krüger series (public PROJ/Karney math). */
+  final case class UTM(zone: Int, north: Boolean) extends CRS {
+    require(zone >= 1 && zone <= 60, s"bad UTM zone $zone")
+    val srid: Int = (if (north) 32600 else 32700) + zone
+    private val k0 = 0.9996
+    private val fe = 500000.0
+    private val fn = if (north) 0.0 else 10000000.0
+    private val lon0 = ((zone - 1) * 6 - 180 + 3) * D2R
+
+    // Krüger series coefficients on the third flattening n
+    private val n = F / (2 - F)
+    private val n2 = n * n; private val n3 = n2 * n
+    private val n4 = n3 * n; private val n5 = n4 * n; private val n6 = n5 * n
+    private val aCap = A / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    private val alpha = Array(
+      0.0,
+      n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
+      13.0 / 48 * n2 - 3.0 / 5 * n3 + 557.0 / 1440 * n4 + 281.0 / 630 * n5 - 1983433.0 / 1935360 * n6,
+      61.0 / 240 * n3 - 103.0 / 140 * n4 + 15061.0 / 26880 * n5 + 167603.0 / 181440 * n6,
+      49561.0 / 161280 * n4 - 179.0 / 168 * n5 + 6601661.0 / 7257600 * n6,
+      34729.0 / 80640 * n5 - 3418889.0 / 1995840 * n6,
+      212378941.0 / 319334400 * n6)
+    private val beta = Array(
+      0.0,
+      n / 2 - 2.0 / 3 * n2 + 37.0 / 96 * n3 - 1.0 / 360 * n4 - 81.0 / 512 * n5 + 96199.0 / 604800 * n6,
+      1.0 / 48 * n2 + 1.0 / 15 * n3 - 437.0 / 1440 * n4 + 46.0 / 105 * n5 - 1118711.0 / 3870720 * n6,
+      17.0 / 480 * n3 - 37.0 / 840 * n4 - 209.0 / 4480 * n5 + 5569.0 / 90720 * n6,
+      4397.0 / 161280 * n4 - 11.0 / 504 * n5 - 830251.0 / 7257600 * n6,
+      4583.0 / 161280 * n5 - 108847.0 / 3991680 * n6,
+      20648693.0 / 638668800 * n6)
+    private val e2 = F * (2 - F)
+    private val e = math.sqrt(e2)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = latDeg * D2R
+      val lon = lonDeg * D2R - lon0
+      // conformal latitude
+      val t = math.sinh(atanh(math.sin(lat)) - e * atanh(e * math.sin(lat)))
+      val xiP = math.atan2(t, math.cos(lon))
+      val etaP = asinh(math.sin(lon) / math.hypot(t, math.cos(lon)))
+      var xi = xiP; var eta = etaP
+      var j = 1
+      while (j <= 6) {
+        xi += alpha(j) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+        eta += alpha(j) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+        j += 1
+      }
+      (fe + k0 * aCap * eta, fn + k0 * aCap * xi)
+    }
+
+    def toLonLat(xM: Double, yM: Double): (Double, Double) = {
+      val xi = (yM - fn) / (k0 * aCap)
+      val eta = (xM - fe) / (k0 * aCap)
+      var xiP = xi; var etaP = eta
+      var j = 1
+      while (j <= 6) {
+        xiP -= beta(j) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        etaP -= beta(j) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+      val lat = latFromConformal(chi)
+      val lon = math.atan2(math.sinh(etaP), math.cos(xiP))
+      ((lon + lon0) * R2D, lat * R2D)
+    }
+
+    /** Invert the conformal-latitude relation by fixed-point iteration. */
+    private def latFromConformal(chi: Double): Double = {
+      var lat = chi
+      var i = 0
+      while (i < 10) {
+        val s = math.sin(lat)
+        val next = math.asin(math.tanh(atanh(math.sin(chi)) + e * atanh(e * s)))
+        if (math.abs(next - lat) < 1e-14) return next
+        lat = next
+        i += 1
+      }
+      lat
+    }
+  }
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+  private def asinh(x: Double): Double = math.log(x + math.hypot(x, 1.0))
+
+  /** CRS from user input: "EPSG:4326", "epsg:32633", srid int. */
+  def fromSrid(srid: Int): CRS = srid match {
+    case 4326 => WGS84
+    case 3857 => WebMercator
+    case s if s >= 32601 && s <= 32660 => UTM(s - 32600, north = true)
+    case s if s >= 32701 && s <= 32760 => UTM(s - 32700, north = false)
+    case s => throw new IllegalArgumentException(s"unsupported SRID: $s")
+  }
+
+  def parse(text: String): CRS = {
+    val t = text.trim.toUpperCase
+    if (t.startsWith("EPSG:")) fromSrid(t.stripPrefix("EPSG:").toInt)
+    else fromSrid(t.toInt)
+  }
+
+  /** Planar transform between two CRS (via lon/lat). */
+  def transform(from: CRS, to: CRS, x: Double, y: Double): (Double, Double) = {
+    if (from == to) (x, y)
+    else {
+      val (lon, lat) = from.toLonLat(x, y)
+      to.fromLonLat(lon, lat)
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoSpec extends AnyFunSuite {
+
+  test("affine transform / inverse / multiply") {
+    val a = Affine.northUp(699960.0, 5100060.0, 10.0, -10.0)
+    val (x, y) = a.transform(0, 0)
+    assert(x === 699960.0 && y === 5100060.0)
+    val (x2, y2) = a.transform(256, 256)
+    assert(x2 === 699960.0 + 2560 && y2 === 5100060.0 - 2560)
+    val inv = a.inverse
+    val (px, py) = inv.transform(x2, y2)
+    assert(math.abs(px - 256) < 1e-9 && math.abs(py - 256) < 1e-9)
+    // multiply: pixel→crs then crs→pixel = identity
+    val id = inv.multiply(a)
+    assert(math.abs(id.c0) < 1e-9 && math.abs(id.c1 - 1) < 1e-12 &&
+      math.abs(id.c5 - 1) < 1e-12)
+  }
+
+  test("webmercator known values and round trip") {
+    val (x, _) = CRS.WebMercator.fromLonLat(180, 0)
+    assert(math.abs(x - 20037508.342789244) < 1e-6)
+    val (_, y) = CRS.WebMercator.fromLonLat(0, CRS.WebMercator.MaxLat)
+    assert(math.abs(y - 20037508.342789244) < 1e-3)
+    for (lon <- Seq(-179.9, -42.0, 0.0, 13.37, 179.9); lat <- Seq(-84.0, -45.0, 0.0, 48.8566, 84.0)) {
+      val (px, py) = CRS.WebMercator.fromLonLat(lon, lat)
+      val (lon2, lat2) = CRS.WebMercator.toLonLat(px, py)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+  }
+
+  test("utm central meridian maps to 500000 easting") {
+    val utm31 = CRS.UTM(31, north = true)
+    val (e0, n0) = utm31.fromLonLat(3.0, 0.0)
+    assert(math.abs(e0 - 500000.0) < 1e-6)
+    assert(math.abs(n0 - 0.0) < 1e-6)
+  }
+
+  test("utm against independent Snyder-series computation") {
+    // zone 31N, lon 2.2945, lat 48.8584 (Eiffel tower); expected values
+    // computed with Snyder's TM formulas (USGS PP 1395), an independent
+    // derivation from our Krüger series — they agree to < 1 cm.
+    val utm31 = CRS.UTM(31, north = true)
+    val (e, n) = utm31.fromLonLat(2.2945, 48.8584)
+    assert(math.abs(e - 448252.001) < 0.01, s"easting $e")
+    assert(math.abs(n - 5411954.910) < 0.01, s"northing $n")
+  }
+
+  test("utm round trip, both hemispheres") {
+    for ((zone, north, lon, lat) <- Seq(
+        (31, true, 2.35, 48.85), (33, true, 13.4, 52.5),
+        (60, true, 176.0, -0.5), (23, false, -43.2, -22.9))) {
+      val u = CRS.UTM(zone, north)
+      val (x, y) = u.fromLonLat(lon, lat)
+      val (lon2, lat2) = u.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8,
+        s"zone $zone: ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("crs parse / srid registry") {
+    assert(CRS.parse("EPSG:4326") == CRS.WGS84)
+    assert(CRS.parse("epsg:3857") == CRS.WebMercator)
+    assert(CRS.parse("EPSG:32633") == CRS.UTM(33, north = true))
+    assert(CRS.fromSrid(32723) == CRS.UTM(23, north = false))
+    assertThrows[IllegalArgumentException](CRS.fromSrid(2154))
+  }
+
+  test("wkb round trip + geometry hash is deterministic") {
+    val p = GeomOps.polygonFromBBox(BBox(0, 0, 10, 10))
+    val b = GeomOps.writeWkb(p)
+    val p2 = GeomOps.readWkb(b)
+    assert(p2.equalsExact(p))
+    assert(GeomOps.geometryHash(p) == GeomOps.geometryHash(p2))
+    assert(GeomOps.geometryHash(p).length == 40)
+  }
+
+  test("interior intersects (T********) vs plain intersects") {
+    val a = GeomOps.polygonFromBBox(BBox(0, 0, 10, 10))
+    val touching = GeomOps.polygonFromBBox(BBox(10, 0, 20, 10)) // shares edge only
+    val overlapping = GeomOps.polygonFromBBox(BBox(5, 5, 15, 15))
+    assert(a.intersects(touching))
+    assert(!GeomOps.interiorIntersects(a, touching)) // interiors don't meet
+    assert(GeomOps.interiorIntersects(a, overlapping))
+  }
+
+  test("geographic ring from extent densifies reprojected edges") {
+    val utm = CRS.UTM(31, north = true)
+    // 1000 km × 1000 km at 1 km/px — large enough that the reprojected
+    // edges curve more than 1% of their length in lon/lat
+    val a = Affine.northUp(200000, 6500000, 1000, -1000)
+    val ring = GeomOps.geographicRingFromExtent(a, 1000, 1000, utm)
+    assert(ring.isValid)
+    assert(ring.getExteriorRing.getNumPoints > 5) // got densified
+    // ring covers the reprojected corners
+    val (lonUL, latUL) = utm.toLonLat(200000, 6500000)
+    assert(ring.getEnvelopeInternal.contains(lonUL, latUL))
+  }
+
+  test("antimeridian normalization splits out-of-range polygons") {
+    // polygon spanning lon 170..190 (i.e. crossing +180)
+    val g = GeomOps.polygonFromBBox(BBox(170, 10, 190, 20))
+    val norm = GeomOps.normalizeAntimeridian(g)
+    val env = norm.getEnvelopeInternal
+    assert(env.getMinX >= -180 && env.getMaxX <= 180)
+    // area preserved (degrees²)
+    assert(math.abs(norm.getArea - g.getArea) < 1e-9)
+    // in-range geometry untouched
+    val ok = GeomOps.polygonFromBBox(BBox(-10, 0, 10, 5))
+    assert(GeomOps.normalizeAntimeridian(ok) eq ok)
+  }
+
+  test("bbox intersects / union / fromExtent") {
+    assert(BBox(0, 0, 10, 10).intersects(BBox(10, 10, 20, 20))) // touching counts
+    assert(!BBox(0, 0, 10, 10).intersects(BBox(11, 0, 20, 10)))
+    val u = BBox(0, 0, 1, 1).union(BBox(5, 5, 6, 7))
+    assert(u === BBox(0, 0, 6, 7))
+    val b = BBox.fromExtent(Affine.northUp(100, 200, 1, -1), 10, 20)
+    assert(b === BBox(100, 180, 110, 200)) // y flipped by negative res
+  }
+}
