@@ -1,0 +1,246 @@
+package graft.cube
+
+import graft.catalog.{Catalog, CatalogQueries, DatasetFilters}
+import graft.core._
+import graft.geo.{Affine, CRS, GeomOps}
+import graft.raster._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cube request: output grid + value source (variable instances) + record
+  * filters — the argument surface of GetCube (reference
+  * internal/svc/catalog.go:146-224, prepare :226-274). */
+final case class CubeRequest(
+    instanceIds: Seq[String],
+    crs: String,
+    transform: Affine,
+    width: Int,
+    height: Int,
+    recordIds: Seq[String] = Nil,
+    recordGroups: Seq[Seq[String]] = Nil, // client-side grouping (A2)
+    tags: Map[String, String] = Map.empty,
+    fromTime: Option[java.sql.Timestamp] = None,
+    toTime: Option[java.sql.Timestamp] = None,
+    resampling: Option[String] = None,
+    validPixPc: Int = -1,
+    headersOnly: Boolean = false)
+
+/** One dataset row joined with its tile payload — the typed input of the
+  * merge kernel. */
+final case class DatasetTile(
+    group_key: String,
+    record_id: String,
+    datetime: java.sql.Timestamp,
+    dataset_id: String,
+    bands: Seq[Int],
+    dtype: String, no_data: Double, min_value: Double, max_value: Double,
+    real_min_value: Double, real_max_value: Double, exponent: Double,
+    t_width: Int, t_height: Int, t_bands: Int, t_dtype: String,
+    t_crs: String, t_transform: Seq[Double],
+    payload: Array[Byte])
+
+/** One output slice of the cube: header + (unless headers-only/error) the
+  * merged bitmap payload in the engine's byte codec. Per-slice errors are
+  * values, not failures (reference grpc/service.go:1086-1089). */
+final case class Slice(
+    group_key: String,
+    record_ids: Seq[String],
+    min_datetime: java.sql.Timestamp,
+    width: Int, height: Int, bands: Int, dtype: String,
+    payload: Array[Byte],
+    valid_pixels: Long,
+    error: String)
+
+/** GetCube — the read path (SURVEY §3.1) as one Catalyst plan feeding a
+  * typed mapGroups kernel:
+  *
+  *   findDatasets (S1: filters + bbox/JTS spatial + broadcast records join)
+  *   → join tiles on (container_uri, subdir)      [co-located by container]
+  *   → groupByKey(record | client group)           (A1/A2)
+  *   → mapGroups: time-ordered cast→warp→mosaic    (D3 kernel)
+  *   → slices ordered by (min datetime, group)     (O4 contract)
+  *
+  * Scale shape: the only shuffle is the groupByKey on record id — the same
+  * key the mosaic needs; tile payloads move once. Slice kernel memory =
+  * W·H·bands·8 per task (BASELINE.md §c sizing rule).
+  */
+object GetCube {
+
+  /** Resolve the output descriptor from the variable behind the instance
+    * (getCubePrepare: out mapping = variable DFormat, rangeExt = its own
+    * range, exponent 1; default resampling from the variable). */
+  def prepare(spark: SparkSession, cat: Catalog, req: CubeRequest): OutDescriptor = {
+    val inst = cat.read(spark, "variable_instances")
+      .filter(col("id").isin(req.instanceIds: _*))
+      .select("definition_id").distinct().collect()
+    require(inst.length == 1,
+      s"instances ${req.instanceIds} must exist and share one variable")
+    val vd = cat.read(spark, "variable_definitions")
+      .filter(col("id") === inst(0).getString(0)).collect()
+    require(vd.length == 1, s"variable ${inst(0).getString(0)} not found")
+    val v = vd(0)
+    val dt = DType.fromName(v.getAs[String]("dtype"))
+    val format = DataFormat(dt, v.getAs[Double]("no_data"),
+      NumRange(v.getAs[Double]("min_value"), v.getAs[Double]("max_value")))
+    OutDescriptor(
+      width = req.width, height = req.height,
+      bands = math.max(1,
+        Option(v.getAs[scala.collection.Seq[String]]("bands")).map(_.size).getOrElse(1)),
+      pixToCrs = req.transform,
+      crs = CRS.parse(req.crs),
+      mapping = DataMapping(format, format.range, 1.0),
+      resampling = req.resampling.orElse(Option(v.getAs[String]("resampling_alg")))
+        .map(Resampling.fromName).getOrElse(Resampling.Near),
+      validPixPc = req.validPixPc)
+  }
+
+  /** The spatial filter pair of the read path: coarse geographic footprint
+    * + refined native-CRS interior-intersects ring (pg_containers.go:302-311
+    * — the CASE-on-SRID predicate that drops datasets merely touching the
+    * request boundary). */
+  private def spatialFilters(req: CubeRequest, out: OutDescriptor):
+      (org.locationtech.jts.geom.Geometry, (org.locationtech.jts.geom.Geometry, Int)) = {
+    val footprint = GeomOps.geographicRingFromExtent(
+      req.transform, req.width, req.height, out.crs)
+    val nativeRing = GeomOps.polygonFromBBox(
+      graft.geo.BBox.fromExtent(req.transform, req.width, req.height))
+    (footprint, (nativeRing, out.crs.srid))
+  }
+
+  /** The dataset scan + tile join + grouping plan (steps 2-4 of §3.1). */
+  def datasetTiles(spark: SparkSession, cat: Catalog, req: CubeRequest): Dataset[DatasetTile] = {
+    import spark.implicits._
+    val out = prepare(spark, cat, req)
+    val (footprint, refined) = spatialFilters(req, out)
+
+    val found = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+      status = Seq("ACTIVE"),
+      instanceIds = req.instanceIds,
+      recordIds = if (req.recordGroups.nonEmpty) req.recordGroups.flatten else req.recordIds,
+      recordTags = req.tags,
+      fromTime = req.fromTime, toTime = req.toTime,
+      geog = Some(footprint), refined = Some(refined), order = true))
+
+    // group key: the record itself (A1) or the client-supplied group (A2)
+    val withGroup = if (req.recordGroups.nonEmpty) {
+      val groups = req.recordGroups.zipWithIndex
+        .flatMap { case (g, i) => g.map(r => (r, f"g$i%06d")) }
+        .toDF("__grid", "group_key")
+      found.join(broadcast(groups), col("record_id") === col("__grid")).drop("__grid")
+    } else found.withColumn("group_key", col("record_id"))
+
+    val tiles = cat.read(spark, "tiles").select(
+      col("container_uri").as("t_uri"), coalesce(col("subdir"), lit("")).as("t_subdir"),
+      col("width").as("t_width"), col("height").as("t_height"),
+      col("bands").as("t_bands"), col("dtype").as("t_dtype"),
+      col("crs").as("t_crs"), col("transform").as("t_transform"),
+      col("payload"))
+
+    withGroup
+      .join(tiles,
+        col("container_uri") === col("t_uri") &&
+          coalesce(col("subdir"), lit("")) === col("t_subdir"))
+      .select(
+        col("group_key"), col("record_id"), col("datetime"),
+        col("id").as("dataset_id"), col("bands"),
+        col("dtype"), col("no_data"), col("min_value"), col("max_value"),
+        col("real_min_value"), col("real_max_value"), col("exponent"),
+        col("t_width"), col("t_height"), col("t_bands"), col("t_dtype"),
+        col("t_crs"), col("t_transform"), col("payload"))
+      .as[DatasetTile]
+  }
+
+  /** Full cube: plan + kernel + ordered emission. */
+  def cube(spark: SparkSession, cat: Catalog, req: CubeRequest): Dataset[Slice] = {
+    import spark.implicits._
+    val out = prepare(spark, cat, req)
+
+    if (req.headersOnly) {
+      // headers-only short-circuit (getCubeStream :325-339): no tile join,
+      // no kernel — one aggregation over the dataset scan.
+      val found = datasetTilesMetaOnly(spark, cat, req)
+      return found
+        .groupBy(col("group_key"))
+        .agg(
+          sort_array(collect_set(col("record_id"))).as("record_ids"),
+          min(col("datetime")).as("min_datetime"))
+        .select(col("group_key"), col("record_ids"), col("min_datetime"),
+          lit(out.width).as("width"), lit(out.height).as("height"),
+          lit(out.bands).as("bands"), lit(out.mapping.format.dtype.name).as("dtype"),
+          lit(Array.empty[Byte]).as("payload"), lit(0L).as("valid_pixels"),
+          lit("").as("error"))
+        .orderBy(col("min_datetime"), col("group_key"))
+        .as[Slice]
+    }
+
+    val grouped = datasetTiles(spark, cat, req).groupByKey(_.group_key)
+    grouped.mapGroups { (key, it) => buildSlice(key, it, out) }
+      .orderBy(col("min_datetime"), col("group_key"))
+  }
+
+  private def datasetTilesMetaOnly(spark: SparkSession, cat: Catalog, req: CubeRequest): DataFrame = {
+    val out = prepare(spark, cat, req)
+    val (footprint, refined) = spatialFilters(req, out)
+    val found = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+      status = Seq("ACTIVE"), instanceIds = req.instanceIds,
+      recordIds = if (req.recordGroups.nonEmpty) req.recordGroups.flatten else req.recordIds,
+      recordTags = req.tags, fromTime = req.fromTime, toTime = req.toTime,
+      geog = Some(footprint), refined = Some(refined), order = true))
+    if (req.recordGroups.nonEmpty) {
+      import spark.implicits._
+      val groups = req.recordGroups.zipWithIndex
+        .flatMap { case (g, i) => g.map(r => (r, f"g$i%06d")) }
+        .toDF("__grid", "group_key")
+      found.join(broadcast(groups), col("record_id") === col("__grid")).drop("__grid")
+    } else found.withColumn("group_key", col("record_id"))
+  }
+
+  /** The per-group kernel (mergeDatasetsWorker, catalog.go:531-625): sort
+    * by (datetime, dataset id) so the latest paints last; decode tiles;
+    * extract the dataset's band subset; merge; envelope errors as values. */
+  private[cube] def buildSlice(key: String, rows: Iterator[DatasetTile], out: OutDescriptor): Slice = {
+    val list = rows.toArray.sortBy(r => (r.datetime.getTime, r.dataset_id))
+    val recordIds = list.map(_.record_id).distinct.sorted.toSeq
+    val minDt = new java.sql.Timestamp(list.map(_.datetime.getTime).min)
+    try {
+      val sources = list.map { r =>
+        val full = Bitmap.fromBytes(r.payload, r.t_width, r.t_height, r.t_bands,
+          DType.fromName(r.t_dtype))
+        val bm = extractBands(full, r.bands)
+        val mapping = DataMapping(
+          DataFormat(DType.fromName(r.dtype), r.no_data,
+            NumRange(r.min_value, r.max_value)),
+          NumRange(r.real_min_value, r.real_max_value), r.exponent)
+        SourceRaster(bm, Affine.fromArray(r.t_transform.toArray), CRS.parse(r.t_crs), mapping)
+      }.toSeq
+      Warp.mergeDatasets(sources, out) match {
+        case Some(merged) =>
+          Slice(key, recordIds, minDt, out.width, out.height, merged.bands,
+            out.mapping.format.dtype.name, merged.toBytes,
+            merged.validPixels(out.mapping.format.noData).toLong, "")
+        case None =>
+          Slice(key, recordIds, minDt, out.width, out.height, 0,
+            out.mapping.format.dtype.name, Array.empty[Byte], 0L,
+            "Not enough valid pixels (skipped)")
+      }
+    } catch {
+      case e: Exception =>
+        Slice(key, recordIds, minDt, out.width, out.height, 0,
+          out.mapping.format.dtype.name, Array.empty[Byte], 0L,
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  /** GDAL `-b`-style band subset (1-based; empty = all bands) —
+    * image.go:221-231. */
+  private def extractBands(bm: Bitmap, bands: Seq[Int]): Bitmap = {
+    if (bands.isEmpty || bands == (1 to bm.bands)) return bm
+    val plane = bm.width * bm.height
+    val px = new Array[Double](plane * bands.size)
+    for ((b, i) <- bands.zipWithIndex) {
+      require(b >= 1 && b <= bm.bands, s"band $b out of range 1..${bm.bands}")
+      System.arraycopy(bm.pixels, (b - 1) * plane, px, i * plane, plane)
+    }
+    new Bitmap(bm.width, bm.height, bands.size, bm.dtype, px)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import graft.geo.GeomOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.functions.{col, struct, lit}
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.Geometry
+
+/** Spatial predicates/transforms as native Catalyst expressions over WKB
+  * binary columns (SURVEY §2.13): the engine's replacement for the PostGIS
+  * operators the reference leans on (ST_Intersects / ST_Relate /
+  * ST_Intersection / ST_Transform — pg_containers.go:302-311,
+  * pg_grids.go:113-151).
+  *
+  * Evaluation is `nullSafeEval` over WKB (CodegenFallback: the JTS call
+  * dominates, codegen of the wrapper wouldn't pay). Every spatial filter
+  * in the query builders pairs one of these with a bbox-column pre-filter
+  * that IS codegen'd and parquet-prunable — the two-stage structure of the
+  * reference's coarse `&&` + fine `ST_Relate` (SURVEY §4).
+  */
+object SpatialExpressions {
+
+  /** ST_Intersects(wkbA, wkbB). */
+  case class STIntersects(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
+        .intersects(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Interior-intersects: ST_Relate(a, b, 'T********') — the refined
+    * same-SRID predicate (pg_containers.go:308-310). */
+  case class STInteriorIntersects(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      GeomOps.interiorIntersects(
+        GeomOps.readWkb(a.asInstanceOf[Array[Byte]]),
+        GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** ST_Intersection(wkbA, wkbB) → WKB (empty geometry → null). */
+  case class STIntersection(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val g = GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
+        .intersection(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+      if (g.isEmpty) null else GeomOps.writeWkb(g)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** ST_Area(wkb). */
+  case class STArea(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any =
+      GeomOps.readWkb(a.asInstanceOf[Array[Byte]]).getArea
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Geometry SHA-1 hash (record.go:33-46) as hex string. */
+  case class GeomHash(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(a: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        GeomOps.geometryHash(GeomOps.readWkb(a.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // Column wrappers (Spark 4: Column ↔ Expression via the classic bridge)
+  import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
+  def st_intersects(a: Column, b: Column): Column = toCol(STIntersects(toExpr(a), toExpr(b)))
+  def st_interior_intersects(a: Column, b: Column): Column =
+    toCol(STInteriorIntersects(toExpr(a), toExpr(b)))
+  def st_intersection(a: Column, b: Column): Column = toCol(STIntersection(toExpr(a), toExpr(b)))
+  def st_area(a: Column): Column = toCol(STArea(toExpr(a)))
+  def geom_hash(a: Column): Column = toCol(GeomHash(toExpr(a)))
+
+  /** bbox-overlap pre-filter over the struct companion column — codegen'd,
+    * parquet-min/max-prunable (the GIST-index substitute, SURVEY §4). */
+  def bboxIntersects(bboxCol: Column, b: graft.geo.BBox): Column =
+    bboxCol.getField("xmin") <= lit(b.xmax) &&
+      bboxCol.getField("xmax") >= lit(b.xmin) &&
+      bboxCol.getField("ymin") <= lit(b.ymax) &&
+      bboxCol.getField("ymax") >= lit(b.ymin)
+
+  /** bbox struct literal from a geometry. */
+  def bboxStruct(g: Geometry): Column = {
+    val b = GeomOps.bbox(g)
+    struct(lit(b.xmin).as("xmin"), lit(b.ymin).as("ymin"),
+      lit(b.xmax).as("xmax"), lit(b.ymax).as("ymax"))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.cube
+
+import graft.catalog._
+import graft.geo.{Affine, BBox, GeomOps}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end GetCube over a seeded catalog — the §7.2 minimum slice:
+  * scan + joins + tag/time/spatial filters + grouping + cast/mosaic kernel
+  * + ordered slices. */
+class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root: String = java.nio.file.Files.createTempDirectory("graft-cat").toString
+  val cat: Catalog = Catalog(root)
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  def wkbBox(b: BBox): Array[Byte] = GeomOps.writeWkb(GeomOps.polygonFromBBox(b))
+  def bboxRow(b: BBox): Row = Row(b.xmin, b.ymin, b.xmax, b.ymax)
+
+  override def beforeAll(): Unit = {
+    val sc = spark
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(sc.createDataFrame(
+        sc.sparkContext.parallelize(rows), Schemas.all(table)), table)
+
+    val box04 = BBox(0, 0, 4, 4)
+    val boxLeft = BBox(0, 0, 2, 4)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(box04), bboxRow(box04))))
+    write("records", Seq(
+      Row("r1", "scene-1", ts("2024-01-01 00:00:00"), Map("sat" -> "S2A"), "a1"),
+      Row("r2", "scene-2", ts("2024-01-02 00:00:00"), Map("sat" -> "S2B"), "a1"),
+      Row("r3", "other-3", ts("2024-03-01 00:00:00"), Map("sat" -> "L8"), "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "ndvi", "1", "d", Seq("b1"), "float32", Double.NaN, -1.0, 1.0, "", "near")))
+    write("variable_instances", Seq(
+      Row("i1", "master", Map.empty[String, String], "v1")))
+    write("containers", Seq(
+      Row("mem://c1", true, "STANDARD"), Row("mem://c2", true, "STANDARD")))
+
+    // datasets: uint8 [0,254] ↦ ext [-1,1], nodata 255
+    def dsRow(id: String, rid: String, uri: String, geom: BBox, srid: Int = 4326): Row =
+      Row(id, rid, "i1", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, -1.0, 1.0, 1.0, false,
+        wkbBox(geom), wkbBox(geom), srid, bboxRow(geom))
+    write("datasets", Seq(
+      dsRow("d1", "r1", "mem://c1", box04),
+      dsRow("d2", "r2", "mem://c2", boxLeft)))
+
+    // tiles: c1 = 4×4 of 100 over [0,4]²; c2 = 2×4 of 200 over left half,
+    // with a nodata hole at its pixel (0,0) (top-left, lon 0-1, lat 3-4)
+    val t1 = Array.fill(16)(100.0)
+    val t2 = Array.fill(8)(200.0); t2(0) = 255.0
+    def tileRow(uri: String, w: Int, h: Int, px: Array[Double], x0: Double): Row =
+      Row(uri, "", w, h, 1, "uint8", "EPSG:4326",
+        Seq(x0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new graft.raster.Bitmap(w, h, 1, graft.core.DType.UInt8, px).toBytes)
+    write("tiles", Seq(
+      tileRow("mem://c1", 4, 4, t1, 0.0),
+      tileRow("mem://c2", 2, 4, t2, 0.0)))
+  }
+
+  override def afterAll(): Unit = {
+    // keep spark session for other suites; clean the temp catalog
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(root))
+  }
+
+  val grid4: Affine = Affine.northUp(0, 4, 1, -1)
+  def request(groups: Seq[Seq[String]] = Nil): CubeRequest = CubeRequest(
+    instanceIds = Seq("i1"), crs = "EPSG:4326", transform = grid4,
+    width = 4, height = 4, recordGroups = groups)
+
+  val cast100: Double = (100.0 / 254.0) * 2 - 1 // uint8→ext[-1,1]
+  val cast200: Double = (200.0 / 254.0) * 2 - 1
+
+  test("per-record cube: one slice per record, time-ordered, casted pixels") {
+    val slices = GetCube.cube(spark, cat, request()).collect()
+    assert(slices.length == 2)
+    assert(slices(0).record_ids == Seq("r1") && slices(1).record_ids == Seq("r2"))
+    assert(slices(0).error.isEmpty && slices(1).error.isEmpty)
+    val bm1 = graft.raster.Bitmap.fromBytes(
+      slices(0).payload, 4, 4, 1, graft.core.DType.Float32)
+    assert(bm1.pixels.forall(v => math.abs(v - cast100) < 1e-6))
+    // r2 covers only the left half; right half stays NaN (float nodata)
+    val bm2 = graft.raster.Bitmap.fromBytes(
+      slices(1).payload, 4, 4, 1, graft.core.DType.Float32)
+    assert(math.abs(bm2.get(0, 1, 0) - cast200) < 1e-6)
+    assert(bm2.get(3, 0, 0).isNaN)
+    // the tile's nodata hole at (0,0) stays NaN in the slice
+    assert(bm2.get(0, 0, 0).isNaN)
+    assert(slices(1).valid_pixels == 7L) // 2×4 minus hole
+  }
+
+  test("grouped mosaic: newest record paints over oldest, holes show through") {
+    val slices = GetCube.cube(spark, cat, request(groups = Seq(Seq("r1", "r2")))).collect()
+    assert(slices.length == 1)
+    val bm = graft.raster.Bitmap.fromBytes(
+      slices(0).payload, 4, 4, 1, graft.core.DType.Float32)
+    // left half: r2 (newer) wins — except its nodata hole at (0,0)
+    assert(math.abs(bm.get(0, 1, 0) - cast200) < 1e-6)
+    assert(math.abs(bm.get(1, 3, 0) - cast200) < 1e-6)
+    assert(math.abs(bm.get(0, 0, 0) - cast100) < 1e-6) // hole → r1 value
+    // right half: only r1
+    assert(math.abs(bm.get(3, 0, 0) - cast100) < 1e-6)
+    assert(slices(0).record_ids == Seq("r1", "r2"))
+  }
+
+  test("headers-only short-circuits the kernel") {
+    val slices = GetCube.cube(spark, cat, request().copy(headersOnly = true)).collect()
+    assert(slices.length == 2)
+    assert(slices.forall(_.payload.isEmpty))
+    assert(slices.map(_.record_ids.head).toSeq == Seq("r1", "r2"))
+  }
+
+  test("spatial filter prunes datasets outside the request extent") {
+    // request only the right half [2,4]×[0,4]: d2 (left-half) must not match
+    val req = request().copy(transform = Affine.northUp(2, 4, 1, -1), width = 2)
+    val slices = GetCube.cube(spark, cat, req).collect()
+    assert(slices.length == 1)
+    assert(slices(0).record_ids == Seq("r1"))
+  }
+
+  test("tag and time filters reach the records join") {
+    val byTag = GetCube.cube(spark, cat, request().copy(tags = Map("sat" -> "S2B"))).collect()
+    assert(byTag.map(_.record_ids.head).toSeq == Seq("r2"))
+    val byTime = GetCube.cube(spark, cat,
+      request().copy(toTime = Some(ts("2024-01-01 12:00:00")))).collect()
+    assert(byTime.map(_.record_ids.head).toSeq == Seq("r1"))
+    // pattern tag filter: S2* matches both S2A and S2B
+    val byPat = GetCube.cube(spark, cat, request().copy(tags = Map("sat" -> "S2*"))).collect()
+    assert(byPat.length == 2)
+  }
+
+  test("findRecords: name patterns, AOI intersection, order") {
+    val byName = CatalogQueries.findRecords(spark, cat, namePatterns = Seq("scene-*"))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(byName == Seq("r1", "r2"))
+    val byNameCi = CatalogQueries.findRecords(spark, cat, namePatterns = Seq("SCENE-1(?i)"))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(byNameCi == Seq("r1"))
+    val byAoi = CatalogQueries.findRecords(spark, cat,
+      aoi = Some(GeomOps.polygonFromBBox(BBox(1, 1, 2, 2))))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(byAoi == Seq("r1", "r2", "r3")) // all share a1
+  }
+
+  test("readByIds preserves request order and dedupes") {
+    val records = cat.read(spark, "records")
+    val got = CatalogQueries.readByIds(spark, records, "id", Seq("r2", "r1", "r2"))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("r2", "r1"))
+  }
+
+  test("pendingDeletion finds unreferenced records (GC anti-join)") {
+    val got = CatalogQueries.pendingDeletion(spark, cat, "records")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("r3")) // r3 has no datasets
+  }
+
+  test("catalog swap is atomic and versioned (C6 semantics)") {
+    import org.apache.spark.sql.functions._
+    val before = cat.read(spark, "datasets")
+    val swapped = before.withColumn("status",
+      when(col("status") === "ACTIVE", "TODELETE").otherwise(col("status")))
+    cat.rewrite(swapped, "datasets")
+    val after = cat.read(spark, "datasets").select("status").distinct().collect()
+    assert(after.map(_.getString(0)).toSet == Set("TODELETE"))
+    // swap back for other tests
+    cat.rewrite(cat.read(spark, "datasets").withColumn("status", lit("ACTIVE")), "datasets")
+    assert(cat.read(spark, "datasets").filter(col("status") === "ACTIVE").count() == 2)
+  }
+}
