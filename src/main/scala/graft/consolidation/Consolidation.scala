@@ -1,0 +1,278 @@
+package graft.consolidation
+
+import graft.catalog.{Catalog, CatalogQueries, DatasetFilters, Schemas}
+import graft.core._
+import graft.functions.SpatialExpressions._
+import graft.geo.{Affine, CRS, GeomOps}
+import graft.layout.Layout
+import graft.raster._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Geometry
+
+/** Consolidation parameters — the job's output format spec (reference
+  * consolidation_params table, create.sql:168-176). */
+final case class ConsolidationParams(
+    mapping: DataMapping,
+    resampling: Resampling,
+    storageClass: String = "STANDARD")
+
+/** The consolidation ETL (SURVEY §2.11, §3.2) as plain Spark batch jobs
+  * over the catalog — the reference's distributed worker fleet + queue +
+  * 20-state FSM collapses into:
+  *
+  *   C2 init       — lock = snapshot the job's dataset ids into the job row
+  *   C3 prepare    — ONE plan: union footprints → layout cells →
+  *                   spatial-join datasets×cells (J5: a single broadcast
+  *                   join, not the reference's per-cell query loop) →
+  *                   window-pack maxRecords records per container → tasks
+  *   C4 consolidate— tasks ⋈ tiles, groupByKey(container) → mapGroups
+  *                   merge kernel → stacked container tiles (one subdir
+  *                   per record — the MuCOG `GTIFF_DIR:n` addressing)
+  *   C5 index      — append INACTIVE datasets for the new containers
+  *   C6 swap       — atomic status flip via Catalog.rewrite
+  *   C7 delete     — drop TODELETE datasets + GC orphan containers/tiles
+  *
+  * One Spark task per output container (BASELINE.md §c: mirrors one queue
+  * task per container) — linear scale-out, shuffle keyed by the same
+  * container id the output needs.
+  */
+object Consolidation {
+
+  /** Distributed geometric union (A3, GetDatasetsGeometryUnion
+    * pg_containers.go:385-407): per-partition JTS union, then driver union
+    * of the partials (treeReduce shape — footprint count per job is
+    * bounded by the locked dataset set). */
+  def unionFootprints(df: DataFrame, wkbCol: String): Geometry = {
+    val partials = df.select(wkbCol).na.drop
+      .rdd.mapPartitions { it =>
+        val gs = it.map(r => GeomOps.readWkb(r.getAs[Array[Byte]](0))).toSeq
+        if (gs.isEmpty) Iterator.empty
+        else Iterator.single(GeomOps.writeWkb(
+          org.locationtech.jts.operation.union.UnaryUnionOp.union(
+            java.util.Arrays.asList(gs: _*))))
+      }.collect()
+    require(partials.nonEmpty, "unionFootprints: no geometries")
+    org.locationtech.jts.operation.union.UnaryUnionOp.union(
+      java.util.Arrays.asList(partials.map(GeomOps.readWkb): _*))
+  }
+
+  /** C3 — csldPrepareOrders (consolidater.go:166-407): emit one task row
+    * per output container: (cell, container index, ordered record list,
+    * their dataset ids). */
+  def prepareOrders(spark: SparkSession, cat: Catalog, jobId: String,
+      instanceId: String, recordIds: Seq[String], layout: Layout,
+      collapseOnRecordId: Option[String] = None): DataFrame = {
+    import spark.implicits._
+
+    val datasets = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+      status = Seq("ACTIVE"), instanceIds = Seq(instanceId),
+      recordIds = recordIds, order = true))
+
+    // A3: job AOI = union of locked footprints
+    val aoi = unionFootprints(datasets, "geog_wkb")
+
+    // G5: covering cells of the job AOI (dedup by geometry hash)
+    val cells = layout.covers(aoi).map { c =>
+      val ring = c.geographicRing
+      val b = GeomOps.bbox(ring)
+      (c.uri, GeomOps.writeWkb(ring), b.xmin, b.ymin, b.xmax, b.ymax,
+        s"EPSG:${c.crs.srid}", c.pixToCrs.toArray.toSeq, c.sizeX, c.sizeY)
+    }.toSeq.toDF("cell_uri", "cell_wkb", "c_xmin", "c_ymin", "c_xmax", "c_ymax",
+      "cell_crs", "cell_transform", "cell_w", "cell_h")
+
+    // J5: one spatial join datasets × cells (bbox prune + JTS fine)
+    val joined = datasets.join(broadcast(cells),
+      col("bbox.xmin") <= col("c_xmax") && col("bbox.xmax") >= col("c_xmin") &&
+        col("bbox.ymin") <= col("c_ymax") && col("bbox.ymax") >= col("c_ymin") &&
+        st_intersects(col("geog_wkb"), col("cell_wkb")))
+
+    // collapse variant (C9): all records consolidate onto one record id
+    val keyed = collapseOnRecordId match {
+      case Some(rid) => joined.withColumn("pack_record", lit(rid))
+      case None => joined.withColumn("pack_record", col("record_id"))
+    }
+
+    // O3 + packing: per cell, rank records by (datetime, record_id); pack
+    // floor(rank / maxRecords) records per container (consolidater.go:411-431)
+    val recordRank = dense_rank().over(
+      Window.partitionBy(col("cell_uri")).orderBy(col("datetime"), col("pack_record")))
+    val packed = keyed
+      .withColumn("record_rank", recordRank)
+      .withColumn("container_idx", ((col("record_rank") - 1) / layout.maxRecords).cast("int"))
+      .withColumn("container_uri",
+        concat(lit(s"${cat.root}/containers/$jobId/"), col("cell_uri"), lit("/"),
+          col("container_idx")))
+
+    packed.groupBy(col("cell_uri"), col("container_idx"), col("container_uri"),
+        col("cell_crs"), col("cell_transform"), col("cell_w"), col("cell_h"))
+      .agg(sort_array(collect_list(struct(
+        col("datetime"), col("pack_record").as("record_id"), col("id").as("dataset_id"))))
+        .as("datasets"))
+      .withColumn("job_id", lit(jobId))
+  }
+
+  /** C4 — the consolidation worker (handler_consolidation.go:59-234) as a
+    * tasks ⋈ tiles shuffle keyed by container: merge each record's
+    * datasets onto the cell grid, stack records as subdirs of the output
+    * container. Returns the new tile rows + container rows, appended to
+    * the catalog. */
+  def consolidate(spark: SparkSession, cat: Catalog, tasks: DataFrame,
+      params: ConsolidationParams): DataFrame = {
+    import spark.implicits._
+
+    // explode tasks to (container, record, dataset) and join dataset+tile
+    val exploded = tasks.select(
+        col("container_uri"), col("cell_crs"), col("cell_transform"),
+        col("cell_w"), col("cell_h"), explode(col("datasets")).as("d"))
+      .select(col("container_uri").as("out_uri"), col("cell_crs"),
+        col("cell_transform"), col("cell_w"), col("cell_h"),
+        col("d.datetime").as("datetime"), col("d.record_id").as("record_id"),
+        col("d.dataset_id").as("dataset_id"))
+
+    val ds = cat.read(spark, "datasets").select(
+      col("id"), col("container_uri"), col("subdir"), col("bands"),
+      col("dtype"), col("no_data"), col("min_value"), col("max_value"),
+      col("real_min_value"), col("real_max_value"), col("exponent"))
+
+    val tiles = cat.read(spark, "tiles").select(
+      col("container_uri").as("t_uri"), coalesce(col("subdir"), lit("")).as("t_subdir"),
+      col("width").as("t_width"), col("height").as("t_height"),
+      col("bands").as("t_bands"), col("dtype").as("t_dtype"),
+      col("crs").as("t_crs"), col("transform").as("t_transform"), col("payload"))
+
+    val rows = exploded
+      .join(ds, col("dataset_id") === ds("id"))
+      .join(tiles, col("container_uri") === col("t_uri") &&
+        coalesce(col("subdir"), lit("")) === col("t_subdir"))
+
+    val outMapping = params.mapping
+    val outDtypeName = outMapping.format.dtype.name
+    val resamplingName = params.resampling.name
+
+    // group by output container; one Spark task per container (C4 contract)
+    val newTiles = rows.select(
+        col("out_uri"), col("cell_crs"), col("cell_transform"),
+        col("cell_w"), col("cell_h"),
+        col("record_id"), col("datetime"), col("dataset_id"), col("bands"),
+        col("dtype"), col("no_data"), col("min_value"), col("max_value"),
+        col("real_min_value"), col("real_max_value"), col("exponent"),
+        col("t_width"), col("t_height"), col("t_bands"), col("t_dtype"),
+        col("t_crs"), col("t_transform"), col("payload"))
+      .as[ConsolidationRow]
+      .groupByKey(_.out_uri)
+      .flatMapGroups { (outUri, it) =>
+        buildContainer(outUri, it.toSeq, outMapping, resamplingName)
+      }
+      .toDF("container_uri", "subdir", "width", "height", "bands", "dtype",
+        "crs", "transform", "payload", "record_id", "datetime")
+
+    // persist: tiles + containers (managed) — C4's upload step
+    cat.append(newTiles.drop("record_id", "datetime"), "tiles")
+    cat.append(newTiles.select(col("container_uri").as("uri")).distinct()
+      .withColumn("managed", lit(true))
+      .withColumn("storage_class", lit(params.storageClass)), "containers")
+    newTiles
+  }
+
+  final case class ConsolidationRow(
+      out_uri: String, cell_crs: String, cell_transform: Seq[Double],
+      cell_w: Int, cell_h: Int,
+      record_id: String, datetime: java.sql.Timestamp, dataset_id: String,
+      bands: Seq[Int],
+      dtype: String, no_data: Double, min_value: Double, max_value: Double,
+      real_min_value: Double, real_max_value: Double, exponent: Double,
+      t_width: Int, t_height: Int, t_bands: Int, t_dtype: String,
+      t_crs: String, t_transform: Seq[Double], payload: Array[Byte])
+
+  /** Merge each record's datasets onto the container's cell grid — one
+    * output tile per record, subdir "GTIFF_DIR:i" in record-time order
+    * (the MuCOG stacking contract, dataset.go:70-129). */
+  private def buildContainer(outUri: String, rows: Seq[ConsolidationRow],
+      outMapping: DataMapping, resamplingName: String):
+      Iterator[(String, String, Int, Int, Int, String, String, Seq[Double], Array[Byte], String, java.sql.Timestamp)] = {
+    val head = rows.head
+    val out = OutDescriptor(
+      width = head.cell_w, height = head.cell_h, bands = 1,
+      pixToCrs = Affine.fromArray(head.cell_transform.toArray),
+      crs = CRS.parse(head.cell_crs),
+      mapping = outMapping,
+      resampling = Resampling.fromName(resamplingName))
+    val byRecord = rows.groupBy(r => (r.datetime.getTime, r.record_id)).toSeq.sortBy(_._1)
+    byRecord.zipWithIndex.iterator.map { case (((_, recordId), rs), i) =>
+      val sources = rs.sortBy(r => (r.datetime.getTime, r.dataset_id)).map { r =>
+        val full = Bitmap.fromBytes(r.payload, r.t_width, r.t_height, r.t_bands,
+          DType.fromName(r.t_dtype))
+        val mapping = DataMapping(
+          DataFormat(DType.fromName(r.dtype), r.no_data,
+            NumRange(r.min_value, r.max_value)),
+          NumRange(r.real_min_value, r.real_max_value), r.exponent)
+        SourceRaster(full, Affine.fromArray(r.t_transform.toArray),
+          CRS.parse(r.t_crs), mapping)
+      }
+      val merged = Warp.mergeDatasets(sources, out.copy(bands = sources.head.bitmap.bands))
+        .getOrElse(Bitmap.filled(out.width, out.height, 1,
+          outMapping.format.dtype, outMapping.format.noData))
+      (outUri, s"GTIFF_DIR:${i + 1}", merged.width, merged.height, merged.bands,
+        outMapping.format.dtype.name, head.cell_crs, head.cell_transform,
+        merged.toBytes, recordId, rs.head.datetime)
+    }
+  }
+
+  /** C5 — csldIndex (consolidater.go:559-644): register one INACTIVE
+    * dataset per (container, record/subdir). */
+  def index(spark: SparkSession, cat: Catalog, newTiles: DataFrame,
+      instanceId: String, params: ConsolidationParams): Unit = {
+    val m = params.mapping
+    val rows = newTiles.select("container_uri", "subdir", "record_id", "bands",
+        "width", "height", "crs", "transform")
+      .collect().map { r =>
+      val tf = Affine.fromArray(r.getAs[scala.collection.Seq[Double]]("transform").toArray)
+      val crs = CRS.parse(r.getAs[String]("crs"))
+      val native = GeomOps.polygonFromBBox(graft.geo.BBox.fromExtent(
+        tf, r.getAs[Int]("width"), r.getAs[Int]("height")))
+      val geog = GeomOps.geographicRingFromExtent(
+        tf, r.getAs[Int]("width"), r.getAs[Int]("height"), crs)
+      val b = GeomOps.bbox(geog)
+      Row(
+        java.util.UUID.randomUUID().toString, r.getAs[String]("record_id"), instanceId,
+        r.getAs[String]("container_uri"), r.getAs[String]("subdir"),
+        (1 to r.getAs[Int]("bands")).toSeq, "INACTIVE", null,
+        m.format.dtype.name, m.format.noData, m.format.range.min, m.format.range.max,
+        m.rangeExt.min, m.rangeExt.max, m.exponent, false,
+        GeomOps.writeWkb(geog), GeomOps.writeWkb(native), crs.srid,
+        Row(b.xmin, b.ymin, b.xmax, b.ymax))
+    }
+    cat.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), Schemas.datasets), "datasets")
+  }
+
+  /** C6 — csldSwapDatasets (consolidater.go:644-667): the atomic flip.
+    * Old ACTIVE datasets of the job's records×instance → TODELETE; new
+    * INACTIVE ones → ACTIVE. Single rewrite = single transaction. */
+  def swap(spark: SparkSession, cat: Catalog, instanceId: String,
+      oldDatasetIds: Seq[String]): Unit = {
+    val ds = cat.read(spark, "datasets")
+    val flipped = ds
+      .withColumn("status",
+        when(col("id").isin(oldDatasetIds: _*) && col("status") === "ACTIVE", "TODELETE")
+          .when(col("instance_id") === instanceId && col("status") === "INACTIVE", "ACTIVE")
+          .otherwise(col("status")))
+    cat.rewrite(flipped, "datasets")
+  }
+
+  /** C7 — csldDeleteDatasets (consolidater.go:669-748): drop TODELETE
+    * rows, then GC containers (and their tiles) no dataset references. */
+  def deleteDatasets(spark: SparkSession, cat: Catalog): Unit = {
+    val ds = cat.read(spark, "datasets")
+    cat.rewrite(ds.filter(col("status") =!= "TODELETE"), "datasets")
+    val live = cat.read(spark, "datasets").select(col("container_uri")).distinct()
+    val containers = cat.read(spark, "containers")
+    cat.rewrite(containers.join(live, containers("uri") === live("container_uri"), "left_semi"),
+      "containers")
+    val tiles = cat.read(spark, "tiles")
+    cat.rewrite(tiles.join(live.withColumnRenamed("container_uri", "__live"),
+      tiles("container_uri") === col("__live"), "left_semi"), "tiles")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.layout
+
+import graft.geo.{Affine, BBox, CRS, GeomOps}
+import org.locationtech.jts.geom.Geometry
+
+/** One grid cell: URI + CRS + pixel grid + native/geographic footprints —
+  * the reference's Cell (internal/utils/grid/abstractgrid.go:68-90). */
+final case class Cell(
+    uri: String,
+    crs: CRS,
+    pixToCrs: Affine,
+    sizeX: Int,
+    sizeY: Int) {
+  def nativeRing: Geometry =
+    GeomOps.polygonFromBBox(BBox.fromExtent(pixToCrs, sizeX, sizeY))
+  /** Footprint in lon/lat, corners reprojected (densification as in
+    * GeomOps.geographicRingFromExtent). */
+  def geographicRing: Geometry =
+    GeomOps.geographicRingFromExtent(pixToCrs, sizeX, sizeY, crs)
+}
+
+/** Grid abstraction (G1-G5): Covers(aoi) streams cell URIs; Cell(uri)
+  * materializes one cell. Implementations are pure Scala so `covers` can
+  * run driver-side (small AOIs) or inside a flatMap generator over
+  * many AOIs (the Spark form of the reference's streamed channel). */
+sealed trait Grid {
+  def covers(aoiLonLat: Geometry): Iterator[String]
+  def cell(uri: String): Cell
+}
+
+/** Regular grid (regulargrid.go): CRS + cell size (pixels) + resolution +
+  * origin. URI format "i/j". Instead of the reference's rasterize-the-AOI
+  * approach we test each candidate cell's bbox directly against the
+  * (prepared) projected AOI — no O(width×height) buffer, no memory-limit
+  * guard needed; cells stream lazily. */
+final case class RegularGrid(
+    crs: CRS,
+    cellSizeX: Int,
+    cellSizeY: Int,
+    resolution: Double,
+    originX: Double = 0,
+    originY: Double = 0) extends Grid {
+
+  /** pixel→CRS for the whole grid (regulargrid.go:121). */
+  val pixToCrs: Affine =
+    Affine.translation(originX, originY).multiply(Affine.scale(resolution, -resolution))
+
+  def cell(uri: String): Cell = {
+    val parts = uri.split("/")
+    require(parts.length == 2, s"Cell format must be 'i/j': $uri")
+    val (i, j) = (parts(0).toInt, parts(1).toInt)
+    val cellToCrs = pixToCrs.multiply(
+      Affine.translation(i.toDouble * cellSizeX, j.toDouble * cellSizeY))
+    Cell(uri, crs, cellToCrs, cellSizeX, cellSizeY)
+  }
+
+  def covers(aoiLonLat: Geometry): Iterator[String] = {
+    // project AOI into grid CRS (corner-wise; adequate for the whitelisted
+    // conformal CRS at cell granularity)
+    val projected = projectToCrs(aoiLonLat, crs)
+    val prep = GeomOps.prepared(projected)
+    val env = projected.getEnvelopeInternal
+    val crsToPix = pixToCrs.inverse
+    // candidate (i,j) range from the AOI bbox in fractional cell coords
+    val corners = Seq(
+      crsToPix.transform(env.getMinX, env.getMinY),
+      crsToPix.transform(env.getMaxX, env.getMinY),
+      crsToPix.transform(env.getMinX, env.getMaxY),
+      crsToPix.transform(env.getMaxX, env.getMaxY))
+    val i0 = math.floor(corners.map(_._1).min / cellSizeX).toInt
+    val i1 = math.ceil(corners.map(_._1).max / cellSizeX).toInt
+    val j0 = math.floor(corners.map(_._2).min / cellSizeY).toInt
+    val j1 = math.ceil(corners.map(_._2).max / cellSizeY).toInt
+    // prepared fast-reject, then interior-intersects (T********): a cell
+    // merely touching the AOI boundary has zero coverage and is not
+    // emitted (matches the reference's rasterize-then-scan, which never
+    // lights a pixel for a zero-area touch)
+    for {
+      j <- Iterator.range(j0, j1 + 1)
+      i <- Iterator.range(i0, i1 + 1)
+      c = cell(s"$i/$j")
+      ring = c.nativeRing
+      if prep.intersects(ring) && GeomOps.interiorIntersects(projected, ring)
+    } yield c.uri
+  }
+
+  private[layout] def projectToCrs(aoiLonLat: Geometry, crs: CRS): Geometry = {
+    val g = aoiLonLat.copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        val (x, y) = crs.fromLonLat(c.x, c.y)
+        c.x = x; c.y = y
+      }
+    })
+    g.geometryChanged()
+    g
+  }
+}
+
+/** Single-cell grid (singlecellgrid.go:53-105): the AOI's CRS bbox as one
+  * cell at a given resolution. URI "originX/originY/sizeX/sizeY". */
+final case class SingleCellGrid(crs: CRS, resolution: Double) extends Grid {
+
+  def covers(aoiLonLat: Geometry): Iterator[String] = {
+    require(!aoiLonLat.isEmpty, "SingleCellGrid.Covers: empty AOI")
+    val projected = RegularGrid(crs, 1, 1, resolution).projectToCrs(aoiLonLat, crs)
+    val b = projected.getEnvelopeInternal
+    val width = math.round(math.abs(b.getMinX - b.getMaxX) / math.abs(resolution))
+    val height = math.round(math.abs(b.getMinY - b.getMaxY) / math.abs(resolution))
+    Iterator.single(s"${fmt(b.getMinX)}/${fmt(b.getMaxY)}/$width/$height")
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  def cell(uri: String): Cell = {
+    val parts = uri.split("/")
+    require(parts.length == 4, s"Cell format must be originX/originY/sizeX/sizeY: $uri")
+    val pixToCrs = Affine.translation(parts(0).toDouble, parts(1).toDouble)
+      .multiply(Affine.scale(resolution, -resolution))
+    Cell(uri, crs, pixToCrs, parts(2).toInt, parts(3).toInt)
+  }
+}
+
+object Grid {
+  /** Grid from layout flags + parameters (abstractgrid.go:52-66 +
+    * regulargrid.go:57-132): flags name the grid kind; parameters carry
+    * crs/resolution/cell size/origin. */
+  def fromLayout(flags: Seq[String], params: Map[String, String]): Grid = {
+    val kind = flags.headOption.getOrElse("regular")
+    val crs = CRS.parse(params.getOrElse("crs", "EPSG:4326"))
+    val resolution = params.getOrElse("resolution",
+      throw new IllegalArgumentException("must contain a valid 'resolution'")).toDouble
+    require(resolution > 0, "must contain a valid 'resolution'")
+    kind match {
+      case "regular" =>
+        val (cx, cy) = params.get("cell_size") match {
+          case Some(s) => (s.toInt, s.toInt)
+          case None => (params("cell_x_size").toInt, params("cell_y_size").toInt)
+        }
+        RegularGrid(crs, cx, cy, resolution,
+          params.get("ox").map(_.toDouble).getOrElse(0.0),
+          params.get("oy").map(_.toDouble).getOrElse(0.0))
+      case "singlecell" => SingleCellGrid(crs, resolution)
+      case g => throw new IllegalArgumentException(s"unsupported grid: $g")
+    }
+  }
+
+  /** XYZ web-tile math (G7, catalog.go:483-506): z/x/y → WebMercator
+    * 256×256 descriptor. Origin at (-πR, πR), res = 2πR / (256·2^z). */
+  val WebMercatorOrigin: Double = 20037508.342789244
+  def xyzTransform(x: Long, y: Long, z: Int): Affine = {
+    val res = 2 * WebMercatorOrigin / (256L.toDouble * (1L << z))
+    Affine.northUp(
+      -WebMercatorOrigin + x * 256 * res,
+      WebMercatorOrigin - y * 256 * res,
+      res, -res)
+  }
+}

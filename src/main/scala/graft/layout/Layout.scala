@@ -1,0 +1,63 @@
+package graft.layout
+
+import graft.geo.GeomOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Geometry
+
+/** Layout = grid spec + internal tiling + packing params (reference
+  * internal/geocube/layout.go:16-29, create.sql:116-126). */
+final case class Layout(
+    name: String,
+    gridFlags: Seq[String],
+    gridParameters: Map[String, String],
+    blockXSize: Int = 256,
+    blockYSize: Int = 256,
+    maxRecords: Int = 1024,
+    overviewsMinSize: Int = 256,
+    interlacingPattern: String = "") {
+
+  @transient lazy val grid: Grid = Grid.fromLayout(gridFlags, gridParameters)
+
+  /** Covers with geometry-hash dedup (layout.go:73-113, G5). */
+  def covers(aoiLonLat: Geometry, removeDuplicate: Boolean = true): Iterator[Cell] = {
+    val it = grid.covers(aoiLonLat).map(grid.cell)
+    if (!removeDuplicate) it
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      it.filter(c => seen.add(GeomOps.geometryHash(c.geographicRing)))
+    }
+  }
+}
+
+/** A streamed tile row (G6 TileAOI, svc/service.go:506-524): the cell's
+  * grid georeferencing, flattened for a DataFrame. */
+final case class TileRow(
+    uri: String, crs: String, sizeX: Int, sizeY: Int,
+    transform: Seq[Double])
+
+object Layout {
+
+  /** TileAOI as a distributed generator (G6): one input row per AOI →
+    * flatMap over covering cells. For a single AOI this runs on the driver
+    * in the reference; the Spark form scales to millions of AOIs (the
+    * generator is a narrow transformation — no shuffle). */
+  def tileAois(spark: SparkSession, layout: Layout,
+      aois: Dataset[(String, Array[Byte])]): DataFrame = {
+    import spark.implicits._
+    aois.flatMap { case (aoiId, wkb) =>
+      layout.covers(GeomOps.readWkb(wkb)).map { c =>
+        (aoiId, TileRow(c.uri, s"EPSG:${c.crs.srid}", c.sizeX, c.sizeY,
+          c.pixToCrs.toArray.toSeq))
+      }
+    }.toDF("aoi_id", "tile")
+      .select(col("aoi_id"), col("tile.*"))
+  }
+
+  /** Stream tiles for one AOI in fixed batches (grpc
+    * StreamTilesBatchSize=1000, internal/grpc/service.go:35-36). */
+  def tileAoiBatches(layout: Layout, aoi: Geometry, batchSize: Int = 1000): Iterator[Seq[TileRow]] =
+    layout.covers(aoi).map(c =>
+      TileRow(c.uri, s"EPSG:${c.crs.srid}", c.sizeX, c.sizeY, c.pixToCrs.toArray.toSeq))
+      .grouped(batchSize)
+}

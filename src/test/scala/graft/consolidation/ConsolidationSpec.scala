@@ -1,0 +1,128 @@
+package graft.consolidation
+
+import graft.catalog._
+import graft.core._
+import graft.geo.{Affine, BBox, GeomOps}
+import graft.layout.Layout
+import graft.raster.{Bitmap, Resampling}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end consolidation job (§3.2): seed scattered per-record tiles,
+  * run the FSM, assert the re-tiled containers + the atomic swap. */
+class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root: String = java.nio.file.Files.createTempDirectory("graft-csld").toString
+  val cat: Catalog = Catalog(root)
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+  def wkbBox(b: BBox): Array[Byte] = GeomOps.writeWkb(GeomOps.polygonFromBBox(b))
+  def bboxRow(b: BBox): Row = Row(b.xmin, b.ymin, b.xmax, b.ymax)
+
+  val uint8Map: DataMapping = DataMapping(
+    DataFormat(DType.UInt8, 255.0, NumRange(0, 254)), NumRange(0, 254), 1.0)
+
+  override def beforeAll(): Unit = {
+    val sc = spark
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(sc.createDataFrame(
+        sc.sparkContext.parallelize(rows), Schemas.all(table)), table)
+
+    // two records, each with one 4×4 uint8 tile over [0,4]²
+    val box = BBox(0, 0, 4, 4)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(box), bboxRow(box))))
+    write("records", Seq(
+      Row("r1", "s1", ts("2024-01-01 00:00:00"), Map.empty[String, String], "a1"),
+      Row("r2", "s2", ts("2024-01-02 00:00:00"), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://c1", false, "STANDARD"), Row("mem://c2", false, "STANDARD")))
+    def dsRow(id: String, rid: String, uri: String): Row =
+      Row(id, rid, "i1", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box))
+    write("datasets", Seq(dsRow("d1", "r1", "mem://c1"), dsRow("d2", "r2", "mem://c2")))
+    def tile(uri: String, v: Double): Row =
+      Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326", Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(v)).toBytes)
+    write("tiles", Seq(tile("mem://c1", 10.0), tile("mem://c2", 20.0)))
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(root))
+  }
+
+  // layout: one 8×8-px cell of 0.5° resolution covers [0,4]² exactly
+  val layout: Layout = Layout("cells", Seq("regular"),
+    Map("crs" -> "EPSG:4326", "resolution" -> "0.5", "cell_size" -> "8"),
+    maxRecords = 4)
+
+  test("full consolidation job: FSM to DONE, containers stacked, swap atomic") {
+    val spec = ConsolidationJob.Spec("job1", "test", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    val finalState = ConsolidationJob.run(spark, cat, spec)
+    assert(finalState == "DONE")
+
+    // job journal recorded every transition
+    val states = cat.read(spark, "jobs").filter(col("id") === "job1")
+      .orderBy("created_at").select("state").collect().map(_.getString(0)).toSeq
+    assert(states == ConsolidationJob.states)
+
+    // the old datasets are gone; exactly 2 new ACTIVE datasets (one per
+    // record) pointing at the consolidated container with GTIFF_DIR subdirs
+    val ds = cat.read(spark, "datasets").collect()
+    assert(ds.length == 2)
+    assert(ds.forall(_.getAs[String]("status") == "ACTIVE"))
+    assert(ds.forall(_.getAs[String]("container_uri").startsWith(s"$root/containers/job1/")))
+    assert(ds.map(_.getAs[String]("subdir")).toSet == Set("GTIFF_DIR:1", "GTIFF_DIR:2"))
+
+    // consolidated tiles: 8×8 on the cell grid, record values preserved
+    val tiles = cat.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(s"$root/containers/job1/")).collect()
+    assert(tiles.length == 2)
+    val bySubdir = tiles.map(t => t.getAs[String]("subdir") -> t).toMap
+    val bm1 = Bitmap.fromBytes(bySubdir("GTIFF_DIR:1").getAs[Array[Byte]]("payload"),
+      8, 8, 1, DType.UInt8)
+    assert(bm1.pixels.forall(_ == 10.0)) // r1 (older) is dir 1
+    val bm2 = Bitmap.fromBytes(bySubdir("GTIFF_DIR:2").getAs[Array[Byte]]("payload"),
+      8, 8, 1, DType.UInt8)
+    assert(bm2.pixels.forall(_ == 20.0))
+
+    // old unmanaged containers were GC'd with their tiles
+    val uris = cat.read(spark, "containers").select("uri")
+      .collect().map(_.getString(0)).toSet
+    assert(!uris.contains("mem://c1") && !uris.contains("mem://c2"))
+  }
+
+  test("consolidated catalog still serves GetCube (read-after-swap)") {
+    import graft.cube._
+    val slices = GetCube.cube(spark, cat, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 4, 1, -1), width = 4, height = 4)).collect()
+    assert(slices.length == 2)
+    val bm = Bitmap.fromBytes(slices(0).payload, 4, 4, 1, DType.UInt8)
+    assert(bm.pixels.forall(_ == 10.0))
+  }
+
+  test("failed job rolls back and journals FAILED") {
+    val spec = ConsolidationJob.Spec("job2", "bad", "missing-instance", Seq("rX"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat, spec) == "FAILED")
+    val states = cat.read(spark, "jobs").filter(col("id") === "job2")
+      .select("state").collect().map(_.getString(0)).toSet
+    assert(states.contains("FAILED"))
+    // catalog untouched
+    assert(cat.read(spark, "datasets").count() == 2)
+  }
+}
