@@ -231,6 +231,15 @@ object GetCube {
     }
   }
 
+  /** Merge a collected set of dataset tiles into one mosaic payload (the
+    * XYZ serving path, which runs driver-side for a single 256×256 tile —
+    * §3.3: low-latency single tiles bypass the distributed plan). */
+  private[cube] def buildSliceForMosaic(tiles: Array[DatasetTile], out: OutDescriptor): Option[Array[Byte]] = {
+    if (tiles.isEmpty) return None
+    val s = buildSlice("mosaic", tiles.iterator, out)
+    if (s.error.nonEmpty || s.payload.isEmpty) None else Some(s.payload)
+  }
+
   /** GDAL `-b`-style band subset (1-based; empty = all bands) —
     * image.go:221-231. */
   private def extractBands(bm: Bitmap, bands: Seq[Int]): Bitmap = {

@@ -168,16 +168,60 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("r3")) // r3 has no datasets
   }
 
+  test("xyz tile path: webmercator mosaic to png") {
+    // z=6, x=32, y=31 covers lon [0, 5.625], lat [0, ~5.6] — our data box
+    val png = XYZTile.getTile(spark, cat, "i1", x = 32, y = 31, z = 6,
+      minOverride = -1, maxOverride = 1,
+      palette = Some(Palette("g", Seq(
+        Palette.ColorPoint(0f, 0, 0, 0, 255), Palette.ColorPoint(1f, 255, 255, 255, 255)))))
+    assert(png.isDefined)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png.get))
+    assert(img.getWidth == 256 && img.getHeight == 256)
+    // pixels over the data area are opaque; far corners (outside [0,4]²) transparent
+    assert(((img.getRGB(2, 254) >>> 24) & 0xff) == 255) // lon~0.04, lat~0.04
+    assert(((img.getRGB(255, 0) >>> 24) & 0xff) == 0) // lon~5.6, lat~5.6
+    // empty tile → None
+    assert(XYZTile.getTile(spark, cat, "i1", x = 0, y = 0, z = 6).isEmpty)
+  }
+
+  test("ingestion (C8): validate + derive footprint + append ACTIVE dataset") {
+    import graft.ingest.IndexDatasets
+    import graft.core.{DataFormat, DType, NumRange}
+    IndexDatasets.run(spark, cat, Seq(IndexDatasets.NewDataset(
+      recordId = "r3", instanceId = "i1", containerUri = "mem://c1",
+      dformat = DataFormat(DType.UInt8, 255.0, NumRange(0, 254)),
+      realMin = -1, realMax = 1)))
+    val d = cat.read(spark, "datasets")
+      .filter(org.apache.spark.sql.functions.col("record_id") === "r3").collect()
+    assert(d.length == 1)
+    assert(d(0).getAs[String]("status") == "ACTIVE")
+    assert(d(0).getAs[Row]("bbox").getDouble(2) == 4.0) // xmax from tile grid
+    // unreachable container → validation error
+    assertThrows[IllegalArgumentException] {
+      IndexDatasets.run(spark, cat, Seq(IndexDatasets.NewDataset(
+        recordId = "rX", instanceId = "i1", containerUri = "mem://missing",
+        dformat = DataFormat(DType.UInt8, 255.0, NumRange(0, 254)),
+        realMin = 0, realMax = 1)))
+    }
+    // dtype mismatch → validation error
+    assertThrows[IllegalArgumentException] {
+      IndexDatasets.run(spark, cat, Seq(IndexDatasets.NewDataset(
+        recordId = "rX", instanceId = "i1", containerUri = "mem://c1",
+        dformat = DataFormat(DType.Int16, -1, NumRange(0, 100)),
+        realMin = 0, realMax = 1)))
+    }
+  }
+
   test("catalog swap is atomic and versioned (C6 semantics)") {
     import org.apache.spark.sql.functions._
-    val before = cat.read(spark, "datasets")
-    val swapped = before.withColumn("status",
+    val total = cat.read(spark, "datasets").count()
+    val swapped = cat.read(spark, "datasets").withColumn("status",
       when(col("status") === "ACTIVE", "TODELETE").otherwise(col("status")))
     cat.rewrite(swapped, "datasets")
     val after = cat.read(spark, "datasets").select("status").distinct().collect()
     assert(after.map(_.getString(0)).toSet == Set("TODELETE"))
     // swap back for other tests
     cat.rewrite(cat.read(spark, "datasets").withColumn("status", lit("ACTIVE")), "datasets")
-    assert(cat.read(spark, "datasets").filter(col("status") === "ACTIVE").count() == 2)
+    assert(cat.read(spark, "datasets").filter(col("status") === "ACTIVE").count() == total)
   }
 }

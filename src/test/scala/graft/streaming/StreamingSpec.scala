@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.catalog.Catalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root: String = java.nio.file.Files.createTempDirectory("graft-stream").toString
+  val cat: Catalog = Catalog(root)
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(root))
+  }
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("task events drive job counters via foreachBatch (idempotent dedup)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[TaskEvent]
+    val q = EventStream.driveJobCounters(spark, cat, stream.toDS(), "job-counters")
+    try {
+      stream.addData(
+        TaskEvent("j1", "t1", "SUCCEEDED", "", ts("2024-01-01 00:00:00")),
+        TaskEvent("j1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01")),
+        TaskEvent("j1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01")), // dup
+        TaskEvent("j2", "t9", "SUCCEEDED", "", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val jobs = cat.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
+      val j1 = jobs.find(_.getAs[String]("id") == "j1").get
+      assert(j1.getAs[Int]("active_tasks") == 2) // finished count (dedup'd)
+      assert(j1.getAs[Int]("failed_tasks") == 1)
+      val j2 = jobs.find(_.getAs[String]("id") == "j2").get
+      assert(j2.getAs[Int]("active_tasks") == 1)
+    } finally q.stop()
+  }
+
+  test("windowed streaming aggregation with watermark (batch-equivalent check)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = EventStream.windowedCounts(
+      stream.toDS().toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("winagg").start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 00:10:00"), "a", 1.0),
+        (ts("2024-01-01 00:40:00"), "a", 2.0),
+        (ts("2024-01-01 01:10:00"), "b", 5.0),
+        (ts("2024-01-01 03:00:00"), "a", 9.0)) // advances watermark, closes earlier windows
+      q.processAllAvailable()
+      val out = spark.sql("SELECT window.start, event_type, n, sum_value FROM winagg").collect()
+      val a0 = out.find(r => r.getAs[String]("event_type") == "a" &&
+        r.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+      assert(a0.isDefined && a0.get.getAs[Long]("n") == 2 && a0.get.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+}
