@@ -288,6 +288,60 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("day", "event_type")
 
+  /** a2_regroup — groupDatasetsByRecordsGroup (catalog.go:277-293):
+    * client-supplied record groups as a literal (group_idx, key) relation;
+    * explode → broadcast join → regroup, dropping empty groups, preserving
+    * request order via group_idx. */
+  def a2Regroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = Seq(
+      (0, 4), (0, 5), (1, 0), (1, 1), (1, 2), (2, 23), (3, 999)) // 999: empty group
+      .toDF("group_idx", "nkey")
+    t(s, dir, "customer")
+      .join(broadcast(groups), col("c_nationkey") === col("nkey"))
+      .groupBy("group_idx")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("group_idx")
+  }
+
+  /** a5_merge_tags — mergeTags (catalog.go:540-561): per-group tag merge —
+    * keep the value when every member agrees, mark differing keys. Here:
+    * per user, the event_type if unique across events else 'mixed'. */
+  def a5MergeTags(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("n_types"),
+        min("event_type").as("first_type"))
+      .withColumn("merged_type",
+        when(col("n_types") === 1, col("first_type")).otherwise(lit("mixed")))
+      .select("user_id", "n_types", "merged_type")
+      .orderBy("user_id")
+
+  /** g1_grid_assign — RegularGrid.Covers as a relational shape
+    * (regulargrid.go:169-261): assign points to grid cells by integer
+    * division, count occupancy per cell (the scalable inverse of
+    * cell→points: one narrow projection + one shuffle on the cell key). */
+  def g1GridAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select((floor(col("value") / 25) * 25).cast("long").as("cell_x"),
+        (col("user_id") % 10).as("cell_y"))
+      .groupBy("cell_x", "cell_y")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cell_x", "cell_y")
+
+  /** f4_percentiles — the med/q1/q3 area-resampling reducers (F4,
+    * variables.proto:27-30) as exact interpolated percentiles per group. */
+  def f4Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("q1"),
+        round(expr("percentile(value, 0.5)"), 4).as("med"),
+        round(expr("percentile(value, 0.75)"), 4).as("q3"),
+        round(min("value"), 4).as("vmin"),
+        round(max("value"), 4).as("vmax"))
+      .orderBy("event_type")
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -312,7 +366,11 @@ object RelationalQueries {
     "f12_time_format" -> f12TimeFormat _,
     "f13_geom_hash" -> f13GeomHash _,
     "a9_task_counters" -> a9TaskCounters _,
-    "stream_window_agg" -> streamWindowAgg _)
+    "stream_window_agg" -> streamWindowAgg _,
+    "a2_regroup" -> a2Regroup _,
+    "a5_merge_tags" -> a5MergeTags _,
+    "g1_grid_assign" -> g1GridAssign _,
+    "f4_percentiles" -> f4Percentiles _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
@@ -436,5 +494,27 @@ object RelationalQueries {
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('day', ts),'%Y-%m-%d') AS day, event_type,
          count(*) AS n, round(sum(value),2) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY day, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "a2_regroup" ->
+      """WITH groups(group_idx, nkey) AS (VALUES
+           (0,4),(0,5),(1,0),(1,1),(1,2),(2,23),(3,999))
+         SELECT group_idx, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+         FROM customer JOIN groups ON c_nationkey = nkey
+         GROUP BY group_idx ORDER BY group_idx""",
+    "a5_merge_tags" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+         CASE WHEN count(DISTINCT event_type) = 1 THEN min(event_type)
+              ELSE 'mixed' END AS merged_type
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "g1_grid_assign" ->
+      """SELECT CAST(floor(value/25)*25 AS BIGINT) AS cell_x,
+         user_id % 10 AS cell_y, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY cell_x, cell_y""",
+    "f4_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25), 4) AS q1,
+         round(quantile_cont(value, 0.5), 4) AS med,
+         round(quantile_cont(value, 0.75), 4) AS q3,
+         round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

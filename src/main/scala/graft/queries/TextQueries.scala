@@ -103,31 +103,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** dedup_lsh_pairs — MinHash-LSH near-dup pairs: 2 bands × 2 rows; docs
-    * sharing a band become candidates (band-hash shuffle join — the scale
-    * path: candidates ∝ collisions, never n²), then exact token-set Jaccard
-    * filters ≥ 0.5. */
+  /** dedup_lsh_pairs — MinHash-LSH near-dup pairs within each `source`
+    * shard (the dedup-within-crawl-shard shape): 8 minhashes → 2 bands ×
+    * 4 rows; docs sharing (source, band) become candidates, then exact
+    * token-set Jaccard filters ≥ 0.9.
+    *
+    * Scale notes (measured at sf0.1):
+    * - each band is its own EQUI-join (then UNION + distinct). An
+    *   `a.band0=b.band0 OR a.band1=b.band1` predicate cannot hash-join —
+    *   Catalyst plans a nested-loop over n² pairs (253 s vs ~2 s).
+    * - 4-row bands: collision probability ≈ J⁴, so candidates stay ∝ true
+    *   near-dups, the property that makes LSH work at 100 TB (2-row bands
+    *   over this corpus yield 25M candidates; 4-row, per-source: ~200k).
+    * - the shard key rides the same shuffle as the band join (one compound
+    *   key), so sharding is free. */
   def dedupLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = minhashCols.foldLeft(docs(s, dir)) {
+    val mh8 = (0 until 8).map { i =>
+      s"mh$i" -> s"array_min(transform($tokenSetExpr, t -> md5(concat('$i|', t))))"
+    }
+    val base = mh8.foldLeft(docs(s, dir)) {
       case (df, (name, e)) => df.withColumn(name, expr(e))
     }.withColumn("toks", expr(tokenSetExpr))
-      .select(col("doc_id"), col("toks"),
-        concat(col("mh0"), col("mh1")).as("band0"),
-        concat(col("mh2"), col("mh3")).as("band1"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        concat(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("band0"),
+        concat(col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("band1"))
 
-    val cands = base.as("a").join(base.as("b"),
-        (col("a.band0") === col("b.band0") || col("a.band1") === col("b.band1")) &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
-        size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
-      .distinct()
+    def bandJoin(band: String): DataFrame =
+      base.as("a").join(base.as("b"),
+          col("a.source") === col("b.source") &&
+          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
+          size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
 
-    cands
+    bandJoin("band0").union(bandJoin("band1")).distinct()
       .withColumn("jaccard",
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -201,24 +214,31 @@ object TextQueries {
       s"""SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
           ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
           FROM documents ORDER BY doc_id""",
-    "dedup_lsh_pairs" ->
+    "dedup_lsh_pairs" -> {
+      def mh(i: Int) =
+        s"list_aggregate(list_transform($tokSetSql, t -> md5(concat('$i|', t))), 'min')"
       s"""WITH sig AS (
-            SELECT doc_id, $tokSetSql AS toks,
-                   concat(${mhSql(0)}, ${mhSql(1)}) AS band0,
-                   concat(${mhSql(2)}, ${mhSql(3)}) AS band1
+            SELECT doc_id, source, $tokSetSql AS toks,
+                   concat(${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)}) AS band0,
+                   concat(${mh(4)}, ${mh(5)}, ${mh(6)}, ${mh(7)}) AS band1
             FROM documents),
           cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    len(list_intersect(a.toks, b.toks)) AS inter,
                    len(a.toks) AS na, len(b.toks) AS nb
             FROM sig a JOIN sig b
-              ON (a.band0 = b.band0 OR a.band1 = b.band1)
-             AND a.doc_id < b.doc_id)
+              ON a.source = b.source AND a.band0 = b.band0 AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id, len(list_intersect(a.toks, b.toks)),
+                   len(a.toks), len(b.toks)
+            FROM sig a JOIN sig b
+              ON a.source = b.source AND a.band1 = b.band1 AND a.doc_id < b.doc_id)
           SELECT doc_a, doc_b,
                  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
           FROM cand
-          WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
-          ORDER BY doc_a, doc_b""",
+          WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.9
+          ORDER BY doc_a, doc_b"""
+    },
     "dedup_simhash" -> {
       val bits = (0 until 16).map { j =>
         val nib = j / 4; val bit = j % 4
