@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, as reusable
+  * transformations over any DataFrame with an id column and a text
+  * column. The harness queries (graft.queries.TextQueries) are these
+  * operators applied to the `documents` table.
+  *
+  * Scale design: everything is expression-only (codegen'd, no UDFs);
+  * candidate generation always goes through an equi-joinable key (hash,
+  * band, bucket) so the shuffle is keyed and bounded — never an n² plan.
+  */
+object Dedup {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), x => x =!= "")
+
+  /** Sorted distinct token set. */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(toks(text)))
+
+  /** Exact dedup key: md5 of the raw text. */
+  def exactKey(text: Column): Column = md5(text)
+
+  /** Canonical dedup key: md5 over the sorted distinct token set —
+    * invariant to token order and repetition. */
+  def canonicalKey(text: Column): Column =
+    md5(array_join(tokenSet(text), " "))
+
+  /** Keep one row per key (smallest id wins — deterministic). */
+  def dropDuplicatesByKey(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature k: element i = min over the token set of
+    * md5("<i>|token") — engine-portable, uniform over hex ordering. */
+  def minhash(text: Column, k: Int): Seq[Column] =
+    (0 until k).map(i =>
+      array_min(transform(tokenSet(text), t => md5(concat(lit(s"$i|"), t))))
+        .as(s"mh$i"))
+
+  /** SimHash (nBits ≤ 32): bit j = sign of the ±1 vote sum over tokens of
+    * bit j of md5(token). Near-dups differ in few bits. */
+  def simhash(text: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 32, "1..32 bits")
+    val ts = tokenSet(text)
+    // bit j of a token's hash = bit (j%4) of hex nibble j/4 of md5(token)
+    def tokenBit(t: Column, j: Int): Column = {
+      val nib = j / 4; val bit = j % 4
+      val nibVal = conv(substring(md5(t), nib + 1, 1), 16, 10).cast("int")
+      when((nibVal / lit(1 << bit)).cast("int") % 2 === 1, lit(1)).otherwise(lit(-1))
+    }
+    val terms = (0 until nBits).map { j =>
+      when(aggregate(transform(ts, t => tokenBit(t, j)), lit(0), (a, x) => a + x) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _).cast("long")
+  }
+
+  /** MinHash-LSH near-duplicate pairs: nHashes minhashes split into bands
+    * of `rowsPerBand`; pairs sharing (shardCol?, band) are candidates;
+    * exact token-set Jaccard ≥ threshold confirms.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. Each band is an
+    * equi-join UNIONed (an OR-of-bands join degenerates to a nested
+    * loop — see TextQueries.dedupLshPairs scale notes). */
+  def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.9,
+      shardCol: Option[String] = None): DataFrame = {
+    require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
+    val nBands = nHashes / rowsPerBand
+    val mh = minhash(col(textCol), nHashes)
+    val bands = (0 until nBands).map { b =>
+      concat(mh.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*).as(s"band$b")
+    }
+    val base = df.select(
+      Seq(col(idCol).as("__id"), tokenSet(col(textCol)).as("__toks")) ++
+        shardCol.map(c => col(c).as("__shard")).toSeq ++ bands: _*)
+
+    def bandJoin(b: Int): DataFrame = {
+      val cond = shardCol
+        .map(_ => col(s"a.__shard") === col(s"b.__shard"))
+        .foldLeft(col(s"a.band$b") === col(s"b.band$b") &&
+          col("a.__id") < col("b.__id"))(_ && _)
+      base.as("a").join(base.as("b"), cond)
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+          size(array_intersect(col("a.__toks"), col("b.__toks"))).as("inter"),
+          size(col("a.__toks")).as("na"), size(col("b.__toks")).as("nb"))
+    }
+
+    (0 until nBands).map(bandJoin).reduce(_ union _).distinct()
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram (shingle) Jaccard similarity column between two token-set
+    * columns (for candidate confirmation or ad-hoc pair scoring). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Character n-gram set (shingling for texts without token structure):
+    * all n-char substrings, deduped — the Jaccard basis when whitespace
+    * tokenization doesn't apply (CJK, code). */
+  def charNgrams(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))))
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting — all
+  * expression-only (whole-stage-codegen'd) so they stream through a scan
+  * of a 100 TB corpus with zero shuffle. */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = filter(split(text, "\\s+"), x => x =!= "")
+
+  /** Whitespace + BPE-ish subword estimate: whitespace tokens plus an
+    * extra token per ~4 chars of long words (the usual LLM-token budget
+    * heuristic when no tokenizer is available). */
+  def tokenCountEstimate(text: Column): Column = {
+    val ws = size(tokens(text))
+    val longWordExtra = aggregate(
+      transform(tokens(text), t => greatest(ceil(length(t) / 4.0).cast("long") - 1, lit(0L))),
+      lit(0L), (a, x) => a + x)
+    ws + longWordExtra
+  }
+
+  /** Quality features struct: lengths, ratios the usual corpus filters
+    * threshold on (C4-style quality gates). */
+  def qualityFeatures(text: Column): Column = {
+    val ts = tokens(text)
+    val nTok = size(ts)
+    struct(
+      length(text).as("n_chars"),
+      nTok.as("n_tokens"),
+      (length(regexp_replace(text, "[^\\p{L}]", "")) / greatest(length(text), lit(1)))
+        .as("alpha_ratio"),
+      (length(regexp_replace(text, "[^\\p{Punct}]", "")) / greatest(length(text), lit(1)))
+        .as("punct_ratio"),
+      (size(filter(ts, t => t.isin("the", "a", "an", "of", "and", "to", "in", "is", "that", "it"))) /
+        greatest(nTok, lit(1)).cast("double")).as("stopword_ratio"),
+      (lit(1.0) - size(array_distinct(ts)) / greatest(nTok, lit(1)).cast("double"))
+        .as("repetition_ratio"),
+      (aggregate(transform(ts, t => length(t).cast("long")), lit(0L), (a, x) => a + x) /
+        greatest(nTok, lit(1)).cast("double")).as("mean_token_len"))
+  }
+
+  /** Language-ID by stopword-marker voting: score per language = count of
+    * that language's marker tokens; predicted = argmax (ties → first).
+    * The deterministic n-gram-heuristic skeleton of a real classifier —
+    * extend `markers` per deployment. */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "es", "de", "que"))
+
+  def languageId(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val scores = markers.map { case (lang, ms) =>
+      struct(size(filter(ts, t => t.isin(ms: _*))).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, then stable order): array_max picks lexicographic
+    // max of (score, lang) structs — tie falls to later lang name, so add
+    // index-descending tiebreak to keep "first marker set wins"
+    val indexed = scores.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"), lit(markers.size - i).as("prio"),
+        s.getField("lang").as("lang"))
+    }
+    when(size(ts) === 0, lit("und"))
+      .otherwise(
+        when(array_max(array(indexed: _*)).getField("score") === 0, lit("und"))
+          .otherwise(array_max(array(indexed: _*)).getField("lang")))
+  }
+
+  /** Rolling (polynomial) content hash over the token sequence — the
+    * order-sensitive fingerprint (vs Dedup.canonicalKey which is
+    * order-free): h = Σ hash(token_i)·B^i mod M, computed as a fold. */
+  def rollingFingerprint(text: Column): Column = {
+    val B = 1000003L
+    val M = 2147483647L
+    aggregate(
+      tokens(text),
+      struct(lit(0L).as("h"), lit(1L).as("p")),
+      (acc, t) => struct(
+        ((acc.getField("h") + (crc32(t.cast("binary")) % M) * acc.getField("p")) % M).as("h"),
+        ((acc.getField("p") * B) % M).as("p")),
+      acc => acc.getField("h"))
+  }
+
+  /** Apply the full per-document analysis in one pass. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("quality", qualityFeatures(col(textCol)))
+      .withColumn("lang_pred", languageId(col(textCol)))
+      .withColumn("n_tokens_est", tokenCountEstimate(col(textCol)))
+      .withColumn("fingerprint", Dedup.canonicalKey(col(textCol)))
+      .withColumn("rolling_fp", rollingFingerprint(col(textCol)))
+}

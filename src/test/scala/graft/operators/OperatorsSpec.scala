@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox", "s1"),
+    (2L, "the quick brown fox", "s1"), // exact dup of 1
+    (3L, "fox brown quick the", "s1"), // canonical dup of 1 (reordered)
+    (4L, "completely different text here", "s1"),
+    (5L, "the quick brown fox", "s2")) // dup but other shard
+
+  def docsDf = docs.toDF("id", "text", "src")
+
+  test("exact vs canonical dedup keys") {
+    val out = docsDf.select($"id",
+      Dedup.exactKey($"text").as("ek"), Dedup.canonicalKey($"text").as("ck"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 == out(2L)._1) // exact dups share exact key
+    assert(out(1L)._1 != out(3L)._1) // reorder breaks exact key
+    assert(out(1L)._2 == out(3L)._2) // …but not canonical key
+    assert(out(1L)._2 != out(4L)._2)
+  }
+
+  test("dropDuplicatesByKey keeps smallest id") {
+    val kept = Dedup.dropDuplicatesByKey(docsDf, "id", Dedup.canonicalKey($"text"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L)) // 2,3,5 all share 1's canonical key
+  }
+
+  test("lshNearDupPairs finds canonical dups, respects shards") {
+    val pairs = Dedup.lshNearDupPairs(docsDf, "id", "text",
+        nHashes = 8, rowsPerBand = 4, threshold = 0.9, shardCol = Some("src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L))) // 5 is in shard s2
+    val noShard = Dedup.lshNearDupPairs(docsDf, "id", "text",
+        nHashes = 8, rowsPerBand = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(noShard.toSeq.contains((1L, 5L)))
+  }
+
+  test("simhash: near-dups collide, different text differs") {
+    val out = docsDf.select($"id", Dedup.simhash($"text", 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(3L)) // same token set → same simhash
+    assert(out(1L) != out(4L))
+  }
+
+  test("charNgrams shingles") {
+    val grams = spark.range(1).select(Dedup.charNgrams(lit("abcd"), 2).as("g"))
+      .collect().head.getAs[scala.collection.Seq[String]]("g")
+    assert(grams.sorted == Seq("ab", "bc", "cd"))
+  }
+
+  val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.7f, 0.7f, 0.0f, 0.0f)))
+
+  def vecsDf = vecs.toDF("id", "v")
+
+  test("similarity topK exact ranking") {
+    val top = Similarity.topK(vecsDf, "v", Seq(1.0, 0.0, 0.0, 0.0), 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L, 4L))
+  }
+
+  test("annSearch multiprobe recovers exact neighbors on this set") {
+    val ann = Similarity.annSearch(vecsDf, "v", dim = 4,
+      query = Seq(1.0, 0.0, 0.0, 0.0), k = 2, nPlanes = 4)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ann.headOption.contains(0L))
+    assert(ann.contains(1L))
+  }
+
+  test("ivf assigns to nearest centroid and probes correct lists") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val assigned = Similarity.ivfAssign(vecsDf, "v", centroids)
+      .select("id", "__ivf_list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned(0L) == 0 && assigned(1L) == 0 && assigned(2L) == 1 && assigned(3L) == 1)
+    val found = Similarity.ivfSearch(vecsDf, "v", centroids,
+      query = Seq(0.95, 0.05, 0.0, 0.0), k = 2, nProbe = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(found == Seq(0L, 1L))
+  }
+
+  test("text analysis: quality, language id, token estimate, fingerprints") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "le chat et le chien de la maison est"),
+      (3L, ""),
+      (4L, "zzz qqq www")).toDF("id", "text")
+    val out = TextAnalysis.analyze(df, "text").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("lang_pred") == "en")
+    assert(out(2L).getAs[String]("lang_pred") == "fr")
+    assert(out(3L).getAs[String]("lang_pred") == "und")
+    assert(out(4L).getAs[String]("lang_pred") == "und") // no markers
+    val q1 = out(1L).getAs[org.apache.spark.sql.Row]("quality")
+    assert(q1.getAs[Int]("n_tokens") == 8)
+    assert(q1.getAs[Double]("stopword_ratio") > 0.4)
+    // rolling fingerprint is order-sensitive; canonical is not
+    val fp = TextAnalysis.analyze(
+      Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "text"), "text")
+      .select("id", "fingerprint", "rolling_fp").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp(1L)._1 == fp(2L)._1)
+    assert(fp(1L)._2 != fp(2L)._2)
+  }
+
+  test("token count estimate adds subword tokens for long words") {
+    val n = spark.range(1).select(
+      TextAnalysis.tokenCountEstimate(lit("hi internationalization")).as("n"))
+      .collect().head.getLong(0)
+    // "hi" = 1, "internationalization" (20 chars) = ceil(20/4) = 5
+    assert(n == 6L)
+  }
+}
