@@ -1,0 +1,67 @@
+package graft.ingest
+
+import graft.catalog.{Catalog, Schemas}
+import graft.raster.GeoTiff
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bridge between real GeoTIFF files and the catalog tile store: the
+  * import path a user of the reference would take to move existing
+  * COG/MuCOG containers in, and the export path producing files readable
+  * by standard tooling (S8/S9).
+  *
+  * Import is a distributed `binaryFile` read → per-file parse on
+  * executors → tile-row append; export collects one container (bounded by
+  * maxRecords ≤ 1024 subdirs) to the driver and serializes one multi-IFD
+  * file. */
+object GeoTiffIO {
+
+  /** Import .tif files (each possibly multi-IFD) as containers whose URI
+    * is the file path. Runs the TIFF parse on executors via the
+    * binaryFile source — one task per file, linear scale-out. */
+  def importFiles(spark: SparkSession, cat: Catalog, pathGlob: String): Unit = {
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    val rows = files.rdd.flatMap { r =>
+      val path = r.getAs[String]("path")
+      val dirs = GeoTiff.read(r.getAs[Array[Byte]]("content"))
+      dirs.filterNot(_.isOverview).zipWithIndex.map { case (d, i) =>
+        Row(path, s"GTIFF_DIR:${i + 1}",
+          d.image.bitmap.width, d.image.bitmap.height, d.image.bitmap.bands,
+          d.image.bitmap.dtype.name, s"EPSG:${d.image.crs.srid}",
+          d.image.transform.toArray.toSeq, d.image.bitmap.toBytes)
+      }
+    }
+    cat.append(spark.createDataFrame(rows, Schemas.tiles), "tiles")
+    val uris = files.select(col("path").as("uri")).distinct()
+      .withColumn("managed", lit(false))
+      .withColumn("storage_class", lit("STANDARD"))
+    cat.append(uris, "containers")
+  }
+
+  /** Export one container (all its subdirs, in GTIFF_DIR order) to a
+    * multi-IFD GeoTIFF byte array. */
+  def exportContainer(spark: SparkSession, cat: Catalog, containerUri: String,
+      noData: Double = Double.NaN, overviewsMinSize: Int = 0): Array[Byte] = {
+    val rows = cat.read(spark, "tiles")
+      .filter(col("container_uri") === containerUri)
+      .collect()
+    require(rows.nonEmpty, s"exportContainer: no tiles for $containerUri")
+    val images = rows
+      .sortBy { r =>
+        val s = Option(r.getAs[String]("subdir")).getOrElse("")
+        if (s.startsWith("GTIFF_DIR:")) s.stripPrefix("GTIFF_DIR:").toInt else 0
+      }
+      .map { r =>
+        GeoTiff.Image(
+          graft.raster.Bitmap.fromBytes(
+            r.getAs[Array[Byte]]("payload"),
+            r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("bands"),
+            graft.core.DType.fromName(r.getAs[String]("dtype"))),
+          graft.geo.Affine.fromArray(
+            r.getAs[scala.collection.Seq[Double]]("transform").toArray),
+          graft.geo.CRS.parse(r.getAs[String]("crs")))
+      }
+    GeoTiff.write(images.toSeq, noData, overviewsMinSize)
+  }
+}

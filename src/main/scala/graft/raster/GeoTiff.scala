@@ -1,0 +1,321 @@
+package graft.raster
+
+import graft.core.DType
+import graft.geo.{Affine, CRS}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal GeoTIFF codec — the engine's real-file raster source/sink
+  * (S8/S9). Little-endian classic TIFF 6.0, strip-based, band-planar,
+  * uncompressed, with the GeoTIFF georeferencing tags (ModelPixelScale +
+  * ModelTiepoint + GeoKeyDirectory/EPSG) and multi-IFD stacks: image n of
+  * a stack is addressed exactly like the reference's MuCOG subdirs
+  * (`GTIFF_DIR:n`, 1-based — internal/image/image.go:32-34). Overview
+  * pyramids (A8) are reduced-resolution IFDs (NewSubfileType=1) appended
+  * after each full image, average-downsampled ×2 until ≤ minSize
+  * (cog.go:161-177 computeNbOverviews semantics).
+  *
+  * v1 scope per SURVEY §7.4 risk 5: strips not tiles, no compression, the
+  * MuCOG interlacing pattern treated as a validated no-op — the read path
+  * (IFD index addressing) stays compatible.
+  */
+object GeoTiff {
+
+  final case class Image(bitmap: Bitmap, transform: Affine, crs: CRS)
+
+  // ---- tag ids ----
+  private val TNewSubfileType = 254
+  private val TWidth = 256
+  private val THeight = 257
+  private val TBitsPerSample = 258
+  private val TCompression = 259
+  private val TPhotometric = 262
+  private val TStripOffsets = 273
+  private val TSamplesPerPixel = 277
+  private val TRowsPerStrip = 278
+  private val TStripByteCounts = 279
+  private val TPlanarConfig = 284
+  private val TSampleFormat = 339
+  private val TModelPixelScale = 33550
+  private val TModelTiepoint = 33922
+  private val TGeoKeyDirectory = 34735
+
+  private def sampleFormat(dt: DType): Int = dt match {
+    case DType.Float32 | DType.Float64 | DType.Complex64 => 3
+    case DType.Int8 | DType.Int16 | DType.Int32 => 2
+    case _ => 1
+  }
+
+  private def dtypeOf(bits: Int, fmt: Int): DType = (bits, fmt) match {
+    case (8, 1) => DType.UInt8
+    case (8, 2) => DType.Int8
+    case (16, 1) => DType.UInt16
+    case (16, 2) => DType.Int16
+    case (32, 1) => DType.UInt32
+    case (32, 2) => DType.Int32
+    case (32, 3) => DType.Float32
+    case (64, 3) => DType.Float64
+    case _ => throw new IllegalArgumentException(s"unsupported sample: $bits bits fmt $fmt")
+  }
+
+  /** Number of ×2 overview levels until max(w,h) ≤ minSize (0 = none). */
+  def nbOverviews(w: Int, h: Int, minSize: Int): Int = {
+    if (minSize <= 0) return 0
+    var n = 0
+    var (cw, ch) = (w, h)
+    while (math.max(cw, ch) > minSize) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; n += 1 }
+    n
+  }
+
+  /** Average-downsample ×2 (the overview builder — AVERAGE resampling as
+    * the reference uses for smooth algs, handler_consolidation.go:489-500). */
+  def downsample2(bm: Bitmap, noData: Double): Bitmap = {
+    val w2 = (bm.width + 1) / 2
+    val h2 = (bm.height + 1) / 2
+    val out = Bitmap.filled(w2, h2, bm.bands, bm.dtype, noData)
+    var b = 0
+    while (b < bm.bands) {
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          var sum = 0.0; var n = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val sx = 2 * x + dx; val sy = 2 * y + dy
+              if (sx < bm.width && sy < bm.height) {
+                val v = bm.get(sx, sy, b)
+                val valid = if (noData.isNaN) !v.isNaN else v != noData
+                if (valid) { sum += v; n += 1 }
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          if (n > 0) out.set(x, y, b, graft.core.Cast.storeValue(sum / n, bm.dtype))
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Serialize a stack of images (one IFD each, in order; `GTIFF_DIR:n`
+    * addresses the n-th) with optional overview IFDs after each. */
+  def write(images: Seq[Image], noData: Double = Double.NaN,
+      overviewsMinSize: Int = 0): Array[Byte] = {
+    require(images.nonEmpty, "GeoTiff.write: no images")
+    val out = new java.io.ByteArrayOutputStream()
+    val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    header.put('I'.toByte).put('I'.toByte).putShort(42)
+    // IFD offset patched later; collect (ifdBytes, pixelBytes) per image
+    final case class PendingIfd(entries: Seq[(Int, Int, Int, Array[Byte])], strip: Array[Byte])
+
+    def ifdFor(img: Image, subfile: Option[Int]): PendingIfd = {
+      val bm = img.bitmap
+      val strip = bm.toBytes
+      def shortVal(v: Int) = {
+        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(v.toShort); b.array()
+      }
+      def longVal(v: Long) = {
+        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(v.toInt); b.array()
+      }
+      def shorts(vs: Seq[Int]) = {
+        val b = ByteBuffer.allocate(vs.size * 2).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(v => b.putShort(v.toShort)); b.array()
+      }
+      def doubles(vs: Seq[Double]) = {
+        val b = ByteBuffer.allocate(vs.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(b.putDouble); b.array()
+      }
+      val bits = bm.dtype.sizeBytes * 8
+      val geoKeys = {
+        val isGeo = img.crs.isGeographic
+        // version, revision, minor, nKeys + keys (id, location, count, value)
+        val keys = Seq(
+          (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
+          (1025, 0, 1, 1), // RasterPixelIsArea
+          (if (isGeo) 2048 else 3072, 0, 1, img.crs.srid))
+        shorts(Seq(1, 1, 0, keys.size) ++ keys.flatMap(k => Seq(k._1, k._2, k._3, k._4)))
+      }
+      val entries = Seq.newBuilder[(Int, Int, Int, Array[Byte])] // (tag, type, count, value)
+      subfile.foreach(s => entries += ((TNewSubfileType, 4, 1, longVal(s.toLong))))
+      entries += ((TWidth, 3, 1, shortVal(bm.width)))
+      entries += ((THeight, 3, 1, shortVal(bm.height)))
+      entries += ((TBitsPerSample, 3, bm.bands, shorts(Seq.fill(bm.bands)(bits))))
+      entries += ((TCompression, 3, 1, shortVal(1)))
+      entries += ((TPhotometric, 3, 1, shortVal(1)))
+      entries += ((TStripOffsets, 4, 1, longVal(0))) // patched
+      entries += ((TSamplesPerPixel, 3, 1, shortVal(bm.bands)))
+      entries += ((TRowsPerStrip, 3, 1, shortVal(bm.height)))
+      entries += ((TStripByteCounts, 4, 1, longVal(strip.length.toLong)))
+      entries += ((TPlanarConfig, 3, 1, shortVal(2))) // band-planar
+      entries += ((TSampleFormat, 3, bm.bands, shorts(Seq.fill(bm.bands)(sampleFormat(bm.dtype)))))
+      entries += ((TModelPixelScale, 12, 3, doubles(Seq(img.transform.rx, -img.transform.ry, 0))))
+      entries += ((TModelTiepoint, 12, 6, doubles(Seq(0, 0, 0, img.transform.c0, img.transform.c3, 0))))
+      entries += ((TGeoKeyDirectory, 3, geoKeys.length / 2, geoKeys))
+      PendingIfd(entries.result(), strip)
+    }
+
+    val pend = images.flatMap { img =>
+      val base = ifdFor(img, None)
+      val ovs =
+        if (overviewsMinSize > 0) {
+          var cur = img
+          (0 until nbOverviews(img.bitmap.width, img.bitmap.height, overviewsMinSize)).map { _ =>
+            val down = downsample2(cur.bitmap, noData)
+            val t = cur.transform.multiply(Affine.scale(2, 2))
+            cur = Image(down, t, cur.crs)
+            ifdFor(cur, Some(1))
+          }
+        } else Nil
+      base +: ovs
+    }
+
+    // layout: header(8) | for each ifd: [ifd block | out-of-line values | strip]
+    val bytes = new java.io.ByteArrayOutputStream()
+    var offset = 8
+    val ifdOffsets = new Array[Int](pend.size)
+    val blocks = pend.zipWithIndex.map { case (p, i) =>
+      ifdOffsets(i) = offset
+      val n = p.entries.size
+      val ifdSize = 2 + n * 12 + 4
+      var extraOff = offset + ifdSize
+      val extras = new java.io.ByteArrayOutputStream()
+      // assign out-of-line offsets
+      val resolved = p.entries.map { case (tag, typ, count, value) =>
+        if (value.length <= 4) (tag, typ, count, value, -1)
+        else {
+          val o = extraOff + extras.size()
+          extras.write(value)
+          (tag, typ, count, value, o)
+        }
+      }
+      val stripOff = extraOff + extras.size()
+      val nextIfd = stripOff + p.strip.length
+      val ifd = ByteBuffer.allocate(ifdSize).order(ByteOrder.LITTLE_ENDIAN)
+      ifd.putShort(n.toShort)
+      for ((tag, typ, count, value, o) <- resolved) {
+        ifd.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        if (tag == TStripOffsets) ifd.putInt(stripOff)
+        else if (o >= 0) ifd.putInt(o)
+        else { val v4 = java.util.Arrays.copyOf(value, 4); ifd.put(v4) }
+      }
+      ifd.putInt(if (i == pend.size - 1) 0 else nextIfd)
+      offset = nextIfd
+      (ifd.array(), extras.toByteArray, p.strip)
+    }
+    header.putInt(ifdOffsets(0))
+    bytes.write(header.array())
+    blocks.foreach { case (a, b, c) => bytes.write(a); bytes.write(b); bytes.write(c) }
+    bytes.toByteArray
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Parse all IFDs (including overview IFDs, flagged `isOverview`). */
+  final case class Directory(image: Image, isOverview: Boolean)
+
+  def read(data: Array[Byte]): Seq[Directory] = {
+    val bb = ByteBuffer.wrap(data)
+    require(data(0) == 'I' && data(1) == 'I', "only little-endian TIFF supported")
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getShort(2) == 42, "not a TIFF")
+    var ifdOff = bb.getInt(4)
+    val out = Seq.newBuilder[Directory]
+    while (ifdOff != 0) {
+      val n = bb.getShort(ifdOff) & 0xffff
+      var tags = Map.empty[Int, (Int, Int, Int)] // tag -> (type, count, valueOrOffset)
+      var i = 0
+      while (i < n) {
+        val e = ifdOff + 2 + i * 12
+        tags += (bb.getShort(e) & 0xffff) -> (
+          (bb.getShort(e + 2) & 0xffff, bb.getInt(e + 4), bb.getInt(e + 8)))
+        i += 1
+      }
+      def tagVal(tag: Int, default: Int = -1): Int =
+        tags.get(tag).map { case (typ, _, v) =>
+          if (typ == 3) v & 0xffff else v
+        }.getOrElse(default)
+      def tagShorts(tag: Int): Seq[Int] = tags.get(tag) match {
+        case Some((3, count, v)) =>
+          if (count <= 2) Seq.tabulate(count)(k => (v >> (16 * k)) & 0xffff)
+          else Seq.tabulate(count)(k => bb.getShort(v + 2 * k) & 0xffff)
+        case _ => Nil
+      }
+      def tagDoubles(tag: Int): Seq[Double] = tags.get(tag) match {
+        case Some((12, count, off)) => Seq.tabulate(count)(k => bb.getDouble(off + 8 * k))
+        case _ => Nil
+      }
+      val w = tagVal(TWidth); val h = tagVal(THeight)
+      val bands = tagVal(TSamplesPerPixel, 1)
+      val bits = tagShorts(TBitsPerSample).headOption.getOrElse(8)
+      val fmt = tagShorts(TSampleFormat).headOption.getOrElse(1)
+      val dt = dtypeOf(bits, fmt)
+      val stripOff = tagVal(TStripOffsets)
+      val stripLen = tagVal(TStripByteCounts)
+      val strip = java.util.Arrays.copyOfRange(data, stripOff, stripOff + stripLen)
+      val bm = Bitmap.fromBytes(strip, w, h, bands, dt)
+      val scale = tagDoubles(TModelPixelScale)
+      val tie = tagDoubles(TModelTiepoint)
+      val transform =
+        if (scale.size >= 2 && tie.size >= 5)
+          Affine.northUp(tie(3), tie(4), scale(0), -scale(1))
+        else Affine.identity
+      val geo = tagShorts(TGeoKeyDirectory)
+      val crs = {
+        // keys start at index 4, stride 4: (id, loc, count, value)
+        val keys = geo.drop(4).grouped(4).collect {
+          case Seq(id, _, _, v) => id -> v
+        }.toMap
+        keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
+      }
+      val isOv = tagVal(TNewSubfileType, 0) == 1
+      out += Directory(Image(bm, transform, crs), isOv)
+      ifdOff = bb.getInt(ifdOff + 2 + n * 12)
+    }
+    out.result()
+  }
+
+  /** Read one subdir the way the reference addresses MuCOG stacks:
+    * "GTIFF_DIR:n" = n-th full-resolution image (1-based); "" or "1" = first. */
+  def readSubdir(data: Array[Byte], subdir: String): Image = {
+    val fulls = read(data).filterNot(_.isOverview).map(_.image)
+    val idx = subdir.trim match {
+      case "" => 0
+      case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
+      case s => s.toInt - 1
+    }
+    require(idx >= 0 && idx < fulls.size, s"subdir $subdir out of range 1..${fulls.size}")
+    fulls(idx)
+  }
+
+  /** Overview-aware read: pick the decimated level whose resolution is the
+    * coarsest still finer-or-equal than `targetRes` (the `-ovr AUTO`
+    * pre-aggregation pushdown, image.go:401 — a huge win at scale: read
+    * 1/4ⁿ of the pixels when the request is coarse). */
+  def readForResolution(data: Array[Byte], subdir: String, targetRes: Double): Image = {
+    val dirs = read(data)
+    val fulls = dirs.filterNot(_.isOverview)
+    val idx = subdir.trim match {
+      case "" => 0
+      case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
+      case s => s.toInt - 1
+    }
+    // overviews of full image k sit between full k and full k+1 in IFD order
+    val flat = dirs.zipWithIndex
+    val fullPositions = flat.filterNot(_._1.isOverview).map(_._2)
+    val start = fullPositions(idx)
+    val end = if (idx + 1 < fullPositions.size) fullPositions(idx + 1) else dirs.size
+    val candidates = dirs.slice(start, end)
+    candidates.filter(d => math.abs(d.image.transform.rx) <= targetRes + 1e-9)
+      .lastOption.getOrElse(candidates.head).image
+  }
+}

@@ -1,0 +1,87 @@
+package graft.raster
+
+import graft.core.DType
+import graft.geo.{Affine, CRS}
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoTiffSpec extends AnyFunSuite {
+
+  def img(w: Int, h: Int, dt: DType, vals: Array[Double], res: Double = 1.0,
+      crs: CRS = CRS.WGS84): GeoTiff.Image =
+    GeoTiff.Image(new Bitmap(w, h, 1, dt, vals),
+      Affine.northUp(10, 20, res, -res), crs)
+
+  test("single image round trip: pixels, transform, crs, dtype") {
+    for (dt <- Seq(DType.UInt8, DType.Int16, DType.UInt16, DType.Int32, DType.Float32, DType.Float64)) {
+      val vals: Array[Double] = dt match {
+        case DType.Float32 | DType.Float64 => Array(-1.5, 0.25, 3.75, 42.0, 0.0, -7.0)
+        case DType.UInt8 | DType.UInt16 => Array(0, 1, 2, 3, 200, 254)
+        case _ => Array(-100, 0, 100, 3, -2, 1)
+      }
+      val bytes = GeoTiff.write(Seq(img(3, 2, dt, vals, crs = CRS.WebMercator)))
+      val dirs = GeoTiff.read(bytes)
+      assert(dirs.size == 1)
+      val got = dirs.head.image
+      assert(got.bitmap.pixels.toSeq == vals.toSeq, s"dtype $dt")
+      assert(got.bitmap.dtype == dt)
+      assert(got.transform.c0 == 10.0 && got.transform.c3 == 20.0)
+      assert(got.transform.rx == 1.0 && got.transform.ry == -1.0)
+      assert(got.crs == CRS.WebMercator)
+    }
+  }
+
+  test("multi-IFD stack addressed via GTIFF_DIR:n") {
+    val a = img(2, 2, DType.UInt8, Array(1, 2, 3, 4))
+    val b = img(2, 2, DType.UInt8, Array(9, 8, 7, 6))
+    val bytes = GeoTiff.write(Seq(a, b))
+    assert(GeoTiff.read(bytes).size == 2)
+    assert(GeoTiff.readSubdir(bytes, "GTIFF_DIR:1").bitmap.pixels.toSeq == Seq(1.0, 2, 3, 4))
+    assert(GeoTiff.readSubdir(bytes, "GTIFF_DIR:2").bitmap.pixels.toSeq == Seq(9.0, 8, 7, 6))
+    assert(GeoTiff.readSubdir(bytes, "").bitmap.pixels.toSeq == Seq(1.0, 2, 3, 4))
+    assertThrows[IllegalArgumentException](GeoTiff.readSubdir(bytes, "GTIFF_DIR:3"))
+  }
+
+  test("overview pyramid: count, averaging, subfile flag") {
+    assert(GeoTiff.nbOverviews(1024, 1024, 256) == 2)
+    assert(GeoTiff.nbOverviews(256, 256, 256) == 0)
+    assert(GeoTiff.nbOverviews(1000, 200, 256) == 2)
+
+    val base = img(4, 4, DType.Float32, Array.tabulate(16)(_.toDouble))
+    val bytes = GeoTiff.write(Seq(base), noData = Double.NaN, overviewsMinSize = 2)
+    val dirs = GeoTiff.read(bytes)
+    assert(dirs.map(_.isOverview) == Seq(false, true))
+    val ov = dirs(1).image
+    assert(ov.bitmap.width == 2 && ov.bitmap.height == 2)
+    assert(ov.bitmap.get(0, 0, 0) === 2.5) // mean of {0,1,4,5}
+    assert(ov.transform.rx === 2.0) // res doubled
+    // full-res read ignores overviews
+    assert(GeoTiff.readSubdir(bytes, "").bitmap.width == 4)
+  }
+
+  test("overview-aware resolution selection (-ovr AUTO)") {
+    val base = img(8, 8, DType.Float32, Array.tabulate(64)(_.toDouble))
+    val bytes = GeoTiff.write(Seq(base), overviewsMinSize = 2)
+    // 3 levels: 8(res1) → 4(res2) → 2(res4)
+    assert(GeoTiff.readForResolution(bytes, "", 1.0).bitmap.width == 8)
+    assert(GeoTiff.readForResolution(bytes, "", 2.5).bitmap.width == 4)
+    assert(GeoTiff.readForResolution(bytes, "", 100.0).bitmap.width == 2)
+  }
+
+  test("downsample2 skips nodata in the average") {
+    val bm = new Bitmap(2, 2, 1, DType.Float32, Array(10.0, Double.NaN, Double.NaN, 30.0))
+    val down = GeoTiff.downsample2(bm, Double.NaN)
+    assert(down.get(0, 0, 0) === 20.0)
+    val allNo = GeoTiff.downsample2(
+      new Bitmap(2, 2, 1, DType.Float32, Array.fill(4)(Double.NaN)), Double.NaN)
+    assert(allNo.get(0, 0, 0).isNaN)
+  }
+
+  test("multiband planar round trip") {
+    val two = GeoTiff.Image(
+      new Bitmap(2, 1, 2, DType.UInt8, Array(1, 2, 11, 12)),
+      Affine.northUp(0, 0, 1, -1), CRS.WGS84)
+    val got = GeoTiff.read(GeoTiff.write(Seq(two))).head.image
+    assert(got.bitmap.bands == 2)
+    assert(got.bitmap.pixels.toSeq == Seq(1.0, 2, 11, 12))
+  }
+}
