@@ -80,6 +80,7 @@ object Dedup {
     val base = df.select(
       Seq(col(idCol).as("__id"), tokenSet(col(textCol)).as("__toks")) ++
         shardCol.map(c => col(c).as("__shard")).toSeq ++ bands: _*)
+      .cache() // scanned 2×nBands times across self-join branches
 
     def bandJoin(b: Int): DataFrame = {
       val cond = shardCol

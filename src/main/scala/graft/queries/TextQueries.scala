@@ -127,6 +127,11 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("toks"),
         concat(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("band0"),
         concat(col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("band1"))
+      // signatures are scanned 4x (2 join sides x 2 bands) and Catalyst
+      // cannot reuse exchanges across self-join branches — cache the
+      // (small: one row per doc) signature relation instead of paying the
+      // md5 transform four times
+      .cache()
 
     def bandJoin(band: String): DataFrame =
       base.as("a").join(base.as("b"),
