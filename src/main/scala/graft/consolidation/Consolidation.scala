@@ -116,10 +116,12 @@ object Consolidation {
   /** C4 — the consolidation worker (handler_consolidation.go:59-234) as a
     * tasks ⋈ tiles shuffle keyed by container: merge each record's
     * datasets onto the cell grid, stack records as subdirs of the output
-    * container. Returns the new tile rows + container rows, appended to
-    * the catalog. */
+    * container, and append the ×2 overview pyramid per record
+    * (subdir "GTIFF_DIR:n@ovK") down to `overviewsMinSize` — the
+    * pre-aggregation the read path's -ovr AUTO selection consumes.
+    * Returns the new tile rows + container rows, appended to the catalog. */
   def consolidate(spark: SparkSession, cat: Catalog, tasks: DataFrame,
-      params: ConsolidationParams): DataFrame = {
+      params: ConsolidationParams, overviewsMinSize: Int = 0): DataFrame = {
     import spark.implicits._
 
     // explode tasks to (container, record, dataset) and join dataset+tile
@@ -163,7 +165,7 @@ object Consolidation {
       .as[ConsolidationRow]
       .groupByKey(_.out_uri)
       .flatMapGroups { (outUri, it) =>
-        buildContainer(outUri, it.toSeq, outMapping, resamplingName)
+        buildContainer(outUri, it.toSeq, outMapping, resamplingName, overviewsMinSize)
       }
       .toDF("container_uri", "subdir", "width", "height", "bands", "dtype",
         "crs", "transform", "payload", "record_id", "datetime")
@@ -190,7 +192,7 @@ object Consolidation {
     * output tile per record, subdir "GTIFF_DIR:i" in record-time order
     * (the MuCOG stacking contract, dataset.go:70-129). */
   private def buildContainer(outUri: String, rows: Seq[ConsolidationRow],
-      outMapping: DataMapping, resamplingName: String):
+      outMapping: DataMapping, resamplingName: String, overviewsMinSize: Int):
       Iterator[(String, String, Int, Int, Int, String, String, Seq[Double], Array[Byte], String, java.sql.Timestamp)] = {
     val head = rows.head
     val out = OutDescriptor(
@@ -200,7 +202,7 @@ object Consolidation {
       mapping = outMapping,
       resampling = Resampling.fromName(resamplingName))
     val byRecord = rows.groupBy(r => (r.datetime.getTime, r.record_id)).toSeq.sortBy(_._1)
-    byRecord.zipWithIndex.iterator.map { case (((_, recordId), rs), i) =>
+    byRecord.zipWithIndex.iterator.flatMap { case (((_, recordId), rs), i) =>
       val sources = rs.sortBy(r => (r.datetime.getTime, r.dataset_id)).map { r =>
         val full = Bitmap.fromBytes(r.payload, r.t_width, r.t_height, r.t_bands,
           DType.fromName(r.t_dtype))
@@ -214,9 +216,23 @@ object Consolidation {
       val merged = Warp.mergeDatasets(sources, out.copy(bands = sources.head.bitmap.bands))
         .getOrElse(Bitmap.filled(out.width, out.height, 1,
           outMapping.format.dtype, outMapping.format.noData))
-      (outUri, s"GTIFF_DIR:${i + 1}", merged.width, merged.height, merged.bands,
+      val subdir = s"GTIFF_DIR:${i + 1}"
+      val base = (outUri, subdir, merged.width, merged.height, merged.bands,
         outMapping.format.dtype.name, head.cell_crs, head.cell_transform,
         merged.toBytes, recordId, rs.head.datetime)
+      // overview pyramid rows (A8): ×2 average chain, addressable as
+      // "<subdir>@ovK" with a ×2^K-scaled transform
+      var cur = merged
+      var curT = Affine.fromArray(head.cell_transform.toArray)
+      val ovs = (1 to GeoTiff.nbOverviews(merged.width, merged.height, overviewsMinSize))
+        .map { k =>
+          cur = GeoTiff.downsample2(cur, outMapping.format.noData)
+          curT = curT.multiply(Affine.scale(2, 2))
+          (outUri, s"$subdir@ov$k", cur.width, cur.height, cur.bands,
+            outMapping.format.dtype.name, head.cell_crs, curT.toArray.toSeq,
+            cur.toBytes, recordId, rs.head.datetime)
+        }
+      base +: ovs
     }
   }
 
@@ -227,6 +243,7 @@ object Consolidation {
     val m = params.mapping
     val rows = newTiles.select("container_uri", "subdir", "record_id", "bands",
         "width", "height", "crs", "transform")
+      .filter(!col("subdir").rlike("@ov\\d+$")) // overview rows aren't datasets
       .collect().map { r =>
       val tf = Affine.fromArray(r.getAs[scala.collection.Seq[Double]]("transform").toArray)
       val crs = CRS.parse(r.getAs[String]("crs"))

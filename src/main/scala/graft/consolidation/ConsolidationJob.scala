@@ -56,8 +56,9 @@ object ConsolidationJob {
       val nTasks = tasks.count()
       logState(spark, cat, spec, "CONSOLIDATIONINPROGRESS", s"""{"tasks":$nTasks}""")
 
-      // C4 consolidate (one Spark task per container)
-      val newTiles = Consolidation.consolidate(spark, cat, tasks, spec.params)
+      // C4 consolidate (one Spark task per container, + overview pyramid)
+      val newTiles = Consolidation.consolidate(spark, cat, tasks, spec.params,
+        spec.layout.overviewsMinSize)
       logState(spark, cat, spec, "CONSOLIDATIONDONE")
 
       // C5 index (INACTIVE)

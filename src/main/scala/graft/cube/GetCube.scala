@@ -129,17 +129,12 @@ object GetCube {
       found.join(broadcast(groups), col("record_id") === col("__grid")).drop("__grid")
     } else found.withColumn("group_key", col("record_id"))
 
-    val tiles = cat.read(spark, "tiles").select(
-      col("container_uri").as("t_uri"), coalesce(col("subdir"), lit("")).as("t_subdir"),
-      col("width").as("t_width"), col("height").as("t_height"),
-      col("bands").as("t_bands"), col("dtype").as("t_dtype"),
-      col("crs").as("t_crs"), col("transform").as("t_transform"),
-      col("payload"))
+    val tiles = selectTileLevel(spark, cat, out)
 
     withGroup
       .join(tiles,
         col("container_uri") === col("t_uri") &&
-          coalesce(col("subdir"), lit("")) === col("t_subdir"))
+          coalesce(col("subdir"), lit("")) === col("t_base_subdir"))
       .select(
         col("group_key"), col("record_id"), col("datetime"),
         col("id").as("dataset_id"), col("bands"),
@@ -229,6 +224,48 @@ object GetCube {
           out.mapping.format.dtype.name, Array.empty[Byte], 0L,
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+  }
+
+  /** Overview-aware tile selection — the engine's `-ovr AUTO`
+    * (image.go:401, SURVEY §4 "pre-aggregation pushdown"): consolidation
+    * writes ×2-downsampled pyramid rows as "<subdir>@ovK"; for each
+    * (container, base subdir) pick the coarsest level still adequate for
+    * the request resolution (×1.2 slack, GDAL's AUTO allowance), falling
+    * back to the finest. Selection runs on a payload-free metadata
+    * projection (window over the tiny per-dataset level set); only the
+    * chosen levels' payloads are joined — a coarse request reads 1/4ᴷ of
+    * the pixel bytes. Meters→degrees uses the equatorial factor (no
+    * cos-lat), which only ever errs toward a finer level. */
+  private def selectTileLevel(spark: SparkSession, cat: Catalog, out: OutDescriptor): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targetResDeg = {
+      val rx = math.abs(out.pixToCrs.rx)
+      if (out.crs.isGeographic) rx else rx / 111320.0
+    }
+    val all = cat.read(spark, "tiles")
+    val meta = all.select(
+        col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
+        col("crs"), col("transform"))
+      .withColumn("base_subdir", regexp_replace(col("subdir"), "@ov\\d+$", ""))
+      .withColumn("res_deg",
+        when(col("crs") === "EPSG:4326", abs(element_at(col("transform"), 2)))
+          .otherwise(abs(element_at(col("transform"), 2)) / 111320.0))
+      .withColumn("eligible", col("res_deg") <= targetResDeg * 1.2)
+    val w = Window.partitionBy(col("container_uri"), col("base_subdir"))
+      .orderBy(col("eligible").desc,
+        when(col("eligible"), -col("res_deg")).otherwise(col("res_deg")))
+    val chosen = meta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("container_uri").as("c_uri"), col("subdir").as("c_subdir"),
+        col("base_subdir").as("t_base_subdir"))
+    all.select(
+        col("container_uri").as("t_uri"), coalesce(col("subdir"), lit("")).as("t_subdir"),
+        col("width").as("t_width"), col("height").as("t_height"),
+        col("bands").as("t_bands"), col("dtype").as("t_dtype"),
+        col("crs").as("t_crs"), col("transform").as("t_transform"), col("payload"))
+      .join(chosen,
+        col("t_uri") === col("c_uri") && col("t_subdir") === col("c_subdir"))
+      .drop("c_uri", "c_subdir")
   }
 
   /** Merge a collected set of dataset tiles into one mosaic payload (the

@@ -63,10 +63,11 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm(new java.io.File(root))
   }
 
-  // layout: one 8×8-px cell of 0.5° resolution covers [0,4]² exactly
+  // layout: one 8×8-px cell of 0.5° resolution covers [0,4]² exactly;
+  // overviewsMinSize 4 → one ×2 overview level per record
   val layout: Layout = Layout("cells", Seq("regular"),
     Map("crs" -> "EPSG:4326", "resolution" -> "0.5", "cell_size" -> "8"),
-    maxRecords = 4)
+    maxRecords = 4, overviewsMinSize = 4)
 
   test("full consolidation job: FSM to DONE, containers stacked, swap atomic") {
     val spec = ConsolidationJob.Spec("job1", "test", "i1", Seq("r1", "r2"),
@@ -87,10 +88,15 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.forall(_.getAs[String]("container_uri").startsWith(s"$root/containers/job1/")))
     assert(ds.map(_.getAs[String]("subdir")).toSet == Set("GTIFF_DIR:1", "GTIFF_DIR:2"))
 
-    // consolidated tiles: 8×8 on the cell grid, record values preserved
-    val tiles = cat.read(spark, "tiles")
+    // consolidated tiles: 8×8 base per record + one 4×4 overview each
+    val allTiles = cat.read(spark, "tiles")
       .filter(col("container_uri").startsWith(s"$root/containers/job1/")).collect()
-    assert(tiles.length == 2)
+    assert(allTiles.length == 4)
+    assert(allTiles.map(_.getAs[String]("subdir")).toSet ==
+      Set("GTIFF_DIR:1", "GTIFF_DIR:2", "GTIFF_DIR:1@ov1", "GTIFF_DIR:2@ov1"))
+    val ov = allTiles.find(_.getAs[String]("subdir") == "GTIFF_DIR:1@ov1").get
+    assert(ov.getAs[Int]("width") == 4 && ov.getAs[Int]("height") == 4)
+    val tiles = allTiles.filterNot(_.getAs[String]("subdir").contains("@ov"))
     val bySubdir = tiles.map(t => t.getAs[String]("subdir") -> t).toMap
     val bm1 = Bitmap.fromBytes(bySubdir("GTIFF_DIR:1").getAs[Array[Byte]]("payload"),
       8, 8, 1, DType.UInt8)
@@ -112,6 +118,26 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
       transform = Affine.northUp(0, 4, 1, -1), width = 4, height = 4)).collect()
     assert(slices.length == 2)
     val bm = Bitmap.fromBytes(slices(0).payload, 4, 4, 1, DType.UInt8)
+    assert(bm.pixels.forall(_ == 10.0))
+  }
+
+  test("overview selection (-ovr AUTO): coarse requests read the pyramid") {
+    import graft.cube._
+    // fine request (res 0.5° = base res) → base 8×8 level
+    val fine = GetCube.datasetTiles(spark, cat, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 4, 0.5, -0.5), width = 8, height = 8)).collect()
+    assert(fine.nonEmpty && fine.forall(_.t_width == 8))
+    // coarse request (res 2°) → the 4×4 overview (res 1°) is adequate
+    val coarse = GetCube.datasetTiles(spark, cat, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 4, 2, -2), width = 2, height = 2)).collect()
+    assert(coarse.nonEmpty && coarse.forall(_.t_width == 4))
+    // and the coarse cube still merges to the right values
+    val slices = GetCube.cube(spark, cat, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 4, 2, -2), width = 2, height = 2)).collect()
+    val bm = Bitmap.fromBytes(slices(0).payload, 2, 2, 1, DType.UInt8)
     assert(bm.pixels.forall(_ == 10.0))
   }
 
