@@ -1,0 +1,182 @@
+package graft.props
+
+import graft.catalog.Patterns
+import graft.core._
+import graft.geo.{Affine, BBox, CRS, GeomOps}
+import graft.layout.RegularGrid
+import graft.raster.Bitmap
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property tests (SURVEY §5 tier 2): cast-algebra closure, pattern
+  * translation, grid-cover coverage, affine inversion, codec round-trips. */
+object CastProps extends Properties("cast") {
+
+  val genRange: Gen[NumRange] = for {
+    min <- Gen.choose(-1000.0, 999.0)
+    span <- Gen.choose(0.001, 2000.0)
+  } yield NumRange(min, min + span)
+
+  val genUint8Mapping: Gen[DataMapping] = for {
+    rext <- genRange
+    exp <- Gen.oneOf(1.0, 1.0, 2.0, 0.5) // exponent 1 twice: bias to closed forms
+  } yield DataMapping(DataFormat(DType.UInt8, 255.0, NumRange(0, 254)), rext, exp)
+
+  property("castParams agrees with castValueBF on closed forms") =
+    forAll(genUint8Mapping, genUint8Mapping, Gen.choose(0.0, 1.0)) { (from, to, r) =>
+      val vi = from.format.range.min + from.format.range.interval * r
+      try {
+        Cast.castParams(from, to) match {
+          case None => Prop(from.equalsMapping(to))
+          case Some(params) =>
+            val got = Cast.storeValue(params(vi), to.format.dtype)
+            val want = Cast.storeValue(Cast.castValueBF(vi, from, to), to.format.dtype)
+            // ±1 lsb from the two rounding paths; NaN (out-of-domain pow on
+            // both paths, e.g. sqrt of a negative ratio) must agree as NaN
+            Prop((got.isNaN && want.isNaN) || math.abs(got - want) <= 1.0) :|
+              s"got=$got want=$want"
+        }
+      } catch {
+        case _: Cast.UnableToCast =>
+          // only legal when no closed form exists: both exponents != 1 and
+          // (different exponents or different ext minima)
+          Prop(from.exponent != 1 && to.exponent != 1 &&
+            (from.exponent != to.exponent || from.rangeExt.min != to.rangeExt.min))
+      }
+    }
+
+  property("castValue is monotonic for positive exponent") =
+    forAll(genRange, genRange, Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) {
+      (rin, rext, a, b) =>
+        val va = rin.min + rin.interval * math.min(a, b)
+        val vb = rin.min + rin.interval * math.max(a, b)
+        Cast.castValue(va, rin, rext, 2.0) <= Cast.castValue(vb, rin, rext, 2.0) + 1e-9
+    }
+
+  property("storeValue clamps into dtype bounds") =
+    forAll(Gen.choose(-1e12, 1e12), Gen.oneOf(DType.all.filterNot(_.isFloat))) { (v, dt) =>
+      val s = Cast.storeValue(v, dt)
+      s >= dt.minValue && s <= dt.maxValue && s == math.rint(s)
+    }
+}
+
+object PatternProps extends Properties("patterns") {
+  val genPlain: Gen[String] = Gen.chooseNum(1, 15)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  property("no wildcard → equality") = forAll(genPlain) { s =>
+    Patterns.parseLike(s) == ((s, Patterns.Eq))
+  }
+
+  property("star becomes percent, question becomes underscore") = forAll(genPlain) { s =>
+    val (t, op) = Patterns.parseLike(s + "*end?")
+    op == Patterns.Like && t == s + "%end_"
+  }
+
+  property("(?i) suffix → ilike with translation") = forAll(genPlain) { s =>
+    val (t, op) = Patterns.parseLike(s + "*(?i)")
+    op == Patterns.ILike && t == s + "%"
+  }
+
+  property("literal underscore is escaped") = Prop {
+    Patterns.parseLike("a_b*") == (("a\\_b%", Patterns.Like))
+  }
+
+  property("three-way split partitions the input") =
+    forAll(Gen.listOfN(8, Gen.oneOf(genPlain, genPlain.map(_ + "*"), genPlain.map(_ + "*(?i)")))) { ps =>
+      val (e, l, i) = Patterns.parseLikes(ps)
+      e.size + l.size + i.size == ps.size
+    }
+}
+
+object GridProps extends Properties("grid") {
+  val genBox: Gen[BBox] = for {
+    x <- Gen.choose(-170.0, 160.0)
+    y <- Gen.choose(-80.0, 70.0)
+    w <- Gen.choose(0.01, 8.0)
+    h <- Gen.choose(0.01, 8.0)
+  } yield BBox(x, y, x + w, y + h)
+
+  val grid = RegularGrid(CRS.WGS84, 10, 10, 0.1) // 1°×1° cells
+
+  property("every interior point of the AOI is covered by some cell") =
+    forAll(genBox, Gen.choose(0.1, 0.9), Gen.choose(0.1, 0.9)) { (b, fx, fy) =>
+      val aoi = GeomOps.polygonFromBBox(b)
+      val cells = grid.covers(aoi).map(grid.cell).toSeq
+      val px = b.xmin + b.width * fx
+      val py = b.ymin + b.height * fy
+      cells.exists { c =>
+        val cb = BBox.fromExtent(c.pixToCrs, c.sizeX, c.sizeY)
+        px >= cb.xmin && px <= cb.xmax && py >= cb.ymin && py <= cb.ymax
+      } :| s"point ($px,$py) uncovered by ${cells.map(_.uri)}"
+    }
+
+  property("every returned cell interior-intersects the AOI") =
+    forAll(genBox) { b =>
+      val aoi = GeomOps.polygonFromBBox(b)
+      grid.covers(aoi).map(grid.cell).forall(c =>
+        GeomOps.interiorIntersects(c.nativeRing, aoi))
+    }
+
+  property("cell uris are unique") = forAll(genBox) { b =>
+    val uris = grid.covers(GeomOps.polygonFromBBox(b)).toSeq
+    uris.distinct.size == uris.size
+  }
+}
+
+object AffineProps extends Properties("affine") {
+  val genAffine: Gen[Affine] = for {
+    x0 <- Gen.choose(-1e6, 1e6)
+    y0 <- Gen.choose(-1e6, 1e6)
+    rxMag <- Gen.choose(0.001, 1000.0)
+    rxSign <- Gen.oneOf(1.0, -1.0)
+    ryMag <- Gen.choose(0.001, 1000.0)
+    rySign <- Gen.oneOf(1.0, -1.0)
+  } yield Affine.northUp(x0, y0, rxMag * rxSign, ryMag * rySign)
+
+  property("inverse round-trips points") =
+    forAll(genAffine, Gen.choose(-1e4, 1e4), Gen.choose(-1e4, 1e4)) { (a, x, y) =>
+      val (cx, cy) = a.transform(x, y)
+      val (bx, by) = a.inverse.transform(cx, cy)
+      math.abs(bx - x) < 1e-6 && math.abs(by - y) < 1e-6
+    }
+
+  property("multiply composes") =
+    forAll(genAffine, genAffine, Gen.choose(-100.0, 100.0), Gen.choose(-100.0, 100.0)) {
+      (a, b, x, y) =>
+        val (ix, iy) = b.transform(x, y)
+        val (dx, dy) = a.transform(ix, iy)
+        val (mx, my) = a.multiply(b).transform(x, y)
+        math.abs(mx - dx) < math.max(1e-6, math.abs(dx) * 1e-9) &&
+          math.abs(my - dy) < math.max(1e-6, math.abs(dy) * 1e-9)
+    }
+}
+
+object CodecProps extends Properties("bitmap-codec") {
+  val genDtypeVals: Gen[(DType, Array[Double])] = for {
+    dt <- Gen.oneOf(DType.UInt8, DType.Int16, DType.UInt16, DType.Int32, DType.Float32, DType.Float64)
+    n <- Gen.choose(1, 64)
+    vals <- Gen.listOfN(n, dt match {
+      case DType.Float32 => Gen.choose(-1e6f, 1e6f).map(f => f.toDouble)
+      case DType.Float64 => Gen.choose(-1e12, 1e12)
+      case d => Gen.choose(d.minValue, d.maxValue).map(math.rint)
+    })
+  } yield (dt, vals.toArray)
+
+  property("byte payload round-trips every dtype") = forAll(genDtypeVals) {
+    case (dt, vals) =>
+      val bm = new Bitmap(vals.length, 1, 1, dt, vals)
+      val rt = Bitmap.fromBytes(bm.toBytes, vals.length, 1, 1, dt)
+      val eq = rt.pixels.zip(vals).forall { case (a, b) =>
+        a == b || (dt == DType.Float32 && math.abs(a - b) <= math.abs(b) * 1e-7)
+      }
+      eq :| s"dt=$dt ${rt.pixels.toSeq} != ${vals.toSeq}"
+  }
+
+  property("crs round trip") =
+    forAll(Gen.choose(-179.0, 179.0), Gen.choose(-80.0, 80.0)) { (lon, lat) =>
+      val (x, y) = CRS.WebMercator.fromLonLat(lon, lat)
+      val (lon2, lat2) = CRS.WebMercator.toLonLat(x, y)
+      math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9
+    }
+}
