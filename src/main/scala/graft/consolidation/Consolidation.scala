@@ -58,6 +58,20 @@ object Consolidation {
       java.util.Arrays.asList(partials.map(GeomOps.readWkb): _*))
   }
 
+  /** A7 — ComputeValidShapeFromCell (pg_containers.go:409-430): the valid
+    * data shape of a record within a cell = union of its dataset
+    * footprints intersected with the cell ring, made valid. Used by the
+    * packing step to skip all-nodata container slots. */
+  def validShapeInCell(shapes: Seq[Geometry], cell: Geometry): Option[Geometry] = {
+    if (shapes.isEmpty) return None
+    val union = org.locationtech.jts.operation.union.UnaryUnionOp.union(
+      java.util.Arrays.asList(shapes: _*))
+    val inter = union.intersection(cell)
+    val valid = if (inter.isValid) inter
+      else org.locationtech.jts.geom.util.GeometryFixer.fix(inter)
+    if (valid.isEmpty || valid.getArea == 0) None else Some(valid)
+  }
+
   /** C3 — csldPrepareOrders (consolidater.go:166-407): emit one task row
     * per output container: (cell, container index, ordered record list,
     * their dataset ids). */

@@ -342,6 +342,33 @@ object RelationalQueries {
         round(max("value"), 4).as("vmax"))
       .orderBy("event_type")
 
+  /** o4_order_results — deterministic re-ordering of parallel results
+    * (catalog.go:509-529 orderResults): results computed per-partition in
+    * arbitrary order are re-emitted in request order — here, per-type
+    * aggregates re-keyed to a literal request sequence. */
+  def o4OrderResults(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val request = Seq(("purchase", 1), ("signup", 2), ("error", 3)).toDF("etype", "req_ord")
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .join(broadcast(request), col("event_type") === col("etype"))
+      .select(col("req_ord"), col("event_type"), col("n"), col("avg_value"))
+      .orderBy("req_ord")
+  }
+
+  /** f10_uri_helpers — GDALURI subdir:uri composition + pattern limiting
+    * (image.go:32-34, grpc/service.go:112-117) as string ops. */
+  def f10UriHelpers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 100)
+      .select(
+        col("p_partkey"),
+        concat(lit("GTIFF_DIR:"), (col("p_partkey") % 4 + 1).cast("string"),
+          lit(":container/"), col("p_brand")).as("gdal_uri"),
+        substring(col("p_name"), 1, 12).as("name_limited"))
+      .orderBy("p_partkey")
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -370,7 +397,9 @@ object RelationalQueries {
     "a2_regroup" -> a2Regroup _,
     "a5_merge_tags" -> a5MergeTags _,
     "g1_grid_assign" -> g1GridAssign _,
-    "f4_percentiles" -> f4Percentiles _)
+    "f4_percentiles" -> f4Percentiles _,
+    "o4_order_results" -> o4OrderResults _,
+    "f10_uri_helpers" -> f10UriHelpers _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
@@ -516,5 +545,18 @@ object RelationalQueries {
          round(quantile_cont(value, 0.5), 4) AS med,
          round(quantile_cont(value, 0.75), 4) AS q3,
          round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "o4_order_results" ->
+      """WITH request(etype, req_ord) AS (VALUES
+           ('purchase',1),('signup',2),('error',3))
+         SELECT req_ord, event_type, count(*) AS n,
+                round(avg(value),4) AS avg_value
+         FROM events JOIN request ON event_type = etype
+         GROUP BY req_ord, event_type ORDER BY req_ord""",
+    "f10_uri_helpers" ->
+      """SELECT p_partkey,
+         concat('GTIFF_DIR:', CAST(p_partkey % 4 + 1 AS VARCHAR),
+                ':container/', p_brand) AS gdal_uri,
+         substring(p_name, 1, 12) AS name_limited
+         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""")
 }

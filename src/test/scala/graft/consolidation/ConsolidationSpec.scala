@@ -141,6 +141,30 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bm.pixels.forall(_ == 10.0))
   }
 
+  test("collapse variant (C9): all records consolidate onto one record") {
+    // prepareOrders with collapse: every dataset packs under the target
+    // record, so one container slot (GTIFF_DIR:1) holds the whole mosaic
+    val tasks = Consolidation.prepareOrders(spark, cat, "jobC", "i1",
+      Seq("r1", "r2"), layout, collapseOnRecordId = Some("r1"))
+    val rows = tasks.collect()
+    assert(rows.length == 1)
+    val ds = rows(0).getAs[scala.collection.Seq[Row]]("datasets")
+    assert(ds.map(_.getAs[String]("record_id")).toSet == Set("r1"))
+  }
+
+  test("valid shape in cell (A7): union ∩ cell, empty when disjoint") {
+    import graft.geo.{BBox, GeomOps}
+    val cell = GeomOps.polygonFromBBox(BBox(0, 0, 10, 10))
+    val shapes = Seq(
+      GeomOps.polygonFromBBox(BBox(-5, -5, 2, 2)),
+      GeomOps.polygonFromBBox(BBox(8, 8, 15, 15)))
+    val vs = Consolidation.validShapeInCell(shapes, cell).get
+    assert(vs.getArea === 2.0 * 2 + 2 * 2) // two clipped corners
+    assert(Consolidation.validShapeInCell(
+      Seq(GeomOps.polygonFromBBox(BBox(20, 20, 30, 30))), cell).isEmpty)
+    assert(Consolidation.validShapeInCell(Nil, cell).isEmpty)
+  }
+
   test("failed job rolls back and journals FAILED") {
     val spec = ConsolidationJob.Spec("job2", "bad", "missing-instance", Seq("rX"),
       layout, ConsolidationParams(uint8Map, Resampling.Near))
