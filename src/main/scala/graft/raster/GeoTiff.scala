@@ -105,10 +105,34 @@ object GeoTiff {
 
   // ---------------------------------------------------------------- write
 
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](64 * 1024)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var off = 0
+    while (off < expected && !inf.finished())
+      off += inf.inflate(out, off, expected - off)
+    inf.end()
+    require(off == expected, s"inflate: got $off of $expected bytes")
+    out
+  }
+
   /** Serialize a stack of images (one IFD each, in order; `GTIFF_DIR:n`
-    * addresses the n-th) with optional overview IFDs after each. */
+    * addresses the n-th) with optional overview IFDs after each.
+    * `compress=true` writes Compression=8 (zlib/Adobe deflate — the COG
+    * default). */
   def write(images: Seq[Image], noData: Double = Double.NaN,
-      overviewsMinSize: Int = 0): Array[Byte] = {
+      overviewsMinSize: Int = 0, compress: Boolean = false): Array[Byte] = {
     require(images.nonEmpty, "GeoTiff.write: no images")
     val out = new java.io.ByteArrayOutputStream()
     val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
@@ -118,7 +142,7 @@ object GeoTiff {
 
     def ifdFor(img: Image, subfile: Option[Int]): PendingIfd = {
       val bm = img.bitmap
-      val strip = bm.toBytes
+      val strip = if (compress) deflate(bm.toBytes) else bm.toBytes
       def shortVal(v: Int) = {
         val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         b.putShort(v.toShort); b.array()
@@ -150,7 +174,7 @@ object GeoTiff {
       entries += ((TWidth, 3, 1, shortVal(bm.width)))
       entries += ((THeight, 3, 1, shortVal(bm.height)))
       entries += ((TBitsPerSample, 3, bm.bands, shorts(Seq.fill(bm.bands)(bits))))
-      entries += ((TCompression, 3, 1, shortVal(1)))
+      entries += ((TCompression, 3, 1, shortVal(if (compress) 8 else 1)))
       entries += ((TPhotometric, 3, 1, shortVal(1)))
       entries += ((TStripOffsets, 4, 1, longVal(0))) // patched
       entries += ((TSamplesPerPixel, 3, 1, shortVal(bm.bands)))
@@ -261,7 +285,13 @@ object GeoTiff {
       val dt = dtypeOf(bits, fmt)
       val stripOff = tagVal(TStripOffsets)
       val stripLen = tagVal(TStripByteCounts)
-      val strip = java.util.Arrays.copyOfRange(data, stripOff, stripOff + stripLen)
+      val raw = java.util.Arrays.copyOfRange(data, stripOff, stripOff + stripLen)
+      val compression = tagVal(TCompression, 1)
+      val strip = compression match {
+        case 1 => raw
+        case 8 => inflate(raw, w * h * bands * dt.sizeBytes)
+        case c => throw new IllegalArgumentException(s"unsupported TIFF compression $c")
+      }
       val bm = Bitmap.fromBytes(strip, w, h, bands, dt)
       val scale = tagDoubles(TModelPixelScale)
       val tie = tagDoubles(TModelTiepoint)

@@ -76,6 +76,36 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(allNo.get(0, 0, 0).isNaN)
   }
 
+  test("deflate compression (Compression=8) round trips and shrinks") {
+    val vals = Array.tabulate(64 * 64)(i => (i % 7).toDouble) // compressible
+    val base = img(64, 64, DType.UInt8, vals)
+    val plain = GeoTiff.write(Seq(base))
+    val packed = GeoTiff.write(Seq(base), compress = true)
+    assert(packed.length < plain.length / 2)
+    val got = GeoTiff.read(packed).head.image
+    assert(got.bitmap.pixels.toSeq == vals.toSeq)
+    // compressed + overviews together
+    val withOv = GeoTiff.write(Seq(base), overviewsMinSize = 32, compress = true)
+    val dirs = GeoTiff.read(withOv)
+    assert(dirs.map(_.isOverview) == Seq(false, true))
+    assert(dirs(1).image.bitmap.width == 32)
+  }
+
+  test("serving-edge compress + chunk round trip (F11/D7)") {
+    import graft.cube.Compress
+    val data = Array.tabulate[Byte](2 * Compress.ChunkSize + 100)(i => (i % 250).toByte)
+    val packed = Compress.deflate(data, 6)
+    assert(packed.length < data.length)
+    assert(Compress.inflate(packed).toSeq == data.toSeq)
+    // negative levels disable compression (catalog.proto:105 semantics)
+    assert(Compress.deflate(data, -3) eq data)
+    assertThrows[IllegalArgumentException](Compress.deflate(data, 10))
+    val parts = Compress.chunk(data)
+    assert(parts.size == 3)
+    assert(parts.forall(_._2.length <= Compress.ChunkSize))
+    assert(Compress.assemble(scala.util.Random.shuffle(parts)).toSeq == data.toSeq)
+  }
+
   test("multiband planar round trip") {
     val two = GeoTiff.Image(
       new Bitmap(2, 1, 2, DType.UInt8, Array(1, 2, 11, 12)),
