@@ -182,6 +182,74 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** a6_update_impact — UpdateDatasets impact summary
+    * (pg_containers.go:436-459): GROUP BY the data-format fields + COUNT
+    * before a bulk rewrite, so the operator reports what it would touch.
+    * Partial-aggregatable: one shuffle of (brand,type) groups. */
+  def a6UpdateImpact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand", "p_type")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min("p_size").as("min_size"),
+        max("p_size").as("max_size"),
+        round(avg("p_retailprice"), 2).as("avg_price"))
+      .orderBy("p_brand", "p_type")
+
+  /** w3_sessionize — gap-based sessionization (the training-data-pipeline
+    * shape of the reference's per-record run-length grouping,
+    * catalog.go:296-318): a new session starts when the in-user gap exceeds
+    * 4 h; sessions then aggregate. Two windows over one (user) partition —
+    * a single shuffle, no self-join. */
+  def w3Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("user_id") < 10)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("brk",
+        when(lag("sec", 1).over(byUser).isNull ||
+          col("sec") - lag("sec", 1).over(byUser) > 14400, 1).otherwise(0))
+      .withColumn("session_id", sum("brk").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("t_start"),
+        (max("sec") - min("sec")).as("dur_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** j4_bbox_join — the two-stage spatial join (J4/P5,
+    * pg_grids.go:118-126 + pg_containers.go:302-311) in its scalable form:
+    * boxes explode to the grid cells they cover (G1 cover), points key to
+    * their one cell, the join is a cell-key EQUI-join (shuffle-partitionable
+    * at 100 TB — never a nested loop), and the exact containment predicate
+    * refines the survivors — coarse `&&` then fine ST_Relate, same
+    * structure as the reference. */
+  def j4BboxJoin(s: SparkSession, dir: String): DataFrame = {
+    val boxes = t(s, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_partkey") * 7 % 100).as("xmin"),
+        (col("p_partkey") * 13 % 100).as("ymin"),
+        (col("p_partkey") * 7 % 100 + col("p_size") % 10 + 1).as("xmax"),
+        (col("p_partkey") * 13 % 100 + col("p_size") % 7 + 1).as("ymax"))
+      .withColumn("cx", explode(expr(
+        "sequence(cast(floor(xmin/10) as int), cast(floor(xmax/10) as int))")))
+      .withColumn("cy", explode(expr(
+        "sequence(cast(floor(ymin/10) as int), cast(floor(ymax/10) as int))")))
+    val pts = t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        (col("s_suppkey") * 17 % 100).as("px"),
+        (col("s_suppkey") * 29 % 100).as("py"))
+      .withColumn("cx", expr("cast(floor(px/10) as int)"))
+      .withColumn("cy", expr("cast(floor(py/10) as int)"))
+    boxes.join(broadcast(pts), Seq("cx", "cy"))
+      .filter(col("px").between(col("xmin"), col("xmax")) &&
+        col("py").between(col("ymin"), col("ymax")))
+      .select(col("p_partkey"), col("s_suppkey"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
   /** a1_group_ordered — groupDatasetsByRecord (catalog.go:296-318): per-group
     * ordered collection; the order-sensitive list is canonicalized to a string
     * so the oracle can hash it. */
@@ -399,7 +467,10 @@ object RelationalQueries {
     "g1_grid_assign" -> g1GridAssign _,
     "f4_percentiles" -> f4Percentiles _,
     "o4_order_results" -> o4OrderResults _,
-    "f10_uri_helpers" -> f10UriHelpers _)
+    "f10_uri_helpers" -> f10UriHelpers _,
+    "a6_update_impact" -> a6UpdateImpact _,
+    "w3_sessionize" -> w3Sessionize _,
+    "j4_bbox_join" -> j4BboxJoin _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
@@ -453,12 +524,59 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY k""",
     "p4_time_valid" ->
       """SELECT l_orderkey, count(*) AS n_items,
-         sum(CASE WHEN l_discount=0 THEN 1 ELSE 0 END) AS n_valid
+         CAST(sum(CASE WHEN l_discount=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
          FROM lineitem
          WHERE l_shipdate >= '1995-01-01' AND l_shipdate <= '1996-12-31'
          GROUP BY l_orderkey
          HAVING sum(CASE WHEN l_discount=0 THEN 1 ELSE 0 END)*2 > count(*)
          ORDER BY l_orderkey""",
+    "a6_update_impact" ->
+      """SELECT p_brand, p_type, count(*) AS n_parts,
+         min(p_size) AS min_size, max(p_size) AS max_size,
+         round(avg(p_retailprice),2) AS avg_price
+         FROM part GROUP BY p_brand, p_type
+         ORDER BY p_brand, p_type""",
+    "w3_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events WHERE user_id < 10),
+         b AS (
+           SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                          OR sec - lag(sec) OVER w > 14400 THEN 1 ELSE 0 END AS brk
+           FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM b)
+         SELECT user_id, session_id, count(*) AS n_events,
+                strftime(min(ts),'%Y-%m-%d %H:%M:%S') AS t_start,
+                max(sec) - min(sec) AS dur_s
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "j4_bbox_join" ->
+      """WITH boxes AS (
+           SELECT p_partkey, (p_partkey*7)%100 AS xmin, (p_partkey*13)%100 AS ymin,
+                  (p_partkey*7)%100 + p_size%10 + 1 AS xmax,
+                  (p_partkey*13)%100 + p_size%7 + 1 AS ymax
+           FROM part),
+         cx AS (
+           SELECT *, unnest(range(CAST(floor(xmin/10) AS INT),
+                                  CAST(floor(xmax/10) AS INT) + 1)) AS cx
+           FROM boxes),
+         cells AS (
+           SELECT *, unnest(range(CAST(floor(ymin/10) AS INT),
+                                  CAST(floor(ymax/10) AS INT) + 1)) AS cy
+           FROM cx),
+         pts AS (
+           SELECT s_suppkey, (s_suppkey*17)%100 AS px, (s_suppkey*29)%100 AS py
+           FROM supplier),
+         p2 AS (
+           SELECT *, CAST(floor(px/10) AS INT) AS cx, CAST(floor(py/10) AS INT) AS cy
+           FROM pts)
+         SELECT p_partkey, s_suppkey
+         FROM cells JOIN p2 USING (cx, cy)
+         WHERE px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
+         ORDER BY p_partkey, s_suppkey""",
     "j2_dim_chain" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
          round(sum(c_acctbal),2) AS sum_bal

@@ -92,11 +92,91 @@ object SimilarityQueries {
         round(max("norm"), 6).as("max_norm"))
       .orderBy("label")
 
+  /** 4-bit LSH band value from planes [lo, lo+4). */
+  private def bandExpr(lo: Int): String =
+    planes.slice(lo, lo + 4).zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN ${dotExpr("v", planeArraySql(p))} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  private def cosCol(a: String, b: String) =
+    expr(dotExpr(a, b)) /
+      (sqrt(expr(dotExpr(a, a))) * sqrt(expr(dotExpr(b, b))))
+
+  /** dedup_embed — embedding-cosine near-duplicate pairs, LSH-bucketed:
+    * candidates share a 4-bit hyperplane band (2 bands, per-band EQUI-joins
+    * + UNION — an OR-of-bands predicate degenerates to a nested loop, see
+    * TextQueries.dedupLshPairs), then exact cosine ≥ 0.35 confirms. At
+    * 100 TB the band join touches only colliding vectors — the candidate
+    * count scales with true near-dups (collision p ≈ (1-θ/π)⁴ per band),
+    * never n². */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val sig = emb(s, dir).select(col("vec_id"), col("v"),
+      sqrt(expr(dotExpr("v", "v"))).as("nrm"),
+      expr(bandExpr(0)).cast("int").as("b0"),
+      expr(bandExpr(4)).cast("int").as("b1"))
+      .cache() // scanned 5× (2 join sides × 2 bands + score); one row per vector
+
+    // candidates on the NARROW key relation (ids+bands move through the
+    // band-join shuffles, vectors don't), pair-dedup before scoring, then
+    // one vector fetch + one dot product per unique pair.
+    val keys = sig.select("vec_id", "b0", "b1")
+    def bandJoin(b: String): DataFrame =
+      keys.as("a").join(keys.as("b"),
+          col(s"a.$b") === col(s"b.$b") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+
+    bandJoin("b0").union(bandJoin("b1")).distinct()
+      .join(sig.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(sig.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(expr(dotExpr("va", "vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** sim_ivf_topk — IVF (inverted-file) ANN: coarse centroids (deterministic
+    * subset vec_id % 100 = 0), every vector assigned to its nearest centroid
+    * (the inverted lists), a query probes only the nprobe=2 nearest lists and
+    * brute-forces inside them. The scale path: the assignment is one
+    * broadcast-join pass, and the probe reads |2 lists| ≪ n vectors —
+    * partition the list table by centroid id and probes become partition
+    * pruning. */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("nrm", sqrt(expr(dotExpr("v", "v"))))
+    val cent = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr(dotExpr("v", "cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("cid"))
+
+    val probed = cent.crossJoin(broadcast(q))
+      .withColumn("qcos", cosCol("cv", "qv"))
+      .orderBy(col("qcos").desc, col("cid"))
+      .limit(2)
+      .select(col("cid"))
+
+    assigned.join(broadcast(probed), "cid")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosCol("v", "qv"), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), col("cos"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> simCosineTopk _,
     "sim_lsh_buckets" -> simLshBuckets _,
     "sim_lsh_histogram" -> simLshHistogram _,
-    "sim_label_stats" -> simLabelStats _)
+    "sim_label_stats" -> simLabelStats _,
+    "dedup_embed" -> dedupEmbed _,
+    "sim_ivf_topk" -> simIvfTopk _)
 
   // DuckDB formulations: embeddings cast to DOUBLE[], dot product via
   // list_zip + list_transform + list_aggregate to mirror the fold order.
@@ -106,11 +186,49 @@ object SimilarityQueries {
   private def duckPlane(p: Seq[Double]): String =
     p.mkString("CAST([", ", ", "] AS DOUBLE[])")
 
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
   val oracle: Map[String, String] = {
     val duckBucket = planes.zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${duckDot("v", duckPlane(p))} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
+    def duckBand(lo: Int) = planes.slice(lo, lo + 4).zipWithIndex.map { case (p, j) =>
+      s"CASE WHEN ${duckDot("v", duckPlane(p))} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
     Map(
+      "dedup_embed" ->
+        s"""WITH sig AS (
+              SELECT vec_id, v, CAST(${duckBand(0)} AS INT) AS b0,
+                     CAST(${duckBand(4)} AS INT) AS b1
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+            cand AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(${duckCos("a.v", "b.v")}, 6) AS cos
+              FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+              UNION
+              SELECT a.vec_id, b.vec_id, round(${duckCos("a.v", "b.v")}, 6)
+              FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos FROM cand WHERE cos >= 0.35
+            ORDER BY id_a, id_b""",
+      "sim_ivf_topk" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 100 = 0),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            asg AS (
+              SELECT vec_id, label, v, cid FROM (
+                SELECT e.vec_id, e.label, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid) AS rn
+                FROM e CROSS JOIN cent c)
+              WHERE rn = 1),
+            probe AS (
+              SELECT cid FROM cent CROSS JOIN q
+              ORDER BY ${duckCos("cv", "qv")} DESC, cid LIMIT 2)
+            SELECT vec_id, label, round(${duckCos("v", "qv")}, 6) AS cos
+            FROM asg JOIN probe USING (cid) CROSS JOIN q
+            WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id LIMIT 10""",
       "sim_cosine_topk" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

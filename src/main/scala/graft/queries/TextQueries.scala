@@ -127,24 +127,28 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("toks"),
         concat(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("band0"),
         concat(col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("band1"))
-      // signatures are scanned 4x (2 join sides x 2 bands) and Catalyst
-      // cannot reuse exchanges across self-join branches — cache the
+      // signatures are scanned 5x (2 join sides x 2 bands + token fetch) and
+      // Catalyst cannot reuse exchanges across self-join branches — cache the
       // (small: one row per doc) signature relation instead of paying the
-      // md5 transform four times
+      // md5 transform five times
       .cache()
 
+    // candidates on the NARROW key relation — only (doc_id, source, bands)
+    // move through the band-join shuffles; token arrays are fetched once per
+    // UNIQUE deduped pair for the exact-Jaccard confirm.
+    val keys = base.select("doc_id", "source", "band0", "band1")
     def bandJoin(band: String): DataFrame =
-      base.as("a").join(base.as("b"),
+      keys.as("a").join(keys.as("b"),
           col("a.source") === col("b.source") &&
           col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"),
-          size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
 
     bandJoin("band0").union(bandJoin("band1")).distinct()
+      .join(base.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+        round(col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -169,7 +173,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** dedup_ngram — character-3-gram Jaccard over adjacent documents within a
+    * source shard (the shingle-based near-dup basis for texts without token
+    * structure — CJK, code; Dedup.charNgrams): each doc scores against its
+    * predecessor via one lag window — a single shuffle on the shard key, no
+    * self-join. */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val g3Expr = "array_sort(array_distinct(transform(" +
+      "sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))))"
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs(s, dir)
+      .withColumn("g3", expr(g3Expr))
+      .withColumn("prev_id", lag("doc_id", 1).over(bySource))
+      .withColumn("prev_g3", lag("g3", 1).over(bySource))
+      .filter(col("prev_id").isNotNull)
+      .withColumn("inter", size(array_intersect(col("g3"), col("prev_g3"))))
+      .select(col("prev_id").as("doc_a"), col("doc_id").as("doc_b"),
+        round(col("inter") /
+          (size(col("g3")) + size(col("prev_g3")) - col("inter")), 6).as("jaccard3"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ngram" -> dedupNgram _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangid _,
@@ -185,6 +212,23 @@ object TextQueries {
     s"list_aggregate(list_transform($tokSetSql, t -> md5(concat('$i|', t))), 'min')"
 
   val oracle: Map[String, String] = Map(
+    "dedup_ngram" ->
+      """WITH g AS (
+           SELECT doc_id, source,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(length(text) - 2, 1) + 1),
+               i -> substring(text, i, 3)))) AS g3
+           FROM documents),
+         p AS (
+           SELECT doc_id, source, g3,
+                  lag(doc_id) OVER w AS prev_id, lag(g3) OVER w AS prev_g3
+           FROM g WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+         SELECT prev_id AS doc_a, doc_id AS doc_b,
+                round(CAST(len(list_intersect(g3, prev_g3)) AS DOUBLE)
+                  / (len(g3) + len(prev_g3) - len(list_intersect(g3, prev_g3))), 6)
+                  AS jaccard3
+         FROM p WHERE prev_id IS NOT NULL
+         ORDER BY doc_a, doc_b""",
     "text_tokens" ->
       s"""SELECT doc_id, len(toks) AS n_tokens,
           len(list_distinct(toks)) AS n_uniq,
