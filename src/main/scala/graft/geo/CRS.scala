@@ -43,14 +43,19 @@ object CRS {
       (x / A * R2D, (2 * math.atan(math.exp(y / A)) - math.Pi / 2) * R2D)
   }
 
-  /** UTM on WGS84 via 6th-order Krüger series (public PROJ/Karney math). */
-  final case class UTM(zone: Int, north: Boolean) extends CRS {
-    require(zone >= 1 && zone <= 60, s"bad UTM zone $zone")
-    val srid: Int = (if (north) 32600 else 32700) + zone
-    private val k0 = 0.9996
-    private val fe = 500000.0
-    private val fn = if (north) 0.0 else 10000000.0
-    private val lon0 = ((zone - 1) * 6 - 180 + 3) * D2R
+  /** Ellipsoidal transverse Mercator on WGS84 via 6th-order Krüger series
+    * (public PROJ/Karney math) at an arbitrary natural origin — the
+    * engine's `+proj=tmerc`; UTM zones are fixed-parameter instances.
+    * All members are lazy because subclasses supply the parameters. */
+  sealed abstract class KruegerTM extends CRS {
+    def lon0Deg: Double
+    def lat0Deg: Double
+    def k0: Double
+    def fe: Double
+    /** declared false northing (before the lat_0 origin shift) */
+    protected def fn0: Double
+
+    private lazy val lon0 = lon0Deg * D2R
 
     // Krüger series coefficients on the third flattening n
     private val n = F / (2 - F)
@@ -76,7 +81,8 @@ object CRS {
     private val e2 = F * (2 - F)
     private val e = math.sqrt(e2)
 
-    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    /** (eta, xi) gauss-krüger coords of (lon-lon0, lat), before scaling. */
+    private def project(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val lat = latDeg * D2R
       val lon = lonDeg * D2R - lon0
       // conformal latitude
@@ -90,6 +96,15 @@ object CRS {
         eta += alpha(j) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
         j += 1
       }
+      (eta, xi)
+    }
+
+    /** Effective false northing: fn0 shifted so (lon0, lat0) maps to
+      * (fe, fn0) — the meridian-arc origin shift of `+lat_0=`. */
+    private lazy val fn = if (lat0Deg == 0) fn0 else fn0 - k0 * aCap * project(lon0Deg, lat0Deg)._2
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (eta, xi) = project(lonDeg, latDeg)
       (fe + k0 * aCap * eta, fn + k0 * aCap * xi)
     }
 
@@ -124,6 +139,25 @@ object CRS {
     }
   }
 
+  /** UTM on WGS84: zone meridian, k0=0.9996, 500 km false easting. */
+  final case class UTM(zone: Int, north: Boolean) extends KruegerTM {
+    require(zone >= 1 && zone <= 60, s"bad UTM zone $zone")
+    val srid: Int = (if (north) 32600 else 32700) + zone
+    def lon0Deg: Double = (zone - 1) * 6 - 180 + 3
+    def lat0Deg: Double = 0.0
+    def k0: Double = 0.9996
+    def fe: Double = 500000.0
+    protected def fn0: Double = if (north) 0.0 else 10000000.0
+  }
+
+  /** Arbitrary-origin transverse Mercator (`+proj=tmerc`). No EPSG id —
+    * srid is the TIFF GeoKey "user-defined" sentinel 32767. */
+  final case class TransverseMercator(lon0Deg: Double, lat0Deg: Double = 0.0,
+      k0: Double = 1.0, fe: Double = 0.0, fnParam: Double = 0.0) extends KruegerTM {
+    val srid: Int = 32767
+    protected def fn0: Double = fnParam
+  }
+
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
   private def asinh(x: Double): Double = math.log(x + math.hypot(x, 1.0))
 
@@ -136,10 +170,60 @@ object CRS {
     case s => throw new IllegalArgumentException(s"unsupported SRID: $s")
   }
 
+  /** CRS from user input, mirroring the reference's CRSFromUserInput
+    * (proj.go:26-75): EPSG codes ("EPSG:32633" / "32633"), PROJ strings
+    * ("+proj=utm +zone=33 ..."), and WKT (resolved through its EPSG
+    * authority id). */
   def parse(text: String): CRS = {
-    val t = text.trim.toUpperCase
-    if (t.startsWith("EPSG:")) fromSrid(t.stripPrefix("EPSG:").toInt)
+    val t = text.trim
+    val up = t.toUpperCase
+    if (t.startsWith("+")) parseProj4(t)
+    else if (up.startsWith("EPSG:")) fromSrid(up.stripPrefix("EPSG:").toInt)
+    else if (t.contains("[")) parseWkt(t)
     else fromSrid(t.toInt)
+  }
+
+  /** PROJ.4 parameter strings for the supported projection families:
+    * longlat, merc/webmerc (spherical WebMercator parameters), utm, tmerc. */
+  private def parseProj4(s: String): CRS = {
+    val kv = s.split("\\s+").filter(_.startsWith("+")).map(_.stripPrefix("+"))
+      .map(_.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> ""
+      }).toMap
+    def d(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    kv.get("proj") match {
+      case Some("longlat") | Some("latlong") => WGS84
+      case Some("merc") | Some("webmerc") => WebMercator
+      case Some("utm") =>
+        val zone = kv.getOrElse("zone",
+          throw new IllegalArgumentException(s"+proj=utm needs +zone=: $s")).toInt
+        UTM(zone, north = !kv.contains("south"))
+      case Some("tmerc") =>
+        val tm = TransverseMercator(
+          lon0Deg = d("lon_0", 0), lat0Deg = d("lat_0", 0),
+          k0 = d("k", d("k_0", 1.0)), fe = d("x_0", 0), fnParam = d("y_0", 0))
+        // recognise exact UTM parameterizations so they keep their EPSG id
+        val zone = ((tm.lon0Deg + 180) / 6 + 1).toInt
+        if (tm.lat0Deg == 0 && tm.k0 == 0.9996 && tm.fe == 500000.0 &&
+            zone >= 1 && zone <= 60 && (zone - 1) * 6 - 180 + 3 == tm.lon0Deg &&
+            (tm.fnParam == 0.0 || tm.fnParam == 10000000.0))
+          UTM(zone, north = tm.fnParam == 0.0)
+        else tm
+      case p => throw new IllegalArgumentException(
+        s"unsupported proj4 ${p.map("+proj=" + _).getOrElse(s)}")
+    }
+  }
+
+  /** WKT1/WKT2 resolved via the outermost EPSG authority/id (the last
+    * AUTHORITY/ID node in the text — WKT puts the whole-CRS id at the end). */
+  private def parseWkt(s: String): CRS = {
+    val re = """(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+    re.findAllMatchIn(s).toSeq.lastOption match {
+      case Some(m) => fromSrid(m.group(1).toInt)
+      case None => throw new IllegalArgumentException(
+        s"WKT without EPSG authority id not supported: ${s.take(60)}...")
+    }
   }
 
   /** Planar transform between two CRS (via lon/lat). */

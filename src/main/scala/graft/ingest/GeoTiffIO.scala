@@ -42,7 +42,8 @@ object GeoTiffIO {
   /** Export one container (all its subdirs, in GTIFF_DIR order) to a
     * multi-IFD GeoTIFF byte array. */
   def exportContainer(spark: SparkSession, cat: Catalog, containerUri: String,
-      noData: Double = Double.NaN, overviewsMinSize: Int = 0): Array[Byte] = {
+      noData: Double = Double.NaN, overviewsMinSize: Int = 0,
+      compress: Boolean = false, tileSize: Int = 0): Array[Byte] = {
     val rows = cat.read(spark, "tiles")
       .filter(col("container_uri") === containerUri)
       .collect()
@@ -62,6 +63,6 @@ object GeoTiffIO {
             r.getAs[scala.collection.Seq[Double]]("transform").toArray),
           graft.geo.CRS.parse(r.getAs[String]("crs")))
       }
-    GeoTiff.write(images.toSeq, noData, overviewsMinSize)
+    GeoTiff.write(images.toSeq, noData, overviewsMinSize, compress, tileSize)
   }
 }

@@ -5,18 +5,19 @@ import graft.geo.{Affine, CRS}
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal GeoTIFF codec — the engine's real-file raster source/sink
-  * (S8/S9). Little-endian classic TIFF 6.0, strip-based, band-planar,
-  * uncompressed, with the GeoTIFF georeferencing tags (ModelPixelScale +
-  * ModelTiepoint + GeoKeyDirectory/EPSG) and multi-IFD stacks: image n of
-  * a stack is addressed exactly like the reference's MuCOG subdirs
-  * (`GTIFF_DIR:n`, 1-based — internal/image/image.go:32-34). Overview
-  * pyramids (A8) are reduced-resolution IFDs (NewSubfileType=1) appended
-  * after each full image, average-downsampled ×2 until ≤ minSize
-  * (cog.go:161-177 computeNbOverviews semantics).
+  * (S8/S9). Little-endian classic TIFF 6.0, band-planar, strip- or
+  * tile-based (tiled + deflate = the COG block layout, cog.go:34-53),
+  * with the GeoTIFF georeferencing tags (ModelPixelScale + ModelTiepoint +
+  * GeoKeyDirectory/EPSG) and multi-IFD stacks: image n of a stack is
+  * addressed exactly like the reference's MuCOG subdirs (`GTIFF_DIR:n`,
+  * 1-based — internal/image/image.go:32-34). Overview pyramids (A8) are
+  * reduced-resolution IFDs (NewSubfileType=1) appended after each full
+  * image, average-downsampled ×2 until ≤ minSize (cog.go:161-177
+  * computeNbOverviews semantics).
   *
-  * v1 scope per SURVEY §7.4 risk 5: strips not tiles, no compression, the
-  * MuCOG interlacing pattern treated as a validated no-op — the read path
-  * (IFD index addressing) stays compatible.
+  * Per SURVEY §7.4 risk 5 the MuCOG interlacing pattern is treated as a
+  * validated no-op — the read path (IFD index addressing) stays
+  * compatible.
   */
 object GeoTiff {
 
@@ -34,6 +35,10 @@ object GeoTiff {
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
   private val TPlanarConfig = 284
+  private val TTileWidth = 322
+  private val TTileLength = 323
+  private val TTileOffsets = 324
+  private val TTileByteCounts = 325
   private val TSampleFormat = 339
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
@@ -127,22 +132,56 @@ object GeoTiff {
     out
   }
 
+  /** Cut a band-planar pixel buffer into padded ts×ts tiles, TIFF order for
+    * PlanarConfig=2: all tiles of band 0 row-major, then band 1, … Edge
+    * tiles are zero-padded to full tile size (TIFF 6.0 requirement). */
+  private def cutTiles(bm: Bitmap, ts: Int): Seq[Array[Byte]] = {
+    val px = bm.toBytes
+    val sz = bm.dtype.sizeBytes
+    val ta = (bm.width + ts - 1) / ts
+    val td = (bm.height + ts - 1) / ts
+    for {
+      b <- 0 until bm.bands
+      ty <- 0 until td
+      tx <- 0 until ta
+    } yield {
+      val tile = new Array[Byte](ts * ts * sz)
+      val rows = math.min(ts, bm.height - ty * ts)
+      val cols = math.min(ts, bm.width - tx * ts)
+      var r = 0
+      while (r < rows) {
+        val src = ((b * bm.height + ty * ts + r) * bm.width + tx * ts) * sz
+        System.arraycopy(px, src, tile, r * ts * sz, cols * sz)
+        r += 1
+      }
+      tile
+    }
+  }
+
   /** Serialize a stack of images (one IFD each, in order; `GTIFF_DIR:n`
     * addresses the n-th) with optional overview IFDs after each.
     * `compress=true` writes Compression=8 (zlib/Adobe deflate — the COG
-    * default). */
+    * default); `tileSize>0` writes tiled IFDs (TileWidth/TileLength/
+    * TileOffsets/TileByteCounts — the cloud-optimized layout: a remote
+    * reader range-reads exactly the 2-D blocks its window needs instead of
+    * whole strips; cog.go:34-53). Overview IFDs inherit the tiling. */
   def write(images: Seq[Image], noData: Double = Double.NaN,
-      overviewsMinSize: Int = 0, compress: Boolean = false): Array[Byte] = {
+      overviewsMinSize: Int = 0, compress: Boolean = false,
+      tileSize: Int = 0): Array[Byte] = {
     require(images.nonEmpty, "GeoTiff.write: no images")
+    require(tileSize >= 0 && tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
     val out = new java.io.ByteArrayOutputStream()
     val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     header.put('I'.toByte).put('I'.toByte).putShort(42)
-    // IFD offset patched later; collect (ifdBytes, pixelBytes) per image
-    final case class PendingIfd(entries: Seq[(Int, Int, Int, Array[Byte])], strip: Array[Byte])
+    // (tag, type, count, value); offsets tag value patched at layout time
+    final case class PendingIfd(entries: Seq[(Int, Int, Int, Array[Byte])],
+      blocks: Seq[Array[Byte]], offsetsTag: Int)
 
     def ifdFor(img: Image, subfile: Option[Int]): PendingIfd = {
       val bm = img.bitmap
-      val strip = if (compress) deflate(bm.toBytes) else bm.toBytes
+      val tiled = tileSize > 0
+      val blocks0 = if (tiled) cutTiles(bm, tileSize) else Seq(bm.toBytes)
+      val blocks = if (compress) blocks0.map(deflate) else blocks0
       def shortVal(v: Int) = {
         val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         b.putShort(v.toShort); b.array()
@@ -154,6 +193,10 @@ object GeoTiff {
       def shorts(vs: Seq[Int]) = {
         val b = ByteBuffer.allocate(vs.size * 2).order(ByteOrder.LITTLE_ENDIAN)
         vs.foreach(v => b.putShort(v.toShort)); b.array()
+      }
+      def longs(vs: Seq[Long]) = {
+        val b = ByteBuffer.allocate(vs.size * 4).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(v => b.putInt(v.toInt)); b.array()
       }
       def doubles(vs: Seq[Double]) = {
         val b = ByteBuffer.allocate(vs.size * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -176,16 +219,23 @@ object GeoTiff {
       entries += ((TBitsPerSample, 3, bm.bands, shorts(Seq.fill(bm.bands)(bits))))
       entries += ((TCompression, 3, 1, shortVal(if (compress) 8 else 1)))
       entries += ((TPhotometric, 3, 1, shortVal(1)))
-      entries += ((TStripOffsets, 4, 1, longVal(0))) // patched
       entries += ((TSamplesPerPixel, 3, 1, shortVal(bm.bands)))
-      entries += ((TRowsPerStrip, 3, 1, shortVal(bm.height)))
-      entries += ((TStripByteCounts, 4, 1, longVal(strip.length.toLong)))
+      if (tiled) {
+        entries += ((TTileWidth, 3, 1, shortVal(tileSize)))
+        entries += ((TTileLength, 3, 1, shortVal(tileSize)))
+        entries += ((TTileOffsets, 4, blocks.size, longs(Seq.fill(blocks.size)(0L)))) // patched
+        entries += ((TTileByteCounts, 4, blocks.size, longs(blocks.map(_.length.toLong))))
+      } else {
+        entries += ((TStripOffsets, 4, 1, longVal(0))) // patched
+        entries += ((TRowsPerStrip, 3, 1, shortVal(bm.height)))
+        entries += ((TStripByteCounts, 4, 1, longVal(blocks.head.length.toLong)))
+      }
       entries += ((TPlanarConfig, 3, 1, shortVal(2))) // band-planar
       entries += ((TSampleFormat, 3, bm.bands, shorts(Seq.fill(bm.bands)(sampleFormat(bm.dtype)))))
       entries += ((TModelPixelScale, 12, 3, doubles(Seq(img.transform.rx, -img.transform.ry, 0))))
       entries += ((TModelTiepoint, 12, 6, doubles(Seq(0, 0, 0, img.transform.c0, img.transform.c3, 0))))
       entries += ((TGeoKeyDirectory, 3, geoKeys.length / 2, geoKeys))
-      PendingIfd(entries.result(), strip)
+      PendingIfd(entries.result(), blocks, if (tiled) TTileOffsets else TStripOffsets)
     }
 
     val pend = images.flatMap { img =>
@@ -203,42 +253,53 @@ object GeoTiff {
       base +: ovs
     }
 
-    // layout: header(8) | for each ifd: [ifd block | out-of-line values | strip]
+    // layout: header(8) | for each ifd: [ifd block | out-of-line values | data blocks]
     val bytes = new java.io.ByteArrayOutputStream()
     var offset = 8
     val ifdOffsets = new Array[Int](pend.size)
-    val blocks = pend.zipWithIndex.map { case (p, i) =>
+    val rendered = pend.zipWithIndex.map { case (p, i) =>
       ifdOffsets(i) = offset
       val n = p.entries.size
       val ifdSize = 2 + n * 12 + 4
-      var extraOff = offset + ifdSize
+      val extraOff = offset + ifdSize
       val extras = new java.io.ByteArrayOutputStream()
-      // assign out-of-line offsets
+      var offsetsExtraPos = -1 // position inside extras of the offsets array
+      // assign out-of-line positions (entry order = extras order)
       val resolved = p.entries.map { case (tag, typ, count, value) =>
         if (value.length <= 4) (tag, typ, count, value, -1)
         else {
           val o = extraOff + extras.size()
+          if (tag == p.offsetsTag) offsetsExtraPos = extras.size()
           extras.write(value)
           (tag, typ, count, value, o)
         }
       }
-      val stripOff = extraOff + extras.size()
-      val nextIfd = stripOff + p.strip.length
+      val dataStart = extraOff + extras.size()
+      // cumulative block offsets, patched into the reserved offsets array
+      val blockOffs = p.blocks.scanLeft(dataStart.toLong)(_ + _.length).init
+      val extrasArr = extras.toByteArray
+      if (offsetsExtraPos >= 0) {
+        val bb = ByteBuffer.wrap(extrasArr).order(ByteOrder.LITTLE_ENDIAN)
+        blockOffs.zipWithIndex.foreach { case (o, k) =>
+          bb.putInt(offsetsExtraPos + 4 * k, o.toInt)
+        }
+      }
+      val nextIfd = dataStart + p.blocks.map(_.length).sum
       val ifd = ByteBuffer.allocate(ifdSize).order(ByteOrder.LITTLE_ENDIAN)
       ifd.putShort(n.toShort)
       for ((tag, typ, count, value, o) <- resolved) {
         ifd.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-        if (tag == TStripOffsets) ifd.putInt(stripOff)
+        if (tag == p.offsetsTag && o < 0) ifd.putInt(blockOffs.head.toInt) // single inline block
         else if (o >= 0) ifd.putInt(o)
         else { val v4 = java.util.Arrays.copyOf(value, 4); ifd.put(v4) }
       }
       ifd.putInt(if (i == pend.size - 1) 0 else nextIfd)
       offset = nextIfd
-      (ifd.array(), extras.toByteArray, p.strip)
+      (ifd.array(), extrasArr, p.blocks)
     }
     header.putInt(ifdOffsets(0))
     bytes.write(header.array())
-    blocks.foreach { case (a, b, c) => bytes.write(a); bytes.write(b); bytes.write(c) }
+    rendered.foreach { case (a, b, c) => bytes.write(a); bytes.write(b); c.foreach(bytes.write) }
     bytes.toByteArray
   }
 
@@ -278,21 +339,60 @@ object GeoTiff {
         case Some((12, count, off)) => Seq.tabulate(count)(k => bb.getDouble(off + 8 * k))
         case _ => Nil
       }
+      def tagLongs(tag: Int): Seq[Long] = tags.get(tag) match {
+        case Some((typ, 1, v)) => Seq((if (typ == 3) v & 0xffff else v).toLong)
+        case Some((4, count, off)) => Seq.tabulate(count)(k => bb.getInt(off + 4 * k).toLong)
+        case Some((3, count, off)) => Seq.tabulate(count)(k => (bb.getShort(off + 2 * k) & 0xffff).toLong)
+        case _ => Nil
+      }
       val w = tagVal(TWidth); val h = tagVal(THeight)
       val bands = tagVal(TSamplesPerPixel, 1)
       val bits = tagShorts(TBitsPerSample).headOption.getOrElse(8)
       val fmt = tagShorts(TSampleFormat).headOption.getOrElse(1)
       val dt = dtypeOf(bits, fmt)
-      val stripOff = tagVal(TStripOffsets)
-      val stripLen = tagVal(TStripByteCounts)
-      val raw = java.util.Arrays.copyOfRange(data, stripOff, stripOff + stripLen)
       val compression = tagVal(TCompression, 1)
-      val strip = compression match {
+      def decode(raw: Array[Byte], expected: Int): Array[Byte] = compression match {
         case 1 => raw
-        case 8 => inflate(raw, w * h * bands * dt.sizeBytes)
+        case 8 => inflate(raw, expected)
         case c => throw new IllegalArgumentException(s"unsupported TIFF compression $c")
       }
-      val bm = Bitmap.fromBytes(strip, w, h, bands, dt)
+      val sz = dt.sizeBytes
+      val bm =
+        if (tags.contains(TTileOffsets)) {
+          // tiled layout (COG): assemble padded band-planar tiles
+          val ts = tagVal(TTileWidth); val tl = tagVal(TTileLength)
+          val offs = tagLongs(TTileOffsets)
+          val counts = tagLongs(TTileByteCounts)
+          val ta = (w + ts - 1) / ts
+          val td = (h + tl - 1) / tl
+          require(offs.size == bands * ta * td,
+            s"tile count ${offs.size} != $bands*$ta*$td")
+          val px = new Array[Byte](w * h * bands * sz)
+          var t = 0
+          while (t < offs.size) {
+            val raw = java.util.Arrays.copyOfRange(
+              data, offs(t).toInt, offs(t).toInt + counts(t).toInt)
+            val tile = decode(raw, ts * tl * sz)
+            val band = t / (ta * td)
+            val rem = t % (ta * td)
+            val ty = rem / ta; val tx = rem % ta
+            val rows = math.min(tl, h - ty * tl)
+            val cols = math.min(ts, w - tx * ts)
+            var r = 0
+            while (r < rows) {
+              val dst = ((band * h + ty * tl + r) * w + tx * ts) * sz
+              System.arraycopy(tile, r * ts * sz, px, dst, cols * sz)
+              r += 1
+            }
+            t += 1
+          }
+          Bitmap.fromBytes(px, w, h, bands, dt)
+        } else {
+          val stripOff = tagVal(TStripOffsets)
+          val stripLen = tagVal(TStripByteCounts)
+          val raw = java.util.Arrays.copyOfRange(data, stripOff, stripOff + stripLen)
+          Bitmap.fromBytes(decode(raw, w * h * bands * sz), w, h, bands, dt)
+        }
       val scale = tagDoubles(TModelPixelScale)
       val tie = tagDoubles(TModelTiepoint)
       val transform =

@@ -68,6 +68,56 @@ class GeoSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](CRS.fromSrid(2154))
   }
 
+  test("proj4 string parsing: longlat, merc, utm, tmerc") {
+    assert(CRS.parse("+proj=longlat +datum=WGS84 +no_defs") == CRS.WGS84)
+    assert(CRS.parse("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 " +
+      "+x_0=0 +y_0=0 +k=1 +units=m +no_defs") == CRS.WebMercator)
+    assert(CRS.parse("+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs") ==
+      CRS.UTM(33, north = true))
+    assert(CRS.parse("+proj=utm +zone=23 +south +datum=WGS84") ==
+      CRS.UTM(23, north = false))
+    // a tmerc with exact UTM parameters resolves to the UTM zone (EPSG id)
+    assert(CRS.parse("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 " +
+      "+y_0=0 +datum=WGS84") == CRS.UTM(33, north = true))
+    assertThrows[IllegalArgumentException](CRS.parse("+proj=laea +lat_0=52"))
+    assertThrows[IllegalArgumentException](CRS.parse("+proj=utm +datum=WGS84"))
+  }
+
+  test("custom tmerc: natural origin maps to (x_0, y_0), round trips") {
+    // Gauss-Krüger-style zone: origin at (9E, 50N), k0=1, offsets
+    val tm = CRS.TransverseMercator(lon0Deg = 9, lat0Deg = 50,
+      k0 = 1.0, fe = 3500000, fnParam = 200000)
+    val (x0, y0) = tm.fromLonLat(9, 50)
+    assert(math.abs(x0 - 3500000) < 1e-6 && math.abs(y0 - 200000) < 1e-6)
+    // agreement with UTM-equivalent at lat_0=0
+    val tmUtmLike = CRS.TransverseMercator(15, 0, 0.9996, 500000, 0)
+    val u = CRS.UTM(33, north = true)
+    for ((lon, lat) <- Seq((14.5, 48.2), (16.1, -12.7), (15.0, 0.0))) {
+      val (xa, ya) = tmUtmLike.fromLonLat(lon, lat)
+      val (xb, yb) = u.fromLonLat(lon, lat)
+      assert(math.abs(xa - xb) < 1e-9 && math.abs(ya - yb) < 1e-9)
+    }
+    // round trip at the shifted origin
+    for ((lon, lat) <- Seq((8.3, 47.9), (10.2, 53.6))) {
+      val (x, y) = tm.fromLonLat(lon, lat)
+      val (lon2, lat2) = tm.toLonLat(x, y)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8)
+    }
+  }
+
+  test("wkt parsing resolves through the EPSG authority id") {
+    val wkt1 = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",
+      DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,
+      AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],
+      AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],
+      UNIT["metre",1],AUTHORITY["EPSG","32633"]]"""
+    assert(CRS.parse(wkt1) == CRS.UTM(33, north = true))
+    val wkt2 = """GEOGCRS["WGS 84", DATUM["World Geodetic System 1984"],
+      ID["EPSG",4326]]"""
+    assert(CRS.parse(wkt2) == CRS.WGS84)
+    assertThrows[IllegalArgumentException](CRS.parse("""PROJCS["no authority"]"""))
+  }
+
   test("wkb round trip + geometry hash is deterministic") {
     val p = GeomOps.polygonFromBBox(BBox(0, 0, 10, 10))
     val b = GeomOps.writeWkb(p)

@@ -106,6 +106,46 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(Compress.assemble(scala.util.Random.shuffle(parts)).toSeq == data.toSeq)
   }
 
+  test("tiled (COG) layout round trips: padding, multiband, compression") {
+    // 40×35 with 16px tiles: 3×3 tile grid, right/bottom tiles padded
+    val vals = Array.tabulate(40 * 35)(i => (i % 251).toDouble)
+    val base = img(40, 35, DType.UInt8, vals)
+    for (compress <- Seq(false, true)) {
+      val bytes = GeoTiff.write(Seq(base), compress = compress, tileSize = 16)
+      val got = GeoTiff.read(bytes).head.image
+      assert(got.bitmap.width == 40 && got.bitmap.height == 35)
+      assert(got.bitmap.pixels.toSeq == vals.toSeq, s"compress=$compress")
+      assert(got.transform.c0 == 10.0 && got.crs == CRS.WGS84)
+    }
+    // multiband planar tiled
+    val mb = GeoTiff.Image(
+      new Bitmap(20, 18, 3, DType.Int16,
+        Array.tabulate(20 * 18 * 3)(i => (i % 1000 - 500).toDouble)),
+      Affine.northUp(0, 0, 1, -1), CRS.WebMercator)
+    val got2 = GeoTiff.read(GeoTiff.write(Seq(mb), tileSize = 16)).head.image
+    assert(got2.bitmap.bands == 3)
+    assert(got2.bitmap.pixels.toSeq == mb.bitmap.pixels.toSeq)
+    // float dtype tiled + compressed
+    val f = img(17, 17, DType.Float64, Array.tabulate(17 * 17)(i => i * 0.25 - 3))
+    val got3 = GeoTiff.read(GeoTiff.write(Seq(f), compress = true, tileSize = 16)).head.image
+    assert(got3.bitmap.pixels.toSeq == f.bitmap.pixels.toSeq)
+    // tile size must be a multiple of 16 (TIFF 6.0)
+    assertThrows[IllegalArgumentException](GeoTiff.write(Seq(f), tileSize = 10))
+  }
+
+  test("tiled stack with overviews: -ovr AUTO + GTIFF_DIR addressing still work") {
+    val a = img(64, 64, DType.UInt8, Array.tabulate(64 * 64)(i => (i % 200).toDouble))
+    val b = img(64, 64, DType.UInt8, Array.tabulate(64 * 64)(i => ((i + 7) % 200).toDouble))
+    val bytes = GeoTiff.write(Seq(a, b), overviewsMinSize = 16, compress = true, tileSize = 16)
+    val dirs = GeoTiff.read(bytes)
+    assert(dirs.map(_.isOverview) == Seq(false, true, true, false, true, true))
+    assert(GeoTiff.readSubdir(bytes, "GTIFF_DIR:2").bitmap.pixels.toSeq ==
+      b.bitmap.pixels.toSeq)
+    assert(GeoTiff.readForResolution(bytes, "GTIFF_DIR:1", 1.0).bitmap.width == 64)
+    assert(GeoTiff.readForResolution(bytes, "GTIFF_DIR:1", 2.0).bitmap.width == 32)
+    assert(GeoTiff.readForResolution(bytes, "GTIFF_DIR:2", 4.0).bitmap.width == 16)
+  }
+
   test("multiband planar round trip") {
     val two = GeoTiff.Image(
       new Bitmap(2, 1, 2, DType.UInt8, Array(1, 2, 11, 12)),
