@@ -39,11 +39,43 @@ object GeoTiffIO {
     cat.append(uris, "containers")
   }
 
+  /** File-backed cube source (S8): read GeoTIFF containers straight from
+    * storage on executors — no catalog tile rows — selecting per file the
+    * overview level adequate for `targetRes` (`-ovr AUTO`,
+    * image.go:401): a coarse request decodes 1/4ᴷ of the pixels. Rows come
+    * back in the catalog `tiles` schema, so the GetCube tile join and
+    * merge kernel consume them unchanged.
+    *
+    * Scale note: binaryFile hands each executor the whole file; the tiled
+    * COG layout (IFDs at the head) is what makes a range-reading object-
+    * store client able to fetch only the chosen IFD's blocks — the JVM
+    * codec here decodes from the full byte array but touches only the
+    * selected directory's blocks. One task per file, linear scale-out. */
+  def readTilesForResolution(spark: SparkSession, pathGlob: String,
+      targetRes: Double): org.apache.spark.sql.DataFrame = {
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    val rows = files.rdd.flatMap { r =>
+      val path = r.getAs[String]("path")
+      val data = r.getAs[Array[Byte]]("content")
+      val nFull = GeoTiff.read(data).count(!_.isOverview)
+      (1 to nFull).map { i =>
+        val img = GeoTiff.readForResolution(data, s"GTIFF_DIR:$i", targetRes)
+        Row(path, s"GTIFF_DIR:$i",
+          img.bitmap.width, img.bitmap.height, img.bitmap.bands,
+          img.bitmap.dtype.name, s"EPSG:${img.crs.srid}",
+          img.transform.toArray.toSeq, img.bitmap.toBytes)
+      }
+    }
+    spark.createDataFrame(rows, Schemas.tiles)
+  }
+
   /** Export one container (all its subdirs, in GTIFF_DIR order) to a
     * multi-IFD GeoTIFF byte array. */
   def exportContainer(spark: SparkSession, cat: Catalog, containerUri: String,
       noData: Double = Double.NaN, overviewsMinSize: Int = 0,
-      compress: Boolean = false, tileSize: Int = 0): Array[Byte] = {
+      compress: Boolean = false, tileSize: Int = 0,
+      interlacing: String = ""): Array[Byte] = {
     val rows = cat.read(spark, "tiles")
       .filter(col("container_uri") === containerUri)
       .collect()
@@ -63,6 +95,6 @@ object GeoTiffIO {
             r.getAs[scala.collection.Seq[Double]]("transform").toArray),
           graft.geo.CRS.parse(r.getAs[String]("crs")))
       }
-    GeoTiff.write(images.toSeq, noData, overviewsMinSize, compress, tileSize)
+    GeoTiff.write(images.toSeq, noData, overviewsMinSize, compress, tileSize, interlacing)
   }
 }

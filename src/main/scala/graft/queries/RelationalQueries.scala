@@ -250,6 +250,23 @@ object RelationalQueries {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** c3_pack_orders — the consolidation task builder's packing step
+    * (csldPrepareOrders, consolidater.go:411-518): rows sorted by
+    * (time, id) within each cell are packed MaxRecords-per-container via
+    * floor(row_number/max) — one window + one groupBy, no driver loop;
+    * each output row is one consolidation task (C3/O3). */
+  def c3PackOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1993-01-01"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("container_idx", floor((col("rn") - 1) / 100))
+      .groupBy("o_orderpriority", "container_idx")
+      .agg(count(lit(1)).as("n_records"),
+        min("o_orderkey").as("first_key"), max("o_orderkey").as("last_key"))
+      .orderBy("o_orderpriority", "container_idx")
+  }
+
   /** a1_group_ordered — groupDatasetsByRecord (catalog.go:296-318): per-group
     * ordered collection; the order-sensitive list is canonicalized to a string
     * so the oracle can hash it. */
@@ -470,7 +487,8 @@ object RelationalQueries {
     "f10_uri_helpers" -> f10UriHelpers _,
     "a6_update_impact" -> a6UpdateImpact _,
     "w3_sessionize" -> w3Sessionize _,
-    "j4_bbox_join" -> j4BboxJoin _)
+    "j4_bbox_join" -> j4BboxJoin _,
+    "c3_pack_orders" -> c3PackOrders _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
@@ -577,6 +595,17 @@ object RelationalQueries {
          FROM cells JOIN p2 USING (cx, cy)
          WHERE px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
          ORDER BY p_partkey, s_suppkey""",
+    "c3_pack_orders" ->
+      """WITH r AS (
+           SELECT o_orderpriority, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders WHERE o_orderdate < '1993-01-01')
+         SELECT o_orderpriority, CAST(floor((rn-1)/100) AS BIGINT) AS container_idx,
+                count(*) AS n_records,
+                min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+         FROM r GROUP BY o_orderpriority, container_idx
+         ORDER BY o_orderpriority, container_idx""",
     "j2_dim_chain" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
          round(sum(c_acctbal),2) AS sum_bal

@@ -167,17 +167,19 @@ object GeoTiff {
     * whole strips; cog.go:34-53). Overview IFDs inherit the tiling. */
   def write(images: Seq[Image], noData: Double = Double.NaN,
       overviewsMinSize: Int = 0, compress: Boolean = false,
-      tileSize: Int = 0): Array[Byte] = {
+      tileSize: Int = 0, interlacing: String = ""): Array[Byte] = {
     require(images.nonEmpty, "GeoTiff.write: no images")
     require(tileSize >= 0 && tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
+    require(interlacing.isEmpty || tileSize > 0, "interlacing requires a tiled layout")
     val out = new java.io.ByteArrayOutputStream()
     val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     header.put('I'.toByte).put('I'.toByte).putShort(42)
     // (tag, type, count, value); offsets tag value patched at layout time
     final case class PendingIfd(entries: Seq[(Int, Int, Int, Array[Byte])],
-      blocks: Seq[Array[Byte]], offsetsTag: Int)
+      blocks: Seq[Array[Byte]], offsetsTag: Int,
+      rIdx: Int, zIdx: Int, bands: Int, tilesPerBand: Int)
 
-    def ifdFor(img: Image, subfile: Option[Int]): PendingIfd = {
+    def ifdFor(img: Image, subfile: Option[Int], rIdx: Int, zIdx: Int): PendingIfd = {
       val bm = img.bitmap
       val tiled = tileSize > 0
       val blocks0 = if (tiled) cutTiles(bm, tileSize) else Seq(bm.toBytes)
@@ -235,33 +237,64 @@ object GeoTiff {
       entries += ((TModelPixelScale, 12, 3, doubles(Seq(img.transform.rx, -img.transform.ry, 0))))
       entries += ((TModelTiepoint, 12, 6, doubles(Seq(0, 0, 0, img.transform.c0, img.transform.c3, 0))))
       entries += ((TGeoKeyDirectory, 3, geoKeys.length / 2, geoKeys))
-      PendingIfd(entries.result(), blocks, if (tiled) TTileOffsets else TStripOffsets)
+      val tpb = if (tiled)
+        ((bm.width + tileSize - 1) / tileSize) * ((bm.height + tileSize - 1) / tileSize)
+      else 1
+      PendingIfd(entries.result(), blocks, if (tiled) TTileOffsets else TStripOffsets,
+        rIdx, zIdx, bm.bands, tpb)
     }
 
-    val pend = images.flatMap { img =>
-      val base = ifdFor(img, None)
+    val pend = images.zipWithIndex.flatMap { case (img, rIdx) =>
+      val base = ifdFor(img, None, rIdx, 0)
       val ovs =
         if (overviewsMinSize > 0) {
           var cur = img
-          (0 until nbOverviews(img.bitmap.width, img.bitmap.height, overviewsMinSize)).map { _ =>
+          (0 until nbOverviews(img.bitmap.width, img.bitmap.height, overviewsMinSize)).map { z =>
             val down = downsample2(cur.bitmap, noData)
             val t = cur.transform.multiply(Affine.scale(2, 2))
             cur = Image(down, t, cur.crs)
-            ifdFor(cur, Some(1))
+            ifdFor(cur, Some(1), rIdx, z + 1)
           }
         } else Nil
       base +: ovs
     }
 
-    // layout: header(8) | for each ifd: [ifd block | out-of-line values | data blocks]
-    val bytes = new java.io.ByteArrayOutputStream()
-    var offset = 8
-    val ifdOffsets = new Array[Int](pend.size)
+    // ---- layout: header | ALL IFDs + their out-of-line values at the head
+    // (COG: a reader fetches every directory in one small head range-read) |
+    // data blocks, ordered by the interlacing pattern (MuCOG locality).
+    val ifdSizes = pend.map(p => 2 + p.entries.size * 12 + 4)
+    val extrasSizes = pend.map(_.entries.collect {
+      case (_, _, _, v) if v.length > 4 => v.length
+    }.sum)
+    val ifdStarts = pend.indices.map(i =>
+      8 + (0 until i).map(j => ifdSizes(j) + extrasSizes(j)).sum)
+    val dataStart = 8 + pend.indices.map(i => ifdSizes(i) + extrasSizes(i)).sum
+
+    // data-block emission order: (pendIdx, blockIdx)
+    val order: Seq[(Int, Int)] =
+      if (interlacing.isEmpty)
+        pend.indices.flatMap(i => pend(i).blocks.indices.map((i, _)))
+      else {
+        val byRZ = pend.zipWithIndex.map { case (p, i) => (p.rIdx, p.zIdx) -> i }.toMap
+        val nRec = pend.map(_.rIdx).max + 1
+        Interlacing.enumerate(Interlacing.parse(interlacing), nRec,
+          r => pend.count(_.rIdx == r),
+          r => pend(byRZ((r, 0))).bands,
+          (r, z) => pend(byRZ((r, z))).tilesPerBand)
+          .map { case (r, z, b, t) =>
+            val i = byRZ((r, z)); (i, b * pend(i).tilesPerBand + t)
+          }
+      }
+    require(order.size == pend.map(_.blocks.size).sum, "interlacing must cover every block")
+    val blockOff = new java.util.HashMap[Long, java.lang.Long]()
+    var cur = dataStart.toLong
+    order.foreach { case (i, k) =>
+      blockOff.put((i.toLong << 32) | k, cur)
+      cur += pend(i).blocks(k).length
+    }
+
     val rendered = pend.zipWithIndex.map { case (p, i) =>
-      ifdOffsets(i) = offset
-      val n = p.entries.size
-      val ifdSize = 2 + n * 12 + 4
-      val extraOff = offset + ifdSize
+      val extraOff = ifdStarts(i) + ifdSizes(i)
       val extras = new java.io.ByteArrayOutputStream()
       var offsetsExtraPos = -1 // position inside extras of the offsets array
       // assign out-of-line positions (entry order = extras order)
@@ -274,33 +307,49 @@ object GeoTiff {
           (tag, typ, count, value, o)
         }
       }
-      val dataStart = extraOff + extras.size()
-      // cumulative block offsets, patched into the reserved offsets array
-      val blockOffs = p.blocks.scanLeft(dataStart.toLong)(_ + _.length).init
+      def off(k: Int): Long = blockOff.get((i.toLong << 32) | k)
       val extrasArr = extras.toByteArray
       if (offsetsExtraPos >= 0) {
         val bb = ByteBuffer.wrap(extrasArr).order(ByteOrder.LITTLE_ENDIAN)
-        blockOffs.zipWithIndex.foreach { case (o, k) =>
-          bb.putInt(offsetsExtraPos + 4 * k, o.toInt)
-        }
+        p.blocks.indices.foreach(k => bb.putInt(offsetsExtraPos + 4 * k, off(k).toInt))
       }
-      val nextIfd = dataStart + p.blocks.map(_.length).sum
-      val ifd = ByteBuffer.allocate(ifdSize).order(ByteOrder.LITTLE_ENDIAN)
-      ifd.putShort(n.toShort)
+      val ifd = ByteBuffer.allocate(ifdSizes(i)).order(ByteOrder.LITTLE_ENDIAN)
+      ifd.putShort(p.entries.size.toShort)
       for ((tag, typ, count, value, o) <- resolved) {
         ifd.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-        if (tag == p.offsetsTag && o < 0) ifd.putInt(blockOffs.head.toInt) // single inline block
+        if (tag == p.offsetsTag && o < 0) ifd.putInt(off(0).toInt) // single inline block
         else if (o >= 0) ifd.putInt(o)
         else { val v4 = java.util.Arrays.copyOf(value, 4); ifd.put(v4) }
       }
-      ifd.putInt(if (i == pend.size - 1) 0 else nextIfd)
-      offset = nextIfd
-      (ifd.array(), extrasArr, p.blocks)
+      ifd.putInt(if (i == pend.size - 1) 0 else ifdStarts(i + 1))
+      (ifd.array(), extrasArr)
     }
-    header.putInt(ifdOffsets(0))
+    header.putInt(ifdStarts.head)
+    val bytes = new java.io.ByteArrayOutputStream()
     bytes.write(header.array())
-    rendered.foreach { case (a, b, c) => bytes.write(a); bytes.write(b); c.foreach(bytes.write) }
+    rendered.foreach { case (a, b) => bytes.write(a); bytes.write(b) }
+    order.foreach { case (i, k) => bytes.write(pend(i).blocks(k)) }
     bytes.toByteArray
+  }
+
+  /** Block offsets of the n-th IFD (test/diagnostic hook: lets callers
+    * verify the physical interlacing order without re-parsing TIFF). */
+  private[raster] def blockOffsets(data: Array[Byte], ifdIndex: Int): Seq[Long] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    var ifdOff = bb.getInt(4)
+    var idx = 0
+    while (idx < ifdIndex) { ifdOff = bb.getInt(ifdOff + 2 + (bb.getShort(ifdOff) & 0xffff) * 12); idx += 1 }
+    val n = bb.getShort(ifdOff) & 0xffff
+    (0 until n).flatMap { i =>
+      val e = ifdOff + 2 + i * 12
+      val tag = bb.getShort(e) & 0xffff
+      if (tag == TStripOffsets || tag == TTileOffsets) {
+        val count = bb.getInt(e + 4)
+        val v = bb.getInt(e + 8)
+        if (count == 1) Seq(v.toLong)
+        else (0 until count).map(k => bb.getInt(v + 4 * k).toLong)
+      } else Nil
+    }
   }
 
   // ----------------------------------------------------------------- read

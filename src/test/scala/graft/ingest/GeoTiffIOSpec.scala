@@ -50,4 +50,25 @@ class GeoTiffIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.head.image.bitmap.pixels.toSeq == Seq(1.0, 2, 3, 4))
     assert(dirs(1).image.bitmap.pixels.toSeq == Seq(5.0, 6, 7, 8))
   }
+
+  test("file-backed -ovr AUTO read: coarse requests decode the overview IFD") {
+    val dir = java.nio.file.Files.createTempDirectory("tifs-ovr")
+    // 64×64 COG (tiled + deflate) with overviews 32 and 16, res 1°/px
+    val base = GeoTiff.Image(
+      new Bitmap(64, 64, 1, DType.UInt8,
+        Array.tabulate(64 * 64)(i => (i % 199).toDouble)),
+      Affine.northUp(0, 64, 1, -1), CRS.WGS84)
+    java.nio.file.Files.write(dir.resolve("c.tif"),
+      GeoTiff.write(Seq(base), overviewsMinSize = 16, compress = true, tileSize = 16))
+
+    val fine = GeoTiffIO.readTilesForResolution(spark, s"$dir/*.tif", 1.0).collect()
+    assert(fine.length == 1 && fine.head.getAs[Int]("width") == 64)
+    val mid = GeoTiffIO.readTilesForResolution(spark, s"$dir/*.tif", 2.4).collect()
+    assert(mid.head.getAs[Int]("width") == 32)
+    assert(mid.head.getAs[scala.collection.Seq[Double]]("transform")(1) == 2.0)
+    val coarse = GeoTiffIO.readTilesForResolution(spark, s"$dir/*.tif", 50.0).collect()
+    assert(coarse.head.getAs[Int]("width") == 16)
+    // payload is the decoded overview, not the full image
+    assert(coarse.head.getAs[Array[Byte]]("payload").length == 16 * 16)
+  }
 }

@@ -146,6 +146,53 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(GeoTiff.readForResolution(bytes, "GTIFF_DIR:2", 4.0).bitmap.width == 16)
   }
 
+  test("interlacing pattern parse + enumerate semantics") {
+    // MuCOG: full-res grouped per tile across records, overviews per-record
+    val chains = Interlacing.parse("Z=0>T>R>B;Z=1:>R>T>B")
+    assert(chains.size == 2)
+    // 2 records, 2 zoom levels each, 1 band, 2 tiles at z0, 1 tile at z1
+    val order = Interlacing.enumerate(chains, 2,
+      _ => 2, _ => 1, (_, z) => if (z == 0) 2 else 1)
+    assert(order == Seq(
+      (0, 0, 0, 0), (1, 0, 0, 0), // z0 tile0: both records adjacent
+      (0, 0, 0, 1), (1, 0, 0, 1), // z0 tile1
+      (0, 1, 0, 0), (1, 1, 0, 0))) // overviews per record
+    // selectors: bands split across chains; leftovers appended
+    val sel = Interlacing.parse("B=0>R>Z>T")
+    val o2 = Interlacing.enumerate(sel, 2, _ => 1, _ => 2, (_, _) => 1)
+    assert(o2.take(2) == Seq((0, 0, 0, 0), (1, 0, 0, 0))) // band 0 first
+    assert(o2.size == 4) // band 1 appended as leftover
+    assertThrows[IllegalArgumentException](Interlacing.parse("R>B>Z")) // missing T
+    assertThrows[IllegalArgumentException](Interlacing.parse("T=0>R>B>Z")) // T selector
+    assertThrows[IllegalArgumentException](Interlacing.parse("X>R>B>Z"))
+  }
+
+  test("MuCOG physical layout: IFDs at head, timeseries-interlaced blocks") {
+    val a = img(32, 32, DType.UInt8, Array.tabulate(32 * 32)(i => (i % 100).toDouble))
+    val b = img(32, 32, DType.UInt8, Array.tabulate(32 * 32)(i => (i % 90).toDouble))
+    val bytes = GeoTiff.write(Seq(a, b), overviewsMinSize = 16,
+      tileSize = 16, interlacing = "Z=0>T>R>B;Z=1:>R>T>B")
+    // content round-trips regardless of physical order
+    assert(GeoTiff.readSubdir(bytes, "GTIFF_DIR:1").bitmap.pixels.toSeq == a.bitmap.pixels.toSeq)
+    assert(GeoTiff.readSubdir(bytes, "GTIFF_DIR:2").bitmap.pixels.toSeq == b.bitmap.pixels.toSeq)
+    // IFD order: full-a, ov-a, full-b, ov-b; 4 tiles each full, 1 each ov
+    val offA = GeoTiff.blockOffsets(bytes, 0)
+    val offB = GeoTiff.blockOffsets(bytes, 2)
+    val ovA = GeoTiff.blockOffsets(bytes, 1)
+    val ovB = GeoTiff.blockOffsets(bytes, 3)
+    val ts = 16 * 16 // uncompressed tile bytes
+    // timeseries locality: record-b's tile k sits right after record-a's
+    (0 until 4).foreach { k => assert(offB(k) == offA(k) + ts, s"tile $k") }
+    // full-res pairs are contiguous: tile k+1 pair starts after both
+    (0 until 3).foreach { k => assert(offA(k + 1) == offA(k) + 2 * ts) }
+    // overviews after all full-res, per-record contiguous
+    assert(ovA.head == offB(3) + ts && ovB.head == ovA.head + ts)
+    // all metadata precedes all data (one head range-read gets every IFD)
+    val allOffsets = offA ++ offB ++ ovA ++ ovB
+    val totalData = allOffsets.size * ts
+    assert(allOffsets.min == bytes.length - totalData)
+  }
+
   test("multiband planar round trip") {
     val two = GeoTiff.Image(
       new Bitmap(2, 1, 2, DType.UInt8, Array(1, 2, 11, 12)),

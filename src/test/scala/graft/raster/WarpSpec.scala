@@ -155,6 +155,42 @@ class WarpSpec extends AnyFunSuite {
     assert(merged.get(0, 0, 1) === 22.0)
   }
 
+  test("cubic/cubicspline/lanczos golden fixtures (image_data_test.go tier)") {
+    // 8×8 analytic field f(x,y) = x² + 3y; independently-computed goldens.
+    val f = new Bitmap(8, 8, 1, graft.core.DType.Float64,
+      Array.tabulate(64)(i => { val x = i % 8; val y = i / 8; (x * x + 3.0 * y) }))
+    def s(r: Resampling, xf: Double, yf: Double): Double =
+      Sampler.sample(f, 0, xf, yf, 1.0, 1.0, Double.NaN, r)
+
+    // Catmull-Rom reproduces quadratics exactly (order-3 accuracy)
+    assert(math.abs(s(Resampling.Cubic, 4.0, 4.0) - 22.75) < 1e-12)
+    assert(math.abs(s(Resampling.Cubic, 3.25, 5.75) - 23.3125) < 1e-12)
+    // B-spline smooths: +1/3 bias on x² (analytic), linear term untouched
+    assert(math.abs(s(Resampling.CubicSpline, 4.0, 4.0) - 23.08333333333334) < 1e-10)
+    assert(math.abs(s(Resampling.CubicSpline, 3.25, 5.75) - 23.645833333333332) < 1e-10)
+    // Lanczos-3 interpolates exactly at pixel centers
+    assert(math.abs(s(Resampling.Lanczos, 4.5, 4.5) - 28.0) < 1e-12)
+    // off-center golden literal
+    assert(math.abs(s(Resampling.Lanczos, 4.25, 3.75) - 23.901595861832543) < 1e-9)
+
+    // checkerboard: symmetric kernels land on the mean at cell corners
+    val chk = new Bitmap(8, 8, 1, graft.core.DType.Float64,
+      Array.tabulate(64)(i => ((i % 8 + i / 8) % 2).toDouble))
+    def c(r: Resampling) = Sampler.sample(chk, 0, 4.0, 4.0, 1.0, 1.0, Double.NaN, r)
+    assert(math.abs(c(Resampling.Cubic) - 0.5) < 1e-12)
+    assert(math.abs(c(Resampling.Lanczos) - 0.5) < 1e-9)
+
+    // nodata exclusion renormalizes instead of bleeding the hole
+    val holed = new Bitmap(8, 8, 1, graft.core.DType.Float64,
+      Array.tabulate(64)(i => if (i == 4 * 8 + 4) Double.NaN else 7.0))
+    for (r <- Seq(Resampling.Cubic, Resampling.CubicSpline, Resampling.Lanczos))
+      assert(math.abs(Sampler.sample(holed, 0, 4.25, 4.25, 1, 1, Double.NaN, r) - 7.0) < 1e-9,
+        s"$r near a nodata hole")
+    // fully-nodata neighborhood yields NaN (skip), not zero
+    val empty = new Bitmap(4, 4, 1, graft.core.DType.Float64, Array.fill(16)(Double.NaN))
+    assert(Sampler.sample(empty, 0, 2.0, 2.0, 1, 1, Double.NaN, Resampling.Lanczos).isNaN)
+  }
+
   test("validPixels counts NaN-nodata correctly") {
     val b = new Bitmap(2, 2, 1, Float32, Array(1.0, Double.NaN, 3.0, Double.NaN))
     assert(b.validPixels(Double.NaN) === 2)
