@@ -43,6 +43,7 @@ object GeoTiff {
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
   private val TGeoKeyDirectory = 34735
+  private val TGdalNoData = 42113 // ASCII nodata value (GDAL convention)
 
   private def sampleFormat(dt: DType): Int = dt match {
     case DType.Float32 | DType.Float64 | DType.Complex64 => 3
@@ -134,8 +135,12 @@ object GeoTiff {
 
   /** Cut a band-planar pixel buffer into padded ts×ts tiles, TIFF order for
     * PlanarConfig=2: all tiles of band 0 row-major, then band 1, … Edge
-    * tiles are zero-padded to full tile size (TIFF 6.0 requirement). */
-  private def cutTiles(bm: Bitmap, ts: Int): Seq[Array[Byte]] = {
+    * tiles are zero-padded to full tile size (TIFF 6.0 requirement).
+    * With `sparseOk`, all-nodata tiles become empty arrays — the writer
+    * records them as offset/count 0 (the GDAL SPARSE_OK convention,
+    * image.go:437) and they occupy no file bytes. */
+  private def cutTiles(bm: Bitmap, ts: Int, noData: Double,
+      sparseOk: Boolean): Seq[Array[Byte]] = {
     val px = bm.toBytes
     val sz = bm.dtype.sizeBytes
     val ta = (bm.width + ts - 1) / ts
@@ -145,16 +150,32 @@ object GeoTiff {
       ty <- 0 until td
       tx <- 0 until ta
     } yield {
-      val tile = new Array[Byte](ts * ts * sz)
       val rows = math.min(ts, bm.height - ty * ts)
       val cols = math.min(ts, bm.width - tx * ts)
-      var r = 0
-      while (r < rows) {
-        val src = ((b * bm.height + ty * ts + r) * bm.width + tx * ts) * sz
-        System.arraycopy(px, src, tile, r * ts * sz, cols * sz)
-        r += 1
+      def hasData: Boolean = {
+        var y = 0
+        while (y < rows) {
+          var x = 0
+          while (x < cols) {
+            val v = bm.get(tx * ts + x, ty * ts + y, b)
+            if (if (noData.isNaN) !v.isNaN else v != noData) return true
+            x += 1
+          }
+          y += 1
+        }
+        false
       }
-      tile
+      if (sparseOk && !hasData) Array.empty[Byte]
+      else {
+        val tile = new Array[Byte](ts * ts * sz)
+        var r = 0
+        while (r < rows) {
+          val src = ((b * bm.height + ty * ts + r) * bm.width + tx * ts) * sz
+          System.arraycopy(px, src, tile, r * ts * sz, cols * sz)
+          r += 1
+        }
+        tile
+      }
     }
   }
 
@@ -167,7 +188,8 @@ object GeoTiff {
     * whole strips; cog.go:34-53). Overview IFDs inherit the tiling. */
   def write(images: Seq[Image], noData: Double = Double.NaN,
       overviewsMinSize: Int = 0, compress: Boolean = false,
-      tileSize: Int = 0, interlacing: String = ""): Array[Byte] = {
+      tileSize: Int = 0, interlacing: String = "",
+      sparseOk: Boolean = false): Array[Byte] = {
     require(images.nonEmpty, "GeoTiff.write: no images")
     require(tileSize >= 0 && tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
     require(interlacing.isEmpty || tileSize > 0, "interlacing requires a tiled layout")
@@ -182,8 +204,9 @@ object GeoTiff {
     def ifdFor(img: Image, subfile: Option[Int], rIdx: Int, zIdx: Int): PendingIfd = {
       val bm = img.bitmap
       val tiled = tileSize > 0
-      val blocks0 = if (tiled) cutTiles(bm, tileSize) else Seq(bm.toBytes)
-      val blocks = if (compress) blocks0.map(deflate) else blocks0
+      val blocks0 = if (tiled) cutTiles(bm, tileSize, noData, sparseOk) else Seq(bm.toBytes)
+      val blocks =
+        if (compress) blocks0.map(b => if (b.isEmpty) b else deflate(b)) else blocks0
       def shortVal(v: Int) = {
         val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
         b.putShort(v.toShort); b.array()
@@ -237,11 +260,16 @@ object GeoTiff {
       entries += ((TModelPixelScale, 12, 3, doubles(Seq(img.transform.rx, -img.transform.ry, 0))))
       entries += ((TModelTiepoint, 12, 6, doubles(Seq(0, 0, 0, img.transform.c0, img.transform.c3, 0))))
       entries += ((TGeoKeyDirectory, 3, geoKeys.length / 2, geoKeys))
+      // GDAL nodata convention: ASCII, NUL-terminated ("nan" for NaN) —
+      // lets readers fill sparse tiles and carry nodata across files
+      val ndStr = (if (noData.isNaN) "nan" else noData.toString) + " "
+      entries += ((TGdalNoData, 2, ndStr.length, ndStr.getBytes("US-ASCII")))
       val tpb = if (tiled)
         ((bm.width + tileSize - 1) / tileSize) * ((bm.height + tileSize - 1) / tileSize)
       else 1
-      PendingIfd(entries.result(), blocks, if (tiled) TTileOffsets else TStripOffsets,
-        rIdx, zIdx, bm.bands, tpb)
+      // TIFF 6.0 requires IFD entries in ascending tag order
+      PendingIfd(entries.result().sortBy(_._1), blocks,
+        if (tiled) TTileOffsets else TStripOffsets, rIdx, zIdx, bm.bands, tpb)
     }
 
     val pend = images.zipWithIndex.flatMap { case (img, rIdx) =>
@@ -289,8 +317,10 @@ object GeoTiff {
     val blockOff = new java.util.HashMap[Long, java.lang.Long]()
     var cur = dataStart.toLong
     order.foreach { case (i, k) =>
-      blockOff.put((i.toLong << 32) | k, cur)
-      cur += pend(i).blocks(k).length
+      val len = pend(i).blocks(k).length
+      // sparse (elided) blocks: offset 0, no bytes in the file
+      blockOff.put((i.toLong << 32) | k, if (len == 0) 0L else cur)
+      cur += len
     }
 
     val rendered = pend.zipWithIndex.map { case (p, i) =>
@@ -406,6 +436,17 @@ object GeoTiff {
         case c => throw new IllegalArgumentException(s"unsupported TIFF compression $c")
       }
       val sz = dt.sizeBytes
+      // GDAL_NODATA ascii tag (sparse-tile fill value; "nan" for NaN)
+      val noData: Double = tags.get(TGdalNoData) match {
+        case Some((2, count, v)) =>
+          val chars =
+            if (count <= 4) (0 until count).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+            else java.util.Arrays.copyOfRange(data, v, v + count)
+          val str = new String(chars, "US-ASCII").takeWhile(_ != ' ').trim
+          if (str.equalsIgnoreCase("nan")) Double.NaN
+          else scala.util.Try(str.toDouble).getOrElse(Double.NaN)
+        case _ => Double.NaN
+      }
       val bm =
         if (tags.contains(TTileOffsets)) {
           // tiled layout (COG): assemble padded band-planar tiles
@@ -417,25 +458,45 @@ object GeoTiff {
           require(offs.size == bands * ta * td,
             s"tile count ${offs.size} != $bands*$ta*$td")
           val px = new Array[Byte](w * h * bands * sz)
+          val sparse = scala.collection.mutable.ArrayBuffer.empty[Int]
           var t = 0
           while (t < offs.size) {
-            val raw = java.util.Arrays.copyOfRange(
-              data, offs(t).toInt, offs(t).toInt + counts(t).toInt)
-            val tile = decode(raw, ts * tl * sz)
-            val band = t / (ta * td)
-            val rem = t % (ta * td)
-            val ty = rem / ta; val tx = rem % ta
-            val rows = math.min(tl, h - ty * tl)
-            val cols = math.min(ts, w - tx * ts)
-            var r = 0
-            while (r < rows) {
-              val dst = ((band * h + ty * tl + r) * w + tx * ts) * sz
-              System.arraycopy(tile, r * ts * sz, px, dst, cols * sz)
-              r += 1
+            if (counts(t) == 0 || offs(t) == 0) sparse += t // SPARSE_OK elided tile
+            else {
+              val raw = java.util.Arrays.copyOfRange(
+                data, offs(t).toInt, offs(t).toInt + counts(t).toInt)
+              val tile = decode(raw, ts * tl * sz)
+              val band = t / (ta * td)
+              val rem = t % (ta * td)
+              val ty = rem / ta; val tx = rem % ta
+              val rows = math.min(tl, h - ty * tl)
+              val cols = math.min(ts, w - tx * ts)
+              var r = 0
+              while (r < rows) {
+                val dst = ((band * h + ty * tl + r) * w + tx * ts) * sz
+                System.arraycopy(tile, r * ts * sz, px, dst, cols * sz)
+                r += 1
+              }
             }
             t += 1
           }
-          Bitmap.fromBytes(px, w, h, bands, dt)
+          val out = Bitmap.fromBytes(px, w, h, bands, dt)
+          // fill elided tiles with the declared nodata (GDAL sparse read)
+          if (!(noData == 0.0)) sparse.foreach { t =>
+            val band = t / (ta * td)
+            val rem = t % (ta * td)
+            val ty = rem / ta; val tx = rem % ta
+            var y = ty * tl
+            while (y < math.min((ty + 1) * tl, h)) {
+              var x = tx * ts
+              while (x < math.min((tx + 1) * ts, w)) {
+                out.set(x, y, band, noData)
+                x += 1
+              }
+              y += 1
+            }
+          }
+          out
         } else {
           val stripOff = tagVal(TStripOffsets)
           val stripLen = tagVal(TStripByteCounts)

@@ -193,6 +193,35 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(allOffsets.min == bytes.length - totalData)
   }
 
+  test("sparse tiles (SPARSE_OK): elided all-nodata blocks + GDAL_NODATA fill") {
+    // 48×48 uint8, nodata 255: right third entirely nodata
+    val vals = Array.tabulate(48 * 48) { i =>
+      val x = i % 48; if (x >= 32) 255.0 else (i % 200).toDouble
+    }
+    val base = img(48, 48, DType.UInt8, vals)
+    val dense = GeoTiff.write(Seq(base), noData = 255, tileSize = 16)
+    val sparse = GeoTiff.write(Seq(base), noData = 255, tileSize = 16, sparseOk = true)
+    // 3 of 9 tiles elided → exactly 3×256 bytes saved
+    assert(dense.length - sparse.length == 3 * 16 * 16)
+    val got = GeoTiff.read(sparse).head.image
+    assert(got.bitmap.pixels.toSeq == vals.toSeq) // nodata filled back in
+    // offsets of elided tiles are 0
+    val offs = GeoTiff.blockOffsets(sparse, 0)
+    assert(offs.count(_ == 0L) == 3)
+
+    // NaN-nodata float path, compressed
+    val fvals = Array.tabulate(32 * 32) { i =>
+      val y = i / 32; if (y < 16) Double.NaN else i * 0.5
+    }
+    val f = img(32, 32, DType.Float32, fvals)
+    val sf = GeoTiff.write(Seq(f), noData = Double.NaN, tileSize = 16,
+      compress = true, sparseOk = true)
+    val gotF = GeoTiff.read(sf).head.image
+    assert(gotF.bitmap.pixels.zip(fvals).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b
+    })
+  }
+
   test("multiband planar round trip") {
     val two = GeoTiff.Image(
       new Bitmap(2, 1, 2, DType.UInt8, Array(1, 2, 11, 12)),
