@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.geo.GeomOps
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BinaryType, DoubleType, StructType}
+
+/** Catalyst integration (SURVEY §4 "custom Catalyst work", item a):
+  *
+  * [[SpatialFilterPushdown]] — an optimizer rule that gives every
+  * `st_intersects`/`st_interior_intersects` filter against a literal
+  * geometry a codegen'd bbox conjunct over the relation's `bbox` struct
+  * companion (the catalog convention, [[graft.catalog.Schemas.bbox]]).
+  * The conjunct is what Parquet min/max skipping and whole-stage codegen
+  * can chew on — the JTS predicate then only runs on surviving rows. The
+  * engine's own query builders emit the pair explicitly; this rule closes
+  * the gap for ad-hoc DataFrame/SQL users, reproducing the reference's
+  * coarse `&&` + fine `ST_Relate` structure (pg_containers.go:302-311)
+  * no matter how the query is written.
+  *
+  * [[GraftSparkExtensions]] — `SparkSessionExtensions` entry point: inject
+  * via `.config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")`,
+  * which also registers the spatial expressions as SQL functions
+  * (`st_intersects`, `st_interior_intersects`, `st_intersection`,
+  * `st_area`, `geom_hash`).
+  */
+object SpatialFilterPushdown extends Rule[LogicalPlan] {
+
+  private def isBBoxStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case s: StructType => s.fieldNames.toSeq == Seq("xmin", "ymin", "xmax", "ymax")
+    case _ => false
+  }
+
+  /** bbox-overlap conjunct over the struct attribute for a literal bbox. */
+  private def conjunct(b: Attribute, bb: graft.geo.BBox): Expression = {
+    def f(i: Int, n: String) = GetStructField(b, i, Some(n))
+    And(And(LessThanOrEqual(f(0, "xmin"), Literal(bb.xmax, DoubleType)),
+        GreaterThanOrEqual(f(2, "xmax"), Literal(bb.xmin, DoubleType))),
+      And(LessThanOrEqual(f(1, "ymin"), Literal(bb.ymax, DoubleType)),
+        GreaterThanOrEqual(f(3, "ymax"), Literal(bb.ymin, DoubleType))))
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      child.output.find(a => a.name == "bbox" && isBBoxStruct(a.dataType)) match {
+        case None => f
+        case Some(battr) =>
+          val literalGeoms = cond.collect {
+            case SpatialExpressions.STIntersects(_, Literal(w: Array[Byte], BinaryType)) => w
+            case SpatialExpressions.STIntersects(Literal(w: Array[Byte], BinaryType), _) => w
+            case SpatialExpressions.STInteriorIntersects(_, Literal(w: Array[Byte], BinaryType)) => w
+            case SpatialExpressions.STInteriorIntersects(Literal(w: Array[Byte], BinaryType), _) => w
+          }
+          val adds = literalGeoms
+            .map(w => conjunct(battr, GeomOps.bbox(GeomOps.readWkb(w))))
+            .filterNot(c => cond.exists(_.semanticEquals(c))) // fixpoint-safe
+          if (adds.isEmpty) f
+          else Filter(adds.foldLeft(cond)((acc, c) => And(c, acc)), child)
+      }
+  }
+}
+
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => SpatialFilterPushdown)
+    GraftSparkExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+  }
+}
+
+object GraftSparkExtensions {
+  import SpatialExpressions._
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_intersects" -> ((args: Seq[Expression]) => STIntersects(args(0), args(1))),
+    "st_interior_intersects" -> ((args: Seq[Expression]) => STInteriorIntersects(args(0), args(1))),
+    "st_intersection" -> ((args: Seq[Expression]) => STIntersection(args(0), args(1))),
+    "st_area" -> ((args: Seq[Expression]) => STArea(args(0))),
+    "geom_hash" -> ((args: Seq[Expression]) => GeomHash(args(0))))
+
+  /** Install on a live session (no spark.sql.extensions restart needed):
+    * SQL functions via the registry bridge + the bbox rule as an
+    * experimental extra optimization. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(
+        spark, name, new ExpressionInfo("graft", name), builder)
+    }
+    if (!spark.experimental.extraOptimizations.contains(SpatialFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialFilterPushdown
+  }
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.geo.{BBox, GeomOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSparkExtensions.register(s)
+    s
+  }
+
+  private def geomsDf = {
+    import spark.implicits._
+    // unit squares at (i, i)
+    (0 until 20).map { i =>
+      val g = GeomOps.polygonFromBBox(BBox(i, i, i + 1, i + 1))
+      val b = GeomOps.bbox(g)
+      (i, GeomOps.writeWkb(g), (b.xmin, b.ymin, b.xmax, b.ymax))
+    }.toDF("id", "geom_wkb", "bbox")
+      .withColumn("bbox", col("bbox").cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>"))
+  }
+
+  test("SpatialFilterPushdown injects a bbox conjunct under st_intersects") {
+    // a real file scan (a LocalRelation would constant-fold the filter away)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext").toString
+    geomsDf.write.mode("overwrite").parquet(s"$dir/geoms")
+    val df = spark.read.parquet(s"$dir/geoms")
+    val probe = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(4.5, 4.5, 6.5, 6.5)))
+    val q = df.filter(
+      SpatialExpressions.st_intersects(col("geom_wkb"), lit(probe)))
+    val optimized = q.queryExecution.optimizedPlan
+    // the injected prune: bbox.xmin <= 6.5 etc. appears in the filter
+    val s = optimized.toString
+    assert(s.contains("xmin") && s.contains("6.5"), s)
+    // rule is fixpoint-safe: re-applying changes nothing
+    assert(SpatialFilterPushdown(optimized).fastEquals(optimized))
+    // the conjunct reaches the parquet scan as a pushed (skippable) filter
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("bbox.xmin"), physical)
+    // results: squares at 4,5,6 intersect the probe box
+    assert(q.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 5, 6))
+  }
+
+  test("rule leaves filters without a bbox companion untouched") {
+    val probe = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(0, 0, 3, 3)))
+    val q = geomsDf.drop("bbox").filter(
+      SpatialExpressions.st_intersects(col("geom_wkb"), lit(probe)))
+    assert(q.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("SQL functions registered on a live session") {
+    geomsDf.createOrReplaceTempView("geoms")
+    val probeHex = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(1.5, 1.5, 2.5, 2.5)))
+      .map("%02x".format(_)).mkString
+    val rows = spark.sql(
+      s"""SELECT id, st_area(geom_wkb) AS a, geom_hash(geom_wkb) AS h
+          FROM geoms WHERE st_intersects(geom_wkb, unhex('$probeHex'))
+          ORDER BY id""").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.forall(_.getDouble(1) == 1.0))
+    assert(rows.forall(_.getString(2).length == 40))
+    // interior-intersects is strict: touching-only neighbors drop out
+    val touch = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(2, 2, 3, 3)))
+      .map("%02x".format(_)).mkString
+    val strict = spark.sql(
+      s"""SELECT id FROM geoms
+          WHERE st_interior_intersects(geom_wkb, unhex('$touch')) ORDER BY id""").collect()
+    assert(strict.map(_.getInt(0)).toSeq == Seq(2)) // 1 and 3 only touch corners
+  }
+}
