@@ -15,6 +15,14 @@ final case class TaskEvent(
     error: String,
     ts: java.sql.Timestamp)
 
+/** Streaming FSM state for one job: task ids already counted (idempotence
+  * under at-least-once delivery) + failure tally. */
+final case class JobFsmState(seen: Seq[String], failed: Int)
+
+/** One FSM emission per job per micro-batch. */
+final case class JobProgress(
+    job_id: String, expected: Int, finished: Int, failed: Int, state: String)
+
 /** The event/ingestion path (SURVEY §2.12): the reference runs an
   * at-least-once queue (pgqueue/PubSub) whose consumers drive the job FSM
   * with idempotent guards (operations.go:69-117 handleTaskEvt). The Spark
@@ -66,6 +74,40 @@ object EventStream {
         ()
       }
       .start()
+  }
+
+  /** The job FSM as CUSTOM STREAMING STATE (flatMapGroupsWithState — the
+    * Spark-native form of the reference's per-job transition guards,
+    * operations.go:69-117 handleTaskEvt + job.go Trigger): per-job state
+    * lives in the state store across micro-batches, duplicate task events
+    * collapse against the seen-set exactly like the reference's
+    * "task already finished" guard, and the completion transition
+    * (CONSOLIDATIONDONE / CONSOLIDATIONFAILED once every expected task
+    * reported, consolidation_event.go:251-289) is emitted downstream.
+    * Scale shape: state is partitioned by job id — thousands of concurrent
+    * jobs stripe across executors with no driver bottleneck. */
+  def jobFsm(events: Dataset[TaskEvent], expectedTasks: Map[String, Int]):
+      Dataset[JobProgress] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.job_id)
+      .flatMapGroupsWithState[JobFsmState, JobProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (job: String, evts: Iterator[TaskEvent], state: GroupState[JobFsmState]) =>
+          val st0 = state.getOption.getOrElse(JobFsmState(Seq.empty, 0))
+          val st = evts.foldLeft(st0) { (acc, e) =>
+            if (acc.seen.contains(e.task_id)) acc // at-least-once dedup guard
+            else JobFsmState(acc.seen :+ e.task_id,
+              acc.failed + (if (e.status == "FAILED") 1 else 0))
+          }
+          state.update(st)
+          val expected = expectedTasks.getOrElse(job, Int.MaxValue)
+          val phase =
+            if (st.seen.size < expected) "CONSOLIDATIONINPROGRESS"
+            else if (st.failed > 0) "CONSOLIDATIONFAILED"
+            else "CONSOLIDATIONDONE"
+          Iterator(JobProgress(job, expected, st.seen.size, st.failed, phase))
+      }
   }
 
   /** Windowed ingestion aggregation (the watermark+window shape of

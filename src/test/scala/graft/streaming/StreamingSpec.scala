@@ -68,4 +68,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a0.isDefined && a0.get.getAs[Long]("n") == 2 && a0.get.getAs[Double]("sum_value") == 3.0)
     } finally q.stop()
   }
+
+  test("job FSM via flatMapGroupsWithState: stateful dedup + completion transition") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[TaskEvent]
+    val fsm = EventStream.jobFsm(stream.toDS(), Map("j1" -> 3, "j2" -> 1))
+    val q = fsm.writeStream.outputMode("append")
+      .format("memory").queryName("jobfsm").start()
+    try {
+      stream.addData(
+        TaskEvent("j1", "t1", "SUCCEEDED", "", ts("2024-01-01 00:00:00")),
+        TaskEvent("j1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      val p1 = spark.sql("SELECT * FROM jobfsm WHERE job_id='j1'").as[JobProgress].collect().last
+      assert(p1.state == "CONSOLIDATIONINPROGRESS" && p1.finished == 2 && p1.failed == 1)
+
+      // duplicate t2 must NOT advance the counter (state-store guard);
+      // t3 completes the job -> FAILED because t2 failed
+      stream.addData(
+        TaskEvent("j1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:02")),
+        TaskEvent("j1", "t3", "SUCCEEDED", "", ts("2024-01-01 00:00:03")),
+        TaskEvent("j2", "t9", "SUCCEEDED", "", ts("2024-01-01 00:00:04")))
+      q.processAllAvailable()
+      val p2 = spark.sql("SELECT * FROM jobfsm WHERE job_id='j1'").as[JobProgress].collect().last
+      assert(p2.state == "CONSOLIDATIONFAILED" && p2.finished == 3 && p2.failed == 1)
+      val p3 = spark.sql("SELECT * FROM jobfsm WHERE job_id='j2'").as[JobProgress].collect().last
+      assert(p3.state == "CONSOLIDATIONDONE" && p3.finished == 1 && p3.failed == 0)
+    } finally q.stop()
+  }
 }
+
