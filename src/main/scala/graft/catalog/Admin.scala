@@ -1,0 +1,107 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Admin / maintenance operations (SURVEY §2.11 C10): the reference's
+  * `UpdateDatasets` data-format rewrite (pg_containers.go:433-473,
+  * grpc/admin.go) and `TidyDB` garbage collection of unreferenced catalog
+  * rows (api/v1/pb/admin.proto:58-62). Both are whole-table Catalyst plans
+  * ending in the catalog's atomic rewrite-swap — the parquet stand-in for
+  * the reference's single SQL transaction.
+  */
+object Admin {
+
+  /** Optional new values for the dataset data-format fields; None = keep. */
+  final case class DFormatUpdate(
+      dtype: Option[String] = None,
+      noData: Option[Double] = None,
+      minValue: Option[Double] = None,
+      maxValue: Option[Double] = None,
+      realMinValue: Option[Double] = None,
+      realMaxValue: Option[Double] = None,
+      exponent: Option[Double] = None)
+
+  /** The impact summary the reference prints before a bulk update (A6,
+    * pg_containers.go:436-459): GROUP BY the current dformat fields +
+    * COUNT over the datasets the update would touch. */
+  def updateImpact(spark: SparkSession, cat: Catalog,
+      instanceIds: Seq[String]): DataFrame =
+    cat.read(spark, "datasets")
+      .filter(col("instance_id").isin(instanceIds: _*))
+      .groupBy("dtype", "no_data", "min_value", "max_value",
+        "real_min_value", "real_max_value", "exponent")
+      .agg(count(lit(1)).as("n_datasets"))
+      .orderBy("dtype", "no_data")
+
+  /** Bulk data-format rewrite (pg_containers.go:460-473): every dataset of
+    * the given instances gets the new dformat values, atomically. Returns
+    * the number of rows touched. One scan + one swap — no per-row round
+    * trips, so a 10⁹-row datasets table updates in one distributed pass. */
+  def updateDatasets(spark: SparkSession, cat: Catalog,
+      instanceIds: Seq[String], up: DFormatUpdate): Long = {
+    val ds = cat.read(spark, "datasets")
+    val hit = col("instance_id").isin(instanceIds: _*)
+    val n = ds.filter(hit).count()
+    if (n > 0) {
+      val updates: Seq[(String, Option[Any])] = Seq(
+        "dtype" -> up.dtype, "no_data" -> up.noData,
+        "min_value" -> up.minValue, "max_value" -> up.maxValue,
+        "real_min_value" -> up.realMinValue, "real_max_value" -> up.realMaxValue,
+        "exponent" -> up.exponent)
+      val rewritten = updates.foldLeft(ds) {
+        case (df, (field, Some(v))) =>
+          df.withColumn(field, when(hit, lit(v)).otherwise(col(field)))
+        case (df, _) => df
+      }
+      cat.rewrite(rewritten, "datasets")
+    }
+    n
+  }
+
+  /** TidyDB (admin.proto:58-62): drop catalog rows nothing references —
+    * records without datasets, AOIs without records, instances without
+    * datasets, variables without instances, containers without datasets —
+    * each one left_anti plan + atomic swap, in dependency order (J6 shape:
+    * the NOT EXISTS GC of pg_records.go:176-191 / pg_containers.go:100-109).
+    * Returns per-table deleted counts. */
+  def tidy(spark: SparkSession, cat: Catalog): Map[String, Long] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val ds = cat.read(spark, "datasets")
+
+    def gc(table: String, df: DataFrame, keep: DataFrame): Unit = {
+      val total = df.count()
+      val kept = keep.count()
+      if (kept < total) cat.rewrite(keep, table)
+      out += table -> (total - kept)
+    }
+
+    val records = cat.read(spark, "records")
+    val keptRecords = records.join(ds.select(col("record_id").as("__r")).distinct(),
+      col("id") === col("__r"), "left_semi")
+    gc("records", records, keptRecords)
+
+    val aoi = cat.read(spark, "aoi")
+    gc("aoi", aoi, aoi.join(
+      cat.read(spark, "records").select(col("aoi_id").as("__a")).distinct(),
+      col("id") === col("__a"), "left_semi"))
+
+    val inst = cat.read(spark, "variable_instances")
+    gc("variable_instances", inst, inst.join(
+      ds.select(col("instance_id").as("__i")).distinct(),
+      col("id") === col("__i"), "left_semi"))
+
+    val vars = cat.read(spark, "variable_definitions")
+    gc("variable_definitions", vars, vars.join(
+      cat.read(spark, "variable_instances")
+        .select(col("definition_id").as("__d")).distinct(),
+      col("id") === col("__d"), "left_semi"))
+
+    val containers = cat.read(spark, "containers")
+    gc("containers", containers, containers.join(
+      ds.select(col("container_uri").as("__c")).distinct(),
+      col("uri") === col("__c"), "left_semi"))
+
+    out.toMap
+  }
+}

@@ -1,0 +1,90 @@
+package graft.catalog
+
+import graft.geo.{BBox, GeomOps}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C10 admin operations: UpdateDatasets dformat rewrite + TidyDB GC. */
+class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root: String = java.nio.file.Files.createTempDirectory("graft-admin").toString
+  val cat: Catalog = Catalog(root)
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+  def wkbBox(b: BBox): Array[Byte] = GeomOps.writeWkb(GeomOps.polygonFromBBox(b))
+  def bboxRow(b: BBox): Row = Row(b.xmin, b.ymin, b.xmax, b.ymax)
+
+  override def beforeAll(): Unit = {
+    val sc = spark
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(sc.createDataFrame(
+        sc.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val box = BBox(0, 0, 1, 1)
+    // a1 referenced by r1; a2 orphaned. r1 has datasets; r2 does not.
+    write("aoi", Seq(
+      Row("a1", "h1", wkbBox(box), bboxRow(box)),
+      Row("a2", "h2", wkbBox(box), bboxRow(box))))
+    write("records", Seq(
+      Row("r1", "scene-1", ts("2024-01-01 00:00:00"), Map("s" -> "1"), "a1"),
+      Row("r2", "orphan", ts("2024-01-02 00:00:00"), Map("s" -> "2"), "a2")))
+    // v1→i1 referenced by datasets; v2→i2 and v3 orphaned
+    write("variable_definitions", Seq(
+      Row("v1", "ndvi", "1", "d", Seq("b"), "uint8", 255.0, 0.0, 254.0, "", "near"),
+      Row("v2", "unused", "1", "d", Seq("b"), "uint8", 255.0, 0.0, 254.0, "", "near"),
+      Row("v3", "lonely", "1", "d", Seq("b"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(
+      Row("i1", "m", Map.empty[String, String], "v1"),
+      Row("i2", "m", Map.empty[String, String], "v2")))
+    write("containers", Seq(
+      Row("mem://c1", true, "STANDARD"), Row("mem://gone", true, "STANDARD")))
+    def dsRow(id: String): Row =
+      Row(id, "r1", "i1", "mem://c1", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, -1.0, 1.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box))
+    write("datasets", Seq(dsRow("d1"), dsRow("d2")))
+  }
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(root))
+  }
+
+  test("updateDatasets: impact summary then atomic dformat rewrite") {
+    val impact = Admin.updateImpact(spark, cat, Seq("i1")).collect()
+    assert(impact.length == 1 && impact(0).getAs[Long]("n_datasets") == 2)
+    val n = Admin.updateDatasets(spark, cat, Seq("i1"),
+      Admin.DFormatUpdate(minValue = Some(10.0), maxValue = Some(250.0),
+        exponent = Some(2.0)))
+    assert(n == 2)
+    val after = cat.read(spark, "datasets").collect()
+    assert(after.forall(_.getAs[Double]("min_value") == 10.0))
+    assert(after.forall(_.getAs[Double]("max_value") == 250.0))
+    assert(after.forall(_.getAs[Double]("exponent") == 2.0))
+    assert(after.forall(_.getAs[String]("dtype") == "uint8")) // untouched
+    // no-match update touches nothing
+    assert(Admin.updateDatasets(spark, cat, Seq("nope"),
+      Admin.DFormatUpdate(noData = Some(0.0))) == 0)
+  }
+
+  test("tidy: GC of unreferenced rows in dependency order") {
+    val deleted = Admin.tidy(spark, cat)
+    assert(deleted == Map(
+      "records" -> 1, // r2 had no datasets
+      "aoi" -> 1, // a2 orphaned once r2 went
+      "variable_instances" -> 1, // i2 unreferenced
+      "variable_definitions" -> 2, // v2 (after i2) and v3
+      "containers" -> 1)) // mem://gone
+    assert(cat.read(spark, "records").select("id").collect().map(_.getString(0)).toSeq == Seq("r1"))
+    assert(cat.read(spark, "variable_definitions").count() == 1)
+    // second pass is a no-op (fixpoint)
+    assert(Admin.tidy(spark, cat).values.sum == 0)
+  }
+}
