@@ -180,3 +180,104 @@ object CodecProps extends Properties("bitmap-codec") {
       math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9
     }
 }
+
+/** Round-2 additions: interlacing completeness, tmerc round-trips,
+  * tiled-codec round-trips under arbitrary shapes. */
+object InterlacingProps extends Properties("interlacing") {
+  import graft.raster.Interlacing
+
+  val genDims: Gen[(Int, Int, Int, Int)] = for {
+    nR <- Gen.choose(1, 4)
+    nZ <- Gen.choose(1, 3)
+    nB <- Gen.choose(1, 3)
+    nT <- Gen.choose(1, 6)
+  } yield (nR, nZ, nB, nT)
+
+  val genPattern: Gen[String] = for {
+    perm <- Gen.oneOf(Seq("R", "B", "Z", "T").permutations.toSeq)
+  } yield perm.mkString(">")
+
+  property("any level permutation emits every block exactly once") =
+    forAll(genDims, genPattern) { case ((nR, nZ, nB, nT), pat) =>
+      val order = Interlacing.enumerate(Interlacing.parse(pat),
+        nR, _ => nZ, _ => nB, (_, _) => nT)
+      Prop(order.size == nR * nZ * nB * nT && order.distinct.size == order.size) :|
+        s"pattern $pat dims ($nR,$nZ,$nB,$nT) -> ${order.size}"
+    }
+
+  property("selector chains still cover every block (leftovers appended)") =
+    forAll(genDims) { case (nR, nZ, nB, nT) =>
+      val order = Interlacing.enumerate(
+        Interlacing.parse("Z=0>T>R>B;Z=1:>R>T>B"),
+        nR, _ => nZ, _ => nB, (_, _) => nT)
+      Prop(order.size == nR * nZ * nB * nT && order.distinct.size == order.size)
+    }
+
+  property("ragged per-record zoom counts stay exact") =
+    forAll(Gen.choose(1, 4), Gen.listOfN(4, Gen.choose(1, 3))) { (nR, zs) =>
+      val nZ = (r: Int) => zs(r % zs.size)
+      val order = Interlacing.enumerate(Interlacing.parse("Z>T>R>B"),
+        nR, nZ, _ => 1, (_, _) => 2)
+      val want = (0 until nR).map(nZ(_) * 2).sum
+      Prop(order.size == want && order.distinct.size == order.size)
+    }
+}
+
+object TmercProps extends Properties("tmerc") {
+  val genLonLat: Gen[(Double, Double)] = for {
+    lon <- Gen.choose(-3.0, 3.0) // within ±3° of the central meridian
+    lat <- Gen.choose(-80.0, 80.0)
+  } yield (lon, lat)
+
+  val genOrigin: Gen[(Double, Double, Double, Double, Double)] = for {
+    lon0 <- Gen.choose(-177.0, 177.0)
+    lat0 <- Gen.choose(-60.0, 60.0)
+    k0 <- Gen.oneOf(0.9996, 1.0)
+    fe <- Gen.oneOf(0.0, 500000.0)
+    fn <- Gen.oneOf(0.0, 200000.0)
+  } yield (lon0, lat0, k0, fe, fn)
+
+  property("fromLonLat∘toLonLat = id near the central meridian") =
+    forAll(genOrigin, genLonLat) { case ((lon0, lat0, k0, fe, fn), (dLon, lat)) =>
+      val tm = CRS.TransverseMercator(lon0, lat0, k0, fe, fn)
+      val (x, y) = tm.fromLonLat(lon0 + dLon, lat)
+      val (lon2, lat2) = tm.toLonLat(x, y)
+      Prop(math.abs(lon2 - (lon0 + dLon)) < 1e-7 && math.abs(lat2 - lat) < 1e-7) :|
+        s"($lon0,$lat0) probe ($dLon,$lat) -> ($x,$y) -> ($lon2,$lat2)"
+    }
+
+  property("natural origin maps to (fe, fn)") =
+    forAll(genOrigin) { case (lon0, lat0, k0, fe, fn) =>
+      val tm = CRS.TransverseMercator(lon0, lat0, k0, fe, fn)
+      val (x, y) = tm.fromLonLat(lon0, lat0)
+      Prop(math.abs(x - fe) < 1e-6 && math.abs(y - fn) < 1e-6) :| s"origin -> ($x,$y)"
+    }
+}
+
+object TiledCodecProps extends Properties("tiled-codec") {
+  import graft.raster.{Bitmap, GeoTiff}
+
+  val genImage: Gen[(Int, Int, Int, Boolean, Boolean)] = for {
+    w <- Gen.choose(1, 70)
+    h <- Gen.choose(1, 70)
+    bands <- Gen.choose(1, 3)
+    compress <- Gen.oneOf(true, false)
+    sparse <- Gen.oneOf(true, false)
+  } yield (w, h, bands, compress, sparse)
+
+  property("tiled write/read round-trips any shape (incl. sparse + deflate)") =
+    forAll(genImage, Gen.choose(0L, 1000000L)) { case ((w, h, bands, compress, sparse), seed) =>
+      val rnd = new scala.util.Random(seed)
+      // ~half the 16x16 tile neighborhoods all-nodata to exercise elision
+      val px = Array.tabulate(w * h * bands) { i =>
+        if (rnd.nextInt(4) == 0) 255.0 else rnd.nextInt(200).toDouble
+      }
+      val img = GeoTiff.Image(new Bitmap(w, h, bands, DType.UInt8, px),
+        Affine.northUp(0, h, 1, -1), CRS.WGS84)
+      val bytes = GeoTiff.write(Seq(img), noData = 255.0, compress = compress,
+        tileSize = 16, sparseOk = sparse)
+      val got = GeoTiff.read(bytes).head.image
+      Prop(got.bitmap.pixels.toSeq == px.toSeq) :|
+        s"w=$w h=$h bands=$bands compress=$compress sparse=$sparse"
+    }
+}
