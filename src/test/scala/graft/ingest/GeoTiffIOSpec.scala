@@ -71,4 +71,64 @@ class GeoTiffIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     // payload is the decoded overview, not the full image
     assert(coarse.head.getAs[Array[Byte]]("payload").length == 16 * 16)
   }
+
+  test("end-to-end: MuCOG file on disk -> file-backed tiles -> GetCube slices") {
+    import graft.catalog.Schemas
+    import graft.cube.{CubeRequest, GetCube}
+    import graft.geo.BBox
+
+    val dir = java.nio.file.Files.createTempDirectory("tifs-e2e")
+    // one MuCOG container: 2 records of 8x8 over [0,8]^2, overviews to 4,
+    // tiled + deflate + timeseries interlacing
+    val imgs = Seq(60.0, 120.0).map { v =>
+      GeoTiff.Image(new Bitmap(8, 8, 1, DType.UInt8, Array.fill(64)(v)),
+        Affine.northUp(0, 8, 1, -1), CRS.WGS84)
+    }
+    val uri = dir.resolve("stack.tif").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(uri),
+      GeoTiff.write(imgs, noData = 255, overviewsMinSize = 4, compress = true,
+        tileSize = 16, interlacing = "Z=0>T>R>B;Z=1:>R>T>B"))
+
+    // catalog rows; the tiles table comes from the FILE-BACKED source at
+    // the coarse (overview) resolution
+    val root2 = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val cat2 = Catalog(root2)
+    def write(table: String, rows: Seq[org.apache.spark.sql.Row]): Unit =
+      cat2.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    def wkb(b: BBox) = graft.geo.GeomOps.writeWkb(graft.geo.GeomOps.polygonFromBBox(b))
+    val box = BBox(0, 0, 8, 8)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    write("aoi", Seq(org.apache.spark.sql.Row("a1", "h", wkb(box), org.apache.spark.sql.Row(0.0, 0.0, 8.0, 8.0))))
+    write("records", Seq(
+      org.apache.spark.sql.Row("r1", "t0", ts("2024-01-01 00:00:00"), Map.empty[String, String], "a1"),
+      org.apache.spark.sql.Row("r2", "t1", ts("2024-01-02 00:00:00"), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(org.apache.spark.sql.Row(
+      "v1", "band", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(org.apache.spark.sql.Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(org.apache.spark.sql.Row(s"file:$uri", false, "STANDARD")))
+    (1 to 2).foreach { i =>
+      write("datasets", Seq(org.apache.spark.sql.Row(
+        s"d$i", s"r$i", "i1", s"file:$uri", s"GTIFF_DIR:$i", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, true,
+        wkb(box), wkb(box), 4326, org.apache.spark.sql.Row(0.0, 0.0, 8.0, 8.0))))
+    }
+    // the -ovr AUTO file read at 2deg/px picks the 4x4 overview level
+    val fileTiles = GeoTiffIO.readTilesForResolution(spark, s"$dir/*.tif", 2.0)
+    assert(fileTiles.collect().forall(_.getAs[Int]("width") == 4))
+    cat2.append(fileTiles, "tiles")
+
+    val req = CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 8, 2, -2), width = 4, height = 4)
+    val slices = GetCube.cube(spark, cat2, req).collect()
+    assert(slices.length == 2)
+    assert(slices.map(_.record_ids) sameElements Array(Seq("r1"), Seq("r2")))
+    // constant rasters survive decode -> overview -> cast -> mosaic intact
+    val px1 = Bitmap.fromBytes(slices(0).payload, 4, 4, 1, DType.UInt8).pixels
+    val px2 = Bitmap.fromBytes(slices(1).payload, 4, 4, 1, DType.UInt8).pixels
+    assert(px1.forall(_ == 60.0) && px2.forall(_ == 120.0))
+
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(root2))
+  }
 }
