@@ -122,6 +122,75 @@ final case class SingleCellGrid(crs: CRS, resolution: Double) extends Grid {
   }
 }
 
+/** G4 — Custom grid (internal/geocube/customgrid.go:26-108): cells are
+  * catalog rows (the `cells` table, user-defined shapes like MGRS) rather
+  * than a formula. `covers` runs the S6/J4 FindCells spatial join (bbox
+  * prune → JTS intersects → intersection geometry) and, when a subgrid is
+  * configured, refines each covered cell by covering the AOI∩cell
+  * intersection with it — URIs are "cellID" or "cellID/subURI"
+  * (customgrid.go:49-76). `cell` materializes either the custom cell's own
+  * bbox grid at `resolution`, or delegates the sub-cell to the subgrid in
+  * the custom cell's CRS. */
+final case class CustomGrid(
+    spark: org.apache.spark.sql.SparkSession,
+    cat: graft.catalog.Catalog,
+    gridName: String,
+    resolution: Double,
+    subgridOf: Option[CRS => Grid] = None) extends Grid {
+
+  private lazy val rows: Map[String, (CRS, Geometry)] = {
+    import org.apache.spark.sql.functions.col
+    cat.read(spark, "cells").filter(col("grid") === gridName)
+      .select("id", "crs", "coordinates_wkb").collect()
+      .map { r =>
+        r.getAs[String]("id") -> (
+          (CRS.parse(r.getAs[String]("crs")),
+            GeomOps.readWkb(r.getAs[Array[Byte]]("coordinates_wkb"))))
+      }.toMap
+  }
+
+  def covers(aoiLonLat: Geometry): Iterator[String] = {
+    val found = graft.catalog.CatalogQueries
+      .findCells(spark, cat, gridName, aoiLonLat)
+      .select("id", "crs", "intersection_wkb").collect()
+    found.iterator.flatMap { r =>
+      val id = r.getAs[String]("id")
+      subgridOf match {
+        case None => Iterator.single(id)
+        case Some(mk) =>
+          val crs = CRS.parse(r.getAs[String]("crs"))
+          val inter = GeomOps.readWkb(r.getAs[Array[Byte]]("intersection_wkb"))
+          mk(crs).covers(inter).map(sub => s"$id/$sub")
+      }
+    }
+  }
+
+  def cell(uri: String): Cell = {
+    val (id, sub) = uri.split("/", 2) match {
+      case Array(i) => (i, None)
+      case Array(i, s) => (i, Some(s))
+    }
+    val (crs, geomLonLat) = rows.getOrElse(id,
+      throw new IllegalArgumentException(s"unknown cell '$id' in grid '$gridName'"))
+    (sub, subgridOf) match {
+      case (Some(s), Some(mk)) =>
+        val c = mk(crs).cell(s)
+        c.copy(uri = uri)
+      case (None, _) =>
+        // the cell's own pixel grid: native-CRS bbox at `resolution`
+        val native = RegularGrid(crs, 1, 1, resolution).projectToCrs(geomLonLat, crs)
+        val env = native.getEnvelopeInternal
+        val w = math.max(1, math.round(env.getWidth / resolution)).toInt
+        val h = math.max(1, math.round(env.getHeight / resolution)).toInt
+        Cell(uri, crs,
+          Affine.translation(env.getMinX, env.getMaxY)
+            .multiply(Affine.scale(resolution, -resolution)), w, h)
+      case (Some(s), None) =>
+        throw new IllegalArgumentException(s"no subgrid configured for sub-URI '$s'")
+    }
+  }
+}
+
 object Grid {
   /** Grid from layout flags + parameters (abstractgrid.go:52-66 +
     * regulargrid.go:57-132): flags name the grid kind; parameters carry
