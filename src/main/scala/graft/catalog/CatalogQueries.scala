@@ -164,6 +164,25 @@ object CatalogQueries {
   /** FindCells — spatial join grid cells × AOI returning both the cell and
     * the intersection geometry (pg_grids.go:113-151, J4): broadcast the
     * AOI literal; bbox prune then JTS intersection. */
+  /** S5 — the name-pattern list scans (FindVariables / FindLayouts /
+    * FindGrids / FindJobs: pg_variables.go, pg_layouts.go, pg_grids.go,
+    * pg_jobs.go — the reference repeats the same SQL per table): P2
+    * pattern split on `name` + ORDER BY name + LIMIT/OFFSET paging (O2).
+    * Offset is a row_number filter so the plan needs no global collect. */
+  def listByName(spark: SparkSession, cat: Catalog, table: String,
+      namePattern: String = "", limit: Int = 0, offset: Int = 0): DataFrame = {
+    var df = cat.read(spark, table)
+    Patterns.predicate(col("name"), if (namePattern.isEmpty) Nil else Seq(namePattern))
+      .foreach(p => df = df.filter(p))
+    df = df.orderBy("name")
+    if (offset > 0) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("name")
+      df = df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") > offset).drop("__rn")
+    }
+    if (limit > 0) df.limit(limit) else df
+  }
+
   def findCells(spark: SparkSession, cat: Catalog, grid: String, aoi: Geometry): DataFrame = {
     val cells = cat.read(spark, "cells").filter(col("grid") === grid)
     val aoiWkb = lit(GeomOps.writeWkb(aoi))

@@ -57,6 +57,23 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm(new java.io.File(root))
   }
 
+  test("listByName (S5): pattern split + order + limit/offset paging") {
+    val rows = Seq("alpha", "beta", "Beta2", "gamma").map { n =>
+      Row(n, Seq("regular"), Map("resolution" -> "1"), 256, 256, 1024, 256, "")
+    }
+    cat.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.all("layouts")), "layouts")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select("name").collect().map(_.getString(0)).toSeq
+    assert(names(CatalogQueries.listByName(spark, cat, "layouts")) ==
+      Seq("Beta2", "alpha", "beta", "gamma"))
+    // '*'→'%', trailing (?i) → case-insensitive (P2 three-way split)
+    assert(names(CatalogQueries.listByName(spark, cat, "layouts", "beta*(?i)")) ==
+      Seq("Beta2", "beta"))
+    assert(names(CatalogQueries.listByName(spark, cat, "layouts", limit = 2, offset = 1)) ==
+      Seq("alpha", "beta"))
+  }
+
   test("updateDatasets: impact summary then atomic dformat rewrite") {
     val impact = Admin.updateImpact(spark, cat, Seq("i1")).collect()
     assert(impact.length == 1 && impact(0).getAs[Long]("n_datasets") == 2)
