@@ -43,7 +43,20 @@ object GeoTiff {
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
   private val TGeoKeyDirectory = 34735
+  private val TGeoDoubleParams = 34736
   private val TGdalNoData = 42113 // ASCII nodata value (GDAL convention)
+
+  // GeoKey ids for user-defined transverse-Mercator projections
+  private val KGeographicType = 2048
+  private val KProjectedCSType = 3072
+  private val KProjection = 3074
+  private val KProjCoordTrans = 3075 // 1 = TransverseMercator
+  private val KProjNatOriginLong = 3080
+  private val KProjNatOriginLat = 3081
+  private val KProjFalseEasting = 3082
+  private val KProjFalseNorthing = 3083
+  private val KProjScaleAtNatOrigin = 3092
+  private val UserDefined = 32767
 
   private def sampleFormat(dt: DType): Int = dt match {
     case DType.Float32 | DType.Float64 | DType.Complex64 => 3
@@ -228,14 +241,34 @@ object GeoTiff {
         vs.foreach(b.putDouble); b.array()
       }
       val bits = bm.dtype.sizeBytes * 8
-      val geoKeys = {
-        val isGeo = img.crs.isGeographic
-        // version, revision, minor, nKeys + keys (id, location, count, value)
-        val keys = Seq(
-          (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
-          (1025, 0, 1, 1), // RasterPixelIsArea
-          (if (isGeo) 2048 else 3072, 0, 1, img.crs.srid))
-        shorts(Seq(1, 1, 0, keys.size) ++ keys.flatMap(k => Seq(k._1, k._2, k._3, k._4)))
+      // (geokey directory, double params or empty) — custom tmerc writes its
+      // projection parameters into GeoDoubleParams so the CRS round-trips
+      val (geoKeys, geoDoubles) = img.crs match {
+        case tm: CRS.TransverseMercator =>
+          val dbl = Seq(tm.lon0Deg, tm.lat0Deg, tm.k0, tm.fe, tm.fnParam)
+          val keys = Seq(
+            (1024, 0, 1, 1), // GTModelType = projected
+            (1025, 0, 1, 1), // RasterPixelIsArea
+            (KGeographicType, 0, 1, 4326), // datum: WGS84
+            (KProjectedCSType, 0, 1, UserDefined),
+            (KProjection, 0, 1, UserDefined),
+            (KProjCoordTrans, 0, 1, 1), // CT_TransverseMercator
+            (KProjNatOriginLong, TGeoDoubleParams, 1, 0),
+            (KProjNatOriginLat, TGeoDoubleParams, 1, 1),
+            (KProjScaleAtNatOrigin, TGeoDoubleParams, 1, 2),
+            (KProjFalseEasting, TGeoDoubleParams, 1, 3),
+            (KProjFalseNorthing, TGeoDoubleParams, 1, 4))
+          (shorts(Seq(1, 1, 0, keys.size) ++
+            keys.flatMap(k => Seq(k._1, k._2, k._3, k._4))), dbl)
+        case crs =>
+          val isGeo = crs.isGeographic
+          // version, revision, minor, nKeys + keys (id, location, count, value)
+          val keys = Seq(
+            (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
+            (1025, 0, 1, 1), // RasterPixelIsArea
+            (if (isGeo) 2048 else 3072, 0, 1, crs.srid))
+          (shorts(Seq(1, 1, 0, keys.size) ++
+            keys.flatMap(k => Seq(k._1, k._2, k._3, k._4))), Nil)
       }
       val entries = Seq.newBuilder[(Int, Int, Int, Array[Byte])] // (tag, type, count, value)
       subfile.foreach(s => entries += ((TNewSubfileType, 4, 1, longVal(s.toLong))))
@@ -260,6 +293,8 @@ object GeoTiff {
       entries += ((TModelPixelScale, 12, 3, doubles(Seq(img.transform.rx, -img.transform.ry, 0))))
       entries += ((TModelTiepoint, 12, 6, doubles(Seq(0, 0, 0, img.transform.c0, img.transform.c3, 0))))
       entries += ((TGeoKeyDirectory, 3, geoKeys.length / 2, geoKeys))
+      if (geoDoubles.nonEmpty)
+        entries += ((TGeoDoubleParams, 12, geoDoubles.size, doubles(geoDoubles)))
       // GDAL nodata convention: ASCII, NUL-terminated ("nan" for NaN) —
       // lets readers fill sparse tiles and carry nodata across files
       val ndStr = (if (noData.isNaN) "nan" else noData.toString) + " "
@@ -512,10 +547,24 @@ object GeoTiff {
       val geo = tagShorts(TGeoKeyDirectory)
       val crs = {
         // keys start at index 4, stride 4: (id, loc, count, value)
-        val keys = geo.drop(4).grouped(4).collect {
-          case Seq(id, _, _, v) => id -> v
+        val entries4 = geo.drop(4).grouped(4).collect {
+          case Seq(id, loc, count, v) => id -> ((loc, count, v))
         }.toMap
-        keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
+        val keys = entries4.map { case (id, (_, _, v)) => id -> v }
+        if (keys.get(KProjectedCSType).contains(UserDefined) &&
+            keys.get(KProjCoordTrans).contains(1)) {
+          // user-defined transverse Mercator: params live in GeoDoubleParams
+          val dbl = tagDoubles(TGeoDoubleParams)
+          def p(key: Int, default: Double): Double = entries4.get(key) match {
+            case Some((TGeoDoubleParams, _, idx)) if idx < dbl.size => dbl(idx)
+            case _ => default
+          }
+          CRS.TransverseMercator(
+            lon0Deg = p(KProjNatOriginLong, 0), lat0Deg = p(KProjNatOriginLat, 0),
+            k0 = p(KProjScaleAtNatOrigin, 1), fe = p(KProjFalseEasting, 0),
+            fnParam = p(KProjFalseNorthing, 0))
+        } else
+          keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
       }
       val isOv = tagVal(TNewSubfileType, 0) == 1
       out += Directory(Image(bm, transform, crs), isOv)

@@ -222,6 +222,19 @@ class GeoTiffSpec extends AnyFunSuite {
     })
   }
 
+  test("custom tmerc CRS round-trips through GeoDoubleParams keys") {
+    val tm = CRS.TransverseMercator(lon0Deg = 9, lat0Deg = 50,
+      k0 = 1.0, fe = 3500000, fnParam = 200000)
+    val im = img(3, 2, DType.UInt8, Array(1, 2, 3, 4, 5, 6), crs = tm)
+    val got = GeoTiff.read(GeoTiff.write(Seq(im))).head.image
+    assert(got.crs == tm) // full parameter fidelity, not just srid 32767
+    assert(got.bitmap.pixels.toSeq == Seq(1.0, 2, 3, 4, 5, 6))
+    // standard EPSG paths unchanged
+    val utm = GeoTiff.read(GeoTiff.write(Seq(
+      img(2, 1, DType.UInt8, Array(7, 8), crs = CRS.UTM(33, north = true))))).head.image
+    assert(utm.crs == CRS.UTM(33, north = true))
+  }
+
   test("multiband planar round trip") {
     val two = GeoTiff.Image(
       new Bitmap(2, 1, 2, DType.UInt8, Array(1, 2, 11, 12)),
