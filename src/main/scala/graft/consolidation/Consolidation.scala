@@ -252,6 +252,17 @@ object Consolidation {
 
   /** C5 — csldIndex (consolidater.go:559-644): register one INACTIVE
     * dataset per (container, record/subdir). */
+  /** Physical MuCOG bytes for a consolidated container, honoring the
+    * layout's internal spec (C4's final file form, handler_consolidation.go
+    * + mucog.go): block size = layout tile size, overview chain re-derived
+    * to `overviews_min_size`, data blocks ordered by the layout's
+    * interlacing pattern. */
+  def exportPhysical(spark: SparkSession, cat: Catalog, containerUri: String,
+      layout: graft.layout.Layout, noData: Double): Array[Byte] =
+    graft.ingest.GeoTiffIO.exportContainer(spark, cat, containerUri, noData,
+      overviewsMinSize = layout.overviewsMinSize, compress = true,
+      tileSize = layout.blockXSize, interlacing = layout.interlacingPattern)
+
   def index(spark: SparkSession, cat: Catalog, newTiles: DataFrame,
       instanceId: String, params: ConsolidationParams): Unit = {
     val m = params.mapping

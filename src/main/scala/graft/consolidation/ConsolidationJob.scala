@@ -41,6 +41,9 @@ object ConsolidationJob {
   def run(spark: SparkSession, cat: Catalog, spec: Spec): String = {
     logState(spark, cat, spec, "NEW")
     try {
+      // layout validation on entry (layout.go:120-129: bad interlacing
+      // grammar or grid params fail the job before any work)
+      spec.layout.validate()
       // C2 init: lock = snapshot the ids of the datasets to consolidate
       val locked = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
         status = Seq("ACTIVE"), instanceIds = Seq(spec.instanceId),

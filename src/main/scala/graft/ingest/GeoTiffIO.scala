@@ -78,6 +78,9 @@ object GeoTiffIO {
       interlacing: String = ""): Array[Byte] = {
     val rows = cat.read(spark, "tiles")
       .filter(col("container_uri") === containerUri)
+      // pyramid rows ("<subdir>@ovK") are not their own subdirs — the
+      // overview chain is re-derived from overviewsMinSize at write time
+      .filter(!coalesce(col("subdir"), lit("")).rlike("@ov\\d+$"))
       .collect()
     require(rows.nonEmpty, s"exportContainer: no tiles for $containerUri")
     val images = rows

@@ -19,6 +19,18 @@ final case class Layout(
 
   @transient lazy val grid: Grid = Grid.fromLayout(gridFlags, gridParameters)
 
+  /** Validation the reference runs on layout creation (layout.go:120-129):
+    * block sizes/packing positive, and the interlacing pattern must parse
+    * (mucog.InitIterators check :127). Throws IllegalArgumentException. */
+  def validate(): this.type = {
+    require(blockXSize > 0 && blockYSize > 0, "block sizes must be positive")
+    require(maxRecords > 0, "max_records must be positive")
+    if (interlacingPattern.nonEmpty)
+      graft.raster.Interlacing.parse(interlacingPattern) // throws on bad grammar
+    grid // force grid-parameter validation too
+    this
+  }
+
   /** Covers with geometry-hash dedup (layout.go:73-113, G5). */
   def covers(aoiLonLat: Geometry, removeDuplicate: Boolean = true): Iterator[Cell] = {
     val it = grid.covers(aoiLonLat).map(grid.cell)

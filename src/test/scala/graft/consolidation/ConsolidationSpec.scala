@@ -165,6 +165,27 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Consolidation.validShapeInCell(Nil, cell).isEmpty)
   }
 
+  test("physical MuCOG export of a consolidated container (layout-driven)") {
+    // the consolidated container from job1 has GTIFF_DIR:n + @ov pyramid
+    // rows; export must skip @ov rows and honor the layout's interlacing
+    val uri = cat.read(spark, "datasets")
+      .filter(col("container_uri").startsWith(s"$root/containers/job1/"))
+      .select("container_uri").collect().head.getString(0)
+    val mucogLayout = Layout("cells", Seq("regular"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "0.5", "cell_size" -> "8"),
+      blockXSize = 16, blockYSize = 16, maxRecords = 4, overviewsMinSize = 4,
+      interlacingPattern = "Z=0>T>R>B;Z=1:>R>T>B").validate()
+    val bytes = Consolidation.exportPhysical(spark, cat, uri, mucogLayout, 255.0)
+    val dirs = graft.raster.GeoTiff.read(bytes)
+    val fulls = dirs.filterNot(_.isOverview)
+    assert(fulls.size == 2 && dirs.size > fulls.size) // records + overviews
+    assert(fulls.forall(_.image.bitmap.width == 8))
+    // a bad interlacing pattern fails validation up front
+    assertThrows[IllegalArgumentException](
+      Layout("x", Seq("regular"), Map("crs" -> "EPSG:4326", "resolution" -> "1",
+        "cell_size" -> "8"), interlacingPattern = "R>B>Z").validate())
+  }
+
   test("failed job rolls back and journals FAILED") {
     val spec = ConsolidationJob.Spec("job2", "bad", "missing-instance", Seq("rX"),
       layout, ConsolidationParams(uint8Map, Resampling.Near))
