@@ -200,29 +200,49 @@ object CRS {
           throw new IllegalArgumentException(s"+proj=utm needs +zone=: $s")).toInt
         UTM(zone, north = !kv.contains("south"))
       case Some("tmerc") =>
-        val tm = TransverseMercator(
-          lon0Deg = d("lon_0", 0), lat0Deg = d("lat_0", 0),
-          k0 = d("k", d("k_0", 1.0)), fe = d("x_0", 0), fnParam = d("y_0", 0))
-        // recognise exact UTM parameterizations so they keep their EPSG id
-        val zone = ((tm.lon0Deg + 180) / 6 + 1).toInt
-        if (tm.lat0Deg == 0 && tm.k0 == 0.9996 && tm.fe == 500000.0 &&
-            zone >= 1 && zone <= 60 && (zone - 1) * 6 - 180 + 3 == tm.lon0Deg &&
-            (tm.fnParam == 0.0 || tm.fnParam == 10000000.0))
-          UTM(zone, north = tm.fnParam == 0.0)
-        else tm
+        tmercOrUtm(d("lon_0", 0), d("lat_0", 0), d("k", d("k_0", 1.0)),
+          d("x_0", 0), d("y_0", 0))
       case p => throw new IllegalArgumentException(
         s"unsupported proj4 ${p.map("+proj=" + _).getOrElse(s)}")
     }
   }
 
-  /** WKT1/WKT2 resolved via the outermost EPSG authority/id (the last
-    * AUTHORITY/ID node in the text — WKT puts the whole-CRS id at the end). */
+  /** Recognise exact UTM parameterizations so they keep their EPSG id. */
+  private def tmercOrUtm(lon0: Double, lat0: Double, k0: Double,
+      fe: Double, fn: Double): CRS = {
+    val zone = ((lon0 + 180) / 6 + 1).toInt
+    if (lat0 == 0 && k0 == 0.9996 && fe == 500000.0 &&
+        zone >= 1 && zone <= 60 && (zone - 1) * 6 - 180 + 3 == lon0 &&
+        (fn == 0.0 || fn == 10000000.0))
+      UTM(zone, north = fn == 0.0)
+    else TransverseMercator(lon0, lat0, k0, fe, fn)
+  }
+
+  /** WKT1/WKT2: resolved via the outermost EPSG authority/id when present
+    * (the last AUTHORITY/ID node — WKT puts the whole-CRS id at the end);
+    * otherwise parameter-level parsing of the Transverse_Mercator family
+    * (PROJECTION + PARAMETER nodes) and the WGS84-geographic fallback. */
   private def parseWkt(s: String): CRS = {
     val re = """(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
     re.findAllMatchIn(s).toSeq.lastOption match {
       case Some(m) => fromSrid(m.group(1).toInt)
-      case None => throw new IllegalArgumentException(
-        s"WKT without EPSG authority id not supported: ${s.take(60)}...")
+      case None =>
+        val projRe = """(?i)PROJECTION\s*\[\s*"([^"]+)"""".r
+        val proj = projRe.findFirstMatchIn(s).map(_.group(1).toLowerCase)
+        val paramRe = """(?i)PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)""".r
+        lazy val params = paramRe.findAllMatchIn(s)
+          .map(m => m.group(1).toLowerCase -> m.group(2).toDouble).toMap
+        def p(name: String, dflt: Double) = params.getOrElse(name, dflt)
+        proj match {
+          case Some(name) if name.contains("transverse") =>
+            tmercOrUtm(p("central_meridian", 0), p("latitude_of_origin", 0),
+              p("scale_factor", 1.0), p("false_easting", 0), p("false_northing", 0))
+          case Some(name) if name.contains("mercator") => WebMercator
+          case None if s.toUpperCase.startsWith("GEOGCS") ||
+            s.toUpperCase.startsWith("GEOGCRS") => WGS84
+          case _ => throw new IllegalArgumentException(
+            s"WKT not resolvable (no EPSG id, unsupported projection): ${s.take(60)}...")
+        }
     }
   }
 

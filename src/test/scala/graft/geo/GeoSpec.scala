@@ -116,6 +116,22 @@ class GeoSpec extends AnyFunSuite {
       ID["EPSG",4326]]"""
     assert(CRS.parse(wkt2) == CRS.WGS84)
     assertThrows[IllegalArgumentException](CRS.parse("""PROJCS["no authority"]"""))
+    // authority-free WKT: Transverse_Mercator parameters are parsed;
+    // exact UTM parameterizations resolve to the zone
+    val tmWkt = """PROJCS["custom TM",GEOGCS["WGS 84"],
+      PROJECTION["Transverse_Mercator"],
+      PARAMETER["latitude_of_origin",50],PARAMETER["central_meridian",9],
+      PARAMETER["scale_factor",1],PARAMETER["false_easting",3500000],
+      PARAMETER["false_northing",200000],UNIT["metre",1]]"""
+    assert(CRS.parse(tmWkt) ==
+      CRS.TransverseMercator(9, 50, 1.0, 3500000, 200000))
+    val utmWkt = """PROJCS["utm-ish",GEOGCS["WGS 84"],
+      PROJECTION["Transverse_Mercator"],
+      PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],
+      PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],
+      PARAMETER["false_northing",0]]"""
+    assert(CRS.parse(utmWkt) == CRS.UTM(33, north = true))
+    assert(CRS.parse("""GEOGCS["WGS 84",DATUM["WGS_1984"]]""") == CRS.WGS84)
   }
 
   test("wkb round trip + geometry hash is deterministic") {
