@@ -191,6 +191,34 @@ class WarpSpec extends AnyFunSuite {
     assert(Sampler.sample(empty, 0, 2.0, 2.0, 1, 1, Double.NaN, Resampling.Lanczos).isNaN)
   }
 
+  test("area reducers golden: mode/max/min/med/q1/q3 over a 2x downsample") {
+    // 4×4 source; each target pixel covers a 2×2 block
+    val src = new Bitmap(4, 4, 1, graft.core.DType.Float64, Array(
+      1, 1, 5, 9,
+      1, 3, 7, 9,
+      2, 2, 4, 4,
+      2, 8, 4, 6))
+    def s(r: Resampling, xf: Double, yf: Double): Double =
+      Sampler.sample(src, 0, xf, yf, 2.0, 2.0, Double.NaN, r)
+    // top-left block {1,1,1,3}
+    assert(s(Resampling.Mode, 1.0, 1.0) == 1.0)
+    assert(s(Resampling.Max, 1.0, 1.0) == 3.0)
+    assert(s(Resampling.Min, 1.0, 1.0) == 1.0)
+    assert(s(Resampling.Average, 1.0, 1.0) == 1.5)
+    // top-right block {5,9,7,9}: mode ties (9 twice), med/q1/q3 indexed picks
+    assert(s(Resampling.Mode, 3.0, 1.0) == 9.0)
+    assert(s(Resampling.Med, 3.0, 1.0) == 9.0) // sorted {5,7,9,9} idx round(.5*3)=2
+    assert(s(Resampling.Q1, 3.0, 1.0) == 7.0) // idx round(.25*3)=1
+    assert(s(Resampling.Q3, 3.0, 1.0) == 9.0) // idx round(.75*3)=2
+    // bottom-left {2,2,2,8}: mode prefers the more frequent value
+    assert(s(Resampling.Mode, 1.0, 3.0) == 2.0)
+    // nodata-aware: holes drop out of the reduction
+    val holed = new Bitmap(2, 2, 1, graft.core.DType.Float64,
+      Array(Double.NaN, 10, Double.NaN, 20))
+    assert(Sampler.sample(holed, 0, 1.0, 1.0, 2.0, 2.0, Double.NaN, Resampling.Max) == 20.0)
+    assert(Sampler.sample(holed, 0, 1.0, 1.0, 2.0, 2.0, Double.NaN, Resampling.Average) == 15.0)
+  }
+
   test("validPixels counts NaN-nodata correctly") {
     val b = new Bitmap(2, 2, 1, Float32, Array(1.0, Double.NaN, 3.0, Double.NaN))
     assert(b.validPixels(Double.NaN) === 2)
