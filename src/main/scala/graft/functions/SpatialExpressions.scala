@@ -68,6 +68,32 @@ object SpatialExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ST_MakeBox(xmin, ymin, xmax, ymax) → WKB polygon (the envelope
+    * constructor, proj.go:287-316 NewRingFromExtent). */
+  case class STMakeBox(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.size == 4, "st_make_box(xmin, ymin, xmax, ymax)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) null
+      else {
+        val d = vs.map {
+          case x: Double => x
+          case x: Float => x.toDouble
+          case x: Int => x.toDouble
+          case x: Long => x.toDouble
+          case x => x.asInstanceOf[Number].doubleValue()
+        }
+        GeomOps.writeWkb(GeomOps.polygonFromBBox(
+          graft.geo.BBox(d(0), d(1), d(2), d(3))))
+      }
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+  }
+
   /** Geometry SHA-1 hash (record.go:33-46) as hex string. */
   case class GeomHash(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
@@ -85,6 +111,8 @@ object SpatialExpressions {
   def st_intersection(a: Column, b: Column): Column = toCol(STIntersection(toExpr(a), toExpr(b)))
   def st_area(a: Column): Column = toCol(STArea(toExpr(a)))
   def geom_hash(a: Column): Column = toCol(GeomHash(toExpr(a)))
+  def st_make_box(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    toCol(STMakeBox(Seq(toExpr(xmin), toExpr(ymin), toExpr(xmax), toExpr(ymax))))
 
   /** bbox-overlap pre-filter over the struct companion column — codegen'd,
     * parquet-min/max-prunable (the GIST-index substitute, SURVEY §4). */

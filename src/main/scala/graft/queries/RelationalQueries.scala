@@ -250,6 +250,43 @@ object RelationalQueries {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** p5_spatial_refine — the two-stage spatial predicate with the REAL
+    * Catalyst/JTS expressions oracle-checked: boxes from part and supplier
+    * explode to covered grid cells (coarse stage, equi-joinable), then the
+    * fine stage runs `st_interior_intersects` (ST_Relate T********,
+    * pg_containers.go:308-310) over `st_make_box` WKB geometries. For
+    * axis-aligned boxes interior-intersection is exactly strict overlap,
+    * so DuckDB verifies the JTS expression path with plain arithmetic.
+    * Same scale shape as j4: the only join is on the cell key. */
+  def p5SpatialRefine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_interior_intersects, st_make_box}
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("cx", explode(expr(
+        "sequence(cast(floor(xmin/10) as int), cast(floor(xmax/10) as int))")))
+      .withColumn("cy", explode(expr(
+        "sequence(cast(floor(ymin/10) as int), cast(floor(ymax/10) as int))")))
+    val a = cells(t(s, dir, "part").select(col("p_partkey"),
+      (col("p_partkey") * 7 % 100).as("xmin"),
+      (col("p_partkey") * 13 % 100).as("ymin"),
+      (col("p_partkey") * 7 % 100 + col("p_size") % 10 + 1).as("xmax"),
+      (col("p_partkey") * 13 % 100 + col("p_size") % 7 + 1).as("ymax")))
+    val b = cells(t(s, dir, "supplier").select(col("s_suppkey"),
+      (col("s_suppkey") * 17 % 100).as("xmin"),
+      (col("s_suppkey") * 29 % 100).as("ymin"),
+      (col("s_suppkey") * 17 % 100 + col("s_suppkey") % 5 + 1).as("xmax"),
+      (col("s_suppkey") * 29 % 100 + col("s_suppkey") % 3 + 1).as("ymax")))
+      .select(col("s_suppkey"), col("xmin").as("bxmin"), col("ymin").as("bymin"),
+        col("xmax").as("bxmax"), col("ymax").as("bymax"), col("cx"), col("cy"))
+    a.join(broadcast(b), Seq("cx", "cy"))
+      .filter(st_interior_intersects(
+        st_make_box(col("xmin").cast("double"), col("ymin").cast("double"),
+          col("xmax").cast("double"), col("ymax").cast("double")),
+        st_make_box(col("bxmin").cast("double"), col("bymin").cast("double"),
+          col("bxmax").cast("double"), col("bymax").cast("double"))))
+      .select(col("p_partkey"), col("s_suppkey")).distinct()
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
   /** c3_pack_orders — the consolidation task builder's packing step
     * (csldPrepareOrders, consolidater.go:411-518): rows sorted by
     * (time, id) within each cell are packed MaxRecords-per-container via
@@ -488,7 +525,8 @@ object RelationalQueries {
     "a6_update_impact" -> a6UpdateImpact _,
     "w3_sessionize" -> w3Sessionize _,
     "j4_bbox_join" -> j4BboxJoin _,
-    "c3_pack_orders" -> c3PackOrders _)
+    "c3_pack_orders" -> c3PackOrders _,
+    "p5_spatial_refine" -> p5SpatialRefine _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
@@ -594,6 +632,29 @@ object RelationalQueries {
          SELECT p_partkey, s_suppkey
          FROM cells JOIN p2 USING (cx, cy)
          WHERE px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
+         ORDER BY p_partkey, s_suppkey""",
+    "p5_spatial_refine" ->
+      """WITH pa AS (
+           SELECT p_partkey, (p_partkey*7)%100 AS xmin, (p_partkey*13)%100 AS ymin,
+                  (p_partkey*7)%100 + p_size%10 + 1 AS xmax,
+                  (p_partkey*13)%100 + p_size%7 + 1 AS ymax
+           FROM part),
+         ca1 AS (SELECT *, unnest(range(CAST(floor(xmin/10) AS INT),
+                   CAST(floor(xmax/10) AS INT) + 1)) AS cx FROM pa),
+         ca AS (SELECT *, unnest(range(CAST(floor(ymin/10) AS INT),
+                  CAST(floor(ymax/10) AS INT) + 1)) AS cy FROM ca1),
+         pb AS (
+           SELECT s_suppkey, (s_suppkey*17)%100 AS bxmin, (s_suppkey*29)%100 AS bymin,
+                  (s_suppkey*17)%100 + s_suppkey%5 + 1 AS bxmax,
+                  (s_suppkey*29)%100 + s_suppkey%3 + 1 AS bymax
+           FROM supplier),
+         cb1 AS (SELECT *, unnest(range(CAST(floor(bxmin/10) AS INT),
+                   CAST(floor(bxmax/10) AS INT) + 1)) AS cx FROM pb),
+         cb AS (SELECT *, unnest(range(CAST(floor(bymin/10) AS INT),
+                  CAST(floor(bymax/10) AS INT) + 1)) AS cy FROM cb1)
+         SELECT DISTINCT p_partkey, s_suppkey
+         FROM ca JOIN cb USING (cx, cy)
+         WHERE xmin < bxmax AND xmax > bxmin AND ymin < bymax AND ymax > bymin
          ORDER BY p_partkey, s_suppkey""",
     "c3_pack_orders" ->
       """WITH r AS (
