@@ -278,12 +278,21 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("xmin").as("bxmin"), col("ymin").as("bymin"),
         col("xmax").as("bxmax"), col("ymax").as("bymax"), col("cx"), col("cy"))
     a.join(broadcast(b), Seq("cx", "cy"))
+      // coarse stage: codegen'd strict-overlap arithmetic (the `&&`),
+      // then pair-dedup (a pair surfaces once per shared covered cell)
+      .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
+        col("ymin") < col("bymax") && col("ymax") > col("bymin"))
+      .select(col("p_partkey"), col("s_suppkey"),
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+        col("bxmin"), col("bymin"), col("bxmax"), col("bymax"))
+      .distinct()
+      // fine stage: the JTS relate expression confirms each unique pair
       .filter(st_interior_intersects(
         st_make_box(col("xmin").cast("double"), col("ymin").cast("double"),
           col("xmax").cast("double"), col("ymax").cast("double")),
         st_make_box(col("bxmin").cast("double"), col("bymin").cast("double"),
           col("bxmax").cast("double"), col("bymax").cast("double"))))
-      .select(col("p_partkey"), col("s_suppkey")).distinct()
+      .select(col("p_partkey"), col("s_suppkey"))
       .orderBy("p_partkey", "s_suppkey")
   }
 
