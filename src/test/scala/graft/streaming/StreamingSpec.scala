@@ -69,6 +69,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("file-source ingestion: readStream over a drop directory -> windowed agg") {
+    import spark.implicits._
+    val dropDir = java.nio.file.Files.createTempDirectory("graft-drop").toString
+    // first batch of event files lands before the stream starts
+    Seq((ts("2024-01-01 00:05:00"), "ingest", 2.0),
+        (ts("2024-01-01 00:20:00"), "ingest", 3.0))
+      .toDF("ts", "event_type", "value").write.parquet(s"$dropDir/b1")
+    val schema = "ts timestamp, event_type string, value double"
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$dropDir/*")
+    val agg = EventStream.windowedCounts(stream, "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("fileagg").start()
+    try {
+      q.processAllAvailable()
+      // second drop: the running stream picks the new files up
+      Seq((ts("2024-01-01 00:40:00"), "ingest", 5.0))
+        .toDF("ts", "event_type", "value").write.parquet(s"$dropDir/b2")
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n, sum_value FROM fileagg WHERE event_type = 'ingest'").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 3 && rows(0).getDouble(1) == 10.0)
+    } finally q.stop()
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(dropDir))
+  }
+
   test("job FSM via flatMapGroupsWithState: stateful dedup + completion transition") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
