@@ -116,6 +116,26 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slices(0).record_ids == Seq("r1", "r2"))
   }
 
+  test("plan shape: one data shuffle + ordered emission, filters reach parquet") {
+    // the scale contract (README "Scale design"): tile payloads move through
+    // exactly ONE hash shuffle (the group key the mosaic needs) plus the
+    // final range partition for ordered slices — broadcasts don't count
+    val plan = GetCube.cube(spark, cat, request()).queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq.sorted
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+    // exactly two hash shuffles: the group key carrying tile payloads
+    // ("value" = groupByKey key) and the payload-FREE overview-selection
+    // window keyed by (container_uri, base_subdir) metadata
+    assert(hashExchanges == Seq("container_uri", "value"), s"$hashExchanges:\n$plan")
+    assert(rangeEx == 1, s"expected 1 range exchange, got $rangeEx")
+    // the dataset scan gets its filters pushed into the parquet source
+    val found = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+      status = Seq("ACTIVE"), instanceIds = Seq("i1"), order = false))
+    val scan = found.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("status"), scan)
+  }
+
   test("headers-only short-circuits the kernel") {
     val slices = GetCube.cube(spark, cat, request().copy(headersOnly = true)).collect()
     assert(slices.length == 2)
