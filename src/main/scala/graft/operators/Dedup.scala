@@ -80,21 +80,27 @@ object Dedup {
     val base = df.select(
       Seq(col(idCol).as("__id"), tokenSet(col(textCol)).as("__toks")) ++
         shardCol.map(c => col(c).as("__shard")).toSeq ++ bands: _*)
-      .cache() // scanned 2×nBands times across self-join branches
+      .cache() // scanned (2×nBands + 1) times across self-join branches
 
+    // candidates on the NARROW key relation (ids+bands move through the
+    // band-join shuffles, token sets don't), pair-dedup, then one token
+    // fetch + one intersection per unique pair.
+    val keys = base.drop("__toks")
     def bandJoin(b: Int): DataFrame = {
       val cond = shardCol
         .map(_ => col(s"a.__shard") === col(s"b.__shard"))
         .foldLeft(col(s"a.band$b") === col(s"b.band$b") &&
           col("a.__id") < col("b.__id"))(_ && _)
-      base.as("a").join(base.as("b"), cond)
-        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-          size(array_intersect(col("a.__toks"), col("b.__toks"))).as("inter"),
-          size(col("a.__toks")).as("na"), size(col("b.__toks")).as("nb"))
+      keys.as("a").join(keys.as("b"), cond)
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
     }
 
     (0 until nBands).map(bandJoin).reduce(_ union _).distinct()
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard",
+        col("__inter") / (size(col("__ta")) + size(col("__tb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
