@@ -37,9 +37,26 @@ object ConsolidationJob {
       Schemas.jobs), "jobs")
   }
 
-  /** Drive the FSM to DONE (sync execution mode). Returns the final state. */
-  def run(spark: SparkSession, cat: Catalog, spec: Spec): String = {
-    logState(spark, cat, spec, "NEW")
+  /** Drive the FSM (sync execution mode). `pauseAfter` is the step-by-step
+    * execution level of the reference (operations.proto:24-30 + job.go
+    * pause levels): the job journals its state and stops after the named
+    * state; a later call with the same spec resumes from the journal
+    * (idempotent state guards, like handleTaskEvt's "already done" path).
+    * Returns the final state reached. */
+  def run(spark: SparkSession, cat: Catalog, spec: Spec,
+      pauseAfter: Option[String] = None): String = {
+    // resume support: states already journaled for this job are skipped
+    val done: Set[String] = cat.read(spark, "jobs")
+      .filter(col("id") === spec.jobId).select("state")
+      .collect().map(_.getString(0)).toSet
+    def step(state: String)(body: => String): Boolean = {
+      if (!done.contains(state)) {
+        val payload = body
+        logState(spark, cat, spec, state, payload)
+      }
+      pauseAfter.contains(state)
+    }
+    if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
     try {
       // layout validation on entry (layout.go:120-129: bad interlacing
       // grammar or grid params fail the job before any work)
@@ -50,31 +67,51 @@ object ConsolidationJob {
         recordIds = spec.recordIds, order = false))
         .select("id").collect().map(_.getString(0)).toSeq
       require(locked.nonEmpty, s"job ${spec.jobId}: no datasets to consolidate")
-      logState(spark, cat, spec, "CREATED", s"""{"locked":${locked.size}}""")
+      if (step("CREATED") { s"""{"locked":${locked.size}}""" }) return "CREATED"
 
       // C3 prepare orders
       val tasks = Consolidation.prepareOrders(spark, cat, spec.jobId,
         spec.instanceId, spec.recordIds, spec.layout, spec.collapseOnRecordId)
       tasks.cache()
       val nTasks = tasks.count()
-      logState(spark, cat, spec, "CONSOLIDATIONINPROGRESS", s"""{"tasks":$nTasks}""")
+      if (step("CONSOLIDATIONINPROGRESS") { s"""{"tasks":$nTasks}""" })
+        return "CONSOLIDATIONINPROGRESS"
 
-      // C4 consolidate (one Spark task per container, + overview pyramid)
-      val newTiles = Consolidation.consolidate(spark, cat, tasks, spec.params,
-        spec.layout.overviewsMinSize)
-      logState(spark, cat, spec, "CONSOLIDATIONDONE")
+      // C4 consolidate (one Spark task per container, + overview pyramid).
+      // On resume before indexing, partial/previous outputs of this job are
+      // purged and C4 redone — the reference's retry path deletes partial
+      // uploads (handler_consolidation.go cancellation/cleanup) rather than
+      // trusting them. Once INDEXED is journaled the outputs are authoritative
+      // and C4 is skipped entirely.
+      val newTiles =
+        if (done.contains("CONSOLIDATIONINDEXED"))
+          spark.emptyDataFrame // not needed downstream
+        else {
+          if (done.contains("CONSOLIDATIONDONE")) {
+            val prefix = s"${cat.root}/containers/${spec.jobId}/"
+            cat.rewrite(cat.read(spark, "tiles")
+              .filter(!col("container_uri").startsWith(prefix)), "tiles")
+            cat.rewrite(cat.read(spark, "containers")
+              .filter(!col("uri").startsWith(prefix)), "containers")
+          }
+          Consolidation.consolidate(spark, cat, tasks, spec.params,
+            spec.layout.overviewsMinSize)
+        }
+      if (step("CONSOLIDATIONDONE") { "" }) return "CONSOLIDATIONDONE"
 
       // C5 index (INACTIVE)
-      Consolidation.index(spark, cat, newTiles, spec.instanceId, spec.params)
-      logState(spark, cat, spec, "CONSOLIDATIONINDEXED")
+      if (!done.contains("CONSOLIDATIONINDEXED"))
+        Consolidation.index(spark, cat, newTiles, spec.instanceId, spec.params)
+      if (step("CONSOLIDATIONINDEXED") { "" }) return "CONSOLIDATIONINDEXED"
 
       // C6 swap (atomic)
-      Consolidation.swap(spark, cat, spec.instanceId, locked)
-      logState(spark, cat, spec, "CONSOLIDATIONEFFECTIVE")
+      if (!done.contains("CONSOLIDATIONEFFECTIVE"))
+        Consolidation.swap(spark, cat, spec.instanceId, locked)
+      if (step("CONSOLIDATIONEFFECTIVE") { "" }) return "CONSOLIDATIONEFFECTIVE"
 
       // C7 delete old
-      Consolidation.deleteDatasets(spark, cat)
-      logState(spark, cat, spec, "DONE")
+      if (!done.contains("DONE")) Consolidation.deleteDatasets(spark, cat)
+      step("DONE") { "" }
       "DONE"
     } catch {
       case e: Exception =>

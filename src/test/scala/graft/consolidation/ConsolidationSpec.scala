@@ -186,6 +186,27 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
         "cell_size" -> "8"), interlacingPattern = "R>B>Z").validate())
   }
 
+  test("step-by-step execution level: pause after a state, resume to DONE") {
+    val spec = ConsolidationJob.Spec("job3", "stepwise", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    // pause after C3: tasks journaled, no outputs built yet
+    val paused = ConsolidationJob.run(spark, cat, spec,
+      pauseAfter = Some("CONSOLIDATIONINPROGRESS"))
+    assert(paused == "CONSOLIDATIONINPROGRESS")
+    assert(cat.read(spark, "containers")
+      .filter(col("uri").startsWith(s"$root/containers/job3/")).count() == 0)
+    // resume: journaled states skip, the rest drives to DONE
+    assert(ConsolidationJob.run(spark, cat, spec) == "DONE")
+    val active = cat.read(spark, "datasets").filter(col("status") === "ACTIVE")
+    assert(active.collect().forall(
+      _.getAs[String]("container_uri").startsWith(s"$root/containers/job3/")))
+    // journal holds the full state history exactly once each
+    val states = cat.read(spark, "jobs").filter(col("id") === "job3")
+      .select("state").collect().map(_.getString(0)).toSeq
+    assert(states.count(_ == "CONSOLIDATIONINPROGRESS") == 1)
+    assert(states.contains("DONE"))
+  }
+
   test("failed job rolls back and journals FAILED") {
     val spec = ConsolidationJob.Spec("job2", "bad", "missing-instance", Seq("rX"),
       layout, ConsolidationParams(uint8Map, Resampling.Near))
