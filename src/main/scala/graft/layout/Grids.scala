@@ -130,7 +130,13 @@ final case class SingleCellGrid(crs: CRS, resolution: Double) extends Grid {
   * intersection with it — URIs are "cellID" or "cellID/subURI"
   * (customgrid.go:49-76). `cell` materializes either the custom cell's own
   * bbox grid at `resolution`, or delegates the sub-cell to the subgrid in
-  * the custom cell's CRS. */
+  * the custom cell's CRS.
+  *
+  * Scale note: `cell()` lookups go through a driver-collected id→geometry
+  * map — correct for broadcast-sized grids (MGRS ≈ 1.2k zone cells, any
+  * catalog grid in the MB range, matching the reference's per-cell DB
+  * lookups). For larger cell tables keep the DataFrame form
+  * (CatalogQueries.findCells) and join instead of materializing. */
 final case class CustomGrid(
     spark: org.apache.spark.sql.SparkSession,
     cat: graft.catalog.Catalog,
@@ -212,6 +218,26 @@ object Grid {
           params.get("oy").map(_.toDouble).getOrElse(0.0))
       case "singlecell" => SingleCellGrid(crs, resolution)
       case g => throw new IllegalArgumentException(s"unsupported grid: $g")
+    }
+  }
+
+  /** Layout grids including catalog-defined custom grids
+    * (customgrid.go:26-41: any flag that isn't a built-in kind names a
+    * `cells`-table grid; optional "subgrid" parameter = regular/singlecell
+    * refinement of each cell). */
+  def fromLayout(flags: Seq[String], params: Map[String, String],
+      spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.Catalog): Grid = {
+    val kind = flags.headOption.getOrElse("regular")
+    if (kind == "regular" || kind == "singlecell") fromLayout(flags, params)
+    else {
+      val resolution = params.getOrElse("resolution",
+        throw new IllegalArgumentException("must contain a valid 'resolution'")).toDouble
+      val sub = params.get("subgrid").map { s =>
+        (crs: CRS) => fromLayout(Seq(s),
+          params + ("crs" -> s"EPSG:${crs.srid}"))
+      }
+      CustomGrid(spark, cat, kind, resolution, sub)
     }
   }
 

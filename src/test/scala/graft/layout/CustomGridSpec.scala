@@ -49,6 +49,19 @@ class CustomGridSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalArgumentException](g.cell("nope"))
   }
 
+  test("layout flags reach custom grids (kind = grid name, subgrid param)") {
+    val g = Grid.fromLayout(Seq("mgrs"),
+      Map("resolution" -> "0.5", "cell_size" -> "10", "subgrid" -> "regular"),
+      spark, cat)
+    val aoi = GeomOps.polygonFromBBox(BBox(8, 44, 12, 46))
+    val uris = g.covers(aoi).toSeq
+    assert(uris.nonEmpty && uris.forall(_.matches("3[12]U/-?\\d+/-?\\d+")))
+    // built-in kinds keep working through the same overload
+    val reg = Grid.fromLayout(Seq("regular"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "1", "cell_size" -> "4"), spark, cat)
+    assert(reg.isInstanceOf[RegularGrid])
+  }
+
   test("subgrid refinement: cells split over the AOI∩cell intersection") {
     val g = CustomGrid(spark, cat, "mgrs", resolution = 0.5,
       subgridOf = Some(crs => RegularGrid(crs, 10, 10, 0.5))) // 5°×5° subcells
