@@ -297,7 +297,7 @@ object GeoTiff {
         entries += ((TGeoDoubleParams, 12, geoDoubles.size, doubles(geoDoubles)))
       // GDAL nodata convention: ASCII, NUL-terminated ("nan" for NaN) —
       // lets readers fill sparse tiles and carry nodata across files
-      val ndStr = (if (noData.isNaN) "nan" else noData.toString) + " "
+      val ndStr = (if (noData.isNaN) "nan" else noData.toString) + "\u0000"
       entries += ((TGdalNoData, 2, ndStr.length, ndStr.getBytes("US-ASCII")))
       val tpb = if (tiled)
         ((bm.width + tileSize - 1) / tileSize) * ((bm.height + tileSize - 1) / tileSize)
@@ -477,7 +477,7 @@ object GeoTiff {
           val chars =
             if (count <= 4) (0 until count).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
             else java.util.Arrays.copyOfRange(data, v, v + count)
-          val str = new String(chars, "US-ASCII").takeWhile(_ != ' ').trim
+          val str = new String(chars, "US-ASCII").takeWhile(_ != '\u0000').trim
           if (str.equalsIgnoreCase("nan")) Double.NaN
           else scala.util.Try(str.toDouble).getOrElse(Double.NaN)
         case _ => Double.NaN
