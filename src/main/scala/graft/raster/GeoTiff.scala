@@ -15,9 +15,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * image, average-downsampled ×2 until ≤ minSize (cog.go:161-177
   * computeNbOverviews semantics).
   *
-  * Per SURVEY §7.4 risk 5 the MuCOG interlacing pattern is treated as a
-  * validated no-op — the read path (IFD index addressing) stays
-  * compatible.
+  * MuCOG (SURVEY §7.4 risk 5): all IFDs sit at the file head (one
+  * metadata range-read) and [[Interlacing]] patterns order the physical
+  * data blocks for timeseries locality; `GTIFF_DIR:n` addressing is
+  * byte-compatible regardless of block order. Sparse all-nodata tiles are
+  * elided (offset 0) and refilled on read from the GDAL_NODATA tag.
   */
 object GeoTiff {
 
