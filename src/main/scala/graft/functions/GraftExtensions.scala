@@ -81,7 +81,9 @@ object GraftSparkExtensions {
     "st_interior_intersects" -> ((args: Seq[Expression]) => STInteriorIntersects(args(0), args(1))),
     "st_intersection" -> ((args: Seq[Expression]) => STIntersection(args(0), args(1))),
     "st_area" -> ((args: Seq[Expression]) => STArea(args(0))),
-    "geom_hash" -> ((args: Seq[Expression]) => GeomHash(args(0))))
+    "geom_hash" -> ((args: Seq[Expression]) => GeomHash(args(0))),
+    "st_make_box" -> ((args: Seq[Expression]) => STMakeBox(args)),
+    "st_transform" -> ((args: Seq[Expression]) => STTransform(args)))
 
   /** Install on a live session (no spark.sql.extensions restart needed):
     * SQL functions via the registry bridge + the bbox rule as an

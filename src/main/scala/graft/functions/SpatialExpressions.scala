@@ -68,6 +68,37 @@ object SpatialExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ST_Transform(wkb, fromCrs, toCrs) → WKB with every coordinate
+    * reprojected through the engine CRS registry (F6, the per-cell SRID
+    * transform of FindCells, pg_grids.go:118-126; proj.go:287-331). CRS
+    * arguments accept anything [[graft.geo.CRS.parse]] does (EPSG/proj4/
+    * WKT). */
+  case class STTransform(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    require(children.size == 3, "st_transform(wkb, fromCrs, toCrs)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) null
+      else {
+        val from = graft.geo.CRS.parse(vs(1).toString)
+        val to = graft.geo.CRS.parse(vs(2).toString)
+        val g = GeomOps.readWkb(vs(0).asInstanceOf[Array[Byte]]).copy()
+        g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+          override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+            val (x, y) = graft.geo.CRS.transform(from, to, c.x, c.y)
+            c.x = x; c.y = y
+          }
+        })
+        g.geometryChanged()
+        GeomOps.writeWkb(g)
+      }
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+  }
+
   /** ST_MakeBox(xmin, ymin, xmax, ymax) → WKB polygon (the envelope
     * constructor, proj.go:287-316 NewRingFromExtent). */
   case class STMakeBox(children: Seq[Expression])
@@ -113,6 +144,8 @@ object SpatialExpressions {
   def geom_hash(a: Column): Column = toCol(GeomHash(toExpr(a)))
   def st_make_box(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
     toCol(STMakeBox(Seq(toExpr(xmin), toExpr(ymin), toExpr(xmax), toExpr(ymax))))
+  def st_transform(wkb: Column, fromCrs: Column, toCrs: Column): Column =
+    toCol(STTransform(Seq(toExpr(wkb), toExpr(fromCrs), toExpr(toCrs))))
 
   /** bbox-overlap pre-filter over the struct companion column — codegen'd,
     * parquet-min/max-prunable (the GIST-index substitute, SURVEY §4). */

@@ -75,4 +75,34 @@ class ExtensionsSpec extends AnyFunSuite {
           WHERE st_interior_intersects(geom_wkb, unhex('$touch')) ORDER BY id""").collect()
     assert(strict.map(_.getInt(0)).toSeq == Seq(2)) // 1 and 3 only touch corners
   }
+
+  test("st_transform expression reprojects WKB through the CRS registry") {
+    import SpatialExpressions._
+    import spark.implicits._
+    val df = Seq(1).toDF("id").withColumn("g",
+      st_make_box(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
+    val out = df.select(
+        st_transform(col("g"), lit("EPSG:4326"), lit("EPSG:3857")).as("m"))
+      .collect().head.getAs[Array[Byte]]("m")
+    val g = GeomOps.readWkb(out)
+    val env = g.getEnvelopeInternal
+    // 1° at the equator ≈ 111319.49 m in WebMercator
+    assert(math.abs(env.getMaxX - 111319.4907932736) < 1e-3)
+    assert(env.getMinX == 0.0 && math.abs(env.getMinY) < 1e-6)
+    // round trip back to degrees
+    val back = GeomOps.readWkb(
+      df.select(st_transform(
+        st_transform(col("g"), lit("EPSG:4326"), lit("EPSG:32631")),
+        lit("EPSG:32631"), lit("EPSG:4326")).as("b"))
+        .collect().head.getAs[Array[Byte]]("b"))
+    val be = back.getEnvelopeInternal
+    assert(math.abs(be.getMaxX - 1.0) < 1e-7 && math.abs(be.getMaxY - 1.0) < 1e-7)
+    // registered as a SQL function too
+    geomsDf.createOrReplaceTempView("geoms2")
+    val n = spark.sql(
+      """SELECT count(*) FROM geoms2
+         WHERE st_area(st_transform(geom_wkb, 'EPSG:4326', 'EPSG:3857')) > 0""")
+      .collect().head.getLong(0)
+    assert(n == 20)
+  }
 }
