@@ -173,6 +173,19 @@ object GetCube {
       .orderBy(col("min_datetime"), col("group_key"))
   }
 
+  /** DownloadCube (reference downloader.go:47-158): replay the merge
+    * kernel from CLIENT-supplied tiles — the caller already holds slice
+    * metadata (e.g. from a headers-only GetCube) plus the raster payloads
+    * (e.g. file reads), so no catalog round-trip happens; same kernel,
+    * same ordered emission. */
+  def downloadCube(spark: SparkSession, tiles: Dataset[DatasetTile],
+      out: OutDescriptor): Dataset[Slice] = {
+    import spark.implicits._
+    tiles.groupByKey(_.group_key)
+      .mapGroups { (key, it) => buildSlice(key, it, out) }
+      .orderBy(col("min_datetime"), col("group_key"))
+  }
+
   private def datasetTilesMetaOnly(spark: SparkSession, cat: Catalog, req: CubeRequest): DataFrame = {
     val out = prepare(spark, cat, req)
     val (footprint, refined) = spatialFilters(req, out)

@@ -136,6 +136,27 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.contains("PushedFilters") && scan.contains("status"), scan)
   }
 
+  test("downloadCube replays the kernel from client-supplied tiles (D-surface)") {
+    import spark.implicits._
+    // the client holds the tile bytes + dataset metadata itself
+    val tile = new graft.raster.Bitmap(4, 4, 1, graft.core.DType.UInt8,
+      Array.fill(16)(100.0)).toBytes
+    val rows = Seq(DatasetTile(
+      group_key = "g0", record_id = "r1", datetime = ts("2024-01-01 00:00:00"),
+      dataset_id = "d1", bands = Seq(1),
+      dtype = "uint8", no_data = 255.0, min_value = 0.0, max_value = 254.0,
+      real_min_value = -1.0, real_max_value = 1.0, exponent = 1.0,
+      t_width = 4, t_height = 4, t_bands = 1, t_dtype = "uint8",
+      t_crs = "EPSG:4326", t_transform = Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+      payload = tile))
+    val out = GetCube.prepare(spark, cat, request())
+    val slices = GetCube.downloadCube(spark, rows.toDS(), out).collect()
+    assert(slices.length == 1 && slices(0).record_ids == Seq("r1"))
+    val bm = graft.raster.Bitmap.fromBytes(
+      slices(0).payload, 4, 4, 1, graft.core.DType.Float32)
+    assert(bm.pixels.forall(v => math.abs(v - cast100) < 1e-6))
+  }
+
   test("headers-only short-circuits the kernel") {
     val slices = GetCube.cube(spark, cat, request().copy(headersOnly = true)).collect()
     assert(slices.length == 2)
