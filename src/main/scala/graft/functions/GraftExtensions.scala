@@ -27,7 +27,15 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, StructType}
   * (`st_intersects`, `st_interior_intersects`, `st_intersection`,
   * `st_area`, `geom_hash`).
   */
-object SpatialFilterPushdown extends Rule[LogicalPlan] {
+object SpatialFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Catalog convention ([[graft.catalog.Schemas]]): the `bbox` struct is the
+    * geographic prune companion of exactly these geometry columns (aoi
+    * `geom_wkb`, datasets `geog_wkb`, cells `coordinates_wkb`). A predicate
+    * over any other expression — `shape_wkb` (native CRS), an
+    * `st_transform`'d geometry, a computed column — must NOT gain a bbox
+    * conjunct: the box would be in the wrong CRS or simply unrelated. */
+  private val companionGeomNames = Set("geom_wkb", "geog_wkb", "coordinates_wkb")
 
   private def isBBoxStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case s: StructType => s.fieldNames.toSeq == Seq("xmin", "ymin", "xmax", "ymax")
@@ -48,11 +56,22 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] {
       child.output.find(a => a.name == "bbox" && isBBoxStruct(a.dataType)) match {
         case None => f
         case Some(battr) =>
-          val literalGeoms = cond.collect {
-            case SpatialExpressions.STIntersects(_, Literal(w: Array[Byte], BinaryType)) => w
-            case SpatialExpressions.STIntersects(Literal(w: Array[Byte], BinaryType), _) => w
-            case SpatialExpressions.STInteriorIntersects(_, Literal(w: Array[Byte], BinaryType)) => w
-            case SpatialExpressions.STInteriorIntersects(Literal(w: Array[Byte], BinaryType), _) => w
+          val companionIds = child.output
+            .collect { case a if companionGeomNames(a.name) => a.exprId }.toSet
+          def isCompanion(e: Expression): Boolean = e match {
+            case a: Attribute => companionIds(a.exprId)
+            case _ => false
+          }
+          // Only TOP-LEVEL conjuncts may contribute: a predicate sitting
+          // under Or/Not/CaseWhen is not an implication of the whole filter,
+          // so ANDing its bbox onto the filter would silently drop rows
+          // (e.g. `NOT st_intersects(g, A)` or `st_intersects(g, A) OR
+          // st_intersects(g, B)`).
+          val literalGeoms = splitConjunctivePredicates(cond).collect {
+            case SpatialExpressions.STIntersects(g, Literal(w: Array[Byte], BinaryType)) if isCompanion(g) => w
+            case SpatialExpressions.STIntersects(Literal(w: Array[Byte], BinaryType), g) if isCompanion(g) => w
+            case SpatialExpressions.STInteriorIntersects(g, Literal(w: Array[Byte], BinaryType)) if isCompanion(g) => w
+            case SpatialExpressions.STInteriorIntersects(Literal(w: Array[Byte], BinaryType), g) if isCompanion(g) => w
           }
           val adds = literalGeoms
             .map(w => conjunct(battr, GeomOps.bbox(GeomOps.readWkb(w))))

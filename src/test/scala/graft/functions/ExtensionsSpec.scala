@@ -49,6 +49,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 5, 6))
   }
 
+  test("rule does NOT rewrite predicates under NOT / OR or over non-companion geometry") {
+    import SpatialExpressions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext2").toString
+    geomsDf.write.mode("overwrite").parquet(s"$dir/geoms")
+    val df = spark.read.parquet(s"$dir/geoms")
+    val boxA = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(0.5, 0.5, 1.5, 1.5)))   // hits 0,1
+    val boxB = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(10.5, 10.5, 11.5, 11.5))) // hits 10,11
+
+    // NOT st_intersects: complement must survive (everything except 0,1)
+    val notQ = df.filter(!st_intersects(col("geom_wkb"), lit(boxA)))
+    assert(notQ.select("id").collect().map(_.getInt(0)).sorted.toSeq == ((2 until 20): Seq[Int]))
+    assert(!notQ.queryExecution.optimizedPlan.toString.contains(".xmin <="))
+
+    // OR of two literal probes: both sides' matches must survive
+    val orQ = df.filter(st_intersects(col("geom_wkb"), lit(boxA)) ||
+      st_intersects(col("geom_wkb"), lit(boxB)))
+    assert(orQ.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 10, 11))
+    assert(!orQ.queryExecution.optimizedPlan.toString.contains(".xmin <="))
+
+    // geometry argument is a computed expression (st_transform): the stored
+    // bbox is in the wrong CRS for it — no conjunct may be added
+    val reproj = st_transform(col("geom_wkb"), lit("EPSG:4326"), lit("EPSG:3857"))
+    val probeM = GeomOps.writeWkb(GeomOps.polygonFromBBox(
+      BBox(0, 0, 250000, 250000))) // ~ first two squares in WebMercator metres
+    val trQ = df.filter(st_intersects(reproj, lit(probeM)))
+    assert(!trQ.queryExecution.optimizedPlan.toString.contains(".xmin <="))
+    assert(trQ.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+
+    // AND of a companion conjunct with an OR: only the top-level conjunct
+    // contributes its bbox, and results stay correct
+    val mixQ = df.filter(st_intersects(col("geom_wkb"), lit(boxA)) &&
+      (col("id") < lit(1) || col("id") > lit(0)))
+    assert(mixQ.queryExecution.optimizedPlan.toString.contains(".xmin <="))
+    assert(mixQ.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+  }
+
   test("rule leaves filters without a bbox companion untouched") {
     val probe = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(0, 0, 3, 3)))
     val q = geomsDf.drop("bbox").filter(
