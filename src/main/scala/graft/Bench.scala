@@ -42,20 +42,35 @@ object Bench {
     // two passes, report per-query best: pass 1 absorbs residual C2-JIT
     // compilation of generated code paths the warmup can't reach; the
     // cache is cleared between passes so pass 2 still pays real data
-    // reads (steady-state timing, not cached-result timing).
+    // reads (steady-state timing, not cached-result timing). Between
+    // queries the LSH operators' registered signature caches are released
+    // so one query's cached relations can't squat executor memory for the
+    // rest of the run (the round-2 p3/a5 regression suspect).
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name; false
+        }
+      graft.operators.OperatorCaches.unpersistAll()
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
     }
     val pass1 = onePass()
     spark.catalog.clearCache()
     val pass2 = onePass()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // a query that failed in either pass reports -1, never an elapsed time
+    // (a broken query must not read as a suspiciously fast green bar)
+    val results = pass1.map { case (k, v) =>
+      k -> (if (failed(k)) -1.0 else math.min(v, pass2(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -80,7 +80,8 @@ object Dedup {
     val base = df.select(
       Seq(col(idCol).as("__id"), tokenSet(col(textCol)).as("__toks")) ++
         shardCol.map(c => col(c).as("__shard")).toSeq ++ bands: _*)
-      .cache() // scanned (2×nBands + 1) times across self-join branches
+      .cache() // scanned (2×nBands + 1) times across self-join branches;
+    OperatorCaches.register(base) // caller releases via unpersistAll()
 
     // candidates on the NARROW key relation (ids+bands move through the
     // band-join shuffles, token sets don't), pair-dedup, then one token

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Registry for the intermediate relations the LSH-family operators
+  * `.cache()` (signature/token tables scanned several times across
+  * self-join branches). The cache is consumed entirely within the returned
+  * plan's first action, but Spark gives no way to unpersist-on-completion
+  * from inside a lazy plan — so the operators register their cached
+  * relations here and the caller releases them once the action is done:
+  *
+  * {{{
+  *   val pairs = Dedup.lshPairs(df, ...)   // registers its signature cache
+  *   pairs.count()                          // action consumes the cache
+  *   OperatorCaches.unpersistAll()          // release executor storage
+  * }}}
+  *
+  * Scoped alternative to `spark.catalog.clearCache()`, which would also
+  * drop caches the application owns. Bench/Verify call this between
+  * queries so one query's signature cache can't pollute the next query's
+  * executor memory (the round-2 p3/a5 bench-regression suspect).
+  */
+object OperatorCaches {
+  private val registered = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Register an already-cached dataset for later release; returns it. */
+  def register[T](ds: Dataset[T]): Dataset[T] = synchronized { registered += ds; ds }
+
+  /** Unpersist every registered relation (blocking=false) and clear. */
+  def unpersistAll(): Unit = synchronized {
+    registered.foreach(_.unpersist())
+    registered.clear()
+  }
+}

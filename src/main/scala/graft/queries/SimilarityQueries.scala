@@ -115,6 +115,7 @@ object SimilarityQueries {
       expr(bandExpr(0)).cast("int").as("b0"),
       expr(bandExpr(4)).cast("int").as("b1"))
       .cache() // scanned 5× (2 join sides × 2 bands + score); one row per vector
+    graft.operators.OperatorCaches.register(sig)
 
     // candidates on the NARROW key relation (ids+bands move through the
     // band-join shuffles, vectors don't), pair-dedup before scoring, then

@@ -130,8 +130,9 @@ object TextQueries {
       // signatures are scanned 5x (2 join sides x 2 bands + token fetch) and
       // Catalyst cannot reuse exchanges across self-join branches — cache the
       // (small: one row per doc) signature relation instead of paying the
-      // md5 transform five times
+      // md5 transform five times; registered so the caller can release it
       .cache()
+    graft.operators.OperatorCaches.register(base)
 
     // candidates on the NARROW key relation — only (doc_id, source, bands)
     // move through the band-join shuffles; token arrays are fetched once per
