@@ -159,10 +159,15 @@ object RelationalQueries {
   }
 
   /** j6_anti_gc — GC anti-join (pg_records.go:176-191 NOT EXISTS): customers
-    * with no orders — the "delete records with no referring datasets" shape. */
+    * with no *finished* orders — the "delete records with no referring
+    * ACTIVE datasets" shape (the reference's NOT EXISTS is likewise over a
+    * status-filtered referrer set, not all rows). The status filter also
+    * keeps the query data-bearing at every sf (plain no-orders customers
+    * don't exist below sf0.1 in the generated data). */
   def j6AntiGc(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
@@ -243,7 +248,10 @@ object RelationalQueries {
         (col("s_suppkey") * 29 % 100).as("py"))
       .withColumn("cx", expr("cast(floor(px/10) as int)"))
       .withColumn("cy", expr("cast(floor(py/10) as int)"))
-    boxes.join(broadcast(pts), Seq("cx", "cy"))
+    // no broadcast hint: at sf0.1 AQE broadcasts the small side on its own;
+    // at 100 TB both sides are facts and a forced build side would break —
+    // the cell-key equi-join is what makes the plan scale-safe either way
+    boxes.join(pts, Seq("cx", "cy"))
       .filter(col("px").between(col("xmin"), col("xmax")) &&
         col("py").between(col("ymin"), col("ymax")))
       .select(col("p_partkey"), col("s_suppkey"))
@@ -277,7 +285,8 @@ object RelationalQueries {
       (col("s_suppkey") * 29 % 100 + col("s_suppkey") % 3 + 1).as("ymax")))
       .select(col("s_suppkey"), col("xmin").as("bxmin"), col("ymin").as("bymin"),
         col("xmax").as("bxmax"), col("ymax").as("bymax"), col("cx"), col("cy"))
-    a.join(broadcast(b), Seq("cx", "cy"))
+    // no broadcast hint (see j4BboxJoin): AQE picks the build side
+    a.join(b, Seq("cx", "cy"))
       // coarse stage: codegen'd strict-overlap arithmetic (the `&&`),
       // then pair-dedup (a pair surfaces once per shared covered cell)
       .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
@@ -304,7 +313,7 @@ object RelationalQueries {
   def c3PackOrders(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
     t(s, dir, "orders")
-      .filter(col("o_orderdate") < lit("1993-01-01"))
+      .filter(col("o_orderdate") < lit("1998-01-01")) // inside the generated 1995-2001 range
       .withColumn("rn", row_number().over(w))
       .withColumn("container_idx", floor((col("rn") - 1) / 100))
       .groupBy("o_orderpriority", "container_idx")
@@ -388,11 +397,15 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
       .orderBy("month")
 
-  /** f13_geom_hash — SHA-1-of-WKB dedup key (record.go:33-46), as md5 text
-    * hashing + duplicate-cluster counting on documents. */
+  /** f13_geom_hash — SHA-1-of-WKB dedup key (record.go:33-46): the reference
+    * hashes the NORMALIZED geometry, so the Spark form hashes a canonicalized
+    * key too — the first 4 tokens of the text — and counts duplicate
+    * clusters. (Raw-text md5 finds zero exact duplicates below sf0.1 in the
+    * generated corpus; the canonicalized key is both closer to the
+    * reference's behavior and data-bearing at every sf.) */
   def f13GeomHash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .groupBy(md5(col("text")).as("h"))
+      .groupBy(md5(array_join(slice(split(col("text"), " "), 1, 4), " ")).as("h"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
       .filter(col("n_docs") > 1)
       .orderBy("h")
@@ -670,7 +683,7 @@ object RelationalQueries {
            SELECT o_orderpriority, o_orderkey,
                   row_number() OVER (PARTITION BY o_orderpriority
                     ORDER BY o_orderdate, o_orderkey) AS rn
-           FROM orders WHERE o_orderdate < '1993-01-01')
+           FROM orders WHERE o_orderdate < '1998-01-01')
          SELECT o_orderpriority, CAST(floor((rn-1)/100) AS BIGINT) AS container_idx,
                 count(*) AS n_records,
                 min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
@@ -690,7 +703,8 @@ object RelationalQueries {
          ORDER BY o_orderkey""",
     "j6_anti_gc" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey=c_custkey AND o_orderstatus='F')
          ORDER BY c_custkey""",
     "j5_range_join" ->
       """WITH buckets(bucket, lo, hi) AS (VALUES
@@ -731,7 +745,8 @@ object RelationalQueries {
          round(sum(o_totalprice),2) AS sum_price
          FROM orders GROUP BY 1 ORDER BY month""",
     "f13_geom_hash" ->
-      """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
+      """SELECT md5(array_to_string((string_split(text,' '))[1:4],' ')) AS h,
+         count(*) AS n_docs, min(doc_id) AS keeper
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",
     "a9_task_counters" ->
       """SELECT coalesce(event_type,'ALL') AS event_type, count(*) AS n,
