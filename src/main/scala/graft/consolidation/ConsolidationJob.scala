@@ -87,16 +87,21 @@ object ConsolidationJob {
         if (done.contains("CONSOLIDATIONINDEXED"))
           spark.emptyDataFrame // not needed downstream
         else {
-          if (done.contains("CONSOLIDATIONDONE")) {
-            val prefix = s"${cat.root}/containers/${spec.jobId}/"
-            cat.rewrite(cat.read(spark, "tiles")
-              .filter(!col("container_uri").startsWith(prefix)), "tiles")
-            cat.rewrite(cat.read(spark, "containers")
-              .filter(!col("uri").startsWith(prefix)), "containers")
-          }
+          // Purge unconditionally whenever C4 is about to be redone:
+          // consolidate() appends tiles/containers rows BEFORE the
+          // CONSOLIDATIONDONE state is journaled, so a crash between those
+          // appends and logState leaves partial rows behind with no DONE
+          // marker — gating the purge on CONSOLIDATIONDONE would let the
+          // rerun append a full duplicate set.
+          val prefix = s"${cat.root}/containers/${spec.jobId}/"
+          cat.rewrite(cat.read(spark, "tiles")
+            .filter(!col("container_uri").startsWith(prefix)), "tiles")
+          cat.rewrite(cat.read(spark, "containers")
+            .filter(!col("uri").startsWith(prefix)), "containers")
           Consolidation.consolidate(spark, cat, tasks, spec.params,
             spec.layout.overviewsMinSize)
         }
+      tasks.unpersist() // consumed by count() + consolidate()
       if (step("CONSOLIDATIONDONE") { "" }) return "CONSOLIDATIONDONE"
 
       // C5 index (INACTIVE)

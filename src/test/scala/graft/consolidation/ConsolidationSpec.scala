@@ -186,6 +186,35 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
         "cell_size" -> "8"), interlacingPattern = "R>B>Z").validate())
   }
 
+  test("distributed physical export: files built + written on executors") {
+    // every consolidated container of job1 exports in ONE distributed pass;
+    // the driver-visible result is a manifest (uri, path, n_bytes) — no
+    // payload column anywhere in the returned schema
+    val uris = cat.read(spark, "datasets")
+      .filter(col("container_uri").startsWith(s"$root/containers/job1/"))
+      .select("container_uri").distinct().collect().map(_.getString(0)).toSeq
+    assert(uris.nonEmpty)
+    val outDir = java.nio.file.Files.createTempDirectory("mucog-out").toString
+    val mucogLayout = Layout("cells", Seq("regular"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "0.5", "cell_size" -> "8"),
+      blockXSize = 16, blockYSize = 16, maxRecords = 4, overviewsMinSize = 4,
+      interlacingPattern = "Z=0>T>R>B;Z=1:>R>T>B").validate()
+    val manifest = Consolidation.exportPhysicalAll(
+      spark, cat, uris, outDir, mucogLayout, 255.0)
+    assert(manifest.schema.fieldNames.toSeq == Seq("container_uri", "path", "n_bytes"))
+    val rows = manifest.collect()
+    assert(rows.length == uris.length)
+    // each written file is a valid multi-IFD MuCOG readable by the codec
+    rows.foreach { r =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(
+          "file:" + r.getAs[String]("path").stripPrefix("file:"))))
+      assert(bytes.length == r.getAs[Long]("n_bytes"))
+      val dirs = graft.raster.GeoTiff.read(bytes)
+      assert(dirs.exists(!_.isOverview) && dirs.exists(_.isOverview))
+    }
+  }
+
   test("step-by-step execution level: pause after a state, resume to DONE") {
     val spec = ConsolidationJob.Spec("job3", "stepwise", "i1", Seq("r1", "r2"),
       layout, ConsolidationParams(uint8Map, Resampling.Near))
@@ -205,6 +234,34 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("state").collect().map(_.getString(0)).toSeq
     assert(states.count(_ == "CONSOLIDATIONINPROGRESS") == 1)
     assert(states.contains("DONE"))
+  }
+
+  test("crash between C4 appends and DONE journal: rerun purges, no duplicates") {
+    val spec = ConsolidationJob.Spec("job4", "crashy", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat, spec,
+      pauseAfter = Some("CONSOLIDATIONINPROGRESS")) == "CONSOLIDATIONINPROGRESS")
+    // simulate the crash window: C4's tiles/containers appends land in the
+    // catalog, but CONSOLIDATIONDONE is never journaled
+    val tasks = Consolidation.prepareOrders(spark, cat, "job4", "i1",
+      Seq("r1", "r2"), layout, None)
+    Consolidation.consolidate(spark, cat, tasks, spec.params, layout.overviewsMinSize)
+    val jobTiles = cat.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(s"$root/containers/job4/"))
+    val partial = jobTiles.count()
+    assert(partial > 0)
+    // rerun: resume must purge the partial outputs before redoing C4 —
+    // without the unconditional purge this doubles every tile/container row
+    assert(ConsolidationJob.run(spark, cat, spec) == "DONE")
+    val after = cat.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(s"$root/containers/job4/")).collect()
+    assert(after.length == partial)
+    assert(after.map(r => (r.getAs[String]("container_uri"),
+      r.getAs[String]("subdir"))).distinct.length == after.length)
+    val uris = cat.read(spark, "containers")
+      .filter(col("uri").startsWith(s"$root/containers/job4/"))
+      .select("uri").collect().map(_.getString(0)).toSeq
+    assert(uris.distinct.length == uris.length)
   }
 
   test("failed job rolls back and journals FAILED") {
