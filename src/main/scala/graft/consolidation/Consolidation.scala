@@ -92,7 +92,7 @@ object Consolidation {
       val ring = c.geographicRing
       val b = GeomOps.bbox(ring)
       (c.uri, GeomOps.writeWkb(ring), b.xmin, b.ymin, b.xmax, b.ymax,
-        s"EPSG:${c.crs.srid}", c.pixToCrs.toArray.toSeq, c.sizeX, c.sizeY)
+        graft.geo.CRS.serialize(c.crs), c.pixToCrs.toArray.toSeq, c.sizeX, c.sizeY)
     }.toSeq.toDF("cell_uri", "cell_wkb", "c_xmin", "c_ymin", "c_xmax", "c_ymax",
       "cell_crs", "cell_transform", "cell_w", "cell_h")
 
@@ -261,6 +261,18 @@ object Consolidation {
       layout: graft.layout.Layout, noData: Double): Array[Byte] =
     graft.ingest.GeoTiffIO.exportContainer(spark, cat, containerUri, noData,
       overviewsMinSize = layout.overviewsMinSize, compress = true,
+      tileSize = layout.blockXSize, interlacing = layout.interlacingPattern)
+
+  /** Bulk physical export of a job's containers — the scale path: MuCOG
+    * bytes are assembled and written ON EXECUTORS (one shuffle keyed by
+    * container, the same key C4 grouped on), the driver handles only the
+    * (container_uri, path, n_bytes) manifest. Mirrors the reference's
+    * worker-side file build + upload (handler_consolidation.go:59-234). */
+  def exportPhysicalAll(spark: SparkSession, cat: Catalog,
+      containerUris: Seq[String], outDir: String,
+      layout: graft.layout.Layout, noData: Double): DataFrame =
+    graft.ingest.GeoTiffIO.exportContainers(spark, cat, containerUris, outDir,
+      noData, overviewsMinSize = layout.overviewsMinSize, compress = true,
       tileSize = layout.blockXSize, interlacing = layout.interlacingPattern)
 
   def index(spark: SparkSession, cat: Catalog, newTiles: DataFrame,

@@ -246,6 +246,17 @@ object CRS {
     }
   }
 
+  /** Canonical storage string for a CRS, round-trippable through [[parse]]:
+    * "EPSG:nnnn" for real EPSG codes, a proj4 parameter string for
+    * user-defined systems (their srid is the TIFF "user-defined" sentinel
+    * 32767, which parse rightly rejects as an EPSG code). */
+  def serialize(crs: CRS): String = crs match {
+    case t: TransverseMercator =>
+      s"+proj=tmerc +lat_0=${t.lat0Deg} +lon_0=${t.lon0Deg} +k=${t.k0}" +
+        s" +x_0=${t.fe} +y_0=${t.fnParam}"
+    case c => s"EPSG:${c.srid}"
+  }
+
   /** Planar transform between two CRS (via lon/lat). */
   def transform(from: CRS, to: CRS, x: Double, y: Double): (Double, Double) = {
     if (from == to) (x, y)

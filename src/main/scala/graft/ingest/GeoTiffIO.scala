@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * by standard tooling (S8/S9).
   *
   * Import is a distributed `binaryFile` read → per-file parse on
-  * executors → tile-row append; export collects one container (bounded by
-  * maxRecords ≤ 1024 subdirs) to the driver and serializes one multi-IFD
-  * file. */
+  * executors → tile-row append. Bulk export assembles + writes each
+  * container's file on the executor holding its tiles
+  * ([[exportContainers]]); the single-container [[exportContainer]]
+  * (request-sized download path) collects one container — bounded by
+  * maxRecords ≤ 1024 subdirs — to the caller. */
 object GeoTiffIO {
 
   /** Import .tif files (each possibly multi-IFD) as containers whose URI
@@ -28,7 +30,7 @@ object GeoTiffIO {
       dirs.filterNot(_.isOverview).zipWithIndex.map { case (d, i) =>
         Row(path, s"GTIFF_DIR:${i + 1}",
           d.image.bitmap.width, d.image.bitmap.height, d.image.bitmap.bands,
-          d.image.bitmap.dtype.name, s"EPSG:${d.image.crs.srid}",
+          d.image.bitmap.dtype.name, graft.geo.CRS.serialize(d.image.crs),
           d.image.transform.toArray.toSeq, d.image.bitmap.toBytes)
       }
     }
@@ -63,15 +65,46 @@ object GeoTiffIO {
         val img = GeoTiff.readForResolution(data, s"GTIFF_DIR:$i", targetRes)
         Row(path, s"GTIFF_DIR:$i",
           img.bitmap.width, img.bitmap.height, img.bitmap.bands,
-          img.bitmap.dtype.name, s"EPSG:${img.crs.srid}",
+          img.bitmap.dtype.name, graft.geo.CRS.serialize(img.crs),
           img.transform.toArray.toSeq, img.bitmap.toBytes)
       }
     }
     spark.createDataFrame(rows, Schemas.tiles)
   }
 
+  /** One full-res tile of a container, as carried into assembly. */
+  final case class ContainerTile(subdir: String, width: Int, height: Int,
+      bands: Int, dtype: String, crs: String, transform: Seq[Double],
+      payload: Array[Byte])
+
+  /** Assemble one container's full-res tiles (GTIFF_DIR order) into a
+    * multi-IFD GeoTIFF/MuCOG byte array. Spark-free — runs wherever the
+    * tiles already are (an executor in the distributed path, the driver
+    * for a single-container download). */
+  def assembleContainer(tiles: Seq[ContainerTile], noData: Double,
+      overviewsMinSize: Int, compress: Boolean, tileSize: Int,
+      interlacing: String): Array[Byte] = {
+    require(tiles.nonEmpty, "assembleContainer: no tiles")
+    val images = tiles
+      .sortBy { t =>
+        val s = Option(t.subdir).getOrElse("")
+        if (s.startsWith("GTIFF_DIR:")) s.stripPrefix("GTIFF_DIR:").toInt else 0
+      }
+      .map { t =>
+        GeoTiff.Image(
+          graft.raster.Bitmap.fromBytes(t.payload, t.width, t.height, t.bands,
+            graft.core.DType.fromName(t.dtype)),
+          graft.geo.Affine.fromArray(t.transform.toArray),
+          graft.geo.CRS.parse(t.crs))
+      }
+    GeoTiff.write(images, noData, overviewsMinSize, compress, tileSize, interlacing)
+  }
+
   /** Export one container (all its subdirs, in GTIFF_DIR order) to a
-    * multi-IFD GeoTIFF byte array. */
+    * multi-IFD GeoTIFF byte array. Driver-side by design: this is the
+    * single-container download path (request-sized). Bulk export goes
+    * through [[exportContainers]], which never moves payloads to the
+    * driver. */
   def exportContainer(spark: SparkSession, cat: Catalog, containerUri: String,
       noData: Double = Double.NaN, overviewsMinSize: Int = 0,
       compress: Boolean = false, tileSize: Int = 0,
@@ -83,21 +116,58 @@ object GeoTiffIO {
       .filter(!coalesce(col("subdir"), lit("")).rlike("@ov\\d+$"))
       .collect()
     require(rows.nonEmpty, s"exportContainer: no tiles for $containerUri")
-    val images = rows
-      .sortBy { r =>
-        val s = Option(r.getAs[String]("subdir")).getOrElse("")
-        if (s.startsWith("GTIFF_DIR:")) s.stripPrefix("GTIFF_DIR:").toInt else 0
+    assembleContainer(rows.toSeq.map(toContainerTile), noData,
+      overviewsMinSize, compress, tileSize, interlacing)
+  }
+
+  private def toContainerTile(r: Row): ContainerTile = ContainerTile(
+    Option(r.getAs[String]("subdir")).getOrElse(""),
+    r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("bands"),
+    r.getAs[String]("dtype"), r.getAs[String]("crs"),
+    r.getAs[scala.collection.Seq[Double]]("transform").toSeq,
+    r.getAs[Array[Byte]]("payload"))
+
+  /** Bulk physical export (the reference's worker-side container build,
+    * handler_consolidation.go:59-234): each container's MuCOG bytes are
+    * assembled and WRITTEN on the executor that already holds its tiles —
+    * one shuffle keyed by container, payloads never reach the driver. The
+    * driver sees only (container_uri, path, n_bytes) manifest rows.
+    *
+    * `containerUris` empty = export every container under the tile store
+    * matching the filter-free scan (caller pre-filters via the catalog). */
+  def exportContainers(spark: SparkSession, cat: Catalog,
+      containerUris: Seq[String], outDir: String,
+      noData: Double = Double.NaN, overviewsMinSize: Int = 0,
+      compress: Boolean = false, tileSize: Int = 0,
+      interlacing: String = ""): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val base = cat.read(spark, "tiles")
+      .filter(!coalesce(col("subdir"), lit("")).rlike("@ov\\d+$"))
+    val scoped =
+      if (containerUris.isEmpty) base
+      else base.filter(col("container_uri").isin(containerUris: _*))
+    scoped.select(col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
+        col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
+        col("transform"), col("payload"))
+      .as[(String, String, Int, Int, Int, String, String, Seq[Double], Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (uri, it) =>
+        val tiles = it.map(t => ContainerTile(t._2, t._3, t._4, t._5, t._6,
+          t._7, t._8, t._9)).toSeq
+        val bytes = assembleContainer(tiles, noData, overviewsMinSize,
+          compress, tileSize, interlacing)
+        // filename from the container URI tail, collision-proofed by hash
+        val tail = uri.split('/').takeRight(2).mkString("_")
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val name = f"${tail}_${uri.hashCode & 0x7fffffff}%08x.tif"
+        val path = new org.apache.hadoop.fs.Path(outDir, name)
+        val fs = path.getFileSystem(hconf.value)
+        val os = fs.create(path, true)
+        try os.write(bytes) finally os.close()
+        (uri, path.toString, bytes.length.toLong)
       }
-      .map { r =>
-        GeoTiff.Image(
-          graft.raster.Bitmap.fromBytes(
-            r.getAs[Array[Byte]]("payload"),
-            r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("bands"),
-            graft.core.DType.fromName(r.getAs[String]("dtype"))),
-          graft.geo.Affine.fromArray(
-            r.getAs[scala.collection.Seq[Double]]("transform").toArray),
-          graft.geo.CRS.parse(r.getAs[String]("crs")))
-      }
-    GeoTiff.write(images.toSeq, noData, overviewsMinSize, compress, tileSize, interlacing)
+      .toDF("container_uri", "path", "n_bytes")
   }
 }

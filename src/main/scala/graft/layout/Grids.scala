@@ -235,7 +235,7 @@ object Grid {
         throw new IllegalArgumentException("must contain a valid 'resolution'")).toDouble
       val sub = params.get("subgrid").map { s =>
         (crs: CRS) => fromLayout(Seq(s),
-          params + ("crs" -> s"EPSG:${crs.srid}"))
+          params + ("crs" -> graft.geo.CRS.serialize(crs)))
       }
       CustomGrid(spark, cat, kind, resolution, sub)
     }

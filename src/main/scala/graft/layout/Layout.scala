@@ -59,7 +59,7 @@ object Layout {
     import spark.implicits._
     aois.flatMap { case (aoiId, wkb) =>
       layout.covers(GeomOps.readWkb(wkb)).map { c =>
-        (aoiId, TileRow(c.uri, s"EPSG:${c.crs.srid}", c.sizeX, c.sizeY,
+        (aoiId, TileRow(c.uri, graft.geo.CRS.serialize(c.crs), c.sizeX, c.sizeY,
           c.pixToCrs.toArray.toSeq))
       }
     }.toDF("aoi_id", "tile")
@@ -70,6 +70,6 @@ object Layout {
     * StreamTilesBatchSize=1000, internal/grpc/service.go:35-36). */
   def tileAoiBatches(layout: Layout, aoi: Geometry, batchSize: Int = 1000): Iterator[Seq[TileRow]] =
     layout.covers(aoi).map(c =>
-      TileRow(c.uri, s"EPSG:${c.crs.srid}", c.sizeX, c.sizeY, c.pixToCrs.toArray.toSeq))
+      TileRow(c.uri, graft.geo.CRS.serialize(c.crs), c.sizeX, c.sizeY, c.pixToCrs.toArray.toSeq))
       .grouped(batchSize)
 }

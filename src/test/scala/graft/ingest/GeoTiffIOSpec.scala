@@ -72,6 +72,31 @@ class GeoTiffIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coarse.head.getAs[Array[Byte]]("payload").length == 16 * 16)
   }
 
+  test("custom-tmerc CRS survives the file-backed path (proj4 serialization)") {
+    // a file in a user-defined transverse Mercator (srid sentinel 32767):
+    // the stored crs string must be a proj4 string CRS.parse accepts, not
+    // the unresolvable "EPSG:32767"
+    val dir = java.nio.file.Files.createTempDirectory("tifs-tmerc")
+    val tm = CRS.TransverseMercator(lon0Deg = 10.5, lat0Deg = 1.0, k0 = 0.9998,
+      fe = 200000.0, fnParam = 1000.0)
+    val img = GeoTiff.Image(
+      new Bitmap(4, 4, 1, DType.UInt8, Array.tabulate(16)(_.toDouble)),
+      Affine.northUp(0, 4, 1, -1), tm)
+    java.nio.file.Files.write(dir.resolve("t.tif"), GeoTiff.write(Seq(img)))
+
+    val rows = GeoTiffIO.readTilesForResolution(spark, s"$dir/*.tif", 1.0).collect()
+    assert(rows.length == 1)
+    val stored = rows.head.getAs[String]("crs")
+    assert(stored.startsWith("+proj=tmerc"), stored)
+    val parsed = CRS.parse(stored)
+    assert(parsed == tm) // exact parameter round-trip
+    // and the importFiles catalog path stores the same parseable string
+    val cat3 = Catalog(java.nio.file.Files.createTempDirectory("graft-tmerc").toString)
+    GeoTiffIO.importFiles(spark, cat3, s"$dir/*.tif")
+    val catCrs = cat3.read(spark, "tiles").select("crs").collect().head.getString(0)
+    assert(CRS.parse(catCrs) == tm)
+  }
+
   test("end-to-end: MuCOG file on disk -> file-backed tiles -> GetCube slices") {
     import graft.catalog.Schemas
     import graft.cube.{CubeRequest, GetCube}
