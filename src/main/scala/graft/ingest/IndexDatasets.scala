@@ -1,19 +1,23 @@
 package graft.ingest
 
 import graft.catalog.{Catalog, Schemas}
-import graft.core.{DataFormat, DType, NumRange}
+import graft.core.{DataFormat, DType}
 import graft.geo.{Affine, BBox, CRS, GeomOps}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Indexation (C8, reference internal/svc/service.go:239-379
   * IndexDatasets): register externally-produced containers as datasets —
   * validate each container is reachable and its rasters homogeneous
   * (bands/dtype), derive the footprint from the georeferencing, then
-  * append. The reference opens every file with GDAL driver-side; the Spark
-  * form validates distributed over the tile store (a `binaryFile`
-  * header-read at 100 TB — only metadata columns are scanned, never
-  * payloads: Parquet column pruning drops the payload bytes). */
+  * append.
+  *
+  * The reference opens every file with GDAL driver-side (request-sized
+  * batches). The Spark form is bulk-backfill-safe: validation runs as
+  * JOINED COLUMNS over the tile store's metadata (payloads pruned by
+  * Catalyst), only FAILURES are collected (bounded sample), and the
+  * footprint derivation runs distributed — the driver never materializes
+  * the headers of millions of containers. */
 object IndexDatasets {
 
   final case class NewDataset(
@@ -26,53 +30,78 @@ object IndexDatasets {
       realMin: Double, realMax: Double, exponent: Double = 1.0)
 
   /** Validate + derive + append. Throws when a container is missing or
-    * inhomogeneous (service.go's validation errors). */
+    * inhomogeneous (service.go's validation errors), reporting a bounded
+    * sample of the failures. */
   def run(spark: SparkSession, cat: Catalog, toIndex: Seq[NewDataset]): Unit = {
     import spark.implicits._
-    val uris = toIndex.map(d => (d.containerUri, d.subdir)).distinct
-      .toDF("uri", "sub")
+    toIndex.foreach(_.dformat.validate()) // request-shape check, driver-side
 
-    // distributed validation: one row per (container,subdir) with its
-    // raster header — payload column pruned away by Catalyst
+    val reqs = toIndex.map { d =>
+      (d.recordId, d.instanceId, d.containerUri, d.subdir, d.bands,
+        d.dformat.dtype.name, d.dformat.noData, d.dformat.range.min,
+        d.dformat.range.max, d.realMin, d.realMax, d.exponent)
+    }.toDF("record_id", "instance_id", "uri", "sub", "req_bands", "req_dtype",
+      "no_data", "min_value", "max_value", "real_min", "real_max", "exponent")
+
+    // header relation: payload column pruned away by Catalyst
     val tiles = cat.read(spark, "tiles").select(
       col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
       col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
       col("transform"))
-    val headers = tiles.join(uris,
-        tiles("container_uri") === uris("uri") && tiles("subdir") === uris("sub"))
-      .collect()
-      .map(r => ((r.getAs[String]("container_uri"), r.getAs[String]("subdir")), r))
-      .toMap
 
-    val rows = toIndex.map { d =>
-      val key = (d.containerUri, d.subdir)
-      val h = headers.getOrElse(key,
-        throw new IllegalArgumentException(
-          s"IndexDatasets: container ${d.containerUri}[${d.subdir}] unreachable"))
-      val nBands = h.getAs[Int]("bands")
-      require(d.bands.forall(b => b >= 1 && b <= nBands),
-        s"IndexDatasets: bands ${d.bands} out of container range 1..$nBands")
-      val dt = DType.fromName(h.getAs[String]("dtype"))
-      require(dt == d.dformat.dtype,
-        s"IndexDatasets: dtype mismatch ${dt.name} != ${d.dformat.dtype.name}")
-      d.dformat.validate()
+    // validation as joined columns (the doc's "distributed validation",
+    // now actually distributed): requests left-join their headers, errors
+    // are computed per-row in codegen
+    val checked = reqs
+      .join(tiles, reqs("uri") === tiles("container_uri") &&
+        reqs("sub") === tiles("subdir"), "left_outer")
+      .withColumn("err",
+        when(col("container_uri").isNull,
+          concat(lit("container "), col("uri"), lit("["), col("sub"),
+            lit("] unreachable")))
+          .when(array_min(col("req_bands")) < 1 ||
+            array_max(col("req_bands")) > col("bands"),
+            concat(lit("bands "), to_json(col("req_bands")),
+              lit(" out of container range 1.."), col("bands")))
+          .when(col("dtype") =!= col("req_dtype"),
+            concat(lit("dtype mismatch "), col("dtype"), lit(" != "),
+              col("req_dtype"))))
 
-      val tf = Affine.fromArray(h.getAs[scala.collection.Seq[Double]]("transform").toArray)
-      val crs = CRS.parse(h.getAs[String]("crs"))
-      val w = h.getAs[Int]("width"); val ht = h.getAs[Int]("height")
+    // collect only failures — a bounded sample, never the full header set
+    val errs = checked.filter(col("err").isNotNull)
+      .select("err").limit(10).collect().map(_.getString(0))
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"IndexDatasets: ${errs.mkString("; ")}")
+
+    // distributed derivation: footprint from the georeferencing, one
+    // dataset row per request (JTS + CRS math is genuine per-row imperative
+    // work — the documented mapPartitions exception)
+    val rows = checked.select(
+      col("record_id"), col("instance_id"), col("uri"), col("sub"),
+      col("req_bands"), col("req_dtype"), col("no_data"), col("min_value"),
+      col("max_value"), col("real_min"), col("real_max"), col("exponent"),
+      col("width"), col("height"), col("crs"), col("transform")).rdd.map { r =>
+      val tf = Affine.fromArray(
+        r.getAs[scala.collection.Seq[Double]]("transform").toArray)
+      val crs = CRS.parse(r.getAs[String]("crs"))
+      val w = r.getAs[Int]("width"); val ht = r.getAs[Int]("height")
       val native = GeomOps.polygonFromBBox(BBox.fromExtent(tf, w, ht))
       val geogRaw = GeomOps.geographicRingFromExtent(tf, w, ht, crs)
       val geog = GeomOps.normalizeAntimeridian(geogRaw) // ingest normalization (P9)
       val b = GeomOps.bbox(geog)
       Row(
-        java.util.UUID.randomUUID().toString, d.recordId, d.instanceId,
-        d.containerUri, d.subdir, d.bands, "ACTIVE", null,
-        d.dformat.dtype.name, d.dformat.noData, d.dformat.range.min, d.dformat.range.max,
-        d.realMin, d.realMax, d.exponent, false,
+        java.util.UUID.randomUUID().toString,
+        r.getAs[String]("record_id"), r.getAs[String]("instance_id"),
+        r.getAs[String]("uri"), r.getAs[String]("sub"),
+        r.getAs[scala.collection.Seq[Int]]("req_bands").toSeq, "ACTIVE", null,
+        r.getAs[String]("req_dtype"), r.getAs[Double]("no_data"),
+        r.getAs[Double]("min_value"), r.getAs[Double]("max_value"),
+        r.getAs[Double]("real_min"), r.getAs[Double]("real_max"),
+        r.getAs[Double]("exponent"), false,
         GeomOps.writeWkb(geog), GeomOps.writeWkb(native), crs.srid,
         Row(b.xmin, b.ymin, b.xmax, b.ymax))
     }
-    cat.append(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), Schemas.datasets), "datasets")
+    cat.append(spark.createDataFrame(rows, Schemas.datasets), "datasets")
   }
 }
