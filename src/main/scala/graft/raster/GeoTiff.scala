@@ -248,6 +248,8 @@ object GeoTiff {
       val (geoKeys, geoDoubles) = img.crs match {
         case tm: CRS.TransverseMercator =>
           val dbl = Seq(tm.lon0Deg, tm.lat0Deg, tm.k0, tm.fe, tm.fnParam)
+          // GeoTIFF spec requires keys sorted by id (strict readers reject
+          // out-of-order directories) — sort, mirroring the IFD-entry sort
           val keys = Seq(
             (1024, 0, 1, 1), // GTModelType = projected
             (1025, 0, 1, 1), // RasterPixelIsArea
@@ -259,7 +261,7 @@ object GeoTiff {
             (KProjNatOriginLat, TGeoDoubleParams, 1, 1),
             (KProjScaleAtNatOrigin, TGeoDoubleParams, 1, 2),
             (KProjFalseEasting, TGeoDoubleParams, 1, 3),
-            (KProjFalseNorthing, TGeoDoubleParams, 1, 4))
+            (KProjFalseNorthing, TGeoDoubleParams, 1, 4)).sortBy(_._1)
           (shorts(Seq(1, 1, 0, keys.size) ++
             keys.flatMap(k => Seq(k._1, k._2, k._3, k._4))), dbl)
         case crs =>
@@ -268,7 +270,7 @@ object GeoTiff {
           val keys = Seq(
             (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
             (1025, 0, 1, 1), // RasterPixelIsArea
-            (if (isGeo) 2048 else 3072, 0, 1, crs.srid))
+            (if (isGeo) 2048 else 3072, 0, 1, crs.srid)).sortBy(_._1)
           (shorts(Seq(1, 1, 0, keys.size) ++
             keys.flatMap(k => Seq(k._1, k._2, k._3, k._4))), Nil)
       }
@@ -309,7 +311,7 @@ object GeoTiff {
         if (tiled) TTileOffsets else TStripOffsets, rIdx, zIdx, bm.bands, tpb)
     }
 
-    val pend = images.zipWithIndex.flatMap { case (img, rIdx) =>
+    val pend0 = images.zipWithIndex.flatMap { case (img, rIdx) =>
       val base = ifdFor(img, None, rIdx, 0)
       val ovs =
         if (overviewsMinSize > 0) {
@@ -323,6 +325,18 @@ object GeoTiff {
         } else Nil
       base +: ovs
     }
+    // MuCOG per-zoom IFD grouping (mucog.go:30-48): a zoom-led interlacing
+    // pattern (every chain's outermost level is Z — the timeseries default)
+    // also groups the DIRECTORIES by zoom: all full-res IFDs first in
+    // record order, then each overview level across records, so an
+    // overview-heavy timeseries reads one zoom's metadata in one
+    // contiguous range. Other patterns keep record-major IFDs (each
+    // record's overviews directly after it). Data-block order is governed
+    // by the interlacing pattern either way.
+    val pend =
+      if (interlacing.nonEmpty && Interlacing.zoomLed(Interlacing.parse(interlacing)))
+        pend0.sortBy(p => (p.zIdx, p.rIdx))
+      else pend0
 
     // ---- layout: header | ALL IFDs + their out-of-line values at the head
     // (COG: a reader fetches every directory in one small head range-read) |
@@ -359,6 +373,10 @@ object GeoTiff {
       blockOff.put((i.toLong << 32) | k, if (len == 0) 0L else cur)
       cur += len
     }
+    // offsets are written as signed ints into a byte-array file: refuse to
+    // silently wrap past 2 GiB (classic TIFF itself caps at 4 GiB)
+    require(cur <= Int.MaxValue,
+      s"GeoTiff.write: file size $cur exceeds the 2 GiB classic-TIFF/in-memory limit; split the container")
 
     val rendered = pend.zipWithIndex.map { case (p, i) =>
       val extraOff = ifdStarts(i) + ifdSizes(i)
@@ -413,8 +431,8 @@ object GeoTiff {
       if (tag == TStripOffsets || tag == TTileOffsets) {
         val count = bb.getInt(e + 4)
         val v = bb.getInt(e + 8)
-        if (count == 1) Seq(v.toLong)
-        else (0 until count).map(k => bb.getInt(v + 4 * k).toLong)
+        if (count == 1) Seq(v.toLong & 0xffffffffL)
+        else (0 until count).map(k => bb.getInt(v + 4 * k).toLong & 0xffffffffL)
       } else Nil
     }
   }
@@ -456,8 +474,11 @@ object GeoTiff {
         case _ => Nil
       }
       def tagLongs(tag: Int): Seq[Long] = tags.get(tag) match {
-        case Some((typ, 1, v)) => Seq((if (typ == 3) v & 0xffff else v).toLong)
-        case Some((4, count, off)) => Seq.tabulate(count)(k => bb.getInt(off + 4 * k).toLong)
+        // LONG values are UNSIGNED 32-bit: mask, don't sign-extend — a
+        // classic TIFF may address up to 4 GiB
+        case Some((typ, 1, v)) =>
+          Seq(if (typ == 3) (v & 0xffff).toLong else v.toLong & 0xffffffffL)
+        case Some((4, count, off)) => Seq.tabulate(count)(k => bb.getInt(off + 4 * k).toLong & 0xffffffffL)
         case Some((3, count, off)) => Seq.tabulate(count)(k => (bb.getShort(off + 2 * k) & 0xffff).toLong)
         case _ => Nil
       }
@@ -500,6 +521,10 @@ object GeoTiff {
           while (t < offs.size) {
             if (counts(t) == 0 || offs(t) == 0) sparse += t // SPARSE_OK elided tile
             else {
+              // JVM byte arrays cap at 2 GiB — fail loudly rather than
+              // truncating a 2–4 GiB offset into a negative int
+              require(offs(t) + counts(t) <= Int.MaxValue,
+                s"tile at offset ${offs(t)} beyond the 2 GiB in-memory limit")
               val raw = java.util.Arrays.copyOfRange(
                 data, offs(t).toInt, offs(t).toInt + counts(t).toInt)
               val tile = decode(raw, ts * tl * sz)
@@ -588,25 +613,62 @@ object GeoTiff {
     fulls(idx)
   }
 
+  /** Associate every overview IFD with its record: each result seq is
+    * (full-res image, overview chain fine→coarse). Handles both physical
+    * orders the writer produces — record-major (each record's overviews
+    * directly after it) and MuCOG per-zoom grouping (all full-res IFDs
+    * first, then each zoom level across records; mucog.go:30-48), detected
+    * by whether any overview precedes the last full-res directory. */
+  private[raster] def overviewChains(dirs: Seq[Directory]): Seq[Seq[Image]] = {
+    val fullPositions = dirs.zipWithIndex.filterNot(_._1.isOverview).map(_._2)
+    val n = fullPositions.size
+    require(n > 0, "no full-resolution directory")
+    if (fullPositions != (0 until n)) {
+      // record-major: overviews of full k sit between full k and full k+1
+      fullPositions.zipWithIndex.map { case (start, k) =>
+        val end = if (k + 1 < n) fullPositions(k + 1) else dirs.size
+        dirs.slice(start, end).map(_.image)
+      }
+    } else {
+      // zoom-grouped (or no overviews): walk each zoom group in record
+      // order, matching every overview to the record whose next expected
+      // ×2-decimated dims it has
+      val fulls = dirs.take(n).map(_.image)
+      val builders = Array.fill(n)(Seq.newBuilder[Image])
+      val cur = Array.tabulate(n)(r => (fulls(r).bitmap.width, fulls(r).bitmap.height))
+      var rem = dirs.drop(n).map(_.image).toList
+      while (rem.nonEmpty) {
+        var assigned = false
+        var r = 0
+        while (r < n && rem.nonEmpty) {
+          val exp = ((cur(r)._1 + 1) / 2, (cur(r)._2 + 1) / 2)
+          val h = rem.head
+          if ((h.bitmap.width, h.bitmap.height) == exp) {
+            builders(r) += h; cur(r) = exp; rem = rem.tail; assigned = true
+          }
+          r += 1
+        }
+        require(assigned, "cannot associate zoom-grouped overview IFDs")
+      }
+      fulls.zipWithIndex.map { case (f, r) => f +: builders(r).result() }
+    }
+  }
+
   /** Overview-aware read: pick the decimated level whose resolution is the
     * coarsest still finer-or-equal than `targetRes` (the `-ovr AUTO`
     * pre-aggregation pushdown, image.go:401 — a huge win at scale: read
     * 1/4ⁿ of the pixels when the request is coarse). */
   def readForResolution(data: Array[Byte], subdir: String, targetRes: Double): Image = {
     val dirs = read(data)
-    val fulls = dirs.filterNot(_.isOverview)
     val idx = subdir.trim match {
       case "" => 0
       case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
       case s => s.toInt - 1
     }
-    // overviews of full image k sit between full k and full k+1 in IFD order
-    val flat = dirs.zipWithIndex
-    val fullPositions = flat.filterNot(_._1.isOverview).map(_._2)
-    val start = fullPositions(idx)
-    val end = if (idx + 1 < fullPositions.size) fullPositions(idx + 1) else dirs.size
-    val candidates = dirs.slice(start, end)
-    candidates.filter(d => math.abs(d.image.transform.rx) <= targetRes + 1e-9)
-      .lastOption.getOrElse(candidates.head).image
+    val chains = overviewChains(dirs)
+    require(idx >= 0 && idx < chains.size, s"subdir $subdir out of range 1..${chains.size}")
+    val candidates = chains(idx)
+    candidates.filter(img => math.abs(img.transform.rx) <= targetRes + 1e-9)
+      .lastOption.getOrElse(candidates.head)
   }
 }

@@ -30,6 +30,13 @@ object Interlacing {
       s"chain must order exactly R,B,Z,T once each: ${levels.map(_.dim).mkString(">")}")
   }
 
+  /** True when every chain's outermost level is Z — the MuCOG timeseries
+    * shape. A zoom-led pattern also groups the IFDs per zoom level
+    * (mucog.go:30-48): full-res directories first, then each overview
+    * level across records. */
+  def zoomLed(chains: Seq[Chain]): Boolean =
+    chains.nonEmpty && chains.forall(_.levels.head.dim == 'Z')
+
   /** Parse a pattern; throws IllegalArgumentException on malformed input
     * (the validation the reference runs on layout creation, layout.go:127). */
   def parse(pattern: String): Seq[Chain] =

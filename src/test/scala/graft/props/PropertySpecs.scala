@@ -280,4 +280,27 @@ object TiledCodecProps extends Properties("tiled-codec") {
       Prop(got.bitmap.pixels.toSeq == px.toSeq) :|
         s"w=$w h=$h bands=$bands compress=$compress sparse=$sparse"
     }
+
+  property("zoom-led interlacing groups IFDs per zoom; association survives") =
+    forAll(Gen.choose(2, 5)) { nRec =>
+      // uniform 32x32 records with distinct content, overviews to 16
+      val imgs = (0 until nRec).map { r =>
+        val px = Array.tabulate(32 * 32)(i => ((i * (r + 3)) % 200).toDouble)
+        GeoTiff.Image(new Bitmap(32, 32, 1, DType.UInt8, px),
+          Affine.northUp(0, 32, 1, -1), CRS.WGS84)
+      }
+      val bytes = GeoTiff.write(imgs, noData = 255.0, overviewsMinSize = 16,
+        tileSize = 16, interlacing = "Z=0>T>R>B;Z=1:>R>T>B")
+      val dirs = GeoTiff.read(bytes)
+      // physical grouping: all full-res IFDs first, then the overview level
+      val grouped = dirs.map(_.isOverview) ==
+        (Seq.fill(nRec)(false) ++ Seq.fill(nRec)(true))
+      // association: record r's overview is the downsample of record r
+      val assoc = (0 until nRec).forall { r =>
+        val ov = GeoTiff.readForResolution(bytes, s"GTIFF_DIR:${r + 1}", 2.5)
+        ov.bitmap.width == 16 && ov.bitmap.pixels.toSeq ==
+          GeoTiff.downsample2(imgs(r).bitmap, 255.0).pixels.toSeq
+      }
+      Prop(grouped && assoc) :| s"nRec=$nRec grouped=$grouped"
+    }
 }

@@ -175,10 +175,11 @@ class GeoTiffSpec extends AnyFunSuite {
     // content round-trips regardless of physical order
     assert(GeoTiff.readSubdir(bytes, "GTIFF_DIR:1").bitmap.pixels.toSeq == a.bitmap.pixels.toSeq)
     assert(GeoTiff.readSubdir(bytes, "GTIFF_DIR:2").bitmap.pixels.toSeq == b.bitmap.pixels.toSeq)
-    // IFD order: full-a, ov-a, full-b, ov-b; 4 tiles each full, 1 each ov
+    // zoom-led pattern ⇒ per-zoom IFD grouping (mucog.go:30-48):
+    // full-a, full-b, ov-a, ov-b; 4 tiles each full, 1 each ov
     val offA = GeoTiff.blockOffsets(bytes, 0)
-    val offB = GeoTiff.blockOffsets(bytes, 2)
-    val ovA = GeoTiff.blockOffsets(bytes, 1)
+    val offB = GeoTiff.blockOffsets(bytes, 1)
+    val ovA = GeoTiff.blockOffsets(bytes, 2)
     val ovB = GeoTiff.blockOffsets(bytes, 3)
     val ts = 16 * 16 // uncompressed tile bytes
     // timeseries locality: record-b's tile k sits right after record-a's
@@ -191,6 +192,20 @@ class GeoTiffSpec extends AnyFunSuite {
     val allOffsets = offA ++ offB ++ ovA ++ ovB
     val totalData = allOffsets.size * ts
     assert(allOffsets.min == bytes.length - totalData)
+    // overview association survives the grouped order: -ovr AUTO picks
+    // each record's own 16×16 overview
+    val ovAImg = GeoTiff.readForResolution(bytes, "GTIFF_DIR:1", 2.5)
+    val ovBImg = GeoTiff.readForResolution(bytes, "GTIFF_DIR:2", 2.5)
+    assert(ovAImg.bitmap.width == 16 && ovBImg.bitmap.width == 16)
+    assert(ovAImg.bitmap.pixels.toSeq != ovBImg.bitmap.pixels.toSeq) // a's vs b's
+
+    // a non-zoom-led pattern keeps record-major IFDs: full-a, ov-a, full-b, ov-b
+    val rm = GeoTiff.write(Seq(a, b), overviewsMinSize = 16,
+      tileSize = 16, interlacing = "R>Z>B>T")
+    val rmDirs = GeoTiff.read(rm)
+    assert(rmDirs.map(_.isOverview) == Seq(false, true, false, true))
+    assert(GeoTiff.readForResolution(rm, "GTIFF_DIR:2", 2.5).bitmap.pixels.toSeq ==
+      ovBImg.bitmap.pixels.toSeq)
   }
 
   test("sparse tiles (SPARSE_OK): elided all-nodata blocks + GDAL_NODATA fill") {
