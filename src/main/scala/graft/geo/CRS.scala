@@ -4,9 +4,12 @@ package graft.geo
   *
   * The reference delegates to PROJ (internal/utils/proj/proj.go:26-75); we
   * scope to the CRS whitelist SURVEY §7.4 calls for — WGS84 geographic
-  * (EPSG:4326), WebMercator (EPSG:3857), and UTM zones (EPSG:326xx/327xx)
-  * — with standard public formulas (spherical Mercator; Krüger series
-  * transverse Mercator as published in the PROJ/Snyder literature).
+  * (EPSG:4326), WebMercator (EPSG:3857), UTM zones (EPSG:326xx/327xx) —
+  * plus the azimuthal families round 2/3 added: arbitrary-origin
+  * transverse Mercator, Lambert azimuthal equal-area (EPSG 9820),
+  * polar stereographic variants A/B (EPSG 9810/9829) and oblique
+  * (double) stereographic (EPSG 9809). All with standard public formulas
+  * (Snyder 1987; IOGP Guidance Note 7-2; PROJ/Karney Krüger series).
   * All transforms are (lon, lat) degrees ↔ planar (x, y) meters.
   */
 sealed trait CRS {
@@ -160,6 +163,210 @@ object CRS {
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
   private def asinh(x: Double): Double = math.log(x + math.hypot(x, 1.0))
+  private def sq(x: Double): Double = x * x
+  private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+
+  /** Ellipsoidal Lambert azimuthal equal-area on WGS84 (EPSG method 9820;
+    * Snyder 1987 §24 oblique + polar aspects). `sridOpt` lets named EPSG
+    * instances (3035 …) keep their code; parameter-only instances carry the
+    * user-defined sentinel. */
+  final case class LAEA(lon0Deg: Double, lat0Deg: Double,
+      fe: Double = 0.0, fn: Double = 0.0,
+      sridOpt: Option[Int] = None) extends CRS {
+    val srid: Int = sridOpt.getOrElse(32767)
+    private val e2 = F * (2 - F); private val e = math.sqrt(e2)
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private val qp = q(math.Pi / 2)
+    private val lat0 = lat0Deg * D2R; private val lon0 = lon0Deg * D2R
+    private val northPolar = lat0Deg >= 90 - 1e-9
+    private val southPolar = lat0Deg <= -(90 - 1e-9)
+    private val beta1 = math.asin(clamp1(q(lat0) / qp))
+    private val Rq = A * math.sqrt(qp / 2)
+    private val m1 = math.cos(lat0) / math.sqrt(1 - e2 * sq(math.sin(lat0)))
+    private val Dd = if (northPolar || southPolar) 1.0 else A * m1 / (Rq * math.cos(beta1))
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val dl = (lonDeg * D2R) - lon0
+      if (northPolar) {
+        val rho = A * math.sqrt(math.max(0, qp - q(phi)))
+        (fe + rho * math.sin(dl), fn - rho * math.cos(dl))
+      } else if (southPolar) {
+        val rho = A * math.sqrt(math.max(0, qp + q(phi)))
+        (fe + rho * math.sin(dl), fn + rho * math.cos(dl))
+      } else {
+        val beta = math.asin(clamp1(q(phi) / qp))
+        val b = Rq * math.sqrt(2.0 / (1 + math.sin(beta1) * math.sin(beta) +
+          math.cos(beta1) * math.cos(beta) * math.cos(dl)))
+        (fe + b * Dd * math.cos(beta) * math.sin(dl),
+          fn + (b / Dd) * (math.cos(beta1) * math.sin(beta) -
+            math.sin(beta1) * math.cos(beta) * math.cos(dl)))
+      }
+    }
+
+    /** φ from the authalic q by Snyder's fixed-point iteration (eq. 3-16). */
+    private def latFromQ(qv: Double): Double = {
+      var phi = math.asin(clamp1(qv / 2))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val d = sq(1 - e2 * s * s) / (2 * math.cos(phi)) *
+          (qv / (1 - e2) - s / (1 - e2 * s * s) +
+            (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += d
+        if (math.abs(d) < 1e-14) return phi
+        i += 1
+      }
+      phi
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - fe; val yr = y - fn
+      if (northPolar || southPolar) {
+        val rho = math.hypot(xr, yr)
+        if (rho < 1e-9) return (lon0 * R2D, lat0Deg)
+        val qv = if (northPolar) qp - sq(rho / A) else sq(rho / A) - qp
+        val lam = if (northPolar) lon0 + math.atan2(xr, -yr) else lon0 + math.atan2(xr, yr)
+        (lam * R2D, latFromQ(qv) * R2D)
+      } else {
+        val rho = math.hypot(xr / Dd, Dd * yr)
+        if (rho < 1e-9) return (lon0 * R2D, lat0Deg)
+        val ce = 2 * math.asin(clamp1(rho / (2 * Rq)))
+        val qv = qp * (math.cos(ce) * math.sin(beta1) +
+          Dd * yr * math.sin(ce) * math.cos(beta1) / rho)
+        val lam = lon0 + math.atan2(xr * math.sin(ce),
+          Dd * rho * math.cos(beta1) * math.cos(ce) -
+            sq(Dd) * yr * math.sin(beta1) * math.sin(ce))
+        (lam * R2D, latFromQ(qv) * R2D)
+      }
+    }
+  }
+
+  /** Ellipsoidal polar stereographic on WGS84, variant A (EPSG method
+    * 9810; Snyder 1987 §21): natural origin at the pole, scale `k0` there.
+    * Variant B (standard parallel instead of k0) converts via
+    * [[PolarStereographic.fromStandardParallel]]. */
+  final case class PolarStereographic(lon0Deg: Double, north: Boolean,
+      k0: Double = 0.994, fe: Double = 2000000.0, fn: Double = 2000000.0,
+      sridOpt: Option[Int] = None) extends CRS {
+    val srid: Int = sridOpt.getOrElse(32767)
+    private val e2 = F * (2 - F); private val e = math.sqrt(e2)
+    private val lon0 = lon0Deg * D2R
+    private val rhoF = 2 * A * k0 /
+      math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) *
+        math.pow((1 + e * s) / (1 - e * s), e / 2)
+    }
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = (if (north) latDeg else -latDeg) * D2R
+      val dl = (lonDeg * D2R) - lon0
+      val rho = rhoF * tOf(phi)
+      if (north) (fe + rho * math.sin(dl), fn - rho * math.cos(dl))
+      else (fe + rho * math.sin(dl), fn + rho * math.cos(dl))
+    }
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - fe; val yr = y - fn
+      val rho = math.hypot(xr, yr)
+      val t = rho / rhoF
+      // iterate φ = π/2 − 2 atan(t·((1−e sinφ)/(1+e sinφ))^{e/2})
+      var phi = math.Pi / 2 - 2 * math.atan(t)
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val next = math.Pi / 2 - 2 * math.atan(
+          t * math.pow((1 - e * s) / (1 + e * s), e / 2))
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 } else { phi = next; i += 1 }
+      }
+      val lam = if (north) lon0 + math.atan2(xr, -yr) else lon0 + math.atan2(xr, yr)
+      ((lam * R2D + 540) % 360 - 180, (if (north) phi else -phi) * R2D)
+    }
+  }
+
+  object PolarStereographic {
+    /** Variant B: standard parallel φF → the equivalent natural-origin
+      * scale k0 = (mF/2tF)·√((1+e)^(1+e)(1−e)^(1−e)) (EPSG method 9829). */
+    def fromStandardParallel(lon0Deg: Double, stdParallelDeg: Double,
+        fe: Double, fn: Double, sridOpt: Option[Int] = None): PolarStereographic = {
+      val e2 = F * (2 - F); val e = math.sqrt(e2)
+      val north = stdParallelDeg >= 0
+      val phiF = math.abs(stdParallelDeg) * D2R
+      val sF = math.sin(phiF)
+      val mF = math.cos(phiF) / math.sqrt(1 - e2 * sF * sF)
+      val tF = math.tan(math.Pi / 4 - phiF / 2) *
+        math.pow((1 + e * sF) / (1 - e * sF), e / 2)
+      val k0 = mF / (2 * tF) *
+        math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      PolarStereographic(lon0Deg, north, k0, fe, fn, sridOpt)
+    }
+  }
+
+  /** Oblique/equatorial stereographic on WGS84 (EPSG method 9809, the
+    * double projection via the conformal sphere — `+proj=sterea`). */
+  final case class ObliqueStereographic(lon0Deg: Double, lat0Deg: Double,
+      k0: Double = 1.0, fe: Double = 0.0, fn: Double = 0.0,
+      sridOpt: Option[Int] = None) extends CRS {
+    val srid: Int = sridOpt.getOrElse(32767)
+    private val e2 = F * (2 - F); private val e = math.sqrt(e2)
+    private val lat0 = lat0Deg * D2R; private val lon0 = lon0Deg * D2R
+    private val s0 = math.sin(lat0)
+    private val rho0 = A * (1 - e2) / math.pow(1 - e2 * s0 * s0, 1.5)
+    private val nu0 = A / math.sqrt(1 - e2 * s0 * s0)
+    private val R = math.sqrt(rho0 * nu0)
+    private val n = math.sqrt(1 + e2 * math.pow(math.cos(lat0), 4) / (1 - e2))
+    private val (c, chi0) = {
+      val s1 = (1 + s0) / (1 - s0)
+      val s2 = (1 - e * s0) / (1 + e * s0)
+      val w1 = math.pow(s1 * math.pow(s2, e), n)
+      val sinChi0a = (w1 - 1) / (w1 + 1)
+      val cc = (n + s0) * (1 - sinChi0a) / ((n - s0) * (1 + sinChi0a))
+      val w2 = cc * w1
+      (cc, math.asin(clamp1((w2 - 1) / (w2 + 1))))
+    }
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val lam = lonDeg * D2R
+      val bigL = n * (lam - lon0) + lon0
+      val s = math.sin(phi)
+      val sa = (1 + s) / (1 - s)
+      val sb = (1 - e * s) / (1 + e * s)
+      val w = c * math.pow(sa * math.pow(sb, e), n)
+      val chi = math.asin(clamp1((w - 1) / (w + 1)))
+      val dl = bigL - lon0
+      val b = 1 + math.sin(chi) * math.sin(chi0) +
+        math.cos(chi) * math.cos(chi0) * math.cos(dl)
+      (fe + 2 * R * k0 * math.cos(chi) * math.sin(dl) / b,
+        fn + 2 * R * k0 * (math.sin(chi) * math.cos(chi0) -
+          math.cos(chi) * math.sin(chi0) * math.cos(dl)) / b)
+    }
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - fe; val yr = y - fn
+      val g = 2 * R * k0 * math.tan(math.Pi / 4 - chi0 / 2)
+      val h = 4 * R * k0 * math.tan(chi0) + g
+      val i = math.atan2(xr, h + yr)
+      val j = math.atan2(xr, g - yr) - i
+      val chi = chi0 + 2 * math.atan((yr - xr * math.tan(j / 2)) / (2 * R * k0))
+      val bigL = j + 2 * i + lon0
+      val lam = (bigL - lon0) / n + lon0
+      val psi = 0.5 * math.log((1 + math.sin(chi)) / (c * (1 - math.sin(chi)))) / n
+      var phi = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+      var it = 0
+      while (it < 15) {
+        val s = math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2 + math.Pi / 4) *
+          math.pow((1 - e * s) / (1 + e * s), e / 2))
+        val d = -(psiI - psi) * math.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+        phi += d
+        if (math.abs(d) < 1e-14) it = 15 else it += 1
+      }
+      (lam * R2D, phi * R2D)
+    }
+  }
 
   /** CRS from user input: "EPSG:4326", "epsg:32633", srid int. */
   def fromSrid(srid: Int): CRS = srid match {
@@ -167,6 +374,13 @@ object CRS {
     case 3857 => WebMercator
     case s if s >= 32601 && s <= 32660 => UTM(s - 32600, north = true)
     case s if s >= 32701 && s <= 32760 => UTM(s - 32700, north = false)
+    // named azimuthal instances (ellipsoid approximated by WGS84; GRS80
+    // differs by < 1 mm in flattening)
+    case 3035 => LAEA(10, 52, 4321000, 3210000, Some(3035)) // ETRS89-extended LAEA Europe
+    case 5041 => PolarStereographic(0, north = true, sridOpt = Some(5041)) // UPS North
+    case 5042 => PolarStereographic(0, north = false, sridOpt = Some(5042)) // UPS South
+    case 3031 => PolarStereographic.fromStandardParallel(0, -71, 0, 0, Some(3031)) // Antarctic
+    case 3413 => PolarStereographic.fromStandardParallel(-45, 70, 0, 0, Some(3413)) // NSIDC North
     case s => throw new IllegalArgumentException(s"unsupported SRID: $s")
   }
 
@@ -202,6 +416,21 @@ object CRS {
       case Some("tmerc") =>
         tmercOrUtm(d("lon_0", 0), d("lat_0", 0), d("k", d("k_0", 1.0)),
           d("x_0", 0), d("y_0", 0))
+      case Some("laea") =>
+        LAEA(d("lon_0", 0), d("lat_0", 0), d("x_0", 0), d("y_0", 0))
+      case Some("stere") if math.abs(d("lat_0", 0)) >= 90 - 1e-9 =>
+        // polar: +lat_ts (standard parallel, variant B) wins over +k
+        val lts = d("lat_ts", Double.NaN)
+        if (!lts.isNaN)
+          PolarStereographic.fromStandardParallel(d("lon_0", 0), lts,
+            d("x_0", 0), d("y_0", 0))
+        else PolarStereographic(d("lon_0", 0), north = d("lat_0", 0) > 0,
+          d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0))
+      case Some("stere") | Some("sterea") =>
+        // double (conformal-sphere) stereographic — exact for sterea;
+        // the whitelisted oblique form for plain stere too
+        ObliqueStereographic(d("lon_0", 0), d("lat_0", 0),
+          d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0))
       case p => throw new IllegalArgumentException(
         s"unsupported proj4 ${p.map("+proj=" + _).getOrElse(s)}")
     }
@@ -228,15 +457,40 @@ object CRS {
       case Some(m) => fromSrid(m.group(1).toInt)
       case None =>
         val projRe = """(?i)PROJECTION\s*\[\s*"([^"]+)"""".r
-        val proj = projRe.findFirstMatchIn(s).map(_.group(1).toLowerCase)
+        // WKT2 spells the operation METHOD["Name"]
+        val methodRe = """(?i)METHOD\s*\[\s*"([^"]+)"""".r
+        val proj = projRe.findFirstMatchIn(s).orElse(methodRe.findFirstMatchIn(s))
+          .map(_.group(1).toLowerCase.replace(' ', '_'))
         val paramRe = """(?i)PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)""".r
+        // normalize WKT1/WKT2 parameter spellings to one key space
         lazy val params = paramRe.findAllMatchIn(s)
-          .map(m => m.group(1).toLowerCase -> m.group(2).toDouble).toMap
-        def p(name: String, dflt: Double) = params.getOrElse(name, dflt)
+          .map(m => m.group(1).toLowerCase.replace(' ', '_') -> m.group(2).toDouble).toMap
+        def p(names: Seq[String], dflt: Double): Double =
+          names.collectFirst { case nm if params.contains(nm) => params(nm) }.getOrElse(dflt)
+        val lat0 = p(Seq("latitude_of_origin", "latitude_of_natural_origin",
+          "latitude_of_center"), 0)
+        val lon0 = p(Seq("central_meridian", "longitude_of_natural_origin",
+          "longitude_of_center", "longitude_of_origin"), 0)
+        val k0 = p(Seq("scale_factor", "scale_factor_at_natural_origin"), 1.0)
+        val feP = p(Seq("false_easting", "easting_at_false_origin"), 0)
+        val fnP = p(Seq("false_northing", "northing_at_false_origin"), 0)
         proj match {
           case Some(name) if name.contains("transverse") =>
-            tmercOrUtm(p("central_meridian", 0), p("latitude_of_origin", 0),
-              p("scale_factor", 1.0), p("false_easting", 0), p("false_northing", 0))
+            tmercOrUtm(lon0, lat0, k0, feP, fnP)
+          case Some(name) if name.contains("azimuthal_equal_area") =>
+            LAEA(lon0, lat0, feP, fnP)
+          case Some(name) if name.contains("polar_stereographic") =>
+            // variant B carries a standard parallel (|φ| < 90 in the
+            // latitude slot) and no scale factor; variant A a ±90 origin + k0
+            val std = p(Seq("standard_parallel_1", "latitude_of_standard_parallel"),
+              Double.NaN)
+            if (!std.isNaN)
+              PolarStereographic.fromStandardParallel(lon0, std, feP, fnP)
+            else if (math.abs(lat0) < 90 - 1e-9)
+              PolarStereographic.fromStandardParallel(lon0, lat0, feP, fnP)
+            else PolarStereographic(lon0, north = lat0 > 0, k0, feP, fnP)
+          case Some(name) if name.contains("stereographic") =>
+            ObliqueStereographic(lon0, lat0, k0, feP, fnP)
           case Some(name) if name.contains("mercator") => WebMercator
           case None if s.toUpperCase.startsWith("GEOGCS") ||
             s.toUpperCase.startsWith("GEOGCRS") => WGS84
@@ -251,9 +505,19 @@ object CRS {
     * user-defined systems (their srid is the TIFF "user-defined" sentinel
     * 32767, which parse rightly rejects as an EPSG code). */
   def serialize(crs: CRS): String = crs match {
+    case c if c.srid != 32767 => s"EPSG:${c.srid}"
     case t: TransverseMercator =>
       s"+proj=tmerc +lat_0=${t.lat0Deg} +lon_0=${t.lon0Deg} +k=${t.k0}" +
         s" +x_0=${t.fe} +y_0=${t.fnParam}"
+    case l: LAEA =>
+      s"+proj=laea +lat_0=${l.lat0Deg} +lon_0=${l.lon0Deg}" +
+        s" +x_0=${l.fe} +y_0=${l.fn}"
+    case p: PolarStereographic =>
+      s"+proj=stere +lat_0=${if (p.north) 90 else -90} +lon_0=${p.lon0Deg}" +
+        s" +k=${p.k0} +x_0=${p.fe} +y_0=${p.fn}"
+    case o: ObliqueStereographic =>
+      s"+proj=sterea +lat_0=${o.lat0Deg} +lon_0=${o.lon0Deg} +k=${o.k0}" +
+        s" +x_0=${o.fe} +y_0=${o.fn}"
     case c => s"EPSG:${c.srid}"
   }
 

@@ -79,7 +79,9 @@ class GeoSpec extends AnyFunSuite {
     // a tmerc with exact UTM parameters resolves to the UTM zone (EPSG id)
     assert(CRS.parse("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 " +
       "+y_0=0 +datum=WGS84") == CRS.UTM(33, north = true))
-    assertThrows[IllegalArgumentException](CRS.parse("+proj=laea +lat_0=52"))
+    // laea is accepted since round 3 (see the azimuthal tests below)
+    assert(CRS.parse("+proj=laea +lat_0=52 +lon_0=10").isInstanceOf[CRS.LAEA])
+    assertThrows[IllegalArgumentException](CRS.parse("+proj=aea +lat_1=29.5"))
     assertThrows[IllegalArgumentException](CRS.parse("+proj=utm +datum=WGS84"))
   }
 
@@ -185,5 +187,110 @@ class GeoSpec extends AnyFunSuite {
     assert(u === BBox(0, 0, 6, 7))
     val b = BBox.fromExtent(Affine.northUp(100, 200, 1, -1), 10, 20)
     assert(b === BBox(100, 180, 110, 200)) // y flipped by negative res
+  }
+
+  test("LAEA (EPSG 9820): published ETRS-LAEA example + round trips") {
+    // IOGP Guidance Note 7-2 worked example for ETRS89-extended LAEA
+    // Europe (EPSG:3035): φ=50°N λ=5°E → E 3962799.45, N 2999718.85
+    // (GRS80 vs WGS84 flattening differs < 1 mm)
+    val laea = CRS.fromSrid(3035)
+    val (x, y) = laea.fromLonLat(5.0, 50.0)
+    assert(math.abs(x - 3962799.45) < 0.5, s"E=$x")
+    assert(math.abs(y - 2999718.85) < 0.5, s"N=$y")
+    val (lon, lat) = laea.toLonLat(x, y)
+    assert(math.abs(lon - 5.0) < 1e-8 && math.abs(lat - 50.0) < 1e-8)
+    // origin maps to the false origin
+    val (ox, oy) = laea.fromLonLat(10, 52)
+    assert(math.abs(ox - 4321000) < 1e-6 && math.abs(oy - 3210000) < 1e-6)
+    // polar aspect round-trips
+    val polar = CRS.LAEA(0, 90)
+    val (px, py) = polar.fromLonLat(30, 80)
+    val (plon, plat) = polar.toLonLat(px, py)
+    assert(math.abs(plon - 30) < 1e-8 && math.abs(plat - 80) < 1e-8)
+  }
+
+  test("polar stereographic (EPSG 9810/9829): published UPS example + variant B") {
+    // IOGP Guidance Note 7-2 example for UPS North (EPSG:5041, variant A,
+    // k0=0.994, FE=FN=2 000 000): φ=73°N λ=44°E → E 3320416.75, N 632668.43
+    val ups = CRS.fromSrid(5041)
+    val (x, y) = ups.fromLonLat(44.0, 73.0)
+    assert(math.abs(x - 3320416.75) < 0.5, s"E=$x")
+    assert(math.abs(y - 632668.43) < 0.5, s"N=$y")
+    val (lon, lat) = ups.toLonLat(x, y)
+    assert(math.abs(lon - 44.0) < 1e-8 && math.abs(lat - 73.0) < 1e-8)
+    // variant B: at the standard parallel the scale is exactly 1 —
+    // a 1° arc along φF measures its true ellipsoidal length
+    val ant = CRS.fromSrid(3031) // Antarctic Polar Stereographic, φF=-71
+    val (x1, y1) = ant.fromLonLat(0, -71)
+    val (lon1, lat1) = ant.toLonLat(x1, y1)
+    assert(math.abs(lon1) < 1e-8 && math.abs(lat1 + 71) < 1e-8)
+    // southern aspect round-trips off-meridian too
+    val (x2, y2) = ant.fromLonLat(137.25, -80.5)
+    val (lon2, lat2) = ant.toLonLat(x2, y2)
+    assert(math.abs(lon2 - 137.25) < 1e-8 && math.abs(lat2 + 80.5) < 1e-8)
+  }
+
+  test("oblique stereographic (EPSG 9809): origin, scale, round trips") {
+    val st = CRS.ObliqueStereographic(5.38763889, 52.15616056, 0.9999079,
+      155000.0, 463000.0) // RD-New parameters (on WGS84 here)
+    val (ox, oy) = st.fromLonLat(5.38763889, 52.15616056)
+    assert(math.abs(ox - 155000.0) < 1e-6 && math.abs(oy - 463000.0) < 1e-6)
+    // scale at the origin ≈ k0: a tiny eastward step measures k0 × arc
+    val dLon = 1e-6
+    val (sx, _) = st.fromLonLat(5.38763889 + dLon, 52.15616056)
+    val arc = dLon * math.Pi / 180 *
+      (6378137.0 / math.sqrt(1 - 0.00669438 * math.pow(math.sin(52.156 * math.Pi / 180), 2))) *
+      math.cos(52.15616056 * math.Pi / 180)
+    assert(math.abs((sx - 155000.0) / arc - 0.9999079) < 1e-4)
+    val (lon, lat) = st.toLonLat(st.fromLonLat(4.2, 51.1)._1, st.fromLonLat(4.2, 51.1)._2)
+    assert(math.abs(lon - 4.2) < 1e-8 && math.abs(lat - 51.1) < 1e-8)
+  }
+
+  test("authority-free WKT: LAEA and stereographic parameter parsing") {
+    val laeaWkt = """PROJCS["unnamed",GEOGCS["WGS 84",DATUM["WGS_1984",
+      SPHEROID["WGS 84",6378137,298.257223563]]],
+      PROJECTION["Lambert_Azimuthal_Equal_Area"],
+      PARAMETER["latitude_of_center",52],PARAMETER["longitude_of_center",10],
+      PARAMETER["false_easting",4321000],PARAMETER["false_northing",3210000],
+      UNIT["metre",1]]"""
+    val parsed = CRS.parse(laeaWkt)
+    assert(parsed.isInstanceOf[CRS.LAEA])
+    val (x, y) = parsed.fromLonLat(5.0, 50.0)
+    assert(math.abs(x - 3962799.45) < 0.5 && math.abs(y - 2999718.85) < 0.5)
+
+    // polar stereographic variant B: standard parallel, no scale factor
+    val polarWkt = """PROJCS["unnamed",GEOGCS["WGS 84",DATUM["WGS_1984",
+      SPHEROID["WGS 84",6378137,298.257223563]]],
+      PROJECTION["Polar_Stereographic"],
+      PARAMETER["latitude_of_origin",-71],PARAMETER["central_meridian",0],
+      PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    val polar = CRS.parse(polarWkt).asInstanceOf[CRS.PolarStereographic]
+    assert(!polar.north)
+    val ref = CRS.fromSrid(3031)
+    val (a1, b1) = polar.fromLonLat(100, -75)
+    val (a2, b2) = ref.fromLonLat(100, -75)
+    assert(math.abs(a1 - a2) < 1e-6 && math.abs(b1 - b2) < 1e-6)
+
+    // oblique stereographic WKT
+    val obWkt = """PROJCS["unnamed",GEOGCS["WGS 84",DATUM["WGS_1984",
+      SPHEROID["WGS 84",6378137,298.257223563]]],
+      PROJECTION["Oblique_Stereographic"],
+      PARAMETER["latitude_of_origin",52.15616056],
+      PARAMETER["central_meridian",5.38763889],
+      PARAMETER["scale_factor",0.9999079],
+      PARAMETER["false_easting",155000],PARAMETER["false_northing",463000],
+      UNIT["metre",1]]"""
+    val ob = CRS.parse(obWkt).asInstanceOf[CRS.ObliqueStereographic]
+    assert(math.abs(ob.fromLonLat(5.38763889, 52.15616056)._1 - 155000.0) < 1e-6)
+
+    // serialize → parse round-trips the user-defined forms
+    for (crs <- Seq(CRS.LAEA(10.5, 47.25, 100, 200),
+        CRS.PolarStereographic(-45, north = true, 0.97, 10, 20),
+        CRS.ObliqueStereographic(5.4, 52.2, 0.9999, 155000, 463000))) {
+      val again = CRS.parse(CRS.serialize(crs))
+      val (x0, y0) = crs.fromLonLat(6.0, 51.0)
+      val (x1b, y1b) = again.fromLonLat(6.0, 51.0)
+      assert(math.abs(x0 - x1b) < 1e-9 && math.abs(y0 - y1b) < 1e-9, crs.toString)
+    }
   }
 }
