@@ -63,14 +63,70 @@ object Bench {
     val pass2 = onePass()
     // a query that failed in either pass reports -1, never an elapsed time
     // (a broken query must not read as a suspiciously fast green bar)
-    val results = pass1.map { case (k, v) =>
+    val sqlResults = pass1.map { case (k, v) =>
       k -> (if (failed(k)) -1.0 else math.min(v, pass2(k)))
     }
+    // kernel benchmark: the reference's only published perf claim is a
+    // 100-slice 256×256 cube read < 1 s (docs/architecture/mucog.md:14-26) —
+    // track the D3 warp/mosaic path round-over-round alongside the SQL surface
+    val results = sqlResults + ("getcube_100x256" -> (
+      try getCubeBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAILURE getcube_100x256: ${e.getMessage}")
+        failed += "getcube_100x256"; -1.0
+      }))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
+  }
+
+  /** Seed a 100-record catalog of 256×256 uint8 tiles on one grid and time
+    * the full GetCube plan (catalog join → tile join → groupByKey(record)
+    * → merge kernel), min of two runs after a warmup. Returns seconds. */
+  private def getCubeBench(spark: SparkSession): Double = {
+    import graft.catalog.{Catalog, Schemas}
+    import graft.core.DType
+    import graft.geo.{Affine, BBox, GeomOps}
+    import graft.raster.Bitmap
+    import org.apache.spark.sql.Row
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-cube").toString
+    val cat = Catalog(root)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 8), Schemas.all(table)), table)
+    val box = BBox(0, 0, 2.56, 2.56)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    write("aoi", Seq(Row("a1", "h", wkb, bbox)))
+    write("records", (1 to 100).map(i =>
+      Row(s"r$i", s"rec$i", new java.sql.Timestamp(t0 + i * 3600000L),
+        Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", (1 to 100).map(i => Row(s"mem://cube$i", false, "STANDARD")))
+    write("datasets", (1 to 100).map(i =>
+      Row(s"d$i", s"r$i", "i1", s"mem://cube$i", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326, bbox)))
+    val tf = Seq(0.0, 0.01, 0.0, 2.56, 0.0, -0.01)
+    write("tiles", (1 to 100).map { i =>
+      val px = Array.tabulate(256 * 256)(p => ((p + i) % 200).toDouble)
+      Row(s"mem://cube$i", "", 256, 256, 1, "uint8", "EPSG:4326", tf,
+        new Bitmap(256, 256, 1, DType.UInt8, px).toBytes)
+    })
+    val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 2.56, 0.01, -0.01), width = 256, height = 256)
+    def run(): Long = graft.cube.GetCube.cube(spark, cat, req).count()
+    require(run() == 100L, "getcube bench: expected 100 slices")
+    val times = (1 to 2).map { _ =>
+      val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
+    }
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
+    rm(new java.io.File(root))
+    times.min
   }
 }
