@@ -305,6 +305,51 @@ object RelationalQueries {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** f7_area_checksum — the A3/A7 geometry-math path (geometry union /
+    * ComputeValidShapeFromCell, pg_containers.go:385-430) under the hash
+    * oracle: overlapping box pairs from the p5 pipeline are intersected
+    * with the REAL JTS expressions (`st_intersection` over `st_make_box`
+    * WKB) and their `st_area` summed per bucket. For axis-aligned boxes
+    * the intersection area is exactly
+    * (min(xmax,bxmax)−max(xmin,bxmin))·(min(ymax,bymax)−max(ymin,bymin)),
+    * so DuckDB verifies the JTS geometry pipeline with plain arithmetic.
+    * Same single cell-key equi-join as p5 — scale shape unchanged. */
+  def f7AreaChecksum(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_area, st_intersection, st_make_box}
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("cx", explode(expr(
+        "sequence(cast(floor(xmin/10) as int), cast(floor(xmax/10) as int))")))
+      .withColumn("cy", explode(expr(
+        "sequence(cast(floor(ymin/10) as int), cast(floor(ymax/10) as int))")))
+    val a = cells(t(s, dir, "part").select(col("p_partkey"),
+      (col("p_partkey") * 7 % 100).as("xmin"),
+      (col("p_partkey") * 13 % 100).as("ymin"),
+      (col("p_partkey") * 7 % 100 + col("p_size") % 10 + 1).as("xmax"),
+      (col("p_partkey") * 13 % 100 + col("p_size") % 7 + 1).as("ymax")))
+    val b = cells(t(s, dir, "supplier").select(col("s_suppkey"),
+      (col("s_suppkey") * 17 % 100).as("xmin"),
+      (col("s_suppkey") * 29 % 100).as("ymin"),
+      (col("s_suppkey") * 17 % 100 + col("s_suppkey") % 5 + 1).as("xmax"),
+      (col("s_suppkey") * 29 % 100 + col("s_suppkey") % 3 + 1).as("ymax")))
+      .select(col("s_suppkey"), col("xmin").as("bxmin"), col("ymin").as("bymin"),
+        col("xmax").as("bxmax"), col("ymax").as("bymax"), col("cx"), col("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
+        col("ymin") < col("bymax") && col("ymax") > col("bymin"))
+      .select(col("p_partkey"), col("s_suppkey"),
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+        col("bxmin"), col("bymin"), col("bxmax"), col("bymax"))
+      .distinct()
+      .withColumn("ia", st_area(st_intersection(
+        st_make_box(col("xmin").cast("double"), col("ymin").cast("double"),
+          col("xmax").cast("double"), col("ymax").cast("double")),
+        st_make_box(col("bxmin").cast("double"), col("bymin").cast("double"),
+          col("bxmax").cast("double"), col("bymax").cast("double")))))
+      .groupBy((col("p_partkey") % 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), round(sum("ia"), 4).as("sum_area"))
+      .orderBy("bucket")
+  }
+
   /** c3_pack_orders — the consolidation task builder's packing step
     * (csldPrepareOrders, consolidater.go:411-518): rows sorted by
     * (time, id) within each cell are packed MaxRecords-per-container via
@@ -548,6 +593,7 @@ object RelationalQueries {
     "w3_sessionize" -> w3Sessionize _,
     "j4_bbox_join" -> j4BboxJoin _,
     "c3_pack_orders" -> c3PackOrders _,
+    "f7_area_checksum" -> f7AreaChecksum _,
     "p5_spatial_refine" -> p5SpatialRefine _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
@@ -655,6 +701,35 @@ object RelationalQueries {
          FROM cells JOIN p2 USING (cx, cy)
          WHERE px BETWEEN xmin AND xmax AND py BETWEEN ymin AND ymax
          ORDER BY p_partkey, s_suppkey""",
+    "f7_area_checksum" ->
+      """WITH pa AS (
+           SELECT p_partkey, (p_partkey*7)%100 AS xmin, (p_partkey*13)%100 AS ymin,
+                  (p_partkey*7)%100 + p_size%10 + 1 AS xmax,
+                  (p_partkey*13)%100 + p_size%7 + 1 AS ymax
+           FROM part),
+         ca1 AS (SELECT *, unnest(range(CAST(floor(xmin/10) AS INT),
+                   CAST(floor(xmax/10) AS INT) + 1)) AS cx FROM pa),
+         ca AS (SELECT *, unnest(range(CAST(floor(ymin/10) AS INT),
+                  CAST(floor(ymax/10) AS INT) + 1)) AS cy FROM ca1),
+         pb AS (
+           SELECT s_suppkey, (s_suppkey*17)%100 AS bxmin, (s_suppkey*29)%100 AS bymin,
+                  (s_suppkey*17)%100 + s_suppkey%5 + 1 AS bxmax,
+                  (s_suppkey*29)%100 + s_suppkey%3 + 1 AS bymax
+           FROM supplier),
+         cb1 AS (SELECT *, unnest(range(CAST(floor(bxmin/10) AS INT),
+                   CAST(floor(bxmax/10) AS INT) + 1)) AS cx FROM pb),
+         cb AS (SELECT *, unnest(range(CAST(floor(bymin/10) AS INT),
+                  CAST(floor(bymax/10) AS INT) + 1)) AS cy FROM cb1),
+         pairs AS (
+           SELECT DISTINCT p_partkey, s_suppkey,
+                  xmin, ymin, xmax, ymax, bxmin, bymin, bxmax, bymax
+           FROM ca JOIN cb USING (cx, cy)
+           WHERE xmin < bxmax AND xmax > bxmin AND ymin < bymax AND ymax > bymin)
+         SELECT CAST(p_partkey % 10 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                round(sum((least(xmax,bxmax) - greatest(xmin,bxmin)) *
+                          (least(ymax,bymax) - greatest(ymin,bymin))), 4) AS sum_area
+         FROM pairs GROUP BY 1 ORDER BY bucket""",
     "p5_spatial_refine" ->
       """WITH pa AS (
            SELECT p_partkey, (p_partkey*7)%100 AS xmin, (p_partkey*13)%100 AS ymin,
