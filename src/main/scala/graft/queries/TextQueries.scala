@@ -196,7 +196,23 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** mix_stratified — deterministic data mixing (the training-pipeline
+    * "source weights" step): per-source hash-threshold sampling via
+    * [[graft.operators.Sampling.stratified]]. No RNG — membership is a
+    * pure function of doc_id, so retries and different cluster sizes keep
+    * identical samples; the rates dim broadcasts and the md5-threshold
+    * filter is codegen'd, so the only shuffle is the count rollup. */
+  private val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 + 1) * 0.25).toMap
+
+  def mixStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(s, docs(s, dir), "doc_id", "source", mixRates)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_stratified" -> mixStratified _,
     "dedup_ngram" -> dedupNgram _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
@@ -213,6 +229,16 @@ object TextQueries {
     s"list_aggregate(list_transform($tokSetSql, t -> md5(concat('$i|', t))), 'min')"
 
   val oracle: Map[String, String] = Map(
+    "mix_stratified" -> {
+      val vals = mixRates.toSeq.sorted.map { case (k, r) =>
+        s"('$k', '${graft.operators.Sampling.rateThreshold(r)}')"
+      }.mkString(", ")
+      s"""WITH rates(src, thr) AS (VALUES $vals)
+          SELECT source, count(*) AS n_kept, min(doc_id) AS first_id
+          FROM documents JOIN rates ON source = src
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+          GROUP BY source ORDER BY source"""
+    },
     "dedup_ngram" ->
       """WITH g AS (
            SELECT doc_id, source,

@@ -122,6 +122,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp(1L)._2 != fp(2L)._2)
   }
 
+  test("stratified sampling: deterministic, rate-accurate, drops unlisted strata") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "stratum")
+    val rates = Map("s0" -> 0.25, "s1" -> 1.0, "s2" -> 0.0)
+    val out = Sampling.stratified(spark, df, "id", "stratum", rates)
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum.getOrElse("s2", 0L) == 0) // rate 0
+    assert(!byStratum.contains("s3")) // unlisted stratum dropped
+    assert(byStratum("s1") == 1000) // rate 1 keeps everything
+    val k = byStratum("s0").toDouble / 1000
+    assert(k > 0.18 && k < 0.32, s"s0 rate $k") // md5 uniformity, 1000 draws
+    // deterministic: same ids on a rerun
+    val again = Sampling.stratified(spark, df, "id", "stratum", rates)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // threshold edges
+    assert(Sampling.rateThreshold(1.0) == "g" && Sampling.rateThreshold(0.0) == "0000")
+    assert(Sampling.rateThreshold(0.5) == "8000")
+  }
+
   test("token count estimate adds subword tokens for long words") {
     val n = spark.range(1).select(
       TextAnalysis.tokenCountEstimate(lit("hi internationalization")).as("n"))
