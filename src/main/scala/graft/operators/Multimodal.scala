@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * as `mapPartitions` over typed rows so each task touches one batch of
   * payloads (the Scala analog of `mapInPandas` batches).
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): `FakeCodec` derives deterministic pixels/samples from the
-  * payload bytes. Every Spark-side concern — schema, binary payload
-  * transport, per-partition batching, metadata pushdown (payload column
-  * pruned unless needed) — is real and tested; swap `FakeCodec` for a real
-  * decoder (e.g. TwelveMonkeys/JavaCV) without touching the plumbing.
+  * Codecs are REAL and JDK-only ([[MediaCodec]]): PNG/JPEG/BMP/GIF via
+  * javax.imageio, WAV/AU/AIFF PCM via javax.sound. Payloads that are not
+  * a known container fall back to the documented raw-gray interpretation
+  * (bytes = 8-bit samples of the metadata-declared raster); video frame
+  * DECODE remains the one honest stub — the JDK ships no video codec —
+  * so frame sampling is metadata-only and per-frame payloads go through
+  * the image path.
   */
 object Multimodal {
 
@@ -38,25 +39,12 @@ object Multimodal {
       n_bytes: Long, width: Int, height: Int,
       mean: Double, std: Double, embedding: Seq[Float])
 
-  /** STUB codec — deterministic fake decode, clearly marked. A real
-    * deployment replaces exactly this object. */
-  object FakeCodec {
-    /** "Decode" payload → per-pixel/sample values (deterministic from
-      * bytes; byte i of the payload cycles through the raster). */
-    def decode(payload: Array[Byte], n: Int): Array[Double] = {
-      val out = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        out(i) = (payload(i % payload.length) & 0xff).toDouble
-        i += 1
-      }
-      out
-    }
-  }
-
   /** Feature extraction over batches: one partition = one batch of
     * payloads decoded together (the mapInPandas batch shape). Emits basic
-    * stats + a 16-d embedding (mean of byte histogram buckets). */
+    * stats + a 16-d embedding (normalized 16-bucket histogram). Image and
+    * audio containers decode for real; anything else is raw-gray. The
+    * reported width/height are the DECODED dims when a container decodes
+    * (metadata otherwise). */
   def featurize(spark: SparkSession, media: DataFrame): Dataset[Features] = {
     import spark.implicits._
     media.select(
@@ -67,22 +55,39 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val n = math.max(1, r.width * r.height)
-          val px = FakeCodec.decode(r.payload, n)
+          val (px, w, h) = r.kind match {
+            case "image" => MediaCodec.decodeImage(r.payload) match {
+              case Some((dw, dh, _, samples)) => (samples, dw, dh)
+              case None =>
+                val n = math.max(1, r.width * r.height)
+                (MediaCodec.rawGray(r.payload, n), r.width, r.height)
+            }
+            case "audio" => MediaCodec.decodeAudio(r.payload) match {
+              case Some((_, _, samples)) => (samples, r.width, r.height)
+              case None =>
+                (MediaCodec.rawGray(r.payload, math.max(1, r.payload.length)),
+                  r.width, r.height)
+            }
+            case _ =>
+              val n = math.max(1, r.width * r.height)
+              (MediaCodec.rawGray(r.payload, n), r.width, r.height)
+          }
           val mean = px.sum / px.length
           val std = math.sqrt(px.map(v => (v - mean) * (v - mean)).sum / px.length)
           val hist = new Array[Float](16)
-          px.foreach(v => hist((v / 16).toInt.min(15)) += 1f)
+          px.foreach(v =>
+            hist(math.max(0, math.min(15, (v / 16).toInt))) += 1f)
           val total = px.length.toFloat
           Features(r.media_id, r.kind, r.payload.length.toLong,
-            r.width, r.height, mean, std, hist.map(_ / total).toSeq)
+            w, h, mean, std, hist.map(_ / total).toSeq)
         }
       }
   }
 
-  /** Image resize (nearest) over the stubbed decode — returns new payload
-    * bytes + updated metadata. The resample loop is the real kernel from
-    * graft.raster; only the codec is fake. */
+  /** Image resize (nearest) — the resample loop is the graft.raster
+    * kernel. Real image containers decode via ImageIO, resize every
+    * channel, and re-encode as PNG (`format = "png"`); raw-gray payloads
+    * stay raw (`format = "raw-gray"`). */
   def resize(spark: SparkSession, media: DataFrame, outW: Int, outH: Int): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"),
@@ -92,26 +97,44 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val src = new graft.raster.Bitmap(r.width, r.height, 1,
-            graft.core.DType.UInt8, FakeCodec.decode(r.payload, r.width * r.height))
-          val out = new Array[Double](outW * outH)
-          var y = 0
-          while (y < outH) {
-            var x = 0
-            while (x < outW) {
-              val sx = (x + 0.5) * r.width / outW
-              val sy = (y + 0.5) * r.height / outH
-              out(y * outW + x) = graft.raster.Sampler.near(src, 0, sx, sy, Double.NaN)
-              x += 1
+          def resample(src: graft.raster.Bitmap): Array[Double] = {
+            val ch = src.bands
+            val out = new Array[Double](outW * outH * ch)
+            var b = 0
+            while (b < ch) {
+              var y = 0
+              while (y < outH) {
+                var x = 0
+                while (x < outW) {
+                  val sx = (x + 0.5) * src.width / outW
+                  val sy = (y + 0.5) * src.height / outH
+                  out(b * outW * outH + y * outW + x) =
+                    graft.raster.Sampler.near(src, b, sx, sy, Double.NaN)
+                  x += 1
+                }
+                y += 1
+              }
+              b += 1
             }
-            y += 1
+            out
           }
-          val bytes = new graft.raster.Bitmap(outW, outH, 1,
-            graft.core.DType.UInt8, out).toBytes
-          (r.media_id, r.kind, outW, outH, bytes)
+          MediaCodec.decodeImage(r.payload) match {
+            case Some((w, h, ch, samples)) =>
+              val src = new graft.raster.Bitmap(w, h, ch,
+                graft.core.DType.Float64, samples)
+              (r.media_id, r.kind, outW, outH, "png",
+                MediaCodec.encodePng(outW, outH, ch, resample(src)))
+            case None =>
+              val src = new graft.raster.Bitmap(r.width, r.height, 1,
+                graft.core.DType.UInt8,
+                MediaCodec.rawGray(r.payload, r.width * r.height))
+              (r.media_id, r.kind, outW, outH, "raw-gray",
+                new graft.raster.Bitmap(outW, outH, 1,
+                  graft.core.DType.UInt8, resample(src)).toBytes)
+          }
         }
       }
-      .toDF("media_id", "kind", "width", "height", "payload")
+      .toDF("media_id", "kind", "width", "height", "format", "payload")
   }
 
   /** Video frame sampling: every k-th frame index (metadata-only — no

@@ -20,7 +20,7 @@ class MultimodalSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
   }
 
-  test("featurize: deterministic stub decode, batched mapPartitions") {
+  test("featurize: deterministic raw-gray fallback, batched mapPartitions") {
     val f = Multimodal.featurize(spark, media()).collect()
       .map(r => r.media_id -> r).toMap
     assert(f("img1").n_bytes == 16)
@@ -42,6 +42,52 @@ class MultimodalSpec extends AnyFunSuite {
       out.getAs[Array[Byte]]("payload"), 2, 2, 1, graft.core.DType.UInt8)
     // nearest of 4×4 ramp at (0.5,0.5)·2 → pixel (1,1) = 5
     assert(bm.get(0, 0, 0) == 5.0)
+  }
+
+  test("real PNG payloads decode through ImageIO: featurize + resize") {
+    // a real 8×8 grayscale PNG with a left-dark / right-bright split
+    val samples = Array.tabulate(64)(i => if (i % 8 < 4) 10.0 else 250.0)
+    val png = MediaCodec.encodePng(8, 8, 1, samples)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val rows = Seq(Row("png1", "image", Row(8, 8, 1, 0, 0), png))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+
+    val f = Multimodal.featurize(spark, df).collect().head
+    assert(f.width == 8 && f.height == 8) // decoded dims, not metadata echo
+    assert(math.abs(f.mean - 130.0) < 1e-9) // (10+250)/2
+    assert(math.abs(f.embedding(0) - 0.5f) < 1e-6) // bucket 0 = the 10s
+    assert(math.abs(f.embedding(15) - 0.5f) < 1e-6) // bucket 15 = the 250s
+
+    val out = Multimodal.resize(spark, df, 4, 4).collect().head
+    assert(out.getAs[String]("format") == "png")
+    val dec = MediaCodec.decodeImage(out.getAs[Array[Byte]]("payload")).get
+    assert(dec._1 == 4 && dec._2 == 4)
+    val px = dec._4
+    assert(px(0) == 10.0 && px(3) == 250.0) // split survives the resize
+  }
+
+  test("real WAV payloads decode through javax.sound") {
+    // 8-bit unsigned mono PCM ramp in a WAV container
+    val pcm = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val (rate, ch, samples) = MediaCodec.decodeAudio(wav).get
+    assert(rate == 8000 && ch == 1)
+    assert(samples.toSeq == pcm.map(b => (b & 0xff).toDouble).toSeq)
+
+    // the featurize path takes the audio branch on the container bytes
+    val rows = Seq(Row("wav1", "audio", Row(0, 0, 1, 8000, 0), wav))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val f = Multimodal.featurize(spark, df).collect().head
+    assert(math.abs(f.mean - samples.sum / samples.length) < 1e-9)
   }
 
   test("sampleFrames is metadata-only frame explosion") {
