@@ -102,7 +102,9 @@ object GraftSparkExtensions {
     "st_area" -> ((args: Seq[Expression]) => STArea(args(0))),
     "geom_hash" -> ((args: Seq[Expression]) => GeomHash(args(0))),
     "st_make_box" -> ((args: Seq[Expression]) => STMakeBox(args)),
-    "st_transform" -> ((args: Seq[Expression]) => STTransform(args)))
+    "st_transform" -> ((args: Seq[Expression]) => STTransform(args)),
+    "sorted_intersect_size" -> ((args: Seq[Expression]) =>
+      ArrayExpressions.SortedIntersectSize(args(0), args(1))))
 
   /** Install on a live session (no spark.sql.extensions restart needed):
     * SQL functions via the registry bridge + the bbox rule as an

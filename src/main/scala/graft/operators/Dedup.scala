@@ -99,7 +99,7 @@ object Dedup {
     (0 until nBands).map(bandJoin).reduce(_ union _).distinct()
       .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("__inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("__ta"), col("__tb")))
       .withColumn("jaccard",
         col("__inter") / (size(col("__ta")) + size(col("__tb")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
@@ -107,9 +107,12 @@ object Dedup {
   }
 
   /** N-gram (shingle) Jaccard similarity column between two token-set
-    * columns (for candidate confirmation or ad-hoc pair scoring). */
+    * columns (for candidate confirmation or ad-hoc pair scoring). Inputs
+    * must be sorted distinct arrays — which [[tokenSet]] and
+    * [[charNgrams]] produce — so the intersection counts by merge
+    * without materializing it. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
+    val inter = graft.functions.ArrayExpressions.sorted_intersect_size(a, b)
     inter / (size(a) + size(b) - inter)
   }
 

@@ -147,7 +147,7 @@ object TextQueries {
     bandJoin("band0").union(bandJoin("band1")).distinct()
       .join(base.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("ta"), col("tb")))
       .withColumn("jaccard",
         round(col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.9)
@@ -189,7 +189,7 @@ object TextQueries {
       .withColumn("prev_id", lag("doc_id", 1).over(bySource))
       .withColumn("prev_g3", lag("g3", 1).over(bySource))
       .filter(col("prev_id").isNotNull)
-      .withColumn("inter", size(array_intersect(col("g3"), col("prev_g3"))))
+      .withColumn("inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("g3"), col("prev_g3")))
       .select(col("prev_id").as("doc_a"), col("doc_id").as("doc_b"),
         round(col("inter") /
           (size(col("g3")) + size(col("prev_g3")) - col("inter")), 6).as("jaccard3"))

@@ -122,6 +122,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp(1L)._2 != fp(2L)._2)
   }
 
+  test("sorted_intersect_size matches array_intersect on random sorted sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_intersect, size => asize, col}
+    val rnd = new scala.util.Random(7)
+    def randSet() = (0 until rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(30)}")
+      .distinct.sorted
+    val df = (0 until 500).map(_ => (randSet(), randSet())).toDF("a", "b")
+    val both = df.select(
+      graft.functions.ArrayExpressions.sorted_intersect_size(col("a"), col("b")).as("fast"),
+      asize(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    assert(both.forall(r => r.getInt(0) == r.getInt(1)))
+    // empty and null inputs
+    val edge = Seq((Seq("x"), Seq.empty[String])).toDF("a", "b")
+      .select(graft.functions.ArrayExpressions.sorted_intersect_size(col("a"), col("b")))
+      .collect().head.getInt(0)
+    assert(edge == 0)
+  }
+
   test("stratified sampling: deterministic, rate-accurate, drops unlisted strata") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "stratum")
