@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over array columns, in double. */
+  /** dot(a, b) over array columns, in double — the codegen'd
+    * multiply-accumulate expression (same left-to-right addition order as
+    * the aggregate(zip_with) fold, no intermediate arrays). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayExpressions.vec_dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

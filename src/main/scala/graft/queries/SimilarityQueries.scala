@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.ArrayExpressions.vec_dot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search operators over the `embeddings` table
@@ -33,11 +34,13 @@ object SimilarityQueries {
     Seq.fill(PLANES)(Seq.fill(DIM)(next()))
   }
 
-  private def planeArraySql(p: Seq[Double]): String =
-    p.mkString("array(", ", ", ")")
+  private def planeCol(p: Seq[Double]): Column = array(p.map(lit): _*)
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  /** Codegen'd multiply-accumulate ([[graft.functions.ArrayExpressions
+    * .DotProduct]]) — same left-to-right addition order as the
+    * aggregate(zip_with(…)) fold it replaces, so the DuckDB oracle's
+    * list_aggregate sum stays bit-identical. */
+  private def dotCol(a: String, b: String): Column = vec_dot(col(a), col(b))
 
   /** sim_cosine_topk — exact nearest neighbors of vec_id=0 by cosine:
     * broadcast the query vector, one codegen'd pass over all vectors,
@@ -48,33 +51,35 @@ object SimilarityQueries {
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
       .withColumn("cos",
-        expr(dotExpr("v", "qv")) /
-          (sqrt(expr(dotExpr("v", "v"))) * sqrt(expr(dotExpr("qv", "qv")))))
+        dotCol("v", "qv") /
+          (sqrt(dotCol("v", "v")) * sqrt(dotCol("qv", "qv"))))
       .orderBy(col("cos").desc, col("vec_id"))
       .select(col("vec_id"), col("label"), round(col("cos"), 6).as("cos"))
       .limit(20)
   }
 
+  /** 8-sign-bit bucket id over the `v` column. */
+  private def bucketCol: Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dotCol2(col("v"), planeCol(p)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def dotCol2(a: Column, b: Column): Column = vec_dot(a, b)
+
   /** sim_lsh_buckets — random-hyperplane LSH: 8 sign bits → bucket id per
     * vector. The signature is the map side of ANN; candidate generation is
     * a groupBy/join on `bucket`. */
   def simLshBuckets(s: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
-      s"CASE WHEN ${dotExpr("v", planeArraySql(p))} > 0 THEN ${1 << j} ELSE 0 END"
-    }.mkString(" + ")
     emb(s, dir)
-      .select(col("vec_id"), col("label"), expr(bucketExpr).cast("int").as("bucket"))
+      .select(col("vec_id"), col("label"), bucketCol.cast("int").as("bucket"))
       .orderBy("vec_id")
   }
 
   /** sim_lsh_histogram — bucket occupancy (the skew diagnostic for the ANN
     * bucket join: a hot bucket at scale → salting). */
   def simLshHistogram(s: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
-      s"CASE WHEN ${dotExpr("v", planeArraySql(p))} > 0 THEN ${1 << j} ELSE 0 END"
-    }.mkString(" + ")
     emb(s, dir)
-      .select(expr(bucketExpr).cast("int").as("bucket"))
+      .select(bucketCol.cast("int").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
@@ -84,7 +89,7 @@ object SimilarityQueries {
     * partial-aggregatable, one shuffle of 10 groups. */
   def simLabelStats(s: SparkSession, dir: String): DataFrame =
     emb(s, dir)
-      .withColumn("norm", sqrt(expr(dotExpr("v", "v"))))
+      .withColumn("norm", sqrt(dotCol("v", "v")))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
         round(avg("norm"), 6).as("avg_norm"),
@@ -93,14 +98,13 @@ object SimilarityQueries {
       .orderBy("label")
 
   /** 4-bit LSH band value from planes [lo, lo+4). */
-  private def bandExpr(lo: Int): String =
+  private def bandCol(lo: Int): Column =
     planes.slice(lo, lo + 4).zipWithIndex.map { case (p, j) =>
-      s"CASE WHEN ${dotExpr("v", planeArraySql(p))} > 0 THEN ${1 << j} ELSE 0 END"
-    }.mkString(" + ")
+      when(dotCol2(col("v"), planeCol(p)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   private def cosCol(a: String, b: String) =
-    expr(dotExpr(a, b)) /
-      (sqrt(expr(dotExpr(a, a))) * sqrt(expr(dotExpr(b, b))))
+    dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
 
   /** dedup_embed — embedding-cosine near-duplicate pairs, LSH-bucketed:
     * candidates share a 4-bit hyperplane band (2 bands, per-band EQUI-joins
@@ -111,9 +115,9 @@ object SimilarityQueries {
     * never n². */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val sig = emb(s, dir).select(col("vec_id"), col("v"),
-      sqrt(expr(dotExpr("v", "v"))).as("nrm"),
-      expr(bandExpr(0)).cast("int").as("b0"),
-      expr(bandExpr(4)).cast("int").as("b1"))
+      sqrt(dotCol("v", "v")).as("nrm"),
+      bandCol(0).cast("int").as("b0"),
+      bandCol(4).cast("int").as("b1"))
       .cache() // scanned 5× (2 join sides × 2 bands + score); one row per vector
     graft.operators.OperatorCaches.register(sig)
 
@@ -130,7 +134,7 @@ object SimilarityQueries {
       .join(sig.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(sig.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(expr(dotExpr("va", "vb")) / (col("na") * col("nb")), 6).as("cos"))
+        round(dotCol("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy("id_a", "id_b")
   }
@@ -143,7 +147,7 @@ object SimilarityQueries {
     * partition the list table by centroid id and probes become partition
     * pruning. */
   def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("nrm", sqrt(expr(dotExpr("v", "v"))))
+    val e = emb(s, dir).withColumn("nrm", sqrt(dotCol("v", "v")))
     val cent = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
@@ -151,7 +155,7 @@ object SimilarityQueries {
     val byVec = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr(dotExpr("v", "cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("ccos", dotCol("v", "cv") / (col("nrm") * col("cnrm")))
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("cid"))
