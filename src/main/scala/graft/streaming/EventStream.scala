@@ -33,6 +33,23 @@ final case class JobProgress(
   */
 object EventStream {
 
+  /** Streaming exact-dedup for a document stream (the continuous-ingest
+    * form of the training-pipeline dedup stage): key each document by its
+    * canonical fingerprint (md5 over the sorted distinct token set —
+    * [[graft.operators.Dedup.canonicalKey]]'s streaming twin) and keep the
+    * first arrival within the watermark horizon via
+    * `dropDuplicatesWithinWatermark`. State is bounded by the horizon —
+    * the property that keeps this runnable forever at ingest scale;
+    * at-least-once upstream delivery collapses here. */
+  def dedupDocuments(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(array_join(
+        array_sort(array_distinct(filter(split(col(textCol), " "),
+          x => x =!= ""))), " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Aggregate a (micro-)batch of task events into per-job counter deltas
     * (A9: active_tasks/failed_tasks maintenance, create.sql:135-136).
     * Deduplicates by (job, task): at-least-once delivery upstream. */

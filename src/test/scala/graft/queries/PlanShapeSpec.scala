@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard over the WHOLE query surface: the scale
+  * traps this engine has hit (or deliberately avoids) must never creep
+  * back in silently.
+  *
+  *  - CartesianProduct: no query may ever plan one.
+  *  - BroadcastNestedLoopJoin: the n²-candidate trap for the dedup/LSH
+  *    family (an OR-of-bands join degenerates to one — 253 s vs ~2 s at
+  *    sf0.1). Allowed only for the similarity queries that intentionally
+  *    cross-join a broadcast SINGLE-ROW relation (query vector / probe
+  *    list) and for range-bucket theta-joins against tiny literal dims.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  // queries whose BNLJ is a deliberate 1-row-broadcast or tiny-dim design
+  val bnljAllowed: Set[String] = Set(
+    "sim_cosine_topk", "sim_ivf_topk", // broadcast query vector / probe ids
+    "j5_range_join", "g1_grid_assign") // broadcast range-bucket literal dims
+
+  test("no query plans a CartesianProduct; BNLJ only where designed") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: BroadcastNestedLoopJoin"
+    }
+    graft.operators.OperatorCaches.unpersistAll()
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("the dedup/LSH family stays on keyed equi-joins end to end") {
+    for (name <- Seq("dedup_lsh_pairs", "dedup_embed", "dedup_ngram",
+        "sim_lsh_buckets", "mix_stratified")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$name:\n${plan.take(500)}")
+    }
+    graft.operators.OperatorCaches.unpersistAll()
+  }
+}

@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup: first arrival wins within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = EventStream.dedupDocuments(
+      stream.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("streamdedup").start()
+    try {
+      stream.addData(
+        (1L, "alpha beta gamma", ts("2024-01-01 00:00:00")),
+        (2L, "beta alpha gamma", ts("2024-01-01 00:01:00")), // canonical dup of 1
+        (3L, "delta epsilon", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      stream.addData(
+        (4L, "alpha beta gamma", ts("2024-01-01 00:03:00")), // dup again, same horizon
+        (5L, "zeta", ts("2024-01-01 01:00:00"))) // advances watermark
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM streamdedup")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // 2 and 4 collapse onto 1's fingerprint; 1, 3, 5 survive
+      assert(ids == Seq(1L, 3L, 5L), ids.toString)
+    } finally q.stop()
+  }
+
   test("file-source ingestion: readStream over a drop directory -> windowed agg") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("graft-drop").toString
