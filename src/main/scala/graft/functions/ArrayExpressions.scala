@@ -110,9 +110,57 @@ object ArrayExpressions {
       copy(left = l, right = r)
   }
 
+  /** Σ (aᵢ−bᵢ)² — squared L2, same loop/fold-order contract as
+    * [[DotProduct]]. The IVF assignment computes one per (vector,
+    * centroid). */
+  case class SquaredDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val lf = isFloat(left); val rf = isFloat(right)
+      var acc = 0.0; var i = 0
+      while (i < n) {
+        val d = (if (lf) x.getFloat(i).toDouble else x.getDouble(i)) -
+          (if (rf) y.getFloat(i).toDouble else y.getDouble(i))
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+        val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = $getA - $getB;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{toCol, toExpr}
   def sorted_intersect_size(a: Column, b: Column): Column =
     toCol(SortedIntersectSize(toExpr(a), toExpr(b)))
   def vec_dot(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a), toExpr(b)))
+  def vec_dist2(a: Column, b: Column): Column =
+    toCol(SquaredDistance(toExpr(a), toExpr(b)))
 }

@@ -77,11 +77,11 @@ object Similarity {
     * come from a prior sample/k-means (any small driver-side list). */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    // squared L2 to each centroid; argmin via a fold over (idx, best)
+    // squared L2 to each centroid (codegen'd loop); argmin via array_min
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cc = array(c.map(lit): _*)
-      struct(aggregate(zip_with(v, cc, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (a, x) => a + x).as("d"), lit(i).as("i"))
+      struct(graft.functions.ArrayExpressions.vec_dist2(v, cc).as("d"),
+        lit(i).as("i"))
     }
     df.withColumn("__ivf_list", array_min(array(dists: _*)).getField("i"))
   }
