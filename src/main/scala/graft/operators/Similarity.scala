@@ -98,4 +98,60 @@ object Similarity {
     topK(assigned.filter(col("__ivf_list").isin(nearest: _*)), vecCol, query, k)
       .drop("__ivf_list")
   }
+
+  /** Element-wise vector mean as a typed Aggregator (the custom-aggregate
+    * path: partial sums combine associatively, so the plan is one
+    * partial-aggregatable shuffle of k groups — never a per-dimension
+    * explode). */
+  val vectorAvg: org.apache.spark.sql.expressions.Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] =
+    new org.apache.spark.sql.expressions.Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+      def zero: (Array[Double], Long) = (Array.empty, 0L)
+      def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+        val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        (acc, b._2 + 1)
+      }
+      def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+        if (a._1.isEmpty) b
+        else if (b._1.isEmpty) a
+        else {
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          (a._1, a._2 + b._2)
+        }
+      }
+      def finish(r: (Array[Double], Long)): Seq[Double] =
+        if (r._2 == 0) Nil else r._1.map(_ / r._2).toSeq
+      def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+      def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+
+  /** Lloyd k-means over an embedding column — the IVF training step
+    * (train → [[ivfAssign]] → [[ivfSearch]] completes the ANN lifecycle
+    * in-engine). Deterministic seeding: the first k vectors in `idCol`
+    * order. Each iteration is ONE assignment pass (broadcast centroids,
+    * codegen'd argmin) + ONE k-group aggregation — no per-dimension
+    * shuffles, so iteration cost is a fixed small multiple of a scan at
+    * any scale. Empty clusters keep their previous centroid. */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iterations: Int): Seq[Seq[Double]] = {
+    import df.sparkSession.implicits._
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    var centroids: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(k)
+      .select("__v").as[Seq[Double]].collect().toSeq
+    var it = 0
+    while (it < iterations) {
+      val updated = ivfAssign(vecs, "__v", centroids)
+        .groupByKey(r => r.getAs[Int]("__ivf_list"))
+        .mapValues(_.getAs[scala.collection.Seq[Double]]("__v").toSeq)
+        .agg(vectorAvg.toColumn.name("c"))
+        .collect().toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+      it += 1
+    }
+    centroids
+  }
 }

@@ -161,6 +161,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.rateThreshold(0.5) == "8000")
   }
 
+  test("kmeans converges on separated clusters; ivfSearch finds neighbors") {
+    import spark.implicits._
+    // 3 well-separated 4-d clusters around (0,0,0,0), (10,...), (20,...)
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 90).map { i =>
+      val c = i % 3 * 10.0
+      (i.toLong, Seq.fill(4)(c + rnd.nextDouble() * 0.5))
+    }.toDF("id", "v")
+    val cents = Similarity.kmeans(pts, "v", "id", k = 3, iterations = 5)
+    assert(cents.size == 3)
+    // each centroid lands near one cluster center, all three covered
+    val centersFound = cents.map(c => math.round(c.head / 10).toInt).sorted
+    assert(centersFound == Seq(0, 1, 2), cents.toString)
+    assert(cents.forall(c => (c.head - math.round(c.head / 10) * 10).abs < 0.5))
+    // trained centroids drive ivfSearch: query near cluster 1 returns
+    // only cluster-1 members
+    val near = Similarity.ivfSearch(pts, "v", cents,
+      query = Seq(10.1, 10.1, 10.1, 10.1), k = 5, nProbe = 1)
+      .select("id").collect().map(_.getLong(0))
+    assert(near.length == 5 && near.forall(_ % 3 == 1))
+  }
+
   test("token count estimate adds subword tokens for long words") {
     val n = spark.range(1).select(
       TextAnalysis.tokenCountEstimate(lit("hi internationalization")).as("n"))
