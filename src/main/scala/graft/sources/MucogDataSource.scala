@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.catalog.Schemas
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for MuCOG/COG containers: makes the file-backed
+  * tile source a first-class Spark format —
+  *
+  * {{{
+  *   spark.read.format("mucog")
+  *     .option("targetRes", "2.0")       // -ovr AUTO overview selection
+  *     .load(containersGlob)             // or CREATE TABLE … USING mucog
+  * }}}
+  *
+  * Rows come back in the catalog `tiles` schema, so GetCube's tile join
+  * and merge kernel consume them unchanged (the DSv2 face of
+  * [[graft.ingest.GeoTiffIO.readTilesForResolution]]).
+  *
+  * Scale shape: one input partition per file (the container is the
+  * reference's unit of work too), bytes read on executors through Hadoop
+  * FS, overview selection (`targetRes`) decodes 1/4ᴷ of the pixels for
+  * coarse requests. Catalyst's column pruning composes on top; a future
+  * step could push payload-pruning into the codec (header-only IFD walk)
+  * for pure-metadata queries. */
+class MucogDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "mucog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.tiles
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new MucogTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class MucogTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"mucog(${options.get("path")})"
+  override def schema(): StructType = Schemas.tiles
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new MucogScanBuilder(opts)
+}
+
+final class MucogScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  private val path: String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    require(p.isDefined, "mucog source requires a path")
+    p.get
+  }
+  private val targetRes: Double =
+    Option(options.get("targetres")).map(_.toDouble).getOrElse(0.0)
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = Schemas.tiles
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side listing only (names, no bytes): one partition per file
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses = fs.globStatus(p) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case gs => gs.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory)
+        else Array(st)
+      }
+    }
+    statuses.map(st => MucogInputPartition(st.getPath.toString, targetRes)
+      .asInstanceOf[InputPartition])
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MucogReaderFactory()
+}
+
+final case class MucogInputPartition(file: String, targetRes: Double)
+    extends InputPartition
+
+final class MucogReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new MucogPartitionReader(partition.asInstanceOf[MucogInputPartition])
+}
+
+/** Reads one container file on the executor: decode each full-res subdir
+  * at the requested resolution level, emit catalog-tile rows. */
+final class MucogPartitionReader(part: MucogInputPartition)
+    extends PartitionReader[InternalRow] {
+  private lazy val rows: Iterator[InternalRow] = {
+    val p = new org.apache.hadoop.fs.Path(part.file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val data =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    val nFull = graft.raster.GeoTiff.read(data).count(!_.isOverview)
+    (1 to nFull).iterator.map { i =>
+      val img =
+        if (part.targetRes > 0)
+          graft.raster.GeoTiff.readForResolution(data, s"GTIFF_DIR:$i", part.targetRes)
+        else graft.raster.GeoTiff.readSubdir(data, s"GTIFF_DIR:$i")
+      val bm = img.bitmap
+      InternalRow(
+        UTF8String.fromString(part.file),
+        UTF8String.fromString(s"GTIFF_DIR:$i"),
+        bm.width, bm.height, bm.bands,
+        UTF8String.fromString(bm.dtype.name),
+        UTF8String.fromString(graft.geo.CRS.serialize(img.crs)),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          img.transform.toArray),
+        bm.toBytes)
+    }
+  }
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

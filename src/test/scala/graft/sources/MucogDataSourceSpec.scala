@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.core.DType
+import graft.geo.{Affine, CRS}
+import graft.raster.{Bitmap, GeoTiff}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MucogDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def writeStack(dir: java.nio.file.Path, name: String, vals: Seq[Double]): Unit = {
+    val imgs = vals.map { v =>
+      GeoTiff.Image(new Bitmap(8, 8, 1, DType.UInt8, Array.fill(64)(v)),
+        Affine.northUp(0, 8, 1, -1), CRS.WGS84)
+    }
+    java.nio.file.Files.write(dir.resolve(name),
+      GeoTiff.write(imgs, noData = 255, overviewsMinSize = 4, compress = true,
+        tileSize = 16, interlacing = "Z=0>T>R>B;Z=1:>R>T>B"))
+  }
+
+  test("spark.read.format(\"mucog\") reads containers as tile rows") {
+    val dir = java.nio.file.Files.createTempDirectory("mucog-dsv2")
+    writeStack(dir, "a.tif", Seq(60, 120))
+    writeStack(dir, "b.tif", Seq(30))
+
+    val df = spark.read.format("mucog").load(s"$dir/*.tif")
+    assert(df.schema == graft.catalog.Schemas.tiles)
+    val rows = df.collect()
+    assert(rows.length == 3) // 2 subdirs + 1 subdir
+    assert(rows.map(_.getAs[String]("subdir")).toSet ==
+      Set("GTIFF_DIR:1", "GTIFF_DIR:2"))
+    assert(rows.forall(_.getAs[Int]("width") == 8))
+    val a1 = rows.find(r => r.getAs[String]("container_uri").endsWith("a.tif") &&
+      r.getAs[String]("subdir") == "GTIFF_DIR:1").get
+    val bm = Bitmap.fromBytes(a1.getAs[Array[Byte]]("payload"), 8, 8, 1, DType.UInt8)
+    assert(bm.pixels.forall(_ == 60.0))
+
+    // column pruning composes: a metadata projection plans without error
+    val meta = df.select("container_uri", "width", "height").collect()
+    assert(meta.length == 3)
+
+    // SQL surface: CREATE TABLE ... USING mucog
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW mucog_tiles
+                  USING mucog OPTIONS (path '$dir/*.tif')""")
+    assert(spark.sql("SELECT count(*) FROM mucog_tiles").collect().head.getLong(0) == 3)
+  }
+
+  test("targetRes option selects the overview level (-ovr AUTO)") {
+    val dir = java.nio.file.Files.createTempDirectory("mucog-dsv2-ovr")
+    writeStack(dir, "c.tif", Seq(90))
+    val coarse = spark.read.format("mucog")
+      .option("targetRes", "2.0").load(s"$dir/*.tif").collect()
+    assert(coarse.head.getAs[Int]("width") == 4) // the 4x4 overview
+    assert(coarse.head.getAs[scala.collection.Seq[Double]]("transform")(1) == 2.0)
+  }
+
+  test("mucog rows feed GetCube unchanged (DSv2 face of the file source)") {
+    import graft.catalog.{Catalog, Schemas}
+    import graft.cube.{CubeRequest, GetCube}
+    import graft.geo.{BBox, GeomOps}
+    import org.apache.spark.sql.Row
+
+    val dir = java.nio.file.Files.createTempDirectory("mucog-dsv2-cube")
+    writeStack(dir, "d.tif", Seq(75))
+    val uri = spark.read.format("mucog").load(s"$dir/*.tif")
+      .select("container_uri").collect().head.getString(0)
+
+    val root = java.nio.file.Files.createTempDirectory("mucog-cat").toString
+    val cat = Catalog(root)
+    def w(table: String, rows: Seq[Row]): Unit = cat.append(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        Schemas.all(table)), table)
+    val box = BBox(0, 0, 8, 8)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    w("aoi", Seq(Row("a1", "h", wkb, Row(0.0, 0.0, 8.0, 8.0))))
+    w("records", Seq(Row("r1", "t", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      Map.empty[String, String], "a1")))
+    w("variable_definitions", Seq(Row("v1", "b", "1", "d", Seq("b1"), "uint8",
+      255.0, 0.0, 254.0, "", "near")))
+    w("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    w("containers", Seq(Row(uri, false, "STANDARD")))
+    w("datasets", Seq(Row("d1", "r1", "i1", uri, "GTIFF_DIR:1", Seq(1), "ACTIVE",
+      null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326,
+      Row(0.0, 0.0, 8.0, 8.0))))
+    cat.append(spark.read.format("mucog").load(s"$dir/*.tif"), "tiles")
+
+    val slices = GetCube.cube(spark, cat, CubeRequest(instanceIds = Seq("i1"),
+      crs = "EPSG:4326", transform = Affine.northUp(0, 8, 1, -1),
+      width = 8, height = 8)).collect()
+    assert(slices.length == 1)
+    val px = Bitmap.fromBytes(slices.head.payload, 8, 8, 1, DType.UInt8).pixels
+    assert(px.forall(_ == 75.0))
+  }
+}
