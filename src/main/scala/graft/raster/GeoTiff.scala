@@ -571,30 +571,87 @@ object GeoTiff {
         if (scale.size >= 2 && tie.size >= 5)
           Affine.northUp(tie(3), tie(4), scale(0), -scale(1))
         else Affine.identity
-      val geo = tagShorts(TGeoKeyDirectory)
-      val crs = {
-        // keys start at index 4, stride 4: (id, loc, count, value)
-        val entries4 = geo.drop(4).grouped(4).collect {
-          case Seq(id, loc, count, v) => id -> ((loc, count, v))
-        }.toMap
-        val keys = entries4.map { case (id, (_, _, v)) => id -> v }
-        if (keys.get(KProjectedCSType).contains(UserDefined) &&
-            keys.get(KProjCoordTrans).contains(1)) {
-          // user-defined transverse Mercator: params live in GeoDoubleParams
-          val dbl = tagDoubles(TGeoDoubleParams)
-          def p(key: Int, default: Double): Double = entries4.get(key) match {
-            case Some((TGeoDoubleParams, _, idx)) if idx < dbl.size => dbl(idx)
-            case _ => default
-          }
-          CRS.TransverseMercator(
-            lon0Deg = p(KProjNatOriginLong, 0), lat0Deg = p(KProjNatOriginLat, 0),
-            k0 = p(KProjScaleAtNatOrigin, 1), fe = p(KProjFalseEasting, 0),
-            fnParam = p(KProjFalseNorthing, 0))
-        } else
-          keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
-      }
+      val crs = crsFromGeoKeys(tagShorts(TGeoKeyDirectory), tagDoubles(TGeoDoubleParams))
       val isOv = tagVal(TNewSubfileType, 0) == 1
       out += Directory(Image(bm, transform, crs), isOv)
+      ifdOff = bb.getInt(ifdOff + 2 + n * 12)
+    }
+    out.result()
+  }
+
+  /** CRS from the GeoKeyDirectory shorts (+ GeoDoubleParams for the
+    * user-defined transverse-Mercator form). Shared by the full and the
+    * header-only read paths. */
+  private def crsFromGeoKeys(geo: Seq[Int], dbl: Seq[Double]): CRS = {
+    // keys start at index 4, stride 4: (id, loc, count, value)
+    val entries4 = geo.drop(4).grouped(4).collect {
+      case Seq(id, loc, count, v) => id -> ((loc, count, v))
+    }.toMap
+    val keys = entries4.map { case (id, (_, _, v)) => id -> v }
+    if (keys.get(KProjectedCSType).contains(UserDefined) &&
+        keys.get(KProjCoordTrans).contains(1)) {
+      def p(key: Int, default: Double): Double = entries4.get(key) match {
+        case Some((TGeoDoubleParams, _, idx)) if idx < dbl.size => dbl(idx)
+        case _ => default
+      }
+      CRS.TransverseMercator(
+        lon0Deg = p(KProjNatOriginLong, 0), lat0Deg = p(KProjNatOriginLat, 0),
+        k0 = p(KProjScaleAtNatOrigin, 1), fe = p(KProjFalseEasting, 0),
+        fnParam = p(KProjFalseNorthing, 0))
+    } else
+      keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
+  }
+
+  /** IFD metadata without ANY pixel work — no block reads, no inflate, no
+    * Bitmap: the payload-pruned read path (a metadata query over a
+    * container store touches a few hundred bytes per file instead of
+    * decoding every raster). */
+  final case class Header(width: Int, height: Int, bands: Int, dtype: DType,
+      transform: Affine, crs: CRS, isOverview: Boolean)
+
+  def readHeaders(data: Array[Byte]): Seq[Header] = {
+    val bb = ByteBuffer.wrap(data)
+    require(data(0) == 'I' && data(1) == 'I', "only little-endian TIFF supported")
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getShort(2) == 42, "not a TIFF")
+    var ifdOff = bb.getInt(4)
+    val out = Seq.newBuilder[Header]
+    while (ifdOff != 0) {
+      val n = bb.getShort(ifdOff) & 0xffff
+      var tags = Map.empty[Int, (Int, Int, Int)]
+      var i = 0
+      while (i < n) {
+        val e = ifdOff + 2 + i * 12
+        tags += (bb.getShort(e) & 0xffff) -> (
+          (bb.getShort(e + 2) & 0xffff, bb.getInt(e + 4), bb.getInt(e + 8)))
+        i += 1
+      }
+      def tagVal(tag: Int, default: Int = -1): Int =
+        tags.get(tag).map { case (typ, _, v) =>
+          if (typ == 3) v & 0xffff else v
+        }.getOrElse(default)
+      def tagShorts(tag: Int): Seq[Int] = tags.get(tag) match {
+        case Some((3, count, v)) =>
+          if (count <= 2) Seq.tabulate(count)(k => (v >> (16 * k)) & 0xffff)
+          else Seq.tabulate(count)(k => bb.getShort(v + 2 * k) & 0xffff)
+        case _ => Nil
+      }
+      def tagDoubles(tag: Int): Seq[Double] = tags.get(tag) match {
+        case Some((12, count, off)) => Seq.tabulate(count)(k => bb.getDouble(off + 8 * k))
+        case _ => Nil
+      }
+      val bits = tagShorts(TBitsPerSample).headOption.getOrElse(8)
+      val fmt = tagShorts(TSampleFormat).headOption.getOrElse(1)
+      val scale = tagDoubles(TModelPixelScale)
+      val tie = tagDoubles(TModelTiepoint)
+      out += Header(
+        tagVal(TWidth), tagVal(THeight), tagVal(TSamplesPerPixel, 1),
+        dtypeOf(bits, fmt),
+        if (scale.size >= 2 && tie.size >= 5)
+          Affine.northUp(tie(3), tie(4), scale(0), -scale(1))
+        else Affine.identity,
+        crsFromGeoKeys(tagShorts(TGeoKeyDirectory), tagDoubles(TGeoDoubleParams)),
+        tagVal(TNewSubfileType, 0) == 1)
       ifdOff = bb.getInt(ifdOff + 2 + n * 12)
     }
     out.result()
@@ -619,38 +676,46 @@ object GeoTiff {
     * directly after it) and MuCOG per-zoom grouping (all full-res IFDs
     * first, then each zoom level across records; mucog.go:30-48), detected
     * by whether any overview precedes the last full-res directory. */
-  private[raster] def overviewChains(dirs: Seq[Directory]): Seq[Seq[Image]] = {
-    val fullPositions = dirs.zipWithIndex.filterNot(_._1.isOverview).map(_._2)
+  private[raster] def overviewChains(dirs: Seq[Directory]): Seq[Seq[Image]] =
+    chainIndices(dirs.map(d =>
+      (d.image.bitmap.width, d.image.bitmap.height, d.isOverview)))
+      .map(_.map(i => dirs(i).image))
+
+  /** The association algorithm itself, on (width, height, isOverview)
+    * triples — shared by the full read and the header-only read (payload
+    * pruning): per record, the indices of its full-res entry + overview
+    * chain fine→coarse. */
+  private[graft] def chainIndices(dims: Seq[(Int, Int, Boolean)]): Seq[Seq[Int]] = {
+    val fullPositions = dims.zipWithIndex.filterNot(_._1._3).map(_._2)
     val n = fullPositions.size
     require(n > 0, "no full-resolution directory")
     if (fullPositions != (0 until n)) {
       // record-major: overviews of full k sit between full k and full k+1
       fullPositions.zipWithIndex.map { case (start, k) =>
-        val end = if (k + 1 < n) fullPositions(k + 1) else dirs.size
-        dirs.slice(start, end).map(_.image)
+        val end = if (k + 1 < n) fullPositions(k + 1) else dims.size
+        (start until end).toSeq
       }
     } else {
       // zoom-grouped (or no overviews): walk each zoom group in record
       // order, matching every overview to the record whose next expected
       // ×2-decimated dims it has
-      val fulls = dirs.take(n).map(_.image)
-      val builders = Array.fill(n)(Seq.newBuilder[Image])
-      val cur = Array.tabulate(n)(r => (fulls(r).bitmap.width, fulls(r).bitmap.height))
-      var rem = dirs.drop(n).map(_.image).toList
+      val builders = Array.fill(n)(Seq.newBuilder[Int])
+      val cur = Array.tabulate(n)(r => (dims(r)._1, dims(r)._2))
+      var rem = (n until dims.size).toList
       while (rem.nonEmpty) {
         var assigned = false
         var r = 0
         while (r < n && rem.nonEmpty) {
           val exp = ((cur(r)._1 + 1) / 2, (cur(r)._2 + 1) / 2)
-          val h = rem.head
-          if ((h.bitmap.width, h.bitmap.height) == exp) {
-            builders(r) += h; cur(r) = exp; rem = rem.tail; assigned = true
+          val h = dims(rem.head)
+          if ((h._1, h._2) == exp) {
+            builders(r) += rem.head; cur(r) = exp; rem = rem.tail; assigned = true
           }
           r += 1
         }
         require(assigned, "cannot associate zoom-grouped overview IFDs")
       }
-      fulls.zipWithIndex.map { case (f, r) => f +: builders(r).result() }
+      (0 until n).map(r => r +: builders(r).result())
     }
   }
 

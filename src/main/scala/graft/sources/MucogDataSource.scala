@@ -51,7 +51,8 @@ final class MucogTable(options: CaseInsensitiveStringMap)
 }
 
 final class MucogScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns {
   private val path: String = {
     val p = Option(options.get("path")).orElse(Option(options.get("paths")))
     require(p.isDefined, "mucog source requires a path")
@@ -59,9 +60,15 @@ final class MucogScanBuilder(options: CaseInsensitiveStringMap)
   }
   private val targetRes: Double =
     Option(options.get("targetres")).map(_.toDouble).getOrElse(0.0)
+  private var required: StructType = Schemas.tiles
+
+  // column pruning pushdown: when `payload` is pruned away, the reader
+  // takes the header-only parse — no block reads, no inflate, no Bitmap
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def build(): Scan = this
-  override def readSchema(): StructType = Schemas.tiles
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -77,26 +84,48 @@ final class MucogScanBuilder(options: CaseInsensitiveStringMap)
         else Array(st)
       }
     }
-    statuses.map(st => MucogInputPartition(st.getPath.toString, targetRes)
-      .asInstanceOf[InputPartition])
+    statuses.map(st => MucogInputPartition(st.getPath.toString, targetRes,
+      required.fieldNames.toSeq).asInstanceOf[InputPartition])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MucogReaderFactory()
 }
 
-final case class MucogInputPartition(file: String, targetRes: Double)
-    extends InputPartition
+final case class MucogInputPartition(file: String, targetRes: Double,
+    fields: Seq[String]) extends InputPartition
 
 final class MucogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new MucogPartitionReader(partition.asInstanceOf[MucogInputPartition])
 }
 
-/** Reads one container file on the executor: decode each full-res subdir
-  * at the requested resolution level, emit catalog-tile rows. */
+/** Reads one container file on the executor. With `payload` in the
+  * projection: decode each full-res subdir at the requested resolution
+  * level. Without it (pruned): a header-only IFD walk — a metadata query
+  * touches a few hundred bytes of directory data per container instead of
+  * inflating every raster. */
 final class MucogPartitionReader(part: MucogInputPartition)
     extends PartitionReader[InternalRow] {
+  import graft.raster.GeoTiff
+
+  private def row(subdir: String, width: Int, height: Int, bands: Int,
+      dtype: String, crs: String, transform: Array[Double],
+      payload: () => Array[Byte]): InternalRow =
+    InternalRow.fromSeq(part.fields.map {
+      case "container_uri" => UTF8String.fromString(part.file)
+      case "subdir" => UTF8String.fromString(subdir)
+      case "width" => width
+      case "height" => height
+      case "bands" => bands
+      case "dtype" => UTF8String.fromString(dtype)
+      case "crs" => UTF8String.fromString(crs)
+      case "transform" =>
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(transform)
+      case "payload" => payload()
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
+
   private lazy val rows: Iterator[InternalRow] = {
     val p = new org.apache.hadoop.fs.Path(part.file)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -104,22 +133,34 @@ final class MucogPartitionReader(part: MucogInputPartition)
     val data =
       try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       finally in.close()
-    val nFull = graft.raster.GeoTiff.read(data).count(!_.isOverview)
-    (1 to nFull).iterator.map { i =>
-      val img =
-        if (part.targetRes > 0)
-          graft.raster.GeoTiff.readForResolution(data, s"GTIFF_DIR:$i", part.targetRes)
-        else graft.raster.GeoTiff.readSubdir(data, s"GTIFF_DIR:$i")
-      val bm = img.bitmap
-      InternalRow(
-        UTF8String.fromString(part.file),
-        UTF8String.fromString(s"GTIFF_DIR:$i"),
-        bm.width, bm.height, bm.bands,
-        UTF8String.fromString(bm.dtype.name),
-        UTF8String.fromString(graft.geo.CRS.serialize(img.crs)),
-        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-          img.transform.toArray),
-        bm.toBytes)
+    if (part.fields.contains("payload")) {
+      val nFull = GeoTiff.read(data).count(!_.isOverview)
+      (1 to nFull).iterator.map { i =>
+        val img =
+          if (part.targetRes > 0)
+            GeoTiff.readForResolution(data, s"GTIFF_DIR:$i", part.targetRes)
+          else GeoTiff.readSubdir(data, s"GTIFF_DIR:$i")
+        val bm = img.bitmap
+        row(s"GTIFF_DIR:$i", bm.width, bm.height, bm.bands, bm.dtype.name,
+          graft.geo.CRS.serialize(img.crs), img.transform.toArray,
+          () => bm.toBytes)
+      }
+    } else {
+      // payload pruned: headers only, same overview-level selection
+      val headers = GeoTiff.readHeaders(data)
+      val chains = GeoTiff.chainIndices(
+        headers.map(h => (h.width, h.height, h.isOverview)))
+      chains.iterator.zipWithIndex.map { case (chain, r) =>
+        val candidates = chain.map(headers)
+        val h =
+          if (part.targetRes > 0)
+            candidates.filter(c => math.abs(c.transform.rx) <= part.targetRes + 1e-9)
+              .lastOption.getOrElse(candidates.head)
+          else candidates.head
+        row(s"GTIFF_DIR:${r + 1}", h.width, h.height, h.bands, h.dtype.name,
+          graft.geo.CRS.serialize(h.crs), h.transform.toArray,
+          () => throw new IllegalStateException("payload pruned"))
+      }
     }
   }
   private var current: InternalRow = _

@@ -61,6 +61,22 @@ class MucogDataSourceSpec extends AnyFunSuite {
     assert(coarse.head.getAs[scala.collection.Seq[Double]]("transform")(1) == 2.0)
   }
 
+  test("payload pruning pushes into the source (header-only read)") {
+    val dir = java.nio.file.Files.createTempDirectory("mucog-dsv2-prune")
+    writeStack(dir, "p.tif", Seq(42, 84))
+    val df = spark.read.format("mucog").option("targetRes", "2.0").load(s"$dir/*.tif")
+    val meta = df.select("subdir", "width", "height", "crs")
+    // the scan's read schema no longer carries the payload column
+    assert(!meta.queryExecution.executedPlan.toString.contains("payload"))
+    val rows = meta.collect().sortBy(_.getString(0))
+    assert(rows.length == 2)
+    // overview-level selection works from headers alone: 8x8 base ->
+    // 4x4 level for a 2deg/px request
+    assert(rows.forall(_.getAs[Int]("width") == 4))
+    assert(rows.map(_.getString(0)).toSeq == Seq("GTIFF_DIR:1", "GTIFF_DIR:2"))
+    assert(rows.forall(_.getAs[String]("crs") == "EPSG:4326"))
+  }
+
   test("mucog rows feed GetCube unchanged (DSv2 face of the file source)") {
     import graft.catalog.{Catalog, Schemas}
     import graft.cube.{CubeRequest, GetCube}
