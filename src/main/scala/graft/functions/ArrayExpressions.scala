@@ -61,13 +61,18 @@ object ArrayExpressions {
       copy(left = l, right = r)
   }
 
-  /** Σ aᵢ·bᵢ over numeric arrays (float or double elements, non-null),
-    * accumulating LEFT-TO-RIGHT in double — the exact addition order of
+  /** Σ aᵢ·bᵢ over EQUAL-LENGTH numeric arrays with NON-NULL elements
+    * (float or double), accumulating LEFT-TO-RIGHT in double — the exact
+    * addition order of
     * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)`, so
-    * results are bit-identical to the higher-order-function form (and to
-    * the DuckDB oracle's list_aggregate sum) while skipping the two
-    * intermediate arrays that form allocates per row. The ANN/near-dup
-    * scoring steps call this once per candidate pair. */
+    * for such inputs results are bit-identical to the higher-order-function
+    * form (and to the DuckDB oracle's list_aggregate sum) while skipping
+    * the two intermediate arrays that form allocates per row. Length
+    * mismatch throws (the HOF form would silently yield null — a dimension
+    * mismatch in an embedding pipeline is a bug, not a score); null
+    * elements are the caller's contract, as with every vector column the
+    * engine builds. The ANN/near-dup scoring steps call this once per
+    * candidate pair. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -78,7 +83,10 @@ object ArrayExpressions {
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements())
+        throw new IllegalArgumentException(
+          s"vec_dot: length mismatch $n vs ${y.numElements()}")
       val lf = isFloat(left); val rf = isFloat(right)
       var acc = 0.0; var i = 0
       while (i < n) {
@@ -97,7 +105,11 @@ object ArrayExpressions {
         val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
         val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $getA * $getB;
@@ -110,8 +122,8 @@ object ArrayExpressions {
       copy(left = l, right = r)
   }
 
-  /** Σ (aᵢ−bᵢ)² — squared L2, same loop/fold-order contract as
-    * [[DotProduct]]. The IVF assignment computes one per (vector,
+  /** Σ (aᵢ−bᵢ)² — squared L2, same loop/fold-order/equal-length contract
+    * as [[DotProduct]]. The IVF assignment computes one per (vector,
     * centroid). */
   case class SquaredDistance(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -123,7 +135,10 @@ object ArrayExpressions {
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements())
+        throw new IllegalArgumentException(
+          s"vec_dist2: length mismatch $n vs ${y.numElements()}")
       val lf = isFloat(left); val rf = isFloat(right)
       var acc = 0.0; var i = 0
       while (i < n) {
@@ -142,7 +157,11 @@ object ArrayExpressions {
         val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
         val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dist2: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $d = $getA - $getB;

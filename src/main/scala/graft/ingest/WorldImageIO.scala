@@ -24,14 +24,21 @@ import org.apache.spark.sql.functions._
   * linear scale-out, driver sees no payloads. */
 object WorldImageIO {
 
+  /** Candidate sidecar names, case-insensitively: .PNG images carry .PGW
+    * or .pgw world files in the wild, so each candidate is emitted in
+    * lower- and upper-case form (exotic mixed-case like .Wld stays
+    * unmatched — a directory listing would be needed for full
+    * insensitivity on case-sensitive filesystems). */
   private def sidecarNames(imagePath: String): Seq[String] = {
+    def cases(name: String): Seq[String] = Seq(name, name.toUpperCase)
     val dot = imagePath.lastIndexOf('.')
-    if (dot < 0) return Seq(imagePath + ".wld")
+    if (dot < 0) return cases(".wld").map(imagePath + _)
     val base = imagePath.substring(0, dot)
     val ext = imagePath.substring(dot + 1).toLowerCase
     val specific =
-      if (ext.length >= 2) Seq(s"$base.${ext.head}${ext.last}w") else Nil
-    specific :+ s"$base.wld"
+      if (ext.length >= 2) cases(s".${ext.head}${ext.last}w").map(base + _)
+      else Nil
+    specific ++ cases(".wld").map(base + _)
   }
 
   private def readSidecar(conf: org.apache.hadoop.conf.Configuration,
@@ -66,24 +73,31 @@ object WorldImageIO {
       spark.sparkContext.hadoopConfiguration)
     val files = spark.read.format("binaryFile").load(pathGlob)
       // sidecars themselves may match the glob — never decode them
-      .filter(!col("path").rlike("\\.(wld|prj|[a-z][a-z0-9]w)$"))
+      // (case-insensitively: .PGW/.WLD/.PRJ are sidecars too)
+      .filter(!col("path").rlike("(?i)\\.(wld|prj|[a-z][a-z0-9]w)$"))
       .select(col("path"), col("content"))
     val parsed = files.rdd.map { r =>
       val path = r.getAs[String]("path")
       val raw = path.stripPrefix("file:")
       val world = readSidecar(hconf.value, sidecarNames(raw))
-      val decoded = MediaCodec.decodeImage(r.getAs[Array[Byte]]("content"))
+      val decoded = MediaCodec.decodeImageWithDepth(r.getAs[Array[Byte]]("content"))
       (world, decoded) match {
-        case (Some(w), Some((width, height, ch, samples))) =>
+        case (Some(w), Some((width, height, ch, bits, samples))) =>
           val tf = worldFileToAffine(w)
           val crs = readSidecar(hconf.value, {
             val dot = raw.lastIndexOf('.')
-            Seq((if (dot < 0) raw else raw.substring(0, dot)) + ".prj")
+            val base = if (dot < 0) raw else raw.substring(0, dot)
+            Seq(base + ".prj", base + ".PRJ")
           }).map(wkt => graft.geo.CRS.serialize(graft.geo.CRS.parse(wkt)))
             .getOrElse(defaultCrs)
-          val bm = new graft.raster.Bitmap(width, height, ch,
-            graft.core.DType.UInt8, samples)
-          Right(Row(path, "", width, height, ch, "uint8", crs,
+          // dtype from the DECODED raster: 16-bit grayscale PNGs
+          // (TYPE_USHORT_GRAY) carry values > 255 that would wrap in uint8
+          val dtype =
+            if (bits <= 8) graft.core.DType.UInt8
+            else if (bits <= 16) graft.core.DType.UInt16
+            else graft.core.DType.UInt32
+          val bm = new graft.raster.Bitmap(width, height, ch, dtype, samples)
+          Right(Row(path, "", width, height, ch, dtype.name, crs,
             tf.toArray.toSeq, bm.toBytes))
         case _ => Left(path)
       }

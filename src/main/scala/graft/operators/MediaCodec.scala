@@ -19,13 +19,21 @@ object MediaCodec {
   /** Decode an image container. Returns (width, height, channels,
     * band-planar samples) or None when ImageIO has no reader for the
     * bytes. */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] =
+    decodeImageWithDepth(payload).map { case (w, h, ch, _, px) => (w, h, ch, px) }
+
+  /** [[decodeImage]] plus the per-band sample size in bits (band 0) —
+    * ImageIO returns 16-bit rasters for TYPE_USHORT_GRAY PNGs, and callers
+    * storing samples in a typed container must size the dtype from this,
+    * not assume 8. */
+  def decodeImageWithDepth(payload: Array[Byte]): Option[(Int, Int, Int, Int, Array[Double])] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
     Option(img).map { im =>
       val w = im.getWidth; val h = im.getHeight
       val r = im.getRaster; val ch = r.getNumBands
+      val bits = r.getSampleModel.getSampleSize(0)
       val out = new Array[Double](w * h * ch)
       var b = 0
       while (b < ch) {
@@ -33,7 +41,7 @@ object MediaCodec {
         System.arraycopy(band, 0, out, b * w * h, w * h)
         b += 1
       }
-      (w, h, ch, out)
+      (w, h, ch, bits, out)
     }
   }
 

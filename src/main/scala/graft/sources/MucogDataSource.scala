@@ -53,10 +53,20 @@ final class MucogTable(options: CaseInsensitiveStringMap)
 final class MucogScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownRequiredColumns {
-  private val path: String = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
-    require(p.isDefined, "mucog source requires a path")
-    p.get
+  // `load(p)` arrives as option "path"; `load(p1, p2, …)` arrives as
+  // option "paths" holding a JSON-encoded array — decode it, don't glob it
+  private val paths: Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
+      val t = raw.trim
+      if (t.startsWith("[")) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.readValue(t, classOf[Array[String]]).toSeq
+      } else Seq(raw)
+    }
+    val all = (single ++ multi).distinct
+    require(all.nonEmpty, "mucog source requires a path")
+    all
   }
   private val targetRes: Double =
     Option(options.get("targetres")).map(_.toDouble).getOrElse(0.0)
@@ -75,29 +85,38 @@ final class MucogScanBuilder(options: CaseInsensitiveStringMap)
     // driver-side listing only (names, no bytes): one partition per file
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val statuses = fs.globStatus(p) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case gs => gs.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory)
-        else Array(st)
+    val statuses = paths.flatMap { one =>
+      val p = new org.apache.hadoop.fs.Path(one)
+      val fs = p.getFileSystem(conf)
+      fs.globStatus(p) match {
+        case null => Seq.empty[org.apache.hadoop.fs.FileStatus]
+        case gs => gs.toSeq.flatMap { st =>
+          if (st.isDirectory) fs.listStatus(st.getPath).filterNot(_.isDirectory).toSeq
+          else Seq(st)
+        }
       }
     }
     statuses.map(st => MucogInputPartition(st.getPath.toString, targetRes,
-      required.fieldNames.toSeq).asInstanceOf[InputPartition])
+      required.fieldNames.toSeq).asInstanceOf[InputPartition]).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MucogReaderFactory()
+    // session Hadoop conf captured HERE (driver, planning time) so
+    // spark.hadoop.* settings — object-store credentials, endpoints —
+    // reach the executor-side fs.open; a bare `new Configuration()` on the
+    // executor would silently drop them
+    new MucogReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 final case class MucogInputPartition(file: String, targetRes: Double,
     fields: Seq[String]) extends InputPartition
 
-final class MucogReaderFactory extends PartitionReaderFactory {
+final class MucogReaderFactory(
+    hconf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MucogPartitionReader(partition.asInstanceOf[MucogInputPartition])
+    new MucogPartitionReader(partition.asInstanceOf[MucogInputPartition], hconf)
 }
 
 /** Reads one container file on the executor. With `payload` in the
@@ -105,7 +124,8 @@ final class MucogReaderFactory extends PartitionReaderFactory {
   * level. Without it (pruned): a header-only IFD walk — a metadata query
   * touches a few hundred bytes of directory data per container instead of
   * inflating every raster. */
-final class MucogPartitionReader(part: MucogInputPartition)
+final class MucogPartitionReader(part: MucogInputPartition,
+    hconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   import graft.raster.GeoTiff
 
@@ -128,20 +148,28 @@ final class MucogPartitionReader(part: MucogInputPartition)
 
   private lazy val rows: Iterator[InternalRow] = {
     val p = new org.apache.hadoop.fs.Path(part.file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hconf.value)
     val in = fs.open(p)
     val data =
       try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       finally in.close()
     if (part.fields.contains("payload")) {
-      val nFull = GeoTiff.read(data).count(!_.isOverview)
-      (1 to nFull).iterator.map { i =>
+      // ONE parse per container: read() decodes every IFD once, then each
+      // subdir picks its level out of the shared chains (re-running
+      // readSubdir/readForResolution per subdir would re-inflate every
+      // tile of every IFD per record — O(n²) decompression for stacks)
+      val dirs = GeoTiff.read(data)
+      val chains = GeoTiff.chainIndices(
+        dirs.map(d => (d.image.bitmap.width, d.image.bitmap.height, d.isOverview)))
+      chains.iterator.zipWithIndex.map { case (chain, r) =>
+        val candidates = chain.map(i => dirs(i).image)
         val img =
           if (part.targetRes > 0)
-            GeoTiff.readForResolution(data, s"GTIFF_DIR:$i", part.targetRes)
-          else GeoTiff.readSubdir(data, s"GTIFF_DIR:$i")
+            candidates.filter(c => math.abs(c.transform.rx) <= part.targetRes + 1e-9)
+              .lastOption.getOrElse(candidates.head)
+          else candidates.head
         val bm = img.bitmap
-        row(s"GTIFF_DIR:$i", bm.width, bm.height, bm.bands, bm.dtype.name,
+        row(s"GTIFF_DIR:${r + 1}", bm.width, bm.height, bm.bands, bm.dtype.name,
           graft.geo.CRS.serialize(img.crs), img.transform.toArray,
           () => bm.toBytes)
       }

@@ -50,6 +50,16 @@ class WorldImageIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (imported, skipped) = WorldImageIO.importFiles(spark, cat, s"$dir/*.png")
     assert(imported == 1 && skipped == 1)
 
+    // uppercase sidecars (.PGW) resolve too, and are never decoded as images
+    val dirU = java.nio.file.Files.createTempDirectory("wld-upper")
+    java.nio.file.Files.write(dirU.resolve("c.png"),
+      MediaCodec.encodePng(2, 2, 1, Array(9.0, 9, 9, 9)))
+    java.nio.file.Files.write(dirU.resolve("c.PGW"),
+      "1\n0\n0\n-1\n0.5\n-0.5\n".getBytes)
+    val catU = Catalog(java.nio.file.Files.createTempDirectory("wld-upper-cat").toString)
+    val (impU, skipU) = WorldImageIO.importFiles(spark, catU, s"$dirU/*")
+    assert(impU == 1 && skipU == 0, s"imported=$impU skipped=$skipU")
+
     val t = cat.read(spark, "tiles").collect().head
     assert(t.getAs[Int]("width") == 4 && t.getAs[Int]("bands") == 1)
     val tf = t.getAs[scala.collection.Seq[Double]]("transform")
@@ -67,5 +77,26 @@ class WorldImageIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     // container row registered
     assert(cat.read(spark, "containers")
       .filter(col("uri").endsWith("a.png")).count() == 1)
+  }
+
+  test("16-bit grayscale PNG imports as uint16 — values past 255 survive") {
+    val dir = java.nio.file.Files.createTempDirectory("wld-16bit")
+    // TYPE_USHORT_GRAY: ImageIO round-trips 16-bit samples through PNG
+    val im = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    im.getRaster.setSamples(0, 0, 2, 2, 0, Array(100, 300, 40000, 65535))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    java.nio.file.Files.write(dir.resolve("d.png"), bos.toByteArray)
+    java.nio.file.Files.write(dir.resolve("d.pgw"),
+      "1\n0\n0\n-1\n0.5\n-0.5\n".getBytes)
+    val cat16 = Catalog(java.nio.file.Files.createTempDirectory("wld-16-cat").toString)
+    val (imp, _) = WorldImageIO.importFiles(spark, cat16, s"$dir/*.png")
+    assert(imp == 1)
+    val t = cat16.read(spark, "tiles").collect().head
+    assert(t.getAs[String]("dtype") == "uint16")
+    val bm = graft.raster.Bitmap.fromBytes(
+      t.getAs[Array[Byte]]("payload"), 2, 2, 1, graft.core.DType.UInt16)
+    assert(bm.pixels.toSeq == Seq(100.0, 300.0, 40000.0, 65535.0))
   }
 }

@@ -140,6 +140,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(edge == 0)
   }
 
+  test("vec_dot/vec_dist2: match the HOF fold bit-for-bit; length mismatch throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.ArrayExpressions.{vec_dot, vec_dist2}
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 200).map { _ =>
+      (Array.fill(16)(rnd.nextFloat()), Array.fill(16)(rnd.nextFloat()))
+    }.toDF("a", "b")
+    val rows = df.select(
+      vec_dot(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, (acc, x) -> acc + x)").as("hof"),
+      vec_dist2(col("a"), col("b")).as("fastd"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (double(x) - double(y)) * (double(x) - double(y))), 0d, (acc, x) -> acc + x)").as("hofd"))
+      .collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1))) // bit-identical
+    assert(rows.forall(r => r.getDouble(2) == r.getDouble(3)))
+    // a dimension mismatch is a bug, not a score: fail loudly
+    val bad = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(vec_dot(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("length mismatch")), msgs(e).mkString(" | "))
+  }
+
   test("stratified sampling: deterministic, rate-accurate, drops unlisted strata") {
     import spark.implicits._
     val df = (0 until 4000).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "stratum")

@@ -52,6 +52,18 @@ class MucogDataSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM mucog_tiles").collect().head.getLong(0) == 3)
   }
 
+  test("multi-path load(p1, p2) reads every path (JSON-array `paths` option)") {
+    val dir1 = java.nio.file.Files.createTempDirectory("mucog-multi1")
+    val dir2 = java.nio.file.Files.createTempDirectory("mucog-multi2")
+    writeStack(dir1, "m1.tif", Seq(10))
+    writeStack(dir2, "m2.tif", Seq(20, 40))
+    val df = spark.read.format("mucog").load(s"$dir1/*.tif", s"$dir2/*.tif")
+    val rows = df.collect()
+    assert(rows.length == 3) // 1 subdir + 2 subdirs
+    assert(rows.map(_.getAs[String]("container_uri"))
+      .count(_.endsWith("m2.tif")) == 2)
+  }
+
   test("targetRes option selects the overview level (-ovr AUTO)") {
     val dir = java.nio.file.Files.createTempDirectory("mucog-dsv2-ovr")
     writeStack(dir, "c.tif", Seq(90))
