@@ -258,10 +258,12 @@ object Consolidation {
     * to `overviews_min_size`, data blocks ordered by the layout's
     * interlacing pattern. */
   def exportPhysical(spark: SparkSession, cat: Catalog, containerUri: String,
-      layout: graft.layout.Layout, noData: Double): Array[Byte] =
+      layout: graft.layout.Layout, noData: Double,
+      bigTiff: Boolean = false): Array[Byte] =
     graft.ingest.GeoTiffIO.exportContainer(spark, cat, containerUri, noData,
       overviewsMinSize = layout.overviewsMinSize, compress = true,
-      tileSize = layout.blockXSize, interlacing = layout.interlacingPattern)
+      tileSize = layout.blockXSize, interlacing = layout.interlacingPattern,
+      bigTiff = bigTiff)
 
   /** Bulk physical export of a job's containers — the scale path: MuCOG
     * bytes are assembled and written ON EXECUTORS (one shuffle keyed by
@@ -270,10 +272,12 @@ object Consolidation {
     * worker-side file build + upload (handler_consolidation.go:59-234). */
   def exportPhysicalAll(spark: SparkSession, cat: Catalog,
       containerUris: Seq[String], outDir: String,
-      layout: graft.layout.Layout, noData: Double): DataFrame =
+      layout: graft.layout.Layout, noData: Double,
+      bigTiff: Boolean = false): DataFrame =
     graft.ingest.GeoTiffIO.exportContainers(spark, cat, containerUris, outDir,
       noData, overviewsMinSize = layout.overviewsMinSize, compress = true,
-      tileSize = layout.blockXSize, interlacing = layout.interlacingPattern)
+      tileSize = layout.blockXSize, interlacing = layout.interlacingPattern,
+      bigTiff = bigTiff)
 
   def index(spark: SparkSession, cat: Catalog, newTiles: DataFrame,
       instanceId: String, params: ConsolidationParams): Unit = {

@@ -70,14 +70,17 @@ object GetCube {
     * (getCubePrepare: out mapping = variable DFormat, rangeExt = its own
     * range, exponent 1; default resampling from the variable). */
   def prepare(spark: SparkSession, cat: Catalog, req: CubeRequest): OutDescriptor = {
-    val inst = cat.read(spark, "variable_instances")
+    // one driver action for the whole variable lookup (instances → shared
+    // definition): this runs per request, so its fixed job latency is the
+    // serving path's floor — don't split it into two collects
+    val vd = cat.read(spark, "variable_instances")
       .filter(col("id").isin(req.instanceIds: _*))
-      .select("definition_id").distinct().collect()
-    require(inst.length == 1,
-      s"instances ${req.instanceIds} must exist and share one variable")
-    val vd = cat.read(spark, "variable_definitions")
-      .filter(col("id") === inst(0).getString(0)).collect()
-    require(vd.length == 1, s"variable ${inst(0).getString(0)} not found")
+      .select(col("definition_id")).distinct()
+      .join(cat.read(spark, "variable_definitions"),
+        col("definition_id") === col("id"))
+      .collect()
+    require(vd.length == 1,
+      s"instances ${req.instanceIds} must exist and share one defined variable")
     val v = vd(0)
     val dt = DType.fromName(v.getAs[String]("dtype"))
     val format = DataFormat(dt, v.getAs[Double]("no_data"),
@@ -108,9 +111,15 @@ object GetCube {
   }
 
   /** The dataset scan + tile join + grouping plan (steps 2-4 of §3.1). */
-  def datasetTiles(spark: SparkSession, cat: Catalog, req: CubeRequest): Dataset[DatasetTile] = {
+  def datasetTiles(spark: SparkSession, cat: Catalog, req: CubeRequest): Dataset[DatasetTile] =
+    datasetTiles(spark, cat, req, prepare(spark, cat, req))
+
+  /** As above with the output descriptor already resolved — callers that
+    * ran [[prepare]] themselves (cube, the serving paths) must not pay the
+    * variable-lookup round-trip twice. */
+  private[cube] def datasetTiles(spark: SparkSession, cat: Catalog, req: CubeRequest,
+      out: OutDescriptor): Dataset[DatasetTile] = {
     import spark.implicits._
-    val out = prepare(spark, cat, req)
     val (footprint, refined) = spatialFilters(req, out)
 
     val found = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
@@ -153,7 +162,7 @@ object GetCube {
     if (req.headersOnly) {
       // headers-only short-circuit (getCubeStream :325-339): no tile join,
       // no kernel — one aggregation over the dataset scan.
-      val found = datasetTilesMetaOnly(spark, cat, req)
+      val found = datasetTilesMetaOnly(spark, cat, req, out)
       return found
         .groupBy(col("group_key"))
         .agg(
@@ -168,7 +177,7 @@ object GetCube {
         .as[Slice]
     }
 
-    val grouped = datasetTiles(spark, cat, req).groupByKey(_.group_key)
+    val grouped = datasetTiles(spark, cat, req, out).groupByKey(_.group_key)
     grouped.mapGroups { (key, it) => buildSlice(key, it, out) }
       .orderBy(col("min_datetime"), col("group_key"))
   }
@@ -186,8 +195,8 @@ object GetCube {
       .orderBy(col("min_datetime"), col("group_key"))
   }
 
-  private def datasetTilesMetaOnly(spark: SparkSession, cat: Catalog, req: CubeRequest): DataFrame = {
-    val out = prepare(spark, cat, req)
+  private def datasetTilesMetaOnly(spark: SparkSession, cat: Catalog,
+      req: CubeRequest, out: OutDescriptor): DataFrame = {
     val (footprint, refined) = spatialFilters(req, out)
     val found = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
       status = Seq("ACTIVE"), instanceIds = req.instanceIds,

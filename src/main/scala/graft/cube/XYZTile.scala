@@ -30,7 +30,7 @@ object XYZTile {
       validPixPc = 0)
 
     val out = GetCube.prepare(spark, cat, req)
-    val tiles = GetCube.datasetTiles(spark, cat, req).collect()
+    val tiles = GetCube.datasetTiles(spark, cat, req, out).collect()
     if (tiles.isEmpty) return None
 
     val slice = GetCube.buildSliceForMosaic(tiles, out)

@@ -83,7 +83,7 @@ object GeoTiffIO {
     * for a single-container download). */
   def assembleContainer(tiles: Seq[ContainerTile], noData: Double,
       overviewsMinSize: Int, compress: Boolean, tileSize: Int,
-      interlacing: String): Array[Byte] = {
+      interlacing: String, bigTiff: Boolean = false): Array[Byte] = {
     require(tiles.nonEmpty, "assembleContainer: no tiles")
     val images = tiles
       .sortBy { t =>
@@ -97,7 +97,8 @@ object GeoTiffIO {
           graft.geo.Affine.fromArray(t.transform.toArray),
           graft.geo.CRS.parse(t.crs))
       }
-    GeoTiff.write(images, noData, overviewsMinSize, compress, tileSize, interlacing)
+    GeoTiff.write(images, noData, overviewsMinSize, compress, tileSize,
+      interlacing, bigTiff = bigTiff)
   }
 
   /** Export one container (all its subdirs, in GTIFF_DIR order) to a
@@ -108,7 +109,7 @@ object GeoTiffIO {
   def exportContainer(spark: SparkSession, cat: Catalog, containerUri: String,
       noData: Double = Double.NaN, overviewsMinSize: Int = 0,
       compress: Boolean = false, tileSize: Int = 0,
-      interlacing: String = ""): Array[Byte] = {
+      interlacing: String = "", bigTiff: Boolean = false): Array[Byte] = {
     val rows = cat.read(spark, "tiles")
       .filter(col("container_uri") === containerUri)
       // pyramid rows ("<subdir>@ovK") are not their own subdirs — the
@@ -117,7 +118,7 @@ object GeoTiffIO {
       .collect()
     require(rows.nonEmpty, s"exportContainer: no tiles for $containerUri")
     assembleContainer(rows.toSeq.map(toContainerTile), noData,
-      overviewsMinSize, compress, tileSize, interlacing)
+      overviewsMinSize, compress, tileSize, interlacing, bigTiff)
   }
 
   private def toContainerTile(r: Row): ContainerTile = ContainerTile(
@@ -139,7 +140,8 @@ object GeoTiffIO {
       containerUris: Seq[String], outDir: String,
       noData: Double = Double.NaN, overviewsMinSize: Int = 0,
       compress: Boolean = false, tileSize: Int = 0,
-      interlacing: String = ""): org.apache.spark.sql.DataFrame = {
+      interlacing: String = "",
+      bigTiff: Boolean = false): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -157,7 +159,7 @@ object GeoTiffIO {
         val tiles = it.map(t => ContainerTile(t._2, t._3, t._4, t._5, t._6,
           t._7, t._8, t._9)).toSeq
         val bytes = assembleContainer(tiles, noData, overviewsMinSize,
-          compress, tileSize, interlacing)
+          compress, tileSize, interlacing, bigTiff)
         // filename from the container URI tail, collision-proofed by hash
         val tail = uri.split('/').takeRight(2).mkString("_")
           .replaceAll("[^A-Za-z0-9._-]", "_")

@@ -123,4 +123,57 @@ object Dedup {
     array_sort(array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n)))))
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup CLUSTERS: every implicated id is mapped
+    * to its cluster representative, the smallest id reachable through any
+    * chain of pairs (so "keep one per cluster" is `component = id`, and
+    * "drop the rest" is an equality filter, not another join).
+    *
+    * Iterative min-label propagation: each pass is one keyed aggregation
+    * over the symmetrized edge list (shuffles keyed on the id — never a
+    * cross product), converging in O(component diameter) passes. Dup
+    * clusters are near-cliques (diameter 2-3 in practice), so a handful of
+    * passes closes even web-scale corpora; each pass eagerly
+    * localCheckpoints so the plan stays flat at any iteration count. The
+    * per-pass driver action reads one count — no data is collected.
+    *
+    * Returns (id, component). Ids absent from `edges` are their own
+    * (singleton) components and are not emitted — join back to the corpus
+    * with a coalesce for the total mapping. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // materialize the symmetrized edge list ONCE — every pass joins it, and
+    // without this the whole upstream pair-generation DAG (often an LSH
+    // candidate plan) would re-execute per iteration
+    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("__src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label among neighbours; every id occurs as __src in sym
+      val prop = sym
+        .join(labels.select(col("id").as("__dst"), col("component").as("__cl")),
+          "__dst")
+        .groupBy(col("__src"))
+        .agg(min(col("__cl")).as("__nbrMin"))
+      // carry the old label through the checkpoint so convergence reads
+      // off the materialized result — no extra join-and-compare job
+      val next = labels
+        .join(prop, col("id") === col("__src"))
+        .select(col("id"),
+          least(col("component"), col("__nbrMin")).as("component"),
+          col("component").as("__old"))
+        .localCheckpoint()
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
+      iter += 1
+    }
+    labels
+  }
 }

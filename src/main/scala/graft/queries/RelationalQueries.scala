@@ -404,6 +404,51 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** j8_asof — AS-OF join: each purchase matched to the latest click at or
+    * before it for the same user (the point-in-time lookup every
+    * training-data pipeline needs for feature freshness). Spark has no
+    * native ASOF operator; the scale-safe form is a MERGED-STREAM window —
+    * union both sides with a tag, one window partitioned by the join key:
+    * a single shuffle on user_id, no range join, no per-row probe. The
+    * oracle runs DuckDB's native ASOF JOIN — an independent algorithm
+    * agreeing on every row. Clicks sort before purchases at equal ts
+    * (the `<=` bound); ties collapse to the same matched timestamp. */
+  def j8AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val merged = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "click").as("is_click"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("__click_ts",
+        last(when(col("is_click"), col("ts")), ignoreNulls = true).over(w))
+      .filter(!col("is_click"))
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        coalesce(date_format(col("__click_ts"), "yyyy-MM-dd HH:mm:ss"), lit("-"))
+          .as("click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** q2_rollup — multi-level aggregation (GROUP BY ROLLUP): per
+    * (returnflag, linestatus), per returnflag, and grand total in ONE
+    * pass — Spark's Expand feeds a single hash aggregate, so the cost is
+    * one shuffle regardless of how many grouping sets roll up. Quantities
+    * are integer-valued doubles, so the sums are exact across engines. */
+  def q2Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"), col("min_price"), col("max_price"))
+      .orderBy("flag", "status")
+
   /** o1_topk — ORDER BY + LIMIT → TakeOrderedAndProject (top-k without a
     * global sort; pg_containers.go:317-322). */
   def o1TopK(s: SparkSession, dir: String): DataFrame =
@@ -594,10 +639,30 @@ object RelationalQueries {
     "j4_bbox_join" -> j4BboxJoin _,
     "c3_pack_orders" -> c3PackOrders _,
     "f7_area_checksum" -> f7AreaChecksum _,
+    "j8_asof" -> j8AsofJoin _,
+    "q2_rollup" -> q2Rollup _,
     "p5_spatial_refine" -> p5SpatialRefine _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
+    "j8_asof" ->
+      """SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S'), '-') AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY p.event_id""",
+    "q2_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,

@@ -155,6 +155,20 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** dedup_components — near-dup pairs folded into dedup CLUSTERS
+    * ([[graft.operators.Dedup.connectedComponents]]): every doc implicated
+    * in an LSH pair mapped to its cluster representative (the smallest
+    * reachable doc_id). This is the step an actual dedup run needs after
+    * pair generation — "keep component = doc_id, drop the rest". Min-label
+    * propagation over the symmetrized pair list, one keyed aggregation per
+    * pass, O(cluster diameter) passes (near-dup clusters are near-cliques,
+    * so 2-4 in practice at any scale). */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      dedupLshPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+
   /** dedup_simhash — 16-bit SimHash from the token set: bit j is the sign of
     * sum over tokens of (+1 if bit j of md5(token) else -1). Portable via
     * md5-hex nibble arithmetic; near-dups share most bits (hamming-ball
@@ -221,6 +235,7 @@ object TextQueries {
     "dedup_canonical" -> dedupCanonical _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_lsh_pairs" -> dedupLshPairs _,
+    "dedup_components" -> dedupComponents _,
     "dedup_simhash" -> dedupSimhash _)
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -314,6 +329,38 @@ object TextQueries {
           FROM cand
           WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.9
           ORDER BY doc_a, doc_b"""
+    },
+    "dedup_components" -> {
+      def mh(i: Int) =
+        s"list_aggregate(list_transform($tokSetSql, t -> md5(concat('$i|', t))), 'min')"
+      s"""WITH RECURSIVE sig AS (
+            SELECT doc_id, source, $tokSetSql AS toks,
+                   concat(${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)}) AS band0,
+                   concat(${mh(4)}, ${mh(5)}, ${mh(6)}, ${mh(7)}) AS band1
+            FROM documents),
+          cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.toks, b.toks)) AS inter,
+                   len(a.toks) AS na, len(b.toks) AS nb
+            FROM sig a JOIN sig b
+              ON a.source = b.source AND a.band0 = b.band0 AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id, len(list_intersect(a.toks, b.toks)),
+                   len(a.toks), len(b.toks)
+            FROM sig a JOIN sig b
+              ON a.source = b.source AND a.band1 = b.band1 AND a.doc_id < b.doc_id),
+          pairs AS (
+            SELECT doc_a, doc_b FROM cand
+            WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.9),
+          edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+          SELECT s AS doc_id, least(s, min(d)) AS component
+          FROM reach GROUP BY s ORDER BY doc_id"""
     },
     "dedup_simhash" -> {
       val bits = (0 until 16).map { j =>

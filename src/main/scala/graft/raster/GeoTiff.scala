@@ -5,7 +5,9 @@ import graft.geo.{Affine, CRS}
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal GeoTIFF codec — the engine's real-file raster source/sink
-  * (S8/S9). Little-endian classic TIFF 6.0, band-planar, strip- or
+  * (S8/S9). Little-endian classic TIFF 6.0 or BigTIFF (version 43,
+  * 8-byte offsets — read auto-detected, write via `bigTiff=true`),
+  * band-planar, strip- or
   * tile-based (tiled + deflate = the COG block layout, cog.go:34-53),
   * with the GeoTIFF georeferencing tags (ModelPixelScale + ModelTiepoint +
   * GeoKeyDirectory/EPSG) and multi-IFD stacks: image n of a stack is
@@ -204,13 +206,21 @@ object GeoTiff {
   def write(images: Seq[Image], noData: Double = Double.NaN,
       overviewsMinSize: Int = 0, compress: Boolean = false,
       tileSize: Int = 0, interlacing: String = "",
-      sparseOk: Boolean = false): Array[Byte] = {
+      sparseOk: Boolean = false, bigTiff: Boolean = false): Array[Byte] = {
     require(images.nonEmpty, "GeoTiff.write: no images")
     require(tileSize >= 0 && tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
     require(interlacing.isEmpty || tileSize > 0, "interlacing requires a tiled layout")
+    // BigTIFF (version 43): 8-byte offsets/counts, 20-byte IFD entries,
+    // 8-byte inline values — the format GDAL writes for >4 GiB rasters.
+    // Offsets and block-count tags switch from LONG (4) to LONG8 (16).
+    val big = bigTiff
+    val inlineCap = if (big) 8 else 4
+    val headerSize = if (big) 16 else 8
     val out = new java.io.ByteArrayOutputStream()
-    val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    header.put('I'.toByte).put('I'.toByte).putShort(42)
+    val header = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
+    if (big) header.put('I'.toByte).put('I'.toByte).putShort(43)
+      .putShort(8).putShort(0)
+    else header.put('I'.toByte).put('I'.toByte).putShort(42)
     // (tag, type, count, value); offsets tag value patched at layout time
     final case class PendingIfd(entries: Seq[(Int, Int, Int, Array[Byte])],
       blocks: Seq[Array[Byte]], offsetsTag: Int,
@@ -238,6 +248,13 @@ object GeoTiff {
         val b = ByteBuffer.allocate(vs.size * 4).order(ByteOrder.LITTLE_ENDIAN)
         vs.foreach(v => b.putInt(v.toInt)); b.array()
       }
+      def longs8(vs: Seq[Long]) = {
+        val b = ByteBuffer.allocate(vs.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(b.putLong); b.array()
+      }
+      // block offsets/counts: LONG8 in BigTIFF, LONG in classic
+      val offTyp = if (big) 16 else 4
+      def offArr(vs: Seq[Long]) = if (big) longs8(vs) else longs(vs)
       def doubles(vs: Seq[Double]) = {
         val b = ByteBuffer.allocate(vs.size * 8).order(ByteOrder.LITTLE_ENDIAN)
         vs.foreach(b.putDouble); b.array()
@@ -285,12 +302,12 @@ object GeoTiff {
       if (tiled) {
         entries += ((TTileWidth, 3, 1, shortVal(tileSize)))
         entries += ((TTileLength, 3, 1, shortVal(tileSize)))
-        entries += ((TTileOffsets, 4, blocks.size, longs(Seq.fill(blocks.size)(0L)))) // patched
-        entries += ((TTileByteCounts, 4, blocks.size, longs(blocks.map(_.length.toLong))))
+        entries += ((TTileOffsets, offTyp, blocks.size, offArr(Seq.fill(blocks.size)(0L)))) // patched
+        entries += ((TTileByteCounts, offTyp, blocks.size, offArr(blocks.map(_.length.toLong))))
       } else {
-        entries += ((TStripOffsets, 4, 1, longVal(0))) // patched
+        entries += ((TStripOffsets, offTyp, 1, offArr(Seq(0L)))) // patched
         entries += ((TRowsPerStrip, 3, 1, shortVal(bm.height)))
-        entries += ((TStripByteCounts, 4, 1, longVal(blocks.head.length.toLong)))
+        entries += ((TStripByteCounts, offTyp, 1, offArr(Seq(blocks.head.length.toLong))))
       }
       entries += ((TPlanarConfig, 3, 1, shortVal(2))) // band-planar
       entries += ((TSampleFormat, 3, bm.bands, shorts(Seq.fill(bm.bands)(sampleFormat(bm.dtype)))))
@@ -341,13 +358,14 @@ object GeoTiff {
     // ---- layout: header | ALL IFDs + their out-of-line values at the head
     // (COG: a reader fetches every directory in one small head range-read) |
     // data blocks, ordered by the interlacing pattern (MuCOG locality).
-    val ifdSizes = pend.map(p => 2 + p.entries.size * 12 + 4)
+    val (countSize, entrySize, nextSize) = if (big) (8, 20, 8) else (2, 12, 4)
+    val ifdSizes = pend.map(p => countSize + p.entries.size * entrySize + nextSize)
     val extrasSizes = pend.map(_.entries.collect {
-      case (_, _, _, v) if v.length > 4 => v.length
+      case (_, _, _, v) if v.length > inlineCap => v.length
     }.sum)
     val ifdStarts = pend.indices.map(i =>
-      8 + (0 until i).map(j => ifdSizes(j) + extrasSizes(j)).sum)
-    val dataStart = 8 + pend.indices.map(i => ifdSizes(i) + extrasSizes(i)).sum
+      headerSize + (0 until i).map(j => ifdSizes(j) + extrasSizes(j)).sum)
+    val dataStart = headerSize + pend.indices.map(i => ifdSizes(i) + extrasSizes(i)).sum
 
     // data-block emission order: (pendIdx, blockIdx)
     val order: Seq[(Int, Int)] =
@@ -373,10 +391,12 @@ object GeoTiff {
       blockOff.put((i.toLong << 32) | k, if (len == 0) 0L else cur)
       cur += len
     }
-    // offsets are written as signed ints into a byte-array file: refuse to
-    // silently wrap past 2 GiB (classic TIFF itself caps at 4 GiB)
+    // the writer assembles into one byte array, so even BigTIFF output is
+    // capped at 2 GiB in memory — but the FORMAT carries 8-byte offsets, so
+    // a streaming assembler can lift the cap without touching readers
     require(cur <= Int.MaxValue,
-      s"GeoTiff.write: file size $cur exceeds the 2 GiB classic-TIFF/in-memory limit; split the container")
+      if (big) s"GeoTiff.write: file size $cur exceeds the 2 GiB in-memory limit; stream the blocks instead"
+      else s"GeoTiff.write: file size $cur exceeds the 2 GiB classic-TIFF/in-memory limit; write with bigTiff=true or split the container")
 
     val rendered = pend.zipWithIndex.map { case (p, i) =>
       val extraOff = ifdStarts(i) + ifdSizes(i)
@@ -384,7 +404,7 @@ object GeoTiff {
       var offsetsExtraPos = -1 // position inside extras of the offsets array
       // assign out-of-line positions (entry order = extras order)
       val resolved = p.entries.map { case (tag, typ, count, value) =>
-        if (value.length <= 4) (tag, typ, count, value, -1)
+        if (value.length <= inlineCap) (tag, typ, count, value, -1)
         else {
           val o = extraOff + extras.size()
           if (tag == p.offsetsTag) offsetsExtraPos = extras.size()
@@ -396,20 +416,27 @@ object GeoTiff {
       val extrasArr = extras.toByteArray
       if (offsetsExtraPos >= 0) {
         val bb = ByteBuffer.wrap(extrasArr).order(ByteOrder.LITTLE_ENDIAN)
-        p.blocks.indices.foreach(k => bb.putInt(offsetsExtraPos + 4 * k, off(k).toInt))
+        if (big) p.blocks.indices.foreach(k => bb.putLong(offsetsExtraPos + 8 * k, off(k)))
+        else p.blocks.indices.foreach(k => bb.putInt(offsetsExtraPos + 4 * k, off(k).toInt))
       }
       val ifd = ByteBuffer.allocate(ifdSizes(i)).order(ByteOrder.LITTLE_ENDIAN)
-      ifd.putShort(p.entries.size.toShort)
+      if (big) ifd.putLong(p.entries.size.toLong) else ifd.putShort(p.entries.size.toShort)
       for ((tag, typ, count, value, o) <- resolved) {
-        ifd.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-        if (tag == p.offsetsTag && o < 0) ifd.putInt(off(0).toInt) // single inline block
-        else if (o >= 0) ifd.putInt(o)
-        else { val v4 = java.util.Arrays.copyOf(value, 4); ifd.put(v4) }
+        ifd.putShort(tag.toShort).putShort(typ.toShort)
+        if (big) ifd.putLong(count.toLong) else ifd.putInt(count)
+        if (tag == p.offsetsTag && o < 0) { // single inline block
+          if (big) ifd.putLong(off(0)) else ifd.putInt(off(0).toInt)
+        } else if (o >= 0) {
+          if (big) ifd.putLong(o.toLong) else ifd.putInt(o)
+        } else {
+          ifd.put(java.util.Arrays.copyOf(value, inlineCap))
+        }
       }
-      ifd.putInt(if (i == pend.size - 1) 0 else ifdStarts(i + 1))
+      val next = if (i == pend.size - 1) 0 else ifdStarts(i + 1)
+      if (big) ifd.putLong(next.toLong) else ifd.putInt(next)
       (ifd.array(), extrasArr)
     }
-    header.putInt(ifdStarts.head)
+    if (big) header.putLong(ifdStarts.head.toLong) else header.putInt(ifdStarts.head)
     val bytes = new java.io.ByteArrayOutputStream()
     bytes.write(header.array())
     rendered.foreach { case (a, b) => bytes.write(a); bytes.write(b) }
@@ -417,71 +444,114 @@ object GeoTiff {
     bytes.toByteArray
   }
 
-  /** Block offsets of the n-th IFD (test/diagnostic hook: lets callers
-    * verify the physical interlacing order without re-parsing TIFF). */
-  private[raster] def blockOffsets(data: Array[Byte], ifdIndex: Int): Seq[Long] = {
-    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-    var ifdOff = bb.getInt(4)
-    var idx = 0
-    while (idx < ifdIndex) { ifdOff = bb.getInt(ifdOff + 2 + (bb.getShort(ifdOff) & 0xffff) * 12); idx += 1 }
-    val n = bb.getShort(ifdOff) & 0xffff
-    (0 until n).flatMap { i =>
-      val e = ifdOff + 2 + i * 12
-      val tag = bb.getShort(e) & 0xffff
-      if (tag == TStripOffsets || tag == TTileOffsets) {
-        val count = bb.getInt(e + 4)
-        val v = bb.getInt(e + 8)
-        if (count == 1) Seq(v.toLong & 0xffffffffL)
-        else (0 until count).map(k => bb.getInt(v + 4 * k).toLong & 0xffffffffL)
-      } else Nil
+  // ----------------------------------------------------------------- read
+
+  /** One parsed IFD entry. Value accessors are type-aware and resolve
+    * inline-vs-out-of-line placement for BOTH layouts: classic TIFF
+    * (4-byte value field) and BigTIFF (8-byte value field, LONG8 arrays). */
+  private final class TagEntry(bb: ByteBuffer, val typ: Int, val count: Int,
+      valuePos: Int, inlineCap: Int) {
+    private def typeSize: Int = typ match {
+      case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
+      case 3 | 8 => 2 // SHORT/SSHORT
+      case 4 | 9 | 11 | 13 => 4 // LONG/SLONG/FLOAT/IFD
+      case _ => 8 // RATIONAL/SRATIONAL/DOUBLE/LONG8/SLONG8/IFD8
+    }
+    /** Absolute position of element 0 (the inline bytes, or the pointed-to
+      * range when the value spills out of line). */
+    private val dataPos: Int =
+      if (count.toLong * typeSize <= inlineCap) valuePos
+      else if (inlineCap == 8) {
+        val o = bb.getLong(valuePos)
+        require(o >= 0 && o <= Int.MaxValue,
+          s"BigTIFF value at offset $o beyond the 2 GiB in-memory limit")
+        o.toInt
+      } else bb.getInt(valuePos)
+    def shortAt(k: Int): Int = bb.getShort(dataPos + 2 * k) & 0xffff
+    def doubleAt(k: Int): Double = bb.getDouble(dataPos + 8 * k)
+    def byteAt(k: Int): Byte = bb.get(dataPos + k)
+    /** Element k widened to Long — SHORT, unsigned LONG, or LONG8. */
+    def longAt(k: Int): Long = typ match {
+      case 3 => shortAt(k).toLong
+      case 16 | 17 => bb.getLong(dataPos + 8 * k)
+      // LONG values are UNSIGNED 32-bit: mask, don't sign-extend — a
+      // classic TIFF may address up to 4 GiB
+      case _ => bb.getInt(dataPos + 4 * k).toLong & 0xffffffffL
     }
   }
 
-  // ----------------------------------------------------------------- read
+  /** Walk every IFD of a little-endian classic TIFF (version 42) or
+    * BigTIFF (version 43 — 8-byte offsets/counts, 20-byte entries, the
+    * format GDAL emits for >4 GiB files). Shared by the full read, the
+    * header-only read, and the block-offset diagnostic. */
+  private def scanIfds(data: Array[Byte]): Seq[Map[Int, TagEntry]] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    require(data(0) == 'I' && data(1) == 'I', "only little-endian TIFF supported")
+    val ver = bb.getShort(2)
+    require(ver == 42 || ver == 43, "not a TIFF")
+    val big = ver == 43
+    if (big) require(bb.getShort(4) == 8 && bb.getShort(6) == 0,
+      "malformed BigTIFF header")
+    val inlineCap = if (big) 8 else 4
+    val entrySize = if (big) 20 else 12
+    var ifdOff: Long = if (big) bb.getLong(8) else bb.getInt(4).toLong & 0xffffffffL
+    val out = Seq.newBuilder[Map[Int, TagEntry]]
+    while (ifdOff != 0) {
+      require(ifdOff <= Int.MaxValue,
+        s"IFD at offset $ifdOff beyond the 2 GiB in-memory limit")
+      val o = ifdOff.toInt
+      val n = (if (big) bb.getLong(o) else (bb.getShort(o) & 0xffff).toLong).toInt
+      val base = o + (if (big) 8 else 2)
+      var tags = Map.empty[Int, TagEntry]
+      var i = 0
+      while (i < n) {
+        val e = base + i * entrySize
+        val typ = bb.getShort(e + 2) & 0xffff
+        val count =
+          (if (big) bb.getLong(e + 4) else bb.getInt(e + 4).toLong & 0xffffffffL).toInt
+        tags += (bb.getShort(e) & 0xffff) ->
+          new TagEntry(bb, typ, count, e + (if (big) 12 else 8), inlineCap)
+        i += 1
+      }
+      out += tags
+      ifdOff =
+        if (big) bb.getLong(base + n * entrySize)
+        else bb.getInt(base + n * entrySize).toLong & 0xffffffffL
+    }
+    out.result()
+  }
+
+  private def tagVal(tags: Map[Int, TagEntry], tag: Int, default: Int = -1): Int =
+    tags.get(tag).map(_.longAt(0).toInt).getOrElse(default)
+  private def tagShorts(tags: Map[Int, TagEntry], tag: Int): Seq[Int] =
+    tags.get(tag) match {
+      case Some(e) if e.typ == 3 => Seq.tabulate(e.count)(e.shortAt)
+      case _ => Nil
+    }
+  private def tagDoubles(tags: Map[Int, TagEntry], tag: Int): Seq[Double] =
+    tags.get(tag) match {
+      case Some(e) if e.typ == 12 => Seq.tabulate(e.count)(e.doubleAt)
+      case _ => Nil
+    }
+  private def tagLongs(tags: Map[Int, TagEntry], tag: Int): Seq[Long] =
+    tags.get(tag).map(e => Seq.tabulate(e.count)(e.longAt)).getOrElse(Nil)
+
+  /** Block offsets of the n-th IFD (test/diagnostic hook: lets callers
+    * verify the physical interlacing order without re-parsing TIFF). */
+  private[raster] def blockOffsets(data: Array[Byte], ifdIndex: Int): Seq[Long] = {
+    val tags = scanIfds(data)(ifdIndex)
+    tagLongs(tags, TStripOffsets) ++ tagLongs(tags, TTileOffsets)
+  }
 
   /** Parse all IFDs (including overview IFDs, flagged `isOverview`). */
   final case class Directory(image: Image, isOverview: Boolean)
 
   def read(data: Array[Byte]): Seq[Directory] = {
-    val bb = ByteBuffer.wrap(data)
-    require(data(0) == 'I' && data(1) == 'I', "only little-endian TIFF supported")
-    bb.order(ByteOrder.LITTLE_ENDIAN)
-    require(bb.getShort(2) == 42, "not a TIFF")
-    var ifdOff = bb.getInt(4)
-    val out = Seq.newBuilder[Directory]
-    while (ifdOff != 0) {
-      val n = bb.getShort(ifdOff) & 0xffff
-      var tags = Map.empty[Int, (Int, Int, Int)] // tag -> (type, count, valueOrOffset)
-      var i = 0
-      while (i < n) {
-        val e = ifdOff + 2 + i * 12
-        tags += (bb.getShort(e) & 0xffff) -> (
-          (bb.getShort(e + 2) & 0xffff, bb.getInt(e + 4), bb.getInt(e + 8)))
-        i += 1
-      }
-      def tagVal(tag: Int, default: Int = -1): Int =
-        tags.get(tag).map { case (typ, _, v) =>
-          if (typ == 3) v & 0xffff else v
-        }.getOrElse(default)
-      def tagShorts(tag: Int): Seq[Int] = tags.get(tag) match {
-        case Some((3, count, v)) =>
-          if (count <= 2) Seq.tabulate(count)(k => (v >> (16 * k)) & 0xffff)
-          else Seq.tabulate(count)(k => bb.getShort(v + 2 * k) & 0xffff)
-        case _ => Nil
-      }
-      def tagDoubles(tag: Int): Seq[Double] = tags.get(tag) match {
-        case Some((12, count, off)) => Seq.tabulate(count)(k => bb.getDouble(off + 8 * k))
-        case _ => Nil
-      }
-      def tagLongs(tag: Int): Seq[Long] = tags.get(tag) match {
-        // LONG values are UNSIGNED 32-bit: mask, don't sign-extend — a
-        // classic TIFF may address up to 4 GiB
-        case Some((typ, 1, v)) =>
-          Seq(if (typ == 3) (v & 0xffff).toLong else v.toLong & 0xffffffffL)
-        case Some((4, count, off)) => Seq.tabulate(count)(k => bb.getInt(off + 4 * k).toLong & 0xffffffffL)
-        case Some((3, count, off)) => Seq.tabulate(count)(k => (bb.getShort(off + 2 * k) & 0xffff).toLong)
-        case _ => Nil
-      }
+    scanIfds(data).map { tags =>
+      def tagVal(tag: Int, default: Int = -1): Int = GeoTiff.tagVal(tags, tag, default)
+      def tagShorts(tag: Int): Seq[Int] = GeoTiff.tagShorts(tags, tag)
+      def tagDoubles(tag: Int): Seq[Double] = GeoTiff.tagDoubles(tags, tag)
+      def tagLongs(tag: Int): Seq[Long] = GeoTiff.tagLongs(tags, tag)
       val w = tagVal(TWidth); val h = tagVal(THeight)
       val bands = tagVal(TSamplesPerPixel, 1)
       val bits = tagShorts(TBitsPerSample).headOption.getOrElse(8)
@@ -496,10 +566,8 @@ object GeoTiff {
       val sz = dt.sizeBytes
       // GDAL_NODATA ascii tag (sparse-tile fill value; "nan" for NaN)
       val noData: Double = tags.get(TGdalNoData) match {
-        case Some((2, count, v)) =>
-          val chars =
-            if (count <= 4) (0 until count).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
-            else java.util.Arrays.copyOfRange(data, v, v + count)
+        case Some(e) if e.typ == 2 =>
+          val chars = Array.tabulate(e.count)(e.byteAt)
           val str = new String(chars, "US-ASCII").takeWhile(_ != '\u0000').trim
           if (str.equalsIgnoreCase("nan")) Double.NaN
           else scala.util.Try(str.toDouble).getOrElse(Double.NaN)
@@ -560,9 +628,12 @@ object GeoTiff {
           }
           out
         } else {
-          val stripOff = tagVal(TStripOffsets)
-          val stripLen = tagVal(TStripByteCounts)
-          val raw = java.util.Arrays.copyOfRange(data, stripOff, stripOff + stripLen)
+          val stripOff = tagLongs(TStripOffsets).head
+          val stripLen = tagLongs(TStripByteCounts).head
+          require(stripOff + stripLen <= Int.MaxValue,
+            s"strip at offset $stripOff beyond the 2 GiB in-memory limit")
+          val raw = java.util.Arrays.copyOfRange(
+            data, stripOff.toInt, (stripOff + stripLen).toInt)
           Bitmap.fromBytes(decode(raw, w * h * bands * sz), w, h, bands, dt)
         }
       val scale = tagDoubles(TModelPixelScale)
@@ -573,10 +644,8 @@ object GeoTiff {
         else Affine.identity
       val crs = crsFromGeoKeys(tagShorts(TGeoKeyDirectory), tagDoubles(TGeoDoubleParams))
       val isOv = tagVal(TNewSubfileType, 0) == 1
-      out += Directory(Image(bm, transform, crs), isOv)
-      ifdOff = bb.getInt(ifdOff + 2 + n * 12)
+      Directory(Image(bm, transform, crs), isOv)
     }
-    out.result()
   }
 
   /** CRS from the GeoKeyDirectory shorts (+ GeoDoubleParams for the
@@ -610,51 +679,20 @@ object GeoTiff {
       transform: Affine, crs: CRS, isOverview: Boolean)
 
   def readHeaders(data: Array[Byte]): Seq[Header] = {
-    val bb = ByteBuffer.wrap(data)
-    require(data(0) == 'I' && data(1) == 'I', "only little-endian TIFF supported")
-    bb.order(ByteOrder.LITTLE_ENDIAN)
-    require(bb.getShort(2) == 42, "not a TIFF")
-    var ifdOff = bb.getInt(4)
-    val out = Seq.newBuilder[Header]
-    while (ifdOff != 0) {
-      val n = bb.getShort(ifdOff) & 0xffff
-      var tags = Map.empty[Int, (Int, Int, Int)]
-      var i = 0
-      while (i < n) {
-        val e = ifdOff + 2 + i * 12
-        tags += (bb.getShort(e) & 0xffff) -> (
-          (bb.getShort(e + 2) & 0xffff, bb.getInt(e + 4), bb.getInt(e + 8)))
-        i += 1
-      }
-      def tagVal(tag: Int, default: Int = -1): Int =
-        tags.get(tag).map { case (typ, _, v) =>
-          if (typ == 3) v & 0xffff else v
-        }.getOrElse(default)
-      def tagShorts(tag: Int): Seq[Int] = tags.get(tag) match {
-        case Some((3, count, v)) =>
-          if (count <= 2) Seq.tabulate(count)(k => (v >> (16 * k)) & 0xffff)
-          else Seq.tabulate(count)(k => bb.getShort(v + 2 * k) & 0xffff)
-        case _ => Nil
-      }
-      def tagDoubles(tag: Int): Seq[Double] = tags.get(tag) match {
-        case Some((12, count, off)) => Seq.tabulate(count)(k => bb.getDouble(off + 8 * k))
-        case _ => Nil
-      }
-      val bits = tagShorts(TBitsPerSample).headOption.getOrElse(8)
-      val fmt = tagShorts(TSampleFormat).headOption.getOrElse(1)
-      val scale = tagDoubles(TModelPixelScale)
-      val tie = tagDoubles(TModelTiepoint)
-      out += Header(
-        tagVal(TWidth), tagVal(THeight), tagVal(TSamplesPerPixel, 1),
+    scanIfds(data).map { tags =>
+      val bits = tagShorts(tags, TBitsPerSample).headOption.getOrElse(8)
+      val fmt = tagShorts(tags, TSampleFormat).headOption.getOrElse(1)
+      val scale = tagDoubles(tags, TModelPixelScale)
+      val tie = tagDoubles(tags, TModelTiepoint)
+      Header(
+        tagVal(tags, TWidth), tagVal(tags, THeight), tagVal(tags, TSamplesPerPixel, 1),
         dtypeOf(bits, fmt),
         if (scale.size >= 2 && tie.size >= 5)
           Affine.northUp(tie(3), tie(4), scale(0), -scale(1))
         else Affine.identity,
-        crsFromGeoKeys(tagShorts(TGeoKeyDirectory), tagDoubles(TGeoDoubleParams)),
-        tagVal(TNewSubfileType, 0) == 1)
-      ifdOff = bb.getInt(ifdOff + 2 + n * 12)
+        crsFromGeoKeys(tagShorts(tags, TGeoKeyDirectory), tagDoubles(tags, TGeoDoubleParams)),
+        tagVal(tags, TNewSubfileType, 0) == 1)
     }
-    out.result()
   }
 
   /** Read one subdir the way the reference addresses MuCOG stacks:

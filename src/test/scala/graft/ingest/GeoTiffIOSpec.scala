@@ -49,6 +49,16 @@ class GeoTiffIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.size == 2)
     assert(dirs.head.image.bitmap.pixels.toSeq == Seq(1.0, 2, 3, 4))
     assert(dirs(1).image.bitmap.pixels.toSeq == Seq(5.0, 6, 7, 8))
+
+    // BigTIFF export: version 43 container, same pixels, and the mucog
+    // DSv2 source auto-detects the format
+    val big = GeoTiffIO.exportContainer(spark, cat, uri, bigTiff = true)
+    assert(big(2) == 43)
+    assert(GeoTiff.read(big).head.image.bitmap.pixels.toSeq == Seq(1.0, 2, 3, 4))
+    val bigDir = java.nio.file.Files.createTempDirectory("tifs-big")
+    java.nio.file.Files.write(bigDir.resolve("big.tif"), big)
+    val viaSource = spark.read.format("mucog").load(s"$bigDir/*.tif").collect()
+    assert(viaSource.length == 2)
   }
 
   test("file-backed -ovr AUTO read: coarse requests decode the overview IFD") {

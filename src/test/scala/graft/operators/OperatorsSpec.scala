@@ -140,6 +140,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(edge == 0)
   }
 
+  test("connectedComponents: chains, cliques, disjoint clusters, min representative") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (21L, 20L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // "keep one per cluster" is an equality filter on the result
+    assert(cc.count { case (id, comp) => id == comp } == 3)
+  }
+
   test("vec_dot/vec_dist2: match the HOF fold bit-for-bit; length mismatch throws") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}

@@ -30,6 +30,44 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("BigTIFF (version 43) round trips: strips, tiles+deflate, overviews, sparse") {
+    // strip layout, every dtype
+    for (dt <- Seq(DType.UInt8, DType.Int16, DType.Float64)) {
+      val vals: Array[Double] =
+        if (dt == DType.Float64) Array(-1.5, 0.25, 3.75, 42.0, 0.0, -7.0)
+        else Array(0, 1, 2, 3, 100, 101)
+      val bytes = GeoTiff.write(Seq(img(3, 2, dt, vals)), bigTiff = true)
+      assert(bytes(2) == 43 && bytes(3) == 0) // version 43, LE
+      assert(java.nio.ByteBuffer.wrap(bytes).order(
+        java.nio.ByteOrder.LITTLE_ENDIAN).getShort(4) == 8)
+      val got = GeoTiff.read(bytes)
+      assert(got.size == 1 && got.head.image.bitmap.pixels.toSeq == vals.toSeq)
+      assert(got.head.image.bitmap.dtype == dt)
+      assert(got.head.image.transform.c0 == 10.0)
+      assert(got.head.image.crs == CRS.WGS84)
+    }
+    // tiled + deflate + overviews + sparse: the full MuCOG feature set
+    val vals = Array.tabulate(32 * 32)(i => if (i < 512) (i % 250).toDouble else 7.0)
+    val big = GeoTiff.write(Seq(img(32, 32, DType.UInt8, vals)), noData = 7.0,
+      overviewsMinSize = 16, compress = true, tileSize = 16, sparseOk = true,
+      bigTiff = true)
+    val classic = GeoTiff.write(Seq(img(32, 32, DType.UInt8, vals)), noData = 7.0,
+      overviewsMinSize = 16, compress = true, tileSize = 16, sparseOk = true)
+    val dirs = GeoTiff.read(big)
+    val dirsC = GeoTiff.read(classic)
+    assert(dirs.map(_.isOverview) == dirsC.map(_.isOverview))
+    dirs.zip(dirsC).foreach { case (b, c) =>
+      assert(b.image.bitmap.pixels.toSeq == c.image.bitmap.pixels.toSeq)
+    }
+    // header-only path auto-detects the format too
+    val hs = GeoTiff.readHeaders(big)
+    assert(hs.map(h => (h.width, h.height, h.isOverview)) ==
+      GeoTiff.readHeaders(classic).map(h => (h.width, h.height, h.isOverview)))
+    // block-offset diagnostic reads the LONG8 arrays; sparse blocks stay 0
+    val offs = GeoTiff.blockOffsets(big, 0)
+    assert(offs.size == 4 && offs.count(_ == 0) == 2) // 2 data, 2 elided tiles
+  }
+
   test("multi-IFD stack addressed via GTIFF_DIR:n") {
     val a = img(2, 2, DType.UInt8, Array(1, 2, 3, 4))
     val b = img(2, 2, DType.UInt8, Array(9, 8, 7, 6))
