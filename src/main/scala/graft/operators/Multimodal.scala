@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * payloads (the Scala analog of `mapInPandas` batches).
   *
   * Codecs are REAL and JDK-only ([[MediaCodec]]): PNG/JPEG/BMP/GIF via
-  * javax.imageio, WAV/AU/AIFF PCM via javax.sound. Payloads that are not
-  * a known container fall back to the documented raw-gray interpretation
-  * (bytes = 8-bit samples of the metadata-declared raster); video frame
-  * DECODE remains the one honest stub — the JDK ships no video codec —
-  * so frame sampling is metadata-only and per-frame payloads go through
-  * the image path.
+  * javax.imageio, WAV/AU/AIFF PCM via javax.sound, and MJPEG-AVI video
+  * via the RIFF parser (each frame chunk is a complete JPEG, which
+  * ImageIO decodes — the one video codec a JDK-only engine can truly
+  * decode; H.26x-family payloads still parse for metadata but fall back
+  * to raw-gray for pixels). Payloads that are no known container use the
+  * documented raw-gray interpretation (bytes = 8-bit samples of the
+  * metadata-declared raster).
   */
 object Multimodal {
 
@@ -68,6 +69,17 @@ object Multimodal {
                 (MediaCodec.rawGray(r.payload, math.max(1, r.payload.length)),
                   r.width, r.height)
             }
+            case "video" =>
+              // MJPEG-AVI: stats over the first decodable frame
+              MediaCodec.decodeAvi(r.payload)
+                .flatMap(v => v.frames.iterator.flatMap(MediaCodec.decodeImage)
+                  .nextOption())
+              match {
+                case Some((dw, dh, _, samples)) => (samples, dw, dh)
+                case None =>
+                  val n = math.max(1, r.width * r.height)
+                  (MediaCodec.rawGray(r.payload, n), r.width, r.height)
+              }
             case _ =>
               val n = math.max(1, r.width * r.height)
               (MediaCodec.rawGray(r.payload, n), r.width, r.height)
@@ -144,4 +156,27 @@ object Multimodal {
       .select(col("media_id"), col("meta.n_frames").as("n_frames"))
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
+
+  /** Real frame EXTRACTION for MJPEG-AVI payloads: every k-th frame of
+    * each video row, emitted as standalone JPEG payloads (frames are
+    * complete JPEGs in the container — no re-encode, no decode on this
+    * path; downstream image ops decode on demand). One task per batch of
+    * videos, frames of one video stay on one executor. */
+  def decodeFrames(spark: SparkSession, media: DataFrame, everyK: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          MediaCodec.decodeAvi(payload).toSeq.flatMap { v =>
+            v.frames.zipWithIndex.collect {
+              case (jpeg, i) if i % everyK == 0 =>
+                (id, i, v.width, v.height, "jpeg", jpeg)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "format", "payload")
+  }
 }
