@@ -23,9 +23,10 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, StructType}
   *
   * [[GraftSparkExtensions]] — `SparkSessionExtensions` entry point: inject
   * via `.config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")`,
-  * which also registers the spatial expressions as SQL functions
+  * which also registers the engine expressions as SQL functions
   * (`st_intersects`, `st_interior_intersects`, `st_intersection`,
-  * `st_area`, `geom_hash`).
+  * `st_area`, `geom_hash`, `st_make_box`, `st_transform`,
+  * `sorted_intersect_size`, `vec_dot`, `vec_dist2`).
   */
 object SpatialFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -104,7 +105,11 @@ object GraftSparkExtensions {
     "st_make_box" -> ((args: Seq[Expression]) => STMakeBox(args)),
     "st_transform" -> ((args: Seq[Expression]) => STTransform(args)),
     "sorted_intersect_size" -> ((args: Seq[Expression]) =>
-      ArrayExpressions.SortedIntersectSize(args(0), args(1))))
+      ArrayExpressions.SortedIntersectSize(args(0), args(1))),
+    "vec_dot" -> ((args: Seq[Expression]) =>
+      ArrayExpressions.DotProduct(args(0), args(1))),
+    "vec_dist2" -> ((args: Seq[Expression]) =>
+      ArrayExpressions.SquaredDistance(args(0), args(1))))
 
   /** Install on a live session (no spark.sql.extensions restart needed):
     * SQL functions via the registry bridge + the bbox rule as an

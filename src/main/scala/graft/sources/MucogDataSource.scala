@@ -52,7 +52,8 @@ final class MucogTable(options: CaseInsensitiveStringMap)
 
 final class MucogScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   // `load(p)` arrives as option "path"; `load(p1, p2, …)` arrives as
   // option "paths" holding a JSON-encoded array — decode it, don't glob it
   private val paths: Seq[String] = {
@@ -77,6 +78,32 @@ final class MucogScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // filter pushdown → PARTITION pruning: container_uri is the file path,
+  // so equality/IN/prefix predicates on it drop whole files at planning
+  // time — a catalog-shaped lookup over a 10⁶-container store opens only
+  // the named containers instead of scanning the fleet. All filters are
+  // also returned as residuals (Spark re-evaluates them), so pruning can
+  // never change results.
+  import org.apache.spark.sql.sources.{EqualTo, Filter => SFilter, In, StringStartsWith}
+  private var uriFilters: Seq[SFilter] = Nil
+  override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+    uriFilters = filters.filter {
+      case EqualTo("container_uri", _) => true
+      case In("container_uri", _) => true
+      case StringStartsWith("container_uri", _) => true
+      case _ => false
+    }.toSeq
+    filters // everything stays a residual
+  }
+  override def pushedFilters(): Array[SFilter] = uriFilters.toArray
+
+  private def keepFile(path: String): Boolean = uriFilters.forall {
+    case EqualTo(_, v) => path == v
+    case In(_, vs) => vs.exists(_ == path)
+    case StringStartsWith(_, p) => path.startsWith(p)
+    case _ => true
+  }
+
   override def build(): Scan = this
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -96,8 +123,9 @@ final class MucogScanBuilder(options: CaseInsensitiveStringMap)
         }
       }
     }
-    statuses.map(st => MucogInputPartition(st.getPath.toString, targetRes,
-      required.fieldNames.toSeq).asInstanceOf[InputPartition]).toArray
+    statuses.filter(st => keepFile(st.getPath.toString))
+      .map(st => MucogInputPartition(st.getPath.toString, targetRes,
+        required.fieldNames.toSeq).asInstanceOf[InputPartition]).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -141,4 +141,13 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n == 20)
   }
+
+  test("vector expressions callable from SQL") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                vec_dist2(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS q,
+                sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS i""")
+      .collect().head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0 && r.getInt(2) == 2)
+  }
 }

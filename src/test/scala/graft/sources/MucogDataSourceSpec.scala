@@ -64,6 +64,27 @@ class MucogDataSourceSpec extends AnyFunSuite {
       .count(_.endsWith("m2.tif")) == 2)
   }
 
+  test("container_uri filters prune partitions (file-level pushdown)") {
+    val dir = java.nio.file.Files.createTempDirectory("mucog-prune-files")
+    writeStack(dir, "k1.tif", Seq(11))
+    writeStack(dir, "k2.tif", Seq(22))
+    writeStack(dir, "k3.tif", Seq(33))
+    val df = spark.read.format("mucog").load(s"$dir/*.tif")
+    val uri2 = df.select("container_uri").collect()
+      .map(_.getString(0)).sorted.apply(1)
+    val one = df.filter(col("container_uri") === uri2)
+    // the filter reaches the scan (partition pruning at planning time)...
+    assert(one.queryExecution.executedPlan.toString.contains("container_uri"))
+    val rows = one.collect()
+    // ...and results are correct: only k2's subdir, right pixels
+    assert(rows.length == 1)
+    assert(graft.raster.Bitmap.fromBytes(rows.head.getAs[Array[Byte]]("payload"),
+      8, 8, 1, graft.core.DType.UInt8).pixels.forall(_ == 22.0))
+    // prefix pushdown composes with other predicates as residuals
+    assert(df.filter(col("container_uri").startsWith(s"file:$dir") &&
+      col("width") === 8).count() == 3)
+  }
+
   test("targetRes option selects the overview level (-ovr AUTO)") {
     val dir = java.nio.file.Files.createTempDirectory("mucog-dsv2-ovr")
     writeStack(dir, "c.tif", Seq(90))
