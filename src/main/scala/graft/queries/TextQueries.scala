@@ -155,6 +155,23 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** text_idf — corpus vocabulary statistics (document frequency + IDF),
+    * the term-weighting basis for quality scoring and sparse retrieval:
+    * explode each doc's DISTINCT token set, one keyed aggregation for df,
+    * broadcast the 1-row corpus count. The explode fans out rows but
+    * stays map-side; the only shuffle is the token groupBy — the same
+    * plan at 100 TB, with token-key skew absorbed by partial aggregation. */
+  def textIdf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val total = d.agg(count(lit(1)).as("__n"))
+    d.select(explode(expr(tokenSetExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("df"),
+        round(log(col("__n") / col("df")), 6).as("idf"))
+      .orderBy("token")
+  }
+
   /** dedup_components — near-dup pairs folded into dedup CLUSTERS
     * ([[graft.operators.Dedup.connectedComponents]]): every doc implicated
     * in an LSH pair mapped to its cluster representative (the smallest
@@ -236,7 +253,8 @@ object TextQueries {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_lsh_pairs" -> dedupLshPairs _,
     "dedup_components" -> dedupComponents _,
-    "dedup_simhash" -> dedupSimhash _)
+    "dedup_simhash" -> dedupSimhash _,
+    "text_idf" -> textIdf _)
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private val tokSetSql = s"list_sort(list_distinct($tokSql))"
@@ -330,6 +348,13 @@ object TextQueries {
           WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.9
           ORDER BY doc_a, doc_b"""
     },
+    "text_idf" ->
+      s"""WITH toks AS (
+            SELECT doc_id, unnest($tokSetSql) AS token FROM documents),
+          tot AS (SELECT count(*) AS n FROM documents)
+          SELECT token, CAST(count(*) AS BIGINT) AS df,
+                 round(ln(CAST(n AS DOUBLE) / count(*)), 6) AS idf
+          FROM toks, tot GROUP BY token, n ORDER BY token""",
     "dedup_components" -> {
       def mh(i: Int) =
         s"list_aggregate(list_transform($tokSetSql, t -> md5(concat('$i|', t))), 'min')"

@@ -222,6 +222,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(near.length == 5 && near.forall(_ % 3 == 1))
   }
 
+  test("product quantization: train/encode/search recovers true neighbors") {
+    import spark.implicits._
+    // 3 separated 8-d clusters; ids interleave clusters
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 120).map { i =>
+      val c = i % 3 * 10.0
+      (i.toLong, Seq.fill(8)(c + rnd.nextDouble() * 0.5))
+    }.toDF("id", "v")
+    val cb = Similarity.pqTrain(pts, "v", "id", dim = 8, m = 4, k = 6)
+    assert(cb.books.size == 4 && cb.books.forall(_.size == 6))
+    val encoded = Similarity.pqEncode(pts, "v", cb)
+    // codes are m=4 small ints — the 8-double vector compresses 16×
+    val code0 = encoded.filter(col("id") === 0).select("__pq_code")
+      .collect().head.getAs[scala.collection.Seq[Int]](0)
+    assert(code0.size == 4 && code0.forall(c => c >= 0 && c < 6))
+    // same-cluster rows share codes; different clusters never do
+    val codes = encoded.select(col("id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1)).toMap
+    assert(codes(0L) != codes(1L) && codes(1L) != codes(2L))
+    // ADC search: query near cluster 1 → all k hits are cluster-1 members,
+    // scored WITHOUT touching the vector column
+    val q = Seq.fill(8)(10.1)
+    val hits = Similarity.pqSearch(encoded, q, cb, k = 10)
+      .select("id").collect().map(_.getLong(0))
+    assert(hits.length == 10 && hits.forall(_ % 3 == 1), hits.toSeq.toString)
+  }
+
   test("token count estimate adds subword tokens for long words") {
     val n = spark.range(1).select(
       TextAnalysis.tokenCountEstimate(lit("hi internationalization")).as("n"))

@@ -59,6 +59,15 @@ class GeoTiffSpec extends AnyFunSuite {
     dirs.zip(dirsC).foreach { case (b, c) =>
       assert(b.image.bitmap.pixels.toSeq == c.image.bitmap.pixels.toSeq)
     }
+    // multiband: 6-byte BitsPerSample sits inline in BigTIFF (8-byte value
+    // field) but out-of-line in classic — both must parse identically
+    val mb = GeoTiff.Image(new Bitmap(4, 4, 3, DType.UInt16,
+      Array.tabulate(48)(i => (i * 37 % 1000).toDouble)),
+      Affine.northUp(0, 4, 1, -1), CRS.WGS84)
+    val mbBig = GeoTiff.read(GeoTiff.write(Seq(mb), bigTiff = true)).head.image
+    assert(mbBig.bitmap.bands == 3 && mbBig.bitmap.dtype == DType.UInt16)
+    assert(mbBig.bitmap.pixels.toSeq == mb.bitmap.pixels.toSeq)
+
     // header-only path auto-detects the format too
     val hs = GeoTiff.readHeaders(big)
     assert(hs.map(h => (h.width, h.height, h.isOverview)) ==
