@@ -124,6 +124,39 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n)))))
 
+  /** Distinct word n-grams (token windows joined by a single space) —
+    * empty for texts shorter than n tokens. The overlap unit for
+    * decontamination. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = toks(text)
+    // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of being
+    // empty, so short texts must short-circuit explicitly
+    when(size(t) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Decontamination — the test-set-overlap sweep every training corpus
+    * needs: corpus docs sharing at least one word n-gram with any
+    * benchmark doc, with the count of distinct shared grams as evidence.
+    *
+    * Scale shape: the benchmark side is collapsed to its DISTINCT gram set
+    * (benchmarks are small — it broadcasts), the corpus explode is
+    * map-side, and the broadcast semi-join means corpus rows never
+    * shuffle; the only exchange is the per-doc count rollup. Returns
+    * (id, n_shared). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
+    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("__g")).as("n_shared"))
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into dedup CLUSTERS: every implicated id is mapped
     * to its cluster representative, the smallest id reachable through any

@@ -172,6 +172,19 @@ object TextQueries {
       .orderBy("token")
   }
 
+  /** text_decontaminate — test-set overlap removal
+    * ([[graft.operators.Dedup.decontaminate]]): docs from src0 act as the
+    * "benchmark"; every other doc sharing a word-3-gram with it is flagged
+    * with its shared-gram count. Benchmark grams broadcast; corpus rows
+    * never shuffle — only the per-doc rollup does. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dedup.decontaminate(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
   /** dedup_components — near-dup pairs folded into dedup CLUSTERS
     * ([[graft.operators.Dedup.connectedComponents]]): every doc implicated
     * in an LSH pair mapped to its cluster representative (the smallest
@@ -254,7 +267,8 @@ object TextQueries {
     "dedup_lsh_pairs" -> dedupLshPairs _,
     "dedup_components" -> dedupComponents _,
     "dedup_simhash" -> dedupSimhash _,
-    "text_idf" -> textIdf _)
+    "text_idf" -> textIdf _,
+    "text_decontaminate" -> textDecontaminate _)
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private val tokSetSql = s"list_sort(list_distinct($tokSql))"
@@ -348,6 +362,18 @@ object TextQueries {
           WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.9
           ORDER BY doc_a, doc_b"""
     },
+    "text_decontaminate" ->
+      s"""WITH g AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len($tokSql) - 2, 0) + 1),
+                     i -> array_to_string(($tokSql)[i:i+2], ' ')))) AS gram
+            FROM documents),
+          bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+          SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+          FROM g JOIN bench ON g.gram = bench.gram
+          WHERE g.source != 'src0'
+          GROUP BY g.doc_id ORDER BY g.doc_id""",
     "text_idf" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($tokSetSql) AS token FROM documents),

@@ -140,6 +140,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(edge == 0)
   }
 
+  test("wordNgrams + decontaminate: benchmark overlap flags the right docs") {
+    import spark.implicits._
+    val grams = Seq(("a b c d", 1)).toDF("t", "i")
+      .select(Dedup.wordNgrams(col("t"), 3)).collect().head.getSeq[String](0)
+    assert(grams == Seq("a b c", "b c d"))
+    // shorter than n → empty, not sequence(1,0) garbage
+    val short = Seq(("a b", 1)).toDF("t", "i")
+      .select(Dedup.wordNgrams(col("t"), 3)).collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown", "quick brown fox"
+      (2L, "totally unrelated words here"),
+      (3L, "quick brown fox runs")).toDF("id", "text")
+    val bench = Seq((9L, "the quick brown fox")).toDF("id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench grams: {"the quick brown", "quick brown fox"} → doc 1 shares
+    // both, doc 3 shares one, doc 2 none
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("connectedComponents: chains, cliques, disjoint clusters, min representative") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), clique 10-11-12, pair 20-21
