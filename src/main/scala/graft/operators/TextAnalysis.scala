@@ -42,6 +42,36 @@ object TextAnalysis {
         greatest(nTok, lit(1)).cast("double")).as("mean_token_len"))
   }
 
+  /** Word n-gram LIST (non-distinct, in order) — the counting basis for
+    * repetition signals; empty for texts shorter than n tokens (guarding
+    * Spark's count-down sequence(1, 0)). */
+  def wordGramList(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    if (n == 1) ts
+    else when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals (the "repetitive documents" corpus
+    * gates): fraction of n-grams taken by the single most frequent one
+    * (top fraction), and the duplicate n-gram fraction. All expression-
+    * only — O(distinct·total) per row, zero shuffle across the corpus. */
+  def topGramFraction(text: Column, n: Int): Column = {
+    val grams = wordGramList(text, n)
+    val counts = transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))
+    coalesce(array_max(counts) / greatest(size(grams), lit(1)).cast("double"),
+      lit(0.0))
+  }
+
+  def dupGramFraction(text: Column, n: Int): Column = {
+    val grams = wordGramList(text, n)
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
+  }
+
   /** Language-ID by stopword-marker voting: score per language = count of
     * that language's marker tokens; predicted = argmax (ties → first).
     * The deterministic n-gram-heuristic skeleton of a real classifier —

@@ -172,6 +172,20 @@ object TextQueries {
       .orderBy("token")
   }
 
+  /** text_repetition — Gopher-style repetition gates
+    * ([[graft.operators.TextAnalysis.topGramFraction]]/dupGramFraction):
+    * top-unigram fraction, top-2-gram fraction, duplicate-3-gram
+    * fraction. Pure per-row expressions — the whole corpus streams
+    * through one codegen'd scan, zero shuffle before the final sort. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis._
+    docs(s, dir).select(col("doc_id"),
+        round(topGramFraction(col("text"), 1), 6).as("top1_frac"),
+        round(topGramFraction(col("text"), 2), 6).as("top2_frac"),
+        round(dupGramFraction(col("text"), 3), 6).as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
   /** text_decontaminate — test-set overlap removal
     * ([[graft.operators.Dedup.decontaminate]]): docs from src0 act as the
     * "benchmark"; every other doc sharing a word-3-gram with it is flagged
@@ -268,7 +282,8 @@ object TextQueries {
     "dedup_components" -> dedupComponents _,
     "dedup_simhash" -> dedupSimhash _,
     "text_idf" -> textIdf _,
-    "text_decontaminate" -> textDecontaminate _)
+    "text_decontaminate" -> textDecontaminate _,
+    "text_repetition" -> textRepetition _)
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private val tokSetSql = s"list_sort(list_distinct($tokSql))"
@@ -362,6 +377,27 @@ object TextQueries {
           WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.9
           ORDER BY doc_a, doc_b"""
     },
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+          g AS (SELECT doc_id, toks,
+            list_transform(range(1, greatest(len(toks)-1,0)+1),
+              i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+            list_transform(range(1, greatest(len(toks)-2,0)+1),
+              i -> array_to_string(toks[i:i+2], ' ')) AS g3
+          FROM t)
+          SELECT doc_id,
+            round(CASE WHEN len(toks)=0 THEN 0.0
+              ELSE CAST(list_max(list_transform(list_distinct(toks),
+                d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)/len(toks) END, 6)
+              AS top1_frac,
+            round(CASE WHEN len(g2)=0 THEN 0.0
+              ELSE CAST(list_max(list_transform(list_distinct(g2),
+                d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE)/len(g2) END, 6)
+              AS top2_frac,
+            round(CASE WHEN len(g3)=0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) END, 6)
+              AS dup3_frac
+          FROM g ORDER BY doc_id""",
     "text_decontaminate" ->
       s"""WITH g AS (
             SELECT doc_id, source,

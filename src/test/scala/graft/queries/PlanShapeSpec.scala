@@ -28,7 +28,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // queries whose BNLJ is a deliberate 1-row-broadcast or tiny-dim design
   val bnljAllowed: Set[String] = Set(
     "sim_cosine_topk", "sim_ivf_topk", // broadcast query vector / probe ids
-    "j5_range_join", "g1_grid_assign") // broadcast range-bucket literal dims
+    "j5_range_join", "g1_grid_assign", // broadcast range-bucket literal dims
+    "text_idf") // broadcast 1-row corpus count
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
