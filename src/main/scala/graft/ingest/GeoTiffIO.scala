@@ -84,6 +84,20 @@ object GeoTiffIO {
   def assembleContainer(tiles: Seq[ContainerTile], noData: Double,
       overviewsMinSize: Int, compress: Boolean, tileSize: Int,
       interlacing: String, bigTiff: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val n = assembleContainerTo(tiles, bos, noData, overviewsMinSize,
+      compress, tileSize, interlacing, bigTiff)
+    require(n <= Int.MaxValue,
+      s"assembleContainer: $n bytes exceeds the 2 GiB in-memory limit; use assembleContainerTo")
+    bos.toByteArray
+  }
+
+  /** [[assembleContainer]] streaming into `os` (returns bytes written) —
+    * the >2 GiB path: a BigTIFF container streams block-by-block to the
+    * target filesystem, never materializing the file as one array. */
+  def assembleContainerTo(tiles: Seq[ContainerTile], os: java.io.OutputStream,
+      noData: Double, overviewsMinSize: Int, compress: Boolean, tileSize: Int,
+      interlacing: String, bigTiff: Boolean = false): Long = {
     require(tiles.nonEmpty, "assembleContainer: no tiles")
     val images = tiles
       .sortBy { t =>
@@ -97,7 +111,7 @@ object GeoTiffIO {
           graft.geo.Affine.fromArray(t.transform.toArray),
           graft.geo.CRS.parse(t.crs))
       }
-    GeoTiff.write(images, noData, overviewsMinSize, compress, tileSize,
+    GeoTiff.writeTo(images, os, noData, overviewsMinSize, compress, tileSize,
       interlacing, bigTiff = bigTiff)
   }
 
@@ -158,17 +172,20 @@ object GeoTiffIO {
       .mapGroups { (uri, it) =>
         val tiles = it.map(t => ContainerTile(t._2, t._3, t._4, t._5, t._6,
           t._7, t._8, t._9)).toSeq
-        val bytes = assembleContainer(tiles, noData, overviewsMinSize,
-          compress, tileSize, interlacing, bigTiff)
         // filename from the container URI tail, collision-proofed by hash
         val tail = uri.split('/').takeRight(2).mkString("_")
           .replaceAll("[^A-Za-z0-9._-]", "_")
         val name = f"${tail}_${uri.hashCode & 0x7fffffff}%08x.tif"
         val path = new org.apache.hadoop.fs.Path(outDir, name)
         val fs = path.getFileSystem(hconf.value)
+        // stream the container straight to the target FS: no whole-file
+        // array, so BigTIFF containers past 2 GiB export fine
         val os = fs.create(path, true)
-        try os.write(bytes) finally os.close()
-        (uri, path.toString, bytes.length.toLong)
+        val n =
+          try assembleContainerTo(tiles, os, noData, overviewsMinSize,
+            compress, tileSize, interlacing, bigTiff)
+          finally os.close()
+        (uri, path.toString, n)
       }
       .toDF("container_uri", "path", "n_bytes")
   }

@@ -207,16 +207,34 @@ object GeoTiff {
       overviewsMinSize: Int = 0, compress: Boolean = false,
       tileSize: Int = 0, interlacing: String = "",
       sparseOk: Boolean = false, bigTiff: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = writeTo(images, out, noData, overviewsMinSize, compress, tileSize,
+      interlacing, sparseOk, bigTiff)
+    // a JVM byte array caps at 2 GiB regardless of format — callers past
+    // that must stream (writeTo straight into a filesystem output stream)
+    require(n <= Int.MaxValue,
+      s"GeoTiff.write: file size $n exceeds the 2 GiB in-memory limit; use writeTo")
+    out.toByteArray
+  }
+
+  /** [[write]] streaming into `os` (returns bytes written): blocks go out
+    * as they are laid, so the only whole-file state is the block arrays
+    * themselves — a BigTIFF container may exceed 2 GiB (up to heap), and a
+    * classic one may use its full unsigned-32-bit 4 GiB address space. */
+  def writeTo(images: Seq[Image], os: java.io.OutputStream,
+      noData: Double = Double.NaN,
+      overviewsMinSize: Int = 0, compress: Boolean = false,
+      tileSize: Int = 0, interlacing: String = "",
+      sparseOk: Boolean = false, bigTiff: Boolean = false): Long = {
     require(images.nonEmpty, "GeoTiff.write: no images")
     require(tileSize >= 0 && tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
     require(interlacing.isEmpty || tileSize > 0, "interlacing requires a tiled layout")
     // BigTIFF (version 43): 8-byte offsets/counts, 20-byte IFD entries,
-    // 8-byte inline values — the format GDAL writes for >4 GiB rasters.
+    // 8-byte inline values — the format GDAL writes for >4 GiB files.
     // Offsets and block-count tags switch from LONG (4) to LONG8 (16).
     val big = bigTiff
     val inlineCap = if (big) 8 else 4
     val headerSize = if (big) 16 else 8
-    val out = new java.io.ByteArrayOutputStream()
     val header = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
     if (big) header.put('I'.toByte).put('I'.toByte).putShort(43)
       .putShort(8).putShort(0)
@@ -391,12 +409,10 @@ object GeoTiff {
       blockOff.put((i.toLong << 32) | k, if (len == 0) 0L else cur)
       cur += len
     }
-    // the writer assembles into one byte array, so even BigTIFF output is
-    // capped at 2 GiB in memory — but the FORMAT carries 8-byte offsets, so
-    // a streaming assembler can lift the cap without touching readers
-    require(cur <= Int.MaxValue,
-      if (big) s"GeoTiff.write: file size $cur exceeds the 2 GiB in-memory limit; stream the blocks instead"
-      else s"GeoTiff.write: file size $cur exceeds the 2 GiB classic-TIFF/in-memory limit; write with bigTiff=true or split the container")
+    // format address-space caps: classic TIFF offsets are unsigned 32-bit
+    // (4 GiB); BigTIFF is unbounded for any practical container
+    if (!big) require(cur <= 0xFFFFFFFFL,
+      s"GeoTiff.write: file size $cur exceeds the 4 GiB classic-TIFF limit; write with bigTiff=true")
 
     val rendered = pend.zipWithIndex.map { case (p, i) =>
       val extraOff = ifdStarts(i) + ifdSizes(i)
@@ -437,11 +453,10 @@ object GeoTiff {
       (ifd.array(), extrasArr)
     }
     if (big) header.putLong(ifdStarts.head.toLong) else header.putInt(ifdStarts.head)
-    val bytes = new java.io.ByteArrayOutputStream()
-    bytes.write(header.array())
-    rendered.foreach { case (a, b) => bytes.write(a); bytes.write(b) }
-    order.foreach { case (i, k) => bytes.write(pend(i).blocks(k)) }
-    bytes.toByteArray
+    os.write(header.array())
+    rendered.foreach { case (a, b) => os.write(a); os.write(b) }
+    order.foreach { case (i, k) => os.write(pend(i).blocks(k)) }
+    cur // == dataStart + Σ block lengths: the total bytes written
   }
 
   // ----------------------------------------------------------------- read

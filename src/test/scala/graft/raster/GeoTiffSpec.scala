@@ -75,6 +75,15 @@ class GeoTiffSpec extends AnyFunSuite {
     // block-offset diagnostic reads the LONG8 arrays; sparse blocks stay 0
     val offs = GeoTiff.blockOffsets(big, 0)
     assert(offs.size == 4 && offs.count(_ == 0) == 2) // 2 data, 2 elided tiles
+
+    // the streaming writer is byte-identical to the in-memory one and
+    // reports the exact size (the >2 GiB export path rides on it)
+    val bos = new java.io.ByteArrayOutputStream()
+    val n = GeoTiff.writeTo(Seq(img(32, 32, DType.UInt8, vals)), bos,
+      noData = 7.0, overviewsMinSize = 16, compress = true, tileSize = 16,
+      sparseOk = true, bigTiff = true)
+    assert(n == big.length.toLong)
+    assert(java.util.Arrays.equals(bos.toByteArray, big))
   }
 
   test("multi-IFD stack addressed via GTIFF_DIR:n") {
