@@ -710,6 +710,38 @@ object GeoTiff {
     }
   }
 
+  /** Header-only parse through POSITIONED RANGE READS — the remote-reader
+    * form of [[readHeaders]]: MuCOG/COG layouts put every IFD (and their
+    * out-of-line values) at the file head, so a metadata query fetches a
+    * few hundred KB instead of the whole container. Starts with
+    * `initial` bytes and grows geometrically whenever the IFD walk runs
+    * off the buffer (truncation always surfaces as an out-of-bounds read,
+    * never a silent partial parse — offsets point forward). `readAt(pos,
+    * buf, len)` is the positioned-read primitive (Hadoop
+    * FSDataInputStream.readFully, an HTTP range GET, …). */
+  def readHeadersRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, initial: Int = 256 * 1024): Seq[Header] = {
+    var sz = math.max(16, math.min(initial.toLong, fileLen)).toInt
+    var buf = new Array[Byte](sz)
+    readAt(0L, buf, 0, sz)
+    var out: Option[Seq[Header]] = None
+    while (out.isEmpty) {
+      try out = Some(readHeaders(buf))
+      catch {
+        case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException
+            if sz < fileLen =>
+          val grown = math.min(fileLen, sz.toLong * 4)
+          require(grown <= Int.MaxValue,
+            "header region beyond 2 GiB — not a head-first layout")
+          val next = new Array[Byte](grown.toInt)
+          System.arraycopy(buf, 0, next, 0, sz)
+          readAt(sz.toLong, next, sz, grown.toInt - sz) // fetch only the tail
+          buf = next; sz = grown.toInt
+      }
+    }
+    out.get
+  }
+
   /** Read one subdir the way the reference addresses MuCOG stacks:
     * "GTIFF_DIR:n" = n-th full-resolution image (1-based); "" or "1" = first. */
   def readSubdir(data: Array[Byte], subdir: String): Image = {

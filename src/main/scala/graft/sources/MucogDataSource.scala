@@ -177,11 +177,11 @@ final class MucogPartitionReader(part: MucogInputPartition,
   private lazy val rows: Iterator[InternalRow] = {
     val p = new org.apache.hadoop.fs.Path(part.file)
     val fs = p.getFileSystem(hconf.value)
-    val in = fs.open(p)
-    val data =
-      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-      finally in.close()
     if (part.fields.contains("payload")) {
+      val in = fs.open(p)
+      val data =
+        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+        finally in.close()
       // ONE parse per container: read() decodes every IFD once, then each
       // subdir picks its level out of the shared chains (re-running
       // readSubdir/readForResolution per subdir would re-inflate every
@@ -202,8 +202,16 @@ final class MucogPartitionReader(part: MucogInputPartition,
           () => bm.toBytes)
       }
     } else {
-      // payload pruned: headers only, same overview-level selection
-      val headers = GeoTiff.readHeaders(data)
+      // payload pruned: headers only via POSITIONED RANGE READS of the
+      // head (all IFDs sit there in the COG/MuCOG layout) — a metadata
+      // query over an object store fetches ~a few hundred KB per
+      // container, not the container
+      val fileLen = fs.getFileStatus(p).getLen
+      val in = fs.open(p)
+      val headers =
+        try GeoTiff.readHeadersRanged(
+          (pos, buf, off, len) => in.readFully(pos, buf, off, len), fileLen)
+        finally in.close()
       val chains = GeoTiff.chainIndices(
         headers.map(h => (h.width, h.height, h.isOverview)))
       chains.iterator.zipWithIndex.map { case (chain, r) =>

@@ -86,6 +86,33 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(bos.toByteArray, big))
   }
 
+  test("readHeadersRanged parses from head ranges only, growing on demand") {
+    // pseudo-random pixels: deflate can't shrink them, so the data region
+    // dwarfs the IFD head and the range-read assertion has real margin
+    val imgs = (1 to 4).map(v => img(64, 64, DType.UInt8,
+      Array.tabulate(64 * 64)(i => ((i * 2654435761L + v * 97) % 251).toDouble)))
+    val bytes = GeoTiff.write(imgs, overviewsMinSize = 32, compress = true,
+      tileSize = 16)
+    var maxPos = 0L
+    var calls = 0
+    def readAt(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+      calls += 1
+      maxPos = math.max(maxPos, pos + len)
+      System.arraycopy(bytes, pos.toInt, buf, off, len)
+    }
+    // tiny initial buffer forces geometric growth through the IFD region
+    val hs = GeoTiff.readHeadersRanged(readAt, bytes.length.toLong, initial = 64)
+    assert(hs == GeoTiff.readHeaders(bytes))
+    assert(hs.count(!_.isOverview) == 4)
+    // never read past the head region (IFDs + extras), far short of the file
+    assert(maxPos < bytes.length, s"read $maxPos of ${bytes.length}")
+    assert(calls >= 2) // growth actually happened from the 64-byte start
+    // big-enough initial: one read, same result
+    calls = 0
+    assert(GeoTiff.readHeadersRanged(readAt, bytes.length.toLong) == hs)
+    assert(calls == 1)
+  }
+
   test("multi-IFD stack addressed via GTIFF_DIR:n") {
     val a = img(2, 2, DType.UInt8, Array(1, 2, 3, 4))
     val b = img(2, 2, DType.UInt8, Array(9, 8, 7, 6))
