@@ -562,7 +562,22 @@ object GeoTiff {
   final case class Directory(image: Image, isOverview: Boolean)
 
   def read(data: Array[Byte]): Seq[Directory] = {
-    scanIfds(data).map { tags =>
+    // array-backed fetch; per-block ranges are bounded by the array itself
+    def fetch(off: Long, len: Long): Array[Byte] = {
+      require(off + len <= data.length,
+        s"block at offset $off+$len beyond the ${data.length}-byte buffer")
+      java.util.Arrays.copyOfRange(data, off.toInt, (off + len).toInt)
+    }
+    scanIfds(data).map(tags => decodeDirectory(tags, fetch))
+  }
+
+  /** Decode ONE directory given its parsed tags and a block-fetch
+    * primitive — the shared core of the whole-buffer [[read]] and the
+    * range-reading [[readForResolutionRanged]] (which fetches only the
+    * chosen directory's blocks from remote storage). */
+  private def decodeDirectory(tags: Map[Int, TagEntry],
+      fetch: (Long, Long) => Array[Byte]): Directory = {
+    {
       def tagVal(tag: Int, default: Int = -1): Int = GeoTiff.tagVal(tags, tag, default)
       def tagShorts(tag: Int): Seq[Int] = GeoTiff.tagShorts(tags, tag)
       def tagDoubles(tag: Int): Seq[Double] = GeoTiff.tagDoubles(tags, tag)
@@ -604,13 +619,7 @@ object GeoTiff {
           while (t < offs.size) {
             if (counts(t) == 0 || offs(t) == 0) sparse += t // SPARSE_OK elided tile
             else {
-              // JVM byte arrays cap at 2 GiB — fail loudly rather than
-              // truncating a 2–4 GiB offset into a negative int
-              require(offs(t) + counts(t) <= Int.MaxValue,
-                s"tile at offset ${offs(t)} beyond the 2 GiB in-memory limit")
-              val raw = java.util.Arrays.copyOfRange(
-                data, offs(t).toInt, offs(t).toInt + counts(t).toInt)
-              val tile = decode(raw, ts * tl * sz)
+              val tile = decode(fetch(offs(t), counts(t)), ts * tl * sz)
               val band = t / (ta * td)
               val rem = t % (ta * td)
               val ty = rem / ta; val tx = rem % ta
@@ -643,12 +652,7 @@ object GeoTiff {
           }
           out
         } else {
-          val stripOff = tagLongs(TStripOffsets).head
-          val stripLen = tagLongs(TStripByteCounts).head
-          require(stripOff + stripLen <= Int.MaxValue,
-            s"strip at offset $stripOff beyond the 2 GiB in-memory limit")
-          val raw = java.util.Arrays.copyOfRange(
-            data, stripOff.toInt, (stripOff + stripLen).toInt)
+          val raw = fetch(tagLongs(TStripOffsets).head, tagLongs(TStripByteCounts).head)
           Bitmap.fromBytes(decode(raw, w * h * bands * sz), w, h, bands, dt)
         }
       val scale = tagDoubles(TModelPixelScale)
@@ -661,6 +665,62 @@ object GeoTiff {
       val isOv = tagVal(TNewSubfileType, 0) == 1
       Directory(Image(bm, transform, crs), isOv)
     }
+  }
+
+  /** Decode ONE subdir at the adequate overview level through POSITIONED
+    * RANGE READS — the remote single-tile serving path: IFDs parse from
+    * the head (growing geometrically like [[readHeadersRanged]]), then
+    * only the CHOSEN directory's blocks are fetched. A 256×256 request
+    * against a multi-GiB container reads the head plus a few tiles —
+    * container size stops mattering, including past the 2 GiB array cap
+    * for BigTIFF files. `targetRes = 0` picks full resolution. */
+  def readForResolutionRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, subdir: String, targetRes: Double = 0.0,
+      initial: Int = 256 * 1024): Image = {
+    def fetch(off: Long, len: Long): Array[Byte] = {
+      require(len <= Int.MaxValue, s"block of $len bytes exceeds 2 GiB")
+      val b = new Array[Byte](len.toInt)
+      readAt(off, b, 0, len.toInt)
+      b
+    }
+    var sz = math.max(16, math.min(initial.toLong, fileLen)).toInt
+    var buf = new Array[Byte](sz)
+    readAt(0L, buf, 0, sz)
+    var out: Option[Image] = None
+    while (out.isEmpty) {
+      try {
+        val ifds = scanIfds(buf)
+        val chains = chainIndices(ifds.map(t =>
+          (tagVal(t, TWidth), tagVal(t, THeight), tagVal(t, TNewSubfileType, 0) == 1)))
+        val idx = subdir.trim match {
+          case "" => 0
+          case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
+          case s => s.toInt - 1
+        }
+        require(idx >= 0 && idx < chains.size,
+          s"subdir $subdir out of range 1..${chains.size}")
+        val candidates = chains(idx)
+        def res(i: Int): Double =
+          tagDoubles(ifds(i), TModelPixelScale).headOption.getOrElse(0.0)
+        val chosen =
+          if (targetRes > 0)
+            candidates.filter(i => math.abs(res(i)) <= targetRes + 1e-9)
+              .lastOption.getOrElse(candidates.head)
+          else candidates.head
+        out = Some(decodeDirectory(ifds(chosen), fetch).image)
+      } catch {
+        case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException
+            if sz < fileLen =>
+          val grown = math.min(fileLen, sz.toLong * 4)
+          require(grown <= Int.MaxValue,
+            "header region beyond 2 GiB — not a head-first layout")
+          val next = new Array[Byte](grown.toInt)
+          System.arraycopy(buf, 0, next, 0, sz)
+          readAt(sz.toLong, next, sz, grown.toInt - sz)
+          buf = next; sz = grown.toInt
+      }
+    }
+    out.get
   }
 
   /** CRS from the GeoKeyDirectory shorts (+ GeoDoubleParams for the

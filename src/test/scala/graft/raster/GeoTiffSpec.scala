@@ -113,6 +113,30 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(calls == 1)
   }
 
+  test("readForResolutionRanged decodes one subdir from head + its blocks only") {
+    val imgs = (1 to 4).map(v => img(64, 64, DType.UInt8,
+      Array.tabulate(64 * 64)(i => ((i * 2654435761L + v * 97) % 251).toDouble)))
+    val bytes = GeoTiff.write(imgs, overviewsMinSize = 32, compress = true,
+      tileSize = 16)
+    var bytesRead = 0L
+    def readAt(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+      bytesRead += len
+      System.arraycopy(bytes, pos.toInt, buf, off, len)
+    }
+    // full-res subdir 3 matches the in-memory read bit-for-bit
+    val ranged = GeoTiff.readForResolutionRanged(readAt, bytes.length.toLong,
+      "GTIFF_DIR:3", initial = 4096)
+    val inMem = GeoTiff.readSubdir(bytes, "GTIFF_DIR:3")
+    assert(ranged.bitmap.pixels.toSeq == inMem.bitmap.pixels.toSeq)
+    assert(ranged.transform == inMem.transform && ranged.crs == inMem.crs)
+    // coarse request decodes the overview level
+    val coarse = GeoTiff.readForResolutionRanged(readAt, bytes.length.toLong,
+      "GTIFF_DIR:3", targetRes = 2.0, initial = 4096)
+    assert(coarse.bitmap.width == 32)
+    // both requests together touched far less than two full files
+    assert(bytesRead < bytes.length, s"read $bytesRead of ${bytes.length}")
+  }
+
   test("multi-IFD stack addressed via GTIFF_DIR:n") {
     val a = img(2, 2, DType.UInt8, Array(1, 2, 3, 4))
     val b = img(2, 2, DType.UInt8, Array(9, 8, 7, 6))
