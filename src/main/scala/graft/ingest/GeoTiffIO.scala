@@ -72,6 +72,22 @@ object GeoTiffIO {
     spark.createDataFrame(rows, Schemas.tiles)
   }
 
+  /** Range-read ONE subdir of a container straight off storage (the
+    * single-tile serving/download shape): Hadoop positioned reads fetch
+    * the IFD head plus only the chosen directory's blocks — container
+    * size (including BigTIFF past 2 GiB) stops mattering. Spark-free;
+    * callable from a driver request handler or inside an executor task. */
+  def readDirectoryRanged(conf: org.apache.hadoop.conf.Configuration,
+      path: String, subdir: String, targetRes: Double = 0.0): GeoTiff.Image = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try GeoTiff.readForResolutionRanged(
+      (pos, buf, off, n) => in.readFully(pos, buf, off, n), len, subdir, targetRes)
+    finally in.close()
+  }
+
   /** One full-res tile of a container, as carried into assembly. */
   final case class ContainerTile(subdir: String, width: Int, height: Int,
       bands: Int, dtype: String, crs: String, transform: Seq[Double],

@@ -50,6 +50,12 @@ class GeoTiffIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs.head.image.bitmap.pixels.toSeq == Seq(1.0, 2, 3, 4))
     assert(dirs(1).image.bitmap.pixels.toSeq == Seq(5.0, 6, 7, 8))
 
+    // range-read single-subdir serving straight off the file
+    val tifPath = uri.stripPrefix("file:")
+    val one = GeoTiffIO.readDirectoryRanged(
+      spark.sparkContext.hadoopConfiguration, tifPath, "GTIFF_DIR:2")
+    assert(one.bitmap.pixels.toSeq == Seq(5.0, 6, 7, 8))
+
     // BigTIFF export: version 43 container, same pixels, and the mucog
     // DSv2 source auto-detects the format
     val big = GeoTiffIO.exportContainer(spark, cat, uri, bigTiff = true)
