@@ -72,6 +72,41 @@ object GeoTiffIO {
     spark.createDataFrame(rows, Schemas.tiles)
   }
 
+  /** [[readTilesForResolution]] with RANGE READS instead of whole-file
+    * download: one head parse per container, then only the selected
+    * level's blocks per subdir — a coarse request FETCHES 1/4ᴷ of the
+    * bytes from the object store instead of merely decoding 1/4ᴷ after
+    * pulling everything. Same `tiles` rows; one task per file. */
+  def readTilesForResolutionRanged(spark: SparkSession, pathGlob: String,
+      targetRes: Double): org.apache.spark.sql.DataFrame = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // driver-side listing only (names, no bytes)
+    val glob = new org.apache.hadoop.fs.Path(pathGlob)
+    val lfs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(lfs.globStatus(glob)).map(_.toSeq).getOrElse(Nil)
+      .filterNot(_.isDirectory).map(_.getPath.toString)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { pathStr =>
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        val fs = p.getFileSystem(hconf.value)
+        val len = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        try {
+          val imgs = GeoTiff.readAllForResolutionRanged(
+            (pos, buf, off, n) => in.readFully(pos, buf, off, n), len, targetRes)
+          imgs.zipWithIndex.map { case (img, i) =>
+            Row(pathStr, s"GTIFF_DIR:${i + 1}",
+              img.bitmap.width, img.bitmap.height, img.bitmap.bands,
+              img.bitmap.dtype.name, graft.geo.CRS.serialize(img.crs),
+              img.transform.toArray.toSeq, img.bitmap.toBytes)
+          }
+        } finally in.close()
+      }
+    spark.createDataFrame(rows, Schemas.tiles)
+  }
+
   /** Range-read ONE subdir of a container straight off storage (the
     * single-tile serving/download shape): Hadoop positioned reads fetch
     * the IFD head plus only the chosen directory's blocks — container

@@ -677,6 +677,24 @@ object GeoTiff {
   def readForResolutionRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
       fileLen: Long, subdir: String, targetRes: Double = 0.0,
       initial: Int = 256 * 1024): Image = {
+    val idx = subdir.trim match {
+      case "" => 0
+      case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
+      case s => s.toInt - 1
+    }
+    val all = readAllForResolutionRanged(readAt, fileLen, targetRes, initial,
+      only = Some(idx))
+    all(idx)
+  }
+
+  /** Every subdir's image at the adequate overview level through
+    * POSITIONED RANGE READS — one head parse for the whole container
+    * (NOT one per subdir), then only the chosen level's blocks per
+    * record. With `only = Some(i)` all other entries stay null (the
+    * single-subdir form above). */
+  def readAllForResolutionRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, targetRes: Double = 0.0, initial: Int = 256 * 1024,
+      only: Option[Int] = None): Seq[Image] = {
     def fetch(off: Long, len: Long): Array[Byte] = {
       require(len <= Int.MaxValue, s"block of $len bytes exceeds 2 GiB")
       val b = new Array[Byte](len.toInt)
@@ -686,28 +704,27 @@ object GeoTiff {
     var sz = math.max(16, math.min(initial.toLong, fileLen)).toInt
     var buf = new Array[Byte](sz)
     readAt(0L, buf, 0, sz)
-    var out: Option[Image] = None
+    var out: Option[Seq[Image]] = None
     while (out.isEmpty) {
       try {
         val ifds = scanIfds(buf)
         val chains = chainIndices(ifds.map(t =>
           (tagVal(t, TWidth), tagVal(t, THeight), tagVal(t, TNewSubfileType, 0) == 1)))
-        val idx = subdir.trim match {
-          case "" => 0
-          case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
-          case s => s.toInt - 1
-        }
-        require(idx >= 0 && idx < chains.size,
-          s"subdir $subdir out of range 1..${chains.size}")
-        val candidates = chains(idx)
+        only.foreach(i => require(i >= 0 && i < chains.size,
+          s"subdir ${i + 1} out of range 1..${chains.size}"))
         def res(i: Int): Double =
           tagDoubles(ifds(i), TModelPixelScale).headOption.getOrElse(0.0)
-        val chosen =
-          if (targetRes > 0)
-            candidates.filter(i => math.abs(res(i)) <= targetRes + 1e-9)
-              .lastOption.getOrElse(candidates.head)
-          else candidates.head
-        out = Some(decodeDirectory(ifds(chosen), fetch).image)
+        out = Some(chains.zipWithIndex.map { case (candidates, r) =>
+          if (only.exists(_ != r)) null
+          else {
+            val chosen =
+              if (targetRes > 0)
+                candidates.filter(i => math.abs(res(i)) <= targetRes + 1e-9)
+                  .lastOption.getOrElse(candidates.head)
+              else candidates.head
+            decodeDirectory(ifds(chosen), fetch).image
+          }
+        })
       } catch {
         case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException
             if sz < fileLen =>

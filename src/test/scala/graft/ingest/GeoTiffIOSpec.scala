@@ -82,6 +82,14 @@ class GeoTiffIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mid = GeoTiffIO.readTilesForResolution(spark, s"$dir/*.tif", 2.4).collect()
     assert(mid.head.getAs[Int]("width") == 32)
     assert(mid.head.getAs[scala.collection.Seq[Double]]("transform")(1) == 2.0)
+
+    // ranged variant: identical rows, fetched via head + selected blocks
+    val ranged = GeoTiffIO.readTilesForResolutionRanged(spark, s"$dir/*.tif", 2.4)
+      .collect()
+    assert(ranged.length == mid.length)
+    assert(ranged.head.getAs[Int]("width") == 32)
+    assert(java.util.Arrays.equals(ranged.head.getAs[Array[Byte]]("payload"),
+      mid.head.getAs[Array[Byte]]("payload")))
     val coarse = GeoTiffIO.readTilesForResolution(spark, s"$dir/*.tif", 50.0).collect()
     assert(coarse.head.getAs[Int]("width") == 16)
     // payload is the decoded overview, not the full image
