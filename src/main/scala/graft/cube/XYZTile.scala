@@ -48,4 +48,52 @@ object XYZTile {
       else out.mapping
     Some(Palette.toPng(bm, mapping, palette))
   }
+
+  /** Catalog-FREE tile serving straight off one container file: range-read
+    * the subdir at the level adequate for zoom z (head + chosen blocks
+    * only — any container size), warp/reproject to the WebMercator tile
+    * grid, palette to PNG. The no-index path for "just show me this COG",
+    * Spark-free and driver- or executor-callable. */
+  def getTileFromFile(conf: org.apache.hadoop.conf.Configuration,
+      path: String, subdir: String, x: Long, y: Long, z: Int,
+      noData: Double = Double.NaN,
+      minOverride: Double = 0, maxOverride: Double = 0,
+      palette: Option[Palette] = None): Option[Array[Byte]] = {
+    import graft.geo.CRS
+    import graft.raster.{OutDescriptor, Resampling, SourceRaster, Warp}
+    val tf = Grid.xyzTransform(x, y, z)
+    // overview selection keys on SOURCE-CRS units: probe the CRS from the
+    // head, convert the tile's meters/px (equatorial factor for degrees —
+    // errs toward a finer level, like GetCube.selectTileLevel)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val img =
+      try {
+        def readAt(pos: Long, buf: Array[Byte], off: Int, n: Int): Unit =
+          in.readFully(pos, buf, off, n)
+        val headers = graft.raster.GeoTiff.readHeadersRanged(readAt, len)
+        val srcIsGeo = headers.headOption.exists(_.crs.isGeographic)
+        val targetRes = if (srcIsGeo) tf.rx / 111320.0 else tf.rx
+        graft.raster.GeoTiff.readForResolutionRanged(readAt, len, subdir,
+          math.abs(targetRes))
+      } finally in.close()
+    // identity value mapping over the source dtype; warp only reprojects
+    val fmt = DataFormat(img.bitmap.dtype, noData,
+      NumRange(img.bitmap.dtype.minValue, img.bitmap.dtype.maxValue))
+    val mapping0 = DataMapping(fmt, fmt.range, 1.0)
+    val out = OutDescriptor(256, 256, img.bitmap.bands, tf, CRS.WebMercator,
+      mapping0, Resampling.Near, validPixPc = 0)
+    Warp.mergeDatasets(
+        Seq(SourceRaster(img.bitmap, img.transform, img.crs, mapping0)), out)
+      .map { merged =>
+        val mapping =
+          if (minOverride < maxOverride)
+            DataMapping(DataFormat(fmt.dtype, noData,
+              NumRange(minOverride, maxOverride)), fmt.range, 1.0)
+          else mapping0
+        Palette.toPng(merged, mapping, palette)
+      }
+  }
 }

@@ -57,4 +57,28 @@ class ServingSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(Palette.toPng(bm, m, None)))
     assert((img.getRGB(0, 0) & 0xff) == 127)
   }
+
+  test("getTileFromFile: catalog-free XYZ serving off a COG via range reads") {
+    import graft.geo.{Affine, CRS}
+    import graft.raster.GeoTiff
+    // world-extent WebMercator COG, constant 100, with overviews
+    val ext = 20037508.342789244
+    val res = 2 * ext / 64
+    val src = GeoTiff.Image(
+      new Bitmap(64, 64, 1, DType.UInt8, Array.fill(64 * 64)(100.0)),
+      Affine.northUp(-ext, ext, res, -res), CRS.WebMercator)
+    val dir = java.nio.file.Files.createTempDirectory("xyz-file")
+    val path = dir.resolve("world.tif")
+    java.nio.file.Files.write(path,
+      GeoTiff.write(Seq(src), overviewsMinSize = 16, compress = true, tileSize = 16))
+
+    val png = XYZTile.getTileFromFile(
+      new org.apache.hadoop.conf.Configuration(), path.toString, "GTIFF_DIR:1",
+      x = 0, y = 0, z = 0)
+    assert(png.isDefined)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png.get))
+    assert(img.getWidth == 256 && img.getHeight == 256)
+    assert((img.getRGB(128, 128) & 0xff) == 100)
+    assert((img.getRGB(10, 200) & 0xff) == 100)
+  }
 }
