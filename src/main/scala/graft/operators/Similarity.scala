@@ -23,12 +23,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k nearest rows to a literal query vector by cosine:
-    * one codegen'd pass + TakeOrderedAndProject (no global sort). */
-  def topK(df: DataFrame, vecCol: String, query: Seq[Double], k: Int): DataFrame = {
+    * one codegen'd pass + TakeOrderedAndProject (no global sort).
+    * `tieBreak` columns order rows of equal cosine deterministically
+    * (pass the id column whenever results feed a comparison or a test). */
+  def topK(df: DataFrame, vecCol: String, query: Seq[Double], k: Int,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
     val q = array(query.map(lit): _*)
     val v = col(vecCol).cast("array<double>")
     df.withColumn("cosine", cosine(v, q))
-      .orderBy(col("cosine").desc)
+      .orderBy(col("cosine").desc +: tieBreak: _*)
       .limit(k)
   }
 
@@ -53,7 +56,8 @@ object Similarity {
     * the bucket column is a partition/cluster key — the probe touches only
     * matching partitions. */
   def annSearch(df: DataFrame, vecCol: String, dim: Int, query: Seq[Double],
-      k: Int, nPlanes: Int = 8, multiProbe: Boolean = true, seed: Long = 42L): DataFrame = {
+      k: Int, nPlanes: Int = 8, multiProbe: Boolean = true, seed: Long = 42L,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
     val withBucket = df.withColumn("__bucket", lshBucket(col(vecCol), dim, nPlanes, seed))
     // driver-side bucket of the query (same LCG)
     var state = seed
@@ -69,7 +73,8 @@ object Similarity {
     val probes: Seq[Int] =
       if (multiProbe) qBucket +: (0 until nPlanes).map(j => qBucket ^ (1 << j))
       else Seq(qBucket)
-    topK(withBucket.filter(col("__bucket").isin(probes: _*)), vecCol, query, k)
+    topK(withBucket.filter(col("__bucket").isin(probes: _*)), vecCol, query, k,
+        tieBreak)
       .drop("__bucket")
   }
 
@@ -177,7 +182,7 @@ object Similarity {
     * construction; re-rank the short list against true vectors when exact
     * order matters. */
   def pqSearch(encoded: DataFrame, query: Seq[Double], cb: PqCodebooks,
-      k: Int): DataFrame = {
+      k: Int, tieBreak: Seq[Column] = Nil): DataFrame = {
     require(query.size == cb.dim, s"query dim ${query.size} != ${cb.dim}")
     val sub = cb.dim / cb.m
     val table: Seq[Seq[Double]] = (0 until cb.m).map { j =>
@@ -190,7 +195,7 @@ object Similarity {
         (c, j) => element_at(element_at(t, j + 1), c + 1)),
       lit(0.0), (acc, x) => acc + x)
     encoded.withColumn("pq_dist2", score)
-      .orderBy(col("pq_dist2"))
+      .orderBy(col("pq_dist2") +: tieBreak: _*)
       .limit(k)
   }
 

@@ -36,6 +36,36 @@ object SimilarityQueries {
 
   private def planeCol(p: Seq[Double]): Column = array(p.map(lit): _*)
 
+  /** Literal query vector for the probe/ADC oracle queries — deterministic
+    * LCG doubles scaled into the data's per-element range (unit-norm
+    * 64-dim vectors have element std 1/8). Inlined identically into the
+    * Spark plan and the DuckDB SQL. */
+  private[queries] val queryVec: Seq[Double] = lcgVec(2026L, DIM, 0.125)
+
+  /** PQ codebooks for pq_adc_topk: M=8 subspaces × K=4 centroids × 8 dims
+    * of deterministic literals. Correctness of encode/ADC doesn't depend
+    * on centroid quality, but centroids inside the data's element range
+    * keep the argmin non-degenerate (codes actually vary per row). */
+  private val M = 8
+  private val PQK = 4
+  private[queries] val codebooks: Seq[Seq[Seq[Double]]] = {
+    val sub = DIM / M
+    var state = 7L
+    def next(): Double = {
+      state = (state * 1103515245L + 12345L) & 0x7fffffffL
+      math.rint((state.toDouble / 0x7fffffffL.toDouble * 2.0 - 1.0) * 0.15 * 1e6) / 1e6
+    }
+    Seq.fill(M)(Seq.fill(PQK)(Seq.fill(sub)(next())))
+  }
+
+  private def lcgVec(seed: Long, n: Int, scale: Double): Seq[Double] = {
+    var state = seed
+    Seq.fill(n) {
+      state = (state * 1103515245L + 12345L) & 0x7fffffffL
+      math.rint((state.toDouble / 0x7fffffffL.toDouble * 2.0 - 1.0) * scale * 1e6) / 1e6
+    }
+  }
+
   /** Codegen'd multiply-accumulate ([[graft.functions.ArrayExpressions
     * .DotProduct]]) — same left-to-right addition order as the
     * aggregate(zip_with(…)) fold it replaces, so the DuckDB oracle's
@@ -175,13 +205,48 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"), col("cos"))
   }
 
+  /** sim_ann_probe — LSH multiprobe ANN search ([[graft.operators
+    * .Similarity.annSearch]]): the literal query hashes to its 8-bit
+    * bucket driver-side, probes that bucket plus all 8 one-bit-flip
+    * neighbors, and re-ranks by exact cosine inside. No join in the plan
+    * at all — a codegen'd bucket filter + TakeOrderedAndProject; at scale
+    * the bucket column is the partition key and the 9 probes prune to 9
+    * partitions. */
+  def simAnnProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"))
+    graft.operators.Similarity
+      .annSearch(e, "v", DIM, queryVec, k = 10, nPlanes = PLANES,
+        multiProbe = true, seed = 42L, tieBreak = Seq(col("vec_id")))
+      .select(col("vec_id"), col("label"), round(col("cosine"), 6).as("cos"))
+  }
+
+  /** pq_adc_topk — product-quantization ADC top-k ([[graft.operators
+    * .Similarity.pqEncode]]/[[graft.operators.Similarity.pqSearch]]):
+    * encode every vector to 8 2-bit-ish codes against literal codebooks
+    * (one codegen'd argmin pass), then score rows by m lookups into the
+    * query's literal distance table — the vector column is never read by
+    * the scoring scan. The oracle recomputes codes and table lookups in
+    * DuckDB from the same literals. */
+  def simPqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    val cb = graft.operators.Similarity.PqCodebooks(DIM, M, PQK, codebooks)
+    val enc = graft.operators.Similarity.pqEncode(
+      emb(s, dir).select(col("vec_id"), col("label"), col("v")), "v", cb)
+    graft.operators.Similarity
+      .pqSearch(enc, queryVec, cb, k = 10, tieBreak = Seq(col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        concat_ws(",", col("__pq_code").cast("array<string>")).as("code"),
+        round(col("pq_dist2"), 6).as("pq_dist2"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> simCosineTopk _,
     "sim_lsh_buckets" -> simLshBuckets _,
     "sim_lsh_histogram" -> simLshHistogram _,
     "sim_label_stats" -> simLabelStats _,
     "dedup_embed" -> dedupEmbed _,
-    "sim_ivf_topk" -> simIvfTopk _)
+    "sim_ivf_topk" -> simIvfTopk _,
+    "sim_ann_probe" -> simAnnProbe _,
+    "pq_adc_topk" -> simPqAdcTopk _)
 
   // DuckDB formulations: embeddings cast to DOUBLE[], dot product via
   // list_zip + list_transform + list_aggregate to mirror the fold order.
@@ -201,7 +266,62 @@ object SimilarityQueries {
     def duckBand(lo: Int) = planes.slice(lo, lo + 4).zipWithIndex.map { case (p, j) =>
       s"CASE WHEN ${duckDot("v", duckPlane(p))} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
+
+    // sim_ann_probe: the query's bucket + one-bit flips, computed from the
+    // same literals the Spark plan uses (annSearch does the identical
+    // driver-side arithmetic).
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      if (p.zip(queryVec).map { case (w, x) => w * x }.sum > 0) 1 << j else 0
+    }.sum
+    val probes = (qBucket +: (0 until PLANES).map(j => qBucket ^ (1 << j)))
+      .mkString(", ")
+    val qLit = duckPlane(queryVec)
+
+    // pq_adc_topk: per-subspace distances, first-min-index argmin (the
+    // CASE mirrors Spark's array_min over struct(d, i): least distance,
+    // ties to the lowest centroid id), then the query's literal ADC table.
+    val sub = DIM / M
+    def pqSlice(j: Int) = s"v[${j * sub + 1}:${(j + 1) * sub}]"
+    def pqDist(j: Int, i: Int) =
+      s"list_aggregate(list_transform(list_zip(${pqSlice(j)}, " +
+        s"${duckPlane(codebooks(j)(i))}), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+    val pqDistCols = (for (j <- 0 until M; i <- 0 until PQK)
+      yield s"${pqDist(j, i)} AS d_${j}_$i").mkString(",\n              ")
+    def pqArgmin(j: Int) = {
+      val cases = (0 until PQK - 1).map { i =>
+        val beats = (i + 1 until PQK).map(x => s"d_${j}_$i <= d_${j}_$x")
+        s"WHEN ${beats.mkString(" AND ")} THEN $i"
+      }
+      s"CASE ${cases.mkString(" ")} ELSE ${PQK - 1} END AS c$j"
+    }
+    val adcTable: Seq[Seq[Double]] = (0 until M).map { j =>
+      val q = queryVec.slice(j * sub, (j + 1) * sub)
+      codebooks(j).map(c => q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    val pqScore = (0 until M)
+      .map(j => s"(${adcTable(j).mkString("CAST([", ", ", "] AS DOUBLE[])")})[c$j + 1]")
+      .mkString(" + ")
+
     Map(
+      "sim_ann_probe" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT vec_id, label, round(${duckCos("v", qLit)}, 6) AS cos
+            FROM e
+            WHERE CAST($duckBucket AS INT) IN ($probes)
+            ORDER BY ${duckCos("v", qLit)} DESC, vec_id
+            LIMIT 10""",
+      "pq_adc_topk" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (SELECT vec_id, label,
+              $pqDistCols
+              FROM e),
+            enc AS (SELECT vec_id, label,
+              ${(0 until M).map(pqArgmin).mkString(",\n              ")}
+              FROM d)
+            SELECT vec_id, label,
+              concat_ws(',', ${(0 until M).map(j => s"c$j").mkString(", ")}) AS code,
+              round($pqScore, 6) AS pq_dist2
+            FROM enc ORDER BY $pqScore, vec_id LIMIT 10""",
       "dedup_embed" ->
         s"""WITH sig AS (
               SELECT vec_id, v, CAST(${duckBand(0)} AS INT) AS b0,
