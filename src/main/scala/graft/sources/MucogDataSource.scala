@@ -178,24 +178,22 @@ final class MucogPartitionReader(part: MucogInputPartition,
     val p = new org.apache.hadoop.fs.Path(part.file)
     val fs = p.getFileSystem(hconf.value)
     if (part.fields.contains("payload")) {
+      // POSITIONED RANGE READS, one head parse for the whole container:
+      // each subdir decodes only its CHOSEN level's blocks, so a coarse
+      // `targetRes` scan over an object store fetches ~1/4ᴷ of every
+      // container's bytes instead of the container (and containers past
+      // the 2 GiB byte-array cap read fine — BigTIFF included). This is
+      // the same core as the serving path (GeoTiffIO.readTilesFor
+      // ResolutionRanged); a whole-file download would transfer 100 TB to
+      // decode 6 TB at K=2.
+      val fileLen = fs.getFileStatus(p).getLen
       val in = fs.open(p)
-      val data =
-        try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      val images =
+        try GeoTiff.readAllForResolutionRanged(
+          (pos, buf, off, len) => in.readFully(pos, buf, off, len),
+          fileLen, part.targetRes)
         finally in.close()
-      // ONE parse per container: read() decodes every IFD once, then each
-      // subdir picks its level out of the shared chains (re-running
-      // readSubdir/readForResolution per subdir would re-inflate every
-      // tile of every IFD per record — O(n²) decompression for stacks)
-      val dirs = GeoTiff.read(data)
-      val chains = GeoTiff.chainIndices(
-        dirs.map(d => (d.image.bitmap.width, d.image.bitmap.height, d.isOverview)))
-      chains.iterator.zipWithIndex.map { case (chain, r) =>
-        val candidates = chain.map(i => dirs(i).image)
-        val img =
-          if (part.targetRes > 0)
-            candidates.filter(c => math.abs(c.transform.rx) <= part.targetRes + 1e-9)
-              .lastOption.getOrElse(candidates.head)
-          else candidates.head
+      images.iterator.zipWithIndex.map { case (img, r) =>
         val bm = img.bitmap
         row(s"GTIFF_DIR:${r + 1}", bm.width, bm.height, bm.bands, bm.dtype.name,
           graft.geo.CRS.serialize(img.crs), img.transform.toArray,

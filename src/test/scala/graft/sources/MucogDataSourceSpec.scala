@@ -110,6 +110,54 @@ class MucogDataSourceSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("crs") == "EPSG:4326"))
   }
 
+  test("payload scan at coarse targetRes range-reads a fraction of the container") {
+    val dir = java.nio.file.Files.createTempDirectory("mucog-ranged")
+    // incompressible pixels (LCG) so deflate can't shrink the base levels:
+    // 4 records of 512x512 -> ~2.8 MB container; a targetRes=16 request
+    // needs only the 32x32 level per record
+    var st = 1L
+    // high LCG bits: the low bits of a power-of-two-modulus LCG are
+    // short-period and would deflate away
+    def px(): Double = { st = (st * 1103515245L + 12345L) & 0x7fffffffL; ((st >> 16) % 256).toDouble }
+    val imgs = (0 until 4).map { _ =>
+      GeoTiff.Image(new Bitmap(512, 512, 1, DType.UInt8, Array.fill(512 * 512)(px())),
+        Affine.northUp(0, 512, 1, -1), CRS.WGS84)
+    }
+    val f = dir.resolve("big.tif")
+    java.nio.file.Files.write(f,
+      GeoTiff.write(imgs, noData = 255, overviewsMinSize = 16, compress = true,
+        tileSize = 256))
+    val fileLen = java.nio.file.Files.size(f)
+    assert(fileLen > 4 * 256 * 1024, s"container only $fileLen B — head fetch would cover it")
+
+    // expected rows from the WHOLE-ARRAY decode (the independent path)
+    val dirs = GeoTiff.read(java.nio.file.Files.readAllBytes(f))
+    val chains = GeoTiff.chainIndices(
+      dirs.map(d => (d.image.bitmap.width, d.image.bitmap.height, d.isOverview)))
+    val expected = chains.map { chain =>
+      chain.map(i => dirs(i).image)
+        .filter(c => math.abs(c.transform.rx) <= 16.0 + 1e-9)
+        .last
+    }
+
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    CountingLocalFs.bytesRead.set(0L)
+    val rows = spark.read.format("mucog").option("targetRes", "16.0")
+      .load(s"countfs:$f").collect().sortBy(_.getAs[String]("subdir"))
+    val counted = CountingLocalFs.bytesRead.get()
+
+    assert(rows.length == 4)
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 32)
+      assert(r.getAs[Array[Byte]]("payload").toSeq == e.bitmap.toBytes.toSeq)
+    }
+    // ranged reads fetch the head + 4 tiny levels, NOT the container
+    assert(counted > 0, "counting filesystem saw no reads")
+    assert(counted < fileLen / 3,
+      s"payload scan read $counted of $fileLen bytes — not ranged")
+  }
+
   test("mucog rows feed GetCube unchanged (DSv2 face of the file source)") {
     import graft.catalog.{Catalog, Schemas}
     import graft.cube.{CubeRequest, GetCube}
@@ -147,4 +195,47 @@ class MucogDataSourceSpec extends AnyFunSuite {
     val px = Bitmap.fromBytes(slices.head.payload, 8, 8, 1, DType.UInt8).pixels
     assert(px.forall(_ == 75.0))
   }
+}
+
+/** Local filesystem under a `countfs:` scheme that counts every byte
+  * served, including positioned reads — the test double for "how much did
+  * the scan actually transfer". Registered per-test via fs.countfs.impl;
+  * local-mode executors share the JVM, so the static counter sees
+  * executor-side reads. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    new org.apache.hadoop.fs.FSDataInputStream(
+      new CountingStream(super.open(f, bufferSize)))
+}
+
+object CountingLocalFs {
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+}
+
+class CountingStream(inner: org.apache.hadoop.fs.FSDataInputStream)
+    extends java.io.InputStream
+    with org.apache.hadoop.fs.Seekable
+    with org.apache.hadoop.fs.PositionedReadable {
+  private def add(n: Long): Unit =
+    if (n > 0) CountingLocalFs.bytesRead.addAndGet(n)
+  override def read(): Int = { val r = inner.read(); if (r >= 0) add(1); r }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val r = inner.read(b, off, len); add(r); r
+  }
+  override def read(pos: Long, b: Array[Byte], off: Int, len: Int): Int = {
+    val r = inner.read(pos, b, off, len); add(r); r
+  }
+  override def readFully(pos: Long, b: Array[Byte], off: Int, len: Int): Unit = {
+    inner.readFully(pos, b, off, len); add(len)
+  }
+  override def readFully(pos: Long, b: Array[Byte]): Unit = {
+    inner.readFully(pos, b); add(b.length)
+  }
+  override def seek(pos: Long): Unit = inner.seek(pos)
+  override def getPos: Long = inner.getPos
+  override def seekToNewSource(targetPos: Long): Boolean =
+    inner.seekToNewSource(targetPos)
+  override def close(): Unit = inner.close()
 }
