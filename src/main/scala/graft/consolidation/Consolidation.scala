@@ -281,29 +281,36 @@ object Consolidation {
 
   def index(spark: SparkSession, cat: Catalog, newTiles: DataFrame,
       instanceId: String, params: ConsolidationParams): Unit = {
+    // mapping scalars extracted driver-side so the closure ships a few
+    // primitives, not the params object
     val m = params.mapping
+    val (dtypeName, noData, rngMin, rngMax) =
+      (m.format.dtype.name, m.format.noData, m.format.range.min, m.format.range.max)
+    val (extMin, extMax, exponent) = (m.rangeExt.min, m.rangeExt.max, m.exponent)
+    // footprints derive ON EXECUTORS (the IndexDatasets.run shape): the
+    // driver never materializes the job's rows, so a collapse job over
+    // 10⁶ records appends straight from the cluster
     val rows = newTiles.select("container_uri", "subdir", "record_id", "bands",
         "width", "height", "crs", "transform")
       .filter(!col("subdir").rlike("@ov\\d+$")) // overview rows aren't datasets
-      .collect().map { r =>
-      val tf = Affine.fromArray(r.getAs[scala.collection.Seq[Double]]("transform").toArray)
-      val crs = CRS.parse(r.getAs[String]("crs"))
-      val native = GeomOps.polygonFromBBox(graft.geo.BBox.fromExtent(
-        tf, r.getAs[Int]("width"), r.getAs[Int]("height")))
-      val geog = GeomOps.geographicRingFromExtent(
-        tf, r.getAs[Int]("width"), r.getAs[Int]("height"), crs)
-      val b = GeomOps.bbox(geog)
-      Row(
-        java.util.UUID.randomUUID().toString, r.getAs[String]("record_id"), instanceId,
-        r.getAs[String]("container_uri"), r.getAs[String]("subdir"),
-        (1 to r.getAs[Int]("bands")).toSeq, "INACTIVE", null,
-        m.format.dtype.name, m.format.noData, m.format.range.min, m.format.range.max,
-        m.rangeExt.min, m.rangeExt.max, m.exponent, false,
-        GeomOps.writeWkb(geog), GeomOps.writeWkb(native), crs.srid,
-        Row(b.xmin, b.ymin, b.xmax, b.ymax))
-    }
-    cat.append(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq), Schemas.datasets), "datasets")
+      .rdd.map { r =>
+        val tf = Affine.fromArray(r.getAs[scala.collection.Seq[Double]]("transform").toArray)
+        val crs = CRS.parse(r.getAs[String]("crs"))
+        val native = GeomOps.polygonFromBBox(graft.geo.BBox.fromExtent(
+          tf, r.getAs[Int]("width"), r.getAs[Int]("height")))
+        val geog = GeomOps.geographicRingFromExtent(
+          tf, r.getAs[Int]("width"), r.getAs[Int]("height"), crs)
+        val b = GeomOps.bbox(geog)
+        Row(
+          java.util.UUID.randomUUID().toString, r.getAs[String]("record_id"), instanceId,
+          r.getAs[String]("container_uri"), r.getAs[String]("subdir"),
+          (1 to r.getAs[Int]("bands")).toSeq, "INACTIVE", null,
+          dtypeName, noData, rngMin, rngMax,
+          extMin, extMax, exponent, false,
+          GeomOps.writeWkb(geog), GeomOps.writeWkb(native), crs.srid,
+          Row(b.xmin, b.ymin, b.xmax, b.ymax))
+      }
+    cat.append(spark.createDataFrame(rows, Schemas.datasets), "datasets")
   }
 
   /** C6 — csldSwapDatasets (consolidater.go:644-667): the atomic flip.
