@@ -301,8 +301,14 @@ object Consolidation {
         val geog = GeomOps.geographicRingFromExtent(
           tf, r.getAs[Int]("width"), r.getAs[Int]("height"), crs)
         val b = GeomOps.bbox(geog)
+        // deterministic id: task retries / speculative attempts / repeated
+        // actions on this DataFrame must mint the SAME dataset id, or one
+        // logical append could index twice under two names
+        val did = java.util.UUID.nameUUIDFromBytes(
+          s"$instanceId|${r.getAs[String]("container_uri")}|${r.getAs[String]("subdir")}|${r.getAs[String]("record_id")}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
         Row(
-          java.util.UUID.randomUUID().toString, r.getAs[String]("record_id"), instanceId,
+          did, r.getAs[String]("record_id"), instanceId,
           r.getAs[String]("container_uri"), r.getAs[String]("subdir"),
           (1 to r.getAs[Int]("bands")).toSeq, "INACTIVE", null,
           dtypeName, noData, rngMin, rngMax,

@@ -493,6 +493,9 @@ object GeoTiff {
       // classic TIFF may address up to 4 GiB
       case _ => bb.getInt(dataPos + 4 * k).toLong & 0xffffffffL
     }
+    /** One past the last byte of the value — lets range readers check the
+      * whole value sits inside a buffered head before touching it. */
+    def endPos: Long = dataPos.toLong + count.toLong * typeSize
   }
 
   /** Walk every IFD of a little-endian classic TIFF (version 42) or
@@ -704,27 +707,38 @@ object GeoTiff {
     var sz = math.max(16, math.min(initial.toLong, fileLen)).toInt
     var buf = new Array[Byte](sz)
     readAt(0L, buf, 0, sz)
-    var out: Option[Seq[Image]] = None
-    while (out.isEmpty) {
+    // Two phases: the growth loop only PARSES (IFD scan + level choice +
+    // tag-extent validation); block decode runs exactly once after the
+    // head is fully buffered, so growth retries never re-fetch or
+    // re-inflate tile data.
+    var plan: Option[(Seq[Map[Int, TagEntry]], Seq[Option[Int]])] = None
+    while (plan.isEmpty) {
       try {
         val ifds = scanIfds(buf)
         val chains = chainIndices(ifds.map(t =>
           (tagVal(t, TWidth), tagVal(t, THeight), tagVal(t, TNewSubfileType, 0) == 1)))
         only.foreach(i => require(i >= 0 && i < chains.size,
           s"subdir ${i + 1} out of range 1..${chains.size}"))
+        // missing ModelPixelScale reads as 1.0 — the same identity-
+        // transform default the header-only path uses, so payload and
+        // metadata projections agree on non-georeferenced TIFFs
         def res(i: Int): Double =
-          tagDoubles(ifds(i), TModelPixelScale).headOption.getOrElse(0.0)
-        out = Some(chains.zipWithIndex.map { case (candidates, r) =>
-          if (only.exists(_ != r)) null
-          else {
-            val chosen =
-              if (targetRes > 0)
-                candidates.filter(i => math.abs(res(i)) <= targetRes + 1e-9)
-                  .lastOption.getOrElse(candidates.head)
-              else candidates.head
-            decodeDirectory(ifds(chosen), fetch).image
-          }
-        })
+          tagDoubles(ifds(i), TModelPixelScale).headOption.getOrElse(1.0)
+        val chosen: Seq[Option[Int]] = chains.zipWithIndex.map { case (candidates, r) =>
+          if (only.exists(_ != r)) None
+          else Some(
+            if (targetRes > 0)
+              candidates.filter(i => math.abs(res(i)) <= targetRes + 1e-9)
+                .lastOption.getOrElse(candidates.head)
+            else candidates.head)
+        }
+        // every tag value of every chosen IFD must already sit inside the
+        // buffered head; if one spills past it, grow BEFORE decoding
+        val maxEnd = chosen.flatten.iterator
+          .flatMap(i => ifds(i).values).map(_.endPos).maxOption.getOrElse(0L)
+        if (maxEnd > sz) throw new IndexOutOfBoundsException(
+          s"tag data at $maxEnd beyond the $sz-byte buffered head")
+        plan = Some((ifds, chosen))
       } catch {
         case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException
             if sz < fileLen =>
@@ -737,7 +751,11 @@ object GeoTiff {
           buf = next; sz = grown.toInt
       }
     }
-    out.get
+    val (ifds, chosen) = plan.get
+    chosen.map {
+      case Some(i) => decodeDirectory(ifds(i), fetch).image
+      case None => null
+    }
   }
 
   /** CRS from the GeoKeyDirectory shorts (+ GeoDoubleParams for the

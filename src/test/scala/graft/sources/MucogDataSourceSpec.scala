@@ -140,12 +140,22 @@ class MucogDataSourceSpec extends AnyFunSuite {
         .last
     }
 
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    // scheme registered for THIS test only: cache disabled so no FS
+    // instance outlives the registration, properties unset in finally so
+    // the scheme can't leak into other suites on the shared SparkContext
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.countfs.impl", classOf[CountingLocalFs].getName)
+    hc.setBoolean("fs.countfs.impl.disable.cache", true)
     CountingLocalFs.bytesRead.set(0L)
-    val rows = spark.read.format("mucog").option("targetRes", "16.0")
-      .load(s"countfs:$f").collect().sortBy(_.getAs[String]("subdir"))
-    val counted = CountingLocalFs.bytesRead.get()
+    val (rows, counted) =
+      try {
+        val r = spark.read.format("mucog").option("targetRes", "16.0")
+          .load(s"countfs:$f").collect().sortBy(_.getAs[String]("subdir"))
+        (r, CountingLocalFs.bytesRead.get())
+      } finally {
+        hc.unset("fs.countfs.impl")
+        hc.unset("fs.countfs.impl.disable.cache")
+      }
 
     assert(rows.length == 4)
     rows.zip(expected).foreach { case (r, e) =>
