@@ -151,10 +151,15 @@ object Dedup {
       textCol: String, n: Int = 5): DataFrame = {
     val benchGrams = benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
-    corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+    // per-doc grams are array_distinct'd BEFORE the explode, so the rollup
+    // is a plain count — count_distinct would re-dedupe rows that are
+    // already unique per (doc, gram), paying the distinct-aggregate
+    // machinery on the op's widest relation for nothing
+    corpus.select(col(idCol),
+        explode(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
       .join(broadcast(benchGrams), "__g")
       .groupBy(col(idCol))
-      .agg(count_distinct(col("__g")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Connected components over a near-dup pair list — the step that turns
@@ -176,18 +181,25 @@ object Dedup {
     * with a coalesce for the total mapping. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     // materialize the symmetrized edge list ONCE — every pass joins it, and
     // without this the whole upstream pair-generation DAG (often an LSH
-    // candidate plan) would re-execute per iteration
+    // candidate plan) would re-execute per iteration. No distinct: min-
+    // propagation is duplicate-tolerant, so deduping the edge list would
+    // buy nothing for a whole extra shuffle of the op's biggest relation.
     val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
-      .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("__src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // pass 1 folded into initialization: against identity starting labels
+    // the first propagation's label join is the identity mapping, so the
+    // post-pass-1 labels are just least(own id, min neighbour id) — one
+    // aggregation instead of a join + aggregation + convergence job
+    var labels = sym.groupBy(col("__src"))
+      .agg(min(col("__dst")).as("__m"))
+      .select(col("__src").as("id"), least(col("__m"), col("__src")).as("component"))
       .localCheckpoint()
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIter) {
       // min label among neighbours; every id occurs as __src in sym.
       // (Measured: batching two hops per checkpoint does NOT help — the
@@ -197,16 +209,28 @@ object Dedup {
           "__dst")
         .groupBy(col("__src"))
         .agg(min(col("__cl")).as("__nbrMin"))
-      // carry the old label through the checkpoint so convergence reads
-      // off the materialized result — no extra join-and-compare job
-      val next = labels
+      // change detection rides the checkpoint materialization itself (an
+      // accumulator counted while rows stream into the block store) — no
+      // separate convergence job per pass. Task retries can only re-add
+      // for rows that genuinely changed, so zero stays exact.
+      val changes = spark.sparkContext.longAccumulator(s"ccChanges$iter")
+      val joined = labels
         .join(prop, col("id") === col("__src"))
         .select(col("id"),
           least(col("component"), col("__nbrMin")).as("component"),
           col("component").as("__old"))
+      val outEnc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(joined.schema.take(2)))
+      val next = joined
+        .mapPartitions { it =>
+          it.map { r =>
+            if (r.get(1) != r.get(2)) changes.add(1L)
+            org.apache.spark.sql.Row(r.get(0), r.get(1))
+          }
+        }(outEnc)
         .localCheckpoint()
-      converged = next.filter(col("component") =!= col("__old")).isEmpty
-      labels = next.drop("__old")
+      converged = changes.value == 0L
+      labels = next
       iter += 1
     }
     labels

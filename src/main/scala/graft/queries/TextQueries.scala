@@ -117,7 +117,13 @@ object TextQueries {
     *   over this corpus yield 25M candidates; 4-row, per-source: ~200k).
     * - the shard key rides the same shuffle as the band join (one compound
     *   key), so sharding is free. */
-  def dedupLshPairs(s: SparkSession, dir: String): DataFrame = {
+  def dedupLshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** The pair list WITHOUT the presentation sort — downstream consumers
+    * (connected components) re-shuffle on their own keys, so a global
+    * range-partition here would be pure waste. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val mh8 = (0 until 8).map { i =>
       s"mh$i" -> s"array_min(transform($tokenSetExpr, t -> md5(concat('$i|', t))))"
     }
@@ -152,7 +158,6 @@ object TextQueries {
         round(col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** text_idf — corpus vocabulary statistics (document frequency + IDF),
@@ -209,7 +214,7 @@ object TextQueries {
     * so 2-4 in practice at any scale). */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.connectedComponents(
-      dedupLshPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      lshPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
 
