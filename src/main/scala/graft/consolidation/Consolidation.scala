@@ -279,6 +279,16 @@ object Consolidation {
       tileSize = layout.blockXSize, interlacing = layout.interlacingPattern,
       bigTiff = bigTiff)
 
+  /** Deterministic dataset id — name-based UUIDv3 (RFC 4122) over the
+    * identity tuple, so task retries, speculative attempts, and repeated
+    * actions on the same DataFrame mint the SAME id for the same logical
+    * dataset. Oracle-checked by the `c8_dataset_ids` query. */
+  def datasetId(instanceId: String, containerUri: String, subdir: String,
+      recordId: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      s"$instanceId|$containerUri|$subdir|$recordId"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
   def index(spark: SparkSession, cat: Catalog, newTiles: DataFrame,
       instanceId: String, params: ConsolidationParams): Unit = {
     // mapping scalars extracted driver-side so the closure ships a few
@@ -301,12 +311,8 @@ object Consolidation {
         val geog = GeomOps.geographicRingFromExtent(
           tf, r.getAs[Int]("width"), r.getAs[Int]("height"), crs)
         val b = GeomOps.bbox(geog)
-        // deterministic id: task retries / speculative attempts / repeated
-        // actions on this DataFrame must mint the SAME dataset id, or one
-        // logical append could index twice under two names
-        val did = java.util.UUID.nameUUIDFromBytes(
-          s"$instanceId|${r.getAs[String]("container_uri")}|${r.getAs[String]("subdir")}|${r.getAs[String]("record_id")}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+        val did = datasetId(instanceId, r.getAs[String]("container_uri"),
+          r.getAs[String]("subdir"), r.getAs[String]("record_id"))
         Row(
           did, r.getAs[String]("record_id"), instanceId,
           r.getAs[String]("container_uri"), r.getAs[String]("subdir"),

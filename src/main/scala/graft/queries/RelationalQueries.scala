@@ -603,6 +603,115 @@ object RelationalQueries {
         substring(col("p_name"), 1, 12).as("name_limited"))
       .orderBy("p_partkey")
 
+  // ── Library-kernel evidence queries ────────────────────────────────
+  // These run the ACTUAL raster/grid/consolidation kernels per-row on
+  // executors (typed maps — evidence surface, not a throughput path) and
+  // mirror the arithmetic in DuckDB, converting unit-only coverage into
+  // oracle-checked coverage for F2, A8, G2, G7 and C8's id minting.
+
+  /** f2_cast_bf — the brute-force two-hop cast with dtype clamping
+    * ([[graft.core.Cast.castValueBF]], reference image.go:142-162):
+    * source mapping [0,50000]→[0,1] exponent 2, destination [0,1]→uint8
+    * [0,255], so prices above 50 000 exercise the clamp. */
+  def f2CastBf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{Cast, DataFormat, DataMapping, DType, NumRange}
+    val from = DataMapping(
+      DataFormat(DType.Float32, Double.NaN, NumRange(0, 50000)), NumRange(0, 1), 2.0)
+    val to = DataMapping(
+      DataFormat(DType.UInt8, 255.0, NumRange(0, 255)), NumRange(0, 1), 1.0)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        col("l_extendedprice").cast("double"))
+      .as[(Long, Long, Double)]
+      .map { case (k, ln, v) => (k, ln, Cast.castValueBF(v, from, to)) }
+      .toDF("l_orderkey", "l_linenumber", "ve")
+      .withColumn("ve", round(col("ve"), 6))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** a8_pyramid — overview-pyramid sizing ([[graft.raster.GeoTiff.nbOverviews]]
+    * + the ×2 ceil-halving of downsample2, handler_consolidation.go:489-500):
+    * level count and top-level dims per synthetic raster, checked against
+    * the closed form ceil(dim / 2^n) in DuckDB. */
+  def a8Pyramid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("long"),
+        (col("p_partkey") * 7 % 3800 + 300).cast("int"),
+        (col("p_partkey") * 11 % 3800 + 300).cast("int"))
+      .as[(Long, Int, Int)]
+      .map { case (k, w, h) =>
+        val n = graft.raster.GeoTiff.nbOverviews(w, h, 256)
+        // dims by the kernel's per-level ceil-halving rule
+        var (cw, ch) = (w, h)
+        var i = 0
+        while (i < n) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; i += 1 }
+        (k, w.toLong, h.toLong, n.toLong, cw.toLong, ch.toLong)
+      }
+      .toDF("p_partkey", "w", "h", "n_overviews", "top_w", "top_h")
+      .orderBy("p_partkey")
+  }
+
+  /** g2_cell_bounds — RegularGrid.Cell URI→extent math (G2,
+    * regulargrid.go:121): the cell's pixel→CRS affine composition and
+    * native-ring envelope, on a 256-px 0.25-res grid (all coordinates
+    * binary-exact, so the oracle is plain arithmetic). */
+  def g2CellBounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = graft.layout.RegularGrid(graft.geo.CRS.WGS84, 256, 256, 0.25)
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast("long")).as[Long]
+      .map { k =>
+        val i = k % 200 - 100
+        val j = (k * 3) % 200 - 100
+        val e = grid.cell(s"$i/$j").nativeRing.getEnvelopeInternal
+        (k, i, j, e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+      }
+      .toDF("c_custkey", "i", "j", "xmin", "ymin", "xmax", "ymax")
+      .orderBy("c_custkey")
+  }
+
+  /** g7_xyz_affine — XYZ web-tile descriptor math (G7, catalog.go:483-506,
+    * [[graft.layout.Grids.xyzTransform]]): z/x/y → WebMercator origin +
+    * resolution, mirrored operation-for-operation in DuckDB so the doubles
+    * agree bit-for-bit before rounding. */
+  def g7XyzAffine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .map { k =>
+        val z = (k % 6 + 1).toInt
+        val per = 1L << z
+        val x = k % per
+        val y = (k * 5) % per
+        val a = graft.layout.Grid.xyzTransform(x, y, z)
+        (k, z.toLong, x, y, a.c0, a.c3, a.rx)
+      }
+      .toDF("s_suppkey", "z", "x", "y", "tx", "ty", "res")
+      .withColumn("tx", round(col("tx"), 6))
+      .withColumn("ty", round(col("ty"), 6))
+      .withColumn("res", round(col("res"), 6))
+      .orderBy("s_suppkey")
+  }
+
+  /** c8_dataset_ids — deterministic dataset-id minting
+    * ([[graft.consolidation.Consolidation.datasetId]]): the RFC 4122
+    * name-based UUIDv3 each indexed tile gets, rebuilt in DuckDB from md5
+    * plus the version/variant nibble surgery. */
+  def c8DatasetIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(col("o_orderkey").cast("long")).as[Long]
+      .map { k =>
+        val uri = s"/containers/${k % 50}.tif"
+        (k, graft.consolidation.Consolidation.datasetId(
+          "inst-1", uri, (k % 4).toString, s"r$k"))
+      }
+      .toDF("o_orderkey", "dataset_id")
+      .orderBy("o_orderkey")
+  }
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -641,10 +750,78 @@ object RelationalQueries {
     "f7_area_checksum" -> f7AreaChecksum _,
     "j8_asof" -> j8AsofJoin _,
     "q2_rollup" -> q2Rollup _,
-    "p5_spatial_refine" -> p5SpatialRefine _)
+    "p5_spatial_refine" -> p5SpatialRefine _,
+    "f2_cast_bf" -> f2CastBf _,
+    "a8_pyramid" -> a8Pyramid _,
+    "g2_cell_bounds" -> g2CellBounds _,
+    "g7_xyz_affine" -> g7XyzAffine _,
+    "c8_dataset_ids" -> c8DatasetIds _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
+    "f2_cast_bf" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(least(greatest(255 * pow((l_extendedprice - 0) / 50000, 2), 0), 255), 6) AS ve
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "a8_pyramid" ->
+      """WITH dims AS (
+           SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                  CAST(p_partkey * 7 % 3800 + 300 AS BIGINT) AS w,
+                  CAST(p_partkey * 11 % 3800 + 300 AS BIGINT) AS h
+           FROM part),
+         lev AS (
+           SELECT *, CASE WHEN greatest(w, h) <= 256 THEN 0
+                          WHEN greatest(w, h) <= 512 THEN 1
+                          WHEN greatest(w, h) <= 1024 THEN 2
+                          WHEN greatest(w, h) <= 2048 THEN 3
+                          WHEN greatest(w, h) <= 4096 THEN 4
+                          ELSE 5 END AS n
+           FROM dims)
+         SELECT p_partkey, w, h, CAST(n AS BIGINT) AS n_overviews,
+                CAST((w + (1 << n) - 1) // (1 << n) AS BIGINT) AS top_w,
+                CAST((h + (1 << n) - 1) // (1 << n) AS BIGINT) AS top_h
+         FROM lev ORDER BY p_partkey""",
+    "g2_cell_bounds" ->
+      """WITH ij AS (
+           SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                  CAST(c_custkey % 200 - 100 AS BIGINT) AS i,
+                  CAST((c_custkey * 3) % 200 - 100 AS BIGINT) AS j
+           FROM customer)
+         SELECT c_custkey, i, j,
+                CAST(i * 64 AS DOUBLE) AS xmin,
+                CAST(-(j + 1) * 64 AS DOUBLE) AS ymin,
+                CAST((i + 1) * 64 AS DOUBLE) AS xmax,
+                CAST(-j * 64 AS DOUBLE) AS ymax
+         FROM ij ORDER BY c_custkey""",
+    "g7_xyz_affine" ->
+      """WITH txy AS (
+           SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                  CAST(s_suppkey % 6 + 1 AS BIGINT) AS z
+           FROM supplier),
+         q AS (
+           SELECT s_suppkey, z,
+                  CAST(s_suppkey % (1 << z) AS BIGINT) AS x,
+                  CAST((s_suppkey * 5) % (1 << z) AS BIGINT) AS y,
+                  (2 * 20037508.342789244) / (256 * (1 << z)) AS r
+           FROM txy)
+         SELECT s_suppkey, z, x, y,
+                round(-20037508.342789244 + x * 256 * r, 6) AS tx,
+                round(20037508.342789244 - y * 256 * r, 6) AS ty,
+                round(r, 6) AS res
+         FROM q ORDER BY s_suppkey""",
+    "c8_dataset_ids" ->
+      """WITH h AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                  md5('inst-1|/containers/' || (o_orderkey % 50) || '.tif|' ||
+                      (o_orderkey % 4) || '|r' || o_orderkey) AS m
+           FROM orders)
+         SELECT o_orderkey,
+                substr(m, 1, 8) || '-' || substr(m, 9, 4) || '-3' || substr(m, 14, 3)
+                  || '-' || substr('89ab',
+                       (strpos('0123456789abcdef', substr(m, 17, 1)) - 1) % 4 + 1, 1)
+                  || substr(m, 18, 3) || '-' || substr(m, 21, 12) AS dataset_id
+         FROM h ORDER BY o_orderkey""",
     "j8_asof" ->
       """SELECT p.event_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,

@@ -143,7 +143,12 @@ object SimilarityQueries {
     * 100 TB the band join touches only colliding vectors — the candidate
     * count scales with true near-dups (collision p ≈ (1-θ/π)⁴ per band),
     * never n². */
-  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame =
+    embedPairs(s, dir).orderBy("id_a", "id_b")
+
+  /** The embedding near-dup pair list WITHOUT the presentation sort —
+    * semantic-dedup clustering re-shuffles on its own keys. */
+  private def embedPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = emb(s, dir).select(col("vec_id"), col("v"),
       sqrt(dotCol("v", "v")).as("nrm"),
       bandCol(0).cast("int").as("b0"),
@@ -166,7 +171,26 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"),
         round(dotCol("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= 0.35)
-      .orderBy("id_a", "id_b")
+  }
+
+  /** sem_dedup_keep — SemDedup (the embedding-space analogue of MinHash
+    * dedup, per Abbas et al. 2023's cluster-then-prune recipe): near-dup
+    * pairs from the hyperplane-LSH generator fold into semantic clusters
+    * via [[graft.operators.Dedup.connectedComponents]], and only each
+    * cluster's representative (the smallest vec_id) survives; unpaired
+    * vectors survive by definition. This is the full semantic-dedup
+    * pipeline end to end — pair generation, clustering, prune — with the
+    * survivor list as the oracle-checked output. Scale shape: the CC runs
+    * over the (tiny) pair list; the corpus-sized relation is touched once,
+    * by a broadcast-joined prune. */
+  def semDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val cc = graft.operators.Dedup.connectedComponents(
+      embedPairs(s, dir).select("id_a", "id_b"), "id_a", "id_b")
+    emb(s, dir).select(col("vec_id"))
+      .join(cc, col("vec_id") === col("id"), "left")
+      .filter(coalesce(col("component"), col("vec_id")) === col("vec_id"))
+      .select(col("vec_id"))
+      .orderBy("vec_id")
   }
 
   /** sim_ivf_topk — IVF (inverted-file) ANN: coarse centroids (deterministic
@@ -244,6 +268,7 @@ object SimilarityQueries {
     "sim_lsh_histogram" -> simLshHistogram _,
     "sim_label_stats" -> simLabelStats _,
     "dedup_embed" -> dedupEmbed _,
+    "sem_dedup_keep" -> semDedupKeep _,
     "sim_ivf_topk" -> simIvfTopk _,
     "sim_ann_probe" -> simAnnProbe _,
     "pq_adc_topk" -> simPqAdcTopk _)
@@ -322,6 +347,33 @@ object SimilarityQueries {
               concat_ws(',', ${(0 until M).map(j => s"c$j").mkString(", ")}) AS code,
               round($pqScore, 6) AS pq_dist2
             FROM enc ORDER BY $pqScore, vec_id LIMIT 10""",
+      "sem_dedup_keep" ->
+        s"""WITH RECURSIVE sig AS (
+              SELECT vec_id, v, CAST(${duckBand(0)} AS INT) AS b0,
+                     CAST(${duckBand(4)} AS INT) AS b1
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+            cand AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(${duckCos("a.v", "b.v")}, 6) AS cos
+              FROM sig a JOIN sig b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+              UNION
+              SELECT a.vec_id, b.vec_id, round(${duckCos("a.v", "b.v")}, 6)
+              FROM sig a JOIN sig b ON a.b1 = b.b1 AND a.vec_id < b.vec_id),
+            pairs AS (SELECT id_a, id_b FROM cand WHERE cos >= 0.35),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            comp AS (
+              SELECT s AS id, least(s, min(d)) AS component
+              FROM reach GROUP BY s)
+            SELECT e.vec_id FROM embeddings e
+            LEFT JOIN comp c ON e.vec_id = c.id
+            WHERE coalesce(c.component, e.vec_id) = e.vec_id
+            ORDER BY vec_id""",
       "dedup_embed" ->
         s"""WITH sig AS (
               SELECT vec_id, v, CAST(${duckBand(0)} AS INT) AS b0,
