@@ -178,9 +178,23 @@ object Dedup {
     *
     * Returns (id, component). Ids absent from `edges` are their own
     * (singleton) components and are not emitted — join back to the corpus
-    * with a coalesce for the total mapping. */
+    * with a coalesce for the total mapping.
+    *
+    * Two regimes, chosen by the MEASURED size of the materialized edge
+    * list (one count over checkpointed blocks, no extra computation):
+    *  - small (≤ localEdgeThreshold directed edges): union-find on the
+    *    driver. After LSH has collapsed a corpus to its near-dup pairs the
+    *    graph is usually tiny relative to the corpus, and a driver solve
+    *    is milliseconds where each distributed pass costs a fixed several
+    *    hundred ms of scheduling — the same endgame GraphFrames-style CC
+    *    uses once contraction shrinks the graph.
+    *  - large: iterative min-label propagation, one keyed aggregation per
+    *    pass (shuffles keyed on the id — never a cross product),
+    *    converging in O(component diameter) passes. This is the 100 TB
+    *    path: nothing is ever collected, and the default threshold
+    *    (1M edges ≈ tens of MB) keeps the driver far from pressure. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
     // materialize the symmetrized edge list ONCE — every pass joins it, and
     // without this the whole upstream pair-generation DAG (often an LSH
@@ -190,6 +204,7 @@ object Dedup {
     val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .localCheckpoint()
+    if (sym.count() <= localEdgeThreshold) return localComponents(spark, sym)
     // pass 1 folded into initialization: against identity starting labels
     // the first propagation's label join is the identity mapping, so the
     // post-pass-1 labels are just least(own id, min neighbour id) — one
@@ -209,19 +224,32 @@ object Dedup {
           "__dst")
         .groupBy(col("__src"))
         .agg(min(col("__cl")).as("__nbrMin"))
-      // change detection rides the checkpoint materialization itself (an
-      // accumulator counted while rows stream into the block store) — no
-      // separate convergence job per pass. Task retries can only re-add
-      // for rows that genuinely changed, so zero stays exact.
-      val changes = spark.sparkContext.longAccumulator(s"ccChanges$iter")
-      val joined = labels
+      val stepped = labels
         .join(prop, col("id") === col("__src"))
         .select(col("id"),
           least(col("component"), col("__nbrMin")).as("component"),
           col("component").as("__old"))
+      // pointer jump (path doubling): component := component's component.
+      // Labels stay reachable-node upper bounds, so this only accelerates
+      // — a d-hop chain converges in O(log d) passes, not O(d). Every
+      // label value is itself a node (it started as some id), so the
+      // self-join always finds a row; left+coalesce guards regardless.
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("id").as("__cid"), col("component").as("__cc")).as("y"),
+          col("x.component") === col("__cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("__cc"), col("x.component")).as("component"),
+          col("__old"))
+      // change detection rides the checkpoint materialization itself (an
+      // accumulator counted while rows stream into the block store) — no
+      // separate convergence job per pass. Task retries can only re-add
+      // for rows that genuinely changed, so zero stays exact. Zero changes
+      // means the PROPAGATION step was already at fixpoint, which is the
+      // standard correctness certificate for min-label CC.
+      val changes = spark.sparkContext.longAccumulator(s"ccChanges$iter")
       val outEnc = org.apache.spark.sql.Encoders.row(
-        org.apache.spark.sql.types.StructType(joined.schema.take(2)))
-      val next = joined
+        org.apache.spark.sql.types.StructType(jumped.schema.take(2)))
+      val next = jumped
         .mapPartitions { it =>
           it.map { r =>
             if (r.get(1) != r.get(2)) changes.add(1L)
@@ -233,6 +261,50 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // an unconverged result is silently WRONG (labels mid-descent) —
+    // refuse to return it
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no convergence in $maxIter passes")
     labels
+  }
+
+  /** Driver-side union-find endgame for a small (already materialized,
+    * symmetrized) edge list: path-compressed find, then the component
+    * representative is re-derived as the MIN member under the same
+    * ordering Spark's `least`/`min` would use (ids are Comparable —
+    * strings, longs, ints alike). Output schema matches the distributed
+    * path: (id, component) with the edge columns' type. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      sym: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    sym.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { x =>
+      val r = find(x)
+      val m = minOf.get(r)
+      if (m == null || lt(x, m)) minOf.put(r, x)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { x =>
+      out.add(org.apache.spark.sql.Row(x, minOf.get(find(x))))
+    }
+    val dt = sym.schema.head.dataType
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("component", dt))))
   }
 }

@@ -175,6 +175,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cc.count { case (id, comp) => id == comp } == 3)
   }
 
+  test("connectedComponents: distributed propagation agrees with driver union-find") {
+    import spark.implicits._
+    // a 40-node path (worst-case diameter), three cliques, random extras
+    val rnd = new scala.util.Random(7)
+    val path = (0 until 39).map(i => (i.toLong, i.toLong + 1))
+    val cliques = Seq(100L, 200L, 300L).flatMap(b =>
+      (0 until 4).flatMap(i => (i + 1 until 5).map(j => (b + i, b + j))))
+    val extras = (0 until 30).map(_ => (400L + rnd.nextInt(20), 400L + rnd.nextInt(20)))
+    val edges = (path ++ cliques ++ extras).toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = asMap(Dedup.connectedComponents(edges, "a", "b"))
+    val dist = asMap(Dedup.connectedComponents(edges, "a", "b",
+      localEdgeThreshold = 0)) // force the scale path
+    assert(dist == local)
+    assert(local(39L) == 0L) // min label crossed the whole 40-node path
+  }
+
   test("vec_dot/vec_dist2: match the HOF fold bit-for-bit; length mismatch throws") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
