@@ -72,6 +72,36 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
   }
 
+  /** CCNet-style unigram language-model quality score: train a unigram LM
+    * over the corpus (add-one smoothing), then score each document by its
+    * average negative log-likelihood and perplexity — the signal CCNet
+    * thresholds to split a crawl into head/middle/tail quality buckets.
+    *
+    * Scale shape: the model is ONE keyed aggregation (token counts) plus
+    * a 1-row totals broadcast; scoring is a map-side explode, a broadcast
+    * join against the vocabulary-sized model, and a per-document rollup —
+    * the corpus-sized relation shuffles once, keyed on the doc id. To
+    * score corpus B under corpus A's model, swap `model` sources; tokens
+    * unseen by the model are dropped (inner join) — add-one smoothing
+    * keeps seen-token probabilities well-defined.
+    *
+    * Returns (idCol, n_tokens, avg_nll, perplexity), perplexity derived
+    * from the 6-dp-rounded avg_nll so downstream thresholds are stable. */
+  def unigramNll(corpus: DataFrame, idCol: String, textCol: String,
+      toks: Column => Column = tokens): DataFrame = {
+    val flat = corpus.select(col(idCol), explode(toks(col(textCol))).as("__t"))
+    val model = flat.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val tot = model.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+    val probs = model.crossJoin(broadcast(tot))
+      .select(col("__t"), log((col("__c") + 1.0) / (col("__n") + col("__v"))).as("__lp"))
+    flat.join(broadcast(probs), "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__s") / col("n_tokens"), 6).as("avg_nll"))
+      .withColumn("perplexity", round(exp(col("avg_nll")), 6))
+  }
+
   /** Language-ID by stopword-marker voting: score per language = count of
     * that language's marker tokens; predicted = argmax (ties → first).
     * The deterministic n-gram-heuristic skeleton of a real classifier —

@@ -177,6 +177,16 @@ object TextQueries {
       .orderBy("token")
   }
 
+  /** text_perplexity — CCNet-style unigram LM quality scoring
+    * ([[graft.operators.TextAnalysis.unigramNll]]): the corpus trains its
+    * own add-one-smoothed unigram model, every doc scored by average NLL
+    * and perplexity. Model = one keyed agg + broadcast; the corpus
+    * explode is map-side; only the per-doc rollup shuffles. */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text",
+        c => filter(split(c, " "), x => x =!= ""))
+      .orderBy("doc_id")
+
   /** text_repetition — Gopher-style repetition gates
     * ([[graft.operators.TextAnalysis.topGramFraction]]/dupGramFraction):
     * top-unigram fraction, top-2-gram fraction, duplicate-3-gram
@@ -287,6 +297,7 @@ object TextQueries {
     "dedup_components" -> dedupComponents _,
     "dedup_simhash" -> dedupSimhash _,
     "text_idf" -> textIdf _,
+    "text_perplexity" -> textPerplexity _,
     "text_decontaminate" -> textDecontaminate _,
     "text_repetition" -> textRepetition _)
 
@@ -415,6 +426,18 @@ object TextQueries {
           FROM g JOIN bench ON g.gram = bench.gram
           WHERE g.source != 'src0'
           GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "text_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+          model AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+                  FROM model),
+          probs AS (SELECT t, ln((c + 1.0) / (n + v)) AS lp FROM model, tot),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lp) AS s1
+                  FROM tk JOIN probs USING (t) GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 round(-s1 / n_tokens, 6) AS avg_nll,
+                 round(exp(round(-s1 / n_tokens, 6)), 6) AS perplexity
+          FROM agg ORDER BY doc_id""",
     "text_idf" ->
       s"""WITH toks AS (
             SELECT doc_id, unnest($tokSetSql) AS token FROM documents),
