@@ -104,6 +104,9 @@ object GraftSparkExtensions {
     "geom_hash" -> ((args: Seq[Expression]) => GeomHash(args(0))),
     "st_make_box" -> ((args: Seq[Expression]) => STMakeBox(args)),
     "st_transform" -> ((args: Seq[Expression]) => STTransform(args)),
+    "st_point" -> ((args: Seq[Expression]) => STPoint(args(0), args(1))),
+    "st_x" -> ((args: Seq[Expression]) => STX(args(0))),
+    "st_y" -> ((args: Seq[Expression]) => STY(args(0))),
     "sorted_intersect_size" -> ((args: Seq[Expression]) =>
       ArrayExpressions.SortedIntersectSize(args(0), args(1))),
     "vec_dot" -> ((args: Seq[Expression]) =>

@@ -125,6 +125,34 @@ object SpatialExpressions {
         cs: IndexedSeq[Expression]): Expression = copy(children = cs)
   }
 
+  /** ST_Point(x, y) → WKB point (proj.go's point constructor shape). */
+  case class STPoint(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      GeomOps.writeWkb(GeomOps.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(
+          a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** ST_X(wkb) — x of the first coordinate. */
+  case class STX(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any =
+      GeomOps.readWkb(a.asInstanceOf[Array[Byte]]).getCoordinate.x
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ST_Y(wkb) — y of the first coordinate. */
+  case class STY(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any =
+      GeomOps.readWkb(a.asInstanceOf[Array[Byte]]).getCoordinate.y
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Geometry SHA-1 hash (record.go:33-46) as hex string. */
   case class GeomHash(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
@@ -146,6 +174,9 @@ object SpatialExpressions {
     toCol(STMakeBox(Seq(toExpr(xmin), toExpr(ymin), toExpr(xmax), toExpr(ymax))))
   def st_transform(wkb: Column, fromCrs: Column, toCrs: Column): Column =
     toCol(STTransform(Seq(toExpr(wkb), toExpr(fromCrs), toExpr(toCrs))))
+  def st_point(x: Column, y: Column): Column = toCol(STPoint(toExpr(x), toExpr(y)))
+  def st_x(wkb: Column): Column = toCol(STX(toExpr(wkb)))
+  def st_y(wkb: Column): Column = toCol(STY(toExpr(wkb)))
 
   /** bbox-overlap pre-filter over the struct companion column — codegen'd,
     * parquet-min/max-prunable (the GIST-index substitute, SURVEY §4). */

@@ -7,9 +7,11 @@ package graft.geo
   * (EPSG:4326), WebMercator (EPSG:3857), UTM zones (EPSG:326xx/327xx) —
   * plus the azimuthal families round 2/3 added: arbitrary-origin
   * transverse Mercator, Lambert azimuthal equal-area (EPSG 9820),
-  * polar stereographic variants A/B (EPSG 9810/9829) and oblique
-  * (double) stereographic (EPSG 9809). All with standard public formulas
-  * (Snyder 1987; IOGP Guidance Note 7-2; PROJ/Karney Krüger series).
+  * polar stereographic variants A/B (EPSG 9810/9829), oblique
+  * (double) stereographic (EPSG 9809) and the oblique/equatorial
+  * stereographic proper (PROJ `+proj=stere` away from the poles).
+  * All with standard public formulas (Snyder 1987; IOGP Guidance
+  * Note 7-2; PROJ/Karney Krüger series).
   * All transforms are (lon, lat) degrees ↔ planar (x, y) meters.
   */
 sealed trait CRS {
@@ -368,6 +370,66 @@ object CRS {
     }
   }
 
+  /** Oblique/equatorial stereographic proper — the single-projection
+    * ellipsoidal form PROJ's `+proj=stere` uses away from the poles
+    * (Snyder 1987 §21, eq. 21-27..21-40: conformal latitude + spherical
+    * stereographic on it, scaled by 2·a·k0·m1/cosχ1). Distinct from EPSG
+    * method 9809 ([[ObliqueStereographic]], `+proj=sterea`), which maps
+    * via a conformal SPHERE and differs by meters at distance from the
+    * origin. `flattening = 0` gives the exact spherical projection
+    * (Snyder eq. 21-2..21-4), used by the published-vector test. */
+  final case class StereographicProper(lon0Deg: Double, lat0Deg: Double,
+      k0: Double = 1.0, fe: Double = 0.0, fn: Double = 0.0,
+      sridOpt: Option[Int] = None, flattening: Double = F) extends CRS {
+    require(math.abs(lat0Deg) < 90 - 1e-9,
+      s"polar origin lat_0=$lat0Deg belongs to PolarStereographic")
+    val srid: Int = sridOpt.getOrElse(32767)
+    private val e2 = flattening * (2 - flattening); private val e = math.sqrt(e2)
+    private val lat0 = lat0Deg * D2R; private val lon0 = lon0Deg * D2R
+    /** conformal latitude χ(φ) — Snyder eq. 3-1. */
+    private def chiOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      2 * math.atan(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - e * s) / (1 + e * s), e / 2)) - math.Pi / 2
+    }
+    private val chi1 = chiOf(lat0)
+    private val sinChi1 = math.sin(chi1); private val cosChi1 = math.cos(chi1)
+    private val m1 = math.cos(lat0) / math.sqrt(1 - e2 * sq(math.sin(lat0)))
+    /** 2·a·k0·m1/cosχ1 — the constant part of Snyder eq. 21-34. */
+    private val akm1 = 2 * A * k0 * m1 / cosChi1
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val chi = chiOf(latDeg * D2R)
+      val dl = lonDeg * D2R - lon0
+      val sinChi = math.sin(chi); val cosChi = math.cos(chi)
+      val aA = akm1 / (1 + sinChi1 * sinChi + cosChi1 * cosChi * math.cos(dl))
+      (fe + aA * cosChi * math.sin(dl),
+        fn + aA * (cosChi1 * sinChi - sinChi1 * cosChi * math.cos(dl)))
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - fe; val yr = y - fn
+      val rho = math.hypot(xr, yr)
+      if (rho < 1e-9) return (lon0Deg, lat0Deg)
+      val ce = 2 * math.atan(rho / akm1) // Snyder eq. 21-38 (akm1 = 2ak0m1/cosχ1)
+      val chi = math.asin(clamp1(math.cos(ce) * sinChi1 +
+        yr * math.sin(ce) * cosChi1 / rho))
+      val lam = lon0 + math.atan2(xr * math.sin(ce),
+        rho * cosChi1 * math.cos(ce) - yr * sinChi1 * math.sin(ce))
+      // φ from χ by fixed-point on Snyder eq. 3-4
+      var phi = chi
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val next = 2 * math.atan(math.tan(math.Pi / 4 + chi / 2) *
+          math.pow((1 + e * s) / (1 - e * s), e / 2)) - math.Pi / 2
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 }
+        else { phi = next; i += 1 }
+      }
+      ((lam * R2D + 540) % 360 - 180, phi * R2D)
+    }
+  }
+
   /** CRS from user input: "EPSG:4326", "epsg:32633", srid int. */
   def fromSrid(srid: Int): CRS = srid match {
     case 4326 => WGS84
@@ -389,6 +451,21 @@ object CRS {
     * ("+proj=utm +zone=33 ..."), and WKT (resolved through its EPSG
     * authority id). */
   def parse(text: String): CRS = {
+    // memoized: expression paths (ST_Transform) resolve the CRS per row,
+    // and a scan at scale would otherwise re-split the proj4/WKT string
+    // millions of times. Bounded: distinct CRS strings per job are few.
+    val cached = parseCache.get(text)
+    if (cached != null) cached
+    else {
+      val crs = parseUncached(text)
+      if (parseCache.size < 4096) parseCache.putIfAbsent(text, crs)
+      crs
+    }
+  }
+
+  private val parseCache = new java.util.concurrent.ConcurrentHashMap[String, CRS]()
+
+  private def parseUncached(text: String): CRS = {
     val t = text.trim
     val up = t.toUpperCase
     if (t.startsWith("+")) parseProj4(t)
@@ -426,9 +503,15 @@ object CRS {
             d("x_0", 0), d("y_0", 0))
         else PolarStereographic(d("lon_0", 0), north = d("lat_0", 0) > 0,
           d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0))
-      case Some("stere") | Some("sterea") =>
-        // double (conformal-sphere) stereographic — exact for sterea;
-        // the whitelisted oblique form for plain stere too
+      case Some("stere") =>
+        // non-polar stere proper (Snyder oblique/equatorial), matching
+        // PROJ: plain `stere` is the single projection, `sterea` the
+        // double one. +ellps=sphere / +R= select the spherical form.
+        val flat = if (kv.contains("R") || kv.get("ellps").contains("sphere")) 0.0 else F
+        StereographicProper(d("lon_0", 0), d("lat_0", 0),
+          d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0), None, flat)
+      case Some("sterea") =>
+        // double (conformal-sphere) stereographic, EPSG method 9809
         ObliqueStereographic(d("lon_0", 0), d("lat_0", 0),
           d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0))
       case p => throw new IllegalArgumentException(
@@ -489,8 +572,12 @@ object CRS {
             else if (math.abs(lat0) < 90 - 1e-9)
               PolarStereographic.fromStandardParallel(lon0, lat0, feP, fnP)
             else PolarStereographic(lon0, north = lat0 > 0, k0, feP, fnP)
-          case Some(name) if name.contains("stereographic") =>
+          case Some(name) if name.contains("stereographic") &&
+              (name.contains("oblique") || name.contains("double")) =>
+            // EPSG 9809 "Oblique Stereographic" / ESRI "Double_Stereographic"
             ObliqueStereographic(lon0, lat0, k0, feP, fnP)
+          case Some(name) if name.contains("stereographic") =>
+            StereographicProper(lon0, lat0, k0, feP, fnP)
           case Some(name) if name.contains("mercator") => WebMercator
           case None if s.toUpperCase.startsWith("GEOGCS") ||
             s.toUpperCase.startsWith("GEOGCRS") => WGS84
@@ -515,6 +602,10 @@ object CRS {
     case p: PolarStereographic =>
       s"+proj=stere +lat_0=${if (p.north) 90 else -90} +lon_0=${p.lon0Deg}" +
         s" +k=${p.k0} +x_0=${p.fe} +y_0=${p.fn}"
+    case st: StereographicProper =>
+      s"+proj=stere +lat_0=${st.lat0Deg} +lon_0=${st.lon0Deg} +k=${st.k0}" +
+        s" +x_0=${st.fe} +y_0=${st.fn}" +
+        (if (st.flattening == 0) " +ellps=sphere" else "")
     case o: ObliqueStereographic =>
       s"+proj=sterea +lat_0=${o.lat0Deg} +lon_0=${o.lon0Deg} +k=${o.k0}" +
         s" +x_0=${o.fe} +y_0=${o.fn}"

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / data-mixing operators for training-data
@@ -31,5 +31,27 @@ object Sampling {
     df.join(broadcast(dim), col(strataCol) === col("__stratum"))
       .filter(substring(md5(col(keyCol).cast("string")), 1, 4) < col("__thr"))
       .drop("__stratum", "__thr")
+  }
+
+  /** Deterministic weighted reservoir sample per stratum (Efraimidis &
+    * Spirtakis 2006, "Weighted random sampling with a reservoir" — the
+    * A-ES scheme): each row gets key ln(u)/w with u a uniform in (0,1)
+    * derived from the first 48 md5 bits of its id; the k LARGEST keys
+    * per stratum are exactly a weighted sample without replacement.
+    * No RNG state — reruns, retries and different cluster sizes keep
+    * identical samples. The plan shuffles once on the stratum key for
+    * the window rank; k is small, so at scale AQE's partial top-k and
+    * the rank's early cutoff keep per-stratum state at O(k). */
+  def weightedTopK(df: DataFrame, idCol: String, strataCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"sample size $k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") + 0.5) / 281474976710656.0 // 2^48
+    val key = log(u) / weight
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(key.desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .withColumnRenamed("__rk", "sample_rank")
   }
 }

@@ -712,6 +712,165 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** f5_affine — Affine geotransform algebra (F5, reference
+    * internal/utils/affine/affine.go): per row, compose a rotated grid
+    * transform with a translation via the REAL [[graft.geo.Affine]] ops
+    * (multiply, transform, inverse), mirrored as closed-form arithmetic
+    * in DuckDB. All inputs are exact binary fractions and the SQL mirrors
+    * the `c·(1/det)` evaluation order bit-for-bit, so even the inverse
+    * path compares exactly. */
+  def f5Affine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.geo.Affine
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .map { k =>
+        val a = Affine(
+          (k % 100).toDouble, (k % 9 + 1) * 0.5, (k % 3) * 0.125,
+          (k % 50).toDouble, (k % 5) * 0.0625, -((k % 7 + 1) * 0.25))
+        val b = Affine.translation((k % 11).toDouble, (k % 13).toDouble)
+        val m = a.multiply(b)
+        val inv = m.inverse
+        val (mx, my) = m.transform((k % 16).toDouble, (k % 17).toDouble)
+        (k, mx, my, m.det, inv.c0, inv.c1, inv.c2, inv.c3, inv.c4, inv.c5)
+      }
+      .toDF("s_suppkey", "mx", "my", "det", "i0", "i1", "i2", "i3", "i4", "i5")
+      .select(col("s_suppkey") +: Seq("mx", "my", "det", "i0", "i1", "i2",
+        "i3", "i4", "i5").map(c => round(col(c), 6).as(c)): _*)
+      .orderBy("s_suppkey")
+  }
+
+  /** w2_chunks — the 512 KiB chunked-streaming wire shape (W2/D7,
+    * grpc/service.go:876,955-975) with the REAL
+    * [[graft.cube.Compress.chunk]] kernel over synthetic payloads
+    * (0..2.5 MiB, including the empty-payload single-part case), part
+    * arithmetic verified closed-form in DuckDB. */
+  def w2Chunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "nation") // 25 rows keeps the payload allocation bounded
+      .select(col("n_nationkey").cast("long")).as[Long]
+      .map { k =>
+        val len = (k * 524287L % 2621441L).toInt
+        val parts = graft.cube.Compress.chunk(new Array[Byte](len))
+        (k, len.toLong, parts.size.toLong, parts.last._2.length.toLong,
+          parts.map(_._1.toLong).sum)
+      }
+      .toDF("n_nationkey", "len", "n_parts", "last_len", "idx_sum")
+      .orderBy("n_nationkey")
+  }
+
+  /** f8_palette — palette→LUT interpolation (F8, palette.go:37-52): the
+    * REAL [[graft.cube.Palette.paletteN]] kernel on a 5-point palette
+    * sampled at 257 entries. Sample positions i/256 and point values at
+    * quarters make every interpolation factor an exact binary fraction,
+    * so the kernel's Float arithmetic and DuckDB's double closed form
+    * agree exactly (incl. the truncate-to-byte packing). */
+  def f8Palette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.cube.Palette
+    val lut = Palette("oracle", Seq(
+      Palette.ColorPoint(0f, 0, 0, 0, 255),
+      Palette.ColorPoint(0.25f, 255, 128, 0, 255),
+      Palette.ColorPoint(0.5f, 0, 255, 64, 128),
+      Palette.ColorPoint(0.75f, 32, 64, 128, 255),
+      Palette.ColorPoint(1f, 255, 255, 255, 0))).paletteN(257)
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast("long")).as[Long]
+      .map { k =>
+        val idx = (k % 257).toInt
+        val v = lut(idx)
+        (k, idx.toLong, (v >>> 24).toLong, ((v >> 16) & 0xff).toLong,
+          ((v >> 8) & 0xff).toLong, (v & 0xff).toLong)
+      }
+      .toDF("c_custkey", "idx", "r", "g", "b", "a")
+      .orderBy("c_custkey")
+  }
+
+  /** g5_covers — Layout/grid cell enumeration (G5/G6, layout.go:73-113)
+    * with the REAL [[graft.layout.RegularGrid.covers]] kernel per AOI:
+    * covering-cell count and index extents on the global 0.25°/256 px
+    * grid (64° cells). AOI corners sit off cell boundaries, so DuckDB's
+    * closed-form floor arithmetic enumerates exactly the same cells. */
+  def g5Covers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = graft.layout.RegularGrid(graft.geo.CRS.WGS84, 256, 256, 0.25)
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("long")).as[Long]
+      .map { k =>
+        val xmin = (k * 7 % 200) - 100 + 0.125
+        val ymin = (k * 13 % 120) - 60 + 0.125
+        val box = graft.geo.GeomOps.polygonFromBBox(graft.geo.BBox(
+          xmin, ymin, xmin + (k % 5) * 16 + 10.5, ymin + (k % 3) * 8 + 6.5))
+        val ij = grid.covers(box).map { u =>
+          val p = u.split("/"); (p(0).toInt, p(1).toInt)
+        }.toSeq
+        (k, ij.size.toLong, ij.map(_._1).min.toLong, ij.map(_._1).max.toLong,
+          ij.map(_._2).min.toLong, ij.map(_._2).max.toLong)
+      }
+      .toDF("p_partkey", "n_cells", "imin", "imax", "jmin", "jmax")
+      .orderBy("p_partkey")
+  }
+
+  /** Synthetic lon/lat point grid for the F6 reprojection oracles: one
+    * point per customer, lon spread over the given range. */
+  private def lonLatPoints(s: SparkSession, dir: String,
+      lonExpr: Column, latExpr: Column): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        lonExpr.cast("double").as("lon"), latExpr.cast("double").as("lat"))
+
+  /** f6_webmerc — ST_Transform 4326→3857 through the REAL expression path
+    * (F6, proj.go:287-331), verified against the closed-form spherical
+    * Mercator in DuckDB. Rounded to whole meters: at 2×10⁷ magnitude the
+    * libm-difference budget is ~10⁻⁸ m, so integer meters compare exactly. */
+  def f6Webmerc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_point, st_transform, st_x, st_y}
+    lonLatPoints(s, dir,
+      (col("c_custkey") * 7 % 360) - 180 + 0.25,
+      (col("c_custkey") * 13 % 140) - 70 + 0.25)
+      .withColumn("pt", st_transform(st_point(col("lon"), col("lat")),
+        lit("EPSG:4326"), lit("EPSG:3857")))
+      .select(col("c_custkey"),
+        round(st_x(col("pt"))).cast("long").as("mx"),
+        round(st_y(col("pt"))).cast("long").as("my"))
+      .orderBy("c_custkey")
+  }
+
+  /** f6_utm — ST_Transform 4326→UTM 33N: the 6th-order Krüger series
+    * ([[graft.geo.CRS.KruegerTM]]) mirrored term-for-term in DuckDB
+    * (sinh/atanh/cosh spelled out via exp/ln). */
+  def f6Utm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_point, st_transform, st_x, st_y}
+    lonLatPoints(s, dir,
+      lit(9.25) + (col("c_custkey") * 7 % 1150) / 100.0,
+      (col("c_custkey") * 13 % 156) - 78 + 0.5)
+      .withColumn("pt", st_transform(st_point(col("lon"), col("lat")),
+        lit("EPSG:4326"), lit("EPSG:32633")))
+      .select(col("c_custkey"),
+        round(st_x(col("pt"))).cast("long").as("ux"),
+        round(st_y(col("pt"))).cast("long").as("uy"))
+      .orderBy("c_custkey")
+  }
+
+  /** f6_stere — ST_Transform through the oblique stereographic proper
+    * ([[graft.geo.CRS.StereographicProper]], Snyder §21 ellipsoidal:
+    * conformal latitude + spherical stereographic scaled by 2ak0m1/cosχ1),
+    * mirrored formula-for-formula in DuckDB. Latitudes stay ≥ −20° so no
+    * point nears the antipode of the (40°N, 100°W) origin, keeping the
+    * denominator — and the meter-rounding error budget — bounded. */
+  def f6Stere(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_point, st_transform, st_x, st_y}
+    lonLatPoints(s, dir,
+      (col("c_custkey") * 7 % 360) - 180 + 0.25,
+      (col("c_custkey") * 13 % 80) - 20 + 0.25)
+      .withColumn("pt", st_transform(st_point(col("lon"), col("lat")),
+        lit("EPSG:4326"), lit("+proj=stere +lat_0=40 +lon_0=-100")))
+      .select(col("c_custkey"),
+        round(st_x(col("pt"))).cast("long").as("sx"),
+        round(st_y(col("pt"))).cast("long").as("sy"))
+      .orderBy("c_custkey")
+  }
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -755,7 +914,14 @@ object RelationalQueries {
     "a8_pyramid" -> a8Pyramid _,
     "g2_cell_bounds" -> g2CellBounds _,
     "g7_xyz_affine" -> g7XyzAffine _,
-    "c8_dataset_ids" -> c8DatasetIds _)
+    "c8_dataset_ids" -> c8DatasetIds _,
+    "f6_webmerc" -> f6Webmerc _,
+    "f6_utm" -> f6Utm _,
+    "f6_stere" -> f6Stere _,
+    "f5_affine" -> f5Affine _,
+    "w2_chunks" -> w2Chunks _,
+    "f8_palette" -> f8Palette _,
+    "g5_covers" -> g5Covers _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: Map[String, String] = Map(
@@ -822,6 +988,171 @@ object RelationalQueries {
                        (strpos('0123456789abcdef', substr(m, 17, 1)) - 1) % 4 + 1, 1)
                   || substr(m, 18, 3) || '-' || substr(m, 21, 12) AS dataset_id
          FROM h ORDER BY o_orderkey""",
+    "f6_webmerc" ->
+      """WITH pts AS (
+           SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                  (c_custkey * 7 % 360) - 180 + 0.25 AS lon,
+                  (c_custkey * 13 % 140) - 70 + 0.25 AS lat
+           FROM customer)
+         SELECT c_custkey,
+                CAST(round(6378137.0 * radians(lon)) AS BIGINT) AS mx,
+                CAST(round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2))) AS BIGINT) AS my
+         FROM pts ORDER BY c_custkey""",
+    "f6_utm" ->
+      """WITH c0 AS (SELECT 6378137.0 AS aa, 1.0/298.257223563 AS f),
+         k1 AS (SELECT aa, f, f/(2-f) AS n, sqrt(f*(2-f)) AS e FROM c0),
+         k2 AS (SELECT aa, e, n,
+           aa/(1+n)*(1 + pow(n,2)/4 + pow(n,4)/64 + pow(n,6)/256) AS acap,
+           n/2 - 2.0/3*pow(n,2) + 5.0/16*pow(n,3) + 41.0/180*pow(n,4)
+             - 127.0/288*pow(n,5) + 7891.0/37800*pow(n,6) AS a1,
+           13.0/48*pow(n,2) - 3.0/5*pow(n,3) + 557.0/1440*pow(n,4)
+             + 281.0/630*pow(n,5) - 1983433.0/1935360*pow(n,6) AS a2,
+           61.0/240*pow(n,3) - 103.0/140*pow(n,4) + 15061.0/26880*pow(n,5)
+             + 167603.0/181440*pow(n,6) AS a3,
+           49561.0/161280*pow(n,4) - 179.0/168*pow(n,5)
+             + 6601661.0/7257600*pow(n,6) AS a4,
+           34729.0/80640*pow(n,5) - 3418889.0/1995840*pow(n,6) AS a5,
+           212378941.0/319334400*pow(n,6) AS a6
+         FROM k1),
+         pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           radians(9.25 + (c_custkey * 7 % 1150)/100.0) - radians(15.0) AS lon,
+           radians((c_custkey * 13 % 156) - 78 + 0.5) AS lat
+         FROM customer),
+         t1 AS (SELECT p.c_custkey, p.lat, p.lon, k2.*, sin(p.lat) AS sphi
+                FROM pts p CROSS JOIN k2),
+         t2 AS (SELECT *,
+           0.5*ln((1+sphi)/(1-sphi)) - e*(0.5*ln((1+e*sphi)/(1-e*sphi))) AS u
+         FROM t1),
+         t3 AS (SELECT *, (exp(u)-exp(-u))/2 AS t FROM t2),
+         t4a AS (SELECT *, sin(lon)/sqrt(t*t + cos(lon)*cos(lon)) AS v FROM t3),
+         t4 AS (SELECT *, atan2(t, cos(lon)) AS xip, ln(v + sqrt(v*v+1)) AS etap
+                FROM t4a),
+         t5 AS (SELECT *,
+           xip + a1*sin(2*xip)*(exp(2*etap)+exp(-2*etap))/2
+               + a2*sin(4*xip)*(exp(4*etap)+exp(-4*etap))/2
+               + a3*sin(6*xip)*(exp(6*etap)+exp(-6*etap))/2
+               + a4*sin(8*xip)*(exp(8*etap)+exp(-8*etap))/2
+               + a5*sin(10*xip)*(exp(10*etap)+exp(-10*etap))/2
+               + a6*sin(12*xip)*(exp(12*etap)+exp(-12*etap))/2 AS xi,
+           etap + a1*cos(2*xip)*(exp(2*etap)-exp(-2*etap))/2
+                + a2*cos(4*xip)*(exp(4*etap)-exp(-4*etap))/2
+                + a3*cos(6*xip)*(exp(6*etap)-exp(-6*etap))/2
+                + a4*cos(8*xip)*(exp(8*etap)-exp(-8*etap))/2
+                + a5*cos(10*xip)*(exp(10*etap)-exp(-10*etap))/2
+                + a6*cos(12*xip)*(exp(12*etap)-exp(-12*etap))/2 AS eta
+         FROM t4)
+         SELECT c_custkey,
+                CAST(round(500000.0 + 0.9996*acap*eta) AS BIGINT) AS ux,
+                CAST(round(0.9996*acap*xi) AS BIGINT) AS uy
+         FROM t5 ORDER BY c_custkey""",
+    "f6_stere" ->
+      """WITH c0 AS (SELECT 6378137.0 AS aa,
+             sqrt((1.0/298.257223563)*(2-1.0/298.257223563)) AS e),
+         o1 AS (SELECT aa, e, radians(40.0) AS phi1, radians(-100.0) AS lam0 FROM c0),
+         o2 AS (SELECT *,
+           2*atan(tan(pi()/4 + phi1/2)
+             * pow((1-e*sin(phi1))/(1+e*sin(phi1)), e/2)) - pi()/2 AS chi1,
+           cos(phi1)/sqrt(1 - e*e*sin(phi1)*sin(phi1)) AS m1
+         FROM o1),
+         o3 AS (SELECT *, 2*aa*1.0*m1/cos(chi1) AS akm1 FROM o2),
+         pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           radians((c_custkey * 7 % 360) - 180 + 0.25) AS lam,
+           radians((c_custkey * 13 % 80) - 20 + 0.25) AS phi
+         FROM customer),
+         q1 AS (SELECT p.c_custkey, p.lam, p.phi, o3.* FROM pts p CROSS JOIN o3),
+         q2 AS (SELECT *,
+           2*atan(tan(pi()/4 + phi/2)
+             * pow((1-e*sin(phi))/(1+e*sin(phi)), e/2)) - pi()/2 AS chi,
+           lam - lam0 AS dl
+         FROM q1),
+         q3 AS (SELECT *,
+           akm1/(1 + sin(chi1)*sin(chi) + cos(chi1)*cos(chi)*cos(dl)) AS biga
+         FROM q2)
+         SELECT c_custkey,
+                CAST(round(biga*cos(chi)*sin(dl)) AS BIGINT) AS sx,
+                CAST(round(biga*(cos(chi1)*sin(chi) - sin(chi1)*cos(chi)*cos(dl)))
+                  AS BIGINT) AS sy
+         FROM q3 ORDER BY c_custkey""",
+    "f5_affine" ->
+      """WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         q AS (SELECT k,
+           CAST(k % 100 AS DOUBLE) AS a0,
+           (k % 9 + 1) * CAST(0.5 AS DOUBLE) AS a1,
+           (k % 3) * CAST(0.125 AS DOUBLE) AS a2,
+           CAST(k % 50 AS DOUBLE) AS a3,
+           (k % 5) * CAST(0.0625 AS DOUBLE) AS a4,
+           -((k % 7 + 1) * CAST(0.25 AS DOUBLE)) AS a5,
+           CAST(k % 11 AS DOUBLE) AS tx, CAST(k % 13 AS DOUBLE) AS ty,
+           CAST(k % 16 AS DOUBLE) AS px, CAST(k % 17 AS DOUBLE) AS py
+         FROM p),
+         m AS (SELECT *,
+           a0 + a1*tx + a2*ty AS m0, a1 AS m1, a2 AS m2,
+           a3 + a4*tx + a5*ty AS m3, a4 AS m4, a5 AS m5
+         FROM q),
+         r AS (SELECT *, m1*m5 - m2*m4 AS det FROM m),
+         v AS (SELECT *, 1.0/det AS idet FROM r),
+         w AS (SELECT *, m5*idet AS i1, (-m2)*idet AS i2,
+                      (-m4)*idet AS i4, m1*idet AS i5 FROM v)
+         SELECT k AS s_suppkey,
+           round(m0 + m1*px + m2*py, 6) + 0.0 AS mx,
+           round(m3 + m4*px + m5*py, 6) + 0.0 AS my,
+           round(det, 6) + 0.0 AS det,
+           round(i1*(-m0) + i2*(-m3), 6) + 0.0 AS i0,
+           round(i1, 6) + 0.0 AS i1, round(i2, 6) + 0.0 AS i2,
+           round(i4*(-m0) + i5*(-m3), 6) + 0.0 AS i3,
+           round(i4, 6) + 0.0 AS i4, round(i5, 6) + 0.0 AS i5
+         FROM w ORDER BY s_suppkey""",
+    "w2_chunks" ->
+      """WITH p AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+         q AS (SELECT k, k * 524287 % 2621441 AS len FROM p),
+         r AS (SELECT k, len,
+           CASE WHEN len = 0 THEN 1
+                ELSE CAST(ceil(len / 524288.0) AS BIGINT) END AS n_parts
+         FROM q)
+         SELECT k AS n_nationkey, len, n_parts,
+           CASE WHEN len = 0 THEN 0
+                ELSE len - (n_parts - 1) * 524288 END AS last_len,
+           n_parts * (n_parts - 1) // 2 AS idx_sum
+         FROM r ORDER BY n_nationkey""",
+    "f8_palette" ->
+      """WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                    c_custkey % 257 AS idx FROM customer),
+         q AS (SELECT c_custkey, idx,
+           least(CAST(floor(idx / 64.0) AS BIGINT), 3) AS j FROM p),
+         seg AS (SELECT *, (idx - j*64) / 64.0 AS f,
+           CASE j WHEN 0 THEN 0 WHEN 1 THEN 255 WHEN 2 THEN 0 ELSE 32 END AS r0,
+           CASE j WHEN 0 THEN 255 WHEN 1 THEN 0 WHEN 2 THEN 32 ELSE 255 END AS r1,
+           CASE j WHEN 0 THEN 0 WHEN 1 THEN 128 WHEN 2 THEN 255 ELSE 64 END AS g0,
+           CASE j WHEN 0 THEN 128 WHEN 1 THEN 255 WHEN 2 THEN 64 ELSE 255 END AS g1,
+           CASE j WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 64 ELSE 128 END AS b0,
+           CASE j WHEN 0 THEN 0 WHEN 1 THEN 64 WHEN 2 THEN 128 ELSE 255 END AS b1,
+           CASE j WHEN 0 THEN 255 WHEN 1 THEN 255 WHEN 2 THEN 128 ELSE 255 END AS a0,
+           CASE j WHEN 0 THEN 255 WHEN 1 THEN 128 WHEN 2 THEN 255 ELSE 0 END AS a1
+         FROM q)
+         SELECT c_custkey, idx,
+           CAST(floor(r0*(1-f) + r1*f) AS BIGINT) AS r,
+           CAST(floor(g0*(1-f) + g1*f) AS BIGINT) AS g,
+           CAST(floor(b0*(1-f) + b1*f) AS BIGINT) AS b,
+           CAST(floor(a0*(1-f) + a1*f) AS BIGINT) AS a
+         FROM seg ORDER BY c_custkey""",
+    "g5_covers" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+         b AS (SELECT k,
+           (k*7 % 200) - 100 + 0.125 AS xmin,
+           (k*13 % 120) - 60 + 0.125 AS ymin,
+           (k*7 % 200) - 100 + 0.125 + (k % 5)*16 + 10.5 AS xmax,
+           (k*13 % 120) - 60 + 0.125 + (k % 3)*8 + 6.5 AS ymax
+         FROM p),
+         e AS (SELECT k,
+           CAST(floor(xmin/64) AS BIGINT) AS imin,
+           CAST(floor(xmax/64) AS BIGINT) AS imax,
+           CAST(floor(-ymax/64) AS BIGINT) AS jmin,
+           CAST(floor(-ymin/64) AS BIGINT) AS jmax
+         FROM b)
+         SELECT k AS p_partkey,
+           (imax - imin + 1) * (jmax - jmin + 1) AS n_cells,
+           imin, imax, jmin, jmax
+         FROM e ORDER BY p_partkey""",
     "j8_asof" ->
       """SELECT p.event_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,

@@ -284,8 +284,21 @@ object TextQueries {
       .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_id"))
       .orderBy("source")
 
+  /** mix_weighted — deterministic WEIGHTED sampling
+    * ([[graft.operators.Sampling.weightedTopK]], Efraimidis–Spirtakis
+    * A-ES): the 5 docs per source drawn without replacement with
+    * probability ∝ length. The md5-derived uniforms mean DuckDB can
+    * replay the exact draw — both engines rank the same ln(u)/w keys. */
+  def mixWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedTopK(
+        docs(s, dir), "doc_id", "source",
+        length(col("text")).cast("double") + 1.0, 5)
+      .select(col("source"), col("doc_id"), col("sample_rank"))
+      .orderBy("source", "sample_rank")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_stratified" -> mixStratified _,
+    "mix_weighted" -> mixWeighted _,
     "dedup_ngram" -> dedupNgram _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
@@ -316,6 +329,23 @@ object TextQueries {
           FROM documents JOIN rates ON source = src
           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
           GROUP BY source ORDER BY source"""
+    },
+    "mix_weighted" -> {
+      // u = (first 48 md5 bits + 0.5) / 2^48, rebuilt nibble-by-nibble
+      val uSum = (1 to 12).map(i =>
+        s"(strpos('0123456789abcdef', substr(m,$i,1))-1)*${1L << (4 * (12 - i))}.0")
+        .mkString(" +\n             ")
+      s"""WITH h AS (SELECT source, doc_id, length(text) + 1.0 AS w,
+               md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+          v AS (SELECT source, doc_id, w,
+            ($uSum + 0.5)/281474976710656.0 AS u FROM h),
+          r AS (SELECT source, doc_id,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY ln(u)/w DESC, doc_id) AS sample_rank
+          FROM v)
+          SELECT source, doc_id, sample_rank FROM r
+          WHERE sample_rank <= 5
+          ORDER BY source, sample_rank"""
     },
     "dedup_ngram" ->
       """WITH g AS (

@@ -574,6 +574,62 @@ object GeoTiff {
     scanIfds(data).map(tags => decodeDirectory(tags, fetch))
   }
 
+  /** Whole-container [[read]] parity past the 2 GiB array cap: every
+    * directory (overviews included) decoded through POSITIONED RANGE
+    * READS. Equivalent to `read` for containers that fit one byte array
+    * and THE full read for those that don't — a BigTIFF of any size
+    * decodes as long as each individual block and the header region fit
+    * a JVM array (per-directory payloads stay bounded regardless of the
+    * container total). */
+  def readRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, initial: Int = 256 * 1024): Seq[Directory] = {
+    def fetch(off: Long, len: Long): Array[Byte] = {
+      require(len <= Int.MaxValue, s"block of $len bytes exceeds 2 GiB")
+      val b = new Array[Byte](len.toInt)
+      readAt(off, b, 0, len.toInt)
+      b
+    }
+    val ifds = parseHeadGrowing(readAt, fileLen, initial) { buf =>
+      val parsed = scanIfds(buf)
+      // every tag value of every IFD must sit inside the buffered head
+      val maxEnd = parsed.iterator.flatMap(_.values).map(_.endPos)
+        .maxOption.getOrElse(0L)
+      if (maxEnd > buf.length) throw new IndexOutOfBoundsException(
+        s"tag data at $maxEnd beyond the ${buf.length}-byte buffered head")
+      parsed
+    }
+    ifds.map(tags => decodeDirectory(tags, fetch))
+  }
+
+  /** Geometric head-growth parse shared by the ranged readers: `parse`
+    * runs over a buffered prefix of the file and throws IndexOutOfBounds/
+    * BufferUnderflow when the prefix is too short; the buffer then grows
+    * ×4 (reading only the NEW bytes) until the parse succeeds. Keeps
+    * block decode out of the retry loop — callers fetch payloads exactly
+    * once, after the head is fully buffered. */
+  private def parseHeadGrowing[T](readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, initial: Int)(parse: Array[Byte] => T): T = {
+    var sz = math.max(16, math.min(initial.toLong, fileLen)).toInt
+    var buf = new Array[Byte](sz)
+    readAt(0L, buf, 0, sz)
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(parse(buf))
+      catch {
+        case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException
+            if sz < fileLen =>
+          val grown = math.min(fileLen, sz.toLong * 4)
+          require(grown <= Int.MaxValue,
+            "header region beyond 2 GiB — not a head-first layout")
+          val next = new Array[Byte](grown.toInt)
+          System.arraycopy(buf, 0, next, 0, sz)
+          readAt(sz.toLong, next, sz, grown.toInt - sz)
+          buf = next; sz = grown.toInt
+      }
+    }
+    out.get
+  }
+
   /** Decode ONE directory given its parsed tags and a block-fetch
     * primitive — the shared core of the whole-buffer [[read]] and the
     * range-reading [[readForResolutionRanged]] (which fetches only the
@@ -704,54 +760,37 @@ object GeoTiff {
       readAt(off, b, 0, len.toInt)
       b
     }
-    var sz = math.max(16, math.min(initial.toLong, fileLen)).toInt
-    var buf = new Array[Byte](sz)
-    readAt(0L, buf, 0, sz)
     // Two phases: the growth loop only PARSES (IFD scan + level choice +
     // tag-extent validation); block decode runs exactly once after the
     // head is fully buffered, so growth retries never re-fetch or
     // re-inflate tile data.
-    var plan: Option[(Seq[Map[Int, TagEntry]], Seq[Option[Int]])] = None
-    while (plan.isEmpty) {
-      try {
-        val ifds = scanIfds(buf)
-        val chains = chainIndices(ifds.map(t =>
-          (tagVal(t, TWidth), tagVal(t, THeight), tagVal(t, TNewSubfileType, 0) == 1)))
-        only.foreach(i => require(i >= 0 && i < chains.size,
-          s"subdir ${i + 1} out of range 1..${chains.size}"))
-        // missing ModelPixelScale reads as 1.0 — the same identity-
-        // transform default the header-only path uses, so payload and
-        // metadata projections agree on non-georeferenced TIFFs
-        def res(i: Int): Double =
-          tagDoubles(ifds(i), TModelPixelScale).headOption.getOrElse(1.0)
-        val chosen: Seq[Option[Int]] = chains.zipWithIndex.map { case (candidates, r) =>
-          if (only.exists(_ != r)) None
-          else Some(
-            if (targetRes > 0)
-              candidates.filter(i => math.abs(res(i)) <= targetRes + 1e-9)
-                .lastOption.getOrElse(candidates.head)
-            else candidates.head)
-        }
-        // every tag value of every chosen IFD must already sit inside the
-        // buffered head; if one spills past it, grow BEFORE decoding
-        val maxEnd = chosen.flatten.iterator
-          .flatMap(i => ifds(i).values).map(_.endPos).maxOption.getOrElse(0L)
-        if (maxEnd > sz) throw new IndexOutOfBoundsException(
-          s"tag data at $maxEnd beyond the $sz-byte buffered head")
-        plan = Some((ifds, chosen))
-      } catch {
-        case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException
-            if sz < fileLen =>
-          val grown = math.min(fileLen, sz.toLong * 4)
-          require(grown <= Int.MaxValue,
-            "header region beyond 2 GiB — not a head-first layout")
-          val next = new Array[Byte](grown.toInt)
-          System.arraycopy(buf, 0, next, 0, sz)
-          readAt(sz.toLong, next, sz, grown.toInt - sz)
-          buf = next; sz = grown.toInt
+    val (ifds, chosen) = parseHeadGrowing(readAt, fileLen, initial) { buf =>
+      val ifds = scanIfds(buf)
+      val chains = chainIndices(ifds.map(t =>
+        (tagVal(t, TWidth), tagVal(t, THeight), tagVal(t, TNewSubfileType, 0) == 1)))
+      only.foreach(i => require(i >= 0 && i < chains.size,
+        s"subdir ${i + 1} out of range 1..${chains.size}"))
+      // missing ModelPixelScale reads as 1.0 — the same identity-
+      // transform default the header-only path uses, so payload and
+      // metadata projections agree on non-georeferenced TIFFs
+      def res(i: Int): Double =
+        tagDoubles(ifds(i), TModelPixelScale).headOption.getOrElse(1.0)
+      val chosen: Seq[Option[Int]] = chains.zipWithIndex.map { case (candidates, r) =>
+        if (only.exists(_ != r)) None
+        else Some(
+          if (targetRes > 0)
+            candidates.filter(i => math.abs(res(i)) <= targetRes + 1e-9)
+              .lastOption.getOrElse(candidates.head)
+          else candidates.head)
       }
+      // every tag value of every chosen IFD must already sit inside the
+      // buffered head; if one spills past it, grow BEFORE decoding
+      val maxEnd = chosen.flatten.iterator
+        .flatMap(i => ifds(i).values).map(_.endPos).maxOption.getOrElse(0L)
+      if (maxEnd > buf.length) throw new IndexOutOfBoundsException(
+        s"tag data at $maxEnd beyond the ${buf.length}-byte buffered head")
+      (ifds, chosen)
     }
-    val (ifds, chosen) = plan.get
     chosen.map {
       case Some(i) => decodeDirectory(ifds(i), fetch).image
       case None => null

@@ -286,11 +286,55 @@ class GeoSpec extends AnyFunSuite {
     // serialize → parse round-trips the user-defined forms
     for (crs <- Seq(CRS.LAEA(10.5, 47.25, 100, 200),
         CRS.PolarStereographic(-45, north = true, 0.97, 10, 20),
-        CRS.ObliqueStereographic(5.4, 52.2, 0.9999, 155000, 463000))) {
+        CRS.ObliqueStereographic(5.4, 52.2, 0.9999, 155000, 463000),
+        CRS.StereographicProper(5.4, 52.2, 0.9999, 155000, 463000))) {
       val again = CRS.parse(CRS.serialize(crs))
       val (x0, y0) = crs.fromLonLat(6.0, 51.0)
       val (x1b, y1b) = again.fromLonLat(6.0, 51.0)
       assert(math.abs(x0 - x1b) < 1e-9 && math.abs(y0 - y1b) < 1e-9, crs.toString)
     }
+  }
+
+  test("stereographic proper (+proj=stere oblique): Snyder worked example") {
+    // Snyder 1987, Map Projections — A Working Manual, numerical example
+    // for the SPHERICAL oblique stereographic (p. 307): R=1, k0=1,
+    // φ1=40°N, λ0=100°W; point φ=30°N λ=75°W → x=0.3807224, y=−0.1263802.
+    // flattening=0 reduces the ellipsoidal form exactly to the spherical
+    // projection; our fixed a=6378137 plays R, so compare x/a, y/a.
+    val a = 6378137.0
+    val sphere = CRS.StereographicProper(-100, 40, 1.0, 0, 0, None, 0.0)
+    val (x, y) = sphere.fromLonLat(-75, 30)
+    assert(math.abs(x / a - 0.3807224) < 1e-6, s"x/R=${x / a}")
+    assert(math.abs(y / a - -0.1263802) < 1e-6, s"y/R=${y / a}")
+    // Snyder's inverse example: the same (x, y) recovers φ=30°, λ=−75°
+    val (lon, lat) = sphere.toLonLat(x, y)
+    assert(math.abs(lon + 75) < 1e-7 && math.abs(lat - 30) < 1e-7)
+
+    // ellipsoidal form: origin maps to (fe, fn), scale at origin ≈ k0
+    val st = CRS.StereographicProper(-100, 40, 0.9996, 1000, 2000)
+    val (ox, oy) = st.fromLonLat(-100, 40)
+    assert(math.abs(ox - 1000) < 1e-6 && math.abs(oy - 2000) < 1e-6)
+    val dLon = 1e-6
+    val (sx, _) = st.fromLonLat(-100 + dLon, 40)
+    val nu = a / math.sqrt(1 - 0.00669437999014132 * math.pow(math.sin(40 * math.Pi / 180), 2))
+    val arc = dLon * math.Pi / 180 * nu * math.cos(40 * math.Pi / 180)
+    assert(math.abs((sx - 1000) / arc - 0.9996) < 1e-6)
+    // round-trips far from the origin
+    for ((lo, la) <- Seq((-75.0, 30.0), (-130.0, 55.0), (-100.0, -10.0), (20.0, 40.0))) {
+      val (px, py) = st.fromLonLat(lo, la)
+      val (rlon, rlat) = st.toLonLat(px, py)
+      assert(math.abs(rlon - lo) < 1e-8 && math.abs(rlat - la) < 1e-8, s"($lo,$la)")
+    }
+    // parse routing: plain stere (non-polar) is the proper projection,
+    // sterea stays the 9809 double projection, and they genuinely differ
+    // away from the origin (meters — the reason both exist)
+    val viaParse = CRS.parse("+proj=stere +lat_0=40 +lon_0=-100")
+    assert(viaParse.isInstanceOf[CRS.StereographicProper])
+    val double = CRS.parse("+proj=sterea +lat_0=40 +lon_0=-100")
+    assert(double.isInstanceOf[CRS.ObliqueStereographic])
+    val (pxs, pys) = viaParse.fromLonLat(-75, 30)
+    val (pxd, pyd) = double.fromLonLat(-75, 30)
+    assert(math.hypot(pxs - pxd, pys - pyd) > 1.0) // distinct projections
+    assert(math.hypot(pxs - pxd, pys - pyd) < 2000.0) // but the same family
   }
 }

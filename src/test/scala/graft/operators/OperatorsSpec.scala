@@ -240,6 +240,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.rateThreshold(0.5) == "8000")
   }
 
+  test("weighted reservoir sampling (A-ES): exactly k per stratum, weight-sensitive, deterministic") {
+    import spark.implicits._
+    // ids 0,1,2 get weight 1e5 (one per stratum) vs 1.0 for the rest:
+    // u^(1/w) ≈ 1 for them, so each must appear in its stratum's sample
+    val df = (0 until 600).map { i =>
+      (i.toLong, s"s${i % 3}", if (i < 3) 1e5 else 1.0)
+    }.toDF("id", "stratum", "w")
+    val out = Sampling.weightedTopK(df, "id", "stratum", col("w"), 5)
+    val rows = out.collect()
+    val byStratum = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byStratum == Map("s0" -> 5, "s1" -> 5, "s2" -> 5)) // exactly k each
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L).subsetOf(ids), s"heavy ids missing from $ids")
+    // ranks are 1..k within each stratum
+    assert(rows.groupBy(_.getString(1)).values
+      .forall(_.map(_.getAs[Int]("sample_rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // no RNG state: a rerun draws the identical sample
+    val again = Sampling.weightedTopK(df, "id", "stratum", col("w"), 5)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("kmeans converges on separated clusters; ivfSearch finds neighbors") {
     import spark.implicits._
     // 3 well-separated 4-d clusters around (0,0,0,0), (10,...), (20,...)

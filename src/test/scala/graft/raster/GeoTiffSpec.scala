@@ -137,6 +137,30 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(bytesRead < bytes.length, s"read $bytesRead of ${bytes.length}")
   }
 
+  test("readRanged: whole-container read parity over positioned reads") {
+    // the >2 GiB-capable twin of read(data): every directory, overviews
+    // included, decoded through ranged fetches — container size bounded
+    // only by per-block arrays, not one whole-file buffer
+    val imgs = (1 to 3).map(v => img(64, 64, DType.UInt8,
+      Array.tabulate(64 * 64)(i => ((i * 2654435761L + v * 97) % 251).toDouble)))
+    val bytes = GeoTiff.write(imgs, overviewsMinSize = 32, compress = true,
+      tileSize = 16, bigTiff = true)
+    def readAt(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+      System.arraycopy(bytes, pos.toInt, buf, off, len)
+    // tiny initial buffer forces head growth through the IFD region
+    val ranged = GeoTiff.readRanged(readAt, bytes.length.toLong, initial = 64)
+    val inMem = GeoTiff.read(bytes)
+    assert(ranged.size == inMem.size)
+    for ((r, m) <- ranged.zip(inMem)) {
+      assert(r.isOverview == m.isOverview)
+      assert(r.image.bitmap.width == m.image.bitmap.width)
+      assert(r.image.bitmap.pixels.toSeq == m.image.bitmap.pixels.toSeq)
+      assert(r.image.transform == m.image.transform && r.image.crs == m.image.crs)
+    }
+    assert(ranged.count(!_.isOverview) == 3)
+    assert(ranged.exists(_.isOverview))
+  }
+
   test("multi-IFD stack addressed via GTIFF_DIR:n") {
     val a = img(2, 2, DType.UInt8, Array(1, 2, 3, 4))
     val b = img(2, 2, DType.UInt8, Array(9, 8, 7, 6))
