@@ -40,8 +40,10 @@ object Sampling {
     * per stratum are exactly a weighted sample without replacement.
     * No RNG state — reruns, retries and different cluster sizes keep
     * identical samples. The plan shuffles once on the stratum key for
-    * the window rank; k is small, so at scale AQE's partial top-k and
-    * the rank's early cutoff keep per-stratum state at O(k). */
+    * the window rank, and Spark plans a WindowGroupLimit Partial BEFORE
+    * that exchange (verified in PLANS.md): each task forwards at most k
+    * rows per stratum, so the shuffle moves O(k·strata·tasks) rows, not
+    * the corpus. */
   def weightedTopK(df: DataFrame, idCol: String, strataCol: String,
       weight: Column, k: Int): DataFrame = {
     require(k > 0, s"sample size $k must be positive")

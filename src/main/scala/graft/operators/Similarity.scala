@@ -199,6 +199,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ encode — the composition real ANN deployments ship: each
+    * vector coarse-assigns to its nearest IVF centroid, then PQ-encodes
+    * its RESIDUAL (v − centroid). Residuals are smaller than raw vectors,
+    * so the same codebooks quantize them with far less error, and the
+    * output row is (list id, m code ints) — what a 100 TB corpus stores
+    * hot; the vector column can be dropped downstream. One
+    * broadcast-literal codegen'd pass, no shuffle. */
+  def ivfPqEncode(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
+      cb: PqCodebooks): DataFrame = {
+    val assigned = ivfAssign(df, vecCol, centroids)
+    val cents = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val resid = zip_with(col(vecCol).cast("array<double>"),
+      element_at(cents, col("__ivf_list") + 1), (a, b) => a - b)
+    pqEncode(assigned.withColumn("__resid", resid), "__resid", cb)
+      .drop("__resid")
+  }
+
+  /** IVF-PQ search: probe the nProbe lists nearest the query; within
+    * each, ADC-score codes against the distance table of the query's
+    * RESIDUAL for that list (per-list tables are driver-side literals —
+    * nProbe·m·k doubles). The scan reads list id + codes only; with the
+    * encoded table partitioned by `__ivf_list`, the probe filter becomes
+    * partition pruning and the job touches nProbe partitions of a 100 TB
+    * corpus. Approximate by construction — re-rank the short list
+    * against true vectors when exact order matters. */
+  def ivfPqSearch(encoded: DataFrame, centroids: Seq[Seq[Double]],
+      cb: PqCodebooks, query: Seq[Double], k: Int, nProbe: Int,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(query.size == cb.dim, s"query dim ${query.size} != ${cb.dim}")
+    val sub = cb.dim / cb.m
+    val nearest = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    // one ADC table per probed list, over the query residual for that list
+    val tables: Seq[Seq[Seq[Double]]] = nearest.map { l =>
+      val qr = query.zip(centroids(l)).map { case (a, b) => a - b }
+      (0 until cb.m).map { j =>
+        val q = qr.slice(j * sub, (j + 1) * sub)
+        cb.books(j).map(c => q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }
+    val probedLits = array(nearest.map(lit): _*)
+    val tableLit = array(tables.map(tb =>
+      array(tb.map(row => array(row.map(lit): _*)): _*)): _*)
+    // the row's table = the literal at its list's probe position
+    val t = element_at(tableLit,
+      array_position(probedLits, col("__ivf_list")).cast("int"))
+    val score = aggregate(
+      zip_with(col("__pq_code"), sequence(lit(0), lit(cb.m - 1)),
+        (c, j) => element_at(element_at(t, j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    encoded.filter(col("__ivf_list").isin(nearest: _*))
+      .withColumn("pq_dist2", score)
+      .orderBy(col("pq_dist2") +: tieBreak: _*)
+      .limit(k)
+  }
+
   /** Lloyd k-means over an embedding column — the IVF training step
     * (train → [[ivfAssign]] → [[ivfSearch]] completes the ANN lifecycle
     * in-engine). Deterministic seeding: the first k vectors in `idCol`

@@ -58,6 +58,13 @@ object SimilarityQueries {
     Seq.fill(M)(Seq.fill(PQK)(Seq.fill(sub)(next())))
   }
 
+  /** Literal IVF coarse centroids for sim_ivfpq_topk — quality is
+    * irrelevant for correctness (any fixed centroids define valid lists);
+    * data-range scale keeps the 4 lists all populated. */
+  private val IVFK = 4
+  private[queries] val ivfCentroids: Seq[Seq[Double]] =
+    (0 until IVFK).map(i => lcgVec(301L + i * 97L, DIM, 0.125))
+
   private def lcgVec(seed: Long, n: Int, scale: Double): Seq[Double] = {
     var state = seed
     Seq.fill(n) {
@@ -262,8 +269,29 @@ object SimilarityQueries {
         round(col("pq_dist2"), 6).as("pq_dist2"))
   }
 
+  /** sim_ivfpq_topk — the IVF-PQ composition ([[graft.operators
+    * .Similarity.ivfPqEncode]]/[[graft.operators.Similarity.ivfPqSearch]]):
+    * coarse-assign to 4 literal centroids, PQ-encode the residuals, then
+    * probe the 2 lists nearest the query and ADC-score codes against the
+    * per-list residual distance tables. The scan after encode reads
+    * (list, codes) only; the oracle replays assignment, residual codes
+    * and the literal tables in DuckDB. */
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val cb = graft.operators.Similarity.PqCodebooks(DIM, M, PQK, codebooks)
+    val enc = graft.operators.Similarity.ivfPqEncode(
+      emb(s, dir).select(col("vec_id"), col("label"), col("v")),
+      "v", ivfCentroids, cb)
+    graft.operators.Similarity
+      .ivfPqSearch(enc, ivfCentroids, cb, queryVec, k = 10, nProbe = 2,
+        tieBreak = Seq(col("vec_id")))
+      .select(col("vec_id"), col("label"),
+        col("__ivf_list").cast("long").as("list"),
+        round(col("pq_dist2"), 6).as("pq_dist2"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> simCosineTopk _,
+    "sim_ivfpq_topk" -> simIvfPqTopk _,
     "sim_lsh_buckets" -> simLshBuckets _,
     "sim_lsh_histogram" -> simLshHistogram _,
     "sim_label_stats" -> simLabelStats _,
@@ -327,7 +355,67 @@ object SimilarityQueries {
       .map(j => s"(${adcTable(j).mkString("CAST([", ", ", "] AS DOUBLE[])")})[c$j + 1]")
       .mkString(" + ")
 
+    // sim_ivfpq_topk: coarse argmin over the literal IVF centroids,
+    // residual vs the assigned centroid, PQ codes over residual slices,
+    // then per-probed-list residual ADC tables — the probed lists and
+    // tables come from the IDENTICAL driver-side arithmetic ivfPqSearch
+    // runs, so the literals match to the bit.
+    def ivfDist(i: Int) =
+      s"list_aggregate(list_transform(list_zip(v, ${duckPlane(ivfCentroids(i))}), " +
+        "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+    val ivfDistCols = (0 until IVFK).map(i => s"${ivfDist(i)} AS e_$i")
+      .mkString(",\n              ")
+    val ivfArgmin = {
+      val cases = (0 until IVFK - 1).map { i =>
+        val beats = (i + 1 until IVFK).map(x => s"e_$i <= e_$x")
+        s"WHEN ${beats.mkString(" AND ")} THEN $i"
+      }
+      s"CASE ${cases.mkString(" ")} ELSE ${IVFK - 1} END"
+    }
+    val residCase = (0 until IVFK).map(i =>
+      s"WHEN $i THEN list_transform(list_zip(v, ${duckPlane(ivfCentroids(i))}), " +
+        "p -> p[1]-p[2])").mkString("CASE cl ", " ", " END")
+    def rDist(j: Int, i: Int) =
+      s"list_aggregate(list_transform(list_zip(r[${j * sub + 1}:${(j + 1) * sub}], " +
+        s"${duckPlane(codebooks(j)(i))}), p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+    val rDistCols = (for (j <- 0 until M; i <- 0 until PQK)
+      yield s"${rDist(j, i)} AS d_${j}_$i").mkString(",\n              ")
+    val ivfNearest = ivfCentroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(2).map(_._1)
+    val listTables: Map[Int, Seq[Seq[Double]]] = ivfNearest.map { l =>
+      val qr = queryVec.zip(ivfCentroids(l)).map { case (a, b) => a - b }
+      l -> (0 until M).map { j =>
+        val q = qr.slice(j * sub, (j + 1) * sub)
+        codebooks(j).map(c => q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }.toMap
+    def listScore(l: Int) = (0 until M)
+      .map(j => s"(${listTables(l)(j).mkString("CAST([", ", ", "] AS DOUBLE[])")})[c$j + 1]")
+      .mkString(" + ")
+    val ivfpqScore = ivfNearest.map(l => s"WHEN $l THEN ${listScore(l)}")
+      .mkString("CASE cl ", " ", " END")
+
     Map(
+      "sim_ivfpq_topk" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            a AS (SELECT vec_id, label, v,
+              $ivfDistCols
+              FROM e),
+            b AS (SELECT vec_id, label, v, CAST($ivfArgmin AS INT) AS cl FROM a),
+            c AS (SELECT vec_id, label, cl, $residCase AS r
+              FROM b WHERE cl IN (${ivfNearest.mkString(", ")})),
+            d AS (SELECT vec_id, label, cl,
+              $rDistCols
+              FROM c),
+            enc AS (SELECT vec_id, label, cl,
+              ${(0 until M).map(pqArgmin).mkString(",\n              ")}
+              FROM d)
+            SELECT vec_id, label, CAST(cl AS BIGINT) AS list,
+              round($ivfpqScore, 6) AS pq_dist2
+            FROM enc ORDER BY $ivfpqScore, vec_id LIMIT 10""",
       "sim_ann_probe" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT vec_id, label, round(${duckCos("v", qLit)}, 6) AS cos

@@ -23,6 +23,19 @@ final case class JobFsmState(seen: Seq[String], failed: Int)
 final case class JobProgress(
     job_id: String, expected: Int, finished: Int, failed: Int, state: String)
 
+/** One banded-signature arrival: a document id + one of its LSH band
+  * buckets (band index folded into the key). */
+final case class BandArrival(doc_id: Long, bucket: String)
+
+/** Streaming state per LSH bucket: doc ids seen so far (capped) + the
+  * overflow flag once the cap is hit. */
+final case class BucketState(ids: Seq[Long], overflowed: Boolean)
+
+/** A streaming candidate emission: a near-dup candidate pair, or (with
+  * `overflowed = true` and sentinel ids) a bucket-overflow notice. */
+final case class CandidatePair(
+    doc_a: Long, doc_b: Long, bucket: String, overflowed: Boolean)
+
 /** The event/ingestion path (SURVEY §2.12): the reference runs an
   * at-least-once queue (pgqueue/PubSub) whose consumers drive the job FSM
   * with idempotent guards (operations.go:69-117 handleTaskEvt). The Spark
@@ -125,6 +138,68 @@ object EventStream {
             else "CONSOLIDATIONDONE"
           Iterator(JobProgress(job, expected, st.seen.size, st.failed, phase))
       }
+  }
+
+  /** Streaming near-dup candidate generation — the continuous-ingest twin
+    * of [[graft.operators.Dedup.lshNearDupPairs]]: arriving documents are
+    * exploded to their MinHash band keys ([[bandArrivals]], one row per
+    * band), state per band bucket keeps the doc ids seen so far, and each
+    * new arrival emits a candidate pair against every id already in its
+    * bucket. Confirmation (true Jaccard over token sets) stays a batch
+    * join downstream — state carries IDS ONLY, so a bucket member costs
+    * ~8 bytes, and `maxPerBucket` bounds the skew pathology (a degenerate
+    * band key collecting the whole corpus): past the cap a bucket stops
+    * emitting and flags `overflowed` in its last emission, the same
+    * documented trade-off as the batch operator's 2-row-band note. Scale
+    * shape: state partitions by bucket across executors; the per-arrival
+    * work is O(bucket size) ≤ maxPerBucket. */
+  def streamingCandidatePairs(arrivals: Dataset[BandArrival],
+      maxPerBucket: Int = 64): Dataset[CandidatePair] = {
+    import arrivals.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    arrivals.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[BandArrival],
+            state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(Vector.empty, false))
+          val out = Seq.newBuilder[CandidatePair]
+          rows.foreach { r =>
+            if (!st.ids.contains(r.doc_id)) { // at-least-once dedup guard
+              if (st.ids.size < maxPerBucket) {
+                st.ids.foreach { prev =>
+                  val (a, b) =
+                    if (prev < r.doc_id) (prev, r.doc_id) else (r.doc_id, prev)
+                  out += CandidatePair(a, b, bucket, overflowed = false)
+                }
+                st = BucketState(st.ids :+ r.doc_id, st.overflowed)
+              } else if (!st.overflowed) {
+                st = st.copy(overflowed = true)
+                out += CandidatePair(-1L, -1L, bucket, overflowed = true)
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Explode a document stream to (doc_id, band-bucket) arrivals using
+    * the SAME MinHash banding as the batch operator, so a corpus can mix
+    * batch backfill and streaming ingest against one key space. */
+  def bandArrivals(docs: DataFrame, idCol: String, textCol: String,
+      nHashes: Int = 8, rowsPerBand: Int = 4): Dataset[BandArrival] = {
+    import docs.sparkSession.implicits._
+    require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
+    val nBands = nHashes / rowsPerBand
+    val mh = graft.operators.Dedup.minhash(col(textCol), nHashes)
+    val buckets = (0 until nBands).map { b =>
+      concat(lit(s"b$b|"),
+        concat(mh.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*))
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array(buckets: _*)).as("bucket"))
+      .as[BandArrival]
   }
 
   /** Windowed ingestion aggregation (the watermark+window shape of

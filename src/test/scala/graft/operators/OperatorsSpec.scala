@@ -311,6 +311,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.length == 10 && hits.forall(_ % 3 == 1), hits.toSeq.toString)
   }
 
+  test("IVF-PQ: residual encode + probed ADC search stays in the probed lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 3 separated 8-d clusters; coarse centroids sit near each, so
+    // residuals live in [-0.25, 0.75] and the literal books cover them
+    val pts = (0 until 120).map { i =>
+      val c = i % 3 * 10.0
+      (i.toLong, Seq.fill(8)(c + rnd.nextDouble() * 0.5))
+    }.toDF("id", "v")
+    val centroids = Seq(Seq.fill(8)(0.25), Seq.fill(8)(10.25), Seq.fill(8)(20.25))
+    val books = Seq.fill(4)(Seq(Seq(-0.2, -0.2), Seq(0.0, 0.0),
+      Seq(0.2, 0.2), Seq(0.1, -0.1)))
+    val cb = Similarity.PqCodebooks(8, 4, 4, books)
+    val enc = Similarity.ivfPqEncode(pts, "v", centroids, cb)
+    // coarse assignment recovers the generating cluster
+    val lists = enc.select(col("id"), col("__ivf_list")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0 until 120).forall(i => lists(i.toLong) == i % 3))
+    // codes are m=4 ints in range, over RESIDUALS (so they vary within a
+    // cluster but are not cluster-constant offsets)
+    val codes = enc.select(col("id"), col("__pq_code")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1)).toMap
+    assert(codes.values.forall(c => c.size == 4 && c.forall(x => x >= 0 && x < 4)))
+    assert(codes.values.toSet.size > 3, "residual codes should vary")
+    // query near cluster 1, nProbe=1: every hit comes from list 1
+    val q = Seq.fill(8)(10.1)
+    val hits1 = Similarity.ivfPqSearch(enc, centroids, cb, q, k = 10,
+      nProbe = 1, tieBreak = Seq(col("id"))).select("id")
+      .collect().map(_.getLong(0))
+    assert(hits1.length == 10 && hits1.forall(_ % 3 == 1), hits1.toSeq.toString)
+    // nProbe=2 widens to lists {1, 0 or 2} but cluster-1 residual scores
+    // (≈0.01) still beat the other probed list's (≈97) — same top set
+    val hits2 = Similarity.ivfPqSearch(enc, centroids, cb, q, k = 10,
+      nProbe = 2, tieBreak = Seq(col("id"))).select("id")
+      .collect().map(_.getLong(0))
+    assert(hits2.length == 10 && hits2.forall(_ % 3 == 1), hits2.toSeq.toString)
+  }
+
   test("token count estimate adds subword tokens for long words") {
     val n = spark.range(1).select(
       TextAnalysis.tokenCountEstimate(lit("hi internationalization")).as("n"))

@@ -122,6 +122,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm(new java.io.File(dropDir))
   }
 
+  test("streaming near-dup candidates: cross-batch pairs, dedup guard, overflow cap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val arrivals = EventStream.bandArrivals(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    val pairs = EventStream.streamingCandidatePairs(arrivals, maxPerBucket = 3)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("streampairs").start()
+    try {
+      // batch 1: two identical docs (share every band) + one distinct
+      stream.addData(
+        (1L, "alpha beta gamma delta"),
+        (2L, "alpha beta gamma delta"),
+        (3L, "omega psi chi phi"))
+      q.processAllAvailable()
+      val b1 = spark.sql("SELECT doc_a, doc_b FROM streampairs WHERE NOT overflowed")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+      assert(b1 == Seq((1L, 2L)), b1.toString)
+      // batch 2: a LATER near-dup still pairs with the docs from batch 1 —
+      // the state store carries the bucket membership across batches; the
+      // replayed id 2 emits nothing new (at-least-once guard)
+      stream.addData((4L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val b2 = spark.sql("SELECT doc_a, doc_b FROM streampairs WHERE NOT overflowed")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+      assert(b2 == Seq((1L, 2L), (1L, 4L), (2L, 4L)), b2.toString)
+      // batch 3: a fourth member overflows the 3-cap — flagged, no pair spray
+      stream.addData((5L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val b3 = spark.sql("SELECT doc_a, doc_b FROM streampairs WHERE NOT overflowed")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).distinct.sorted.toSeq
+      assert(b3 == b2, s"capped bucket must not add pairs: $b3")
+      val ov = spark.sql("SELECT count(*) FROM streampairs WHERE overflowed")
+        .collect().head.getLong(0)
+      assert(ov >= 1, "overflow notice expected")
+    } finally q.stop()
+  }
+
   test("job FSM via flatMapGroupsWithState: stateful dedup + completion transition") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
