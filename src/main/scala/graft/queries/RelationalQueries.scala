@@ -811,6 +811,94 @@ object RelationalQueries {
       .orderBy("p_partkey")
   }
 
+  /** a4_mosaic — the latest-first mosaic reduce (A4, reference
+    * image.go:321-384) with the REAL [[graft.raster.Warp.mergeDatasets]]
+    * kernel per row: two aligned 2×2 uint8 sources painted oldest→newest
+    * over a nodata-initialized accumulator, 50% valid-pixel gate.
+    * DuckDB mirrors newest-valid-wins per pixel plus the threshold drop —
+    * all-integer pixel values, so the compare is exact. */
+  def a4Mosaic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{DataFormat, DataMapping, DType, NumRange}
+    import graft.geo.{Affine, CRS}
+    import graft.raster.{Bitmap, OutDescriptor, Resampling, SourceRaster, Warp}
+    val mapping = DataMapping(
+      DataFormat(DType.UInt8, 0.0, NumRange(0, 255)), NumRange(0, 255), 1.0)
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .flatMap { k =>
+        def src(vals: Seq[Double]) = SourceRaster(
+          new Bitmap(2, 2, 1, DType.UInt8, vals.toArray),
+          Affine.identity, CRS.WGS84, mapping)
+        // sparse sources (older valid on ~1/3 of pixels, newer on ~1/4)
+        // so the 50% valid-pixel gate actually drops rows
+        val older = (0 until 4).map(i =>
+          (((k * 3 + i) % 7) * (((k + i) % 3) / 2)).toDouble)
+        val newer = (0 until 4).map(i =>
+          (((k * 5 + i) % 5) * (((k + 2 * i) % 4) / 3)).toDouble)
+        val out = OutDescriptor(2, 2, 1, Affine.identity, CRS.WGS84, mapping,
+          Resampling.Near, validPixPc = 50)
+        Warp.mergeDatasets(Seq(src(older), src(newer)), out).map { b =>
+          (k, b.get(0, 0, 0).toLong, b.get(1, 0, 0).toLong,
+            b.get(0, 1, 0).toLong, b.get(1, 1, 0).toLong)
+        }
+      }
+      .toDF("s_suppkey", "o0", "o1", "o2", "o3")
+      .orderBy("s_suppkey")
+  }
+
+  /** f3_cast_compose — the cast-composition algebra (F3, reference
+    * image.go:166-219 CastDatasetOptions): [[graft.core.Cast.castParams]]
+    * collapses src→external→dst into ONE closed-form scale+exponent, and
+    * the row emits BOTH the composed result and the two-hop
+    * [[graft.core.Cast.castValueBF]] — one DuckDB formula checks them
+    * against each other and against the algebra. */
+  def f3CastCompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{Cast, DataFormat, DataMapping, DType, NumRange}
+    val from = DataMapping(
+      DataFormat(DType.Float32, Double.NaN, NumRange(0, 50000)), NumRange(0, 1), 2.0)
+    val to = DataMapping(
+      DataFormat(DType.Float64, Double.NaN, NumRange(0, 100)), NumRange(0, 1), 1.0)
+    val params = Cast.castParams(from, to).get
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"),
+        col("l_extendedprice").cast("double"))
+      .as[(Long, Long, Double)]
+      .map { case (o, ln, v) => (o, ln, params(v), Cast.castValueBF(v, from, to)) }
+      .toDF("l_orderkey", "l_linenumber", "vc", "vbf")
+      .withColumn("vc", round(col("vc"), 6))
+      .withColumn("vbf", round(col("vbf"), 6))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** p9_antimeridian — ingest-time antimeridian normalization (P9/S7,
+    * reference pg_containers.go:124-167 splitGeom) with the REAL
+    * [[graft.geo.GeomOps.normalizeAntimeridian]] kernel per row: boxes
+    * spanning 60°..355° longitude either stay put (≤180), split in two at
+    * the meridian (crossing), or translate west (beyond 180). Exact
+    * 0.25-grid coordinates keep the JTS slab intersection, union and
+    * shoelace areas binary-exact, so DuckDB mirrors with plain CASE
+    * arithmetic. */
+  def p9Antimeridian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.geo.{BBox, GeomOps}
+    t(s, dir, "part")
+      .select(col("p_partkey").cast("long")).as[Long]
+      .map { k =>
+        val xmin = (k * 11 % 240).toDouble + 60.25
+        val w = (k % 4) * 15 + 10.5
+        val ymin = (k % 60).toDouble - 30.25
+        val g = GeomOps.polygonFromBBox(BBox(xmin, ymin, xmin + w, ymin + 8.5))
+        val n = GeomOps.normalizeAntimeridian(g)
+        val env = n.getEnvelopeInternal
+        (k, n.getNumGeometries.toLong, n.getArea, env.getMinX, env.getMaxX)
+      }
+      .toDF("p_partkey", "n_parts", "area", "minx", "maxx")
+      .withColumn("area", round(col("area"), 4))
+      .orderBy("p_partkey")
+  }
+
   /** Synthetic lon/lat point grid for the F6 reprojection oracles: one
     * point per customer, lon spread over the given range. */
   private def lonLatPoints(s: SparkSession, dir: String,
@@ -919,6 +1007,9 @@ object RelationalQueries {
     "f6_utm" -> f6Utm _,
     "f6_stere" -> f6Stere _,
     "f5_affine" -> f5Affine _,
+    "a4_mosaic" -> a4Mosaic _,
+    "p9_antimeridian" -> p9Antimeridian _,
+    "f3_cast_compose" -> f3CastCompose _,
     "w2_chunks" -> w2Chunks _,
     "f8_palette" -> f8Palette _,
     "g5_covers" -> g5Covers _)
@@ -1102,6 +1193,49 @@ object RelationalQueries {
            round(i4*(-m0) + i5*(-m3), 6) + 0.0 AS i3,
            round(i4, 6) + 0.0 AS i4, round(i5, 6) + 0.0 AS i5
          FROM w ORDER BY s_suppkey""",
+    "a4_mosaic" ->
+      """WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         v AS (SELECT k,
+           ((k*3+0)%7) * (((k+0)%3)//2) AS a0, ((k*5+0)%5) * (((k+0)%4)//3) AS n0,
+           ((k*3+1)%7) * (((k+1)%3)//2) AS a1, ((k*5+1)%5) * (((k+2)%4)//3) AS n1,
+           ((k*3+2)%7) * (((k+2)%3)//2) AS a2, ((k*5+2)%5) * (((k+4)%4)//3) AS n2,
+           ((k*3+3)%7) * (((k+3)%3)//2) AS a3, ((k*5+3)%5) * (((k+6)%4)//3) AS n3
+         FROM p),
+         px AS (SELECT k,
+           CASE WHEN n0 <> 0 THEN n0 WHEN a0 <> 0 THEN a0 ELSE 0 END AS o0,
+           CASE WHEN n1 <> 0 THEN n1 WHEN a1 <> 0 THEN a1 ELSE 0 END AS o1,
+           CASE WHEN n2 <> 0 THEN n2 WHEN a2 <> 0 THEN a2 ELSE 0 END AS o2,
+           CASE WHEN n3 <> 0 THEN n3 WHEN a3 <> 0 THEN a3 ELSE 0 END AS o3
+         FROM v)
+         SELECT k AS s_suppkey, o0, o1, o2, o3 FROM px
+         WHERE (CASE WHEN o0 <> 0 THEN 1 ELSE 0 END +
+                CASE WHEN o1 <> 0 THEN 1 ELSE 0 END +
+                CASE WHEN o2 <> 0 THEN 1 ELSE 0 END +
+                CASE WHEN o3 <> 0 THEN 1 ELSE 0 END) >= 2
+         ORDER BY s_suppkey""",
+    "f3_cast_compose" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(0.0 + 100.0 * pow((l_extendedprice - 0.0) / 50000.0, 2.0), 6) AS vc,
+           round(0.0 + 100.0 * pow((l_extendedprice - 0.0) / 50000.0, 2.0), 6) AS vbf
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "p9_antimeridian" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+         b AS (SELECT k,
+           (k*11 % 240) + CAST(60.25 AS DOUBLE) AS xmin,
+           (k % 4)*15 + CAST(10.5 AS DOUBLE) AS w
+         FROM p),
+         c AS (SELECT k, xmin, w, xmin + w AS xmax FROM b)
+         SELECT k AS p_partkey,
+           CASE WHEN xmax <= 180 OR xmin >= 180 THEN 1 ELSE 2 END AS n_parts,
+           round(w * CAST(8.5 AS DOUBLE), 4) AS area,
+           CASE WHEN xmax <= 180 THEN xmin
+                WHEN xmin >= 180 THEN xmin - 360
+                ELSE CAST(-180 AS DOUBLE) END AS minx,
+           CASE WHEN xmax <= 180 THEN xmax
+                WHEN xmin >= 180 THEN xmax - 360
+                ELSE CAST(180 AS DOUBLE) END AS maxx
+         FROM c ORDER BY p_partkey""",
     "w2_chunks" ->
       """WITH p AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
          q AS (SELECT k, k * 524287 % 2621441 AS len FROM p),
