@@ -283,6 +283,14 @@ class GeoSpec extends AnyFunSuite {
     val ob = CRS.parse(obWkt).asInstanceOf[CRS.ObliqueStereographic]
     assert(math.abs(ob.fromLonLat(5.38763889, 52.15616056)._1 - 155000.0) < 1e-6)
 
+    // WKT routing: "Oblique_Stereographic"/"Double_Stereographic" are the
+    // EPSG 9809 double projection; a plain "Stereographic" projection
+    // name is the single (Snyder) form
+    assert(CRS.parse(obWkt.replace("Oblique_Stereographic", "Double_Stereographic"))
+      .isInstanceOf[CRS.ObliqueStereographic])
+    assert(CRS.parse(obWkt.replace("Oblique_Stereographic", "Stereographic"))
+      .isInstanceOf[CRS.StereographicProper])
+
     // serialize → parse round-trips the user-defined forms
     for (crs <- Seq(CRS.LAEA(10.5, 47.25, 100, 200),
         CRS.PolarStereographic(-45, north = true, 0.97, 10, 20),

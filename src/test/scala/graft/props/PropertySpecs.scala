@@ -254,6 +254,56 @@ object TmercProps extends Properties("tmerc") {
     }
 }
 
+object StereProps extends Properties("stere") {
+  val genOrigin: Gen[(Double, Double, Double)] = for {
+    lon0 <- Gen.choose(-177.0, 177.0)
+    lat0 <- Gen.choose(-75.0, 75.0)
+    k0 <- Gen.oneOf(0.994, 0.9996, 1.0)
+  } yield (lon0, lat0, k0)
+
+  // probe points within ~30° angular distance of the origin (the regime
+  // an oblique stereographic CRS is ever used in)
+  val genOffset: Gen[(Double, Double)] = for {
+    dLon <- Gen.choose(-30.0, 30.0)
+    dLat <- Gen.choose(-14.0, 14.0)
+  } yield (dLon, dLat)
+
+  property("fromLonLat∘toLonLat = id in the use regime") =
+    forAll(genOrigin, genOffset) { case ((lon0, lat0, k0), (dLon, dLat)) =>
+      val lat = math.max(-89.0, math.min(89.0, lat0 + dLat))
+      val lon = ((lon0 + dLon + 540) % 360) - 180
+      val st = CRS.StereographicProper(lon0, lat0, k0, 155000, 463000)
+      val (x, y) = st.fromLonLat(lon, lat)
+      val (lon2, lat2) = st.toLonLat(x, y)
+      Prop(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7) :|
+        s"($lon0,$lat0) probe ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)"
+    }
+
+  property("natural origin maps to (fe, fn); scale there ≈ k0") =
+    forAll(genOrigin) { case (lon0, lat0, k0) =>
+      val st = CRS.StereographicProper(lon0, lat0, k0, 155000, 463000)
+      val (x, y) = st.fromLonLat(lon0, lat0)
+      // conformal: a tiny eastward arc measures k0 × its ellipsoidal length
+      val d = 1e-7
+      val (x2, _) = st.fromLonLat(lon0 + d, lat0)
+      val e2 = 0.00669437999014132
+      val nu = 6378137.0 / math.sqrt(1 - e2 * math.pow(math.sin(lat0.toRadians), 2))
+      val arc = d.toRadians * nu * math.cos(lat0.toRadians)
+      val scale = (x2 - x) / arc
+      Prop(math.abs(x - 155000) < 1e-6 && math.abs(y - 463000) < 1e-6 &&
+        math.abs(scale - k0) < 1e-5) :| s"origin ($x,$y), scale $scale vs $k0"
+    }
+
+  property("serialize → parse round-trips the projection") =
+    forAll(genOrigin) { case (lon0, lat0, k0) =>
+      val st = CRS.StereographicProper(lon0, lat0, k0)
+      val again = CRS.parse(CRS.serialize(st))
+      val (x1, y1) = st.fromLonLat(lon0 + 2, lat0 + 1)
+      val (x2, y2) = again.fromLonLat(lon0 + 2, lat0 + 1)
+      Prop(math.abs(x1 - x2) < 1e-9 && math.abs(y1 - y2) < 1e-9)
+    }
+}
+
 object TiledCodecProps extends Properties("tiled-codec") {
   import graft.raster.{Bitmap, GeoTiff}
 
