@@ -106,6 +106,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact duplicate-SPAN detection — the substring-level dedup class
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", which finds repeated ≥k-token spans with a suffix
+    * array; this is the Spark-shaped equivalent over fixed k-token
+    * windows): every window hashes to 16 bytes, a window whose hash
+    * recurs ANYWHERE in the corpus (other docs or the same one) is a
+    * duplicate span, and each affected doc reports the union coverage of
+    * its duplicated windows. Scale shape: the window explode is map-side
+    * and ships (id, start, hash) only — text never shuffles; duplicate
+    * detection is one keyed count per hash; the interval union is a
+    * per-doc window over dup spans only. At 100 TB the hash relation is
+    * the only wide shuffle, ~24 bytes per window. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"window of $k tokens")
+    import org.apache.spark.sql.expressions.Window
+    val spans = df
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") >= k)
+      .select(col("__id"), col("__n"),
+        explode(transform(sequence(lit(0), col("__n") - k), i =>
+          struct(i.as("start"),
+            md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))).as("h")))).as("s"))
+      .select(col("__id"), col("__n"),
+        col("s.start").as("start"), col("s.h").as("h"))
+    val dup = spans.groupBy("h")
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("h")
+    val w = Window.partitionBy("__id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spans.join(dup, "h")
+      .withColumn("__prevEnd", max(col("start") + k).over(w))
+      .withColumn("__cov", greatest(lit(0),
+        col("start") + k - greatest(col("start"), coalesce(col("__prevEnd"), lit(0)))))
+      .groupBy(col("__id"), col("__n"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("__cov")).as("dup_tokens"))
+      .select(col("__id").as(idCol), col("n_dup_spans"), col("dup_tokens"),
+        col("__n").cast("long").as("n_tokens"),
+        round(col("dup_tokens") / col("__n"), 6).as("dup_fraction"))
+  }
+
   /** N-gram (shingle) Jaccard similarity column between two token-set
     * columns (for candidate confirmation or ad-hoc pair scoring). Inputs
     * must be sorted distinct arrays — which [[tokenSet]] and

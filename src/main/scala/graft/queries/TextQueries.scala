@@ -296,9 +296,20 @@ object TextQueries {
       .select(col("source"), col("doc_id"), col("sample_rank"))
       .orderBy("source", "sample_rank")
 
+  /** dedup_spans — exact duplicate-span detection
+    * ([[graft.operators.Dedup.duplicateSpans]], the Spark shape of
+    * suffix-array substring dedup): 5-token windows whose hash recurs
+    * anywhere in the corpus, rolled up to per-doc duplicated-token
+    * coverage (union of overlapping dup windows via a running-max
+    * window). All-integer interval math, so the oracle is exact. */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_stratified" -> mixStratified _,
     "mix_weighted" -> mixWeighted _,
+    "dedup_spans" -> dedupSpans _,
     "dedup_ngram" -> dedupNgram _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
@@ -347,6 +358,28 @@ object TextQueries {
           WHERE sample_rank <= 5
           ORDER BY source, sample_rank"""
     },
+    "dedup_spans" ->
+      s"""WITH t0 AS (SELECT doc_id, $tokSql AS t FROM documents),
+          t1 AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) >= 5),
+          sp AS (SELECT doc_id, n,
+            UNNEST(list_transform(range(0, n - 5 + 1),
+              i -> {'start': i, 'h': md5(array_to_string(t[i+1:i+5], ' '))})) AS s
+          FROM t1),
+          fl AS (SELECT doc_id, n, s.start AS start, s.h AS h FROM sp),
+          dup AS (SELECT h FROM fl GROUP BY h HAVING count(*) > 1),
+          j AS (SELECT doc_id, n, start FROM fl JOIN dup USING (h)),
+          c AS (SELECT doc_id, n, start,
+            max(start + 5) OVER (PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM j),
+          v AS (SELECT doc_id, n,
+            greatest(0, start + 5 - greatest(start, coalesce(prev_end, 0))) AS cov
+          FROM c)
+          SELECT doc_id, count(*) AS n_dup_spans,
+            CAST(sum(cov) AS BIGINT) AS dup_tokens,
+            CAST(n AS BIGINT) AS n_tokens,
+            round(sum(cov) / n, 6) AS dup_fraction
+          FROM v GROUP BY doc_id, n ORDER BY doc_id""",
     "dedup_ngram" ->
       """WITH g AS (
            SELECT doc_id, source,

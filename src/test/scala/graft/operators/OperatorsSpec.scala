@@ -349,6 +349,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits2.length == 10 && hits2.forall(_ % 3 == 1), hits2.toSeq.toString)
   }
 
+  test("duplicateSpans: cross-doc and within-doc repeats, overlap union") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"),        // shares "a b c d e","b c d e f" with doc 2
+      (2L, "x a b c d e f y"),
+      (3L, "p q r s t p q r s t"),  // window 0 == window 5 (self-repeat)
+      (4L, "unique words only here nothing repeats at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: dup windows at starts 0,1 → union covers tokens [0,6) of 7
+    assert(out(1L) == ((2L, 6L, 7L, math.rint(6.0 / 7 * 1e6) / 1e6)), out(1L).toString)
+    // doc 2: dup windows at starts 1,2 → 6 of 8 tokens covered
+    assert(out(2L) == ((2L, 6L, 8L, 0.75)), out(2L).toString)
+    // doc 3: self-repeat at starts 0 and 5 → all 10 tokens covered
+    assert(out(3L) == ((2L, 10L, 10L, 1.0)), out(3L).toString)
+    // doc 4: no repeated window anywhere → absent
+    assert(!out.contains(4L))
+  }
+
   test("token count estimate adds subword tokens for long words") {
     val n = spark.range(1).select(
       TextAnalysis.tokenCountEstimate(lit("hi internationalization")).as("n"))
