@@ -87,6 +87,42 @@ object TextAnalysis {
     *
     * Returns (idCol, n_tokens, avg_nll, perplexity), perplexity derived
     * from the 6-dp-rounded avg_nll so downstream thresholds are stable. */
+  /** TF-IDF cosine between candidate doc pairs — the content-similarity
+    * RERANK step that follows candidate generation (LSH pairs, adjacent
+    * ids, retrieval hits): raw-count TF × ln(N/df) IDF, sparse dot via a
+    * token-keyed join inside each pair, normalized by the per-doc vector
+    * norms. Scale shape: TF/IDF/norms are keyed aggregations; the pair
+    * scoring joins move (id, token, weight) rows only — never dense
+    * vectors; the lone broadcast is the 1-row corpus count. `pairs` must
+    * have columns `doc_a`/`doc_b` matching `idCol`'s type. */
+  def tfidfCosine(corpus: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, toks: Column => Column = tokens): DataFrame = {
+    val flat = corpus.select(col(idCol).as("__id"),
+      explode(toks(col(textCol))).as("__t"))
+    val tf = flat.groupBy("__id", "__t")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val n = corpus.agg(count(lit(1)).cast("double").as("__nn"))
+    val df = tf.groupBy("__t").agg(count(lit(1)).cast("double").as("__df"))
+    val w = tf.join(df, "__t").crossJoin(broadcast(n))
+      .select(col("__id"), col("__t"),
+        (col("__tf") * log(col("__nn") / col("__df"))).as("__w"))
+    val norms = w.groupBy("__id")
+      .agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
+    val dot = pairs
+      .join(w.select(col("__id").as("doc_a"), col("__t"), col("__w").as("__wa")), "doc_a")
+      .join(w.select(col("__id").as("doc_b"), col("__t"), col("__w").as("__wb")),
+        Seq("doc_b", "__t"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+    pairs
+      .join(dot, Seq("doc_a", "doc_b"), "left")
+      .join(norms.select(col("__id").as("doc_a"), col("__nrm").as("__na")), "doc_a")
+      .join(norms.select(col("__id").as("doc_b"), col("__nrm").as("__nb")), "doc_b")
+      .withColumn("tfidf_cos",
+        round(coalesce(col("__dot"), lit(0.0)) / (col("__na") * col("__nb")), 6))
+      .select(col("doc_a"), col("doc_b"), col("tfidf_cos"))
+  }
+
   def unigramNll(corpus: DataFrame, idCol: String, textCol: String,
       toks: Column => Column = tokens): DataFrame = {
     val flat = corpus.select(col(idCol), explode(toks(col(textCol))).as("__t"))

@@ -306,10 +306,30 @@ object TextQueries {
     graft.operators.Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id")
 
+  /** text_tfidf_cos — TF-IDF cosine rerank
+    * ([[graft.operators.TextAnalysis.tfidfCosine]]) over the same
+    * adjacent-per-source candidate pairs dedup_ngram scores: raw-count TF
+    * × ln(N/df) IDF, sparse token-join dot, per-doc norms. The
+    * content-similarity step that follows candidate generation in a
+    * curation pipeline. */
+  def textTfidfCos(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val pairs = d
+      .withColumn("doc_a", lag("doc_id", 1).over(bySource))
+      .filter(col("doc_a").isNotNull)
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    graft.operators.TextAnalysis.tfidfCosine(d, pairs, "doc_id", "text",
+        c => filter(split(c, " "), x => x =!= ""))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_stratified" -> mixStratified _,
     "mix_weighted" -> mixWeighted _,
     "dedup_spans" -> dedupSpans _,
+    "text_tfidf_cos" -> textTfidfCos _,
     "dedup_ngram" -> dedupNgram _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
@@ -358,6 +378,32 @@ object TextQueries {
           WHERE sample_rank <= 5
           ORDER BY source, sample_rank"""
     },
+    "text_tfidf_cos" ->
+      s"""WITH tok AS (SELECT doc_id, UNNEST($tokSql) AS token FROM documents),
+          tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+                 FROM tok GROUP BY doc_id, token),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          idf AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY token),
+          w AS (SELECT tf.doc_id, tf.token, tf.tf * ln(nn.n / idf.df) AS w
+                FROM tf CROSS JOIN nn JOIN idf ON tf.token = idf.token),
+          nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+          pairs AS (SELECT * FROM (
+            SELECT lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS doc_a,
+                   doc_id AS doc_b
+            FROM documents) WHERE doc_a IS NOT NULL),
+          dt AS (SELECT p.doc_a, p.doc_b, sum(wa.w * wb.w) AS dot
+                 FROM pairs p
+                 JOIN w wa ON wa.doc_id = p.doc_a
+                 JOIN w wb ON wb.doc_id = p.doc_b AND wb.token = wa.token
+                 GROUP BY p.doc_a, p.doc_b)
+          SELECT p.doc_a, p.doc_b,
+            round(coalesce(dt.dot, 0.0) / (na.nrm * nb.nrm), 6) AS tfidf_cos
+          FROM pairs p
+          LEFT JOIN dt ON p.doc_a = dt.doc_a AND p.doc_b = dt.doc_b
+          JOIN nrm na ON na.doc_id = p.doc_a
+          JOIN nrm nb ON nb.doc_id = p.doc_b
+          ORDER BY p.doc_a, p.doc_b""",
     "dedup_spans" ->
       s"""WITH t0 AS (SELECT doc_id, $tokSql AS t FROM documents),
           t1 AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) >= 5),

@@ -370,6 +370,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("tfidfCosine: identical docs score 1, disjoint docs score 0") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = TextAnalysis.tfidfCosine(corpus, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0, out.toString) // same tokens, same weights
+    assert(out((1L, 3L)) == 0.0, out.toString) // no shared token
+  }
+
   test("token count estimate adds subword tokens for long words") {
     val n = spark.range(1).select(
       TextAnalysis.tokenCountEstimate(lit("hi internationalization")).as("n"))

@@ -29,7 +29,8 @@ class PlanShapeSpec extends AnyFunSuite {
   val bnljAllowed: Set[String] = Set(
     "sim_cosine_topk", "sim_ivf_topk", // broadcast query vector / probe ids
     "j5_range_join", "g1_grid_assign", // broadcast range-bucket literal dims
-    "text_idf", "text_perplexity") // broadcast 1-row corpus/model totals
+    // broadcast 1-row corpus/model totals
+    "text_idf", "text_perplexity", "text_tfidf_cos")
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
