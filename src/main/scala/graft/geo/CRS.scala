@@ -8,8 +8,10 @@ package graft.geo
   * plus the azimuthal families round 2/3 added: arbitrary-origin
   * transverse Mercator, Lambert azimuthal equal-area (EPSG 9820),
   * polar stereographic variants A/B (EPSG 9810/9829), oblique
-  * (double) stereographic (EPSG 9809) and the oblique/equatorial
-  * stereographic proper (PROJ `+proj=stere` away from the poles).
+  * (double) stereographic (EPSG 9809), the oblique/equatorial
+  * stereographic proper (PROJ `+proj=stere` away from the poles),
+  * and the conic family: Lambert conformal conic 1SP/2SP
+  * (EPSG 9801/9802 — Lambert-93, State Plane, Canada Atlas).
   * All with standard public formulas (Snyder 1987; IOGP Guidance
   * Note 7-2; PROJ/Karney Krüger series).
   * All transforms are (lon, lat) degrees ↔ planar (x, y) meters.
@@ -430,6 +432,77 @@ object CRS {
     }
   }
 
+  /** Lambert conformal conic on WGS84 (EPSG methods 9801 1SP / 9802 2SP;
+    * IOGP Guidance Note 7-2 §3.1.1; Snyder 1987 §15). The reference accepts
+    * any PROJ-known CRS (internal/utils/proj/proj.go:26-75); LCC is what
+    * France Lambert-93 (EPSG:2154), most US State Plane zones and Canada's
+    * national grids use. The 1SP method is the `lat1 = lat2 = lat0`
+    * instance carrying its k0; 2SP keeps k0 = 1 and a false origin whose
+    * latitude may sit off both parallels. `semiMajor`/`flattening` default
+    * to WGS84 and exist so the published worked examples on other
+    * ellipsoids (Clarke 1866) can drive the vector tests. */
+  final case class LambertConformalConic(lon0Deg: Double, lat0Deg: Double,
+      lat1Deg: Double, lat2Deg: Double, k0: Double = 1.0,
+      fe: Double = 0.0, fn: Double = 0.0,
+      sridOpt: Option[Int] = None,
+      semiMajor: Double = A, flattening: Double = F) extends CRS {
+    require(math.abs(lat1Deg) < 90 - 1e-9 && math.abs(lat2Deg) < 90 - 1e-9,
+      s"standard parallels must be non-polar: $lat1Deg, $lat2Deg")
+    require(math.abs(lat1Deg + lat2Deg) > 1e-9,
+      s"parallels symmetric about the equator degenerate (n=0): $lat1Deg, $lat2Deg")
+    val srid: Int = sridOpt.getOrElse(32767)
+    private val e2 = flattening * (2 - flattening); private val e = math.sqrt(e2)
+    private val lon0 = lon0Deg * D2R
+    /** isometric-latitude exponential t(φ) — IOGP GN 7-2 eq. for 9802. */
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) *
+        math.pow((1 + e * s) / (1 - e * s), e / 2)
+    }
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private val phi1 = lat1Deg * D2R; private val phi2 = lat2Deg * D2R
+    /** cone constant; the single-parallel limit is sin φ1 (method 9801). */
+    private val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (math.log(mOf(phi1)) - math.log(mOf(phi2))) /
+        (math.log(tOf(phi1)) - math.log(tOf(phi2)))
+    private val bigF = mOf(phi1) / (n * math.pow(tOf(phi1), n))
+    private val aFk = semiMajor * bigF * k0
+    /** cone radius at the (false/natural) origin latitude. */
+    private val r0 = aFk * math.pow(tOf(lat0Deg * D2R), n)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      // the pole on the cone-apex side has t→0 so r→0: maps to the apex
+      val r = aFk * math.pow(tOf(latDeg * D2R), n)
+      val theta = n * (lonDeg * D2R - lon0)
+      (fe + r * math.sin(theta), fn + r0 - r * math.cos(theta))
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - fe; val yr = r0 - (y - fn)
+      // when n < 0 the signs of E' and (r0−N') flip for both r' and θ'
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rP = sgn * math.hypot(xr, yr)
+      if (math.abs(rP) < 1e-9) return (lon0Deg, if (n >= 0) 90.0 else -90.0)
+      val tP = math.pow(rP / aFk, 1.0 / n)
+      val theta = math.atan2(sgn * xr, sgn * yr)
+      // φ from t' by the same fixed-point as polar stereographic
+      var phi = math.Pi / 2 - 2 * math.atan(tP)
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val next = math.Pi / 2 - 2 * math.atan(
+          tP * math.pow((1 - e * s) / (1 + e * s), e / 2))
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 }
+        else { phi = next; i += 1 }
+      }
+      (((theta / n + lon0) * R2D + 540) % 360 - 180, phi * R2D)
+    }
+  }
+
   /** CRS from user input: "EPSG:4326", "epsg:32633", srid int. */
   def fromSrid(srid: Int): CRS = srid match {
     case 4326 => WGS84
@@ -443,6 +516,11 @@ object CRS {
     case 5042 => PolarStereographic(0, north = false, sridOpt = Some(5042)) // UPS South
     case 3031 => PolarStereographic.fromStandardParallel(0, -71, 0, 0, Some(3031)) // Antarctic
     case 3413 => PolarStereographic.fromStandardParallel(-45, 70, 0, 0, Some(3413)) // NSIDC North
+    // named conic instances (GRS80 ≈ WGS84, same < 1 mm caveat as above)
+    case 2154 => LambertConformalConic(3, 46.5, 44, 49, 1.0,
+      700000, 6600000, Some(2154)) // RGF93 / Lambert-93
+    case 3978 => LambertConformalConic(-95, 49, 49, 77, 1.0,
+      0, 0, Some(3978)) // NAD83 / Canada Atlas Lambert
     case s => throw new IllegalArgumentException(s"unsupported SRID: $s")
   }
 
@@ -495,6 +573,11 @@ object CRS {
           d("x_0", 0), d("y_0", 0))
       case Some("laea") =>
         LAEA(d("lon_0", 0), d("lat_0", 0), d("x_0", 0), d("y_0", 0))
+      case Some("lcc") =>
+        // PROJ: lat_2 defaults to lat_1; the 1SP form keeps its +k_0
+        val l1 = d("lat_1", 0); val l2 = d("lat_2", l1)
+        LambertConformalConic(d("lon_0", 0), d("lat_0", 0), l1, l2,
+          d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0))
       case Some("stere") if math.abs(d("lat_0", 0)) >= 90 - 1e-9 =>
         // polar: +lat_ts (standard parallel, variant B) wins over +k
         val lts = d("lat_ts", Double.NaN)
@@ -551,9 +634,10 @@ object CRS {
         def p(names: Seq[String], dflt: Double): Double =
           names.collectFirst { case nm if params.contains(nm) => params(nm) }.getOrElse(dflt)
         val lat0 = p(Seq("latitude_of_origin", "latitude_of_natural_origin",
-          "latitude_of_center"), 0)
+          "latitude_of_center", "latitude_of_false_origin"), 0)
         val lon0 = p(Seq("central_meridian", "longitude_of_natural_origin",
-          "longitude_of_center", "longitude_of_origin"), 0)
+          "longitude_of_center", "longitude_of_origin",
+          "longitude_of_false_origin"), 0)
         val k0 = p(Seq("scale_factor", "scale_factor_at_natural_origin"), 1.0)
         val feP = p(Seq("false_easting", "easting_at_false_origin"), 0)
         val fnP = p(Seq("false_northing", "northing_at_false_origin"), 0)
@@ -562,6 +646,17 @@ object CRS {
             tmercOrUtm(lon0, lat0, k0, feP, fnP)
           case Some(name) if name.contains("azimuthal_equal_area") =>
             LAEA(lon0, lat0, feP, fnP)
+          case Some(name) if name.contains("lambert_conformal") ||
+              name.contains("lambert_conic") =>
+            // 2SP (EPSG 9802) when standard parallels are spelled out;
+            // 1SP (9801) otherwise — the origin latitude IS the parallel
+            val sp1 = p(Seq("standard_parallel_1",
+              "latitude_of_1st_standard_parallel"), Double.NaN)
+            val sp2 = p(Seq("standard_parallel_2",
+              "latitude_of_2nd_standard_parallel"), Double.NaN)
+            if (sp1.isNaN) LambertConformalConic(lon0, lat0, lat0, lat0, k0, feP, fnP)
+            else LambertConformalConic(lon0, lat0, sp1,
+              if (sp2.isNaN) sp1 else sp2, k0, feP, fnP)
           case Some(name) if name.contains("polar_stereographic") =>
             // variant B carries a standard parallel (|φ| < 90 in the
             // latitude slot) and no scale factor; variant A a ±90 origin + k0
@@ -609,6 +704,10 @@ object CRS {
     case o: ObliqueStereographic =>
       s"+proj=sterea +lat_0=${o.lat0Deg} +lon_0=${o.lon0Deg} +k=${o.k0}" +
         s" +x_0=${o.fe} +y_0=${o.fn}"
+    case l: LambertConformalConic =>
+      s"+proj=lcc +lat_1=${l.lat1Deg} +lat_2=${l.lat2Deg}" +
+        s" +lat_0=${l.lat0Deg} +lon_0=${l.lon0Deg} +k_0=${l.k0}" +
+        s" +x_0=${l.fe} +y_0=${l.fn}"
     case c => s"EPSG:${c.srid}"
   }
 

@@ -959,6 +959,25 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** f6_lcc — ST_Transform through the Lambert conformal conic 2SP
+    * ([[graft.geo.CRS.LambertConformalConic]], EPSG 9802 as Lambert-93 /
+    * EPSG:2154), mirrored formula-for-formula in DuckDB: m/t at both
+    * parallels, cone constant n, F, then r·sin/cos(nΔλ) per row. Latitudes
+    * stay in [20.25, 59.75] so the cone radius (and with it the
+    * meter-rounding error budget) stays bounded away from the far pole. */
+  def f6Lcc(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_point, st_transform, st_x, st_y}
+    lonLatPoints(s, dir,
+      (col("c_custkey") * 7 % 70) - 30 + 0.25,
+      (col("c_custkey") * 13 % 40) + 20 + 0.25)
+      .withColumn("pt", st_transform(st_point(col("lon"), col("lat")),
+        lit("EPSG:4326"), lit("EPSG:2154")))
+      .select(col("c_custkey"),
+        round(st_x(col("pt"))).cast("long").as("lx"),
+        round(st_y(col("pt"))).cast("long").as("ly"))
+      .orderBy("c_custkey")
+  }
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1006,6 +1025,7 @@ object RelationalQueries {
     "f6_webmerc" -> f6Webmerc _,
     "f6_utm" -> f6Utm _,
     "f6_stere" -> f6Stere _,
+    "f6_lcc" -> f6Lcc _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
     "p9_antimeridian" -> p9Antimeridian _,
@@ -1164,6 +1184,36 @@ object RelationalQueries {
                 CAST(round(biga*(cos(chi1)*sin(chi) - sin(chi1)*cos(chi)*cos(dl)))
                   AS BIGINT) AS sy
          FROM q3 ORDER BY c_custkey""",
+    "f6_lcc" ->
+      """WITH c0 AS (SELECT 6378137.0 AS aa,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
+             sqrt((1.0/298.257223563)*(2-1.0/298.257223563)) AS e),
+         o1 AS (SELECT aa, e2, e, radians(44.0) AS phi1, radians(49.0) AS phi2,
+             radians(46.5) AS phi0, radians(3.0) AS lam0 FROM c0),
+         o2 AS (SELECT *,
+           cos(phi1)/sqrt(1 - e2*sin(phi1)*sin(phi1)) AS m1,
+           cos(phi2)/sqrt(1 - e2*sin(phi2)*sin(phi2)) AS m2,
+           tan(pi()/4 - phi1/2) * pow((1+e*sin(phi1))/(1-e*sin(phi1)), e/2) AS t1,
+           tan(pi()/4 - phi2/2) * pow((1+e*sin(phi2))/(1-e*sin(phi2)), e/2) AS t2,
+           tan(pi()/4 - phi0/2) * pow((1+e*sin(phi0))/(1-e*sin(phi0)), e/2) AS t0
+         FROM o1),
+         o3 AS (SELECT *, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n FROM o2),
+         o4 AS (SELECT *, aa * (m1/(n*pow(t1,n))) * 1.0 AS afk FROM o3),
+         o5 AS (SELECT *, afk * pow(t0, n) AS r0 FROM o4),
+         pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           radians((c_custkey * 7 % 70) - 30 + 0.25) AS lam,
+           radians((c_custkey * 13 % 40) + 20 + 0.25) AS phi
+         FROM customer),
+         q1 AS (SELECT p.c_custkey, p.lam, p.phi, o5.* FROM pts p CROSS JOIN o5),
+         q2 AS (SELECT *,
+           afk * pow(tan(pi()/4 - phi/2)
+             * pow((1+e*sin(phi))/(1-e*sin(phi)), e/2), n) AS r,
+           n * (lam - lam0) AS th
+         FROM q1)
+         SELECT c_custkey,
+                CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
+                CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
+         FROM q2 ORDER BY c_custkey""",
     "f5_affine" ->
       """WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
          q AS (SELECT k,

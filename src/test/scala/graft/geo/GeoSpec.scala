@@ -65,7 +65,8 @@ class GeoSpec extends AnyFunSuite {
     assert(CRS.parse("epsg:3857") == CRS.WebMercator)
     assert(CRS.parse("EPSG:32633") == CRS.UTM(33, north = true))
     assert(CRS.fromSrid(32723) == CRS.UTM(23, north = false))
-    assertThrows[IllegalArgumentException](CRS.fromSrid(2154))
+    assert(CRS.fromSrid(2154).isInstanceOf[CRS.LambertConformalConic]) // Lambert-93
+    assertThrows[IllegalArgumentException](CRS.fromSrid(4269)) // NAD83 geographic
   }
 
   test("proj4 string parsing: longlat, merc, utm, tmerc") {
@@ -344,5 +345,98 @@ class GeoSpec extends AnyFunSuite {
     val (pxd, pyd) = double.fromLonLat(-75, 30)
     assert(math.hypot(pxs - pxd, pys - pyd) > 1.0) // distinct projections
     assert(math.hypot(pxs - pxd, pys - pyd) < 2000.0) // but the same family
+  }
+
+  test("Lambert conformal conic (EPSG 9801/9802): IOGP worked examples") {
+    // IOGP GN 7-2 §3.1.1, LCC 1SP — Jamaica 1969 / Jamaica National Grid
+    // (Clarke 1866: a=6378206.400 m, 1/f=294.97870): φ0=18°N λ0=77°W k0=1,
+    // FE=250000, FN=150000. Test point φ=17°55'55.80"N λ=76°56'37.26"W →
+    // E 255966.58, N 142493.51.
+    val jng = CRS.LambertConformalConic(-77, 18, 18, 18, 1.0, 250000, 150000,
+      None, 6378206.400, 1.0 / 294.97870)
+    val lat = 17 + 55.0 / 60 + 55.80 / 3600
+    val lon = -(76 + 56.0 / 60 + 37.26 / 3600)
+    val (x, y) = jng.fromLonLat(lon, lat)
+    assert(math.abs(x - 255966.58) < 0.05, s"E=$x")
+    assert(math.abs(y - 142493.51) < 0.05, s"N=$y")
+    val (rlon, rlat) = jng.toLonLat(x, y)
+    assert(math.abs(rlon - lon) < 1e-9 && math.abs(rlat - lat) < 1e-9)
+
+    // IOGP GN 7-2 §3.1.1, LCC 2SP — NAD27 / Texas South Central, worked
+    // in US survey feet (a = 20925832.16 ft, e² = 0.00676866):
+    // φF=27°50' λF=99°W, φ1=28°23' φ2=30°17', EF=2000000 NF=0.
+    // Test point φ=28°30'N λ=96°W → E 2963503.91, N 254759.80 (US ft).
+    val tx = CRS.LambertConformalConic(-99, 27 + 50.0 / 60,
+      28 + 23.0 / 60, 30 + 17.0 / 60, 1.0, 2000000, 0,
+      None, 20925832.16, 1 - math.sqrt(1 - 0.00676866))
+    val (ex, ny) = tx.fromLonLat(-96, 28.5)
+    assert(math.abs(ex - 2963503.91) < 0.1, s"E=$ex")
+    assert(math.abs(ny - 254759.80) < 0.1, s"N=$ny")
+    val (tlon, tlat) = tx.toLonLat(ex, ny)
+    assert(math.abs(tlon + 96) < 1e-9 && math.abs(tlat - 28.5) < 1e-9)
+  }
+
+  test("LCC: Lambert-93 instance, conformal-scale property, routing") {
+    val l93 = CRS.fromSrid(2154).asInstanceOf[CRS.LambertConformalConic]
+    // false origin maps to (FE, FN) exactly
+    val (ox, oy) = l93.fromLonLat(3.0, 46.5)
+    assert(math.abs(ox - 700000) < 1e-6 && math.abs(oy - 6600000) < 1e-6)
+    // conformal with two standard parallels: scale is exactly 1 on both —
+    // a tiny eastward arc along φ1/φ2 measures its true ellipsoidal length
+    for (sp <- Seq(44.0, 49.0)) {
+      val dLon = 1e-6
+      val (x0, y0) = l93.fromLonLat(3.0, sp)
+      val (x1, y1) = l93.fromLonLat(3.0 + dLon, sp)
+      val nu = 6378137.0 /
+        math.sqrt(1 - 0.00669437999014132 * math.pow(math.sin(sp * math.Pi / 180), 2))
+      val arc = dLon * math.Pi / 180 * nu * math.cos(sp * math.Pi / 180)
+      assert(math.abs(math.hypot(x1 - x0, y1 - y0) / arc - 1.0) < 1e-6, s"φ=$sp")
+    }
+    // round trips across the usable domain (metropolitan France + the
+    // overseas domain the projection still resolves, incl. southern lat)
+    for ((lo, la) <- Seq((2.35, 48.85), (-4.5, 48.4), (9.5, 41.9),
+        (55.5, -21.1), (-61.5, 16.25))) {
+      val (px, py) = l93.fromLonLat(lo, la)
+      val (rl, rb) = l93.toLonLat(px, py)
+      assert(math.abs(rl - lo) < 1e-8 && math.abs(rb - la) < 1e-8, s"($lo,$la)")
+    }
+    // proj4 routing matches the EPSG instance; serialize round-trips
+    val viaProj = CRS.parse(
+      "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000")
+    assert(viaProj.isInstanceOf[CRS.LambertConformalConic])
+    val (vx, vy) = viaProj.fromLonLat(2.35, 48.85)
+    val (gx, gy) = l93.fromLonLat(2.35, 48.85)
+    assert(math.abs(vx - gx) < 1e-6 && math.abs(vy - gy) < 1e-6)
+    val again = CRS.parse(CRS.serialize(viaProj))
+    val (ax, ay) = again.fromLonLat(2.35, 48.85)
+    assert(math.abs(ax - vx) < 1e-9 && math.abs(ay - vy) < 1e-9)
+    // WKT routing: the 2SP name reads both parallels; the 1SP name takes
+    // the origin latitude as the standard parallel
+    val wkt2sp = """PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",DATUM["RGF93",
+      SPHEROID["GRS 80",6378137,298.257222101]]],
+      PROJECTION["Lambert_Conformal_Conic_2SP"],
+      PARAMETER["standard_parallel_1",44],PARAMETER["standard_parallel_2",49],
+      PARAMETER["latitude_of_origin",46.5],PARAMETER["central_meridian",3],
+      PARAMETER["false_easting",700000],PARAMETER["false_northing",6600000],
+      UNIT["metre",1]]"""
+    val (wx, wy) = CRS.parse(wkt2sp).fromLonLat(2.35, 48.85)
+    assert(math.abs(wx - gx) < 1e-6 && math.abs(wy - gy) < 1e-6)
+    val wkt1sp = """PROJCS["unnamed",GEOGCS["WGS 84",DATUM["WGS_1984",
+      SPHEROID["WGS 84",6378137,298.257223563]]],
+      PROJECTION["Lambert_Conformal_Conic_1SP"],
+      PARAMETER["latitude_of_origin",18],PARAMETER["central_meridian",-77],
+      PARAMETER["scale_factor",1],
+      PARAMETER["false_easting",250000],PARAMETER["false_northing",150000],
+      UNIT["metre",1]]"""
+    val w1 = CRS.parse(wkt1sp).asInstanceOf[CRS.LambertConformalConic]
+    assert(w1.lat1Deg == 18 && w1.lat2Deg == 18)
+    // southern-cone aspect (n < 0) round-trips through the sign-flipped
+    // inverse (IOGP note on negative n)
+    val south = CRS.LambertConformalConic(-60, -40, -35, -45)
+    for ((lo, la) <- Seq((-58.4, -34.6), (-70.65, -33.45), (-47.9, -15.8))) {
+      val (px, py) = south.fromLonLat(lo, la)
+      val (rl, rb) = south.toLonLat(px, py)
+      assert(math.abs(rl - lo) < 1e-8 && math.abs(rb - la) < 1e-8, s"($lo,$la)")
+    }
   }
 }
