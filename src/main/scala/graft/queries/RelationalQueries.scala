@@ -847,6 +847,64 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** a4_warp — the reproject+resample configuration GetCube actually runs
+    * (D3, reference image.go:321-384), with the REAL
+    * [[graft.raster.Warp.mergeDatasets]] kernel per row at realistic
+    * geometry: a 64×96 WebMercator source warped onto a 64×64 WGS84 grid
+    * (3857→4326) with BILINEAR resampling. Every input is an exact binary
+    * fraction (2048 m source pixels, 1/64° target pixels, integer-degree
+    * origins, source origin snapped to the 2048 m lattice), so the only
+    * inexactness is the shared Mercator transcendental — DuckDB replays
+    * the whole per-pixel chain (target affine → Mercator → inverse source
+    * affine → 2×2 bilinear with explicit weight normalization) and the
+    * compare holds at integer-scaled checksums + 6 dp corner probes. */
+  def a4Warp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{DataFormat, DataMapping, DType, NumRange}
+    import graft.geo.{Affine, CRS}
+    import graft.raster.{Bitmap, OutDescriptor, Resampling, SourceRaster, Warp}
+    val mapping = DataMapping(
+      DataFormat(DType.Float64, -1.0, NumRange(0, 100)), NumRange(0, 100), 1.0)
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .flatMap { k =>
+        val lon0 = (k * 7 % 100 - 50).toDouble // target top-left, integer °
+        val lat0 = (k * 11 % 80 - 30).toDouble // top lat ∈ [−30, 49]
+        val rs = 2048.0 // source resolution: exact power of two, meters
+        // snap the source origin to the 2048 m lattice, 4/5 px of margin —
+        // keeps the inverse affine coefficients exact binary fractions
+        val (mx, my) = CRS.WebMercator.fromLonLat(lon0, lat0)
+        val x0 = (math.floor(mx / rs) - 4) * rs
+        val y0 = (math.floor(my / rs) + 5) * rs
+        val src = SourceRaster(
+          new Bitmap(64, 96, 1, DType.Float64,
+            Array.tabulate(64 * 96)(i =>
+              (((i % 64) * 7 + (i / 64) * 13 + k * 5) % 97).toDouble)),
+          Affine.northUp(x0, y0, rs, -rs), CRS.WebMercator, mapping)
+        val out = OutDescriptor(64, 64, 1,
+          Affine.northUp(lon0, lat0, 0.015625, -0.015625), CRS.WGS84,
+          mapping, Resampling.Bilinear, validPixPc = 50)
+        Warp.mergeDatasets(Seq(src), out).map { b =>
+          var chk = 0L
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) { chk += math.round(b.get(x, y, 0) * 64); x += 1 }
+            y += 1
+          }
+          (k, chk, b.get(0, 0, 0), b.get(63, 0, 0),
+            b.get(0, 63, 0), b.get(63, 63, 0), b.get(32, 32, 0))
+        }
+      }
+      .toDF("s_suppkey", "chk", "p00", "p10", "p01", "p11", "pcc")
+      .withColumn("p00", round(col("p00"), 6))
+      .withColumn("p10", round(col("p10"), 6))
+      .withColumn("p01", round(col("p01"), 6))
+      .withColumn("p11", round(col("p11"), 6))
+      .withColumn("pcc", round(col("pcc"), 6))
+      .orderBy("s_suppkey")
+  }
+
   /** f3_cast_compose — the cast-composition algebra (F3, reference
     * image.go:166-219 CastDatasetOptions): [[graft.core.Cast.castParams]]
     * collapses src→external→dst into ONE closed-form scale+exponent, and
@@ -1028,6 +1086,7 @@ object RelationalQueries {
     "f6_lcc" -> f6Lcc _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
+    "a4_warp" -> a4Warp _,
     "p9_antimeridian" -> p9Antimeridian _,
     "f3_cast_compose" -> f3CastCompose _,
     "w2_chunks" -> w2Chunks _,
@@ -1184,6 +1243,48 @@ object RelationalQueries {
                 CAST(round(biga*(cos(chi1)*sin(chi) - sin(chi1)*cos(chi)*cos(dl)))
                   AS BIGINT) AS sy
          FROM q3 ORDER BY c_custkey""",
+    "a4_warp" ->
+      """WITH c AS (SELECT pi()/180 AS d2r, 6378137.0 AS aa),
+         sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+             CAST(s_suppkey*7 % 100 - 50 AS DOUBLE) AS lon0,
+             CAST(s_suppkey*11 % 80 - 30 AS DOUBLE) AS lat0
+           FROM supplier),
+         org AS (SELECT k, lon0, lat0, d2r, aa,
+             (floor((aa*lon0*d2r)/2048.0) - 4)*2048.0 AS x0,
+             (floor((aa*ln(tan(pi()/4 + lat0*d2r/2)))/2048.0) + 5)*2048.0 AS y0
+           FROM sup CROSS JOIN c),
+         px AS (SELECT o.*, tx.g AS tx, ty.g AS ty
+           FROM org o, generate_series(0,63) tx(g), generate_series(0,63) ty(g)),
+         geo AS (SELECT *, lon0 + 0.015625*(tx+0.5) AS lon,
+             lat0 - 0.015625*(ty+0.5) AS lat FROM px),
+         mrc AS (SELECT *, aa*lon*d2r AS mxp,
+             aa*ln(tan(pi()/4 + lat*d2r/2)) AS myp FROM geo),
+         spx AS (SELECT *, (0-x0)/2048.0 + mxp/2048.0 AS sx,
+             y0/2048.0 - myp/2048.0 AS sy FROM mrc),
+         bil AS (SELECT k, tx, ty,
+             CAST(floor(sx - 0.5) AS BIGINT) AS xi,
+             CAST(floor(sy - 0.5) AS BIGINT) AS yi,
+             (sx - 0.5) - floor(sx - 0.5) AS fx,
+             (sy - 0.5) - floor(sy - 0.5) AS fy
+           FROM spx),
+         vals AS (SELECT *,
+             CAST((xi*7 + yi*13 + k*5) % 97 AS DOUBLE) AS v00,
+             CAST(((xi+1)*7 + yi*13 + k*5) % 97 AS DOUBLE) AS v10,
+             CAST((xi*7 + (yi+1)*13 + k*5) % 97 AS DOUBLE) AS v01,
+             CAST(((xi+1)*7 + (yi+1)*13 + k*5) % 97 AS DOUBLE) AS v11
+           FROM bil),
+         smp AS (SELECT k, tx, ty,
+             ((1-fx)*(1-fy)*v00 + fx*(1-fy)*v10 + (1-fx)*fy*v01 + fx*fy*v11)
+             / ((1-fx)*(1-fy) + fx*(1-fy) + (1-fx)*fy + fx*fy) AS v
+           FROM vals)
+         SELECT k AS s_suppkey,
+                SUM(CAST(round(v*64) AS BIGINT)) AS chk,
+                round(MAX(CASE WHEN tx=0 AND ty=0 THEN v END), 6) + 0.0 AS p00,
+                round(MAX(CASE WHEN tx=63 AND ty=0 THEN v END), 6) + 0.0 AS p10,
+                round(MAX(CASE WHEN tx=0 AND ty=63 THEN v END), 6) + 0.0 AS p01,
+                round(MAX(CASE WHEN tx=63 AND ty=63 THEN v END), 6) + 0.0 AS p11,
+                round(MAX(CASE WHEN tx=32 AND ty=32 THEN v END), 6) + 0.0 AS pcc
+         FROM smp GROUP BY k ORDER BY k""",
     "f6_lcc" ->
       """WITH c0 AS (SELECT 6378137.0 AS aa,
              (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
