@@ -75,11 +75,20 @@ object Bench {
         System.err.println(s"BENCH FAILURE getcube_100x256: ${e.getMessage}")
         failed += "getcube_100x256"; -1.0
       }))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // COMPACT output: the driver records only the last 2000 characters of
+    // the run log (BENCH_r06 lost the line's head and with it ~30 query
+    // timings), so the whole line must fit that tail budget alongside
+    // sbt's ~75-char epilogue. Millisecond precision (3 dp, Locale.ROOT)
+    // and a basename-only sf keep ~85 entries under it. Values are
+    // min-of-two passes (see above); -1 marks a failed query.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val sfName = new java.io.File(sfDir).getName
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson}""")
     spark.stop()
   }
 

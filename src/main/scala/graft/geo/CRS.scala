@@ -503,6 +503,79 @@ object CRS {
     }
   }
 
+  /** Albers equal-area conic on WGS84 (EPSG method 9822; Snyder 1987 §14
+    * ellipsoidal) — the other conic a real catalog hits (CONUS Albers
+    * EPSG:5070, Australian Albers EPSG:3577). Same parameter shape as
+    * [[LambertConformalConic]]; southern cones (n < 0) use the
+    * sign-flipped inverse. Equal-area: built on the authalic q(φ), not
+    * the conformal t(φ). */
+  final case class AlbersEqualArea(lon0Deg: Double, lat0Deg: Double,
+      lat1Deg: Double, lat2Deg: Double,
+      fe: Double = 0.0, fn: Double = 0.0,
+      sridOpt: Option[Int] = None,
+      semiMajor: Double = A, flattening: Double = F) extends CRS {
+    require(math.abs(lat1Deg) < 90 - 1e-9 && math.abs(lat2Deg) < 90 - 1e-9,
+      s"standard parallels must be non-polar: $lat1Deg, $lat2Deg")
+    require(math.abs(lat1Deg + lat2Deg) > 1e-9,
+      s"parallels symmetric about the equator degenerate (n=0): $lat1Deg, $lat2Deg")
+    val srid: Int = sridOpt.getOrElse(32767)
+    private val e2 = flattening * (2 - flattening); private val e = math.sqrt(e2)
+    private val lon0 = lon0Deg * D2R
+    /** authalic q(φ) — Snyder eq. 3-12 (the LAEA q, on this ellipsoid). */
+    private def q(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private val phi1 = lat1Deg * D2R; private val phi2 = lat2Deg * D2R
+    private val m1 = mOf(phi1)
+    /** cone constant (Snyder eq. 14-14; sin φ1 in the one-parallel limit). */
+    private val n =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (m1 * m1 - sq(mOf(phi2))) / (q(phi2) - q(phi1))
+    private val cC = m1 * m1 + n * q(phi1)
+    private def rho(phi: Double): Double =
+      semiMajor * math.sqrt(math.max(0, cC - n * q(phi))) / n
+    private val rho0 = rho(lat0Deg * D2R)
+
+    def fromLonLat(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val r = rho(latDeg * D2R)
+      val theta = n * (lonDeg * D2R - lon0)
+      (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
+    }
+
+    /** φ from the authalic q by Snyder's fixed-point iteration (eq. 3-16). */
+    private def latFromQ(qv: Double): Double = {
+      val qp = q(math.Pi / 2)
+      if (math.abs(qv) >= qp - 1e-12) return if (qv > 0) math.Pi / 2 else -math.Pi / 2
+      var phi = math.asin(clamp1(qv / 2))
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val d = sq(1 - e2 * s * s) / (2 * math.cos(phi)) *
+          (qv / (1 - e2) - s / (1 - e2 * s * s) +
+            (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        phi += d
+        if (math.abs(d) < 1e-14) return phi
+        i += 1
+      }
+      phi
+    }
+
+    def toLonLat(x: Double, y: Double): (Double, Double) = {
+      val xr = x - fe; val yr = rho0 - (y - fn)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rP = sgn * math.hypot(xr, yr)
+      val theta = math.atan2(sgn * xr, sgn * yr)
+      val qv = (cC - sq(rP * n / semiMajor)) / n
+      (((theta / n + lon0) * R2D + 540) % 360 - 180, latFromQ(qv) * R2D)
+    }
+  }
+
   /** CRS from user input: "EPSG:4326", "epsg:32633", srid int. */
   def fromSrid(srid: Int): CRS = srid match {
     case 4326 => WGS84
@@ -521,6 +594,10 @@ object CRS {
       700000, 6600000, Some(2154)) // RGF93 / Lambert-93
     case 3978 => LambertConformalConic(-95, 49, 49, 77, 1.0,
       0, 0, Some(3978)) // NAD83 / Canada Atlas Lambert
+    case 5070 => AlbersEqualArea(-96, 23, 29.5, 45.5,
+      0, 0, Some(5070)) // NAD83 / Conus Albers
+    case 3577 => AlbersEqualArea(132, 0, -18, -36,
+      0, 0, Some(3577)) // GDA94 / Australian Albers (southern cone)
     case s => throw new IllegalArgumentException(s"unsupported SRID: $s")
   }
 
@@ -578,6 +655,10 @@ object CRS {
         val l1 = d("lat_1", 0); val l2 = d("lat_2", l1)
         LambertConformalConic(d("lon_0", 0), d("lat_0", 0), l1, l2,
           d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0))
+      case Some("aea") =>
+        val l1 = d("lat_1", 0); val l2 = d("lat_2", l1)
+        AlbersEqualArea(d("lon_0", 0), d("lat_0", 0), l1, l2,
+          d("x_0", 0), d("y_0", 0))
       case Some("stere") if math.abs(d("lat_0", 0)) >= 90 - 1e-9 =>
         // polar: +lat_ts (standard parallel, variant B) wins over +k
         val lts = d("lat_ts", Double.NaN)
@@ -657,6 +738,15 @@ object CRS {
             if (sp1.isNaN) LambertConformalConic(lon0, lat0, lat0, lat0, k0, feP, fnP)
             else LambertConformalConic(lon0, lat0, sp1,
               if (sp2.isNaN) sp1 else sp2, k0, feP, fnP)
+          case Some(name) if name.contains("albers") =>
+            // "Albers_Conic_Equal_Area" (WKT1) / "Albers Equal Area" (9822)
+            val sp1 = p(Seq("standard_parallel_1",
+              "latitude_of_1st_standard_parallel"), Double.NaN)
+            val sp2 = p(Seq("standard_parallel_2",
+              "latitude_of_2nd_standard_parallel"), Double.NaN)
+            if (sp1.isNaN) AlbersEqualArea(lon0, lat0, lat0, lat0, feP, fnP)
+            else AlbersEqualArea(lon0, lat0, sp1,
+              if (sp2.isNaN) sp1 else sp2, feP, fnP)
           case Some(name) if name.contains("polar_stereographic") =>
             // variant B carries a standard parallel (|φ| < 90 in the
             // latitude slot) and no scale factor; variant A a ±90 origin + k0
@@ -708,6 +798,10 @@ object CRS {
       s"+proj=lcc +lat_1=${l.lat1Deg} +lat_2=${l.lat2Deg}" +
         s" +lat_0=${l.lat0Deg} +lon_0=${l.lon0Deg} +k_0=${l.k0}" +
         s" +x_0=${l.fe} +y_0=${l.fn}"
+    case ab: AlbersEqualArea =>
+      s"+proj=aea +lat_1=${ab.lat1Deg} +lat_2=${ab.lat2Deg}" +
+        s" +lat_0=${ab.lat0Deg} +lon_0=${ab.lon0Deg}" +
+        s" +x_0=${ab.fe} +y_0=${ab.fn}"
     case c => s"EPSG:${c.srid}"
   }
 

@@ -905,6 +905,86 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** f4_kernels — the point-resampling kernels (F4, reference
+    * image.go resampling enum) evaluated by the REAL [[graft.raster
+    * .Sampler]] per row at exact-binary fractional offsets (the f8
+    * trick): near, bilinear, cubic (Catmull-Rom), cubicspline (B-spline)
+    * and lanczos over an 8×8 analytic lattice. The sample point's
+    * fractional parts are j/16 and j/8 steps, so every cubic weight is an
+    * exact binary fraction (order-free exact sums); the B-spline /6 and
+    * the lanczos sin() leave ≤1e-12 slack, absorbed by 6/4 dp rounding.
+    * DuckDB replays the kernels as unrolled weight sums in loop order. */
+  def f4Kernels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.DType
+    import graft.raster.{Bitmap, Resampling, Sampler}
+    t(s, dir, "customer")
+      .select(col("c_custkey").cast("long")).as[Long]
+      .map { k =>
+        val bm = new Bitmap(8, 8, 1, DType.Float64,
+          Array.tabulate(64)(i => (((i % 8) * 7 + (i / 8) * 13 + k) % 97).toDouble))
+        val xf = 3.0 + (k % 8) * 0.0625
+        val yf = 4.0 + (k % 4) * 0.125
+        def smp(r: Resampling) = Sampler.sample(bm, 0, xf, yf, 1.0, 1.0, -1.0, r)
+        (k, smp(Resampling.Near).toLong, smp(Resampling.Bilinear),
+          smp(Resampling.Cubic), smp(Resampling.CubicSpline),
+          smp(Resampling.Lanczos))
+      }
+      .toDF("c_custkey", "vnear", "vbil", "vcub", "vbsp", "vlan")
+      .withColumn("vbil", round(col("vbil"), 6))
+      .withColumn("vcub", round(col("vcub"), 6))
+      .withColumn("vbsp", round(col("vbsp"), 6))
+      .withColumn("vlan", round(col("vlan"), 4))
+      .orderBy("c_custkey")
+  }
+
+  /** Builds the f4_kernels DuckDB mirror: the kernel CASEs transcribed
+    * from [[graft.raster.Sampler]] and the 4×4 / 6×6 weight sums unrolled
+    * in the sampler's exact loop order (dy outer, dx inner), so partial
+    * sums associate identically. Cell values collapse to
+    * (53 + 7dx + 13dy + k) % 97 constants around the fixed (x0,y0)=(2,3). */
+  private def f4KernelsSql: String = {
+    def cat(t: String) =
+      s"(CASE WHEN abs($t) < 1 THEN 1.5*abs($t)*abs($t)*abs($t) - 2.5*abs($t)*abs($t) + 1 " +
+        s"WHEN abs($t) < 2 THEN -0.5*abs($t)*abs($t)*abs($t) + 2.5*abs($t)*abs($t) - 4*abs($t) + 2 " +
+        s"ELSE 0 END)"
+    def bsp(t: String) =
+      s"(CASE WHEN abs($t) < 1 THEN (4 + abs($t)*abs($t)*(3*abs($t) - 6))/6.0 " +
+        s"WHEN abs($t) < 2 THEN (2-abs($t))*(2-abs($t))*(2-abs($t))/6.0 ELSE 0 END)"
+    def lan(t: String) =
+      s"(CASE WHEN abs($t) >= 3 THEN 0 ELSE " +
+        s"3*sin(pi()*abs($t))*sin(pi()*abs($t)/3)/((pi()*abs($t))*(pi()*abs($t))) END)"
+    def off(base: String, d: Int) =
+      if (d == 0) base else if (d < 0) s"($base + ${-d})" else s"($base - $d)"
+    def kernelExpr(kf: String => String, radius: Int): String = {
+      val terms = for {
+        dy <- (-radius + 1) to radius
+        dx <- (-radius + 1) to radius
+      } yield {
+        val w = s"(${kf(off("fx", dx))}*${kf(off("fy", dy))})"
+        val v = s"CAST((${53 + 7 * dx + 13 * dy} + k) % 97 AS DOUBLE)"
+        (s"$w*$v", w)
+      }
+      s"(${terms.map(_._1).mkString(" + ")}) / (${terms.map(_._2).mkString(" + ")})"
+    }
+    // bilinear in its own loop order/weight form (Sampler.bilinear)
+    val bilW = Seq("(1-fx)*(1-fy)", "fx*(1-fy)", "(1-fx)*fy", "fx*fy")
+    val bilV = Seq(53, 60, 66, 73).map(c => s"CAST(($c + k) % 97 AS DOUBLE)")
+    val bil = s"(${bilW.zip(bilV).map { case (w, v) => s"$w*$v" }.mkString(" + ")})" +
+      s" / (${bilW.mkString(" + ")})"
+    s"""WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+         0.5 + (c_custkey % 8)*0.0625 AS fx,
+         0.5 + (c_custkey % 4)*0.125 AS fy
+       FROM customer)
+       SELECT k AS c_custkey,
+         CAST((73 + k) % 97 AS BIGINT) AS vnear,
+         round($bil, 6) + 0.0 AS vbil,
+         round(${kernelExpr(cat, 2)}, 6) + 0.0 AS vcub,
+         round(${kernelExpr(bsp, 2)}, 6) + 0.0 AS vbsp,
+         round(${kernelExpr(lan, 3)}, 4) + 0.0 AS vlan
+       FROM p ORDER BY c_custkey"""
+  }
+
   /** f3_cast_compose — the cast-composition algebra (F3, reference
     * image.go:166-219 CastDatasetOptions): [[graft.core.Cast.castParams]]
     * collapses src→external→dst into ONE closed-form scale+exponent, and
@@ -1087,6 +1167,7 @@ object RelationalQueries {
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
     "a4_warp" -> a4Warp _,
+    "f4_kernels" -> f4Kernels _,
     "p9_antimeridian" -> p9Antimeridian _,
     "f3_cast_compose" -> f3CastCompose _,
     "w2_chunks" -> w2Chunks _,
@@ -1243,6 +1324,7 @@ object RelationalQueries {
                 CAST(round(biga*(cos(chi1)*sin(chi) - sin(chi1)*cos(chi)*cos(dl)))
                   AS BIGINT) AS sy
          FROM q3 ORDER BY c_custkey""",
+    "f4_kernels" -> f4KernelsSql,
     "a4_warp" ->
       """WITH c AS (SELECT pi()/180 AS d2r, 6378137.0 AS aa),
          sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k,

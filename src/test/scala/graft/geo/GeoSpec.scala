@@ -82,7 +82,10 @@ class GeoSpec extends AnyFunSuite {
       "+y_0=0 +datum=WGS84") == CRS.UTM(33, north = true))
     // laea is accepted since round 3 (see the azimuthal tests below)
     assert(CRS.parse("+proj=laea +lat_0=52 +lon_0=10").isInstanceOf[CRS.LAEA])
-    assertThrows[IllegalArgumentException](CRS.parse("+proj=aea +lat_1=29.5"))
+    // aea is accepted since round 7 (see the Albers tests below)
+    assert(CRS.parse("+proj=aea +lat_1=29.5 +lat_2=45.5")
+      .isInstanceOf[CRS.AlbersEqualArea])
+    assertThrows[IllegalArgumentException](CRS.parse("+proj=robin +lon_0=0"))
     assertThrows[IllegalArgumentException](CRS.parse("+proj=utm +datum=WGS84"))
   }
 
@@ -438,5 +441,68 @@ class GeoSpec extends AnyFunSuite {
       val (rl, rb) = south.toLonLat(px, py)
       assert(math.abs(rl - lo) < 1e-8 && math.abs(rb - la) < 1e-8, s"($lo,$la)")
     }
+  }
+
+  test("Albers equal-area conic (EPSG 9822): Snyder example, area property, routing") {
+    // Snyder 1987 §14 ellipsoidal numerical example (Clarke 1866,
+    // e²=0.00676866): φ1=29.5° φ2=45.5° φ0=23° λ0=−96°; point φ=35°
+    // λ=−75° → x = 1885472.7, y = 1535925.0.
+    val sn = CRS.AlbersEqualArea(-96, 23, 29.5, 45.5, 0, 0,
+      None, 6378206.4, 1 - math.sqrt(1 - 0.00676866))
+    val (x, y) = sn.fromLonLat(-75, 35)
+    assert(math.abs(x - 1885472.7) < 0.5, s"x=$x")
+    assert(math.abs(y - 1535925.0) < 0.5, s"y=$y")
+    val (rlon, rlat) = sn.toLonLat(x, y)
+    assert(math.abs(rlon + 75) < 1e-8 && math.abs(rlat - 35) < 1e-8)
+
+    // equal-area property on WGS84 CONUS Albers: the projected area of a
+    // 1°×1° quad equals its authalic-sphere area to < 1e-6 relative
+    val conus = CRS.fromSrid(5070).asInstanceOf[CRS.AlbersEqualArea]
+    val quad = Seq((-100.0, 40.0), (-99.0, 40.0), (-99.0, 41.0), (-100.0, 41.0))
+    // shoelace over a densified boundary (the edges curve under the cone)
+    val ring = (0 until 4).flatMap { i =>
+      val (ax, ay) = quad(i); val (bx, by) = quad((i + 1) % 4)
+      (0 until 64).map(j => (ax + (bx - ax) * j / 64.0, ay + (by - ay) * j / 64.0))
+    }
+    val proj = ring.map { case (lo, la) => conus.fromLonLat(lo, la) }
+    val area = math.abs((proj :+ proj.head).sliding(2).map {
+      case Seq((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1
+    }.sum / 2)
+    // ellipsoidal quad area via the authalic q: A = a²/2·Δλ·(q(φ2)−q(φ1))
+    val e2 = 0.00669437999014132; val e = math.sqrt(e2)
+    def qv(latDeg: Double): Double = {
+      val s = math.sin(latDeg * math.Pi / 180)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    val truth = 6378137.0 * 6378137.0 / 2 * (math.Pi / 180) * (qv(41) - qv(40))
+    assert(math.abs(area / truth - 1) < 1e-6, s"area=$area truth=$truth")
+
+    // southern cone (Australian Albers, n < 0): round-trips + EPSG id
+    val aus = CRS.fromSrid(3577)
+    for ((lo, la) <- Seq((133.88, -23.7), (151.2, -33.87), (115.86, -31.95), (147.3, -42.9))) {
+      val (px, py) = aus.fromLonLat(lo, la)
+      val (rl, rb) = aus.toLonLat(px, py)
+      assert(math.abs(rl - lo) < 1e-8 && math.abs(rb - la) < 1e-8, s"($lo,$la)")
+    }
+    // proj4 + WKT routing and serialize round-trip
+    val viaProj = CRS.parse("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96")
+    assert(viaProj.isInstanceOf[CRS.AlbersEqualArea])
+    val (vx, vy) = viaProj.fromLonLat(-100, 40)
+    val (cx, cy) = conus.fromLonLat(-100, 40)
+    assert(math.abs(vx - cx) < 1e-6 && math.abs(vy - cy) < 1e-6)
+    val again = CRS.parse(CRS.serialize(viaProj))
+    val (ax2, ay2) = again.fromLonLat(-100, 40)
+    assert(math.abs(ax2 - vx) < 1e-9 && math.abs(ay2 - vy) < 1e-9)
+    val wkt = """PROJCS["unnamed",GEOGCS["WGS 84",DATUM["WGS_1984",
+      SPHEROID["WGS 84",6378137,298.257223563]]],
+      PROJECTION["Albers_Conic_Equal_Area"],
+      PARAMETER["standard_parallel_1",29.5],PARAMETER["standard_parallel_2",45.5],
+      PARAMETER["latitude_of_center",23],PARAMETER["longitude_of_center",-96],
+      PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    val w = CRS.parse(wkt)
+    assert(w.isInstanceOf[CRS.AlbersEqualArea])
+    val (wx, wy) = w.fromLonLat(-100, 40)
+    assert(math.abs(wx - cx) < 1e-6 && math.abs(wy - cy) < 1e-6)
   }
 }
