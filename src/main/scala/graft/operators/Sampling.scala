@@ -43,13 +43,21 @@ object Sampling {
     * the window rank, and Spark plans a WindowGroupLimit Partial BEFORE
     * that exchange (verified in PLANS.md): each task forwards at most k
     * rows per stratum, so the shuffle moves O(k·strata·tasks) rows, not
-    * the corpus. */
+    * the corpus.
+    *
+    * Weights MUST be strictly positive — A-ES is undefined otherwise
+    * (w = 0 divides by zero; w < 0 flips the key sign so invalid rows
+    * would always win). Non-positive weights fail the job eagerly via
+    * `assert_true` rather than silently skewing the sample. */
   def weightedTopK(df: DataFrame, idCol: String, strataCol: String,
       weight: Column, k: Int): DataFrame = {
     require(k > 0, s"sample size $k must be positive")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("double") + 0.5) / 281474976710656.0 // 2^48
-    val key = log(u) / weight
+    val checked = when(assert_true(weight > 0,
+      concat(lit("weightedTopK: non-positive weight "), weight.cast("string"),
+        lit(" for id "), col(idCol).cast("string"))).isNull, weight)
+    val key = log(u) / checked
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(key.desc, col(idCol))
     df.withColumn("__rk", row_number().over(w))

@@ -72,21 +72,6 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
   }
 
-  /** CCNet-style unigram language-model quality score: train a unigram LM
-    * over the corpus (add-one smoothing), then score each document by its
-    * average negative log-likelihood and perplexity — the signal CCNet
-    * thresholds to split a crawl into head/middle/tail quality buckets.
-    *
-    * Scale shape: the model is ONE keyed aggregation (token counts) plus
-    * a 1-row totals broadcast; scoring is a map-side explode, a broadcast
-    * join against the vocabulary-sized model, and a per-document rollup —
-    * the corpus-sized relation shuffles once, keyed on the doc id. To
-    * score corpus B under corpus A's model, swap `model` sources; tokens
-    * unseen by the model are dropped (inner join) — add-one smoothing
-    * keeps seen-token probabilities well-defined.
-    *
-    * Returns (idCol, n_tokens, avg_nll, perplexity), perplexity derived
-    * from the 6-dp-rounded avg_nll so downstream thresholds are stable. */
   /** TF-IDF cosine between candidate doc pairs — the content-similarity
     * RERANK step that follows candidate generation (LSH pairs, adjacent
     * ids, retrieval hits): raw-count TF × ln(N/df) IDF, sparse dot via a
@@ -123,6 +108,21 @@ object TextAnalysis {
       .select(col("doc_a"), col("doc_b"), col("tfidf_cos"))
   }
 
+  /** CCNet-style unigram language-model quality score: train a unigram LM
+    * over the corpus (add-one smoothing), then score each document by its
+    * average negative log-likelihood and perplexity — the signal CCNet
+    * thresholds to split a crawl into head/middle/tail quality buckets.
+    *
+    * Scale shape: the model is ONE keyed aggregation (token counts) plus
+    * a 1-row totals broadcast; scoring is a map-side explode, a broadcast
+    * join against the vocabulary-sized model, and a per-document rollup —
+    * the corpus-sized relation shuffles once, keyed on the doc id. To
+    * score corpus B under corpus A's model, swap `model` sources; tokens
+    * unseen by the model are dropped (inner join) — add-one smoothing
+    * keeps seen-token probabilities well-defined.
+    *
+    * Returns (idCol, n_tokens, avg_nll, perplexity), perplexity derived
+    * from the 6-dp-rounded avg_nll so downstream thresholds are stable. */
   def unigramNll(corpus: DataFrame, idCol: String, textCol: String,
       toks: Column => Column = tokens): DataFrame = {
     val flat = corpus.select(col(idCol), explode(toks(col(textCol))).as("__t"))

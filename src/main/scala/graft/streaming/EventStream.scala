@@ -152,16 +152,37 @@ object EventStream {
     * emitting and flags `overflowed` in its last emission, the same
     * documented trade-off as the batch operator's 2-row-band note. Scale
     * shape: state partitions by bucket across executors; the per-arrival
-    * work is O(bucket size) ≤ maxPerBucket. */
+    * work is O(bucket size) ≤ maxPerBucket.
+    *
+    * TOTAL-state growth: `maxPerBucket` caps each bucket but not the
+    * NUMBER of distinct buckets, which grows with the corpus vocabulary
+    * over continuous ingest. Pass `stateTtl` (e.g. "24 hours") to expire
+    * buckets cold for that long via a processing-time timeout — expired
+    * buckets simply restart empty, so a late near-dup against an expired
+    * cohort is missed (the same recall trade-off every TTL'd streaming
+    * dedup makes). Leave it None only for bounded replays/backfills.
+    *
+    * Overflow notices: the `overflowed=true` emission is a NOTICE row,
+    * not a pair — its doc_a/doc_b carry the -1 sentinel and must be
+    * discriminated by the flag alone (a corpus with legitimate negative
+    * ids must not interpret the sentinel ids; filter on `overflowed`
+    * before joining candidates). */
   def streamingCandidatePairs(arrivals: Dataset[BandArrival],
-      maxPerBucket: Int = 64): Dataset[CandidatePair] = {
+      maxPerBucket: Int = 64,
+      stateTtl: Option[String] = None): Dataset[CandidatePair] = {
     import arrivals.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     arrivals.groupByKey(_.bucket)
       .flatMapGroupsWithState[BucketState, CandidatePair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (bucket: String, rows: Iterator[BandArrival],
             state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { // cold bucket: drop state, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(BucketState(Vector.empty, false))
           val out = Seq.newBuilder[CandidatePair]
           rows.foreach { r =>
@@ -180,13 +201,18 @@ object EventStream {
             }
           }
           state.update(st)
+          stateTtl.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
       }
   }
 
   /** Explode a document stream to (doc_id, band-bucket) arrivals using
     * the SAME MinHash banding as the batch operator, so a corpus can mix
-    * batch backfill and streaming ingest against one key space. */
+    * batch backfill and streaming ingest against one key space. Ids must
+    * be numeric (castable to long): a non-castable id fails the batch
+    * eagerly with a named error instead of surfacing later as an opaque
+    * encoder NPE. */
   def bandArrivals(docs: DataFrame, idCol: String, textCol: String,
       nHashes: Int = 8, rowsPerBand: Int = 4): Dataset[BandArrival] = {
     import docs.sparkSession.implicits._
@@ -197,7 +223,11 @@ object EventStream {
       concat(lit(s"b$b|"),
         concat(mh.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*))
     }
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    val id = col(idCol).cast("long")
+    val checkedId = when(assert_true(id.isNotNull,
+      concat(lit(s"bandArrivals: id column '$idCol' not castable to long: "),
+        col(idCol).cast("string"))).isNull, id)
+    docs.select(checkedId.as("doc_id"),
         explode(array(buckets: _*)).as("bucket"))
       .as[BandArrival]
   }

@@ -161,6 +161,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming candidates == batch lshNearDupPairs candidates on a replayed corpus") {
+    // determinism evidence for §2.12/streaming near-dup: the same corpus
+    // pushed through streaming micro-batches emits EXACTLY the candidate
+    // set the batch operator computes (threshold-0 LSH pairs, same
+    // banding), modulo nothing — maxPerBucket is set above any bucket.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def text(i: Long): String =
+      (0 until 6).map(j => vocab(((i / 3 + j * (i % 3)) % 10).toInt)).mkString(" ")
+    val docs = (1L to 30L).map(i => (i, text(i)))
+    val batch = graft.operators.Dedup.lshNearDupPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.0)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.OperatorCaches.unpersistAll()
+    assert(batch.nonEmpty, "corpus must produce candidate pairs")
+    val stream = MemoryStream[(Long, String)]
+    val pairs = EventStream.streamingCandidatePairs(
+      EventStream.bandArrivals(stream.toDS().toDF("doc_id", "text"), "doc_id", "text"),
+      maxPerBucket = 1000)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("replaypairs").start()
+    try {
+      docs.grouped(10).foreach { g => stream.addData(g: _*); q.processAllAvailable() }
+      val streamed = spark.sql(
+        "SELECT DISTINCT doc_a, doc_b FROM replaypairs WHERE NOT overflowed")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size} " +
+          s"diff=${(streamed diff batch) ++ (batch diff streamed)}")
+    } finally q.stop()
+  }
+
   test("job FSM via flatMapGroupsWithState: stateful dedup + completion transition") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
