@@ -78,11 +78,18 @@ object Bench {
     // COMPACT output: the driver records only the last 2000 characters of
     // the run log (BENCH_r06 lost the line's head and with it ~30 query
     // timings), so the whole line must fit that tail budget alongside
-    // sbt's ~75-char epilogue. Millisecond precision (3 dp, Locale.ROOT)
-    // and a basename-only sf keep ~85 entries under it. Values are
-    // min-of-two passes (see above); -1 marks a failed query.
+    // sbt's ~75-char epilogue and the "[info] " prefix. Centisecond
+    // precision (2 dp, Locale.ROOT, trailing zeros stripped) keeps ~90
+    // entries under it — a measured 85-query 3-dp line was 1916 chars,
+    // over budget. Values are min-of-two passes (see above); -1 marks a
+    // failed query.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (v < 0) "-1"
+      else {
+        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -1116,6 +1116,42 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** f6_laea — ST_Transform through the ellipsoidal Lambert azimuthal
+    * equal-area ([[graft.geo.CRS.LAEA]], EPSG 9820 as ETRS-LAEA Europe /
+    * EPSG:3035), mirrored formula-for-formula in DuckDB: authalic q per
+    * row, the β/B/D chain of Snyder §24. Points stay > 40° of angular
+    * distance from the (52°N, 10°E) origin's antipode so the B
+    * denominator stays bounded. */
+  def f6Laea(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_point, st_transform, st_x, st_y}
+    lonLatPoints(s, dir,
+      (col("c_custkey") * 7 % 140) - 60 + 0.25,
+      (col("c_custkey") * 13 % 100) - 30 + 0.25)
+      .withColumn("pt", st_transform(st_point(col("lon"), col("lat")),
+        lit("EPSG:4326"), lit("EPSG:3035")))
+      .select(col("c_custkey"),
+        round(st_x(col("pt"))).cast("long").as("ex"),
+        round(st_y(col("pt"))).cast("long").as("ey"))
+      .orderBy("c_custkey")
+  }
+
+  /** f6_aea — ST_Transform through the Albers equal-area conic
+    * ([[graft.geo.CRS.AlbersEqualArea]], EPSG 9822 as CONUS Albers /
+    * EPSG:5070), mirrored in DuckDB via the same authalic-q arithmetic
+    * (m₁/m₂, cone constant, C, ρ). */
+  def f6Aea(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_point, st_transform, st_x, st_y}
+    lonLatPoints(s, dir,
+      (col("c_custkey") * 7 % 88) - 140 + 0.25,
+      (col("c_custkey") * 13 % 50) + 10 + 0.25)
+      .withColumn("pt", st_transform(st_point(col("lon"), col("lat")),
+        lit("EPSG:4326"), lit("EPSG:5070")))
+      .select(col("c_custkey"),
+        round(st_x(col("pt"))).cast("long").as("ax"),
+        round(st_y(col("pt"))).cast("long").as("ay"))
+      .orderBy("c_custkey")
+  }
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1164,6 +1200,8 @@ object RelationalQueries {
     "f6_utm" -> f6Utm _,
     "f6_stere" -> f6Stere _,
     "f6_lcc" -> f6Lcc _,
+    "f6_laea" -> f6Laea _,
+    "f6_aea" -> f6Aea _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
     "a4_warp" -> a4Warp _,
@@ -1397,6 +1435,73 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "f6_laea" ->
+      """WITH c0 AS (SELECT 6378137.0 AS aa,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
+             sqrt((1.0/298.257223563)*(2-1.0/298.257223563)) AS e),
+         o1 AS (SELECT aa, e2, e, radians(52.0) AS phi0, radians(10.0) AS lam0 FROM c0),
+         o2 AS (SELECT *,
+           (1 - e2) * (sin(phi0)/(1 - e2*sin(phi0)*sin(phi0))
+             - (1/(2*e))*ln((1 - e*sin(phi0))/(1 + e*sin(phi0)))) AS q0,
+           (1 - e2) * (sin(radians(90.0))/(1 - e2*sin(radians(90.0))*sin(radians(90.0)))
+             - (1/(2*e))*ln((1 - e*sin(radians(90.0)))/(1 + e*sin(radians(90.0))))) AS qp,
+           cos(phi0)/sqrt(1 - e2*(sin(phi0)*sin(phi0))) AS m1
+         FROM o1),
+         o3 AS (SELECT *, asin(q0/qp) AS beta1, aa*sqrt(qp/2) AS rq FROM o2),
+         o4 AS (SELECT *, aa*m1/(rq*cos(beta1)) AS dd FROM o3),
+         pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           radians((c_custkey * 7 % 140) - 60 + 0.25) AS lam,
+           radians((c_custkey * 13 % 100) - 30 + 0.25) AS phi
+         FROM customer),
+         q1 AS (SELECT p.c_custkey, p.lam, p.phi, o4.* FROM pts p CROSS JOIN o4),
+         q2 AS (SELECT *,
+           (1 - e2) * (sin(phi)/(1 - e2*sin(phi)*sin(phi))
+             - (1/(2*e))*ln((1 - e*sin(phi))/(1 + e*sin(phi)))) AS qphi,
+           lam - lam0 AS dl
+         FROM q1),
+         q3 AS (SELECT *, asin(qphi/qp) AS beta FROM q2),
+         q4 AS (SELECT *, rq * sqrt(2.0/(1 + sin(beta1)*sin(beta)
+             + cos(beta1)*cos(beta)*cos(dl))) AS b
+         FROM q3)
+         SELECT c_custkey,
+                CAST(round(4321000.0 + b*dd*cos(beta)*sin(dl)) AS BIGINT) AS ex,
+                CAST(round(3210000.0 + (b/dd)*(cos(beta1)*sin(beta)
+                  - sin(beta1)*cos(beta)*cos(dl))) AS BIGINT) AS ey
+         FROM q4 ORDER BY c_custkey""",
+    "f6_aea" ->
+      """WITH c0 AS (SELECT 6378137.0 AS aa,
+             (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
+             sqrt((1.0/298.257223563)*(2-1.0/298.257223563)) AS e),
+         o1 AS (SELECT aa, e2, e, radians(29.5) AS phi1, radians(45.5) AS phi2,
+             radians(23.0) AS phi0, radians(-96.0) AS lam0 FROM c0),
+         o2 AS (SELECT *,
+           cos(phi1)/sqrt(1 - e2*sin(phi1)*sin(phi1)) AS m1,
+           cos(phi2)/sqrt(1 - e2*sin(phi2)*sin(phi2)) AS m2,
+           (1 - e2) * (sin(phi1)/(1 - e2*sin(phi1)*sin(phi1))
+             - (1/(2*e))*ln((1 - e*sin(phi1))/(1 + e*sin(phi1)))) AS qq1,
+           (1 - e2) * (sin(phi2)/(1 - e2*sin(phi2)*sin(phi2))
+             - (1/(2*e))*ln((1 - e*sin(phi2))/(1 + e*sin(phi2)))) AS qq2,
+           (1 - e2) * (sin(phi0)/(1 - e2*sin(phi0)*sin(phi0))
+             - (1/(2*e))*ln((1 - e*sin(phi0))/(1 + e*sin(phi0)))) AS qq0
+         FROM o1),
+         o3 AS (SELECT *, (m1*m1 - m2*m2)/(qq2 - qq1) AS n FROM o2),
+         o4 AS (SELECT *, m1*m1 + n*qq1 AS cc FROM o3),
+         o5 AS (SELECT *, aa*sqrt(cc - n*qq0)/n AS rho0 FROM o4),
+         pts AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           radians((c_custkey * 7 % 88) - 140 + 0.25) AS lam,
+           radians((c_custkey * 13 % 50) + 10 + 0.25) AS phi
+         FROM customer),
+         q1 AS (SELECT p.c_custkey, p.lam, p.phi, o5.* FROM pts p CROSS JOIN o5),
+         q2 AS (SELECT *,
+           (1 - e2) * (sin(phi)/(1 - e2*sin(phi)*sin(phi))
+             - (1/(2*e))*ln((1 - e*sin(phi))/(1 + e*sin(phi)))) AS qphi,
+           n * (lam - lam0) AS th
+         FROM q1),
+         q3 AS (SELECT *, aa*sqrt(cc - n*qphi)/n AS r FROM q2)
+         SELECT c_custkey,
+                CAST(round(r*sin(th)) AS BIGINT) AS ax,
+                CAST(round(rho0 - r*cos(th)) AS BIGINT) AS ay
+         FROM q3 ORDER BY c_custkey""",
     "f5_affine" ->
       """WITH p AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
          q AS (SELECT k,
