@@ -1152,6 +1152,84 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** d1_cube — the WHOLE GetCube serving path (D1/D2/D3/A1/O4, reference
+    * svc/catalog.go:146-274 + catalog.go:531-625) end-to-end against a
+    * closed-form oracle: seeds a real parquet catalog (48 records, every
+    * third with TWO datasets), runs the REAL
+    * [[graft.cube.GetCube.cube]] — findDatasets spatial+instance scan,
+    * tile join, groupByKey(record), time-ordered cast→warp→mosaic kernel,
+    * (min_datetime, group) emission — and reduces each slice to integer
+    * checksums. Tiles carry analytic uint8 lattices ((p·7+i·13)%200; the
+    * overlay dataset is nodata-255 on its second half, so newest-paints-
+    * last wins exactly the first half), which DuckDB replays from
+    * generate_series without touching parquet. The catalog is rebuilt
+    * fresh under java.io.tmpdir per call (the request-sized fixture the
+    * bench also uses, getCubeBench). */
+  def d1Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.{Catalog, Schemas}
+    import graft.core.DType
+    import graft.geo.{Affine, BBox, GeomOps}
+    import graft.raster.Bitmap
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-d1cube-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(s.createDataFrame(
+        s.sparkContext.parallelize(rows, 4), Schemas.all(table)), table)
+    val n = 48
+    val box = BBox(0, 0, 0.32, 0.32)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    write("aoi", Seq(Row("a1", "h", wkb, bbox)))
+    write("records", (1 to n).map(i => Row(f"r$i%03d", f"rec$i%03d",
+      new java.sql.Timestamp(t0 + i * 3600000L), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    val dual = (1 to n).filter(_ % 3 == 0)
+    write("containers", (1 to n).map(i => Row(f"mem://c$i%03da", false, "STANDARD")) ++
+      dual.map(i => Row(f"mem://c$i%03db", false, "STANDARD")))
+    write("datasets",
+      (1 to n).map(i => Row(f"d$i%03da", f"r$i%03d", "i1", f"mem://c$i%03da", "",
+        Seq(1), "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+        false, wkb, wkb, 4326, bbox)) ++
+      dual.map(i => Row(f"d$i%03db", f"r$i%03d", "i1", f"mem://c$i%03db", "",
+        Seq(1), "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+        false, wkb, wkb, 4326, bbox)))
+    val tf = Seq(0.0, 0.01, 0.0, 0.32, 0.0, -0.01)
+    write("tiles",
+      (1 to n).map { i =>
+        val px = Array.tabulate(1024)(p => ((p * 7 + i * 13) % 200).toDouble)
+        Row(f"mem://c$i%03da", "", 32, 32, 1, "uint8", "EPSG:4326", tf,
+          new Bitmap(32, 32, 1, DType.UInt8, px).toBytes)
+      } ++ dual.map { i =>
+        val px = Array.tabulate(1024)(p =>
+          if (p < 512) ((p * 3 + i * 11) % 200).toDouble else 255.0)
+        Row(f"mem://c$i%03db", "", 32, 32, 1, "uint8", "EPSG:4326", tf,
+          new Bitmap(32, 32, 1, DType.UInt8, px).toBytes)
+      })
+    val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 0.32, 0.01, -0.01), width = 32, height = 32)
+    graft.cube.GetCube.cube(s, cat, req)
+      .map { sl =>
+        val bm = Bitmap.fromBytes(sl.payload, sl.width, sl.height, sl.bands,
+          DType.UInt8)
+        var chk = 0L
+        bm.pixels.foreach(v => chk += v.toLong)
+        (sl.group_key, sl.record_ids.mkString(","),
+          sl.min_datetime.getTime / 1000, sl.valid_pixels, chk)
+      }
+      .toDF("rid", "rids", "ts_epoch", "n_valid", "chk")
+      .orderBy("rid")
+  }
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1202,6 +1280,7 @@ object RelationalQueries {
     "f6_lcc" -> f6Lcc _,
     "f6_laea" -> f6Laea _,
     "f6_aea" -> f6Aea _,
+    "d1_cube" -> d1Cube _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
     "a4_warp" -> a4Warp _,
@@ -1435,6 +1514,19 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "d1_cube" ->
+      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
+         px AS (SELECT i,
+             SUM((p*7 + i*13) % 200) AS sa,
+             SUM(CASE WHEN p < 512 THEN (p*3 + i*11) % 200
+                      ELSE (p*7 + i*13) % 200 END) AS sb
+           FROM r, generate_series(0, 1023) q(p) GROUP BY i)
+         SELECT printf('r%03d', i) AS rid,
+                printf('r%03d', i) AS rids,
+                CAST(1704067200 + i*3600 AS BIGINT) AS ts_epoch,
+                CAST(1024 AS BIGINT) AS n_valid,
+                CAST(CASE WHEN i % 3 = 0 THEN sb ELSE sa END AS BIGINT) AS chk
+         FROM px ORDER BY rid""",
     "f6_laea" ->
       """WITH c0 AS (SELECT 6378137.0 AS aa,
              (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
