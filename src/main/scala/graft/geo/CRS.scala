@@ -50,9 +50,14 @@ object CRS {
       (x / A * R2D, (2 * math.atan(math.exp(y / A)) - math.Pi / 2) * R2D)
   }
 
-  /** Ellipsoidal transverse Mercator on WGS84 via 6th-order Krüger series
-    * (public PROJ/Karney math) at an arbitrary natural origin — the
-    * engine's `+proj=tmerc`; UTM zones are fixed-parameter instances.
+  /** Ellipsoidal transverse Mercator via 6th-order Krüger series (public
+    * PROJ/Karney math) at an arbitrary natural origin — the engine's
+    * `+proj=tmerc`; UTM zones are fixed-parameter instances. Defaults to
+    * WGS84; `semiMajor`/`flattening` are overridable so national grids on
+    * other ellipsoids (OSGB on Airy 1830, Gauss-Krüger on Bessel, NAD27
+    * State Plane on Clarke 1866) project correctly — the reference gets
+    * this from PROJ's ellipsoid registry (proj.go:26-75). Datum SHIFTS
+    * (towgs84) are out of scope; coordinates stay on the declared datum.
     * All members are lazy because subclasses supply the parameters. */
   sealed abstract class KruegerTM extends CRS {
     def lon0Deg: Double
@@ -61,15 +66,18 @@ object CRS {
     def fe: Double
     /** declared false northing (before the lat_0 origin shift) */
     protected def fn0: Double
+    protected def semiMajor: Double = A
+    protected def flattening: Double = F
 
     private lazy val lon0 = lon0Deg * D2R
 
     // Krüger series coefficients on the third flattening n
-    private val n = F / (2 - F)
-    private val n2 = n * n; private val n3 = n2 * n
-    private val n4 = n3 * n; private val n5 = n4 * n; private val n6 = n5 * n
-    private val aCap = A / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
-    private val alpha = Array(
+    private lazy val n = flattening / (2 - flattening)
+    private lazy val n2 = n * n; private lazy val n3 = n2 * n
+    private lazy val n4 = n3 * n; private lazy val n5 = n4 * n
+    private lazy val n6 = n5 * n
+    private lazy val aCap = semiMajor / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    private lazy val alpha = Array(
       0.0,
       n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
       13.0 / 48 * n2 - 3.0 / 5 * n3 + 557.0 / 1440 * n4 + 281.0 / 630 * n5 - 1983433.0 / 1935360 * n6,
@@ -77,7 +85,7 @@ object CRS {
       49561.0 / 161280 * n4 - 179.0 / 168 * n5 + 6601661.0 / 7257600 * n6,
       34729.0 / 80640 * n5 - 3418889.0 / 1995840 * n6,
       212378941.0 / 319334400 * n6)
-    private val beta = Array(
+    private lazy val beta = Array(
       0.0,
       n / 2 - 2.0 / 3 * n2 + 37.0 / 96 * n3 - 1.0 / 360 * n4 - 81.0 / 512 * n5 + 96199.0 / 604800 * n6,
       1.0 / 48 * n2 + 1.0 / 15 * n3 - 437.0 / 1440 * n4 + 46.0 / 105 * n5 - 1118711.0 / 3870720 * n6,
@@ -85,8 +93,8 @@ object CRS {
       4397.0 / 161280 * n4 - 11.0 / 504 * n5 - 830251.0 / 7257600 * n6,
       4583.0 / 161280 * n5 - 108847.0 / 3991680 * n6,
       20648693.0 / 638668800 * n6)
-    private val e2 = F * (2 - F)
-    private val e = math.sqrt(e2)
+    private lazy val e2 = flattening * (2 - flattening)
+    private lazy val e = math.sqrt(e2)
 
     /** (eta, xi) gauss-krüger coords of (lon-lon0, lat), before scaling. */
     private def project(lonDeg: Double, latDeg: Double): (Double, Double) = {
@@ -157,12 +165,50 @@ object CRS {
     protected def fn0: Double = if (north) 0.0 else 10000000.0
   }
 
-  /** Arbitrary-origin transverse Mercator (`+proj=tmerc`). No EPSG id —
-    * srid is the TIFF GeoKey "user-defined" sentinel 32767. */
+  /** Arbitrary-origin transverse Mercator (`+proj=tmerc`), optionally on
+    * a non-WGS84 ellipsoid (semi-major + flattening). `sridOpt` lets
+    * named EPSG instances (27700 …) keep their code; parameter-only
+    * instances carry the TIFF "user-defined" sentinel 32767. */
   final case class TransverseMercator(lon0Deg: Double, lat0Deg: Double = 0.0,
-      k0: Double = 1.0, fe: Double = 0.0, fnParam: Double = 0.0) extends KruegerTM {
-    val srid: Int = 32767
+      k0: Double = 1.0, fe: Double = 0.0, fnParam: Double = 0.0,
+      sridOpt: Option[Int] = None,
+      a: Double = A, f: Double = F) extends KruegerTM {
+    val srid: Int = sridOpt.getOrElse(32767)
     protected def fn0: Double = fnParam
+    override protected def semiMajor: Double = a
+    override protected def flattening: Double = f
+  }
+
+  /** Named ellipsoids (semi-major, flattening) — the subset of PROJ's
+    * registry that national grids actually use. */
+  val ellipsoids: Map[String, (Double, Double)] = Map(
+    "wgs84" -> ((A, F)),
+    "grs80" -> ((6378137.0, 1.0 / 298.257222101)),
+    "airy" -> ((6377563.396, 1.0 / 299.3249646)),
+    "bessel" -> ((6377397.155, 1.0 / 299.1528128)),
+    "clrk66" -> ((6378206.4, 1.0 / 294.9786982)),
+    "clrk80ign" -> ((6378249.2, 1.0 / 293.4660213)),
+    "intl" -> ((6378388.0, 1.0 / 297.0)),
+    "krass" -> ((6378245.0, 1.0 / 298.3)),
+    "sphere" -> ((6371000.0, 0.0)))
+
+  /** Resolve (a, f) from proj4-style params: +ellps name, or explicit
+    * +a with +b / +rf / +f; default WGS84. */
+  private def ellipsoidOf(kv: Map[String, String]): (Double, Double) = {
+    kv.get("ellps").map(_.toLowerCase) match {
+      case Some(name) => ellipsoids.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown ellipsoid: $name"))
+      case None =>
+        kv.get("a").map(_.toDouble) match {
+          case Some(a) =>
+            val f = kv.get("rf").map(rf => 1.0 / rf.toDouble)
+              .orElse(kv.get("f").map(_.toDouble))
+              .orElse(kv.get("b").map(b => 1.0 - b.toDouble / a))
+              .getOrElse(0.0) // +a alone = sphere of radius a (PROJ rule)
+            (a, f)
+          case None => (A, F)
+        }
+    }
   }
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
@@ -598,6 +644,9 @@ object CRS {
       0, 0, Some(5070)) // NAD83 / Conus Albers
     case 3577 => AlbersEqualArea(132, 0, -18, -36,
       0, 0, Some(3577)) // GDA94 / Australian Albers (southern cone)
+    case 27700 => // OSGB 1936 / British National Grid (Airy 1830)
+      val (a, f) = ellipsoids("airy")
+      TransverseMercator(-2, 49, 0.9996012717, 400000, -100000, Some(27700), a, f)
     case s => throw new IllegalArgumentException(s"unsupported SRID: $s")
   }
 
@@ -646,19 +695,22 @@ object CRS {
           throw new IllegalArgumentException(s"+proj=utm needs +zone=: $s")).toInt
         UTM(zone, north = !kv.contains("south"))
       case Some("tmerc") =>
+        val (a, f) = ellipsoidOf(kv)
         tmercOrUtm(d("lon_0", 0), d("lat_0", 0), d("k", d("k_0", 1.0)),
-          d("x_0", 0), d("y_0", 0))
+          d("x_0", 0), d("y_0", 0), a, f)
       case Some("laea") =>
         LAEA(d("lon_0", 0), d("lat_0", 0), d("x_0", 0), d("y_0", 0))
       case Some("lcc") =>
         // PROJ: lat_2 defaults to lat_1; the 1SP form keeps its +k_0
         val l1 = d("lat_1", 0); val l2 = d("lat_2", l1)
+        val (a, f) = ellipsoidOf(kv)
         LambertConformalConic(d("lon_0", 0), d("lat_0", 0), l1, l2,
-          d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0))
+          d("k", d("k_0", 1.0)), d("x_0", 0), d("y_0", 0), None, a, f)
       case Some("aea") =>
         val l1 = d("lat_1", 0); val l2 = d("lat_2", l1)
+        val (a, f) = ellipsoidOf(kv)
         AlbersEqualArea(d("lon_0", 0), d("lat_0", 0), l1, l2,
-          d("x_0", 0), d("y_0", 0))
+          d("x_0", 0), d("y_0", 0), None, a, f)
       case Some("stere") if math.abs(d("lat_0", 0)) >= 90 - 1e-9 =>
         // polar: +lat_ts (standard parallel, variant B) wins over +k
         val lts = d("lat_ts", Double.NaN)
@@ -683,15 +735,16 @@ object CRS {
     }
   }
 
-  /** Recognise exact UTM parameterizations so they keep their EPSG id. */
+  /** Recognise exact UTM parameterizations so they keep their EPSG id
+    * (WGS84 only — a UTM grid on another ellipsoid is a plain tmerc). */
   private def tmercOrUtm(lon0: Double, lat0: Double, k0: Double,
-      fe: Double, fn: Double): CRS = {
+      fe: Double, fn: Double, a: Double = A, f: Double = F): CRS = {
     val zone = ((lon0 + 180) / 6 + 1).toInt
-    if (lat0 == 0 && k0 == 0.9996 && fe == 500000.0 &&
+    if (a == A && f == F && lat0 == 0 && k0 == 0.9996 && fe == 500000.0 &&
         zone >= 1 && zone <= 60 && (zone - 1) * 6 - 180 + 3 == lon0 &&
         (fn == 0.0 || fn == 10000000.0))
       UTM(zone, north = fn == 0.0)
-    else TransverseMercator(lon0, lat0, k0, fe, fn)
+    else TransverseMercator(lon0, lat0, k0, fe, fn, None, a, f)
   }
 
   /** WKT1/WKT2: resolved via the outermost EPSG authority/id when present
@@ -722,9 +775,18 @@ object CRS {
         val k0 = p(Seq("scale_factor", "scale_factor_at_natural_origin"), 1.0)
         val feP = p(Seq("false_easting", "easting_at_false_origin"), 0)
         val fnP = p(Seq("false_northing", "northing_at_false_origin"), 0)
+        // ellipsoid from the SPHEROID/ELLIPSOID node (a, 1/f; 1/f=0 means
+        // sphere) — the tmerc/conic families project on the declared one
+        val sphRe = """(?i)(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)\s*,\s*([-0-9.eE+]+)""".r
+        lazy val (ellA, ellF) = sphRe.findFirstMatchIn(s)
+          .map { m =>
+            val rf = m.group(2).toDouble
+            (m.group(1).toDouble, if (rf == 0) 0.0 else 1.0 / rf)
+          }
+          .getOrElse((A, F))
         proj match {
           case Some(name) if name.contains("transverse") =>
-            tmercOrUtm(lon0, lat0, k0, feP, fnP)
+            tmercOrUtm(lon0, lat0, k0, feP, fnP, ellA, ellF)
           case Some(name) if name.contains("azimuthal_equal_area") =>
             LAEA(lon0, lat0, feP, fnP)
           case Some(name) if name.contains("lambert_conformal") ||
@@ -735,18 +797,20 @@ object CRS {
               "latitude_of_1st_standard_parallel"), Double.NaN)
             val sp2 = p(Seq("standard_parallel_2",
               "latitude_of_2nd_standard_parallel"), Double.NaN)
-            if (sp1.isNaN) LambertConformalConic(lon0, lat0, lat0, lat0, k0, feP, fnP)
+            if (sp1.isNaN) LambertConformalConic(lon0, lat0, lat0, lat0, k0,
+              feP, fnP, None, ellA, ellF)
             else LambertConformalConic(lon0, lat0, sp1,
-              if (sp2.isNaN) sp1 else sp2, k0, feP, fnP)
+              if (sp2.isNaN) sp1 else sp2, k0, feP, fnP, None, ellA, ellF)
           case Some(name) if name.contains("albers") =>
             // "Albers_Conic_Equal_Area" (WKT1) / "Albers Equal Area" (9822)
             val sp1 = p(Seq("standard_parallel_1",
               "latitude_of_1st_standard_parallel"), Double.NaN)
             val sp2 = p(Seq("standard_parallel_2",
               "latitude_of_2nd_standard_parallel"), Double.NaN)
-            if (sp1.isNaN) AlbersEqualArea(lon0, lat0, lat0, lat0, feP, fnP)
+            if (sp1.isNaN) AlbersEqualArea(lon0, lat0, lat0, lat0,
+              feP, fnP, None, ellA, ellF)
             else AlbersEqualArea(lon0, lat0, sp1,
-              if (sp2.isNaN) sp1 else sp2, feP, fnP)
+              if (sp2.isNaN) sp1 else sp2, feP, fnP, None, ellA, ellF)
           case Some(name) if name.contains("polar_stereographic") =>
             // variant B carries a standard parallel (|φ| < 90 in the
             // latitude slot) and no scale factor; variant A a ±90 origin + k0
@@ -780,7 +844,7 @@ object CRS {
     case c if c.srid != 32767 => s"EPSG:${c.srid}"
     case t: TransverseMercator =>
       s"+proj=tmerc +lat_0=${t.lat0Deg} +lon_0=${t.lon0Deg} +k=${t.k0}" +
-        s" +x_0=${t.fe} +y_0=${t.fnParam}"
+        s" +x_0=${t.fe} +y_0=${t.fnParam}" + ellipsoidSuffix(t.a, t.f)
     case l: LAEA =>
       s"+proj=laea +lat_0=${l.lat0Deg} +lon_0=${l.lon0Deg}" +
         s" +x_0=${l.fe} +y_0=${l.fn}"
@@ -797,13 +861,19 @@ object CRS {
     case l: LambertConformalConic =>
       s"+proj=lcc +lat_1=${l.lat1Deg} +lat_2=${l.lat2Deg}" +
         s" +lat_0=${l.lat0Deg} +lon_0=${l.lon0Deg} +k_0=${l.k0}" +
-        s" +x_0=${l.fe} +y_0=${l.fn}"
+        s" +x_0=${l.fe} +y_0=${l.fn}" + ellipsoidSuffix(l.semiMajor, l.flattening)
     case ab: AlbersEqualArea =>
       s"+proj=aea +lat_1=${ab.lat1Deg} +lat_2=${ab.lat2Deg}" +
         s" +lat_0=${ab.lat0Deg} +lon_0=${ab.lon0Deg}" +
-        s" +x_0=${ab.fe} +y_0=${ab.fn}"
+        s" +x_0=${ab.fe} +y_0=${ab.fn}" + ellipsoidSuffix(ab.semiMajor, ab.flattening)
     case c => s"EPSG:${c.srid}"
   }
+
+  /** Non-WGS84 ellipsoid parameters for [[serialize]], parse-compatible. */
+  private def ellipsoidSuffix(a: Double, f: Double): String =
+    if (a == A && f == F) ""
+    else if (f == 0.0) s" +a=$a"
+    else s" +a=$a +rf=${1.0 / f}"
 
   /** Planar transform between two CRS (via lon/lat). */
   def transform(from: CRS, to: CRS, x: Double, y: Double): (Double, Double) = {

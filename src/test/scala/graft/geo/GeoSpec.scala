@@ -422,8 +422,11 @@ class GeoSpec extends AnyFunSuite {
       PARAMETER["latitude_of_origin",46.5],PARAMETER["central_meridian",3],
       PARAMETER["false_easting",700000],PARAMETER["false_northing",6600000],
       UNIT["metre",1]]"""
+    // the SPHEROID node resolves GRS 80 (true Lambert-93 ellipsoid), so
+    // the WKT instance differs from the WGS84-flattening EPSG shortcut by
+    // the documented < 1 mm
     val (wx, wy) = CRS.parse(wkt2sp).fromLonLat(2.35, 48.85)
-    assert(math.abs(wx - gx) < 1e-6 && math.abs(wy - gy) < 1e-6)
+    assert(math.abs(wx - gx) < 1e-3 && math.abs(wy - gy) < 1e-3)
     val wkt1sp = """PROJCS["unnamed",GEOGCS["WGS 84",DATUM["WGS_1984",
       SPHEROID["WGS 84",6378137,298.257223563]]],
       PROJECTION["Lambert_Conformal_Conic_1SP"],
@@ -441,6 +444,55 @@ class GeoSpec extends AnyFunSuite {
       val (rl, rb) = south.toLonLat(px, py)
       assert(math.abs(rl - lo) < 1e-8 && math.abs(rb - la) < 1e-8, s"($lo,$la)")
     }
+  }
+
+  test("non-WGS84 ellipsoids: OSGB on Airy 1830 (IOGP vector), routing, round trips") {
+    // IOGP GN 7-2 Transverse Mercator worked example — OSGB 1936 /
+    // British National Grid (Airy 1830: a=6377563.396, 1/f=299.3249646;
+    // φ0=49°N λ0=2°W k0=0.9996012717 FE=400000 FN=−100000):
+    // φ=50°30'N λ=00°30'E → E 577274.99, N 69740.50.
+    val bng = CRS.fromSrid(27700)
+    val (e1, n1) = bng.fromLonLat(0.5, 50.5)
+    assert(math.abs(e1 - 577274.99) < 0.02, s"E=$e1")
+    assert(math.abs(n1 - 69740.50) < 0.02, s"N=$n1")
+    val (rlon, rlat) = bng.toLonLat(e1, n1)
+    assert(math.abs(rlon - 0.5) < 1e-9 && math.abs(rlat - 50.5) < 1e-9)
+    // the same grid on WGS84 differs by real meters — the ellipsoid is used
+    val wgsTm = CRS.TransverseMercator(-2, 49, 0.9996012717, 400000, -100000)
+    val (ew, nw) = wgsTm.fromLonLat(0.5, 50.5)
+    assert(math.hypot(ew - e1, nw - n1) > 5, "Airy vs WGS84 must diverge")
+    // proj4 +ellps routing matches the EPSG instance
+    val viaProj = CRS.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717" +
+      " +x_0=400000 +y_0=-100000 +ellps=airy")
+    val (ep, np) = viaProj.fromLonLat(0.5, 50.5)
+    assert(math.abs(ep - e1) < 1e-6 && math.abs(np - n1) < 1e-6)
+    // +a/+rf form and serialize round-trip
+    val viaARf = CRS.parse(CRS.serialize(viaProj))
+    val (ea, na) = viaARf.fromLonLat(0.5, 50.5)
+    assert(math.abs(ea - e1) < 1e-9 && math.abs(na - n1) < 1e-9)
+    // authority-free WKT resolves the SPHEROID node
+    val wkt = """PROJCS["OSGB 1936 / British National Grid",GEOGCS["OSGB 1936",
+      DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646]]],
+      PROJECTION["Transverse_Mercator"],
+      PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],
+      PARAMETER["scale_factor",0.9996012717],
+      PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],
+      UNIT["metre",1]]"""
+    val viaWkt = CRS.parse(wkt)
+    val (ek, nk) = viaWkt.fromLonLat(0.5, 50.5)
+    assert(math.abs(ek - e1) < 1e-6 && math.abs(nk - n1) < 1e-6)
+    // Gauss-Krüger zone 4 on Bessel round-trips
+    val gk4 = CRS.parse("+proj=tmerc +lat_0=0 +lon_0=12 +k=1 +x_0=4500000 +y_0=0 +ellps=bessel")
+    for ((lo, la) <- Seq((11.57, 48.14), (13.4, 52.52), (9.99, 53.55))) {
+      val (px, py) = gk4.fromLonLat(lo, la)
+      val (rl, rb) = gk4.toLonLat(px, py)
+      assert(math.abs(rl - lo) < 1e-9 && math.abs(rb - la) < 1e-9, s"($lo,$la)")
+    }
+    // a UTM parameterization on a non-WGS84 ellipsoid must NOT claim the
+    // EPSG UTM code
+    val notUtm = CRS.parse("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +y_0=0 +ellps=intl")
+    assert(notUtm.isInstanceOf[CRS.TransverseMercator])
+    assert(notUtm.srid == 32767)
   }
 
   test("Albers equal-area conic (EPSG 9822): Snyder example, area property, routing") {
