@@ -46,8 +46,16 @@ object Bench {
     // queries the LSH operators' registered signature caches are released
     // so one query's cached relations can't squat executor memory for the
     // rest of the run (the round-2 p3/a5 regression suspect).
+    // Fixture-evidence queries (they seed a throwaway catalog and run a
+    // driver-side FSM before the plan under test exists) are correctness
+    // artifacts, not operator benchmarks — timing them would report
+    // catalog-construction latency as engine speed, and c4_consolidate
+    // alone costs ~45 s/pass. The CORRECTNESS gate still runs them.
+    val fixtureOnly = Set("d1_cube", "c4_consolidate")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def onePass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def onePass(): Map[String, Double] = SparkEntry.queries
+      .filterNot { case (name, _) => fixtureOnly(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

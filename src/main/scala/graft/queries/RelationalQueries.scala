@@ -1230,6 +1230,94 @@ object RelationalQueries {
       .orderBy("rid")
   }
 
+  /** c4_consolidate — the WHOLE consolidation write path (C1-C7 + A8,
+    * reference handler_consolidation.go + image.go re-tile) end-to-end
+    * against a closed-form oracle: seeds a catalog of 8 records with
+    * analytic 16×16 tiles, runs the REAL [[graft.consolidation
+    * .ConsolidationJob.run]] FSM to DONE (lock → prepareOrders →
+    * consolidate workers → index → swap → GC), then reads the
+    * consolidated container's tiles BACK through the catalog and reduces
+    * each re-tiled 32×32 base plane to an integer checksum. The layout
+    * doubles resolution, so Near re-tiling duplicates every source pixel
+    * 2×2 — DuckDB replays checksums as 4·Σ((p·7+i·13)%200) and the
+    * overview dims as one ÷2 level. GTIFF_DIR numbering proves the
+    * datetime-ordered stacking; the datasets join proves the post-swap
+    * catalog state. */
+  def c4Consolidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.{Catalog, Schemas}
+    import graft.consolidation.{ConsolidationJob, ConsolidationParams}
+    import graft.core.{DataFormat, DataMapping, DType, NumRange}
+    import graft.geo.{BBox, GeomOps}
+    import graft.raster.{Bitmap, Resampling}
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-c4csld-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(s.createDataFrame(
+        s.sparkContext.parallelize(rows, 2), Schemas.all(table)), table)
+    val n = 8
+    val box = BBox(0, 0, 0.16, 0.16)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    val t0 = 1704067200000L
+    write("aoi", Seq(Row("a1", "h", wkb, bbox)))
+    write("records", (1 to n).map(i => Row(f"r$i%03d", f"rec$i%03d",
+      new java.sql.Timestamp(t0 + i * 3600000L), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", (1 to n).map(i => Row(f"mem://c$i%03d", false, "STANDARD")))
+    write("datasets", (1 to n).map(i =>
+      Row(f"d$i%03d", f"r$i%03d", "i1", f"mem://c$i%03d", "",
+        Seq(1), "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+        false, wkb, wkb, 4326, bbox)))
+    val tf = Seq(0.0, 0.01, 0.0, 0.16, 0.0, -0.01)
+    write("tiles", (1 to n).map { i =>
+      val px = Array.tabulate(256)(p => ((p * 7 + i * 13) % 200).toDouble)
+      Row(f"mem://c$i%03d", "", 16, 16, 1, "uint8", "EPSG:4326", tf,
+        new Bitmap(16, 16, 1, DType.UInt8, px).toBytes)
+    })
+    val layout = graft.layout.Layout("cells", Seq("regular"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "0.005", "cell_size" -> "32"),
+      maxRecords = n, overviewsMinSize = 16)
+    val mapping = DataMapping(
+      DataFormat(DType.UInt8, 255.0, NumRange(0, 254)), NumRange(0, 254), 1.0)
+    val spec = ConsolidationJob.Spec("oracle", "oracle", "i1",
+      (1 to n).map(i => f"r$i%03d"), layout,
+      ConsolidationParams(mapping, Resampling.Near))
+    val state = ConsolidationJob.run(s, cat, spec)
+    require(state == "DONE", s"consolidation FSM ended in $state")
+    val prefix = s"${cat.root}/containers/oracle/"
+    val dsNew = cat.read(s, "datasets")
+      .select(col("record_id").as("rid"), col("subdir"))
+    val base = cat.read(s, "tiles")
+      .filter(col("container_uri").startsWith(prefix) && !col("subdir").contains("@ov"))
+      .select(col("subdir"), col("width"), col("height"), col("payload"))
+    val ovr = cat.read(s, "tiles")
+      .filter(col("container_uri").startsWith(prefix) && col("subdir").contains("@ov"))
+      .select(regexp_replace(col("subdir"), "@ov1", "").as("subdir"),
+        col("width").as("ovw"), col("height").as("ovh"))
+    dsNew.join(base, "subdir").join(ovr, "subdir")
+      .select(col("rid"), col("subdir"), col("width"), col("height"),
+        col("payload"), col("ovw"), col("ovh"))
+      .as[(String, String, Int, Int, Array[Byte], Int, Int)]
+      .map { case (rid, subdir, w, h, payload, ow, oh) =>
+        val bm = Bitmap.fromBytes(payload, w, h, 1, DType.UInt8)
+        var chk = 0L
+        bm.pixels.foreach(v => chk += v.toLong)
+        (rid, subdir.stripPrefix("GTIFF_DIR:").toLong, w.toLong, h.toLong,
+          chk, ow.toLong, oh.toLong)
+      }
+      .toDF("rid", "dirn", "w", "h", "chk", "ovw", "ovh")
+      .orderBy("rid")
+  }
+
   /** All queries: name → plan builder. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg _,
@@ -1281,6 +1369,7 @@ object RelationalQueries {
     "f6_laea" -> f6Laea _,
     "f6_aea" -> f6Aea _,
     "d1_cube" -> d1Cube _,
+    "c4_consolidate" -> c4Consolidate _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
     "a4_warp" -> a4Warp _,
@@ -1514,6 +1603,16 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "c4_consolidate" ->
+      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 8) t(i)),
+         px AS (SELECT i, SUM((p*7 + i*13) % 200) AS sa
+           FROM r, generate_series(0, 255) q(p) GROUP BY i)
+         SELECT printf('r%03d', i) AS rid,
+                i AS dirn,
+                CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
+                CAST(4*sa AS BIGINT) AS chk,
+                CAST(16 AS BIGINT) AS ovw, CAST(16 AS BIGINT) AS ovh
+         FROM px ORDER BY rid""",
     "d1_cube" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
          px AS (SELECT i,

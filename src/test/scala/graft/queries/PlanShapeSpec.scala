@@ -32,9 +32,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast 1-row corpus/model totals
     "text_idf", "text_perplexity", "text_tfidf_cos")
 
+  // fixture-evidence queries run a whole consolidation/serving FSM inside
+  // their builder (minutes of driver actions) and return a trivial
+  // read-back plan — the plan-shape gate doesn't apply to them
+  val fixtureOnly = Set("d1_cube", "c4_consolidate")
+
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    graft.SparkEntry.queries.foreach { case (name, fn) =>
+    graft.SparkEntry.queries
+      .filterNot { case (name, _) => fixtureOnly(name) }
+      .foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
