@@ -1167,6 +1167,45 @@ object RelationalQueries {
     * bench also uses, getCubeBench). */
   def d1Cube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.core.DType
+    import graft.raster.Bitmap
+    val (cat, req) = seedCubeCatalog(s, dir)
+    graft.cube.GetCube.cube(s, cat, req)
+      .map { sl =>
+        val bm = Bitmap.fromBytes(sl.payload, sl.width, sl.height, sl.bands,
+          DType.UInt8)
+        var chk = 0L
+        bm.pixels.foreach(v => chk += v.toLong)
+        (sl.group_key, sl.record_ids.mkString(","),
+          sl.min_datetime.getTime / 1000, sl.valid_pixels, chk)
+      }
+      .toDF("rid", "rids", "ts_epoch", "n_valid", "chk")
+      .orderBy("rid")
+  }
+
+  /** d2_headers — the headers-only branch of the serving path (D2,
+    * getCubeStream catalog.go:325-339): the SAME seeded catalog as
+    * [[d1Cube]], served with `headersOnly = true` — no tile join, no
+    * kernel, one aggregation over the dataset scan — and the slice
+    * metadata (group, records, min datetime, declared dims/dtype)
+    * checked against the closed form. */
+  def d2Headers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cat, req) = seedCubeCatalog(s, dir)
+    graft.cube.GetCube.cube(s, cat, req.copy(headersOnly = true))
+      .map { sl =>
+        (sl.group_key, sl.record_ids.mkString(","),
+          sl.min_datetime.getTime / 1000, sl.width.toLong, sl.height.toLong,
+          sl.bands.toLong, sl.dtype, sl.payload.length.toLong, sl.error)
+      }
+      .toDF("rid", "rids", "ts_epoch", "w", "h", "nb", "dt", "plen", "err")
+      .orderBy("rid")
+  }
+
+  /** Seeds the 48-record cube-serving catalog both D1/D2 oracles read:
+    * fresh under java.io.tmpdir per call. */
+  private def seedCubeCatalog(s: SparkSession, dir: String):
+      (graft.catalog.Catalog, graft.cube.CubeRequest) = {
     import graft.catalog.{Catalog, Schemas}
     import graft.core.DType
     import graft.geo.{Affine, BBox, GeomOps}
@@ -1217,17 +1256,7 @@ object RelationalQueries {
       })
     val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
       transform = Affine.northUp(0, 0.32, 0.01, -0.01), width = 32, height = 32)
-    graft.cube.GetCube.cube(s, cat, req)
-      .map { sl =>
-        val bm = Bitmap.fromBytes(sl.payload, sl.width, sl.height, sl.bands,
-          DType.UInt8)
-        var chk = 0L
-        bm.pixels.foreach(v => chk += v.toLong)
-        (sl.group_key, sl.record_ids.mkString(","),
-          sl.min_datetime.getTime / 1000, sl.valid_pixels, chk)
-      }
-      .toDF("rid", "rids", "ts_epoch", "n_valid", "chk")
-      .orderBy("rid")
+    (cat, req)
   }
 
   /** c4_consolidate — the WHOLE consolidation write path (C1-C7 + A8,
@@ -1369,6 +1398,7 @@ object RelationalQueries {
     "f6_laea" -> f6Laea _,
     "f6_aea" -> f6Aea _,
     "d1_cube" -> d1Cube _,
+    "d2_headers" -> d2Headers _,
     "c4_consolidate" -> c4Consolidate _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
@@ -1603,6 +1633,15 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "d2_headers" ->
+      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i))
+         SELECT printf('r%03d', i) AS rid,
+                printf('r%03d', i) AS rids,
+                CAST(1704067200 + i*3600 AS BIGINT) AS ts_epoch,
+                CAST(32 AS BIGINT) AS w, CAST(32 AS BIGINT) AS h,
+                CAST(1 AS BIGINT) AS nb, 'uint8' AS dt,
+                CAST(0 AS BIGINT) AS plen, '' AS err
+         FROM r ORDER BY rid""",
     "c4_consolidate" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 8) t(i)),
          px AS (SELECT i, SUM((p*7 + i*13) % 200) AS sa
