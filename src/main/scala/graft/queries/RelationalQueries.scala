@@ -1202,6 +1202,57 @@ object RelationalQueries {
       .orderBy("rid")
   }
 
+  /** d5_xyz — the catalog-FREE XYZ tile serving path (D5, reference
+    * getMosaic/getXYZTile catalog.go:415-506) end-to-end: writes ONE real
+    * tiled+deflate COG (128×128 uint8 analytic lattice on a 0.375° WGS84
+    * grid), serves real z/x/y tiles through
+    * [[graft.cube.XYZTile.getTileFromFile]] — ranged header reads, level
+    * selection, 4326→3857 Near warp onto the WebMercator tile grid,
+    * grayscale PNG encode — then decodes the PNG back with javax.imageio
+    * (the independent JDK decoder) and checksums the gray plane. DuckDB
+    * replays the whole chain per pixel: xyzTransform (the g7-mirrored
+    * form), inverse spherical Mercator, exact inverse source affine
+    * (0.375 = 3/8 keeps det binary), floor-Near lattice lookup, and the
+    * castValueBF [0,255]→[0,254] PNG rescale. */
+  def d5XyzTile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.DType
+    import graft.geo.{Affine, CRS}
+    import graft.raster.{Bitmap, GeoTiff}
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-d5xyz-" + Integer.toHexString(dir.hashCode) + ".tif")
+    val px = Array.tabulate(128 * 128)(i =>
+      (((i % 128) * 7 + (i / 128) * 13) % 97).toDouble)
+    java.nio.file.Files.write(f.toPath, GeoTiff.write(Seq(GeoTiff.Image(
+      new Bitmap(128, 128, 1, DType.UInt8, px),
+      Affine.northUp(-1, 47, 0.375, -0.375), CRS.WGS84)),
+      compress = true, tileSize = 16))
+    val path = f.getAbsolutePath
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .map { k =>
+        // tiles chosen to sit strictly inside the source footprint
+        val z = (4 + k % 2).toInt
+        val (x, y) =
+          if (z == 4) (8 + (k / 2) % 2, 6 + (k / 4) % 2)
+          else (16 + (k / 2) % 4, 12 + (k / 4) % 4)
+        val png = graft.cube.XYZTile.getTileFromFile(
+          new org.apache.hadoop.conf.Configuration(), path, "GTIFF_DIR:1", x, y, z)
+          .getOrElse(throw new IllegalStateException(s"no tile for supplier $k"))
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        var chk = 0L
+        var yy = 0
+        while (yy < 256) {
+          var xx = 0
+          while (xx < 256) { chk += img.getRGB(xx, yy) & 0xff; xx += 1 }
+          yy += 1
+        }
+        (k, z.toLong, x, y, chk)
+      }
+      .toDF("s_suppkey", "z", "x", "y", "chk")
+      .orderBy("s_suppkey")
+  }
+
   /** Seeds the 48-record cube-serving catalog both D1/D2 oracles read:
     * fresh under java.io.tmpdir per call. */
   private def seedCubeCatalog(s: SparkSession, dir: String):
@@ -1399,6 +1450,7 @@ object RelationalQueries {
     "f6_aea" -> f6Aea _,
     "d1_cube" -> d1Cube _,
     "d2_headers" -> d2Headers _,
+    "d5_xyz" -> d5XyzTile _,
     "c4_consolidate" -> c4Consolidate _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
@@ -1633,6 +1685,38 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "d5_xyz" ->
+      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         til AS (SELECT k, 4 + k % 2 AS z,
+             CASE WHEN k % 2 = 0 THEN 8 + (k//2) % 2
+                  ELSE 16 + (k//2) % 4 END AS x,
+             CASE WHEN k % 2 = 0 THEN 6 + (k//4) % 2
+                  ELSE 12 + (k//4) % 4 END AS y
+           FROM sup),
+         c AS (SELECT 6378137.0 AS aa,
+             (-0.375)*(1.0/(-0.140625)) AS i1,
+             0.375*(1.0/(-0.140625)) AS i5),
+         geo AS (SELECT t.k, t.z, t.x, t.y, c.*,
+             (2 * 20037508.342789244) / (256 * (1 << z)) AS r
+           FROM til t CROSS JOIN c),
+         org2 AS (SELECT *, -20037508.342789244 + x*256*r AS tx0,
+             20037508.342789244 - y*256*r AS ty0 FROM geo),
+         pxg AS (SELECT o.*, gx.g AS px, gy.g AS py
+           FROM org2 o, generate_series(0,255) gx(g), generate_series(0,255) gy(g)),
+         mer AS (SELECT *, tx0 + r*(px+0.5) AS cx, ty0 - r*(py+0.5) AS cy FROM pxg),
+         ll AS (SELECT *, (cx/aa)*(180.0/pi()) AS lon,
+             (2*atan(exp(cy/aa)) - pi()/2)*(180.0/pi()) AS lat FROM mer),
+         sxy AS (SELECT *, i1 + i1*lon AS sx, i5*(-47.0) + i5*lat AS sy FROM ll),
+         vv AS (SELECT k, z, x, y,
+             (CAST(floor(sx) AS BIGINT)*7 + CAST(floor(sy) AS BIGINT)*13) % 97 AS v
+           FROM sxy),
+         gr AS (SELECT k, z, x, y,
+             CAST(round(least(greatest(
+               0 + 254*((0 + 255*((v - 0)/255.0))/255.0), 0), 255)) AS BIGINT) AS u
+           FROM vv)
+         SELECT k AS s_suppkey, CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
+                CAST(y AS BIGINT) AS y, SUM(u) AS chk
+         FROM gr GROUP BY k, z, x, y ORDER BY s_suppkey""",
     "d2_headers" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i))
          SELECT printf('r%03d', i) AS rid,
