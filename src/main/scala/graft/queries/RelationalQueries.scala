@@ -1253,6 +1253,73 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** d4_band_errors — band projection + the error-as-value envelope
+    * (P7 + D4, reference catalog.go:531-625 band extraction and
+    * grpc/service.go:1086-1089 per-slice errors): 16 records carry 8×8
+    * THREE-band tiles, the datasets project band 2 (1-based), and every
+    * fifth tile's payload is truncated so its slice arrives as an error
+    * VALUE (empty payload, zero valid pixels, non-empty error) instead of
+    * failing the job. DuckDB replays the band-2 plane checksums and the
+    * error pattern. */
+  def d4BandErrors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.{Catalog, Schemas}
+    import graft.core.DType
+    import graft.geo.{Affine, BBox, GeomOps}
+    import graft.raster.Bitmap
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-d4band-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(s.createDataFrame(
+        s.sparkContext.parallelize(rows, 2), Schemas.all(table)), table)
+    val n = 16
+    val box = BBox(0, 0, 0.16, 0.16)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    val t0 = 1704067200000L
+    write("aoi", Seq(Row("a1", "h", wkb, bbox)))
+    write("records", (1 to n).map(i => Row(f"r$i%03d", f"rec$i%03d",
+      new java.sql.Timestamp(t0 + i * 3600000L), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", (1 to n).map(i => Row(f"mem://b$i%03d", false, "STANDARD")))
+    write("datasets", (1 to n).map(i =>
+      Row(f"d$i%03d", f"r$i%03d", "i1", f"mem://b$i%03d", "",
+        Seq(2), "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+        false, wkb, wkb, 4326, bbox)))
+    val tf = Seq(0.0, 0.02, 0.0, 0.16, 0.0, -0.02)
+    write("tiles", (1 to n).map { i =>
+      val px = Array.tabulate(192)(q => ((q * 11 + i * 17) % 180).toDouble)
+      val bytes = new Bitmap(8, 8, 3, DType.UInt8, px).toBytes
+      val payload = if (i % 5 == 0) bytes.take(bytes.length - 4) else bytes
+      Row(f"mem://b$i%03d", "", 8, 8, 3, "uint8", "EPSG:4326", tf, payload)
+    })
+    val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 0.16, 0.02, -0.02), width = 8, height = 8)
+    graft.cube.GetCube.cube(s, cat, req)
+      .map { sl =>
+        val chk =
+          if (sl.error.nonEmpty) 0L
+          else {
+            val bm = Bitmap.fromBytes(sl.payload, sl.width, sl.height,
+              sl.bands, DType.UInt8)
+            var c = 0L
+            bm.pixels.foreach(v => c += v.toLong)
+            c
+          }
+        (sl.group_key, sl.valid_pixels, chk, if (sl.error.nonEmpty) 1L else 0L)
+      }
+      .toDF("rid", "n_valid", "chk", "has_err")
+      .orderBy("rid")
+  }
+
   /** Seeds the 48-record cube-serving catalog both D1/D2 oracles read:
     * fresh under java.io.tmpdir per call. */
   private def seedCubeCatalog(s: SparkSession, dir: String):
@@ -1451,6 +1518,7 @@ object RelationalQueries {
     "d1_cube" -> d1Cube _,
     "d2_headers" -> d2Headers _,
     "d5_xyz" -> d5XyzTile _,
+    "d4_band_errors" -> d4BandErrors _,
     "c4_consolidate" -> c4Consolidate _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
@@ -1685,6 +1753,15 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "d4_band_errors" ->
+      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 16) t(i)),
+         b2 AS (SELECT i, SUM((q*11 + i*17) % 180) AS s2
+           FROM r, generate_series(64, 127) g(q) GROUP BY i)
+         SELECT printf('r%03d', i) AS rid,
+                CAST(CASE WHEN i % 5 = 0 THEN 0 ELSE 64 END AS BIGINT) AS n_valid,
+                CAST(CASE WHEN i % 5 = 0 THEN 0 ELSE s2 END AS BIGINT) AS chk,
+                CAST(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_err
+         FROM b2 ORDER BY rid""",
     "d5_xyz" ->
       """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
          til AS (SELECT k, 4 + k % 2 AS z,
