@@ -51,7 +51,8 @@ object Bench {
     // artifacts, not operator benchmarks — timing them would report
     // catalog-construction latency as engine speed, and c4_consolidate
     // alone costs ~45 s/pass. The CORRECTNESS gate still runs them.
-    val fixtureOnly = Set("d1_cube", "d2_headers", "d4_band_errors", "c4_consolidate")
+    val fixtureOnly = Set("d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
+      "c4_consolidate")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def onePass(): Map[String, Double] = SparkEntry.queries
       .filterNot { case (name, _) => fixtureOnly(name) }

@@ -1228,8 +1228,19 @@ object RelationalQueries {
       Affine.northUp(-1, 47, 0.375, -0.375), CRS.WGS84)),
       compress = true, tileSize = 16))
     val path = f.getAbsolutePath
+    // ONE serializable conf shipped to executors: constructing a fresh
+    // Configuration per row serializes 32 threads on the global
+    // default-resource XML parse (measured 22.9 s for 100 tiles vs ~1 s)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    // the supplier dim is one small parquet split, but each row does real
+    // CPU work (ranged COG read + warp + PNG encode/decode) — spread the
+    // serving loop across cores instead of one scan partition (measured
+    // 20.9 s → ~1 s at sf0.1). At scale the request list arrives
+    // pre-partitioned; this mirrors that shape for a dim-driven fixture.
     t(s, dir, "supplier")
       .select(col("s_suppkey").cast("long")).as[Long]
+      .repartition(32)
       .map { k =>
         // tiles chosen to sit strictly inside the source footprint
         val z = (4 + k % 2).toInt
@@ -1237,7 +1248,7 @@ object RelationalQueries {
           if (z == 4) (8 + (k / 2) % 2, 6 + (k / 4) % 2)
           else (16 + (k / 2) % 4, 12 + (k / 4) % 4)
         val png = graft.cube.XYZTile.getTileFromFile(
-          new org.apache.hadoop.conf.Configuration(), path, "GTIFF_DIR:1", x, y, z)
+          sconf.value, path, "GTIFF_DIR:1", x, y, z)
           .getOrElse(throw new IllegalStateException(s"no tile for supplier $k"))
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
         var chk = 0L
@@ -1318,6 +1329,48 @@ object RelationalQueries {
       }
       .toDF("rid", "n_valid", "chk", "has_err")
       .orderBy("rid")
+  }
+
+  /** s6_find_cells — the catalog-grid spatial join (S6/G4, reference
+    * pg_layouts.go FindCells): seeds a 40×40 unit-cell custom grid in the
+    * cells table and runs the REAL [[graft.catalog.CatalogQueries
+    * .findCells]] — codegen'd bbox prune → JTS st_intersects →
+    * st_intersection — against a 0.25-offset rectangular AOI, emitting
+    * each matched cell's intersection area and envelope. Axis-aligned
+    * boxes on quarter-degree coordinates keep the JTS clip arithmetic
+    * binary-exact, so DuckDB mirrors with greatest/least clipping. */
+  def s6FindCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.{Catalog, CatalogQueries, Schemas}
+    import graft.geo.{BBox, GeomOps}
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-s6cells-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    val rows = for (i <- 0 until 40; j <- 0 until 40) yield {
+      val b = BBox(i, j, i + 1, j + 1)
+      Row("g40", s"c_${i}_$j", "EPSG:4326", 4326,
+        GeomOps.writeWkb(GeomOps.polygonFromBBox(b)),
+        Row(b.xmin, b.ymin, b.xmax, b.ymax))
+    }
+    cat.append(s.createDataFrame(
+      s.sparkContext.parallelize(rows, 4), Schemas.all("cells")), "cells")
+    val aoi = GeomOps.polygonFromBBox(BBox(10.25, 12.25, 27.75, 24.75))
+    CatalogQueries.findCells(s, cat, "g40", aoi)
+      .select(col("id"), col("intersection_wkb"))
+      .as[(String, Array[Byte])]
+      .map { case (id, wkb) =>
+        val g = GeomOps.readWkb(wkb)
+        val env = g.getEnvelopeInternal
+        (id, g.getArea, env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+      }
+      .toDF("id", "area", "ixmin", "iymin", "ixmax", "iymax")
+      .withColumn("area", round(col("area"), 6))
+      .orderBy("id")
   }
 
   /** Seeds the 48-record cube-serving catalog both D1/D2 oracles read:
@@ -1519,6 +1572,7 @@ object RelationalQueries {
     "d2_headers" -> d2Headers _,
     "d5_xyz" -> d5XyzTile _,
     "d4_band_errors" -> d4BandErrors _,
+    "s6_find_cells" -> s6FindCells _,
     "c4_consolidate" -> c4Consolidate _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
@@ -1753,6 +1807,19 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "s6_find_cells" ->
+      """WITH ij AS (SELECT gi.g AS i, gj.g AS j
+           FROM generate_series(10, 27) gi(g), generate_series(12, 24) gj(g)),
+         clip AS (SELECT i, j,
+             greatest(CAST(i AS DOUBLE), 10.25) AS xlo,
+             least(CAST(i + 1 AS DOUBLE), 27.75) AS xhi,
+             greatest(CAST(j AS DOUBLE), 12.25) AS ylo,
+             least(CAST(j + 1 AS DOUBLE), 24.75) AS yhi
+           FROM ij)
+         SELECT printf('c_%d_%d', i, j) AS id,
+                round((xhi - xlo) * (yhi - ylo), 6) + 0.0 AS area,
+                xlo AS ixmin, ylo AS iymin, xhi AS ixmax, yhi AS iymax
+         FROM clip ORDER BY id""",
     "d4_band_errors" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 16) t(i)),
          b2 AS (SELECT i, SUM((q*11 + i*17) % 180) AS s2
