@@ -1373,6 +1373,39 @@ object RelationalQueries {
       .orderBy("id")
   }
 
+  /** g6_tile_aoi — the distributed TileAOI generator (G6, reference
+    * svc/service.go:506-524) through the REAL [[graft.layout.Layout
+    * .tileAois]] flatMap: one AOI per part row on the global 0.25°/256 px
+    * layout, aggregated to covering-tile counts, distinct-uri counts and
+    * the tile-transform extents. Same off-boundary AOI construction as
+    * g5_covers, so DuckDB enumerates the identical cells by floor
+    * arithmetic and replays the i·64 / −j·64 transform origins. */
+  def g6TileAoi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.geo.{BBox, GeomOps}
+    val layout = graft.layout.Layout("g6", Seq("regular"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "0.25", "cell_size" -> "256"))
+    val aois = t(s, dir, "part")
+      .select(col("p_partkey").cast("long")).as[Long]
+      .map { k =>
+        val xmin = (k * 7 % 200) - 100 + 0.125
+        val ymin = (k * 13 % 120) - 60 + 0.125
+        (k.toString, GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(
+          xmin, ymin, xmin + (k % 5) * 16 + 10.5, ymin + (k % 3) * 8 + 6.5))))
+      }
+    graft.layout.Layout.tileAois(s, layout, aois)
+      .groupBy(col("aoi_id").cast("long").as("p_partkey"))
+      .agg(count(lit(1)).as("n_tiles"),
+        countDistinct(col("uri")).as("n_uris"),
+        max(col("sizeX")).cast("long").as("sx"),
+        max(col("sizeY")).cast("long").as("sy"),
+        min(element_at(col("transform"), 1)).as("minc0"),
+        max(element_at(col("transform"), 1)).as("maxc0"),
+        min(element_at(col("transform"), 4)).as("minc3"),
+        max(element_at(col("transform"), 4)).as("maxc3"))
+      .orderBy("p_partkey")
+  }
+
   /** Seeds the 48-record cube-serving catalog both D1/D2 oracles read:
     * fresh under java.io.tmpdir per call. */
   private def seedCubeCatalog(s: SparkSession, dir: String):
@@ -1573,6 +1606,7 @@ object RelationalQueries {
     "d5_xyz" -> d5XyzTile _,
     "d4_band_errors" -> d4BandErrors _,
     "s6_find_cells" -> s6FindCells _,
+    "g6_tile_aoi" -> g6TileAoi _,
     "c4_consolidate" -> c4Consolidate _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
@@ -1807,6 +1841,27 @@ object RelationalQueries {
                 CAST(round(700000.0 + r*sin(th)) AS BIGINT) AS lx,
                 CAST(round(6600000.0 + r0 - r*cos(th)) AS BIGINT) AS ly
          FROM q2 ORDER BY c_custkey""",
+    "g6_tile_aoi" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+         b AS (SELECT k,
+           (k*7 % 200) - 100 + 0.125 AS xmin,
+           (k*13 % 120) - 60 + 0.125 AS ymin,
+           (k*7 % 200) - 100 + 0.125 + (k % 5)*16 + 10.5 AS xmax,
+           (k*13 % 120) - 60 + 0.125 + (k % 3)*8 + 6.5 AS ymax
+         FROM p),
+         e AS (SELECT k,
+           CAST(floor(xmin/64) AS BIGINT) AS imin,
+           CAST(floor(xmax/64) AS BIGINT) AS imax,
+           CAST(floor(-ymax/64) AS BIGINT) AS jmin,
+           CAST(floor(-ymin/64) AS BIGINT) AS jmax
+         FROM b)
+         SELECT k AS p_partkey,
+           (imax - imin + 1) * (jmax - jmin + 1) AS n_tiles,
+           (imax - imin + 1) * (jmax - jmin + 1) AS n_uris,
+           CAST(256 AS BIGINT) AS sx, CAST(256 AS BIGINT) AS sy,
+           CAST(imin*64 AS DOUBLE) AS minc0, CAST(imax*64 AS DOUBLE) AS maxc0,
+           CAST(-jmax*64 AS DOUBLE) AS minc3, CAST(-jmin*64 AS DOUBLE) AS maxc3
+         FROM e ORDER BY p_partkey""",
     "s6_find_cells" ->
       """WITH ij AS (SELECT gi.g AS i, gj.g AS j
            FROM generate_series(10, 27) gi(g), generate_series(12, 24) gj(g)),
