@@ -54,9 +54,13 @@ object Bench {
     val fixtureOnly = Set("d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
       "c4_consolidate")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def onePass(): Map[String, Double] = SparkEntry.queries
+    // REGISTRATION order, identical every run and every round (the queries
+    // map is a ListMap; .toSeq pins it regardless of map runtime type) —
+    // hash-ordered execution reshuffled per-query timings across rounds
+    // whenever an entry was added (run-order JIT/GC effects, round-7 p5).
+    val ordered = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => fixtureOnly(name) }
-      .map { case (name, fn) =>
+    def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -69,7 +73,7 @@ object Bench {
     }
     val pass1 = onePass()
     spark.catalog.clearCache()
-    val pass2 = onePass()
+    val pass2 = onePass().toMap
     // a query that failed in either pass reports -1, never an elapsed time
     // (a broken query must not read as a suspiciously fast green bar)
     val sqlResults = pass1.map { case (k, v) =>
@@ -78,7 +82,7 @@ object Bench {
     // kernel benchmark: the reference's only published perf claim is a
     // 100-slice 256×256 cube read < 1 s (docs/architecture/mucog.md:14-26) —
     // track the D3 warp/mosaic path round-over-round alongside the SQL surface
-    val results = sqlResults + ("getcube_100x256" -> (
+    val results = sqlResults :+ ("getcube_100x256" -> (
       try getCubeBench(spark)
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAILURE getcube_100x256: ${e.getMessage}")
@@ -101,7 +105,7 @@ object Bench {
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson}""")

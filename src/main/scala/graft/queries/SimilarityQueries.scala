@@ -289,7 +289,8 @@ object SimilarityQueries {
         round(col("pq_dist2"), 6).as("pq_dist2"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val all: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "sim_cosine_topk" -> simCosineTopk _,
     "sim_ivfpq_topk" -> simIvfPqTopk _,
     "sim_lsh_buckets" -> simLshBuckets _,

@@ -325,7 +325,8 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val all: scala.collection.immutable.ListMap[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(
     "mix_stratified" -> mixStratified _,
     "mix_weighted" -> mixWeighted _,
     "dedup_spans" -> dedupSpans _,
