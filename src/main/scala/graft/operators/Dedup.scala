@@ -245,7 +245,11 @@ object Dedup {
     val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .localCheckpoint()
-    if (sym.count() <= localEdgeThreshold) return localComponents(spark, sym)
+    if (sym.count() <= localEdgeThreshold) {
+      val out = localComponents(spark, sym)
+      releaseLocalCheckpoint(sym)
+      return out
+    }
     // pass 1 folded into initialization: against identity starting labels
     // the first propagation's label join is the identity mapping, so the
     // post-pass-1 labels are just least(own id, min neighbour id) — one
@@ -298,16 +302,36 @@ object Dedup {
           }
         }(outEnc)
         .localCheckpoint()
+      // pass N's checkpoint is materialized (localCheckpoint is eager) —
+      // pass N−1's blocks are now unreachable by any future plan; release
+      // them instead of squatting block-manager storage for the session
+      // (real memory pressure in a long-lived job; round-7 verdict #2)
+      releaseLocalCheckpoint(labels)
       converged = changes.value == 0L
       labels = next
       iter += 1
     }
+    releaseLocalCheckpoint(sym)
     // an unconverged result is silently WRONG (labels mid-descent) —
     // refuse to return it
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: no convergence in $maxIter passes")
+    // the final labels stay materialized for the caller's action; its
+    // blocks are released with the operator caches once consumed
+    OperatorCaches.registerRelease(() => releaseLocalCheckpoint(labels))
     labels
   }
+
+  /** Unpersist the RDD blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` can't: it consults the plan-cache manager, which
+    * never saw the checkpoint's internal RDD — reach through the analyzed
+    * plan's LogicalRDD instead. */
+  private def releaseLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 
   /** Driver-side union-find endgame for a small (already materialized,
     * symmetrized) edge list: path-compressed find, then the component

@@ -21,14 +21,21 @@ import org.apache.spark.sql.Dataset
   * executor memory (the round-2 p3/a5 bench-regression suspect).
   */
 object OperatorCaches {
-  private val registered = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val registered = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Register an already-cached dataset for later release; returns it. */
-  def register[T](ds: Dataset[T]): Dataset[T] = synchronized { registered += ds; ds }
+  def register[T](ds: Dataset[T]): Dataset[T] =
+    synchronized { registered += (() => ds.unpersist(): Unit); ds }
 
-  /** Unpersist every registered relation (blocking=false) and clear. */
+  /** Register an arbitrary release action (e.g. unpersisting a
+    * localCheckpoint's underlying RDD blocks, which `Dataset.unpersist`
+    * cannot reach — it only consults the plan-cache manager). */
+  def registerRelease(release: () => Unit): Unit =
+    synchronized { registered += release }
+
+  /** Run every registered release (blocking=false semantics) and clear. */
   def unpersistAll(): Unit = synchronized {
-    registered.foreach(_.unpersist())
+    registered.foreach(_.apply())
     registered.clear()
   }
 }

@@ -193,6 +193,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(local(39L) == 0L) // min label crossed the whole 40-node path
   }
 
+  test("connectedComponents: no RDD blocks leaked after unpersistAll (checkpoint hygiene)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = ((0 until 39).map(i => (i.toLong, i.toLong + 1)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("a", "b")
+    // distributed path: per-pass localCheckpoints + the returned frame
+    val cc = Dedup.connectedComponents(edges, "a", "b", localEdgeThreshold = 0)
+    assert(cc.count() == 43)
+    // driver union-find path: the symmetrized edge checkpoint
+    Dedup.connectedComponents(edges, "a", "b").count()
+    graft.operators.OperatorCaches.unpersistAll()
+    // every intermediate pass was released as the next materialized; the
+    // final labels are released by unpersistAll — nothing NEW persists
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked RDD ids: $leaked")
+  }
+
   test("vec_dot/vec_dist2: match the HOF fold bit-for-bit; length mismatch throws") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
