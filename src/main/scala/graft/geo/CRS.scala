@@ -216,6 +216,13 @@ object CRS {
   private def sq(x: Double): Double = x * x
   private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
 
+  /** Wrap degrees into [−180, 180). Scala's `%` is sign-preserving, so the
+    * `(v + 540) % 360 − 180` idiom returns < −180 once |v| exceeds 540° —
+    * reachable through a conic inverse with a tiny cone constant n (θ/n
+    * amplifies); the floor-based wrap is total. */
+  private def wrapLonDeg(v: Double): Double =
+    v - 360.0 * math.floor((v + 180.0) / 360.0)
+
   /** Ellipsoidal Lambert azimuthal equal-area on WGS84 (EPSG method 9820;
     * Snyder 1987 §24 oblique + polar aspects). `sridOpt` lets named EPSG
     * instances (3035 …) keep their code; parameter-only instances carry the
@@ -334,7 +341,7 @@ object CRS {
         if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 } else { phi = next; i += 1 }
       }
       val lam = if (north) lon0 + math.atan2(xr, -yr) else lon0 + math.atan2(xr, yr)
-      ((lam * R2D + 540) % 360 - 180, (if (north) phi else -phi) * R2D)
+      (wrapLonDeg(lam * R2D), (if (north) phi else -phi) * R2D)
     }
   }
 
@@ -474,7 +481,7 @@ object CRS {
         if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 }
         else { phi = next; i += 1 }
       }
-      ((lam * R2D + 540) % 360 - 180, phi * R2D)
+      (wrapLonDeg(lam * R2D), phi * R2D)
     }
   }
 
@@ -545,7 +552,7 @@ object CRS {
         if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 }
         else { phi = next; i += 1 }
       }
-      (((theta / n + lon0) * R2D + 540) % 360 - 180, phi * R2D)
+      (wrapLonDeg((theta / n + lon0) * R2D), phi * R2D)
     }
   }
 
@@ -567,10 +574,14 @@ object CRS {
     val srid: Int = sridOpt.getOrElse(32767)
     private val e2 = flattening * (2 - flattening); private val e = math.sqrt(e2)
     private val lon0 = lon0Deg * D2R
-    /** authalic q(φ) — Snyder eq. 3-12 (the LAEA q, on this ellipsoid). */
+    /** authalic q(φ) — Snyder eq. 3-12 (the LAEA q, on this ellipsoid).
+      * The spherical limit (e→0, reachable via `+ellps=sphere` / a bare
+      * `+a=`) is q = 2 sin φ — the ellipsoidal form's (1/2e)·ln(…) term is
+      * ∞·0 = NaN there. */
     private def q(phi: Double): Double = {
       val s = math.sin(phi)
-      (1 - e2) * (s / (1 - e2 * s * s) -
+      if (e < 1e-12) 2 * s
+      else (1 - e2) * (s / (1 - e2 * s * s) -
         (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
     }
     private def mOf(phi: Double): Double = {
@@ -594,10 +605,12 @@ object CRS {
       (fe + r * math.sin(theta), fn + rho0 - r * math.cos(theta))
     }
 
-    /** φ from the authalic q by Snyder's fixed-point iteration (eq. 3-16). */
+    /** φ from the authalic q by Snyder's fixed-point iteration (eq. 3-16);
+      * the spherical limit inverts in closed form (φ = asin(q/2)). */
     private def latFromQ(qv: Double): Double = {
       val qp = q(math.Pi / 2)
       if (math.abs(qv) >= qp - 1e-12) return if (qv > 0) math.Pi / 2 else -math.Pi / 2
+      if (e < 1e-12) return math.asin(clamp1(qv / 2))
       var phi = math.asin(clamp1(qv / 2))
       var i = 0
       while (i < 15) {
@@ -618,7 +631,7 @@ object CRS {
       val rP = sgn * math.hypot(xr, yr)
       val theta = math.atan2(sgn * xr, sgn * yr)
       val qv = (cC - sq(rP * n / semiMajor)) / n
-      (((theta / n + lon0) * R2D + 540) % 360 - 180, latFromQ(qv) * R2D)
+      (wrapLonDeg((theta / n + lon0) * R2D), latFromQ(qv) * R2D)
     }
   }
 

@@ -557,4 +557,41 @@ class GeoSpec extends AnyFunSuite {
     val (wx, wy) = w.fromLonLat(-100, 40)
     assert(math.abs(wx - cx) < 1e-6 && math.abs(wy - cy) < 1e-6)
   }
+
+  test("Albers spherical limit (+ellps=sphere): finite coords, Snyder §14 sphere vector") {
+    // e = 0 made the authalic q's (1/2e)·ln(…) term ∞·0 = NaN (round-7
+    // advice); the spherical limit is q = 2 sin φ
+    val sph = CRS.parse("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=sphere")
+      .asInstanceOf[CRS.AlbersEqualArea]
+    // Snyder 1987 §14 spherical example (R=1): φ1=29.5 φ2=45.5 φ0=23
+    // λ0=−96, point (−75, 35) → x=0.2952720, y=0.2416774 (Snyder p. 291)
+    val r = 6371000.0
+    val (x, y) = sph.fromLonLat(-75, 35)
+    assert(!x.isNaN && !y.isNaN, s"spherical AEA produced NaN: ($x,$y)")
+    assert(math.abs(x / r - 0.2952720) < 1e-6, s"x/R=${x / r}")
+    assert(math.abs(y / r - 0.2416774) < 1e-6, s"y/R=${y / r}")
+    val (lon, lat) = sph.toLonLat(x, y)
+    assert(math.abs(lon + 75) < 1e-8 && math.abs(lat - 35) < 1e-8, s"($lon,$lat)")
+  }
+
+  test("conic inverse longitude wrap is total (tiny cone constant)") {
+    // n = sin(1°) ≈ 0.0175 amplifies θ/n: plane points whose bearing from
+    // the cone apex approaches ±π unwind to |θ/n + λ0| in the thousands of
+    // degrees, where the old (v+540)%360−180 idiom (sign-preserving %)
+    // returned < −180
+    val c = CRS.LambertConformalConic(0, 1, 1, 1)
+    val (ax, ay) = c.fromLonLat(0, 90) // cone apex (t(90°)=0 ⇒ r=0)
+    for (ang <- Seq(-3.1, -2.0, 2.0, 3.1); r <- Seq(1e5, 5e6)) {
+      val (lon, _) = c.toLonLat(ax + r * math.sin(ang), ay - r * math.cos(ang))
+      assert(lon >= -180 && lon < 180,
+        s"wrapped lon out of range: $lon (bearing=$ang r=$r)")
+    }
+    // in-range bearings still invert exactly
+    for (lonIn <- Seq(-179.5, -90.0, 90.0, 179.5)) {
+      val (px, py) = c.fromLonLat(lonIn, 40)
+      val (lon, lat) = c.toLonLat(px, py)
+      assert(math.abs(lon - lonIn) < 1e-7 && math.abs(lat - 40) < 1e-8,
+        s"($lon,$lat) vs ($lonIn,40)")
+    }
+  }
 }
