@@ -69,6 +69,25 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Encode mono 8-bit unsigned PCM as a canonical 44-byte-header WAV —
+    * the inverse of [[decodeAudio]]'s 8-bit branch (samples 0..255). */
+  def encodeWavPcm8(sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate (1 ch × 1 byte)
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
   /** Decode an audio container to (sampleRate, channels, interleaved PCM
     * samples as doubles); 8-bit unsigned and 16-bit signed PCM supported. */
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {

@@ -1571,6 +1571,102 @@ object RelationalQueries {
       .orderBy("rid")
   }
 
+  /** Synthesize the multimodal fixture frame on EXECUTORS (the d5_xyz
+    * trick, payload-level): one media row per supplier key — even keys a
+    * REAL 16×16 gray PNG (encoded through ImageIO), odd keys a REAL 8-bit
+    * PCM WAV (canonical RIFF header) — each carrying exactly 256 integer
+    * samples so every downstream statistic is exact binary arithmetic. */
+  private def mmMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .repartition(32) // CPU-bound codec work per row; the dim is 1 split
+      .map { k =>
+        if (k % 2 == 0) {
+          val px = Array.tabulate(256)(i =>
+            (((i % 16) * 7 + (i / 16) * 13 + k * 5) % 256).toDouble)
+          (f"m$k%05d", "image", 16, 16, 1, 0, 0, MediaCodec.encodePng(16, 16, 1, px))
+        } else {
+          val data = Array.tabulate(256)(i => ((i * 11 + k * 7) % 256).toByte)
+          (f"m$k%05d", "audio", 16, 16, 1, 8000, 0, MediaCodec.encodeWavPcm8(8000, data))
+        }
+      }
+      .toDF("media_id", "kind", "width", "height", "channels", "sample_rate",
+        "n_frames", "payload")
+      .select(col("media_id"), col("kind"),
+        struct(col("width"), col("height"), col("channels"), col("sample_rate"),
+          col("n_frames")).as("meta"),
+        col("payload"))
+  }
+
+  /** mm_featurize — the multimodal feature-extraction pipeline (builder
+    * brief; the mapInPandas-batch shape realized as typed mapPartitions)
+    * end-to-end through REAL codecs: the [[mmMedia]] payloads decode via
+    * ImageIO / javax.sound inside [[graft.operators.Multimodal.featurize]],
+    * and the emitted stats reduce to values DuckDB replays exactly —
+    * 256 integer samples make mean exact binary, the variance an exact
+    * sum (denominator 2^16, numerator < 2^40), std a correctly-rounded
+    * IEEE sqrt (bit-identical on every engine), and the 16-bucket
+    * embedding a pure integer checksum (Σ(bucket+1) = 256 + Σ⌊v/16⌋). */
+  def mmFeaturize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Multimodal.featurize(s, mmMedia(s, dir))
+      .map { f =>
+        val echk = f.embedding.zipWithIndex
+          .map { case (e, b) => (b + 1) * math.round(e * 256).toLong }.sum
+        (f.media_id, f.kind, f.width.toLong, f.height.toLong, f.mean, f.std, echk)
+      }
+      .toDF("media_id", "kind", "w", "h", "mean", "std", "e_chk")
+      .orderBy("media_id")
+  }
+
+  /** mm_resize — the multimodal image-resize pipeline (builder brief):
+    * PNG rows decode → nearest-resample 16×16→8×8 (source pixel (2x+1,
+    * 2y+1), exact) → re-encode PNG; raw-gray rows (odd keys here carry a
+    * non-container payload under kind=image) resample the documented
+    * raw interpretation and stay raw. The output payloads are decoded
+    * BACK (ImageIO / raw) and checksummed; DuckDB replays the source
+    * lattice at the sampled positions — all-integer compare. */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    val media = t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .repartition(32)
+      .map { k =>
+        if (k % 2 == 0) {
+          val px = Array.tabulate(256)(i =>
+            (((i % 16) * 7 + (i / 16) * 13 + k * 5) % 256).toDouble)
+          (f"m$k%05d", "image", 16, 16, 1, 0, 0, MediaCodec.encodePng(16, 16, 1, px))
+        } else {
+          // deliberately NOT a container: exercises the raw-gray branch
+          val raw = Array.tabulate(256)(i => ((i * 3 + k * 11) % 256).toByte)
+          (f"m$k%05d", "image", 16, 16, 1, 0, 0, raw)
+        }
+      }
+      .toDF("media_id", "kind", "width", "height", "channels", "sample_rate",
+        "n_frames", "payload")
+      .select(col("media_id"), col("kind"),
+        struct(col("width"), col("height"), col("channels"), col("sample_rate"),
+          col("n_frames")).as("meta"),
+        col("payload"))
+    graft.operators.Multimodal.resize(s, media, 8, 8)
+      .select(col("media_id"), col("width"), col("height"), col("format"),
+        col("payload"))
+      .as[(String, Int, Int, String, Array[Byte])]
+      .map { case (id, w, h, fmt, payload) =>
+        val px: Array[Int] =
+          if (fmt == "png")
+            MediaCodec.decodeImage(payload).get._4.map(_.toInt)
+          else payload.map(b => b & 0xff)
+        (id, fmt, w.toLong, h.toLong, px.map(_.toLong).sum,
+          px(0).toLong, px(63).toLong)
+      }
+      .toDF("media_id", "format", "w", "h", "chk", "p00", "p77")
+      .orderBy("media_id")
+  }
+
   /** All queries: name → plan builder. Registration-ORDERED (ListMap): the
     * bench and the verify dump iterate this map, and a hash-ordered Map
     * reshuffles execution order whenever an entry is added, confounding
@@ -1641,7 +1737,9 @@ object RelationalQueries {
     "f3_cast_compose" -> f3CastCompose _,
     "w2_chunks" -> w2Chunks _,
     "f8_palette" -> f8Palette _,
-    "g5_covers" -> g5Covers _)
+    "g5_covers" -> g5Covers _,
+    "mm_featurize" -> mmFeaturize _,
+    "mm_resize" -> mmResize _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: scala.collection.immutable.ListMap[String, String] =
@@ -1931,6 +2029,41 @@ object RelationalQueries {
          SELECT k AS s_suppkey, CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
                 CAST(y AS BIGINT) AS y, SUM(u) AS chk
          FROM gr GROUP BY k, z, x, y ORDER BY s_suppkey""",
+    "mm_featurize" ->
+      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         smp AS (SELECT k, g.i AS i,
+             CASE WHEN k % 2 = 0
+                  THEN ((i % 16)*7 + (i//16)*13 + k*5) % 256
+                  ELSE (i*11 + k*7) % 256 END AS v
+           FROM sup, generate_series(0, 255) g(i)),
+         m AS (SELECT k, SUM(CAST(v AS DOUBLE))/256.0 AS mean FROM smp GROUP BY k),
+         st AS (SELECT s.k,
+             sqrt(SUM((CAST(s.v AS DOUBLE) - m.mean)
+               * (CAST(s.v AS DOUBLE) - m.mean))/256.0) AS std,
+             256 + SUM(s.v // 16) AS e_chk_flat
+           FROM smp s JOIN m ON s.k = m.k GROUP BY s.k)
+         SELECT printf('m%05d', m.k) AS media_id,
+                CASE WHEN m.k % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+                m.mean AS mean, st.std AS std,
+                CAST(st.e_chk_flat AS BIGINT) AS e_chk
+         FROM m JOIN st ON m.k = st.k ORDER BY media_id""",
+    "mm_resize" ->
+      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         px AS (SELECT s.k, gx.g AS x, gy.g AS y
+           FROM sup s, generate_series(0,7) gx(g), generate_series(0,7) gy(g)),
+         v AS (SELECT k, x, y,
+             CASE WHEN k % 2 = 0
+                  THEN ((2*x+1)*7 + (2*y+1)*13 + k*5) % 256
+                  ELSE (((2*y+1)*16 + (2*x+1))*3 + k*11) % 256 END AS val
+           FROM px)
+         SELECT printf('m%05d', k) AS media_id,
+                CASE WHEN k % 2 = 0 THEN 'png' ELSE 'raw-gray' END AS format,
+                CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+                SUM(val) AS chk,
+                MAX(CASE WHEN x=0 AND y=0 THEN val END) AS p00,
+                MAX(CASE WHEN x=7 AND y=7 THEN val END) AS p77
+         FROM v GROUP BY k ORDER BY media_id""",
     "d2_headers" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i))
          SELECT printf('r%03d', i) AS rid,
