@@ -38,6 +38,59 @@ object CRS {
     override def isGeographic: Boolean = true
   }
 
+  /** Plain geographic CRS on an arbitrary ellipsoid — the carrier for
+    * `+proj=longlat +ellps=...` (coordinates are lon/lat degrees on that
+    * datum; pair with [[DatumShifted]] for the transformation to WGS84). */
+  final case class Geographic(a: Double = A, f: Double = F) extends CRS {
+    val srid: Int = 32767
+    def toLonLat(x: Double, y: Double): (Double, Double) = (x, y)
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    override def isGeographic: Boolean = true
+  }
+
+  /** 7-parameter Helmert datum transformation to WGS84 in the
+    * POSITION-VECTOR rotation convention (EPSG method 9606 — the
+    * convention PROJ's `+towgs84` parameters use; IOGP GN 7-2 §4.4.4.1).
+    * Rotations in arc-seconds, scale in parts-per-million. The reference
+    * gets datum shifts from PROJ's CRS resolution (proj.go:26-75). */
+  final case class Helmert(dx: Double, dy: Double, dz: Double,
+      rx: Double = 0, ry: Double = 0, rz: Double = 0, dsPpm: Double = 0) {
+    def isIdentity: Boolean =
+      dx == 0 && dy == 0 && dz == 0 && rx == 0 && ry == 0 && rz == 0 && dsPpm == 0
+    private val sec2rad = math.Pi / 648000.0
+    private val rxr = rx * sec2rad
+    private val ryr = ry * sec2rad
+    private val rzr = rz * sec2rad
+    private val m = 1.0 + dsPpm * 1e-6
+    /** source-datum geocentric → WGS84 geocentric (meters). */
+    def forward(x: Double, y: Double, z: Double): (Double, Double, Double) = (
+      dx + m * (x - rzr * y + ryr * z),
+      dy + m * (rzr * x + y - rxr * z),
+      dz + m * (-ryr * x + rxr * y + z))
+    /** WGS84 geocentric → source-datum geocentric: transposed rotation on
+      * the de-translated/de-scaled vector — exact to O(rotation²), below
+      * 0.1 mm for any published datum rotation. */
+    def inverse(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val xm = (x - dx) / m; val ym = (y - dy) / m; val zm = (z - dz) / m
+      (xm + rzr * ym - ryr * zm,
+        -rzr * xm + ym + rxr * zm,
+        ryr * xm - rxr * ym + zm)
+    }
+  }
+
+  /** A CRS whose geodetic coordinates sit on a non-WGS84 datum, carrying
+    * the declared towgs84 Helmert. Projection math delegates to the base;
+    * [[CRS.transform]] applies the geocentric datum chain whenever source
+    * and target datums differ. */
+  final case class DatumShifted(base: CRS, shift: Helmert) extends CRS {
+    require(!base.isInstanceOf[DatumShifted], "nested datum shift")
+    val srid: Int = 32767
+    def toLonLat(x: Double, y: Double): (Double, Double) = base.toLonLat(x, y)
+    def fromLonLat(lon: Double, lat: Double): (Double, Double) =
+      base.fromLonLat(lon, lat)
+    override def isGeographic: Boolean = base.isGeographic
+  }
+
   /** Spherical WebMercator, EPSG:3857. */
   case object WebMercator extends CRS {
     val srid = 3857
@@ -700,8 +753,10 @@ object CRS {
         case Array(k) => k -> ""
       }).toMap
     def d(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
-    kv.get("proj") match {
-      case Some("longlat") | Some("latlong") => WGS84
+    val base = kv.get("proj") match {
+      case Some("longlat") | Some("latlong") =>
+        val (a, f) = ellipsoidOf(kv)
+        if (a == A && f == F) WGS84 else Geographic(a, f)
       case Some("merc") | Some("webmerc") => WebMercator
       case Some("utm") =>
         val zone = kv.getOrElse("zone",
@@ -746,7 +801,24 @@ object CRS {
       case p => throw new IllegalArgumentException(
         s"unsupported proj4 ${p.map("+proj=" + _).getOrElse(s)}")
     }
+    withTowgs84(base, kv.get("towgs84"))
   }
+
+  /** Wrap a parsed CRS with its declared +towgs84/TOWGS84 datum shift
+    * (3 = translation-only or 7 parameters; an all-zero shift means the
+    * datum IS WGS84 and stays unwrapped, the PROJ convention). */
+  private def withTowgs84(base: CRS, towgs84: Option[String]): CRS =
+    towgs84 match {
+      case None => base
+      case Some(v) =>
+        val p = v.split(",").map(_.trim.toDouble)
+        require(p.length == 3 || p.length == 7,
+          s"towgs84 needs 3 or 7 parameters: $v")
+        val h =
+          if (p.length == 3) Helmert(p(0), p(1), p(2))
+          else Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+        if (h.isIdentity) base else DatumShifted(base, h)
+    }
 
   /** Recognise exact UTM parameterizations so they keep their EPSG id
     * (WGS84 only — a UTM grid on another ellipsoid is a plain tmerc). */
@@ -766,6 +838,10 @@ object CRS {
     * (PROJECTION + PARAMETER nodes) and the WGS84-geographic fallback. */
   private def parseWkt(s: String): CRS = {
     val re = """(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+    // a DATUM-level TOWGS84 node rides along with parameter-level parsing
+    // (when the CRS resolves through its EPSG id, the id wins — EPSG
+    // definitions are datum-complete)
+    val towgs84Re = """(?i)TOWGS84\s*\[([^\]]*)\]""".r
     re.findAllMatchIn(s).toSeq.lastOption match {
       case Some(m) => fromSrid(m.group(1).toInt)
       case None =>
@@ -797,7 +873,7 @@ object CRS {
             (m.group(1).toDouble, if (rf == 0) 0.0 else 1.0 / rf)
           }
           .getOrElse((A, F))
-        proj match {
+        val baseW = proj match {
           case Some(name) if name.contains("transverse") =>
             tmercOrUtm(lon0, lat0, k0, feP, fnP, ellA, ellF)
           case Some(name) if name.contains("azimuthal_equal_area") =>
@@ -842,10 +918,12 @@ object CRS {
             StereographicProper(lon0, lat0, k0, feP, fnP)
           case Some(name) if name.contains("mercator") => WebMercator
           case None if s.toUpperCase.startsWith("GEOGCS") ||
-            s.toUpperCase.startsWith("GEOGCRS") => WGS84
+              s.toUpperCase.startsWith("GEOGCRS") =>
+            if (ellA == A && ellF == F) WGS84 else Geographic(ellA, ellF)
           case _ => throw new IllegalArgumentException(
             s"WKT not resolvable (no EPSG id, unsupported projection): ${s.take(60)}...")
         }
+        withTowgs84(baseW, towgs84Re.findFirstMatchIn(s).map(_.group(1)))
     }
   }
 
@@ -854,7 +932,22 @@ object CRS {
     * user-defined systems (their srid is the TIFF "user-defined" sentinel
     * 32767, which parse rightly rejects as an EPSG code). */
   def serialize(crs: CRS): String = crs match {
+    case d: DatumShifted =>
+      val h = d.shift
+      proj4Of(d.base) +
+        s" +towgs84=${h.dx},${h.dy},${h.dz},${h.rx},${h.ry},${h.rz},${h.dsPpm}"
     case c if c.srid != 32767 => s"EPSG:${c.srid}"
+    case c => proj4Of(c)
+  }
+
+  /** proj4 parameter string, never the EPSG shortcut — [[DatumShifted]]
+    * serialization appends +towgs84 and must stay parse-compatible. */
+  private def proj4Of(crs: CRS): String = crs match {
+    case WGS84 => "+proj=longlat"
+    case g: Geographic => "+proj=longlat" + ellipsoidSuffix(g.a, g.f)
+    case WebMercator => "+proj=webmerc"
+    case u: UTM =>
+      s"+proj=utm +zone=${u.zone}" + (if (u.north) "" else " +south")
     case t: TransverseMercator =>
       s"+proj=tmerc +lat_0=${t.lat0Deg} +lon_0=${t.lon0Deg} +k=${t.k0}" +
         s" +x_0=${t.fe} +y_0=${t.fnParam}" + ellipsoidSuffix(t.a, t.f)
@@ -879,6 +972,7 @@ object CRS {
       s"+proj=aea +lat_1=${ab.lat1Deg} +lat_2=${ab.lat2Deg}" +
         s" +lat_0=${ab.lat0Deg} +lon_0=${ab.lon0Deg}" +
         s" +x_0=${ab.fe} +y_0=${ab.fn}" + ellipsoidSuffix(ab.semiMajor, ab.flattening)
+    case d: DatumShifted => serialize(d)
     case c => s"EPSG:${c.srid}"
   }
 
@@ -888,12 +982,83 @@ object CRS {
     else if (f == 0.0) s" +a=$a"
     else s" +a=$a +rf=${1.0 / f}"
 
-  /** Planar transform between two CRS (via lon/lat). */
+  // ---------------------------------------------------------------- datum
+
+  /** Geodetic (degrees, h = 0) → geocentric XYZ meters on ellipsoid (a, f). */
+  def geodeticToGeocentric(lonDeg: Double, latDeg: Double,
+      a: Double, f: Double): (Double, Double, Double) = {
+    val e2 = f * (2 - f)
+    val lon = lonDeg * D2R; val lat = latDeg * D2R
+    val s = math.sin(lat); val c = math.cos(lat)
+    val nN = a / math.sqrt(1 - e2 * s * s)
+    (nN * c * math.cos(lon), nN * c * math.sin(lon), nN * (1 - e2) * s)
+  }
+
+  /** Geocentric XYZ → geodetic degrees on ellipsoid (a, f), h discarded:
+    * fixed-point in φ (contraction ≈ e² per pass ⇒ machine precision well
+    * inside the 12-pass cap). */
+  def geocentricToGeodetic(x: Double, y: Double, z: Double,
+      a: Double, f: Double): (Double, Double) = {
+    val e2 = f * (2 - f)
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1 - e2))
+    var i = 0
+    while (i < 12) {
+      val s = math.sin(phi)
+      val nN = a / math.sqrt(1 - e2 * s * s)
+      val next = math.atan2(z + e2 * nN * s, p)
+      if (math.abs(next - phi) < 1e-15) { phi = next; i = 12 }
+      else { phi = next; i += 1 }
+    }
+    (math.atan2(y, x) * R2D, phi * R2D)
+  }
+
+  /** The ellipsoid a CRS's geodetic coordinates are defined on. */
+  def ellipsoidOfCrs(crs: CRS): (Double, Double) = crs match {
+    case DatumShifted(b, _) => ellipsoidOfCrs(b)
+    case g: Geographic => (g.a, g.f)
+    case t: TransverseMercator => (t.a, t.f)
+    case l: LambertConformalConic => (l.semiMajor, l.flattening)
+    case ab: AlbersEqualArea => (ab.semiMajor, ab.flattening)
+    case st: StereographicProper => (A, st.flattening)
+    case _ => (A, F)
+  }
+
+  private def shiftOf(c: CRS): Option[Helmert] = c match {
+    case DatumShifted(_, h) => Some(h)
+    case _ => None
+  }
+
+  /** Geodetic datum chain: source geodetic → source geocentric → (Helmert
+    * to WGS84) → (reverse Helmert to target) → target geodetic. Identity
+    * when neither side declares a shift (the pre-datum behavior: lon/lat
+    * pass through on the assumption of a shared datum). A side WITHOUT a
+    * declared shift is taken as WGS84 for the geocentric conversion. */
+  private def shiftDatum(from: CRS, to: CRS,
+      lon: Double, lat: Double): (Double, Double) = {
+    val fs = shiftOf(from); val ts = shiftOf(to)
+    if (fs.isEmpty && ts.isEmpty) (lon, lat)
+    else {
+      val (fa, ff) = if (fs.isDefined) ellipsoidOfCrs(from) else (A, F)
+      val (ta, tf) = if (ts.isDefined) ellipsoidOfCrs(to) else (A, F)
+      var (gx, gy, gz) = geodeticToGeocentric(lon, lat, fa, ff)
+      fs.foreach { h =>
+        val r = h.forward(gx, gy, gz); gx = r._1; gy = r._2; gz = r._3
+      }
+      ts.foreach { h =>
+        val r = h.inverse(gx, gy, gz); gx = r._1; gy = r._2; gz = r._3
+      }
+      geocentricToGeodetic(gx, gy, gz, ta, tf)
+    }
+  }
+
+  /** Planar transform between two CRS (via lon/lat, datum-aware). */
   def transform(from: CRS, to: CRS, x: Double, y: Double): (Double, Double) = {
     if (from == to) (x, y)
     else {
       val (lon, lat) = from.toLonLat(x, y)
-      to.fromLonLat(lon, lat)
+      val (lon2, lat2) = shiftDatum(from, to, lon, lat)
+      to.fromLonLat(lon2, lat2)
     }
   }
 }

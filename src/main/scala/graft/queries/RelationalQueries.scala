@@ -1159,6 +1159,31 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** f6_datum — the towgs84 7-parameter Helmert datum chain (reference:
+    * PROJ-backed CRS resolution applies these transparently,
+    * proj.go:26-75) through the REAL ST_Transform expression path:
+    * OSGB36 geodetic points (Airy 1830 ellipsoid, the published
+    * OSGB36→WGS84 position-vector parameters) onto WGS84. DuckDB mirrors
+    * geodetic→geocentric on Airy, the EPSG 9606 position-vector Helmert,
+    * and SIX unrolled passes of the φ fixed-point geocentric inverse
+    * (contraction ≈ e² per pass ⇒ both sides sit < 1e-15 rad from the
+    * fixed point). Outputs at milli-arc-second integers: libm slack is
+    * ~1e-7 mas — the f6-family margin class, green across DuckDB builds. */
+  def f6Datum(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SpatialExpressions.{st_point, st_transform, st_x, st_y}
+    lonLatPoints(s, dir,
+      (col("c_custkey") * 7 % 128) / 16.0 - 6, // −6..2°: the OSGB window
+      (col("c_custkey") * 13 % 80) / 16.0 + 50) // 50..55°
+      .withColumn("pt", st_transform(st_point(col("lon"), col("lat")),
+        lit("+proj=longlat +ellps=airy " +
+          "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894"),
+        lit("EPSG:4326")))
+      .select(col("c_custkey"),
+        round(st_x(col("pt")) * 3600000).cast("long").as("lw"),
+        round(st_y(col("pt")) * 3600000).cast("long").as("bw"))
+      .orderBy("c_custkey")
+  }
+
   /** d1_cube — the WHOLE GetCube serving path (D1/D2/D3/A1/O4, reference
     * svc/catalog.go:146-274 + catalog.go:531-625) end-to-end against a
     * closed-form oracle: seeds a real parquet catalog (48 records, every
@@ -1722,6 +1747,7 @@ object RelationalQueries {
     "f6_lcc" -> f6Lcc _,
     "f6_laea" -> f6Laea _,
     "f6_aea" -> f6Aea _,
+    "f6_datum" -> f6Datum _,
     "d1_cube" -> d1Cube _,
     "d2_headers" -> d2Headers _,
     "d5_xyz" -> d5XyzTile _,
@@ -2029,6 +2055,46 @@ object RelationalQueries {
          SELECT k AS s_suppkey, CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
                 CAST(y AS BIGINT) AS y, SUM(u) AS chk
          FROM gr GROUP BY k, z, x, y ORDER BY s_suppkey""",
+    "f6_datum" ->
+      """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS k,
+             (c_custkey * 7 % 128)/16.0 - 6 AS lon,
+             (c_custkey * 13 % 80)/16.0 + 50 AS lat
+           FROM customer),
+         c AS (SELECT 6377563.396 AS a1,
+             (1.0/299.3249646)*(2 - 1.0/299.3249646) AS e21,
+             6378137.0 AS aw,
+             (1.0/298.257223563)*(2 - 1.0/298.257223563) AS ew2,
+             0.1502*pi()/648000 AS rx, 0.247*pi()/648000 AS ry,
+             0.8421*pi()/648000 AS rz, 1.0 + (-20.4894)*0.000001 AS m),
+         g AS (SELECT k, radians(lon) AS lam, radians(lat) AS phi, c.*
+           FROM pts CROSS JOIN c),
+         nrm AS (SELECT *, a1/sqrt(1 - e21*sin(phi)*sin(phi)) AS nn FROM g),
+         xyz AS (SELECT *, nn*cos(phi)*cos(lam) AS x1,
+             nn*cos(phi)*sin(lam) AS y1,
+             nn*(1 - e21)*sin(phi) AS z1 FROM nrm),
+         hel AS (SELECT k, aw, ew2,
+             446.448 + m*(x1 - rz*y1 + ry*z1) AS x2,
+             -125.157 + m*(rz*x1 + y1 - rx*z1) AS y2,
+             542.06 + m*(-ry*x1 + rx*y1 + z1) AS z2
+           FROM xyz),
+         inv AS (SELECT *, sqrt(x2*x2 + y2*y2) AS p FROM hel),
+         i0 AS (SELECT *, atan2(z2, p*(1 - ew2)) AS f FROM inv),
+         i1 AS (SELECT * EXCLUDE (f),
+           atan2(z2 + ew2*(aw/sqrt(1 - ew2*sin(f)*sin(f)))*sin(f), p) AS f FROM i0),
+         i2 AS (SELECT * EXCLUDE (f),
+           atan2(z2 + ew2*(aw/sqrt(1 - ew2*sin(f)*sin(f)))*sin(f), p) AS f FROM i1),
+         i3 AS (SELECT * EXCLUDE (f),
+           atan2(z2 + ew2*(aw/sqrt(1 - ew2*sin(f)*sin(f)))*sin(f), p) AS f FROM i2),
+         i4 AS (SELECT * EXCLUDE (f),
+           atan2(z2 + ew2*(aw/sqrt(1 - ew2*sin(f)*sin(f)))*sin(f), p) AS f FROM i3),
+         i5 AS (SELECT * EXCLUDE (f),
+           atan2(z2 + ew2*(aw/sqrt(1 - ew2*sin(f)*sin(f)))*sin(f), p) AS f FROM i4),
+         i6 AS (SELECT * EXCLUDE (f),
+           atan2(z2 + ew2*(aw/sqrt(1 - ew2*sin(f)*sin(f)))*sin(f), p) AS f FROM i5)
+         SELECT k AS c_custkey,
+                CAST(round(degrees(atan2(y2, x2))*3600000) AS BIGINT) AS lw,
+                CAST(round(degrees(f)*3600000) AS BIGINT) AS bw
+         FROM i6 ORDER BY c_custkey""",
     "mm_featurize" ->
       """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
          smp AS (SELECT k, g.i AS i,

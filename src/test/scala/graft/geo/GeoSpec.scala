@@ -574,6 +574,63 @@ class GeoSpec extends AnyFunSuite {
     assert(math.abs(lon + 75) < 1e-8 && math.abs(lat - 35) < 1e-8, s"($lon,$lat)")
   }
 
+  test("towgs84 datum shift: IOGP 9606 vector, OSGB36 chain, parse/serialize") {
+    // IOGP GN 7-2 §4.4.4.1 position-vector worked example (WGS72→WGS84):
+    // (0, 0, +4.5 m, 0", 0", +0.554", +0.219 ppm)
+    val h = CRS.Helmert(0, 0, 4.5, 0, 0, 0.554, 0.219)
+    val (x, y, z) = h.forward(3657660.66, 255768.55, 5201382.11)
+    assert(math.abs(x - 3657660.78) < 0.01, s"x=$x")
+    assert(math.abs(y - 255778.43) < 0.01, s"y=$y")
+    assert(math.abs(z - 5201387.75) < 0.01, s"z=$z")
+    val (bx, by, bz) = h.inverse(x, y, z)
+    assert(math.abs(bx - 3657660.66) < 1e-3 &&
+      math.abs(by - 255768.55) < 1e-3 && math.abs(bz - 5201382.11) < 1e-3)
+
+    // OSGB36 National Grid with the published 7-param Helmert; the OS
+    // worked example (Caister tower, E 651409.903 N 313177.270) lands on
+    // ETRS89 (52.65797861, 1.71605194) — Helmert-level agreement
+    val osgb = CRS.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+      "+x_0=400000 +y_0=-100000 +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894")
+    assert(osgb.isInstanceOf[CRS.DatumShifted])
+    val (lon, lat) = CRS.transform(osgb, CRS.WGS84, 651409.903, 313177.270)
+    assert(math.abs(lon - 1.7160519) < 2e-5, s"lon=$lon")
+    assert(math.abs(lat - 52.6579786) < 2e-5, s"lat=$lat")
+    // the same grid point WITHOUT the shift sits ~100 m off — the silent
+    // error the datum layer closes
+    val bare = CRS.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+      "+x_0=400000 +y_0=-100000 +ellps=airy")
+    val (lon0, lat0) = CRS.transform(bare, CRS.WGS84, 651409.903, 313177.270)
+    val dM = math.hypot((lon - lon0) * 111320 * math.cos(lat * math.Pi / 180),
+      (lat - lat0) * 110574)
+    assert(dM > 50 && dM < 200, s"datum displacement $dM m")
+    // round-trip through WGS84 back onto the grid (mm-level)
+    val (gx2, gy2) = CRS.transform(CRS.WGS84, osgb, lon, lat)
+    assert(math.abs(gx2 - 651409.903) < 1e-3 && math.abs(gy2 - 313177.270) < 1e-3,
+      s"($gx2,$gy2)")
+    // serialize → parse round-trip keeps the datum
+    assert(CRS.parse(CRS.serialize(osgb)) == osgb)
+    // geographic CRS on a datum: longlat+towgs84 shifts lon/lat themselves
+    val ed50ish = CRS.parse("+proj=longlat +ellps=intl +towgs84=-87,-98,-121")
+    val (elon, elat) = CRS.transform(ed50ish, CRS.WGS84, 12.0, 52.0)
+    val dM2 = math.hypot((elon - 12.0) * 111320 * math.cos(52 * math.Pi / 180),
+      (elat - 52.0) * 110574)
+    assert(dM2 > 50 && dM2 < 250, s"ED50 displacement $dM2 m")
+    // WKT TOWGS84 node parses to the same datum-shifted CRS
+    val wkt = """PROJCS["OSGB",GEOGCS["OSGB 1936",DATUM["OSGB_1936",
+      SPHEROID["Airy 1830",6377563.396,299.3249646],
+      TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],
+      PRIMEM["Greenwich",0]],PROJECTION["Transverse_Mercator"],
+      PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],
+      PARAMETER["scale_factor",0.9996012717],
+      PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],
+      UNIT["metre",1]]"""
+    val fromWkt = CRS.parse(wkt)
+    assert(fromWkt.isInstanceOf[CRS.DatumShifted])
+    val (wlon, wlat) = CRS.transform(fromWkt, CRS.WGS84, 651409.903, 313177.270)
+    assert(math.abs(wlon - lon) < 1e-9 && math.abs(wlat - lat) < 1e-9)
+  }
+
   test("conic inverse longitude wrap is total (tiny cone constant)") {
     // n = sin(1°) ≈ 0.0175 amplifies θ/n: plane points whose bearing from
     // the cone apex approaches ±π unwind to |θ/n + λ0| in the thousands of
