@@ -87,6 +87,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAILURE getcube_100x256: ${e.getMessage}")
         failed += "getcube_100x256"; -1.0
+      })) :+ ("catalog_1m" -> (
+      try catalog1mBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAILURE catalog_1m: ${e.getMessage}")
+        failed += "catalog_1m"; -1.0
       }))
     // COMPACT output: the driver records only the last 2000 characters of
     // the run log (BENCH_r06 lost the line's head and with it ~30 query
@@ -110,6 +115,80 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson}""")
     spark.stop()
+  }
+
+  /** BASELINE.md §c: FindDatasets on a 10⁶-row datasets table must stay
+    * interactive (< ~1 s warm) — the PostGIS-GIST-query replacement.
+    * Seeds 1M dataset rows ONCE per machine (reused across rounds via a
+    * marker file; content fully deterministic): 40 instances → 40
+    * `instance_id=` partitions (instance filter = partition pruning),
+    * rows sorted by bbox.xmin within each partition (bbox filter =
+    * parquet row-group min/max skipping), real WKB footprints for the
+    * JTS refine stage, and a broadcast-sized records dim for the
+    * time-filter join. Times the full S1 plan (status + instance + bbox
+    * + JTS + time join + order + limit), min of two runs after a warmup. */
+  private def catalog1mBench(spark: SparkSession): Double = {
+    import graft.catalog.{Catalog, CatalogQueries, DatasetFilters}
+    import graft.geo.{BBox, GeomOps}
+    import spark.implicits._
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-cat1m-v1")
+    val marker = new java.io.File(root, "_SEEDED")
+    if (!marker.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+      }
+      if (root.exists) rm(root)
+      val cat = Catalog(root.toString)
+      val n = 1000000L
+      val nInst = 40
+      val t0 = 1704067200000L
+      val rows = spark.range(n).mapPartitions { it =>
+        it.map { i =>
+          val inst = (i % nInst).toInt
+          val c = i / nInst
+          val x0 = (c * 53 % 3600) / 10.0 - 180
+          val y0 = (c * 37 % 1600) / 10.0 - 80
+          val box = BBox(x0, y0, x0 + 0.2, y0 + 0.2)
+          val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+          (s"d$i", s"r${i % 20000}", s"i$inst", s"mem://c${i / 50}", "",
+            Seq(1), if (i % 10 == 9) "INACTIVE" else "ACTIVE",
+            null: String, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+            wkb, wkb, 4326, (box.xmin, box.ymin, box.xmax, box.ymax))
+        }
+      }
+        .toDF("id", "record_id", "instance_id", "container_uri", "subdir",
+          "bands", "status", "locked_by_job_id", "dtype", "no_data",
+          "min_value", "max_value", "real_min_value", "real_max_value",
+          "exponent", "overviews", "geog_wkb", "shape_wkb", "shape_srid", "bb")
+        .withColumn("bbox", org.apache.spark.sql.functions.struct(
+          $"bb._1".as("xmin"), $"bb._2".as("ymin"),
+          $"bb._3".as("xmax"), $"bb._4".as("ymax")))
+        .drop("bb")
+        .repartition($"instance_id")
+        .sortWithinPartitions($"instance_id", $"bbox.xmin")
+      cat.append(rows, "datasets")
+      val recs = spark.range(20000).map { r =>
+        (s"r$r", s"rec$r", new java.sql.Timestamp(t0 + r * 60000L),
+          Map.empty[String, String], "a1")
+      }.toDF("id", "name", "datetime", "tags", "aoi_id")
+      cat.append(recs, "records")
+      marker.createNewFile(): Unit
+    }
+    val cat = Catalog(root.toString)
+    val f = DatasetFilters(
+      status = Seq("ACTIVE"),
+      instanceIds = Seq("i7"),
+      geog = Some(GeomOps.polygonFromBBox(BBox(10, 0, 20, 30))),
+      fromTime = Some(new java.sql.Timestamp(1704067200000L)),
+      toTime = Some(new java.sql.Timestamp(1704067200000L + 1000000000L)),
+      limit = 1000)
+    def run(): Long = CatalogQueries.findDatasets(spark, cat, f).count()
+    require(run() > 0, "catalog_1m: empty result")
+    val times = (1 to 2).map { _ =>
+      val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
+    }
+    times.min
   }
 
   /** Seed a 100-record catalog of 256×256 uint8 tiles on one grid and time

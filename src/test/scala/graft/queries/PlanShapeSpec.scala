@@ -53,6 +53,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("catalog S1 plan: instance partition pruning + status/bbox pushdown (BASELINE §c)") {
+    import graft.catalog.{Catalog, CatalogQueries, DatasetFilters, Schemas}
+    import graft.geo.{BBox, GeomOps}
+    import org.apache.spark.sql.Row
+    val root = java.nio.file.Files.createTempDirectory("graft-planshape-cat").toString
+    val cat = Catalog(root)
+    val rows = (0 until 400).map { i =>
+      val x0 = (i * 53 % 360) - 180.0
+      val box = BBox(x0, -10, x0 + 0.2, 10)
+      val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+      Row(s"d$i", s"r$i", s"i${i % 4}", s"mem://c$i", "", Seq(1),
+        "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkb, wkb, 4326, Row(box.xmin, box.ymin, box.xmax, box.ymax))
+    }
+    cat.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Schemas.all("datasets")), "datasets")
+    val exec = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+        status = Seq("ACTIVE"), instanceIds = Seq("i2"),
+        geog = Some(GeomOps.polygonFromBBox(BBox(10, -5, 20, 5))), order = false))
+      .queryExecution.executedPlan
+    // read the scan's metadata directly — plan.toString truncates it
+    val scans = exec.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }
+    assert(scans.nonEmpty, "no parquet scan in the S1 plan")
+    val pushed = scans.map(_.getOrElse("PushedFilters", "")).mkString(";")
+    val part = scans.map(_.getOrElse("PartitionFilters", "")).mkString(";")
+    // the instance filter must prune `instance_id=` directory partitions,
+    // never scan-and-filter
+    assert(part.contains("instance_id"), s"no instance partition pruning: $part")
+    // status and the bbox struct companion must reach the parquet reader
+    // (row-group min/max skipping — the GIST-index substitute)
+    assert(pushed.contains("EqualTo(status,ACTIVE)"), s"status not pushed: $pushed")
+    assert(pushed.contains("bbox.xmin") && pushed.contains("bbox.ymax"),
+      s"bbox struct fields not pushed: $pushed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+  }
+
   test("the dedup/LSH family stays on keyed equi-joins end to end") {
     for (name <- Seq("dedup_lsh_pairs", "dedup_embed", "dedup_ngram",
         "sim_lsh_buckets", "mix_stratified")) {
