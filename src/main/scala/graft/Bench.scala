@@ -11,7 +11,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-pass localCheckpoint releases log a benign
+    // lineage-truncation WARN per RDD, and any log line after the compact
+    // metric line eats into the driver's 2000-char log tail
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup (~10 s of JIT otherwise lands on the first timed
     // query): exercise codegen, shuffle, broadcast and higher-order-array
     // machinery once before timing.
@@ -96,24 +99,26 @@ object Bench {
     // COMPACT output: the driver records only the last 2000 characters of
     // the run log (BENCH_r06 lost the line's head and with it ~30 query
     // timings), so the whole line must fit that tail budget alongside
-    // sbt's ~75-char epilogue and the "[info] " prefix. Centisecond
-    // precision (2 dp, Locale.ROOT, trailing zeros stripped) keeps ~90
-    // entries under it — a measured 85-query 3-dp line was 1916 chars,
-    // over budget. Values are min-of-two passes (see above); -1 marks a
-    // failed query.
-    def fmt(v: Double): String =
-      if (v < 0) "-1"
-      else {
-        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-        val t = s.reverse.dropWhile(_ == '0').reverse
-        if (t.endsWith(".")) t.dropRight(1) else t
-      }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // sbt's ~66-char epilogue and the "[info] " prefix — usable budget
+    // ≈ 1925 chars. At 97 entries a uniform-2-dp line measured 1961 chars
+    // (over); deciseconds at ≥ 0.1 s + centiseconds below (both well under
+    // run-to-run noise) measured 1884. Values are min-of-two passes (see
+    // above); -1 marks a failed query; "failed" is emitted only non-empty.
+    def fmt(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+    def fmtQ(v: Double): String =
+      if (v < 0) "-1" else if (v < 0.1) fmt(v, 2) else fmt(v, 1)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedJson}""")
     spark.stop()
   }
 

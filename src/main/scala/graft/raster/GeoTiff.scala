@@ -53,6 +53,10 @@ object GeoTiff {
   // GeoKey ids for user-defined transverse-Mercator projections
   private val KGeographicType = 2048
   private val KProjectedCSType = 3072
+  // user-defined geographic CRS + datum-shift keys (GeoTIFF 1.0 §6.3.2)
+  private val KGeogSemiMajor = 2057
+  private val KGeogInvFlattening = 2059
+  private val KGeogTowgs84 = 2062
   private val KProjection = 3074
   private val KProjCoordTrans = 3075 // 1 = TransverseMercator
   private val KProjNatOriginLong = 3080
@@ -278,36 +282,56 @@ object GeoTiff {
         vs.foreach(b.putDouble); b.array()
       }
       val bits = bm.dtype.sizeBytes * 8
-      // (geokey directory, double params or empty) — custom tmerc writes its
-      // projection parameters into GeoDoubleParams so the CRS round-trips
-      val (geoKeys, geoDoubles) = img.crs match {
-        case tm: CRS.TransverseMercator =>
-          val dbl = Seq(tm.lon0Deg, tm.lat0Deg, tm.k0, tm.fe, tm.fnParam)
-          // GeoTIFF spec requires keys sorted by id (strict readers reject
-          // out-of-order directories) — sort, mirroring the IFD-entry sort
-          val keys = Seq(
-            (1024, 0, 1, 1), // GTModelType = projected
-            (1025, 0, 1, 1), // RasterPixelIsArea
-            (KGeographicType, 0, 1, 4326), // datum: WGS84
-            (KProjectedCSType, 0, 1, UserDefined),
-            (KProjection, 0, 1, UserDefined),
-            (KProjCoordTrans, 0, 1, 1), // CT_TransverseMercator
-            (KProjNatOriginLong, TGeoDoubleParams, 1, 0),
-            (KProjNatOriginLat, TGeoDoubleParams, 1, 1),
-            (KProjScaleAtNatOrigin, TGeoDoubleParams, 1, 2),
-            (KProjFalseEasting, TGeoDoubleParams, 1, 3),
-            (KProjFalseNorthing, TGeoDoubleParams, 1, 4)).sortBy(_._1)
-          (shorts(Seq(1, 1, 0, keys.size) ++
-            keys.flatMap(k => Seq(k._1, k._2, k._3, k._4))), dbl)
-        case crs =>
-          val isGeo = crs.isGeographic
-          // version, revision, minor, nKeys + keys (id, location, count, value)
-          val keys = Seq(
-            (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
-            (1025, 0, 1, 1), // RasterPixelIsArea
-            (if (isGeo) 2048 else 3072, 0, 1, crs.srid)).sortBy(_._1)
-          (shorts(Seq(1, 1, 0, keys.size) ++
-            keys.flatMap(k => Seq(k._1, k._2, k._3, k._4))), Nil)
+      // (geokey directory, double params or empty) — custom tmerc writes
+      // its projection parameters, non-WGS84 geographic its ellipsoid
+      // (2057/2059), and a declared datum shift its towgs84 (2062,
+      // GeogTOWGS84GeoKey) into GeoDoubleParams so the CRS round-trips
+      val (geoKeys, geoDoubles) = {
+        val (baseCrs, shift) = img.crs match {
+          case CRS.DatumShifted(b, h) => (b, Some(h))
+          case c => (c, None)
+        }
+        val (keys0, dbl0): (Seq[(Int, Int, Int, Int)], Seq[Double]) = baseCrs match {
+          case tm: CRS.TransverseMercator =>
+            (Seq(
+              (1024, 0, 1, 1), // GTModelType = projected
+              (1025, 0, 1, 1), // RasterPixelIsArea
+              (KGeographicType, 0, 1, 4326), // datum: WGS84
+              (KProjectedCSType, 0, 1, UserDefined),
+              (KProjection, 0, 1, UserDefined),
+              (KProjCoordTrans, 0, 1, 1), // CT_TransverseMercator
+              (KProjNatOriginLong, TGeoDoubleParams, 1, 0),
+              (KProjNatOriginLat, TGeoDoubleParams, 1, 1),
+              (KProjScaleAtNatOrigin, TGeoDoubleParams, 1, 2),
+              (KProjFalseEasting, TGeoDoubleParams, 1, 3),
+              (KProjFalseNorthing, TGeoDoubleParams, 1, 4)),
+              Seq(tm.lon0Deg, tm.lat0Deg, tm.k0, tm.fe, tm.fnParam))
+          case g: CRS.Geographic =>
+            // user-defined geographic: ellipsoid via semi-major (2057) +
+            // inverse flattening (2059; 0 = sphere, the GeoTIFF convention)
+            (Seq(
+              (1024, 0, 1, 2), // GTModelType = geographic
+              (1025, 0, 1, 1),
+              (KGeographicType, 0, 1, UserDefined),
+              (KGeogSemiMajor, TGeoDoubleParams, 1, 0),
+              (KGeogInvFlattening, TGeoDoubleParams, 1, 1)),
+              Seq(g.a, if (g.f == 0) 0.0 else 1.0 / g.f))
+          case crs =>
+            val isGeo = crs.isGeographic
+            (Seq(
+              (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
+              (1025, 0, 1, 1), // RasterPixelIsArea
+              (if (isGeo) 2048 else 3072, 0, 1, crs.srid)), Nil)
+        }
+        val keys = keys0 ++ shift.map(_ =>
+          (KGeogTowgs84, TGeoDoubleParams, 7, dbl0.size)).toSeq
+        val dbl = dbl0 ++ shift.toSeq.flatMap(h =>
+          Seq(h.dx, h.dy, h.dz, h.rx, h.ry, h.rz, h.dsPpm))
+        // GeoTIFF spec requires keys sorted by id (strict readers reject
+        // out-of-order directories) — sort, mirroring the IFD-entry sort
+        val sorted = keys.sortBy(_._1)
+        (shorts(Seq(1, 1, 0, sorted.size) ++
+          sorted.flatMap(k => Seq(k._1, k._2, k._3, k._4))), dbl)
       }
       val entries = Seq.newBuilder[(Int, Int, Int, Array[Byte])] // (tag, type, count, value)
       subfile.foreach(s => entries += ((TNewSubfileType, 4, 1, longVal(s.toLong))))
@@ -798,26 +822,43 @@ object GeoTiff {
   }
 
   /** CRS from the GeoKeyDirectory shorts (+ GeoDoubleParams for the
-    * user-defined transverse-Mercator form). Shared by the full and the
-    * header-only read paths. */
+    * user-defined transverse-Mercator / geographic-ellipsoid / towgs84
+    * forms). Shared by the full and the header-only read paths. */
   private def crsFromGeoKeys(geo: Seq[Int], dbl: Seq[Double]): CRS = {
     // keys start at index 4, stride 4: (id, loc, count, value)
     val entries4 = geo.drop(4).grouped(4).collect {
       case Seq(id, loc, count, v) => id -> ((loc, count, v))
     }.toMap
     val keys = entries4.map { case (id, (_, _, v)) => id -> v }
-    if (keys.get(KProjectedCSType).contains(UserDefined) &&
-        keys.get(KProjCoordTrans).contains(1)) {
-      def p(key: Int, default: Double): Double = entries4.get(key) match {
-        case Some((TGeoDoubleParams, _, idx)) if idx < dbl.size => dbl(idx)
-        case _ => default
-      }
-      CRS.TransverseMercator(
-        lon0Deg = p(KProjNatOriginLong, 0), lat0Deg = p(KProjNatOriginLat, 0),
-        k0 = p(KProjScaleAtNatOrigin, 1), fe = p(KProjFalseEasting, 0),
-        fnParam = p(KProjFalseNorthing, 0))
-    } else
-      keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
+    def p(key: Int, default: Double): Double = entries4.get(key) match {
+      case Some((TGeoDoubleParams, _, idx)) if idx < dbl.size => dbl(idx)
+      case _ => default
+    }
+    val base: CRS =
+      if (keys.get(KProjectedCSType).contains(UserDefined) &&
+          keys.get(KProjCoordTrans).contains(1))
+        CRS.TransverseMercator(
+          lon0Deg = p(KProjNatOriginLong, 0), lat0Deg = p(KProjNatOriginLat, 0),
+          k0 = p(KProjScaleAtNatOrigin, 1), fe = p(KProjFalseEasting, 0),
+          fnParam = p(KProjFalseNorthing, 0))
+      else if (keys.get(KGeographicType).contains(UserDefined) &&
+          entries4.contains(KGeogSemiMajor)) {
+        val invF = p(KGeogInvFlattening, 0)
+        CRS.Geographic(p(KGeogSemiMajor, 6378137.0),
+          if (invF == 0) 0.0 else 1.0 / invF)
+      } else
+        keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
+    // GeogTOWGS84GeoKey (2062): 3 or 7 datum-shift parameters
+    entries4.get(KGeogTowgs84) match {
+      case Some((TGeoDoubleParams, count, idx))
+          if (count == 3 || count == 7) && idx + count <= dbl.size =>
+        val ps = dbl.slice(idx, idx + count)
+        val h =
+          if (count == 3) CRS.Helmert(ps(0), ps(1), ps(2))
+          else CRS.Helmert(ps(0), ps(1), ps(2), ps(3), ps(4), ps(5), ps(6))
+        if (h.isIdentity) base else CRS.DatumShifted(base, h)
+      case _ => base
+    }
   }
 
   /** IFD metadata without ANY pixel work — no block reads, no inflate, no

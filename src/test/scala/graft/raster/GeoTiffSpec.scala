@@ -389,4 +389,27 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(got.bitmap.bands == 2)
     assert(got.bitmap.pixels.toSeq == Seq(1.0, 2, 11, 12))
   }
+
+  test("towgs84 datum + ellipsoid round-trip through geokeys 2057/2059/2062") {
+    val osgbShift = CRS.Helmert(446.448, -125.157, 542.06,
+      0.1502, 0.247, 0.8421, -20.4894)
+    // geographic on Airy 1830 with the OSGB36 shift: ellipsoid via
+    // GeogSemiMajor/GeogInvFlattening, datum via GeogTOWGS84GeoKey
+    val airy = CRS.Geographic(6377563.396, 1.0 / 299.3249646)
+    val g = GeoTiff.read(GeoTiff.write(Seq(img(3, 2, DType.UInt8,
+      Array(1, 2, 3, 4, 5, 6), crs = CRS.DatumShifted(airy, osgbShift))))).head.image
+    assert(g.crs == CRS.DatumShifted(airy, osgbShift))
+    // projected base (custom tmerc) keeps its parameters alongside 2062
+    val tm = CRS.TransverseMercator(lon0Deg = -2, lat0Deg = 49,
+      k0 = 0.9996012717, fe = 400000, fnParam = -100000)
+    val p = GeoTiff.read(GeoTiff.write(Seq(img(3, 2, DType.UInt8,
+      Array(1, 2, 3, 4, 5, 6), crs = CRS.DatumShifted(tm, osgbShift))))).head.image
+    assert(p.crs == CRS.DatumShifted(tm, osgbShift))
+    // translation-only shifts survive too (3-parameter form reads back)
+    val ed50 = CRS.DatumShifted(CRS.Geographic(6378388.0, 1.0 / 297.0),
+      CRS.Helmert(-87, -98, -121))
+    val e = GeoTiff.read(GeoTiff.write(Seq(img(3, 2, DType.UInt8,
+      Array(1, 2, 3, 4, 5, 6), crs = ed50)))).head.image
+    assert(e.crs == ed50)
+  }
 }
