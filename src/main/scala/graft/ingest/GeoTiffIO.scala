@@ -145,7 +145,10 @@ object GeoTiffIO {
 
   /** [[assembleContainer]] streaming into `os` (returns bytes written) —
     * the >2 GiB path: a BigTIFF container streams block-by-block to the
-    * target filesystem, never materializing the file as one array. */
+    * target filesystem, never materializing the file as one array. Auto-
+    * switches to BigTIFF when the pixel volume could exceed the classic
+    * 4 GiB address space (the reference's consolidation behavior,
+    * mucog.go:82) — explicit `bigTiff = true` still forces it. */
   def assembleContainerTo(tiles: Seq[ContainerTile], os: java.io.OutputStream,
       noData: Double, overviewsMinSize: Int, compress: Boolean, tileSize: Int,
       interlacing: String, bigTiff: Boolean = false): Long = {
@@ -163,7 +166,7 @@ object GeoTiffIO {
           graft.geo.CRS.parse(t.crs))
       }
     GeoTiff.writeTo(images, os, noData, overviewsMinSize, compress, tileSize,
-      interlacing, bigTiff = bigTiff)
+      interlacing, bigTiff = bigTiff, autoBigTiff = true)
   }
 
   /** Export one container (all its subdirs, in GTIFF_DIR order) to a

@@ -210,10 +210,11 @@ object GeoTiff {
   def write(images: Seq[Image], noData: Double = Double.NaN,
       overviewsMinSize: Int = 0, compress: Boolean = false,
       tileSize: Int = 0, interlacing: String = "",
-      sparseOk: Boolean = false, bigTiff: Boolean = false): Array[Byte] = {
+      sparseOk: Boolean = false, bigTiff: Boolean = false,
+      autoBigTiff: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val n = writeTo(images, out, noData, overviewsMinSize, compress, tileSize,
-      interlacing, sparseOk, bigTiff)
+      interlacing, sparseOk, bigTiff, autoBigTiff)
     // a JVM byte array caps at 2 GiB regardless of format — callers past
     // that must stream (writeTo straight into a filesystem output stream)
     require(n <= Int.MaxValue,
@@ -229,14 +230,29 @@ object GeoTiff {
       noData: Double = Double.NaN,
       overviewsMinSize: Int = 0, compress: Boolean = false,
       tileSize: Int = 0, interlacing: String = "",
-      sparseOk: Boolean = false, bigTiff: Boolean = false): Long = {
+      sparseOk: Boolean = false, bigTiff: Boolean = false,
+      autoBigTiff: Boolean = false): Long = {
     require(images.nonEmpty, "GeoTiff.write: no images")
     require(tileSize >= 0 && tileSize % 16 == 0, "TIFF tile size must be a multiple of 16")
     require(interlacing.isEmpty || tileSize > 0, "interlacing requires a tiled layout")
     // BigTIFF (version 43): 8-byte offsets/counts, 20-byte IFD entries,
     // 8-byte inline values — the format GDAL writes for >4 GiB files.
     // Offsets and block-count tags switch from LONG (4) to LONG8 (16).
-    val big = bigTiff
+    // `autoBigTiff` mirrors the reference's consolidation writer
+    // (mucog.go:82): switch when the container COULD exceed the classic
+    // address space. The decision rides the pre-layout uncompressed bound
+    // (pixel volume + the ≤1/3 overview tail) — compression and sparse
+    // elision only shrink the file, so a classic verdict never needs
+    // revisiting after the expensive block cut; an over-eager BigTIFF
+    // verdict costs a few header bytes on a file every reader here
+    // auto-detects anyway.
+    val big = bigTiff || (autoBigTiff && {
+      val base = images.iterator.map(im =>
+        im.bitmap.width.toLong * im.bitmap.height * im.bitmap.bands *
+          im.bitmap.dtype.sizeBytes).sum
+      val bound = if (overviewsMinSize > 0) base + base / 3 else base
+      bound + (1L << 20) > 0xF0000000L // ~3.75 GiB guard band
+    })
     val inlineCap = if (big) 8 else 4
     val headerSize = if (big) 16 else 8
     val header = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)

@@ -390,6 +390,30 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(got.bitmap.pixels.toSeq == Seq(1.0, 2, 11, 12))
   }
 
+  test("auto-BigTIFF (mucog.go:82): format switches on the pixel-volume bound") {
+    // 65 sparse directories × 4096² uint32: dense pixel volume 4.36 GiB —
+    // past the classic address space — so the auto mode must choose
+    // version 43 on its own even though sparse elision keeps the actual
+    // file tiny; a small write with the same flag stays classic 42
+    val (w, ts, n) = (4096, 512, 65)
+    val px = new Array[Double](w * w) // 0 = nodata
+    px((2 * ts) * w + 3 * ts) = 9 // one data pixel → one materialized tile
+    val img0 = GeoTiff.Image(new Bitmap(w, w, 1, DType.UInt32, px),
+      Affine.northUp(0, 0, 1, -1), CRS.WGS84)
+    val bos = new java.io.ByteArrayOutputStream()
+    GeoTiff.writeTo(Seq.fill(n)(img0), bos, noData = 0.0, tileSize = ts,
+      sparseOk = true, autoBigTiff = true)
+    val bytes = bos.toByteArray
+    assert(bytes(2) == 43 && bytes(3) == 0, s"not BigTIFF: ${bytes(2)}")
+    val headers = GeoTiff.readHeadersRanged(
+      (pos, buf, off, len) => System.arraycopy(bytes, pos.toInt, buf, off, len),
+      bytes.length.toLong)
+    assert(headers.size == n && headers.head.width == w)
+    val small = GeoTiff.write(Seq(img(2, 1, DType.UInt8, Array(1, 2))),
+      autoBigTiff = true)
+    assert(small(2) == 42, "small file must stay classic TIFF")
+  }
+
   test("towgs84 datum + ellipsoid round-trip through geokeys 2057/2059/2062") {
     val osgbShift = CRS.Helmert(446.448, -125.157, 542.06,
       0.1502, 0.247, 0.8421, -20.4894)
