@@ -1692,6 +1692,52 @@ object RelationalQueries {
       .orderBy("media_id")
   }
 
+  /** mm_frames — the multimodal VIDEO pipeline (builder brief): real
+    * MJPEG-AVI containers (per-frame JPEGs through the real ImageIO
+    * encoder, wrapped by [[graft.operators.MediaCodec.encodeMjpegAvi]])
+    * run through [[graft.operators.Multimodal.decodeFrames]] — RIFF walk,
+    * every-k-th frame extraction — and every extracted payload is
+    * re-decoded with ImageIO. JPEG pixel values are encoder-dependent
+    * (lossy), so the oracle checks the decision surface DuckDB can
+    * replay exactly: which frames are emitted (stride over the declared
+    * count), container dims, the JPEG SOI magic, and the decoded
+    * dimensions. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    val media = t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).as[Long]
+      .repartition(32)
+      .map { k =>
+        val nf = (4 + k % 5).toInt
+        val frames = (0 until nf).map { fi =>
+          MediaCodec.encodeJpeg(16, 16, 1, Array.tabulate(256)(i =>
+            (((i % 16) * 7 + (i / 16) * 13 + k + fi * 31) % 256).toDouble))
+        }
+        (f"m$k%05d", "video", 16, 16, 1, 0, nf,
+          MediaCodec.encodeMjpegAvi(16, 16, 5, frames))
+      }
+      .toDF("media_id", "kind", "width", "height", "channels", "sample_rate",
+        "n_frames", "payload")
+      .select(col("media_id"), col("kind"),
+        struct(col("width"), col("height"), col("channels"), col("sample_rate"),
+          col("n_frames")).as("meta"),
+        col("payload"))
+    graft.operators.Multimodal.decodeFrames(s, media, everyK = 2)
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        col("format"), col("payload"))
+      .as[(String, Int, Int, Int, String, Array[Byte])]
+      .map { case (id, fi, w, h, fmt, payload) =>
+        val soi = payload.length >= 2 &&
+          (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+        val dec = graft.operators.MediaCodec.decodeImage(payload)
+        (id, fi.toLong, w.toLong, h.toLong, fmt, if (soi) 1L else 0L,
+          dec.map(_._1.toLong).getOrElse(-1L), dec.map(_._2.toLong).getOrElse(-1L))
+      }
+      .toDF("media_id", "frame_idx", "w", "h", "format", "soi", "dw", "dh")
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** All queries: name → plan builder. Registration-ORDERED (ListMap): the
     * bench and the verify dump iterate this map, and a hash-ordered Map
     * reshuffles execution order whenever an entry is added, confounding
@@ -1765,7 +1811,8 @@ object RelationalQueries {
     "f8_palette" -> f8Palette _,
     "g5_covers" -> g5Covers _,
     "mm_featurize" -> mmFeaturize _,
-    "mm_resize" -> mmResize _)
+    "mm_resize" -> mmResize _,
+    "mm_frames" -> mmFrames _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: scala.collection.immutable.ListMap[String, String] =
@@ -2130,6 +2177,18 @@ object RelationalQueries {
                 MAX(CASE WHEN x=0 AND y=0 THEN val END) AS p00,
                 MAX(CASE WHEN x=7 AND y=7 THEN val END) AS p77
          FROM v GROUP BY k ORDER BY media_id""",
+    "mm_frames" ->
+      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         fr AS (SELECT k, 4 + k % 5 AS nf FROM sup),
+         ex AS (SELECT k, g.i AS fi
+           FROM fr, generate_series(0, 8) g(i)
+           WHERE g.i < nf AND g.i % 2 = 0)
+         SELECT printf('m%05d', k) AS media_id,
+                CAST(fi AS BIGINT) AS frame_idx,
+                CAST(16 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+                'jpeg' AS format, CAST(1 AS BIGINT) AS soi,
+                CAST(16 AS BIGINT) AS dw, CAST(16 AS BIGINT) AS dh
+         FROM ex ORDER BY media_id, frame_idx""",
     "d2_headers" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i))
          SELECT printf('r%03d', i) AS rid,
