@@ -102,6 +102,58 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slices(1).valid_pixels == 7L) // 2×4 minus hole
   }
 
+  test("datum-shifted tile CRS flows through the serving warp (towgs84 end-to-end)") {
+    // a tile DECLARED on a datum translated +133583 m along the pole axis:
+    // near the equator that datum's latitudes sit ~1.2° south of WGS84, so
+    // serving the same numeric grid in EPSG:4326 must sample source rows
+    // one pixel down (1° pixels, shift ∈ (1,2) ⇒ exactly one row after
+    // floor). The CRS string round-trips through the catalog's tiles.crs
+    // column — this is the serving path applying the geocentric chain,
+    // not ST_Transform.
+    val shifted = graft.geo.CRS.serialize(graft.geo.CRS.DatumShifted(
+      graft.geo.CRS.WGS84, graft.geo.CRS.Helmert(0, 0, 133583)))
+    assert(shifted.contains("+towgs84="))
+    val root2 = java.nio.file.Files.createTempDirectory("graft-cat-datum").toString
+    val cat2 = Catalog(root2)
+    def write2(table: String, rows: Seq[Row]): Unit =
+      cat2.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val box04 = BBox(0, 0, 4, 4)
+    write2("aoi", Seq(Row("a1", "h1", wkbBox(box04), bboxRow(box04))))
+    write2("records", Seq(
+      Row("r1", "scene-1", ts("2024-01-01 00:00:00"), Map.empty[String, String], "a1")))
+    write2("variable_definitions", Seq(
+      Row("v1", "dn", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write2("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write2("containers", Seq(Row("mem://dt1", true, "STANDARD")))
+    write2("datasets", Seq(
+      Row("d1", "r1", "i1", "mem://dt1", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(box04), wkbBox(box04), 4326, bboxRow(box04))))
+    // source rows valued (row+1)·10 — row identity is the observable
+    val px = Array.tabulate(16)(i => ((i / 4 + 1) * 10).toDouble)
+    write2("tiles", Seq(
+      Row("mem://dt1", "", 4, 4, 1, "uint8", shifted,
+        Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new graft.raster.Bitmap(4, 4, 1, graft.core.DType.UInt8, px).toBytes)))
+    val slices = GetCube.cube(spark, cat2, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326", transform = grid4,
+      width = 4, height = 4)).collect()
+    assert(slices.length == 1 && slices(0).error.isEmpty)
+    val bm = graft.raster.Bitmap.fromBytes(
+      slices(0).payload, 4, 4, 1, graft.core.DType.UInt8)
+    // target row ty shows source row ty+1; the bottom row falls off the
+    // source footprint and stays nodata
+    for (ty <- 0 until 3; tx <- 0 until 4)
+      assert(bm.get(tx, ty, 0) == (ty + 2) * 10.0, s"($tx,$ty)=${bm.get(tx, ty, 0)}")
+    for (tx <- 0 until 4) assert(bm.get(tx, 3, 0) == 255.0)
+    assert(slices(0).valid_pixels == 12L)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root2))
+  }
+
   test("grouped mosaic: newest record paints over oldest, holes show through") {
     val slices = GetCube.cube(spark, cat, request(groups = Seq(Seq("r1", "r2")))).collect()
     assert(slices.length == 1)
