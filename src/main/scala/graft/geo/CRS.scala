@@ -238,12 +238,28 @@ object CRS {
     "wgs84" -> ((A, F)),
     "grs80" -> ((6378137.0, 1.0 / 298.257222101)),
     "airy" -> ((6377563.396, 1.0 / 299.3249646)),
+    "mod_airy" -> ((6377340.189, 1.0 / 299.3249646)),
     "bessel" -> ((6377397.155, 1.0 / 299.1528128)),
     "clrk66" -> ((6378206.4, 1.0 / 294.9786982)),
     "clrk80ign" -> ((6378249.2, 1.0 / 293.4660213)),
+    "grs80" -> ((6378137.0, 1.0 / 298.257222101)),
     "intl" -> ((6378388.0, 1.0 / 297.0)),
     "krass" -> ((6378245.0, 1.0 / 298.3)),
     "sphere" -> ((6371000.0, 0.0)))
+
+  /** PROJ's `+datum=` shorthand registry (the towgs84-expressible subset
+    * of PROJ's public datum table — grid-shift datums like NAD27 need
+    * distortion grids and are out of scope): name → (ellipsoid name,
+    * towgs84 parameter string or empty for WGS84-equivalent). */
+  val datums: Map[String, (String, String)] = Map(
+    "wgs84" -> (("", "")), // default ellipsoid, no shift
+    "nad83" -> (("grs80", "")),
+    "osgb36" -> (("airy", "446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")),
+    "ire65" -> (("mod_airy", "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15")),
+    "potsdam" -> (("bessel", "598.1,73.7,418.2,0.202,0.045,-2.455,6.7")),
+    "nzgd49" -> (("intl", "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993")),
+    "hermannskogel" -> (("bessel", "577.326,90.129,463.919,5.137,1.474,5.297,2.4232")),
+    "carthage" -> (("clrk80ign", "-263.0,6.0,431.0")))
 
   /** Resolve (a, f) from proj4-style params: +ellps name, or explicit
     * +a with +b / +rf / +f; default WGS84. */
@@ -747,11 +763,25 @@ object CRS {
   /** PROJ.4 parameter strings for the supported projection families:
     * longlat, merc/webmerc (spherical WebMercator parameters), utm, tmerc. */
   private def parseProj4(s: String): CRS = {
-    val kv = s.split("\\s+").filter(_.startsWith("+")).map(_.stripPrefix("+"))
+    val kv0 = s.split("\\s+").filter(_.startsWith("+")).map(_.stripPrefix("+"))
       .map(_.split("=", 2) match {
         case Array(k, v) => k -> v
         case Array(k) => k -> ""
       }).toMap
+    // PROJ `+datum=` shorthand expands to +ellps / +towgs84; explicitly
+    // spelled parameters win over the registry expansion
+    val kv = kv0.get("datum").map(_.toLowerCase) match {
+      case Some(name) =>
+        val (ellps, tw) = datums.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"unsupported datum: $name (grid-shift datums need distortion grids)"))
+        var m = kv0
+        if (ellps.nonEmpty && !m.contains("ellps") && !m.contains("a"))
+          m += ("ellps" -> ellps)
+        if (tw.nonEmpty && !m.contains("towgs84")) m += ("towgs84" -> tw)
+        m
+      case None => kv0
+    }
     def d(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
     val base = kv.get("proj") match {
       case Some("longlat") | Some("latlong") =>
