@@ -65,9 +65,10 @@ object Dedup {
     * of `rowsPerBand`; pairs sharing (shardCol?, band) are candidates;
     * exact token-set Jaccard ≥ threshold confirms.
     *
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. Each band is an
-    * equi-join UNIONed (an OR-of-bands join degenerates to a nested
-    * loop — see TextQueries.dedupLshPairs scale notes). */
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. All bands ride one
+    * keyed shuffle — a (bandIdx, bandValue) explode + composite equi-join
+    * (an OR-of-bands join predicate would degenerate to a nested loop —
+    * see TextQueries.dedupLshPairs scale notes). */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.9,
       shardCol: Option[String] = None): DataFrame = {
@@ -84,19 +85,25 @@ object Dedup {
     OperatorCaches.register(base) // caller releases via unpersistAll()
 
     // candidates on the NARROW key relation (ids+bands move through the
-    // band-join shuffles, token sets don't), pair-dedup, then one token
-    // fetch + one intersection per unique pair.
+    // band shuffle, token sets don't), pair-dedup, then one token fetch +
+    // one intersection per unique pair. ONE exchange for all bands: the
+    // (bandIdx, bandValue) explode keyed-joins every band in a single
+    // shuffle (the per-band-join ∪ form ran nBands exchanges over the
+    // same rows for the identical candidate set) — and gives AQE one
+    // skew-split domain instead of nBands.
     val keys = base.drop("__toks")
-    def bandJoin(b: Int): DataFrame = {
-      val cond = shardCol
-        .map(_ => col(s"a.__shard") === col(s"b.__shard"))
-        .foldLeft(col(s"a.band$b") === col(s"b.band$b") &&
-          col("a.__id") < col("b.__id"))(_ && _)
-      keys.as("a").join(keys.as("b"), cond)
-        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-    }
-
-    (0 until nBands).map(bandJoin).reduce(_ union _).distinct()
+    val bandArr = array((0 until nBands).map(b => col(s"band$b")): _*)
+    val exploded = keys.select(
+        (Seq(col("__id")) ++ shardCol.map(_ => col("__shard")).toSeq :+
+          posexplode(bandArr)): _*)
+      .withColumnRenamed("pos", "__bi").withColumnRenamed("col", "__bv")
+    val cond = shardCol
+      .map(_ => col("a.__shard") === col("b.__shard"))
+      .foldLeft(col("a.__bi") === col("b.__bi") &&
+        col("a.__bv") === col("b.__bv") && col("a.__id") < col("b.__id"))(_ && _)
+    exploded.as("a").join(exploded.as("b"), cond)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
       .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")), "id_b")
       .withColumn("__inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("__ta"), col("__tb")))

@@ -144,8 +144,9 @@ object SimilarityQueries {
     dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
 
   /** dedup_embed — embedding-cosine near-duplicate pairs, LSH-bucketed:
-    * candidates share a 4-bit hyperplane band (2 bands, per-band EQUI-joins
-    * + UNION — an OR-of-bands predicate degenerates to a nested loop, see
+    * candidates share a 4-bit hyperplane band (2 bands riding ONE keyed
+    * shuffle via the (bandIdx, bandValue) explode — an OR-of-bands
+    * predicate degenerates to a nested loop, see
     * TextQueries.dedupLshPairs), then exact cosine ≥ 0.35 confirms. At
     * 100 TB the band join touches only colliding vectors — the candidate
     * count scales with true near-dups (collision p ≈ (1-θ/π)⁴ per band),
@@ -164,15 +165,16 @@ object SimilarityQueries {
     graft.operators.OperatorCaches.register(sig)
 
     // candidates on the NARROW key relation (ids+bands move through the
-    // band-join shuffles, vectors don't), pair-dedup before scoring, then
+    // band shuffle, vectors don't), pair-dedup before scoring, then
     // one vector fetch + one dot product per unique pair.
-    val keys = sig.select("vec_id", "b0", "b1")
-    def bandJoin(b: String): DataFrame =
-      keys.as("a").join(keys.as("b"),
-          col(s"a.$b") === col(s"b.$b") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-
-    bandJoin("b0").union(bandJoin("b1")).distinct()
+    val exploded = sig.select(col("vec_id"),
+        posexplode(array(col("b0"), col("b1"))))
+      .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
+    exploded.as("a").join(exploded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
       .join(sig.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(sig.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -109,9 +109,13 @@ object TextQueries {
     * token-set Jaccard filters ≥ 0.9.
     *
     * Scale notes (measured at sf0.1):
-    * - each band is its own EQUI-join (then UNION + distinct). An
-    *   `a.band0=b.band0 OR a.band1=b.band1` predicate cannot hash-join —
-    *   Catalyst plans a nested-loop over n² pairs (253 s vs ~2 s).
+    * - ALL bands ride ONE keyed shuffle: the (bandIdx, bandValue) explode
+    *   self-joins on the composite key — same candidate set as per-band
+    *   equi-joins UNIONed, without n_bands exchanges over the same rows,
+    *   and AQE gets a single skew-split domain. The form to avoid is an
+    *   `a.band0=b.band0 OR a.band1=b.band1` predicate: it cannot
+    *   hash-join — Catalyst plans a nested-loop over n² pairs (253 s vs
+    *   ~2 s).
     * - 4-row bands: collision probability ≈ J⁴, so candidates stay ∝ true
     *   near-dups, the property that makes LSH work at 100 TB (2-row bands
     *   over this corpus yield 25M candidates; 4-row, per-source: ~200k).
@@ -141,16 +145,17 @@ object TextQueries {
     graft.operators.OperatorCaches.register(base)
 
     // candidates on the NARROW key relation — only (doc_id, source, bands)
-    // move through the band-join shuffles; token arrays are fetched once per
+    // move through the band shuffle; token arrays are fetched once per
     // UNIQUE deduped pair for the exact-Jaccard confirm.
-    val keys = base.select("doc_id", "source", "band0", "band1")
-    def bandJoin(band: String): DataFrame =
-      keys.as("a").join(keys.as("b"),
-          col("a.source") === col("b.source") &&
-          col(s"a.$band") === col(s"b.$band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-
-    bandJoin("band0").union(bandJoin("band1")).distinct()
+    val exploded = base.select(col("doc_id"), col("source"),
+        posexplode(array(col("band0"), col("band1"))))
+      .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
+    exploded.as("a").join(exploded.as("b"),
+        col("a.source") === col("b.source") &&
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
       .join(base.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
       .withColumn("inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("ta"), col("tb")))
