@@ -126,6 +126,30 @@ class WarpSpec extends AnyFunSuite {
     assert(merged.pixels.forall(v => math.abs(v - 7.25) < 1e-6))
   }
 
+  test("reprojection 3857→4326 bilinear reproduces a linear field (golden)") {
+    // the configuration a4_warp exercised before its oracle moved to
+    // rational same-CRS frames (round-8): WebMercator source, WGS84
+    // target, bilinear. A field linear in Mercator x is reproduced
+    // exactly by bilinear sampling, and the expected value at each
+    // target center comes from the closed-form forward Mercator —
+    // independent of the Warp/Sampler code under test.
+    val m = dm(Float64, Double.NaN, -1e9, 1e9, -1e9, 1e9)
+    val rs = 100000.0 // 100 km source pixels
+    val src = SourceRaster(
+      new Bitmap(8, 8, 1, Float64,
+        Array.tabulate(64)(i => ((i % 8) * rs + rs / 2) / 1000.0)),
+      Affine.northUp(0, 400000, rs, -rs), CRS.WebMercator, m)
+    val out = OutDescriptor(4, 4, 1,
+      Affine.northUp(1.0, 3.0, 0.25, -0.25), CRS.WGS84, m, Resampling.Bilinear)
+    val bm = Warp.mergeDatasets(Seq(src), out).get
+    for (ty <- 0 until 4; tx <- 0 until 4) {
+      val lon = 1.0 + 0.25 * (tx + 0.5)
+      val mx = 6378137.0 * lon * math.Pi / 180
+      assert(math.abs(bm.get(tx, ty, 0) - mx / 1000.0) < 1e-6,
+        s"($tx,$ty): ${bm.get(tx, ty, 0)} vs ${mx / 1000.0}")
+    }
+  }
+
   test("reprojection round-trip: nearest preserves a checker under 3857→4326→sample") {
     val m = dm(UInt8, 255, 0, 254, 0, 254)
     val checker = new Bitmap(4, 4, 1, UInt8,
