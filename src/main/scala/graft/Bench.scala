@@ -55,7 +55,7 @@ object Bench {
     // catalog-construction latency as engine speed, and c4_consolidate
     // alone costs ~45 s/pass. The CORRECTNESS gate still runs them.
     val fixtureOnly = Set("d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
-      "c4_consolidate")
+      "c4_consolidate", "c9_collapse", "c7_gc")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // REGISTRATION order, identical every run and every round (the queries
     // map is a ListMap; .toSeq pins it regardless of map runtime type) —

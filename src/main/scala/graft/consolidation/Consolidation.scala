@@ -102,16 +102,27 @@ object Consolidation {
         col("bbox.ymin") <= col("c_ymax") && col("bbox.ymax") >= col("c_ymin") &&
         st_intersects(col("geog_wkb"), col("cell_wkb")))
 
-    // collapse variant (C9): all records consolidate onto one record id
+    // collapse variant (C9, consolidater.go:277-345): ALL locked datasets
+    // pack onto the one collapse record — a single ConsolidationRecord
+    // stamped with the collapse record's own time, so ranking packs them
+    // into one container slot; the per-dataset `datetime` column is kept
+    // untouched because it drives the merge (mosaic) order downstream.
     val keyed = collapseOnRecordId match {
-      case Some(rid) => joined.withColumn("pack_record", lit(rid))
-      case None => joined.withColumn("pack_record", col("record_id"))
+      case Some(rid) =>
+        val recTs = cat.read(spark, "records").filter(col("id") === rid)
+          .select("datetime").collect()
+        require(recTs.nonEmpty, s"collapse record $rid not found")
+        joined.withColumn("pack_record", lit(rid))
+          .withColumn("pack_datetime", lit(recTs.head.getTimestamp(0)))
+      case None =>
+        joined.withColumn("pack_record", col("record_id"))
+          .withColumn("pack_datetime", col("datetime"))
     }
 
     // O3 + packing: per cell, rank records by (datetime, record_id); pack
     // floor(rank / maxRecords) records per container (consolidater.go:411-431)
     val recordRank = dense_rank().over(
-      Window.partitionBy(col("cell_uri")).orderBy(col("datetime"), col("pack_record")))
+      Window.partitionBy(col("cell_uri")).orderBy(col("pack_datetime"), col("pack_record")))
     val packed = keyed
       .withColumn("record_rank", recordRank)
       .withColumn("container_idx", ((col("record_rank") - 1) / layout.maxRecords).cast("int"))
@@ -215,8 +226,13 @@ object Consolidation {
       crs = CRS.parse(head.cell_crs),
       mapping = outMapping,
       resampling = Resampling.fromName(resamplingName))
-    val byRecord = rows.groupBy(r => (r.datetime.getTime, r.record_id)).toSeq.sortBy(_._1)
-    byRecord.zipWithIndex.iterator.flatMap { case (((_, recordId), rs), i) =>
+    // Group by record id alone: a record carries one datetime on the
+    // normal path, while a C9 collapse packs MANY source datetimes under
+    // the single collapse record — those must land in ONE output dir,
+    // merged in source-datetime order (consolidater.go:328-345).
+    val byRecord = rows.groupBy(_.record_id).toSeq
+      .sortBy { case (rid, rs) => (rs.map(_.datetime.getTime).min, rid) }
+    byRecord.zipWithIndex.iterator.flatMap { case ((recordId, rs), i) =>
       val sources = rs.sortBy(r => (r.datetime.getTime, r.dataset_id)).map { r =>
         val full = Bitmap.fromBytes(r.payload, r.t_width, r.t_height, r.t_bands,
           DType.fromName(r.t_dtype))
@@ -327,13 +343,18 @@ object Consolidation {
 
   /** C6 — csldSwapDatasets (consolidater.go:644-667): the atomic flip.
     * Old ACTIVE datasets of the job's records×instance → TODELETE; new
-    * INACTIVE ones → ACTIVE. Single rewrite = single transaction. */
+    * INACTIVE ones → ACTIVE. Single rewrite = single transaction. A C9
+    * collapse job DUPLICATES data onto the collapse record, so the
+    * originals stay ACTIVE (consolidater.go:649-655). */
   def swap(spark: SparkSession, cat: Catalog, instanceId: String,
-      oldDatasetIds: Seq[String]): Unit = {
+      oldDatasetIds: Seq[String], keepOld: Boolean = false): Unit = {
     val ds = cat.read(spark, "datasets")
+    val old =
+      if (keepOld) lit(false)
+      else col("id").isin(oldDatasetIds: _*) && col("status") === "ACTIVE"
     val flipped = ds
       .withColumn("status",
-        when(col("id").isin(oldDatasetIds: _*) && col("status") === "ACTIVE", "TODELETE")
+        when(old, "TODELETE")
           .when(col("instance_id") === instanceId && col("status") === "INACTIVE", "ACTIVE")
           .otherwise(col("status")))
     cat.rewrite(flipped, "datasets")

@@ -109,9 +109,10 @@ object ConsolidationJob {
         Consolidation.index(spark, cat, newTiles, spec.instanceId, spec.params)
       if (step("CONSOLIDATIONINDEXED") { "" }) return "CONSOLIDATIONINDEXED"
 
-      // C6 swap (atomic)
+      // C6 swap (atomic; collapse keeps the originals ACTIVE)
       if (!done.contains("CONSOLIDATIONEFFECTIVE"))
-        Consolidation.swap(spark, cat, spec.instanceId, locked)
+        Consolidation.swap(spark, cat, spec.instanceId, locked,
+          keepOld = spec.collapseOnRecordId.isDefined)
       if (step("CONSOLIDATIONEFFECTIVE") { "" }) return "CONSOLIDATIONEFFECTIVE"
 
       // C7 delete old

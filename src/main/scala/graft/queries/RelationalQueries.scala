@@ -1596,6 +1596,173 @@ object RelationalQueries {
       .orderBy("rid")
   }
 
+  /** c9_collapse — the C9 collapse job (consolidater.go:185-193, 277-345,
+    * 649-655) end-to-end: 6 records' datasets consolidate onto ONE target
+    * record. Seeds 16×16 uint8 tiles with nodata(255) holes at (p+i)%3==0
+    * so the mosaic ORDER is observable — the latest valid source wins per
+    * pixel — then runs the REAL FSM and asserts the three collapse
+    * contracts against a closed-form DuckDB replay: (a) all sources land
+    * in ONE output dir under the collapse record despite maxRecords=2
+    * (collapse skips container packing limits), (b) the originals stay
+    * ACTIVE (data is DUPLICATED, not swapped out), (c) the merged pixels
+    * are the datetime-ordered mosaic: value(p) = f(i_max_valid) with
+    * i_max = 6 unless p%3==0 (then 5) — all integers, no fp at all. */
+  def c9Collapse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.{Catalog, Schemas}
+    import graft.consolidation.{ConsolidationJob, ConsolidationParams}
+    import graft.core.{DataFormat, DataMapping, DType, NumRange}
+    import graft.geo.{BBox, GeomOps}
+    import graft.raster.{Bitmap, Resampling}
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-c9csld-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(s.createDataFrame(
+        s.sparkContext.parallelize(rows, 2), Schemas.all(table)), table)
+    val n = 6
+    val box = BBox(0, 0, 0.16, 0.16)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    val t0 = 1704067200000L
+    write("aoi", Seq(Row("a1", "h", wkb, bbox)))
+    // r000 is the collapse TARGET: a record with no dataset of its own
+    write("records", (0 to n).map(i => Row(f"r$i%03d", f"rec$i%03d",
+      new java.sql.Timestamp(t0 + i * 3600000L), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", (1 to n).map(i => Row(f"mem://c$i%03d", false, "STANDARD")))
+    write("datasets", (1 to n).map(i =>
+      Row(f"d$i%03d", f"r$i%03d", "i1", f"mem://c$i%03d", "",
+        Seq(1), "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+        false, wkb, wkb, 4326, bbox)))
+    val tf = Seq(0.0, 0.01, 0.0, 0.16, 0.0, -0.01)
+    write("tiles", (1 to n).map { i =>
+      val px = Array.tabulate(256)(p =>
+        if ((p + i) % 3 == 0) 255.0 else ((p * 7 + i * 13) % 199).toDouble)
+      Row(f"mem://c$i%03d", "", 16, 16, 1, "uint8", "EPSG:4326", tf,
+        new Bitmap(16, 16, 1, DType.UInt8, px).toBytes)
+    })
+    val layout = graft.layout.Layout("cells", Seq("regular"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "0.01", "cell_size" -> "16"),
+      maxRecords = 2, overviewsMinSize = 16)
+    val mapping = DataMapping(
+      DataFormat(DType.UInt8, 255.0, NumRange(0, 254)), NumRange(0, 254), 1.0)
+    val spec = ConsolidationJob.Spec("oracle9", "oracle9", "i1",
+      (1 to n).map(i => f"r$i%03d"), layout,
+      ConsolidationParams(mapping, Resampling.Near),
+      collapseOnRecordId = Some("r000"))
+    val state = ConsolidationJob.run(s, cat, spec)
+    require(state == "DONE", s"collapse FSM ended in $state")
+    val prefix = s"${cat.root}/containers/oracle9/"
+    val perRec = cat.read(s, "datasets")
+      .groupBy(col("record_id"))
+      .agg(sum(when(col("status") === "ACTIVE", 1L).otherwise(0L)).as("n_active"),
+        sum(when(col("container_uri").startsWith(prefix), 1L).otherwise(0L)).as("n_new"))
+    val newTiles = cat.read(s, "tiles")
+      .filter(col("container_uri").startsWith(prefix))
+      .select(col("subdir"), col("width"), col("height"), col("payload"))
+      .as[(String, Int, Int, Array[Byte])]
+      .map { case (sub, w, h, payload) =>
+        val bm = Bitmap.fromBytes(payload, w, h, 1, DType.UInt8)
+        var chk = 0L
+        bm.pixels.foreach(v => chk += v.toLong)
+        ("r000", sub.stripPrefix("GTIFF_DIR:").toLong, w.toLong, h.toLong, chk)
+      }
+      .toDF("record_id", "dirn", "w", "h", "chk")
+    perRec.join(newTiles, Seq("record_id"), "left")
+      .select(col("record_id"), col("n_active"), col("n_new"),
+        coalesce(col("dirn"), lit(0L)).as("dirn"),
+        coalesce(col("w"), lit(0L)).as("w"),
+        coalesce(col("h"), lit(0L)).as("h"),
+        coalesce(col("chk"), lit(0L)).as("chk"))
+      .orderBy("record_id")
+  }
+
+  /** c7_gc — csldDeleteDatasets standalone (C7, consolidater.go:669-748):
+    * drop TODELETE datasets, then garbage-collect containers and tiles no
+    * surviving dataset references. Seeds 12 datasets (every third
+    * TODELETE) each with its OWN container+tile, plus two orphan
+    * containers never referenced at all; after the GC pass the survivors
+    * are exactly the non-TODELETE datasets' rows — a pure relational
+    * anti-join DuckDB replays from generate_series. */
+  def c7Gc(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.{Catalog, Schemas}
+    import graft.core.DType
+    import graft.geo.{BBox, GeomOps}
+    import graft.raster.Bitmap
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-c7gc-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(s.createDataFrame(
+        s.sparkContext.parallelize(rows, 2), Schemas.all(table)), table)
+    val n = 12
+    val box = BBox(0, 0, 0.16, 0.16)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    write("datasets", (1 to n).map { i =>
+      val status = if (i % 3 == 0) "TODELETE" else "ACTIVE"
+      Row(f"d$i%03d", f"r$i%03d", "i1", f"mem://c$i%03d", "",
+        Seq(1), status, null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+        false, wkb, wkb, 4326, bbox)
+    })
+    write("containers", (1 to (n + 2)).map(i => Row(f"mem://c$i%03d", true, "STANDARD")))
+    val tf = Seq(0.0, 0.01, 0.0, 0.16, 0.0, -0.01)
+    write("tiles", (1 to (n + 2)).map { i =>
+      val px = Array.tabulate(16)(p => ((p + i) % 200).toDouble)
+      Row(f"mem://c$i%03d", "", 4, 4, 1, "uint8", "EPSG:4326", tf,
+        new Bitmap(4, 4, 1, DType.UInt8, px).toBytes)
+    })
+    graft.consolidation.Consolidation.deleteDatasets(s, cat)
+    val ds = cat.read(s, "datasets")
+      .select(lit("dataset").as("kind"), col("id").as("key"))
+    val cs = cat.read(s, "containers")
+      .select(lit("container").as("kind"), col("uri").as("key"))
+    val ts = cat.read(s, "tiles")
+      .select(lit("tile").as("kind"), col("container_uri").as("key"))
+    ds.unionAll(cs).unionAll(ts).orderBy("kind", "key")
+  }
+
+  /** g3_single_cell — SingleCellGrid covers+cell round-trip (G3,
+    * singlecellgrid.go:53-105): one synthetic AOI per nation key, every
+    * coordinate an exact k/8 binary fraction so the single cover cell's
+    * origin/size and its parsed-back affine are integer-exact ×8 — the
+    * covers → URI → cell() parse path runs distributed on executors and
+    * DuckDB replays the arithmetic directly. */
+  def g3SingleCell(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.geo.{BBox, GeomOps}
+    val grid = graft.layout.SingleCellGrid(graft.geo.CRS.parse("EPSG:4326"), 0.125)
+    t(s, dir, "nation").select(col("n_nationkey").cast("long")).as[Long]
+      .map { k =>
+        val xmin = (k % 13) / 8.0 - 1.0
+        val ymin = (k % 7) / 8.0
+        val xmax = xmin + (1 + k % 5) / 8.0
+        val ymax = ymin + (1 + k % 3) / 8.0
+        val aoi = GeomOps.polygonFromBBox(BBox(xmin, ymin, xmax, ymax))
+        val uri = grid.covers(aoi).next()
+        val cell = grid.cell(uri)
+        val tf = cell.pixToCrs.toArray
+        (k, math.round(tf(0) * 8), math.round(tf(3) * 8),
+          cell.sizeX.toLong, cell.sizeY.toLong,
+          math.round(tf(1) * 8), math.round(tf(5) * 8))
+      }
+      .toDF("key", "ox8", "oy8", "w", "h", "sx8", "sy8")
+      .orderBy("key")
+  }
+
   /** Synthesize the multimodal fixture frame on EXECUTORS (the d5_xyz
     * trick, payload-level): one media row per supplier key — even keys a
     * REAL 16×16 gray PNG (encoded through ImageIO), odd keys a REAL 8-bit
@@ -1801,6 +1968,9 @@ object RelationalQueries {
     "s6_find_cells" -> s6FindCells _,
     "g6_tile_aoi" -> g6TileAoi _,
     "c4_consolidate" -> c4Consolidate _,
+    "c9_collapse" -> c9Collapse _,
+    "c7_gc" -> c7Gc _,
+    "g3_single_cell" -> g3SingleCell _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
     "a4_warp" -> a4Warp _,
@@ -2208,6 +2378,38 @@ object RelationalQueries {
                 CAST(4*sa AS BIGINT) AS chk,
                 CAST(16 AS BIGINT) AS ovw, CAST(16 AS BIGINT) AS ovh
          FROM px ORDER BY rid""",
+    "c9_collapse" ->
+      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(0, 6) t(i)),
+         m AS (SELECT CAST(SUM(CASE WHEN p % 3 = 0 THEN (p*7 + 5*13) % 199
+                                    ELSE (p*7 + 6*13) % 199 END) AS BIGINT) AS chk
+           FROM generate_series(0, 255) q(p))
+         SELECT printf('r%03d', i) AS record_id,
+                CAST(1 AS BIGINT) AS n_active,
+                CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_new,
+                CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS dirn,
+                CAST(CASE WHEN i = 0 THEN 16 ELSE 0 END AS BIGINT) AS w,
+                CAST(CASE WHEN i = 0 THEN 16 ELSE 0 END AS BIGINT) AS h,
+                CAST(CASE WHEN i = 0 THEN (SELECT chk FROM m) ELSE 0 END AS BIGINT) AS chk
+         FROM r ORDER BY record_id""",
+    "c7_gc" ->
+      """WITH s AS (SELECT CAST(t.i AS BIGINT) AS i
+           FROM generate_series(1, 12) t(i) WHERE t.i % 3 <> 0)
+         SELECT kind, key FROM (
+           SELECT 'dataset' AS kind, printf('d%03d', i) AS key FROM s
+           UNION ALL
+           SELECT 'container' AS kind, printf('mem://c%03d', i) AS key FROM s
+           UNION ALL
+           SELECT 'tile' AS kind, printf('mem://c%03d', i) AS key FROM s)
+         ORDER BY kind, key""",
+    "g3_single_cell" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS key,
+                CAST((n_nationkey % 13) - 8 AS BIGINT) AS ox8,
+                CAST((n_nationkey % 7) + 1 + (n_nationkey % 3) AS BIGINT) AS oy8,
+                CAST(1 + n_nationkey % 5 AS BIGINT) AS w,
+                CAST(1 + n_nationkey % 3 AS BIGINT) AS h,
+                CAST(1 AS BIGINT) AS sx8,
+                CAST(-1 AS BIGINT) AS sy8
+         FROM nation ORDER BY key""",
     "d1_cube" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
          px AS (SELECT i,
