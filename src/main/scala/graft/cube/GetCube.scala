@@ -66,33 +66,73 @@ final case class Slice(
   */
 object GetCube {
 
-  /** Resolve the output descriptor from the variable behind the instance
-    * (getCubePrepare: out mapping = variable DFormat, rangeExt = its own
-    * range, exponent 1; default resampling from the variable). */
-  def prepare(spark: SparkSession, cat: Catalog, req: CubeRequest): OutDescriptor = {
+  /** The cacheable part of a variable lookup: everything [[prepare]]
+    * reads off the definition row. */
+  private final case class VariableInfo(dtype: String, noData: Double,
+      minValue: Double, maxValue: Double, nBands: Int, resampling: Option[String])
+
+  /** Request-to-request cache of the variable lookup — the serving path's
+    * fixed-latency floor (a full Spark action per GetCube/XYZ request for
+    * two broadcast-sized dims that change ~never; the reference holds
+    * variables in process memory the same way). Keyed by the two variable
+    * tables' directory stamps so any local append/rewrite invalidates;
+    * non-local roots (no observable stamp) bypass the cache entirely
+    * rather than risk staleness. */
+  private val varCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String], Long, Long, Long, Long), VariableInfo]()
+
+  /** (mtime, file count) folded to two longs; (-1, -1) = unobservable. */
+  private def dirStamp(root: String, table: String): (Long, Long) = {
+    val d = new java.io.File(s"$root/$table")
+    if (!d.exists) (-1L, -1L)
+    else (d.lastModified, Option(d.list()).map(_.length.toLong).getOrElse(0L))
+  }
+
+  private def lookupVariable(spark: SparkSession, cat: Catalog,
+      instanceIds: Seq[String]): VariableInfo = {
     // one driver action for the whole variable lookup (instances → shared
     // definition): this runs per request, so its fixed job latency is the
     // serving path's floor — don't split it into two collects
     val vd = cat.read(spark, "variable_instances")
-      .filter(col("id").isin(req.instanceIds: _*))
+      .filter(col("id").isin(instanceIds: _*))
       .select(col("definition_id")).distinct()
       .join(cat.read(spark, "variable_definitions"),
         col("definition_id") === col("id"))
       .collect()
     require(vd.length == 1,
-      s"instances ${req.instanceIds} must exist and share one defined variable")
+      s"instances $instanceIds must exist and share one defined variable")
     val v = vd(0)
-    val dt = DType.fromName(v.getAs[String]("dtype"))
-    val format = DataFormat(dt, v.getAs[Double]("no_data"),
-      NumRange(v.getAs[Double]("min_value"), v.getAs[Double]("max_value")))
+    VariableInfo(
+      v.getAs[String]("dtype"), v.getAs[Double]("no_data"),
+      v.getAs[Double]("min_value"), v.getAs[Double]("max_value"),
+      math.max(1,
+        Option(v.getAs[scala.collection.Seq[String]]("bands")).map(_.size).getOrElse(1)),
+      Option(v.getAs[String]("resampling_alg")))
+  }
+
+  /** Resolve the output descriptor from the variable behind the instance
+    * (getCubePrepare: out mapping = variable DFormat, rangeExt = its own
+    * range, exponent 1; default resampling from the variable). */
+  def prepare(spark: SparkSession, cat: Catalog, req: CubeRequest): OutDescriptor = {
+    val si = dirStamp(cat.root, "variable_instances")
+    val sd = dirStamp(cat.root, "variable_definitions")
+    val v =
+      if (si._1 < 0 || sd._1 < 0) lookupVariable(spark, cat, req.instanceIds)
+      else {
+        if (varCache.size > 1024) varCache.clear() // bound, not LRU: refill is one action
+        varCache.computeIfAbsent(
+          (cat.root, req.instanceIds.sorted, si._1, si._2, sd._1, sd._2),
+          _ => lookupVariable(spark, cat, req.instanceIds))
+      }
+    val dt = DType.fromName(v.dtype)
+    val format = DataFormat(dt, v.noData, NumRange(v.minValue, v.maxValue))
     OutDescriptor(
       width = req.width, height = req.height,
-      bands = math.max(1,
-        Option(v.getAs[scala.collection.Seq[String]]("bands")).map(_.size).getOrElse(1)),
+      bands = v.nBands,
       pixToCrs = req.transform,
       crs = CRS.parse(req.crs),
       mapping = DataMapping(format, format.range, 1.0),
-      resampling = req.resampling.orElse(Option(v.getAs[String]("resampling_alg")))
+      resampling = req.resampling.orElse(v.resampling)
         .map(Resampling.fromName).getOrElse(Resampling.Near),
       validPixPc = req.validPixPc)
   }

@@ -261,6 +261,29 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq("r3")) // r3 has no datasets
   }
 
+  test("prepare's variable cache invalidates when the variable tables change") {
+    // warm the cache, then change the variable's resampling default via
+    // the catalog's atomic rewrite — the next prepare must see the new
+    // value (directory-stamp keyed cache, GetCube.varCache)
+    val before = GetCube.prepare(spark, cat, request())
+    assert(before.resampling == graft.raster.Resampling.Near)
+    assert(GetCube.prepare(spark, cat, request()).resampling == before.resampling)
+    val vd = cat.read(spark, "variable_definitions").collect()
+    Thread.sleep(5) // mtime tick so the rewrite's stamp must differ
+    cat.rewrite(spark.createDataFrame(
+      spark.sparkContext.parallelize(vd.map { r =>
+        Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          r.get(6), r.get(7), r.get(8), r.get(9), "bilinear")
+      }.toSeq), Schemas.all("variable_definitions")), "variable_definitions")
+    assert(GetCube.prepare(spark, cat, request()).resampling ==
+      graft.raster.Resampling.Bilinear)
+    // restore for any later suite ordering
+    Thread.sleep(5)
+    cat.rewrite(spark.createDataFrame(
+      spark.sparkContext.parallelize(vd.toSeq), Schemas.all("variable_definitions")),
+      "variable_definitions")
+  }
+
   test("xyz tile path: webmercator mosaic to png") {
     // z=6, x=32, y=31 covers lon [0, 5.625], lat [0, ~5.6] — our data box
     val png = XYZTile.getTile(spark, cat, "i1", x = 32, y = 31, z = 6,
