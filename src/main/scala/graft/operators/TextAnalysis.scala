@@ -181,6 +181,54 @@ object TextAnalysis {
       acc => acc.getField("h"))
   }
 
+  /** Email pattern restricted to the Java-regex ∩ RE2 common subset (no
+    * backreferences or lookaround) so external engines replay the scrub
+    * identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 literal, word-bounded. */
+  val Ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction — the scrub pass every training corpus runs before
+    * release: emails and IPv4 literals become typed placeholders, with
+    * per-document match counts kept for audit. Pure codegen'd
+    * `regexp_replace`/`regexp_count` per row — embarrassingly parallel,
+    * no shuffle, linear at any corpus size. Returns a struct
+    * (redacted, n_email, n_ip); counts are measured on the ORIGINAL
+    * text, and emails are replaced before IPs so a dotted-quad inside a
+    * redacted email is not double-counted in the output. */
+  def redactPii(text: Column): Column =
+    struct(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]").as("redacted"),
+      regexp_count(text, lit(EmailPattern)).cast("long").as("n_email"),
+      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ip"))
+
+  /** Sequence packing — assemble documents into fixed-token-budget
+    * training sequences (the batch-construction step after filtering/
+    * dedup): documents are laid out contiguously in (group, id) order and
+    * cut into `capacity`-token sequences by prefix sum; a document
+    * crossing a boundary stays with the sequence it started in (greedy
+    * contiguous packing with overflow — the deterministic policy, not
+    * best-fit bin packing, so the layout is reproducible and
+    * SQL-replayable). Scale shape: ONE window shuffle partitioned by the
+    * group column (source/shard — thousands of groups at corpus scale,
+    * each a bounded slice); no global ordering anywhere. Returns the
+    * input keys + (seq_id, seq_offset, n_tokens). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"sequence capacity $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("__before", col("__cum") - col("n_tokens"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        (col("__before") / capacity).cast("long").as("seq_id"),
+        (col("__before") % capacity).as("seq_offset"))
+  }
+
   /** Apply the full per-document analysis in one pass. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("quality", qualityFeatures(col(textCol)))
@@ -188,4 +236,5 @@ object TextAnalysis {
       .withColumn("n_tokens_est", tokenCountEstimate(col(textCol)))
       .withColumn("fingerprint", Dedup.canonicalKey(col(textCol)))
       .withColumn("rolling_fp", rollingFingerprint(col(textCol)))
+      .withColumn("pii", redactPii(col(textCol)))
 }

@@ -206,6 +206,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** text_redact — PII scrubbing ([[graft.operators.TextAnalysis
+    * .redactPii]]): every doc gets a deterministic synthetic email and
+    * dotted-quad appended (the raw corpus has none), then the scrub
+    * replaces both with typed placeholders and counts matches on the
+    * original. The patterns live in the Java-regex ∩ RE2 common subset,
+    * so DuckDB replays the identical regexes; md5 of the redacted text
+    * proves the rewrite byte-for-byte. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 32), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".org at 10."),
+          (col("doc_id") % 200).cast("string"), lit(".7."),
+          (col("doc_id") % 100).cast("string"), lit(" done")).as("t"))
+      .select(col("doc_id"), TextAnalysis.redactPii(col("t")).as("p"))
+      .select(col("doc_id"),
+        col("p.n_email").cast("long").as("n_email"),
+        col("p.n_ip").cast("long").as("n_ip"),
+        md5(col("p.redacted").cast("binary")).as("red_hash"),
+        length(col("p.redacted")).cast("long").as("red_len"))
+      .orderBy("doc_id")
+  }
+
+  /** text_pack — sequence packing ([[graft.operators.TextAnalysis
+    * .packSequences]]): documents laid out contiguously per source in
+    * doc_id order and cut into 256-token training sequences by prefix
+    * sum. All-integer; DuckDB replays the window directly. */
+  def textPack(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.packSequences(docs(s, dir), "doc_id", "text", "source", 256)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id")
+  }
+
   /** text_decontaminate — test-set overlap removal
     * ([[graft.operators.Dedup.decontaminate]]): docs from src0 act as the
     * "benchmark"; every other doc sharing a word-3-gram with it is flagged
@@ -349,7 +387,9 @@ object TextQueries {
     "text_idf" -> textIdf _,
     "text_perplexity" -> textPerplexity _,
     "text_decontaminate" -> textDecontaminate _,
-    "text_repetition" -> textRepetition _)
+    "text_repetition" -> textRepetition _,
+    "text_redact" -> textRedact _,
+    "text_pack" -> textPack _)
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x != '')"
   private val tokSetSql = s"list_sort(list_distinct($tokSql))"
@@ -529,6 +569,36 @@ object TextQueries {
               ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) END, 6)
               AS dup3_frac
           FROM g ORDER BY doc_id""",
+    "text_redact" ->
+      """WITH t AS (SELECT doc_id,
+           substring(text, 1, 32) || ' contact u' || CAST(doc_id AS VARCHAR)
+             || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+             || '.org at 10.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.7.' || CAST(doc_id % 100 AS VARCHAR) || ' done' AS s
+         FROM documents)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(s,
+             '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS red_hash,
+           CAST(length(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS BIGINT) AS red_len
+         FROM t ORDER BY doc_id""",
+    "text_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+           CAST(len($tokSql) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS bef
+         FROM t)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+                CAST(bef // 256 AS BIGINT) AS seq_id,
+                CAST(bef % 256 AS BIGINT) AS seq_offset
+         FROM c ORDER BY doc_id""",
     "text_decontaminate" ->
       s"""WITH g AS (
             SELECT doc_id, source,

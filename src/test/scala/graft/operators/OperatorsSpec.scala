@@ -405,4 +405,38 @@ class OperatorsSpec extends AnyFunSuite {
     // "hi" = 1, "internationalization" (20 chars) = ceil(20/4) = 5
     assert(n == 6L)
   }
+
+  test("packSequences: greedy contiguous packing with overflow, per group") {
+    val df = Seq(
+      (1L, "g", "a b c"),   // bef 0 → seq 0 off 0
+      (2L, "g", "d e"),     // bef 3 → seq 0 off 3
+      (3L, "g", "f g h i"), // bef 5, cum 9 > 8 → overflow stays in seq 0
+      (4L, "g", "j"),       // bef 9 → seq 1 off 1
+      (5L, "h", "k l")      // fresh group restarts at seq 0 off 0
+    ).toDF("doc_id", "grp", "text")
+    val got = TextAnalysis.packSequences(df, "doc_id", "text", "grp", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "grp", "n_tokens", "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "g", 3L, 0L, 0L), (2L, "g", 2L, 0L, 3L), (3L, "g", 4L, 0L, 5L),
+      (4L, "g", 1L, 1L, 1L), (5L, "h", 2L, 0L, 0L)))
+  }
+
+  test("redactPii: emails and IPs become placeholders, counts on original") {
+    def scrub(s: String): (String, Long, Long) = {
+      val r = spark.range(1).select(TextAnalysis.redactPii(lit(s)).as("p"))
+        .select("p.redacted", "p.n_email", "p.n_ip").collect().head
+      (r.getString(0), r.getLong(1).toLong, r.getLong(2).toLong)
+    }
+    assert(scrub("mail a.b+c@sub.ex.org from 192.168.0.1 twice 10.0.0.7") ==
+      (("mail [EMAIL] from [IP] twice [IP]", 1L, 2L)))
+    // no PII → text unchanged, zero counts
+    assert(scrub("plain prose, version 1.2 only") ==
+      (("plain prose, version 1.2 only", 0L, 0L)))
+    // dotted-quad inside an email domain is consumed by the email rule
+    // (emails replace first), so it is not double-redacted in the output
+    assert(scrub("x u@10.0.0.7.net y")._1 == "x [EMAIL] y")
+  }
 }
