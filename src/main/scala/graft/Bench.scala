@@ -55,7 +55,7 @@ object Bench {
     // catalog-construction latency as engine speed, and c4_consolidate
     // alone costs ~45 s/pass. The CORRECTNESS gate still runs them.
     val fixtureOnly = Set("d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
-      "c4_consolidate", "c9_collapse", "c7_gc")
+      "c4_consolidate", "c9_collapse", "c7_gc", "c7_delete_job")
     // Pure-expression micro-queries (per-row projection math over a small
     // dim, no join/shuffle/IO): their sf0.1 timings are scheduling noise
     // (~0.1 s) and at 95+ entries their ~120 chars would push the compact

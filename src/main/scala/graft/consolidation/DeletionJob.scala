@@ -1,0 +1,183 @@
+package graft.consolidation
+
+import graft.catalog.{Catalog, CatalogQueries, DatasetFilters, Schemas}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The standalone deletion job (reference internal/svc/operations.go:
+  * delInit:176-213 → delSetToDelete:215-229 → delRemoveDatasets:231-252 →
+  * delDeleteContainers:335-433, states job.go:40-47): user-selected
+  * datasets (instances × records × container-URI patterns) are locked,
+  * flipped ACTIVE→TODELETE, dropped with their orphaned containers/tiles,
+  * and every orphaned MANAGED container becomes one deletion task whose
+  * worker removes the physical object. Task rows journal in the `tasks`
+  * table (create.sql:154-166) exactly like the reference's deletion FSM,
+  * so a resumed job retries FAILED tasks only; a job that finishes with
+  * failed tasks lands in DONEBUTUNTIDY (operations.go:148-149), never
+  * silently DONE.
+  *
+  * Scale shape: the lock collects dataset IDS only (the reference locks
+  * the same id list in Postgres); the catalog rewrites are full Catalyst
+  * anti/semi-join plans; physical deletes fan out as one Spark stage over
+  * the task list (the reference's 20-goroutine pool, distributed). */
+object DeletionJob {
+
+  final case class Spec(
+      jobId: String,
+      name: String,
+      instanceIds: Seq[String] = Nil,
+      recordIds: Seq[String] = Nil,
+      containerUriPatterns: Seq[String] = Nil)
+
+  val states: Seq[String] = Seq(
+    "NEW", "CREATED", "DELETIONINPROGRESS", "DELETIONEFFECTIVE", "DONE")
+
+  private def logState(spark: SparkSession, cat: Catalog, spec: Spec,
+      state: String, payload: String = ""): Unit = {
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    cat.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(spec.jobId, spec.name, "DELETION", state, 0, 0, payload, now, now))),
+      Schemas.jobs), "jobs")
+  }
+
+  /** Physical removal of one container object — the opSubFncDeleteContainer
+    * equivalent (operations.go:435-445). Catalog-virtual URIs (mem://, or
+    * rows whose pixels live in the tiles table only) have no object to
+    * remove and succeed trivially; file-backed URIs must delete. */
+  private[consolidation] def deleteContainerObject(uri: String): Either[String, Unit] = {
+    val path =
+      if (uri.startsWith("file://")) Some(uri.stripPrefix("file://"))
+      else if (uri.startsWith("/")) Some(uri)
+      else None
+    path match {
+      case None => Right(())
+      case Some(p) =>
+        val f = new java.io.File(p)
+        if (!f.exists) Right(()) // already gone — idempotent retry
+        else if (f.delete()) Right(())
+        else Left(s"cannot delete $p")
+    }
+  }
+
+  /** Drive the FSM; journals to `jobs`, resumes from the journal, stops
+    * after `pauseAfter` if given. Returns the final state. */
+  def run(spark: SparkSession, cat: Catalog, spec: Spec,
+      pauseAfter: Option[String] = None): String = {
+    import spark.implicits._
+    val done: Set[String] = cat.read(spark, "jobs")
+      .filter(col("id") === spec.jobId).select("state")
+      .collect().map(_.getString(0)).toSet
+    def step(state: String)(body: => String): Boolean = {
+      if (!done.contains(state)) {
+        val payload = body
+        logState(spark, cat, spec, state, payload)
+      }
+      pauseAfter.contains(state)
+    }
+    if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
+    var locked: Seq[String] = Nil
+    try {
+      // delInit: lock = snapshot the ids selected by the filters. A job
+      // resumed after its rows were already removed (post-EFFECTIVE) has
+      // nothing left to find — and nothing left to lock.
+      if (!done.contains("DELETIONEFFECTIVE")) {
+        locked = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+          status = Seq("ACTIVE", "TODELETE"), // resume: re-find flipped rows
+          instanceIds = spec.instanceIds, recordIds = spec.recordIds,
+          containerUriPatterns = spec.containerUriPatterns, order = false))
+          .select("id").collect().map(_.getString(0)).toSeq
+        require(locked.nonEmpty,
+          s"deletion job ${spec.jobId}: no dataset found for these records, " +
+            "instances and/or pattern")
+      }
+      if (step("CREATED") { s"""{"locked":${locked.size}}""" }) return "CREATED"
+
+      // delSetToDelete: locked ACTIVE → TODELETE
+      if (!done.contains("DELETIONINPROGRESS")) {
+        val ds = cat.read(spark, "datasets")
+        cat.rewrite(ds.withColumn("status",
+          when(col("id").isin(locked: _*) && col("status") === "ACTIVE",
+            "TODELETE").otherwise(col("status"))), "datasets")
+      }
+      if (step("DELETIONINPROGRESS") { "" }) return "DELETIONINPROGRESS"
+
+      // delRemoveDatasets: drop the locked TODELETE rows; GC containers
+      // and tiles no surviving dataset references; every GC'd MANAGED
+      // container becomes a deletion task (unmanaged objects are the
+      // user's — the reference only deletes managed ones).
+      if (!done.contains("DELETIONEFFECTIVE")) {
+        val ds = cat.read(spark, "datasets")
+        cat.rewrite(ds.filter(
+          !(col("id").isin(locked: _*) && col("status") === "TODELETE")),
+          "datasets")
+        val live = cat.read(spark, "datasets")
+          .select(col("container_uri")).distinct()
+        val containers = cat.read(spark, "containers")
+        val orphanManaged = containers
+          .join(live, containers("uri") === live("container_uri"), "left_anti")
+          .filter(col("managed"))
+          .select("uri").as[String].collect().toSeq
+        cat.rewrite(containers.join(live,
+          containers("uri") === live("container_uri"), "left_semi"), "containers")
+        val tiles = cat.read(spark, "tiles")
+        cat.rewrite(tiles.join(live.withColumnRenamed("container_uri", "__live"),
+          tiles("container_uri") === col("__live"), "left_semi"), "tiles")
+        if (orphanManaged.nonEmpty)
+          cat.append(spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              orphanManaged.zipWithIndex.map { case (uri, i) =>
+                Row(s"${spec.jobId}-t$i", spec.jobId, "NEW", uri)
+              }, math.min(8, orphanManaged.size)),
+            Schemas.tasks), "tasks")
+      }
+      if (step("DELETIONEFFECTIVE") { "" }) return "DELETIONEFFECTIVE"
+
+      // delDeleteContainers: one distributed pass over the pending tasks
+      // (the reference's 20-worker pool as 20 partitions); per-task
+      // failure is a VALUE (task → FAILED), never a job abort, and the
+      // task outcomes flow back into the journal through a join — the
+      // driver only ever sees the two counts.
+      val resDf = cat.read(spark, "tasks")
+        .filter(col("job_id") === spec.jobId &&
+          col("state").isin("NEW", "PENDING", "FAILED"))
+        .select("id", "payload").as[(String, String)]
+        .repartition(20)
+        .map { case (taskId, uri) =>
+          (taskId, if (deleteContainerObject(uri).isRight) "SUCCESSFUL" else "FAILED")
+        }
+        .toDF("__tid", "__new_state")
+      resDf.cache()
+      val nTasks = resDf.count()
+      val nFailed = resDf.filter(col("__new_state") === "FAILED").count()
+      if (nTasks > 0) {
+        val tasksDf = cat.read(spark, "tasks")
+        cat.rewrite(tasksDf
+          .join(resDf, tasksDf("id") === col("__tid"), "left")
+          .withColumn("state", coalesce(col("__new_state"), col("state")))
+          .drop("__tid", "__new_state"), "tasks")
+      }
+      resDf.unpersist()
+      val terminal = if (nFailed == 0) "DONE" else "DONEBUTUNTIDY"
+      if (!done.contains(terminal))
+        logState(spark, cat, spec, terminal,
+          s"""{"tasks":$nTasks,"failed":$nFailed}""")
+      terminal
+    } catch {
+      case e: Exception =>
+        // delRollback (operations.go:156-160): un-flip THIS job's locked
+        // TODELETE rows if the removal never became effective — other
+        // jobs' TODELETE markers (e.g. a consolidation swap) stay put
+        try {
+          if (!done.contains("DELETIONEFFECTIVE") && locked.nonEmpty) {
+            val ds = cat.read(spark, "datasets")
+            cat.rewrite(ds.withColumn("status",
+              when(col("id").isin(locked: _*) && col("status") === "TODELETE",
+                "ACTIVE").otherwise(col("status"))), "datasets")
+          }
+        } catch { case _: Exception => () }
+        logState(spark, cat, spec, "FAILED", s"""{"error":"${e.getMessage}"}""")
+        "FAILED"
+    }
+  }
+}

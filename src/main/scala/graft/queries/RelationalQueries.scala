@@ -1735,6 +1735,53 @@ object RelationalQueries {
     ds.unionAll(cs).unionAll(ts).orderBy("kind", "key")
   }
 
+  /** c7_delete_job — the standalone deletion FSM (operations.go:120-445)
+    * end-to-end: 18 datasets over two instances, containers c1..c6 shared
+    * across instances and c7..c12 exclusive to the doomed one. Deleting
+    * instance i2 must keep every shared container (still referenced by
+    * i1), GC the six exclusive ones into SUCCESSFUL deletion tasks, and
+    * land the job in DONE — all replayed relationally by DuckDB from
+    * generate_series. */
+  def c7DeleteJob(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.{Catalog, Schemas}
+    import graft.geo.{BBox, GeomOps}
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-c7del-" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(s.createDataFrame(
+        s.sparkContext.parallelize(rows, 2), Schemas.all(table)), table)
+    val box = BBox(0, 0, 0.16, 0.16)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    def ds(i: Int, inst: String, uri: String): Row =
+      Row(f"d$i%03d", f"r$i%03d", inst, uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326, bbox)
+    // d1..d12 pair up on shared containers c1..c6 (odd i1, even i2);
+    // d13..d18 are i2-only on exclusive containers c7..c12
+    write("datasets",
+      (1 to 12).map(i => ds(i, if (i % 2 == 0) "i2" else "i1",
+        f"mem://c${(i + 1) / 2}%03d")) ++
+      (13 to 18).map(i => ds(i, "i2", f"mem://c${i - 6}%03d")))
+    write("containers", (1 to 12).map(i => Row(f"mem://c$i%03d", true, "STANDARD")))
+    val state = graft.consolidation.DeletionJob.run(s, cat,
+      graft.consolidation.DeletionJob.Spec("del", "del", instanceIds = Seq("i2")))
+    val dsOut = cat.read(s, "datasets")
+      .select(lit("dataset").as("kind"), col("id").as("key"), col("status").as("val"))
+    val csOut = cat.read(s, "containers")
+      .select(lit("container").as("kind"), col("uri").as("key"), lit("").as("val"))
+    val tsOut = cat.read(s, "tasks")
+      .select(lit("task").as("kind"), col("payload").as("key"), col("state").as("val"))
+    val jbOut = s.range(1).select(lit("job").as("kind"), lit("del").as("key"),
+      lit(state).as("val"))
+    dsOut.unionAll(csOut).unionAll(tsOut).unionAll(jbOut).orderBy("kind", "key")
+  }
+
   /** g3_single_cell — SingleCellGrid covers+cell round-trip (G3,
     * singlecellgrid.go:53-105): one synthetic AOI per nation key, every
     * coordinate an exact k/8 binary fraction so the single cover cell's
@@ -1970,6 +2017,7 @@ object RelationalQueries {
     "c4_consolidate" -> c4Consolidate _,
     "c9_collapse" -> c9Collapse _,
     "c7_gc" -> c7Gc _,
+    "c7_delete_job" -> c7DeleteJob _,
     "g3_single_cell" -> g3SingleCell _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
@@ -2400,6 +2448,22 @@ object RelationalQueries {
            SELECT 'container' AS kind, printf('mem://c%03d', i) AS key FROM s
            UNION ALL
            SELECT 'tile' AS kind, printf('mem://c%03d', i) AS key FROM s)
+         ORDER BY kind, key""",
+    "c7_delete_job" ->
+      """WITH odd AS (SELECT CAST(t.i AS BIGINT) AS i
+           FROM generate_series(1, 12) t(i) WHERE t.i % 2 = 1)
+         SELECT kind, key, val FROM (
+           SELECT 'dataset' AS kind, printf('d%03d', i) AS key,
+                  'ACTIVE' AS val FROM odd
+           UNION ALL
+           SELECT 'container' AS kind, printf('mem://c%03d', (i+1)//2) AS key,
+                  '' AS val FROM odd
+           UNION ALL
+           SELECT 'task' AS kind, printf('mem://c%03d', t.i) AS key,
+                  'SUCCESSFUL' AS val
+           FROM generate_series(7, 12) t(i)
+           UNION ALL
+           SELECT 'job' AS kind, 'del' AS key, 'DONE' AS val)
          ORDER BY kind, key""",
     "g3_single_cell" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS key,
