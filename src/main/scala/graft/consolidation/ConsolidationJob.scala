@@ -37,6 +37,37 @@ object ConsolidationJob {
       Schemas.jobs), "jobs")
   }
 
+  /** CancelledByUser — allowed until the swap is journaled (job.go
+    * :550-580 marks the post-swap states critical): runs the csldRollback
+    * chain (consolidater.go:826-870) — drop this job's INACTIVE datasets,
+    * purge its not-yet-authoritative containers/tiles, release the locks
+    * (our lock is the journal itself) — and journals ABORTED. A job at or
+    * past CONSOLIDATIONEFFECTIVE refuses with CANCELLATIONFAILED: the old
+    * datasets are already TODELETE-flagged and the new ones serve reads. */
+  def cancel(spark: SparkSession, cat: Catalog, spec: Spec): String = {
+    val done: Set[String] = cat.read(spark, "jobs")
+      .filter(col("id") === spec.jobId).select("state")
+      .collect().map(_.getString(0)).toSet
+    if (done.contains("CONSOLIDATIONEFFECTIVE") || done.contains("DONE")) {
+      logState(spark, cat, spec, "CANCELLATIONFAILED",
+        """{"error":"job already effective"}""")
+      return "CANCELLATIONFAILED"
+    }
+    val prefix = s"${cat.root}/containers/${spec.jobId}/"
+    // from CONSOLIDATIONDONE/INDEXED: the job's INACTIVE datasets vanish
+    cat.rewrite(cat.read(spark, "datasets")
+      .filter(!(col("status") === "INACTIVE" &&
+        col("container_uri").startsWith(prefix))), "datasets")
+    // from CONSOLIDATIONINPROGRESS: its containers/tiles are not
+    // authoritative until INDEXED — purge them
+    cat.rewrite(cat.read(spark, "tiles")
+      .filter(!col("container_uri").startsWith(prefix)), "tiles")
+    cat.rewrite(cat.read(spark, "containers")
+      .filter(!col("uri").startsWith(prefix)), "containers")
+    logState(spark, cat, spec, "ABORTED")
+    "ABORTED"
+  }
+
   /** Drive the FSM (sync execution mode). `pauseAfter` is the step-by-step
     * execution level of the reference (operations.proto:24-30 + job.go
     * pause levels): the job journals its state and stops after the named
@@ -56,6 +87,7 @@ object ConsolidationJob {
       }
       pauseAfter.contains(state)
     }
+    if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
     try {
       // layout validation on entry (layout.go:120-129: bad interlacing

@@ -274,4 +274,68 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // catalog untouched
     assert(cat.read(spark, "datasets").count() == 2)
   }
+
+  test("cancel before the swap rolls back; ABORTED is terminal") {
+    // fresh catalog so the shared fixture's state machine is untouched
+    val root2 = java.nio.file.Files.createTempDirectory("graft-csld-cancel").toString
+    val cat2 = Catalog(root2)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat2.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val box = BBox(0, 0, 4, 4)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(box), bboxRow(box))))
+    write("records", Seq(
+      Row("r1", "s1", ts("2024-01-01 00:00:00"), Map.empty[String, String], "a1"),
+      Row("r2", "s2", ts("2024-01-02 00:00:00"), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://c1", false, "STANDARD"),
+      Row("mem://c2", false, "STANDARD")))
+    def dsRow(id: String, rid: String, uri: String): Row =
+      Row(id, rid, "i1", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box))
+    write("datasets", Seq(dsRow("d1", "r1", "mem://c1"), dsRow("d2", "r2", "mem://c2")))
+    def tile(uri: String, v: Double): Row =
+      Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326", Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(v)).toBytes)
+    write("tiles", Seq(tile("mem://c1", 10.0), tile("mem://c2", 20.0)))
+
+    val spec = ConsolidationJob.Spec("jobC", "cancelme", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    // drive through indexing: new INACTIVE datasets + tiles exist, swap not yet
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONINDEXED")) == "CONSOLIDATIONINDEXED")
+    assert(cat2.read(spark, "datasets")
+      .filter(col("status") === "INACTIVE").count() > 0)
+
+    assert(ConsolidationJob.cancel(spark, cat2, spec) == "ABORTED")
+    // catalog restored: the 2 originals ACTIVE, no job rows anywhere
+    val ds = cat2.read(spark, "datasets").collect()
+    assert(ds.length == 2 && ds.forall(_.getAs[String]("status") == "ACTIVE"))
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(s"$root2/containers/jobC/")).count() == 0)
+    assert(cat2.read(spark, "containers")
+      .filter(col("uri").startsWith(s"$root2/containers/jobC/")).count() == 0)
+    // terminal: a rerun refuses to resume the cancelled job
+    assert(ConsolidationJob.run(spark, cat2, spec) == "ABORTED")
+    assert(cat2.read(spark, "datasets").count() == 2)
+
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(root2))
+  }
+
+  test("cancel after the swap is refused (CANCELLATIONFAILED)") {
+    // job1 finished in the first test — its datasets serve reads now
+    val spec = ConsolidationJob.Spec("job1", "test", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    val before = cat.read(spark, "datasets").count()
+    assert(ConsolidationJob.cancel(spark, cat, spec) == "CANCELLATIONFAILED")
+    assert(cat.read(spark, "datasets").count() == before)
+    assert(cat.read(spark, "jobs").filter(col("id") === "job1" &&
+      col("state") === "CANCELLATIONFAILED").count() == 1)
+  }
 }
