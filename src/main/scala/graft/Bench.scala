@@ -49,21 +49,13 @@ object Bench {
     // queries the LSH operators' registered signature caches are released
     // so one query's cached relations can't squat executor memory for the
     // rest of the run (the round-2 p3/a5 regression suspect).
-    // Fixture-evidence queries (they seed a throwaway catalog and run a
-    // driver-side FSM before the plan under test exists) are correctness
-    // artifacts, not operator benchmarks — timing them would report
-    // catalog-construction latency as engine speed, and c4_consolidate
-    // alone costs ~45 s/pass. The CORRECTNESS gate still runs them.
-    val fixtureOnly = Set("d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
-      "c4_consolidate", "c9_collapse", "c7_gc", "c7_delete_job")
-    // Pure-expression micro-queries (per-row projection math over a small
-    // dim, no join/shuffle/IO): their sf0.1 timings are scheduling noise
-    // (~0.1 s) and at 95+ entries their ~120 chars would push the compact
-    // line past the driver's 2000-char log tail. The correctness gate
-    // still runs them every round; the bench line keeps the queries whose
-    // timing carries signal.
-    val exprMicro = Set("f6_webmerc", "f6_utm", "f6_stere", "f6_lcc",
-      "f6_laea", "f6_aea", "f6_datum")
+    // Exclusion sets live on SparkEntry (shared with PlanShapeSpec so the
+    // lists can't drift): fixture-evidence queries would time throwaway-
+    // catalog construction as engine speed (c4_consolidate alone ~45 s/
+    // pass); the f6 expression micro-queries are line-budget ballast.
+    // The CORRECTNESS gate still runs both groups every round.
+    val fixtureOnly = SparkEntry.fixtureOnly
+    val exprMicro = SparkEntry.exprMicro
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // REGISTRATION order, identical every run and every round (the queries
     // map is a ListMap; .toSeq pins it regardless of map runtime type) —

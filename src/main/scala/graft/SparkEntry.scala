@@ -17,4 +17,23 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++ SimilarityQueries.oracle
+
+  /** Queries that seed a throwaway catalog and drive a whole FSM inside
+    * their builder before the plan under test exists — correctness
+    * artifacts, not operator benchmarks. Excluded from Bench timing AND
+    * from PlanShapeSpec's gate (one shared set so the two can't drift:
+    * a query in one list but not the other would either time minutes of
+    * fixture construction as engine speed or skip the plan check). */
+  val fixtureOnly: Set[String] = Set(
+    "d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
+    "c4_consolidate", "c9_collapse", "c7_gc", "c7_delete_job")
+
+  /** Pure-expression micro-queries (per-row projection math over a small
+    * dim, no join/shuffle/IO): correctness-gated every round, excluded
+    * from the TIMED bench line — their ~0.1 s timings are scheduling
+    * noise, and at 95+ entries their ~120 chars would push the compact
+    * line past the driver's 2000-char log tail. */
+  val exprMicro: Set[String] = Set(
+    "f6_webmerc", "f6_utm", "f6_stere", "f6_lcc", "f6_laea", "f6_aea",
+    "f6_datum")
 }

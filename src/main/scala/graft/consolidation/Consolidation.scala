@@ -347,16 +347,25 @@ object Consolidation {
     * collapse job DUPLICATES data onto the collapse record, so the
     * originals stay ACTIVE (consolidater.go:649-655). */
   def swap(spark: SparkSession, cat: Catalog, instanceId: String,
-      oldDatasetIds: Seq[String], keepOld: Boolean = false): Unit = {
+      oldDatasetIds: Seq[String], keepOld: Boolean = false,
+      newPrefix: Option[String] = None): Unit = {
     val ds = cat.read(spark, "datasets")
     val old =
       if (keepOld) lit(false)
       else col("id").isin(oldDatasetIds: _*) && col("status") === "ACTIVE"
+    // the INACTIVE→ACTIVE side is scoped to THIS job's output containers
+    // when a prefix is given (the reference's ChangeDatasetsStatus is
+    // job-lock-scoped): a second in-flight job on the same instance must
+    // not have its not-yet-swapped INACTIVE outputs activated here
+    val fresh = newPrefix match {
+      case Some(p) =>
+        col("container_uri").startsWith(p) && col("status") === "INACTIVE"
+      case None =>
+        col("instance_id") === instanceId && col("status") === "INACTIVE"
+    }
     val flipped = ds
       .withColumn("status",
-        when(old, "TODELETE")
-          .when(col("instance_id") === instanceId && col("status") === "INACTIVE", "ACTIVE")
-          .otherwise(col("status")))
+        when(old, "TODELETE").when(fresh, "ACTIVE").otherwise(col("status")))
     cat.rewrite(flipped, "datasets")
   }
 

@@ -48,12 +48,24 @@ object ConsolidationJob {
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === spec.jobId).select("state")
       .collect().map(_.getString(0)).toSet
-    if (done.contains("CONSOLIDATIONEFFECTIVE") || done.contains("DONE")) {
+    // a job id with no journal is a typo, not a cancellable job — refusing
+    // here also keeps the id usable (ABORTED would be terminal for run())
+    if (done.isEmpty) return "NOTFOUND"
+    val prefix = s"${cat.root}/containers/${spec.jobId}/"
+    // the swap rewrite and its journal entry are two writes: a crash
+    // between them leaves CONSOLIDATIONEFFECTIVE unjournaled while the
+    // job's datasets already serve reads — detect the APPLIED swap from
+    // the data (any ACTIVE dataset under the job prefix), not the journal
+    lazy val swapApplied = cat.read(spark, "datasets")
+      .filter(col("container_uri").startsWith(prefix) &&
+        col("status") === "ACTIVE")
+      .limit(1).count() > 0
+    if (done.contains("CONSOLIDATIONEFFECTIVE") || done.contains("DONE") ||
+        swapApplied) {
       logState(spark, cat, spec, "CANCELLATIONFAILED",
         """{"error":"job already effective"}""")
       return "CANCELLATIONFAILED"
     }
-    val prefix = s"${cat.root}/containers/${spec.jobId}/"
     // from CONSOLIDATIONDONE/INDEXED: the job's INACTIVE datasets vanish
     cat.rewrite(cat.read(spark, "datasets")
       .filter(!(col("status") === "INACTIVE" &&
@@ -141,10 +153,13 @@ object ConsolidationJob {
         Consolidation.index(spark, cat, newTiles, spec.instanceId, spec.params)
       if (step("CONSOLIDATIONINDEXED") { "" }) return "CONSOLIDATIONINDEXED"
 
-      // C6 swap (atomic; collapse keeps the originals ACTIVE)
+      // C6 swap (atomic; collapse keeps the originals ACTIVE; the flip is
+      // scoped to this job's containers so a concurrent job's INACTIVE
+      // outputs stay inactive)
       if (!done.contains("CONSOLIDATIONEFFECTIVE"))
         Consolidation.swap(spark, cat, spec.instanceId, locked,
-          keepOld = spec.collapseOnRecordId.isDefined)
+          keepOld = spec.collapseOnRecordId.isDefined,
+          newPrefix = Some(s"${cat.root}/containers/${spec.jobId}/"))
       if (step("CONSOLIDATIONEFFECTIVE") { "" }) return "CONSOLIDATIONEFFECTIVE"
 
       // C7 delete old

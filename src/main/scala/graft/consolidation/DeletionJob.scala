@@ -42,14 +42,17 @@ object DeletionJob {
   }
 
   /** Physical removal of one container object — the opSubFncDeleteContainer
-    * equivalent (operations.go:435-445). Catalog-virtual URIs (mem://, or
-    * rows whose pixels live in the tiles table only) have no object to
-    * remove and succeed trivially; file-backed URIs must delete. */
+    * equivalent (operations.go:435-445). Catalog-virtual URIs (mem://,
+    * whose pixels live in the tiles table only) have no object to remove
+    * and succeed trivially; file-backed URIs must delete; any OTHER scheme
+    * is an error — a SUCCESSFUL task must mean the object is gone, never
+    * "scheme I don't support". */
   private[consolidation] def deleteContainerObject(uri: String): Either[String, Unit] = {
     val path =
       if (uri.startsWith("file://")) Some(uri.stripPrefix("file://"))
       else if (uri.startsWith("/")) Some(uri)
-      else None
+      else if (uri.startsWith("mem://") || uri.isEmpty) None
+      else return Left(s"unsupported container scheme: $uri")
     path match {
       case None => Right(())
       case Some(p) =>
@@ -59,6 +62,17 @@ object DeletionJob {
         else Left(s"cannot delete $p")
     }
   }
+
+  /** The job's durable lock rows — the reference's locked_datasets flags
+    * (job.LockDatasets): one `tasks` row per locked dataset id, state
+    * "LOCK". Written at CREATED, so every later step (flip, removal,
+    * rollback) operates on the EXACT snapshot, never on a re-evaluated
+    * filter that might now match other jobs' rows or nothing at all. */
+  private def readLocks(spark: SparkSession, cat: Catalog, jobId: String): Seq[String] =
+    cat.read(spark, "tasks")
+      .filter(col("job_id") === jobId && col("state") === "LOCK")
+      .select("payload").distinct() // crash between append and journal may retry the append
+      .collect().map(_.getString(0)).toSeq
 
   /** Drive the FSM; journals to `jobs`, resumes from the journal, stops
     * after `pauseAfter` if given. Returns the final state. */
@@ -78,18 +92,28 @@ object DeletionJob {
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
     var locked: Seq[String] = Nil
     try {
-      // delInit: lock = snapshot the ids selected by the filters. A job
-      // resumed after its rows were already removed (post-EFFECTIVE) has
-      // nothing left to find — and nothing left to lock.
-      if (!done.contains("DELETIONEFFECTIVE")) {
+      // delInit: lock = snapshot the ids selected by the filters — ACTIVE
+      // rows only, so another job's TODELETE markers (a consolidation past
+      // its swap) can never enter this job's scope. The snapshot persists
+      // as LOCK rows in the tasks table; a resumed job reads THOSE back
+      // instead of re-evaluating the filters against a changed catalog.
+      if (done.contains("CREATED")) {
+        locked = readLocks(spark, cat, spec.jobId)
+      } else {
         locked = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
-          status = Seq("ACTIVE", "TODELETE"), // resume: re-find flipped rows
+          status = Seq("ACTIVE"),
           instanceIds = spec.instanceIds, recordIds = spec.recordIds,
           containerUriPatterns = spec.containerUriPatterns, order = false))
           .select("id").collect().map(_.getString(0)).toSeq
         require(locked.nonEmpty,
           s"deletion job ${spec.jobId}: no dataset found for these records, " +
             "instances and/or pattern")
+        cat.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            locked.zipWithIndex.map { case (id, i) =>
+              Row(s"${spec.jobId}-l$i", spec.jobId, "LOCK", id)
+            }, math.min(8, locked.size)),
+          Schemas.tasks), "tasks")
       }
       if (step("CREATED") { s"""{"locked":${locked.size}}""" }) return "CREATED"
 
@@ -123,12 +147,18 @@ object DeletionJob {
         val tiles = cat.read(spark, "tiles")
         cat.rewrite(tiles.join(live.withColumnRenamed("container_uri", "__live"),
           tiles("container_uri") === col("__live"), "left_semi"), "tiles")
-        if (orphanManaged.nonEmpty)
+        // idempotent append: a crash after a previous attempt's append
+        // re-enters this block — URIs that already have a task keep it
+        val already = cat.read(spark, "tasks")
+          .filter(col("job_id") === spec.jobId && col("state") =!= "LOCK")
+          .select("payload").collect().map(_.getString(0)).toSet
+        val fresh = orphanManaged.filterNot(already)
+        if (fresh.nonEmpty)
           cat.append(spark.createDataFrame(
             spark.sparkContext.parallelize(
-              orphanManaged.zipWithIndex.map { case (uri, i) =>
-                Row(s"${spec.jobId}-t$i", spec.jobId, "NEW", uri)
-              }, math.min(8, orphanManaged.size)),
+              fresh.zipWithIndex.map { case (uri, i) =>
+                Row(s"${spec.jobId}-t${already.size + i}", spec.jobId, "NEW", uri)
+              }, math.min(8, fresh.size)),
             Schemas.tasks), "tasks")
       }
       if (step("DELETIONEFFECTIVE") { "" }) return "DELETIONEFFECTIVE"
@@ -159,6 +189,11 @@ object DeletionJob {
       }
       resDf.unpersist()
       val terminal = if (nFailed == 0) "DONE" else "DONEBUTUNTIDY"
+      // ReleaseDatasets: drop the LOCK rows once fully done (a
+      // DONEBUTUNTIDY job keeps them — its retry resumes on the snapshot)
+      if (terminal == "DONE")
+        cat.rewrite(cat.read(spark, "tasks").filter(
+          !(col("job_id") === spec.jobId && col("state") === "LOCK")), "tasks")
       if (!done.contains(terminal))
         logState(spark, cat, spec, terminal,
           s"""{"tasks":$nTasks,"failed":$nFailed}""")

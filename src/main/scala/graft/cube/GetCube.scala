@@ -81,11 +81,23 @@ object GetCube {
   private val varCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Seq[String], Long, Long, Long, Long), VariableInfo]()
 
-  /** (mtime, file count) folded to two longs; (-1, -1) = unobservable. */
+  /** Directory stamp: (mtime, hash of child names+sizes+mtimes). The
+    * listing hash matters — mtime alone is millisecond-truncated (and
+    * seconds-coarse on some filesystems), so a rewrite landing in the
+    * same tick with an unchanged file count would serve stale variables
+    * forever. (-1, -1) = unobservable (non-local root). */
   private def dirStamp(root: String, table: String): (Long, Long) = {
     val d = new java.io.File(s"$root/$table")
     if (!d.exists) (-1L, -1L)
-    else (d.lastModified, Option(d.list()).map(_.length.toLong).getOrElse(0L))
+    else {
+      var h = 1L
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        h = h * 1000003L + f.getName.hashCode
+        h = h * 1000003L + f.length
+        h = h * 1000003L + f.lastModified
+      }
+      (d.lastModified, h)
+    }
   }
 
   private def lookupVariable(spark: SparkSession, cat: Catalog,

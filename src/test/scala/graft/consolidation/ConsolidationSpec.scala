@@ -328,6 +328,64 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm(new java.io.File(root2))
   }
 
+  test("concurrent jobs on one instance: the swap is scoped to its own job") {
+    val root3 = java.nio.file.Files.createTempDirectory("graft-csld-conc").toString
+    val cat3 = Catalog(root3)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat3.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val box = BBox(0, 0, 4, 4)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(box), bboxRow(box))))
+    write("records", Seq(
+      Row("r1", "s1", ts("2024-01-01 00:00:00"), Map.empty[String, String], "a1"),
+      Row("r2", "s2", ts("2024-01-02 00:00:00"), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://c1", false, "STANDARD"),
+      Row("mem://c2", false, "STANDARD")))
+    def dsRow(id: String, rid: String, uri: String): Row =
+      Row(id, rid, "i1", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box))
+    write("datasets", Seq(dsRow("d1", "r1", "mem://c1"), dsRow("d2", "r2", "mem://c2")))
+    def tile(uri: String, v: Double): Row =
+      Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326", Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(v)).toBytes)
+    write("tiles", Seq(tile("mem://c1", 10.0), tile("mem://c2", 20.0)))
+
+    // job A (record r1) parks at INDEXED: its new dataset sits INACTIVE
+    val specA = ConsolidationJob.Spec("jobA", "a", "i1", Seq("r1"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat3, specA,
+      pauseAfter = Some("CONSOLIDATIONINDEXED")) == "CONSOLIDATIONINDEXED")
+    // job B (record r2) runs to DONE on the SAME instance
+    val specB = ConsolidationJob.Spec("jobB", "b", "i1", Seq("r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat3, specB) == "DONE")
+    // B's swap must not have activated A's INACTIVE outputs
+    val aStates = cat3.read(spark, "datasets")
+      .filter(col("container_uri").startsWith(s"$root3/containers/jobA/"))
+      .select("status").collect().map(_.getString(0)).toSet
+    assert(aStates == Set("INACTIVE"))
+    // and A's original dataset is still the ACTIVE one for r1
+    assert(cat3.read(spark, "datasets")
+      .filter(col("record_id") === "r1" && col("status") === "ACTIVE")
+      .select("id").collect().map(_.getString(0)).toSeq == Seq("d1"))
+
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(root3))
+  }
+
+  test("cancel of an unknown job id is NOTFOUND, not a poisoned ABORTED") {
+    val spec = ConsolidationJob.Spec("job-typo", "x", "i1", Seq("r1"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.cancel(spark, cat, spec) == "NOTFOUND")
+    assert(cat.read(spark, "jobs").filter(col("id") === "job-typo").count() == 0)
+  }
+
   test("cancel after the swap is refused (CANCELLATIONFAILED)") {
     // job1 finished in the first test — its datasets serve reads now
     val spec = ConsolidationJob.Spec("job1", "test", "i1", Seq("r1", "r2"),

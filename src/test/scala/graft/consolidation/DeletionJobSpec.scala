@@ -143,6 +143,46 @@ class DeletionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSet.contains("mem://other/c"))
   }
 
+  test("first-run lock takes ACTIVE rows only: foreign TODELETE survives") {
+    // a row another job flagged TODELETE (e.g. a consolidation awaiting
+    // its GC) matches the filters but must be neither locked, removed,
+    // nor resurrected by this job
+    val box = BBox(0, 0, 1, 1)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    def ds(id: String, status: String, uri: String): Row =
+      Row(id, s"r-$id", "iF", uri, "", Seq(1), status, null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326, bbox)
+    write("datasets", Seq(ds("f1", "TODELETE", "mem://f1"),
+      ds("f2", "ACTIVE", "mem://f2")))
+    write("containers", Seq(Row("mem://f1", true, "STANDARD"),
+      Row("mem://f2", true, "STANDARD")))
+    assert(DeletionJob.run(spark, cat,
+      DeletionJob.Spec("del4", "del4", instanceIds = Seq("iF"))) == "DONE")
+    val statuses = cat.read(spark, "datasets")
+      .filter(col("instance_id") === "iF")
+      .select("id", "status").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses == Map("f1" -> "TODELETE")) // f2 deleted, f1 untouched
+    // DONE released the lock rows
+    assert(cat.read(spark, "tasks")
+      .filter(col("job_id") === "del4" && col("state") === "LOCK").count() == 0)
+  }
+
+  test("unsupported container scheme fails its task, never fake-succeeds") {
+    val box = BBox(0, 0, 1, 1)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    write("datasets", Seq(Row("s1", "r-s1", "iS", "s3://bucket/obj", "",
+      Seq(1), "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+      false, wkb, wkb, 4326, bbox)))
+    write("containers", Seq(Row("s3://bucket/obj", true, "STANDARD")))
+    assert(DeletionJob.run(spark, cat,
+      DeletionJob.Spec("del5", "del5", instanceIds = Seq("iS"))) == "DONEBUTUNTIDY")
+    assert(cat.read(spark, "tasks").filter(col("job_id") === "del5" &&
+      col("payload") === "s3://bucket/obj" && col("state") === "FAILED").count() == 1)
+  }
+
   test("deletion job with no match journals FAILED and touches nothing") {
     val before = cat.read(spark, "datasets").count()
     assert(DeletionJob.run(spark, cat,

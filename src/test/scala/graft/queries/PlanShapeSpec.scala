@@ -34,9 +34,9 @@ class PlanShapeSpec extends AnyFunSuite {
 
   // fixture-evidence queries run a whole consolidation/serving FSM inside
   // their builder (minutes of driver actions) and return a trivial
-  // read-back plan — the plan-shape gate doesn't apply to them
-  val fixtureOnly = Set("d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
-      "c4_consolidate", "c9_collapse", "c7_gc", "c7_delete_job")
+  // read-back plan — the plan-shape gate doesn't apply to them (shared
+  // set on SparkEntry so Bench and this gate can't drift apart)
+  val fixtureOnly: Set[String] = graft.SparkEntry.fixtureOnly
 
   test("no query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
