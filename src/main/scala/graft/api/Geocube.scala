@@ -1,7 +1,7 @@
 package graft.api
 
 import graft.catalog._
-import graft.consolidation.{ConsolidationJob, ConsolidationParams}
+import graft.consolidation.{ConsolidationJob, ConsolidationParams, DeletionJob}
 import graft.cube.{CubeRequest, GetCube, Palette, Slice, XYZTile}
 import graft.geo.GeomOps
 import graft.ingest.IndexDatasets
@@ -140,6 +140,22 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       collapseOnRecordId: Option[String] = None): String =
     ConsolidationJob.run(spark, cat, ConsolidationJob.Spec(
       jobId, name, instanceId, recordIds, layout, params, collapseOnRecordId))
+
+  /** DeleteDatasets (service.go:594-612): drive the standalone deletion
+    * job over the datasets selected by instances × records × container-URI
+    * glob patterns. Returns the final FSM state. */
+  def deleteDatasets(jobId: String, name: String,
+      instanceIds: Seq[String] = Nil, recordIds: Seq[String] = Nil,
+      datasetPatterns: Seq[String] = Nil,
+      pauseAfter: Option[String] = None): String =
+    DeletionJob.run(spark, cat,
+      DeletionJob.Spec(jobId, name, instanceIds, recordIds, datasetPatterns),
+      pauseAfter)
+
+  /** CancelJob (service.go:74): cancel by id, routed on the journaled job
+    * type; NOTFOUND / CANCELLATIONFAILED / ABORTED. */
+  def cancelJob(jobId: String): String =
+    ConsolidationJob.cancelById(spark, cat, jobId)
 
   def listJobs(nameLike: String = "", limit: Int = 0): DataFrame =
     CatalogQueries.listByName(spark, cat, "jobs", nameLike, limit)

@@ -29,12 +29,32 @@ object ConsolidationJob {
     "CONSOLIDATIONINDEXED", "CONSOLIDATIONEFFECTIVE", "DONE")
 
   private def logState(spark: SparkSession, cat: Catalog, spec: Spec,
-      state: String, payload: String = ""): Unit = {
+      state: String, payload: String = ""): Unit =
+    logStateRaw(spark, cat, spec.jobId, spec.name, state, payload)
+
+  private[consolidation] def logStateRaw(spark: SparkSession, cat: Catalog,
+      jobId: String, name: String, state: String, payload: String = "",
+      jobType: String = "CONSOLIDATION"): Unit = {
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     cat.append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
-        Row(spec.jobId, spec.name, "CONSOLIDATION", state, 0, 0, payload, now, now))),
+        Row(jobId, name, jobType, state, 0, 0, payload, now, now))),
       Schemas.jobs), "jobs")
+  }
+
+  /** CancelJob by id (service.go:74 / grpc CancelJob): routes on the
+    * journaled job type — consolidation jobs roll back via the csldRollback
+    * chain below, deletion jobs via `DeletionJob.cancel`. NOTFOUND for ids
+    * with no journal. */
+  def cancelById(spark: SparkSession, cat: Catalog, jobId: String): String = {
+    val rows = cat.read(spark, "jobs").filter(col("id") === jobId)
+      .select("name", "type").collect()
+    if (rows.isEmpty) return "NOTFOUND"
+    val name = rows.head.getString(0)
+    rows.head.getString(1) match {
+      case "DELETION" => DeletionJob.cancel(spark, cat, jobId, name)
+      case _ => cancelConsolidation(spark, cat, jobId, name)
+    }
   }
 
   /** CancelledByUser — allowed until the swap is journaled (job.go
@@ -44,14 +64,18 @@ object ConsolidationJob {
     * (our lock is the journal itself) — and journals ABORTED. A job at or
     * past CONSOLIDATIONEFFECTIVE refuses with CANCELLATIONFAILED: the old
     * datasets are already TODELETE-flagged and the new ones serve reads. */
-  def cancel(spark: SparkSession, cat: Catalog, spec: Spec): String = {
+  def cancel(spark: SparkSession, cat: Catalog, spec: Spec): String =
+    cancelConsolidation(spark, cat, spec.jobId, spec.name)
+
+  private def cancelConsolidation(spark: SparkSession, cat: Catalog,
+      jobId: String, name: String): String = {
     val done: Set[String] = cat.read(spark, "jobs")
-      .filter(col("id") === spec.jobId).select("state")
+      .filter(col("id") === jobId).select("state")
       .collect().map(_.getString(0)).toSet
     // a job id with no journal is a typo, not a cancellable job — refusing
     // here also keeps the id usable (ABORTED would be terminal for run())
     if (done.isEmpty) return "NOTFOUND"
-    val prefix = s"${cat.root}/containers/${spec.jobId}/"
+    val prefix = s"${cat.root}/containers/$jobId/"
     // the swap rewrite and its journal entry are two writes: a crash
     // between them leaves CONSOLIDATIONEFFECTIVE unjournaled while the
     // job's datasets already serve reads — detect the APPLIED swap from
@@ -62,7 +86,7 @@ object ConsolidationJob {
       .limit(1).count() > 0
     if (done.contains("CONSOLIDATIONEFFECTIVE") || done.contains("DONE") ||
         swapApplied) {
-      logState(spark, cat, spec, "CANCELLATIONFAILED",
+      logStateRaw(spark, cat, jobId, name, "CANCELLATIONFAILED",
         """{"error":"job already effective"}""")
       return "CANCELLATIONFAILED"
     }
@@ -76,7 +100,7 @@ object ConsolidationJob {
       .filter(!col("container_uri").startsWith(prefix)), "tiles")
     cat.rewrite(cat.read(spark, "containers")
       .filter(!col("uri").startsWith(prefix)), "containers")
-    logState(spark, cat, spec, "ABORTED")
+    logStateRaw(spark, cat, jobId, name, "ABORTED")
     "ABORTED"
   }
 

@@ -74,6 +74,43 @@ object DeletionJob {
       .select("payload").distinct() // crash between append and journal may retry the append
       .collect().map(_.getString(0)).toSeq
 
+  /** CancelledByUser for a deletion job: allowed while the flip is still
+    * reversible — once rows have actually been REMOVED (detected from the
+    * data: any locked id missing from the datasets table, covering the
+    * crash window where the removal rewrite landed but
+    * DELETIONEFFECTIVE was never journaled), cancellation refuses.
+    * Rollback un-flips the locked TODELETE rows, releases the locks, and
+    * journals ABORTED — terminal for [[run]]. */
+  def cancel(spark: SparkSession, cat: Catalog, jobId: String,
+      name: String): String = {
+    val done: Set[String] = cat.read(spark, "jobs")
+      .filter(col("id") === jobId).select("state")
+      .collect().map(_.getString(0)).toSet
+    if (done.isEmpty) return "NOTFOUND"
+    val locked = readLocks(spark, cat, jobId)
+    val present =
+      if (locked.isEmpty) 0L
+      else cat.read(spark, "datasets")
+        .filter(col("id").isin(locked: _*)).count()
+    if (done.contains("DELETIONEFFECTIVE") || done.contains("DONE") ||
+        done.contains("DONEBUTUNTIDY") || present < locked.size) {
+      ConsolidationJob.logStateRaw(spark, cat, jobId, name,
+        "CANCELLATIONFAILED", """{"error":"datasets already removed"}""",
+        jobType = "DELETION")
+      return "CANCELLATIONFAILED"
+    }
+    if (locked.nonEmpty) {
+      cat.rewrite(cat.read(spark, "datasets").withColumn("status",
+        when(col("id").isin(locked: _*) && col("status") === "TODELETE",
+          "ACTIVE").otherwise(col("status"))), "datasets")
+      cat.rewrite(cat.read(spark, "tasks").filter(
+        !(col("job_id") === jobId && col("state") === "LOCK")), "tasks")
+    }
+    ConsolidationJob.logStateRaw(spark, cat, jobId, name, "ABORTED",
+      jobType = "DELETION")
+    "ABORTED"
+  }
+
   /** Drive the FSM; journals to `jobs`, resumes from the journal, stops
     * after `pauseAfter` if given. Returns the final state. */
   def run(spark: SparkSession, cat: Catalog, spec: Spec,
@@ -89,6 +126,7 @@ object DeletionJob {
       }
       pauseAfter.contains(state)
     }
+    if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
     var locked: Seq[String] = Nil
     try {

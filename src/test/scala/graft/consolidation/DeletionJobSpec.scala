@@ -183,6 +183,38 @@ class DeletionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("payload") === "s3://bucket/obj" && col("state") === "FAILED").count() == 1)
   }
 
+  test("deletion cancel un-flips and releases locks; refused once removed") {
+    val box = BBox(0, 0, 1, 1)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    val bbox = Row(box.xmin, box.ymin, box.xmax, box.ymax)
+    def ds(id: String): Row =
+      Row(id, s"r-$id", "iC", s"mem://$id", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326, bbox)
+    write("datasets", Seq(ds("dc1"), ds("dc2")))
+    write("containers", Seq(Row("mem://dc1", true, "STANDARD"),
+      Row("mem://dc2", true, "STANDARD")))
+    val spec = DeletionJob.Spec("del6", "del6", instanceIds = Seq("iC"))
+    assert(DeletionJob.run(spark, cat, spec,
+      pauseAfter = Some("DELETIONINPROGRESS")) == "DELETIONINPROGRESS")
+    // cancel by id routes on the journaled DELETION type
+    assert(ConsolidationJob.cancelById(spark, cat, "del6") == "ABORTED")
+    val statuses = cat.read(spark, "datasets")
+      .filter(col("instance_id") === "iC").select("status")
+      .collect().map(_.getString(0)).toSet
+    assert(statuses == Set("ACTIVE")) // un-flipped
+    assert(cat.read(spark, "tasks")
+      .filter(col("job_id") === "del6" && col("state") === "LOCK").count() == 0)
+    // terminal: the cancelled job never resumes
+    assert(DeletionJob.run(spark, cat, spec) == "ABORTED")
+    assert(cat.read(spark, "datasets")
+      .filter(col("instance_id") === "iC").count() == 2)
+    // a finished deletion refuses cancellation
+    val spec2 = DeletionJob.Spec("del7", "del7", instanceIds = Seq("iC"))
+    assert(DeletionJob.run(spark, cat, spec2) == "DONE")
+    assert(ConsolidationJob.cancelById(spark, cat, "del7") == "CANCELLATIONFAILED")
+    assert(ConsolidationJob.cancelById(spark, cat, "no-such-job") == "NOTFOUND")
+  }
+
   test("deletion job with no match journals FAILED and touches nothing") {
     val before = cat.read(spark, "datasets").count()
     assert(DeletionJob.run(spark, cat,
