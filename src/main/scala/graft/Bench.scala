@@ -62,7 +62,8 @@ object Bench {
     // hash-ordered execution reshuffled per-query timings across rounds
     // whenever an entry was added (run-order JIT/GC effects, round-7 p5).
     val ordered = SparkEntry.queries.toSeq
-      .filterNot { case (name, _) => fixtureOnly(name) || exprMicro(name) }
+      .filterNot { case (name, _) =>
+        fixtureOnly(name) || exprMicro(name) || SparkEntry.diagOnly(name) }
     def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

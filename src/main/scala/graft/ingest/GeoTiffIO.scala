@@ -226,10 +226,15 @@ object GeoTiffIO {
       .mapGroups { (uri, it) =>
         val tiles = it.map(t => ContainerTile(t._2, t._3, t._4, t._5, t._6,
           t._7, t._8, t._9)).toSeq
-        // filename from the container URI tail, collision-proofed by hash
+        // filename from the container URI tail, collision-proofed by an
+        // md5 of the FULL uri (31-bit String.hashCode collides at even
+        // odds around ~50k same-tail URIs — real at export scale, and a
+        // collision silently overwrites another container)
         val tail = uri.split('/').takeRight(2).mkString("_")
           .replaceAll("[^A-Za-z0-9._-]", "_")
-        val name = f"${tail}_${uri.hashCode & 0x7fffffff}%08x.tif"
+        val uriMd5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        val name = s"${tail}_$uriMd5.tif"
         val path = new org.apache.hadoop.fs.Path(outDir, name)
         val fs = path.getFileSystem(hconf.value)
         // stream the container straight to the target FS: no whole-file
