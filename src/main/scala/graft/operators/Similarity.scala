@@ -268,7 +268,13 @@ object Similarity {
   def kmeans(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iterations: Int): Seq[Seq[Double]] = {
     import df.sparkSession.implicits._
+    // persist the projected vectors ONCE: every iteration (plus the seed
+    // scan) re-reads this relation, and without the cache that is
+    // iterations × a full scan of the embedding table at 100 TB. The
+    // cache is registered so callers release executor storage when done.
     val vecs = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    OperatorCaches.register(vecs)
     var centroids: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(k)
       .select("__v").as[Seq[Double]].collect().toSeq
     var it = 0
