@@ -242,7 +242,6 @@ object CRS {
     "bessel" -> ((6377397.155, 1.0 / 299.1528128)),
     "clrk66" -> ((6378206.4, 1.0 / 294.9786982)),
     "clrk80ign" -> ((6378249.2, 1.0 / 293.4660213)),
-    "grs80" -> ((6378137.0, 1.0 / 298.257222101)),
     "intl" -> ((6378388.0, 1.0 / 297.0)),
     "krass" -> ((6378245.0, 1.0 / 298.3)),
     "sphere" -> ((6371000.0, 0.0)))
@@ -254,7 +253,9 @@ object CRS {
   val datums: Map[String, (String, String)] = Map(
     "wgs84" -> (("", "")), // default ellipsoid, no shift
     "nad83" -> (("grs80", "")),
-    "osgb36" -> (("airy", "446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")),
+    // full-precision PROJ pj_datums values — the truncated 3-dp rotations
+    // put +datum=OSGB36 ~1-2 m off the explicit +towgs84 chain
+    "osgb36" -> (("airy", "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894")),
     "ire65" -> (("mod_airy", "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15")),
     "potsdam" -> (("bessel", "598.1,73.7,418.2,0.202,0.045,-2.455,6.7")),
     "nzgd49" -> (("intl", "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993")),

@@ -193,16 +193,18 @@ object TextAnalysis {
     * per-document match counts kept for audit. Pure codegen'd
     * `regexp_replace`/`regexp_count` per row — embarrassingly parallel,
     * no shuffle, linear at any corpus size. Returns a struct
-    * (redacted, n_email, n_ip); counts are measured on the ORIGINAL
-    * text, and emails are replaced before IPs so a dotted-quad inside a
-    * redacted email is not double-counted in the output. */
-  def redactPii(text: Column): Column =
+    * (redacted, n_email, n_ip). Emails are replaced before IPs, and
+    * n_ip is counted on the email-redacted INTERMEDIATE text — so a
+    * dotted-quad consumed by the email rule (u@10.0.0.7.net) is neither
+    * replaced nor counted, and each audit count equals the number of
+    * placeholders of its kind actually emitted. */
+  def redactPii(text: Column): Column = {
+    val emailRedacted = regexp_replace(text, EmailPattern, "[EMAIL]")
     struct(
-      regexp_replace(
-        regexp_replace(text, EmailPattern, "[EMAIL]"),
-        Ipv4Pattern, "[IP]").as("redacted"),
+      regexp_replace(emailRedacted, Ipv4Pattern, "[IP]").as("redacted"),
       regexp_count(text, lit(EmailPattern)).cast("long").as("n_email"),
-      regexp_count(text, lit(Ipv4Pattern)).cast("long").as("n_ip"))
+      regexp_count(emailRedacted, lit(Ipv4Pattern)).cast("long").as("n_ip"))
+  }
 
   /** Sequence packing — assemble documents into fixed-token-budget
     * training sequences (the batch-construction step after filtering/

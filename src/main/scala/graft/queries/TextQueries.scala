@@ -209,8 +209,9 @@ object TextQueries {
   /** text_redact — PII scrubbing ([[graft.operators.TextAnalysis
     * .redactPii]]): every doc gets a deterministic synthetic email and
     * dotted-quad appended (the raw corpus has none), then the scrub
-    * replaces both with typed placeholders and counts matches on the
-    * original. The patterns live in the Java-regex ∩ RE2 common subset,
+    * replaces both with typed placeholders; audit counts equal the
+    * placeholders emitted (n_ip counts the email-redacted intermediate).
+    * The patterns live in the Java-regex ∩ RE2 common subset,
     * so DuckDB replays the identical regexes; md5 of the redacted text
     * proves the rewrite byte-for-byte. */
   def textRedact(s: SparkSession, dir: String): DataFrame = {
@@ -579,7 +580,8 @@ object TextQueries {
          SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(len(regexp_extract_all(s,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(s,
+           CAST(len(regexp_extract_all(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
              '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
            md5(regexp_replace(regexp_replace(s,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),

@@ -630,13 +630,14 @@ class GeoSpec extends AnyFunSuite {
     val (wlon, wlat) = CRS.transform(fromWkt, CRS.WGS84, 651409.903, 313177.270)
     assert(math.abs(wlon - lon) < 1e-9 && math.abs(wlat - lat) < 1e-9)
 
-    // PROJ +datum= shorthand expands from the registry; OSGB36's published
-    // parameters land within 2 m of the full-precision chain above
+    // PROJ +datum= shorthand expands from the registry at the same
+    // full-precision pj_datums values as the explicit chain above — the
+    // two routes must agree to numerical noise, not meters
     val viaDatum = CRS.parse("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
       "+x_0=400000 +y_0=-100000 +datum=OSGB36")
     assert(viaDatum.isInstanceOf[CRS.DatumShifted])
     val (dlon, dlat) = CRS.transform(viaDatum, CRS.WGS84, 651409.903, 313177.270)
-    assert(math.abs(dlon - lon) < 3e-5 && math.abs(dlat - lat) < 3e-5,
+    assert(math.abs(dlon - lon) < 1e-9 && math.abs(dlat - lat) < 1e-9,
       s"($dlon,$dlat) vs ($lon,$lat)")
     // WGS84-equivalent datums stay unwrapped; grid-shift datums refuse
     assert(CRS.parse("+proj=longlat +datum=WGS84") == CRS.WGS84)

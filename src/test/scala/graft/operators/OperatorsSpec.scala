@@ -424,7 +424,7 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "g", 1L, 1L, 1L), (5L, "h", 2L, 0L, 0L)))
   }
 
-  test("redactPii: emails and IPs become placeholders, counts on original") {
+  test("redactPii: placeholders emitted, audit counts match emissions") {
     def scrub(s: String): (String, Long, Long) = {
       val r = spark.range(1).select(TextAnalysis.redactPii(lit(s)).as("p"))
         .select("p.redacted", "p.n_email", "p.n_ip").collect().head
@@ -436,7 +436,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scrub("plain prose, version 1.2 only") ==
       (("plain prose, version 1.2 only", 0L, 0L)))
     // dotted-quad inside an email domain is consumed by the email rule
-    // (emails replace first), so it is not double-redacted in the output
-    assert(scrub("x u@10.0.0.7.net y")._1 == "x [EMAIL] y")
+    // (emails replace first): not double-redacted AND not counted — n_ip
+    // is measured on the email-redacted intermediate, so every count
+    // corresponds to an [IP] placeholder actually emitted
+    assert(scrub("x u@10.0.0.7.net y") == (("x [EMAIL] y", 1L, 0L)))
   }
 }
