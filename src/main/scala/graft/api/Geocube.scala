@@ -141,6 +141,21 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     ConsolidationJob.run(spark, cat, ConsolidationJob.Spec(
       jobId, name, instanceId, recordIds, layout, params, collapseOnRecordId))
 
+  /** Retry (grpc RetryJob → operations.go Retry trigger, job.go:28-55
+    * RETRYING/FORCERETRYING): re-emit a parked job's FAILED tasks; force
+    * additionally re-emits never-finished (NEW/PENDING) ones — the
+    * stuck-mid-flight case. The caller re-presents the job spec: this
+    * facade keeps job parameters with the caller instead of journaling
+    * them. Returns the final FSM state (NOTFOUND / UNHANDLED / ... /
+    * DONE). */
+  def retryConsolidation(jobId: String, name: String, instanceId: String,
+      recordIds: Seq[String], layout: GridLayout, params: ConsolidationParams,
+      collapseOnRecordId: Option[String] = None,
+      force: Boolean = false): String =
+    ConsolidationJob.retry(spark, cat, ConsolidationJob.Spec(
+      jobId, name, instanceId, recordIds, layout, params, collapseOnRecordId),
+      force)
+
   /** DeleteDatasets (service.go:594-612): drive the standalone deletion
     * job over the datasets selected by instances × records × container-URI
     * glob patterns. Returns the final FSM state. */

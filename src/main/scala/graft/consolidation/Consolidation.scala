@@ -144,7 +144,10 @@ object Consolidation {
     * container, and append the ×2 overview pyramid per record
     * (subdir "GTIFF_DIR:n@ovK") down to `overviewsMinSize` — the
     * pre-aggregation the read path's -ovr AUTO selection consumes.
-    * Returns the new tile rows + container rows, appended to the catalog. */
+    * Returns the built rows (persisted; caller unpersists when done):
+    * real tile rows appended to the catalog, plus one [[FailedSubdir]]
+    * marker row per container whose build threw — error-as-value at the
+    * reference's task granularity, consumed by the job FSM. */
   def consolidate(spark: SparkSession, cat: Catalog, tasks: DataFrame,
       params: ConsolidationParams, overviewsMinSize: Int = 0): DataFrame = {
     import spark.implicits._
@@ -179,7 +182,7 @@ object Consolidation {
     val resamplingName = params.resampling.name
 
     // group by output container; one Spark task per container (C4 contract)
-    val newTiles = rows.select(
+    val built = rows.select(
         col("out_uri"), col("cell_crs"), col("cell_transform"),
         col("cell_w"), col("cell_h"),
         col("record_id"), col("datetime"), col("dataset_id"), col("bands"),
@@ -190,18 +193,62 @@ object Consolidation {
       .as[ConsolidationRow]
       .groupByKey(_.out_uri)
       .flatMapGroups { (outUri, it) =>
-        buildContainer(outUri, it.toSeq, outMapping, resamplingName, overviewsMinSize)
+        // error-as-value per CONTAINER (the reference's task granularity,
+        // handler_consolidation.go → TaskStateFAILED): one poisoned
+        // container fails ITS task row, not the whole Spark stage — the
+        // job FSM journals the failures and retry() re-emits only them
+        // materialize INSIDE the try: buildContainer returns a lazy
+        // iterator, and an error escaping via deferred evaluation would
+        // fail the stage instead of the task row. One container's rows in
+        // memory at once — the same working set the merge itself holds.
+        val rs = it.toSeq
+        try buildContainer(outUri, rs, outMapping, resamplingName,
+          overviewsMinSize).toVector.iterator
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Iterator((outUri, FailedSubdir, 0, 0, 0, "", "", Seq.empty[Double],
+              String.valueOf(e).getBytes("UTF-8"), "",
+              new java.sql.Timestamp(0L)))
+        }
       }
       .toDF("container_uri", "subdir", "width", "height", "bands", "dtype",
         "crs", "transform", "payload", "record_id", "datetime")
+      // ONE pass of the warp work: the failure scan, the tiles append and
+      // the containers append below all consume this relation — uncached
+      // that is 3× the C4 compute (the expensive stage of the whole job)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.OperatorCaches.register(built)
 
-    // persist: tiles + containers (managed) — C4's upload step
+    val newTiles = built.filter(col("subdir") =!= FailedSubdir)
+    // persist: tiles + containers (managed) — C4's upload step; failed
+    // containers register nothing (reference: no upload for failed tasks)
     cat.append(newTiles.drop("record_id", "datetime"), "tiles")
     cat.append(newTiles.select(col("container_uri").as("uri")).distinct()
       .withColumn("managed", lit(true))
       .withColumn("storage_class", lit(params.storageClass)), "containers")
-    newTiles
+    built
   }
+
+  /** Marker subdir for a container whose build failed — the error-as-value
+    * row [[consolidate]] emits instead of failing the stage; payload
+    * carries the error text. Never appended to the tiles table. */
+  val FailedSubdir = "__FAILED__"
+
+  /** The (container, subdir) → record mapping [[buildContainer]] commits
+    * to, re-derived RELATIONALLY from the task orders: records group per
+    * container, order by (earliest source datetime, record id), subdir =
+    * "GTIFF_DIR:rank". Lets the indexing step (and task-scoped retries)
+    * reconstruct dataset identity from the durable tiles table without
+    * re-running the warp, at any scale — one keyed window, no payloads. */
+  def recordOrder(tasks: DataFrame): DataFrame =
+    tasks.select(col("container_uri"), explode(col("datasets")).as("d"))
+      .groupBy(col("container_uri"), col("d.record_id").as("record_id"))
+      .agg(min(col("d.datetime")).as("__t0"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("container_uri"))
+          .orderBy(col("__t0"), col("record_id"))))
+      .select(col("container_uri"),
+        concat(lit("GTIFF_DIR:"), col("__rk")).as("subdir"), col("record_id"))
 
   final case class ConsolidationRow(
       out_uri: String, cell_crs: String, cell_transform: Seq[Double],

@@ -104,6 +104,41 @@ object ConsolidationJob {
     "ABORTED"
   }
 
+  /** Retried / RetryForced (job.go:419-421 + 499-503, driven by
+    * operations.go's Retry trigger): re-emit this job's FAILED tasks —
+    * force additionally re-emits NEW/PENDING ones (csldConsolidationRetry
+    * vs csldConsolidationForceRetry, consolidater.go:796-824, the
+    * stuck-mid-flight case; in this engine that is a run that journaled
+    * CONSOLIDATIONINPROGRESS and then crashed) — journal the
+    * CONSOLIDATION(FORCE)RETRYING state, and drive the FSM again from the
+    * journal; the C4 redo scope picks up exactly the reset rows. Terminal
+    * or non-retryable journals refuse with UNHANDLED (the reference's
+    * UnhandledEvent), NOTFOUND for unknown ids. */
+  def retry(spark: SparkSession, cat: Catalog, spec: Spec,
+      force: Boolean = false): String = {
+    val done: Set[String] = cat.read(spark, "jobs")
+      .filter(col("id") === spec.jobId).select("state")
+      .collect().map(_.getString(0)).toSet
+    if (done.isEmpty) return "NOTFOUND"
+    if (done.contains("DONE") || done.contains("ABORTED") ||
+        done.contains("FAILED")) return "UNHANDLED"
+    val retryable = done.contains("CONSOLIDATIONFAILED") ||
+      (force && done.contains("CONSOLIDATIONINPROGRESS"))
+    if (!retryable) return "UNHANDLED"
+    val resetFrom: Seq[String] =
+      if (force) Seq("FAILED", "NEW", "PENDING") else Seq("FAILED")
+    val isReset = col("job_id") === spec.jobId && col("state").isin(resetFrom: _*)
+    val nReset = cat.read(spark, "tasks").filter(isReset).count()
+    cat.rewrite(cat.read(spark, "tasks")
+      .withColumn("payload", when(isReset, "").otherwise(col("payload")))
+      .withColumn("state", when(isReset, "NEW").otherwise(col("state"))),
+      "tasks")
+    logState(spark, cat, spec,
+      if (force) "CONSOLIDATIONFORCERETRYING" else "CONSOLIDATIONRETRYING",
+      s"""{"reset_tasks":$nReset}""")
+    run(spark, cat, spec)
+  }
+
   /** Drive the FSM (sync execution mode). `pauseAfter` is the step-by-step
     * execution level of the reference (operations.proto:24-30 + job.go
     * pause levels): the job journals its state and stops after the named
@@ -142,39 +177,95 @@ object ConsolidationJob {
         spec.instanceId, spec.recordIds, spec.layout, spec.collapseOnRecordId)
       tasks.cache()
       val nTasks = tasks.count()
+      // Task rows journaled BEFORE the state (csldPrepareOrders creates
+      // tasks, then CREATED→INPROGRESS fires): one row per output
+      // container. The uri list is job-scoped metadata collected to the
+      // driver — the same cardinality the reference holds in job.Tasks.
+      val allUris: Seq[String] = tasks.select("container_uri").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val journaled: Map[String, String] = cat.read(spark, "tasks")
+        .filter(col("job_id") === spec.jobId).select("id", "state")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      if (journaled.isEmpty && !done.contains("CONSOLIDATIONINDEXED"))
+        cat.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            allUris.map(u => Row(u, spec.jobId, "NEW", ""))),
+          Schemas.tasks), "tasks")
       if (step("CONSOLIDATIONINPROGRESS") { s"""{"tasks":$nTasks}""" })
         return "CONSOLIDATIONINPROGRESS"
 
       // C4 consolidate (one Spark task per container, + overview pyramid).
-      // On resume before indexing, partial/previous outputs of this job are
-      // purged and C4 redone — the reference's retry path deletes partial
-      // uploads (handler_consolidation.go cancellation/cleanup) rather than
-      // trusting them. Once INDEXED is journaled the outputs are authoritative
-      // and C4 is skipped entirely.
-      val newTiles =
-        if (done.contains("CONSOLIDATIONINDEXED"))
-          spark.emptyDataFrame // not needed downstream
-        else {
-          // Purge unconditionally whenever C4 is about to be redone:
-          // consolidate() appends tiles/containers rows BEFORE the
-          // CONSOLIDATIONDONE state is journaled, so a crash between those
-          // appends and logState leaves partial rows behind with no DONE
-          // marker — gating the purge on CONSOLIDATIONDONE would let the
-          // rerun append a full duplicate set.
-          val prefix = s"${cat.root}/containers/${spec.jobId}/"
-          cat.rewrite(cat.read(spark, "tiles")
-            .filter(!col("container_uri").startsWith(prefix)), "tiles")
-          cat.rewrite(cat.read(spark, "containers")
-            .filter(!col("uri").startsWith(prefix)), "containers")
-          Consolidation.consolidate(spark, cat, tasks, spec.params,
-            spec.layout.overviewsMinSize)
+      // The redo scope is the NOT-DONE task rows: a resume or retry only
+      // purges and recomputes containers whose task never completed — at
+      // scale one flaky container re-warps alone, the thousands of DONE
+      // ones keep their tiles. Partial outputs of non-done tasks are
+      // purged before the redo (the reference's retry path deletes
+      // partial uploads, handler_consolidation.go, rather than trusting
+      // them); a crash between consolidate's appends and the task-row
+      // update leaves the task non-DONE, so the rerun purges the orphan
+      // rows — no journal-vs-effect window. Once INDEXED is journaled the
+      // outputs are authoritative and C4 is skipped entirely.
+      if (!done.contains("CONSOLIDATIONINDEXED")) {
+        val pending = allUris.filter(u => journaled.getOrElse(u, "NEW") != "DONE")
+        val prefix = s"${cat.root}/containers/${spec.jobId}/"
+        val pendingCol = col("container_uri").startsWith(prefix) &&
+          col("container_uri").isin(pending: _*)
+        cat.rewrite(cat.read(spark, "tiles").filter(!pendingCol), "tiles")
+        cat.rewrite(cat.read(spark, "containers")
+          .filter(!(col("uri").startsWith(prefix) && col("uri").isin(pending: _*))),
+          "containers")
+        val todo =
+          if (pending.size == allUris.size) tasks
+          else tasks.filter(col("container_uri").isin(pending: _*))
+        val built = Consolidation.consolidate(spark, cat, todo, spec.params,
+          spec.layout.overviewsMinSize)
+        val failures: Map[String, String] = built
+          .filter(col("subdir") === Consolidation.FailedSubdir)
+          .select("container_uri", "payload").collect()
+          .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+          .toMap
+        built.unpersist()
+        // task-row upsert: this job's rows are rewritten whole from the
+        // driver-held outcome map (idempotent; tolerates a torn NEW-row
+        // append from a crashed first run)
+        val outcome = allUris.map { u =>
+          val st =
+            if (failures.contains(u)) "FAILED"
+            else if (pending.contains(u)) "DONE"
+            else journaled.getOrElse(u, "DONE")
+          Row(u, spec.jobId, st, failures.getOrElse(u, ""))
         }
-      tasks.unpersist() // consumed by count() + consolidate()
+        cat.rewrite(cat.read(spark, "tasks")
+          .filter(col("job_id") =!= spec.jobId)
+          .unionByName(spark.createDataFrame(
+            spark.sparkContext.parallelize(outcome), Schemas.tasks)), "tasks")
+        if (failures.nonEmpty) {
+          // job.go ConsolidationFailed: journal and WAIT for a user
+          // retry/cancel — no rollback, the locked datasets stay locked
+          // and the DONE containers' outputs stay for the retry to reuse
+          tasks.unpersist()
+          logState(spark, cat, spec, "CONSOLIDATIONFAILED",
+            s"""{"failed_tasks":${failures.size},"active_tasks":${allUris.size - failures.size}}""")
+          return "CONSOLIDATIONFAILED"
+        }
+      }
       if (step("CONSOLIDATIONDONE") { "" }) return "CONSOLIDATIONDONE"
 
-      // C5 index (INACTIVE)
-      if (!done.contains("CONSOLIDATIONINDEXED"))
-        Consolidation.index(spark, cat, newTiles, spec.instanceId, spec.params)
+      // C5 index (INACTIVE): dataset identity is re-derived from the
+      // durable tiles table + the deterministic record order — NOT from
+      // consolidate's return value — so a retry that only rebuilt the
+      // failed containers still indexes the whole job, and the payload
+      // column is pruned at the parquet scan (no pixel bytes move here)
+      if (!done.contains("CONSOLIDATIONINDEXED")) {
+        val order = Consolidation.recordOrder(tasks)
+        val jobTiles = cat.read(spark, "tiles")
+          .filter(col("container_uri")
+            .startsWith(s"${cat.root}/containers/${spec.jobId}/"))
+          .filter(!col("subdir").rlike("@ov\\d+$"))
+          .join(order, Seq("container_uri", "subdir"))
+        Consolidation.index(spark, cat, jobTiles, spec.instanceId, spec.params)
+      }
+      tasks.unpersist() // consumed by count()+orders+consolidate+recordOrder
       if (step("CONSOLIDATIONINDEXED") { "" }) return "CONSOLIDATIONINDEXED"
 
       // C6 swap (atomic; collapse keeps the originals ACTIVE; the flip is

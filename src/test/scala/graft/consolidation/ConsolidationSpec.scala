@@ -396,4 +396,107 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "jobs").filter(col("id") === "job1" &&
       col("state") === "CANCELLATIONFAILED").count() == 1)
   }
+
+  /** Fresh two-cell catalog: r1's tile sits in cell [0,4]², r2's in
+    * [8,12]², so the job packs TWO containers (= two task rows) and one
+    * can fail while the other completes. */
+  def twoCellCatalog(tag: String, poisonR2: Boolean): Catalog = {
+    val root2 = java.nio.file.Files.createTempDirectory(s"graft-csld-$tag").toString
+    val cat2 = Catalog(root2)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat2.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val b1 = BBox(0, 0, 4, 4)
+    val b2 = BBox(8, 8, 12, 12)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(b1), bboxRow(b1)),
+      Row("a2", "h2", wkbBox(b2), bboxRow(b2))))
+    write("records", Seq(
+      Row("r1", "s1", ts("2024-01-01 00:00:00"), Map.empty[String, String], "a1"),
+      Row("r2", "s2", ts("2024-01-02 00:00:00"), Map.empty[String, String], "a2")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://c1", false, "STANDARD"),
+      Row("mem://c2", false, "STANDARD")))
+    def dsRow(id: String, rid: String, uri: String, b: BBox): Row =
+      Row(id, rid, "i1", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(b), wkbBox(b), 4326, bboxRow(b))
+    write("datasets", Seq(dsRow("d1", "r1", "mem://c1", b1),
+      dsRow("d2", "r2", "mem://c2", b2)))
+    def tile(uri: String, x0: Double, y1: Double, v: Double, poison: Boolean): Row =
+      Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326",
+        Seq(x0, 1.0, 0.0, y1, 0.0, -1.0),
+        if (poison) Array[Byte](1, 2, 3) // truncated payload: decode throws
+        else new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(v)).toBytes)
+    write("tiles", Seq(tile("mem://c1", 0, 4, 10.0, poison = false),
+      tile("mem://c2", 8, 12, 20.0, poisonR2)))
+    cat2
+  }
+
+  test("retry (job.go RETRYING): failed task re-emitted, DONE ones kept") {
+    val cat2 = twoCellCatalog("retry", poisonR2 = true)
+    val spec = ConsolidationJob.Spec("jr1", "retryable", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    // r2's poisoned payload fails ITS container's task; the job parks in
+    // CONSOLIDATIONFAILED without rollback — r1's container is DONE
+    assert(ConsolidationJob.run(spark, cat2, spec) == "CONSOLIDATIONFAILED")
+    val taskStates = cat2.read(spark, "tasks").filter(col("job_id") === "jr1")
+      .select("state").collect().map(_.getString(0)).sorted.toSeq
+    assert(taskStates == Seq("DONE", "FAILED"))
+    val failedRow = cat2.read(spark, "tasks")
+      .filter(col("job_id") === "jr1" && col("state") === "FAILED").collect().head
+    assert(failedRow.getString(3).nonEmpty) // error text journaled
+    // retry before the repair: the failed task is re-emitted (journal
+    // shows RETRYING) and fails again — still CONSOLIDATIONFAILED
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "CONSOLIDATIONFAILED")
+    // repair the poisoned tile, retry again → job drives to DONE
+    val fixed = new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(20.0)).toBytes
+    val tiles = cat2.read(spark, "tiles").collect().map { r =>
+      if (r.getString(0) == "mem://c2")
+        Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          r.get(6), r.get(7), fixed)
+      else r
+    }.toSeq
+    cat2.rewrite(spark.createDataFrame(
+      spark.sparkContext.parallelize(tiles), Schemas.all("tiles")), "tiles")
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "DONE")
+    // journal shows the retry transitions; both tasks end DONE
+    val states = cat2.read(spark, "jobs").filter(col("id") === "jr1")
+      .select("state").collect().map(_.getString(0)).toSeq
+    assert(states.count(_ == "CONSOLIDATIONRETRYING") == 2)
+    assert(states.count(_ == "CONSOLIDATIONFAILED") == 2)
+    assert(states.contains("DONE"))
+    assert(cat2.read(spark, "tasks").filter(col("job_id") === "jr1")
+      .select("state").collect().map(_.getString(0)).forall(_ == "DONE"))
+    // both records' datasets swapped ACTIVE under the job's containers
+    val active = cat2.read(spark, "datasets")
+      .filter(col("status") === "ACTIVE").collect()
+    assert(active.length == 2)
+    assert(active.forall(_.getAs[String]("container_uri")
+      .startsWith(s"${cat2.root}/containers/jr1/")))
+    // retry after DONE refuses (terminal, reference UnhandledEvent)
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "UNHANDLED")
+  }
+
+  test("force-retry (job.go FORCERETRYING): re-emits non-done tasks of a stuck job") {
+    val cat2 = twoCellCatalog("forceretry", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jf1", "stuck", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    // park the job mid-flight: INPROGRESS journaled, no worker ran
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONINPROGRESS")) == "CONSOLIDATIONINPROGRESS")
+    // plain retry needs a FAILED journal — a stuck job takes the force path
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "UNHANDLED")
+    assert(ConsolidationJob.retry(spark, cat2, spec, force = true) == "DONE")
+    val states = cat2.read(spark, "jobs").filter(col("id") === "jf1")
+      .select("state").collect().map(_.getString(0)).toSeq
+    assert(states.contains("CONSOLIDATIONFORCERETRYING"))
+    assert(cat2.read(spark, "tasks").filter(col("job_id") === "jf1")
+      .select("state").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("DONE", "DONE"))
+    // unknown id refuses cleanly
+    assert(ConsolidationJob.retry(spark, cat2,
+      spec.copy(jobId = "nope"), force = true) == "NOTFOUND")
+  }
 }
