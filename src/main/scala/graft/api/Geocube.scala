@@ -113,6 +113,15 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
   def listVariables(nameLike: String = "", limit: Int = 0, offset: Int = 0): DataFrame =
     CatalogQueries.listByName(spark, cat, "variable_definitions", nameLike, limit, offset)
 
+  /** CreatePalette (grpc service.go CreatePalette, palette.go:37): store a
+    * named palette in the catalog; `replace` upserts. A variable that
+    * names this palette gets it applied on the XYZ/PNG serving paths. */
+  def createPalette(p: Palette, replace: Boolean = false): Unit =
+    Palette.write(spark, cat, p, replace)
+
+  def getPalette(name: String): Option[Palette] =
+    Palette.read(spark, cat, name)
+
   // ---- datasets / containers (service.go:62-66)
 
   def getContainers(uris: Seq[String]): DataFrame =

@@ -69,7 +69,8 @@ object GetCube {
   /** The cacheable part of a variable lookup: everything [[prepare]]
     * reads off the definition row. */
   private final case class VariableInfo(dtype: String, noData: Double,
-      minValue: Double, maxValue: Double, nBands: Int, resampling: Option[String])
+      minValue: Double, maxValue: Double, nBands: Int, resampling: Option[String],
+      palette: Option[String])
 
   /** Request-to-request cache of the variable lookup — the serving path's
     * fixed-latency floor (a full Spark action per GetCube/XYZ request for
@@ -119,23 +120,38 @@ object GetCube {
       v.getAs[Double]("min_value"), v.getAs[Double]("max_value"),
       math.max(1,
         Option(v.getAs[scala.collection.Seq[String]]("bands")).map(_.size).getOrElse(1)),
-      Option(v.getAs[String]("resampling_alg")))
+      Option(v.getAs[String]("resampling_alg")),
+      Option(v.getAs[String]("palette")).filter(_.nonEmpty))
   }
+
+  /** Cached variable resolve shared by [[prepare]] and the palette name
+    * lookup — one driver action per (instances, table-stamp) key. */
+  private def resolveVariable(spark: SparkSession, cat: Catalog,
+      instanceIds: Seq[String]): VariableInfo = {
+    val si = dirStamp(cat.root, "variable_instances")
+    val sd = dirStamp(cat.root, "variable_definitions")
+    if (si._1 < 0 || sd._1 < 0) lookupVariable(spark, cat, instanceIds)
+    else {
+      if (varCache.size > 1024) varCache.clear() // bound, not LRU: refill is one action
+      varCache.computeIfAbsent(
+        (cat.root, instanceIds.sorted, si._1, si._2, sd._1, sd._2),
+        _ => lookupVariable(spark, cat, instanceIds))
+    }
+  }
+
+  /** Palette NAME the instances' variable declares, if any (reference
+    * catalog.go:455-467 reads variable.Palette before rendering). Rides
+    * the same stamp-keyed cache as [[prepare]] — no extra driver action
+    * on the serving path. */
+  def paletteNameOf(spark: SparkSession, cat: Catalog,
+      instanceIds: Seq[String]): Option[String] =
+    resolveVariable(spark, cat, instanceIds).palette
 
   /** Resolve the output descriptor from the variable behind the instance
     * (getCubePrepare: out mapping = variable DFormat, rangeExt = its own
     * range, exponent 1; default resampling from the variable). */
   def prepare(spark: SparkSession, cat: Catalog, req: CubeRequest): OutDescriptor = {
-    val si = dirStamp(cat.root, "variable_instances")
-    val sd = dirStamp(cat.root, "variable_definitions")
-    val v =
-      if (si._1 < 0 || sd._1 < 0) lookupVariable(spark, cat, req.instanceIds)
-      else {
-        if (varCache.size > 1024) varCache.clear() // bound, not LRU: refill is one action
-        varCache.computeIfAbsent(
-          (cat.root, req.instanceIds.sorted, si._1, si._2, sd._1, sd._2),
-          _ => lookupVariable(spark, cat, req.instanceIds))
-      }
+    val v = resolveVariable(spark, cat, req.instanceIds)
     val dt = DType.fromName(v.dtype)
     val format = DataFormat(dt, v.noData, NumRange(v.minValue, v.maxValue))
     OutDescriptor(

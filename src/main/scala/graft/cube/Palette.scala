@@ -11,6 +11,8 @@ final case class Palette(name: String, points: Seq[Palette.ColorPoint]) {
   private val sorted = points.sortBy(_.value)
   require(sorted.head.value == 0f && sorted.last.value == 1f,
     "palette must span [0, 1]")
+  require(sorted.sliding(2).forall(p => p(0).value < p(1).value),
+    "palette point values must be strictly increasing") // palette.go:60-68
 
   /** N-color LUT, linear interpolation between points (palette.go:37-52),
     * packed RGBA. */
@@ -35,6 +37,43 @@ final case class Palette(name: String, points: Seq[Palette.ColorPoint]) {
 
 object Palette {
   final case class ColorPoint(value: Float, r: Int, g: Int, b: Int, a: Int)
+
+  /** Read a palette by name from the catalog's `palette` table
+    * (reference pg ReadPalette, catalog.go:454-467). The table is tiny
+    * (broadcast-sized); validation re-runs on construction. */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.Catalog, name: String): Option[Palette] = {
+    import org.apache.spark.sql.functions.col
+    cat.read(spark, "palette").filter(col("name") === name)
+      .collect().headOption.map { r =>
+        Palette(r.getString(0),
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1).map(p =>
+            ColorPoint(p.getFloat(0), p.getInt(1), p.getInt(2), p.getInt(3),
+              p.getInt(4))).toSeq)
+      }
+  }
+
+  /** Create (or with `replace`, upsert) a palette row — the reference's
+    * CreatePalette with its replace flag (service.go CreatePalette →
+    * pg CreatePalette/UpdatePalette). Refuses a duplicate name without
+    * replace. */
+  def write(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.Catalog, p: Palette, replace: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Row
+    val existing = cat.read(spark, "palette")
+    val dup = existing.filter(col("name") === p.name).limit(1).count() > 0
+    require(!dup || replace, s"palette '${p.name}' already exists")
+    val row = Row(p.name, p.points.map(c =>
+      Row(c.value, c.r, c.g, c.b, c.a)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)),
+      graft.catalog.Schemas.all("palette"))
+    if (dup)
+      cat.rewrite(existing.filter(col("name") =!= p.name).unionByName(df),
+        "palette")
+    else cat.append(df, "palette")
+  }
 
   /** PNG rendering of a slice (reference image.go:522-584
     * DatasetToPngAsBytes, interpolateColor=true): rescale the bitmap into

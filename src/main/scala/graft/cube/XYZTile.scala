@@ -14,11 +14,21 @@ import org.apache.spark.sql.functions._
 object XYZTile {
 
   /** PNG bytes for tile (x, y, z); None when no dataset intersects or too
-    * few valid pixels. */
+    * few valid pixels. With no explicit `palette`, the variable behind
+    * the instance names one and it is resolved from the catalog's
+    * palette table (reference catalog.go:454-467: variable.Palette →
+    * ReadPalette; a dangling name fails the request, not silently
+    * grayscale). */
   def getTile(spark: SparkSession, cat: Catalog, instanceId: String,
       x: Long, y: Long, z: Int,
       minOverride: Double = 0, maxOverride: Double = 0,
       palette: Option[Palette] = None): Option[Array[Byte]] = {
+    val pal = palette.orElse(
+      GetCube.paletteNameOf(spark, cat, Seq(instanceId)).map { n =>
+        Palette.read(spark, cat, n).getOrElse(
+          throw new IllegalArgumentException(
+            s"variable of instance $instanceId names unknown palette '$n'"))
+      })
 
     // all records merged into one slice: a single group of every matching
     // record (getMosaic consolidates the full scan into one image)
@@ -46,7 +56,7 @@ object XYZTile {
             NumRange(minOverride, maxOverride)),
           out.mapping.rangeExt, out.mapping.exponent)
       else out.mapping
-    Some(Palette.toPng(bm, mapping, palette))
+    Some(Palette.toPng(bm, mapping, pal))
   }
 
   /** Catalog-FREE tile serving straight off one container file: range-read

@@ -1413,6 +1413,98 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** d5_palette — the CATALOG-RESOLVED palette on the XYZ serving path
+    * (D5+F8, reference catalog.go:454-481: variable.Palette →
+    * ReadPalette → DatasetToPngAsBytes): seeds a tmp catalog holding the
+    * d5 3857-native source lattice as a `tiles` row, a palette row, and
+    * a variable that NAMES the palette; serves one z/x/y tile per nation
+    * key through the real [[graft.cube.XYZTile.getTile]] (GetCube plan →
+    * same-CRS Near warp → palette LUT → ARGB PNG) with NO palette object
+    * passed — resolution is from the catalog — then decodes the PNG and
+    * checksums each channel. Exactness: the grid replay is d5_xyz's
+    * integer-offset chain; the variable range [0,254] makes castValueBF
+    * the identity on 0..96; and the palette endpoint diffs (235, −233,
+    * 129, 229) are coprime to 254, so every LUT entry's exact value
+    * floor((c0·(254−v)+c1·v)/254) sits ≥1/254 from the truncation
+    * boundary — float (engine) and double (DuckDB) agree bit-for-bit.
+    * Driver-looped serving mirrors the request-bounded XYZ path; the
+    * query is fixture-only (not a throughput benchmark). */
+  def d5Palette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.catalog.{Catalog, Schemas}
+    import graft.core.DType
+    import graft.cube.{Palette, XYZTile}
+    import graft.geo.{Affine, GeomOps}
+    import graft.layout.Grid
+    import graft.raster.Bitmap
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-d5pal-" + dirKey(dir))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(s.createDataFrame(
+        s.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val rs = Grid.WebMercatorOrigin / 512
+    val x0 = -8 * rs
+    val y0 = Grid.WebMercatorOrigin / 4 + 8 * rs
+    val tf = Affine.northUp(x0, y0, rs, -rs)
+    val geog = GeomOps.geographicRingFromExtent(tf, 144, 144, graft.geo.CRS.WebMercator)
+    val native = GeomOps.polygonFromBBox(
+      graft.geo.BBox.fromExtent(tf, 144, 144))
+    val gb = GeomOps.bbox(geog)
+    write("palette", Seq(Row("d5pal", Seq(
+      Row(0f, 10, 240, 3, 20), Row(1f, 245, 7, 132, 249)))))
+    write("aoi", Seq(Row("a1", "h1", GeomOps.writeWkb(geog),
+      Row(gb.xmin, gb.ymin, gb.xmax, gb.ymax))))
+    write("records", Seq(Row("r1", "scene", new java.sql.Timestamp(1704067200000L),
+      Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "dn", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0,
+        "d5pal", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://d5pal", true, "STANDARD")))
+    write("datasets", Seq(
+      Row("d1", "r1", "i1", "mem://d5pal", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        GeomOps.writeWkb(geog), GeomOps.writeWkb(native), 3857,
+        Row(gb.xmin, gb.ymin, gb.xmax, gb.ymax))))
+    val px = Array.tabulate(144 * 144)(i =>
+      (((i % 144) * 7 + (i / 144) * 13) % 97).toDouble)
+    write("tiles", Seq(
+      Row("mem://d5pal", "", 144, 144, 1, "uint8", "EPSG:3857",
+        tf.toArray.toSeq, new Bitmap(144, 144, 1, DType.UInt8, px).toBytes)))
+    val keys = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+    val rows = keys.map { k =>
+      val z = (4 + k % 2).toInt
+      val (x, y) =
+        if (z == 4) (8 + (k / 2) % 2, 6 + (k / 4) % 2)
+        else (16 + (k / 2) % 4, 12 + (k / 4) % 4)
+      val png = XYZTile.getTile(s, cat, "i1", x, y, z)
+        .getOrElse(throw new IllegalStateException(s"no tile for nation $k"))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      var (cr, cg, cb, ca) = (0L, 0L, 0L, 0L)
+      var yy = 0
+      while (yy < 256) {
+        var xx = 0
+        while (xx < 256) {
+          val argb = img.getRGB(xx, yy)
+          cr += (argb >> 16) & 0xff; cg += (argb >> 8) & 0xff
+          cb += argb & 0xff; ca += (argb >>> 24)
+          xx += 1
+        }
+        yy += 1
+      }
+      (k, z.toLong, x, y, cr, cg, cb, ca)
+    }.toSeq
+    rows.toDF("n_nationkey", "z", "x", "y", "chk_r", "chk_g", "chk_b", "chk_a")
+      .orderBy("n_nationkey")
+  }
+
   /** d4_band_errors — band projection + the error-as-value envelope
     * (P7 + D4, reference catalog.go:531-625 band extraction and
     * grpc/service.go:1086-1089 per-slice errors): 16 records carry 8×8
@@ -2115,6 +2207,7 @@ object RelationalQueries {
     "d1_cube" -> d1Cube _,
     "d2_headers" -> d2Headers _,
     "d5_xyz" -> d5XyzTile _,
+    "d5_palette" -> d5Palette _,
     "d4_band_errors" -> d4BandErrors _,
     "s6_find_cells" -> s6FindCells _,
     "g6_tile_aoi" -> g6TileAoi _,
@@ -2471,6 +2564,33 @@ object RelationalQueries {
          SELECT k AS s_suppkey, CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
                 CAST(y AS BIGINT) AS y, CAST(SUM(u) AS BIGINT) AS chk
          FROM gr GROUP BY k, z, x, y ORDER BY s_suppkey""",
+    "d5_palette" ->
+      """WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+         til AS (SELECT k, 4 + k % 2 AS z,
+             CASE WHEN k % 2 = 0 THEN 8 + (k//2) % 2
+                  ELSE 16 + (k//2) % 4 END AS x,
+             CASE WHEN k % 2 = 0 THEN 6 + (k//4) % 2
+                  ELSE 12 + (k//4) % 4 END AS y
+           FROM nat),
+         off AS (SELECT k, z, x, y,
+             CASE WHEN z = 4 THEN 8 + 64*(x - 8) ELSE 8 + 32*(x - 16) END AS offx,
+             CASE WHEN z = 4 THEN 64*y - 376 ELSE 32*y - 376 END AS offy,
+             CASE WHEN z = 4 THEN 0.25 ELSE 0.125 END AS step
+           FROM til),
+         pxg AS (SELECT o.*, gx.g AS px, gy.g AS py
+           FROM off o, generate_series(0,255) gx(g), generate_series(0,255) gy(g)),
+         src AS (SELECT k, z, x, y,
+             CAST(floor(offx + step*(px + 0.5)) AS BIGINT) AS ix,
+             CAST(floor(offy + step*(py + 0.5)) AS BIGINT) AS iy
+           FROM pxg),
+         vv AS (SELECT k, z, x, y, (ix*7 + iy*13) % 97 AS v FROM src)
+         SELECT k AS n_nationkey, CAST(z AS BIGINT) AS z,
+                CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                CAST(SUM(CAST(floor((10*(254-v) + 245*v)/254.0) AS BIGINT)) AS BIGINT) AS chk_r,
+                CAST(SUM(CAST(floor((240*(254-v) + 7*v)/254.0) AS BIGINT)) AS BIGINT) AS chk_g,
+                CAST(SUM(CAST(floor((3*(254-v) + 132*v)/254.0) AS BIGINT)) AS BIGINT) AS chk_b,
+                CAST(SUM(CAST(floor((20*(254-v) + 249*v)/254.0) AS BIGINT)) AS BIGINT) AS chk_a
+         FROM vv GROUP BY k, z, x, y ORDER BY n_nationkey""",
     "f6_datum" ->
       """WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS k,
              (c_custkey * 7 % 128)/16.0 - 6 AS lon,

@@ -96,4 +96,49 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batches = gc.tileAoi(GeomOps.polygonFromBBox(BBox(0, 0, 8, 8)), layout).toSeq
     assert(batches.flatten.size == 4) // 2×2 cells of 4px at 1°
   }
+
+  test("palette CRUD + name-resolved palette on the XYZ tile path") {
+    import graft.cube.Palette
+    val blueRed = Palette("heat", Seq(
+      Palette.ColorPoint(0f, 0, 0, 255, 255), Palette.ColorPoint(1f, 255, 0, 0, 255)))
+    gc.createPalette(blueRed)
+    assert(gc.getPalette("heat").contains(blueRed))
+    assert(gc.getPalette("nope").isEmpty)
+    // duplicate name refuses without replace; replace upserts
+    assertThrows[IllegalArgumentException](gc.createPalette(blueRed))
+    val greens = Palette("heat", Seq(
+      Palette.ColorPoint(0f, 0, 32, 0, 255), Palette.ColorPoint(1f, 0, 224, 0, 255)))
+    gc.createPalette(greens, replace = true)
+    assert(gc.getPalette("heat").contains(greens))
+
+    // a variable NAMES the palette; XYZ serving resolves it from the
+    // catalog (catalog.go:454-467) — no palette object passed by the user
+    gc.createVariable(gc.NewVariable(id = "v2", name = "colored",
+      dtype = "uint8", noData = 255.0, minValue = 0.0, maxValue = 254.0,
+      palette = "heat"))
+    gc.instantiateVariable("v2", "i2", "master")
+    gc.indexExternalDatasets(Seq(IndexDatasets.NewDataset(
+      recordId = "r1", instanceId = "i2", containerUri = "mem://c1",
+      dformat = DataFormat(DType.UInt8, 255.0, NumRange(0, 254)),
+      realMin = 0, realMax = 254)))
+    // z6/x32/y31 covers lon [0,5.6°], lat [0,5.6°] — the fixture footprint
+    val png = gc.getXyzTile("i2", 32, 31, 6).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // every data pixel carries value 100 → lut(100) of the CURRENT
+    // (replaced) palette, converted RGBA→ARGB exactly like toPng
+    val rgba = greens.paletteN(255)(100)
+    val expected = ((rgba & 0xff) << 24) | (rgba >>> 8)
+    val pixels = for (y <- 0 until 256; x <- 0 until 256) yield img.getRGB(x, y)
+    assert(pixels.exists(_ == expected)) // data pixels palette-mapped
+    assert(pixels.forall(p => p == expected || p == 0)) // rest transparent
+    assert(pixels.exists(_ == 0)) // footprint doesn't fill the tile
+
+    // a dangling palette name fails the request (ReadPalette error path),
+    // not silently grayscale
+    gc.createVariable(gc.NewVariable(id = "v3", name = "dangling",
+      dtype = "uint8", noData = 255.0, minValue = 0.0, maxValue = 254.0,
+      palette = "missing-palette"))
+    gc.instantiateVariable("v3", "i3", "master")
+    assertThrows[IllegalArgumentException](gc.getXyzTile("i3", 32, 31, 6))
+  }
 }
