@@ -46,6 +46,46 @@ final case class CandidatePair(
   */
 object EventStream {
 
+  /** External-broker adapter, consumer side (reference
+    * interface/messaging/messaging.go:12-35 Publisher/Consumer, with
+    * pgqueue/PubSub backends): task events arrive as JSON-lines files
+    * dropped into a queue directory by any external producer — the
+    * transport-agnostic proof for the FSM, which consumes a
+    * `Dataset[TaskEvent]` and never sees the broker. A Kafka deployment
+    * swaps `readStream.json(dir)` for `readStream.format("kafka")` +
+    * the same `.as[TaskEvent]`; nothing downstream changes. Delivery is
+    * at-least-once (a crashed producer may re-drop a file), exactly the
+    * reference brokers' contract — the counter fold and the streaming
+    * FSM both dedup on (job, task). */
+  def fileQueueEvents(spark: SparkSession, queueDir: String): Dataset[TaskEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[TaskEvent]].schema)
+      .json(queueDir)
+      .as[TaskEvent]
+  }
+
+  /** Publisher side of the file queue (messaging.go Publish): one
+    * JSON-lines file per publish batch, written to a temp name and
+    * renamed — the file source must never observe a partial message,
+    * the file-system analogue of a broker's atomic enqueue. Spark-free:
+    * external workers publish without a session. */
+  def publishToFileQueue(events: Seq[TaskEvent], queueDir: String): Unit = {
+    val dir = java.nio.file.Paths.get(queueDir)
+    java.nio.file.Files.createDirectories(dir)
+    val payload = events.map { e =>
+      val err = e.error.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"job_id":"${e.job_id}","task_id":"${e.task_id}",""" +
+        s""""status":"${e.status}","error":"$err",""" +
+        s""""ts":"${e.ts.toInstant}"}""" // ISO-8601 Z — Spark's default parse
+    }.mkString("", "\n", "\n")
+    val name = s"evt-${System.nanoTime()}-${events.hashCode() & 0x7fffffff}"
+    val tmp = dir.resolve(s".$name.tmp")
+    java.nio.file.Files.write(tmp, payload.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(s"$name.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   /** Streaming exact-dedup for a document stream (the continuous-ingest
     * form of the training-pipeline dedup stage): key each document by its
     * canonical fingerprint (md5 over the sorted distinct token set —

@@ -47,6 +47,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("file-queue broker adapter: published files drive the same counter FSM") {
+    // messaging.go Publisher/Consumer parity: an external (Spark-free)
+    // producer drops JSON files in a queue dir; the SAME driveJobCounters
+    // consumes them — the FSM never sees the transport
+    val queue = java.nio.file.Files.createTempDirectory("graft-queue").toString
+    val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-qcat").toString)
+    EventStream.publishToFileQueue(Seq(
+      TaskEvent("jq1", "t1", "SUCCEEDED", "", ts("2024-01-01 00:00:00")),
+      TaskEvent("jq1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01"))), queue)
+    // second publish batch carries a DUPLICATE delivery of t2 (the
+    // at-least-once contract) and another job's event
+    EventStream.publishToFileQueue(Seq(
+      TaskEvent("jq1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01")),
+      TaskEvent("jq2", "t9", "SUCCEEDED", "", ts("2024-01-01 00:00:02"))), queue)
+    val q = EventStream.driveJobCounters(spark, cat2,
+      EventStream.fileQueueEvents(spark, queue), "file-queue-counters")
+    try {
+      q.processAllAvailable()
+      val jobs = cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
+      val byJob = jobs.groupBy(_.getAs[String]("id"))
+      // both files may land in one micro-batch (dedup inside the batch
+      // aggregation) or two (second t2 journals a batch keyed append) —
+      // either way jq1 records exactly 1 failed task and t1 once
+      val j1 = byJob("jq1")
+      assert(j1.map(_.getAs[Int]("active_tasks")).sum >= 2)
+      assert(j1.map(_.getAs[Int]("failed_tasks")).max == 1)
+      assert(byJob("jq2").map(_.getAs[Int]("active_tasks")).sum == 1)
+      assert(byJob("jq2").head.getAs[Int]("failed_tasks") == 0)
+      // the timestamp survived the broker roundtrip to the journal
+      assert(jobs.map(_.getAs[java.sql.Timestamp]("created_at")).max ==
+        ts("2024-01-01 00:00:02"))
+    } finally q.stop()
+  }
+
   test("windowed streaming aggregation with watermark (batch-equivalent check)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
