@@ -192,7 +192,13 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       .foreach(p => victims = victims.filter(p))
     state.foreach(s => victims = victims.filter(col("state") === s))
     val ids = victims.select("id").distinct().collect().map(_.getString(0)).toSeq
-    if (ids.nonEmpty) cat.rewrite(jobs.filter(!col("id").isin(ids: _*)), "jobs")
+    if (ids.nonEmpty) {
+      cat.rewrite(jobs.filter(!col("id").isin(ids: _*)), "jobs")
+      // cascade to the jobs' task rows (the reference deletes tasks with
+      // their job) — otherwise cleaned jobs leak task rows forever
+      cat.rewrite(cat.read(spark, "tasks")
+        .filter(!col("job_id").isin(ids: _*)), "tasks")
+    }
     total - cat.read(spark, "jobs").count()
   }
 

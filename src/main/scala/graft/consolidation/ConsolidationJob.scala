@@ -29,16 +29,20 @@ object ConsolidationJob {
     "CONSOLIDATIONINDEXED", "CONSOLIDATIONEFFECTIVE", "DONE")
 
   private def logState(spark: SparkSession, cat: Catalog, spec: Spec,
-      state: String, payload: String = ""): Unit =
-    logStateRaw(spark, cat, spec.jobId, spec.name, state, payload)
+      state: String, payload: String = "",
+      activeTasks: Int = 0, failedTasks: Int = 0): Unit =
+    logStateRaw(spark, cat, spec.jobId, spec.name, state, payload,
+      activeTasks = activeTasks, failedTasks = failedTasks)
 
   private[consolidation] def logStateRaw(spark: SparkSession, cat: Catalog,
       jobId: String, name: String, state: String, payload: String = "",
-      jobType: String = "CONSOLIDATION"): Unit = {
+      jobType: String = "CONSOLIDATION",
+      activeTasks: Int = 0, failedTasks: Int = 0): Unit = {
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     cat.append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
-        Row(jobId, name, jobType, state, 0, 0, payload, now, now))),
+        Row(jobId, name, jobType, state, activeTasks, failedTasks,
+          payload, now, now))),
       Schemas.jobs), "jobs")
   }
 
@@ -100,6 +104,10 @@ object ConsolidationJob {
       .filter(!col("container_uri").startsWith(prefix)), "tiles")
     cat.rewrite(cat.read(spark, "containers")
       .filter(!col("uri").startsWith(prefix)), "containers")
+    // the rolled-back job's task rows are dead — drop them with the
+    // rollback (the reference deletes a job's tasks alongside it)
+    cat.rewrite(cat.read(spark, "tasks")
+      .filter(col("job_id") =!= jobId), "tasks")
     logStateRaw(spark, cat, jobId, name, "ABORTED")
     "ABORTED"
   }
@@ -245,7 +253,9 @@ object ConsolidationJob {
           // and the DONE containers' outputs stay for the retry to reuse
           tasks.unpersist()
           logState(spark, cat, spec, "CONSOLIDATIONFAILED",
-            s"""{"failed_tasks":${failures.size},"active_tasks":${allUris.size - failures.size}}""")
+            s"""{"failed_tasks":${failures.size},"active_tasks":${allUris.size - failures.size}}""",
+            activeTasks = allUris.size - failures.size,
+            failedTasks = failures.size)
           return "CONSOLIDATIONFAILED"
         }
       }

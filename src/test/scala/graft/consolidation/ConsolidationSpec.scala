@@ -318,6 +318,8 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("container_uri").startsWith(s"$root2/containers/jobC/")).count() == 0)
     assert(cat2.read(spark, "containers")
       .filter(col("uri").startsWith(s"$root2/containers/jobC/")).count() == 0)
+    // the rolled-back job's task rows were dropped with it
+    assert(cat2.read(spark, "tasks").filter(col("job_id") === "jobC").count() == 0)
     // terminal: a rerun refuses to resume the cancelled job
     assert(ConsolidationJob.run(spark, cat2, spec) == "ABORTED")
     assert(cat2.read(spark, "datasets").count() == 2)
@@ -447,6 +449,12 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val failedRow = cat2.read(spark, "tasks")
       .filter(col("job_id") === "jr1" && col("state") === "FAILED").collect().head
     assert(failedRow.getString(3).nonEmpty) // error text journaled
+    // the journal row carries the task counters (jobs schema columns)
+    val failState = cat2.read(spark, "jobs")
+      .filter(col("id") === "jr1" && col("state") === "CONSOLIDATIONFAILED")
+      .collect().head
+    assert(failState.getAs[Int]("active_tasks") == 1)
+    assert(failState.getAs[Int]("failed_tasks") == 1)
     // retry before the repair: the failed task is re-emitted (journal
     // shows RETRYING) and fails again — still CONSOLIDATIONFAILED
     assert(ConsolidationJob.retry(spark, cat2, spec) == "CONSOLIDATIONFAILED")
