@@ -177,12 +177,37 @@ object Consolidation {
       .join(tiles, col("container_uri") === col("t_uri") &&
         coalesce(col("subdir"), lit("")) === col("t_subdir"))
 
+    // A task dataset with NO catalog/tile backing fails its container's
+    // task (the reference worker fails a task whose source cannot be
+    // downloaded, handler_consolidation.go) — silently dropping the
+    // record would both hide data loss and desynchronize recordOrder's
+    // subdir numbering from the container actually built. Metadata-only
+    // join: no payload column rides it.
+    val missing = exploded.select(col("out_uri"), col("dataset_id"))
+      .join(rows.select(col("out_uri").as("__mu"), col("dataset_id").as("__md")),
+        col("out_uri") === col("__mu") && col("dataset_id") === col("__md"),
+        "left_anti")
+    val missingMarkers = missing.groupBy(col("out_uri"))
+      .agg(count(lit(1)).as("__n"), min(col("dataset_id")).as("__d"))
+      .select(col("out_uri").as("container_uri"),
+        lit(FailedSubdir).as("subdir"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("bands"),
+        lit("").as("dtype"), lit("").as("crs"),
+        typedLit(Seq.empty[Double]).as("transform"),
+        encode(concat(lit("missing tiles for "), col("__n"),
+          lit(" dataset(s), e.g. "), col("__d")), "UTF-8").as("payload"),
+        lit("").as("record_id"),
+        lit(new java.sql.Timestamp(0L)).as("datetime"))
+    val okRows = rows.join(
+      missing.select(col("out_uri").as("__fu")).distinct(),
+      col("out_uri") === col("__fu"), "left_anti")
+
     val outMapping = params.mapping
     val outDtypeName = outMapping.format.dtype.name
     val resamplingName = params.resampling.name
 
     // group by output container; one Spark task per container (C4 contract)
-    val built = rows.select(
+    val built = okRows.select(
         col("out_uri"), col("cell_crs"), col("cell_transform"),
         col("cell_w"), col("cell_h"),
         col("record_id"), col("datetime"), col("dataset_id"), col("bands"),
@@ -213,6 +238,7 @@ object Consolidation {
       }
       .toDF("container_uri", "subdir", "width", "height", "bands", "dtype",
         "crs", "transform", "payload", "record_id", "datetime")
+      .unionByName(missingMarkers)
       // ONE pass of the warp work: the failure scan, the tiles append and
       // the containers append below all consume this relation — uncached
       // that is 3× the C4 compute (the expensive stage of the whole job)

@@ -199,8 +199,10 @@ object ConsolidationJob {
           spark.sparkContext.parallelize(
             allUris.map(u => Row(u, spec.jobId, "NEW", ""))),
           Schemas.tasks), "tasks")
-      if (step("CONSOLIDATIONINPROGRESS") { s"""{"tasks":$nTasks}""" })
+      if (step("CONSOLIDATIONINPROGRESS") { s"""{"tasks":$nTasks}""" }) {
+        tasks.unpersist()
         return "CONSOLIDATIONINPROGRESS"
+      }
 
       // C4 consolidate (one Spark task per container, + overview pyramid).
       // The redo scope is the NOT-DONE task rows: a resume or retry only
@@ -259,7 +261,7 @@ object ConsolidationJob {
           return "CONSOLIDATIONFAILED"
         }
       }
-      if (step("CONSOLIDATIONDONE") { "" }) return "CONSOLIDATIONDONE"
+      if (step("CONSOLIDATIONDONE") { "" }) { tasks.unpersist(); return "CONSOLIDATIONDONE" }
 
       // C5 index (INACTIVE): dataset identity is re-derived from the
       // durable tiles table + the deterministic record order — NOT from
@@ -267,10 +269,18 @@ object ConsolidationJob {
       // failed containers still indexes the whole job, and the payload
       // column is pruned at the parquet scan (no pixel bytes move here)
       if (!done.contains("CONSOLIDATIONINDEXED")) {
+        // idempotence for the crash window between index() and the
+        // INDEXED journal: the appended rows are exactly this job's
+        // INACTIVE datasets (the swap has provably not run — it only
+        // runs after INDEXED is journaled), so purge-then-append can
+        // never double-index, where append-on-resume would
+        val prefix = s"${cat.root}/containers/${spec.jobId}/"
+        cat.rewrite(cat.read(spark, "datasets")
+          .filter(!(col("status") === "INACTIVE" &&
+            col("container_uri").startsWith(prefix))), "datasets")
         val order = Consolidation.recordOrder(tasks)
         val jobTiles = cat.read(spark, "tiles")
-          .filter(col("container_uri")
-            .startsWith(s"${cat.root}/containers/${spec.jobId}/"))
+          .filter(col("container_uri").startsWith(prefix))
           .filter(!col("subdir").rlike("@ov\\d+$"))
           .join(order, Seq("container_uri", "subdir"))
         Consolidation.index(spark, cat, jobTiles, spec.instanceId, spec.params)

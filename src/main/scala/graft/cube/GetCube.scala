@@ -87,7 +87,7 @@ object GetCube {
     * seconds-coarse on some filesystems), so a rewrite landing in the
     * same tick with an unchanged file count would serve stale variables
     * forever. (-1, -1) = unobservable (non-local root). */
-  private def dirStamp(root: String, table: String): (Long, Long) = {
+  private[cube] def dirStamp(root: String, table: String): (Long, Long) = {
     val d = new java.io.File(s"$root/$table")
     if (!d.exists) (-1L, -1L)
     else {

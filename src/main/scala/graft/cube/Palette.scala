@@ -53,6 +53,25 @@ object Palette {
       }
   }
 
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long), Option[Palette]]()
+
+  /** [[read]] behind the same directory-stamp cache discipline as
+    * GetCube's variable lookup: a warm XYZ serving loop pays no driver
+    * action for palette points; any append/rewrite of the palette table
+    * invalidates via the stamp; unobservable (non-local) roots bypass
+    * the cache rather than risk staleness. */
+  def cachedRead(spark: org.apache.spark.sql.SparkSession,
+      cat: graft.catalog.Catalog, name: String): Option[Palette] = {
+    val st = GetCube.dirStamp(cat.root, "palette")
+    if (st._1 < 0) read(spark, cat, name)
+    else {
+      if (readCache.size > 1024) readCache.clear() // bound, not LRU
+      readCache.computeIfAbsent((cat.root, name, st._1, st._2),
+        _ => read(spark, cat, name))
+    }
+  }
+
   /** Create (or with `replace`, upsert) a palette row — the reference's
     * CreatePalette with its replace flag (service.go CreatePalette →
     * pg CreatePalette/UpdatePalette). Refuses a duplicate name without

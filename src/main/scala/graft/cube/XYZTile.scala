@@ -23,13 +23,6 @@ object XYZTile {
       x: Long, y: Long, z: Int,
       minOverride: Double = 0, maxOverride: Double = 0,
       palette: Option[Palette] = None): Option[Array[Byte]] = {
-    val pal = palette.orElse(
-      GetCube.paletteNameOf(spark, cat, Seq(instanceId)).map { n =>
-        Palette.read(spark, cat, n).getOrElse(
-          throw new IllegalArgumentException(
-            s"variable of instance $instanceId names unknown palette '$n'"))
-      })
-
     // all records merged into one slice: a single group of every matching
     // record (getMosaic consolidates the full scan into one image)
     val req = CubeRequest(
@@ -47,6 +40,17 @@ object XYZTile {
     if (slice.isEmpty) return None
     val bm = Bitmap.fromBytes(slice.get, out.width, out.height,
       out.bands, out.mapping.format.dtype)
+
+    // palette resolve AFTER the empty-tile early returns (the reference
+    // reads the palette only once a mosaic exists to render) — the name
+    // rides the varCache and the points ride Palette.cachedRead, so a
+    // warm tile server pays no driver action here
+    val pal = palette.orElse(
+      GetCube.paletteNameOf(spark, cat, Seq(instanceId)).map { n =>
+        Palette.cachedRead(spark, cat, n).getOrElse(
+          throw new IllegalArgumentException(
+            s"variable of instance $instanceId names unknown palette '$n'"))
+      })
 
     // min/max rescale (getXYZTile :469-471): override the displayed range
     val mapping =

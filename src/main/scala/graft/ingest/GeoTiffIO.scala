@@ -232,9 +232,7 @@ object GeoTiffIO {
         // collision silently overwrites another container)
         val tail = uri.split('/').takeRight(2).mkString("_")
           .replaceAll("[^A-Za-z0-9._-]", "_")
-        val uriMd5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        val name = s"${tail}_$uriMd5.tif"
+        val name = s"${tail}_${graft.core.Digest.md5Hex(uri, 16)}.tif"
         val path = new org.apache.hadoop.fs.Path(outDir, name)
         val fs = path.getFileSystem(hconf.value)
         // stream the container straight to the target FS: no whole-file

@@ -34,8 +34,7 @@ object RelationalQueries {
     * namespaces concurrent sf dirs; content-sensitive single-FILE
     * fixtures (d5_xyz) are content-addressed instead. */
   private def dirKey(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    graft.core.Digest.md5Hex(dir, 12)
 
   /** q1_agg — flagship: TPC-H Q1 shape; mirrors the reference's only GROUP BY
     * aggregation pattern (UpdateDatasets impact summary,
@@ -1366,8 +1365,7 @@ object RelationalQueries {
     // hash): a stale /tmp on a long-lived driver box can never serve old
     // bytes under this name, and SparkFiles' add-once cache is keyed by
     // the same name so executors always see the matching content.
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(tiff).map("%02x".format(_)).mkString.take(16)
+    val digest = graft.core.Digest.md5Hex(tiff, 16)
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-d5xyz-$digest.tif")
     if (!f.exists || f.length != tiff.length)

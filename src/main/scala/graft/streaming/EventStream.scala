@@ -71,15 +71,34 @@ object EventStream {
     * the file-system analogue of a broker's atomic enqueue. Spark-free:
     * external workers publish without a session. */
   def publishToFileQueue(events: Seq[TaskEvent], queueDir: String): Unit = {
+    // full JSON string escaping: error fields carry exception text with
+    // newlines/tabs — one unescaped control character would corrupt the
+    // JSON-LINES framing and the PERMISSIVE reader would null the row,
+    // silently losing the failure event
+    def esc(s: String): String = {
+      val b = new StringBuilder
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.toString
+    }
     val dir = java.nio.file.Paths.get(queueDir)
     java.nio.file.Files.createDirectories(dir)
     val payload = events.map { e =>
-      val err = e.error.replace("\\", "\\\\").replace("\"", "\\\"")
-      s"""{"job_id":"${e.job_id}","task_id":"${e.task_id}",""" +
-        s""""status":"${e.status}","error":"$err",""" +
+      s"""{"job_id":"${esc(e.job_id)}","task_id":"${esc(e.task_id)}",""" +
+        s""""status":"${esc(e.status)}","error":"${esc(e.error)}",""" +
         s""""ts":"${e.ts.toInstant}"}""" // ISO-8601 Z — Spark's default parse
     }.mkString("", "\n", "\n")
-    val name = s"evt-${System.nanoTime()}-${events.hashCode() & 0x7fffffff}"
+    // UUID name: nanoTime+hash can collide across publisher PROCESSES and
+    // POSIX ATOMIC_MOVE replaces an existing target — a collision would
+    // silently drop a whole published batch
+    val name = s"evt-${java.util.UUID.randomUUID()}"
     val tmp = dir.resolve(s".$name.tmp")
     java.nio.file.Files.write(tmp, payload.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, dir.resolve(s"$name.json"),

@@ -134,11 +134,19 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pixels.exists(_ == 0)) // footprint doesn't fill the tile
 
     // a dangling palette name fails the request (ReadPalette error path),
-    // not silently grayscale
+    // not silently grayscale — the palette resolves only once a mosaic
+    // exists to render (reference order), so i3 needs a dataset
     gc.createVariable(gc.NewVariable(id = "v3", name = "dangling",
       dtype = "uint8", noData = 255.0, minValue = 0.0, maxValue = 254.0,
       palette = "missing-palette"))
     gc.instantiateVariable("v3", "i3", "master")
+    gc.indexExternalDatasets(Seq(IndexDatasets.NewDataset(
+      recordId = "r1", instanceId = "i3", containerUri = "mem://c1",
+      dformat = DataFormat(DType.UInt8, 255.0, NumRange(0, 254)),
+      realMin = 0, realMax = 254)))
     assertThrows[IllegalArgumentException](gc.getXyzTile("i3", 32, 31, 6))
+    // an empty tile short-circuits BEFORE palette resolution (no data →
+    // no render → no palette read), mirroring the reference's order
+    assert(gc.getXyzTile("i3", 40, 31, 6).isEmpty)
   }
 }

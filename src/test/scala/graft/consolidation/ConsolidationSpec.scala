@@ -487,6 +487,53 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsolidationJob.retry(spark, cat2, spec) == "UNHANDLED")
   }
 
+  test("missing tile backing fails the task (not silent record drop); retry after repair") {
+    val cat2 = twoCellCatalog("misstile", poisonR2 = false)
+    // remove r2's tile row entirely: its dataset has no pixel backing
+    val saved = cat2.read(spark, "tiles").filter(col("container_uri") === "mem://c2")
+      .collect().toSeq
+    cat2.rewrite(cat2.read(spark, "tiles")
+      .filter(col("container_uri") =!= "mem://c2"), "tiles")
+    val spec = ConsolidationJob.Spec("jm1", "misstile", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec) == "CONSOLIDATIONFAILED")
+    val failed = cat2.read(spark, "tasks")
+      .filter(col("job_id") === "jm1" && col("state") === "FAILED").collect()
+    assert(failed.length == 1)
+    assert(failed.head.getString(3).contains("missing tiles")) // error names the cause
+    // restore the tile, retry → DONE with both records indexed
+    cat2.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(saved), Schemas.all("tiles")), "tiles")
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "DONE")
+    val active = cat2.read(spark, "datasets").filter(col("status") === "ACTIVE")
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(active == Seq("r1", "r2"))
+  }
+
+  test("crash between C5 index and the INDEXED journal: resume never double-indexes") {
+    val cat2 = twoCellCatalog("idxcrash", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jx1", "idxcrash", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONDONE")) == "CONSOLIDATIONDONE")
+    // simulate the crash window: index() ran (INACTIVE rows appended)
+    // but CONSOLIDATIONINDEXED was never journaled
+    val tasks = Consolidation.prepareOrders(spark, cat2, "jx1", "i1",
+      Seq("r1", "r2"), layout, None)
+    val jobTiles = cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(s"${cat2.root}/containers/jx1/"))
+      .filter(!col("subdir").rlike("@ov\\d+$"))
+      .join(Consolidation.recordOrder(tasks), Seq("container_uri", "subdir"))
+    Consolidation.index(spark, cat2, jobTiles, "i1", spec.params)
+    assert(cat2.read(spark, "datasets")
+      .filter(col("status") === "INACTIVE").count() == 2)
+    // resume: the index step must purge-then-append, not append a twin set
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    val active = cat2.read(spark, "datasets").filter(col("status") === "ACTIVE").collect()
+    assert(active.length == 2) // one per record — not four
+    assert(cat2.read(spark, "datasets").count() == 2)
+  }
+
   test("force-retry (job.go FORCERETRYING): re-emits non-done tasks of a stuck job") {
     val cat2 = twoCellCatalog("forceretry", poisonR2 = false)
     val spec = ConsolidationJob.Spec("jf1", "stuck", "i1", Seq("r1", "r2"),
