@@ -130,7 +130,13 @@ object ConsolidationJob {
     if (done.isEmpty) return "NOTFOUND"
     if (done.contains("DONE") || done.contains("ABORTED") ||
         done.contains("FAILED")) return "UNHANDLED"
+    // ROLLBACKFAILED (job.go:505-510): the retry re-attempts ONLY the
+    // rollback; RollbackDone lands the job in terminal FAILED
+    if (done.contains("ROLLBACKFAILED"))
+      return rollbackToFailed(spark, cat, spec,
+        new IllegalStateException("rollback retried by user"))
     val retryable = done.contains("CONSOLIDATIONFAILED") ||
+      done.contains("INITIALISATIONFAILED") || // job.go:493-499 → CREATED
       (force && done.contains("CONSOLIDATIONINPROGRESS"))
     if (!retryable) return "UNHANDLED"
     val resetFrom: Seq[String] =
@@ -159,11 +165,16 @@ object ConsolidationJob {
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === spec.jobId).select("state")
       .collect().map(_.getString(0)).toSet
+    // states reached by THIS run or any prior one — the failure handler
+    // distinguishes init failure (CREATED never reached: nothing locked,
+    // nothing written, retryable as-is) from mid-flight failure
+    val reached = scala.collection.mutable.Set.empty[String] ++ done
     def step(state: String)(body: => String): Boolean = {
       if (!done.contains(state)) {
         val payload = body
         logState(spark, cat, spec, state, payload)
       }
+      reached += state
       pauseAfter.contains(state)
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
@@ -303,15 +314,40 @@ object ConsolidationJob {
       "DONE"
     } catch {
       case e: Exception =>
-        // rollback: drop this job's INACTIVE datasets (job.go rollback path)
-        try {
-          val ds = cat.read(spark, "datasets")
-          cat.rewrite(ds.filter(!(col("status") === "INACTIVE" &&
-            col("container_uri").startsWith(s"${cat.root}/containers/${spec.jobId}/"))),
-            "datasets")
-        } catch { case _: Exception => () }
-        logState(spark, cat, spec, "FAILED", s"""{"error":"${e.getMessage}"}""")
-        "FAILED"
+        if (!reached.contains("CREATED")) {
+          // csldInit never completed: nothing locked, nothing written —
+          // the reference's INITIALISATIONFAILED (job.go:493-499), which
+          // Retried re-enters from CREATED once the cause is fixed
+          logState(spark, cat, spec, "INITIALISATIONFAILED", errJson(e))
+          "INITIALISATIONFAILED"
+        } else rollbackToFailed(spark, cat, spec, e)
     }
+  }
+
+  /** The job.go rollback path: drop this job's INACTIVE datasets, then
+    * FAILED (RollbackDone). A rollback that itself throws journals
+    * ROLLBACKFAILED (job.go:505-510) — retryable, never silently
+    * swallowed into a clean-looking FAILED. */
+  private def rollbackToFailed(spark: SparkSession, cat: Catalog, spec: Spec,
+      cause: Exception): String =
+    try {
+      val ds = cat.read(spark, "datasets")
+      cat.rewrite(ds.filter(!(col("status") === "INACTIVE" &&
+        col("container_uri").startsWith(s"${cat.root}/containers/${spec.jobId}/"))),
+        "datasets")
+      logState(spark, cat, spec, "FAILED", errJson(cause))
+      "FAILED"
+    } catch {
+      case e2: Exception =>
+        try logState(spark, cat, spec, "ROLLBACKFAILED", errJson(e2))
+        catch { case _: Exception => () } // journal itself may be down
+        "ROLLBACKFAILED"
+    }
+
+  private def errJson(e: Exception): String = {
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ")
+    s"""{"error":"$msg"}"""
   }
 }

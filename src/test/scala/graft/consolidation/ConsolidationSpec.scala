@@ -264,15 +264,53 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uris.distinct.length == uris.length)
   }
 
-  test("failed job rolls back and journals FAILED") {
+  test("init failure journals INITIALISATIONFAILED (job.go:493); retryable") {
+    // nothing was locked or written, so this is the reference's
+    // INITIALISATIONFAILED — not the post-rollback terminal FAILED
     val spec = ConsolidationJob.Spec("job2", "bad", "missing-instance", Seq("rX"),
       layout, ConsolidationParams(uint8Map, Resampling.Near))
-    assert(ConsolidationJob.run(spark, cat, spec) == "FAILED")
+    assert(ConsolidationJob.run(spark, cat, spec) == "INITIALISATIONFAILED")
     val states = cat.read(spark, "jobs").filter(col("id") === "job2")
       .select("state").collect().map(_.getString(0)).toSet
-    assert(states.contains("FAILED"))
+    assert(states.contains("INITIALISATIONFAILED") && !states.contains("FAILED"))
     // catalog untouched
     assert(cat.read(spark, "datasets").count() == 2)
+    // retry with the cause unfixed re-enters and fails init again
+    assert(ConsolidationJob.retry(spark, cat, spec) == "INITIALISATIONFAILED")
+  }
+
+  test("init failure retried with the cause fixed drives to DONE") {
+    val cat2 = twoCellCatalog("initfix", poisonR2 = false)
+    val bad = ConsolidationJob.Spec("ji1", "initfix", "i1", Seq("rX"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, bad) == "INITIALISATIONFAILED")
+    // the user fixes the request (the record list) and retries the job id
+    assert(ConsolidationJob.retry(spark, cat2,
+      bad.copy(recordIds = Seq("r1", "r2"))) == "DONE")
+    assert(cat2.read(spark, "datasets").filter(col("status") === "ACTIVE")
+      .count() == 2)
+  }
+
+  test("rollback failure journals ROLLBACKFAILED; retry re-attempts the rollback") {
+    val cat2 = twoCellCatalog("rbfail", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jb1", "rbfail", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONDONE")) == "CONSOLIDATIONDONE")
+    // poison the datasets table: the resume's lock read fails mid-flight
+    // AND the rollback's own rewrite fails — the reference's
+    // ROLLBACKFAILED, never a clean-looking FAILED
+    val garbage = new java.io.File(
+      s"${cat2.root}/datasets/instance_id=i1/part-garbage.parquet")
+    java.nio.file.Files.write(garbage.toPath, "not parquet".getBytes("UTF-8"))
+    assert(ConsolidationJob.run(spark, cat2, spec) == "ROLLBACKFAILED")
+    assert(cat2.read(spark, "jobs").filter(col("id") === "jb1" &&
+      col("state") === "ROLLBACKFAILED").count() == 1)
+    // repair the table; retry re-attempts ONLY the rollback → FAILED
+    garbage.delete()
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "FAILED")
+    val ds = cat2.read(spark, "datasets").collect()
+    assert(ds.length == 2 && ds.forall(_.getAs[String]("status") == "ACTIVE"))
   }
 
   test("cancel before the swap rolls back; ABORTED is terminal") {
