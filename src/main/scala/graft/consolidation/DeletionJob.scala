@@ -119,11 +119,13 @@ object DeletionJob {
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === spec.jobId).select("state")
       .collect().map(_.getString(0)).toSet
+    val reached = scala.collection.mutable.Set.empty[String] ++ done
     def step(state: String)(body: => String): Boolean = {
       if (!done.contains(state)) {
         val payload = body
         logState(spark, cat, spec, state, payload)
       }
+      reached += state
       pauseAfter.contains(state)
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
@@ -238,6 +240,19 @@ object DeletionJob {
       terminal
     } catch {
       case e: Exception =>
+        def errJson(ex: Exception): String = {
+          val msg = Option(ex.getMessage).getOrElse(ex.getClass.getName)
+            .replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\n\\r\\t]", " ")
+          s"""{"error":"$msg"}"""
+        }
+        if (!reached.contains("CREATED")) {
+          // delInit never completed (DeletionNotReady, job.go:556-558):
+          // nothing flipped, nothing locked — retryable by re-running
+          // the job id once the cause (filters, catalog) is fixed
+          logState(spark, cat, spec, "INITIALISATIONFAILED", errJson(e))
+          return "INITIALISATIONFAILED"
+        }
         // delRollback (operations.go:156-160): un-flip THIS job's locked
         // TODELETE rows if the removal never became effective — other
         // jobs' TODELETE markers (e.g. a consolidation swap) stay put
@@ -248,9 +263,17 @@ object DeletionJob {
               when(col("id").isin(locked: _*) && col("status") === "TODELETE",
                 "ACTIVE").otherwise(col("status"))), "datasets")
           }
-        } catch { case _: Exception => () }
-        logState(spark, cat, spec, "FAILED", s"""{"error":"${e.getMessage}"}""")
-        "FAILED"
+          logState(spark, cat, spec, "FAILED", errJson(e))
+          "FAILED"
+        } catch {
+          case e2: Exception =>
+            // the rollback itself failed: journal it as such (job.go
+            // ROLLBACKFAILED) — a re-run re-enters via the journal and
+            // re-attempts; never swallowed into a clean-looking FAILED
+            try logState(spark, cat, spec, "ROLLBACKFAILED", errJson(e2))
+            catch { case _: Exception => () }
+            "ROLLBACKFAILED"
+        }
     }
   }
 }

@@ -215,12 +215,19 @@ class DeletionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ConsolidationJob.cancelById(spark, cat, "no-such-job") == "NOTFOUND")
   }
 
-  test("deletion job with no match journals FAILED and touches nothing") {
+  test("deletion job with no match journals INITIALISATIONFAILED, touches nothing") {
+    // nothing was locked or flipped — the retryable init-failure state
+    // (job.go DeletionNotReady), not the post-rollback terminal FAILED
     val before = cat.read(spark, "datasets").count()
     assert(DeletionJob.run(spark, cat,
-      DeletionJob.Spec("del3", "del3", instanceIds = Seq("nope"))) == "FAILED")
+      DeletionJob.Spec("del3", "del3", instanceIds = Seq("nope")))
+      == "INITIALISATIONFAILED")
     assert(cat.read(spark, "datasets").count() == before)
     assert(cat.read(spark, "jobs").filter(col("id") === "del3" &&
-      col("state") === "FAILED").count() == 1)
+      col("state") === "INITIALISATIONFAILED").count() == 1)
+    // re-running the job id re-enters init (still failing here: same cause)
+    assert(DeletionJob.run(spark, cat,
+      DeletionJob.Spec("del3", "del3", instanceIds = Seq("nope")))
+      == "INITIALISATIONFAILED")
   }
 }
