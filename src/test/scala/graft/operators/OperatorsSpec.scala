@@ -287,7 +287,13 @@ class OperatorsSpec extends AnyFunSuite {
       val c = i % 3 * 10.0
       (i.toLong, Seq.fill(4)(c + rnd.nextDouble() * 0.5))
     }.toDF("id", "v")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val cents = Similarity.kmeans(pts, "v", "id", k = 3, iterations = 5)
+    // the projected vectors are persisted ONCE across the Lloyd
+    // iterations (iterations × full embedding scans otherwise) and
+    // registered for caller-side release
+    assert(spark.sparkContext.getPersistentRDDs.size > cachedBefore)
+    graft.operators.OperatorCaches.unpersistAll()
     assert(cents.size == 3)
     // each centroid lands near one cluster center, all three covered
     val centersFound = cents.map(c => math.round(c.head / 10).toInt).sorted
