@@ -133,34 +133,49 @@ object EventStream {
         sum(when(col("status") === "FAILED", 1).otherwise(0)).as("failed_tasks"),
         max(col("ts")).as("last_event_ts"))
 
+  /** Fold one micro-batch of task events into the job journal —
+    * IDEMPOTENT on batchId: Structured Streaming replays the last batch
+    * after a crash (foreachBatch is at-least-once), and a blind append
+    * would double-count every delta of the replayed batch. The journal
+    * itself is the dedup ledger: a batch whose marker rows already exist
+    * is skipped whole (the single streaming writer makes check-then-
+    * append race-free). */
+  def journalTaskDeltas(spark: SparkSession, cat: Catalog,
+      batch: Dataset[TaskEvent], batchId: Long): Unit = {
+    val deltas = taskEventDeltas(batch)
+    if (!deltas.isEmpty) {
+      val replayed = cat.read(spark, "jobs")
+        .filter(col("type") === "TASKEVENT" && col("name") === s"batch-$batchId")
+        .limit(1).count() > 0
+      if (!replayed) {
+        val rows = deltas.collect().map { r =>
+          org.apache.spark.sql.Row(
+            r.getAs[String]("job_id"), s"batch-$batchId", "TASKEVENT",
+            "COUNTERS",
+            r.getAs[Long]("finished_tasks").toInt,
+            r.getAs[Long]("failed_tasks").toInt,
+            s"""{"batch":$batchId}""",
+            r.getAs[java.sql.Timestamp]("last_event_ts"),
+            r.getAs[java.sql.Timestamp]("last_event_ts"))
+        }
+        cat.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq),
+          graft.catalog.Schemas.jobs), "jobs")
+      }
+    }
+  }
+
   /** Run the streaming FSM driver: consume task events, fold the deltas
-    * into the job journal each micro-batch (exactly-once per batch via the
-    * idempotent journal append keyed by batchId). */
+    * into the job journal each micro-batch (exactly-once per batch via
+    * [[journalTaskDeltas]]'s batchId-keyed replay guard). */
   def driveJobCounters(spark: SparkSession, cat: Catalog,
       events: Dataset[TaskEvent], queryName: String): StreamingQuery = {
-    import spark.implicits._
     events.writeStream
       .outputMode(OutputMode.Update)
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[TaskEvent], batchId: Long) =>
-        val deltas = taskEventDeltas(batch)
-        if (!deltas.isEmpty) {
-          val rows = deltas.collect().map { r =>
-            org.apache.spark.sql.Row(
-              r.getAs[String]("job_id"), s"batch-$batchId", "TASKEVENT",
-              "COUNTERS",
-              r.getAs[Long]("finished_tasks").toInt,
-              r.getAs[Long]("failed_tasks").toInt,
-              s"""{"batch":$batchId}""",
-              r.getAs[java.sql.Timestamp]("last_event_ts"),
-              r.getAs[java.sql.Timestamp]("last_event_ts"))
-          }
-          cat.append(spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.toSeq),
-            graft.catalog.Schemas.jobs), "jobs")
-        }
-        ()
+        journalTaskDeltas(spark, cat, batch, batchId)
       }
       .start()
   }

@@ -47,6 +47,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("batch replay after a crash journals counter deltas exactly once") {
+    import spark.implicits._
+    val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-replay").toString)
+    val batch = Seq(
+      TaskEvent("jr1", "t1", "SUCCEEDED", "", ts("2024-01-01 00:00:00")),
+      TaskEvent("jr1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01"))).toDS()
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7)
+    // foreachBatch is at-least-once: the SAME batch id replays after a
+    // crash — the journal must not double-count its deltas
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7)
+    val rows = cat2.read(spark, "jobs")
+      .filter(col("state") === "COUNTERS").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("active_tasks") == 2)
+    assert(rows.head.getAs[Int]("failed_tasks") == 1)
+    // a NEW batch id still appends
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 8)
+    assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 2)
+  }
+
   test("file-queue broker adapter: published files drive the same counter FSM") {
     // messaging.go Publisher/Consumer parity: an external (Spark-free)
     // producer drops JSON files in a queue dir; the SAME driveJobCounters
