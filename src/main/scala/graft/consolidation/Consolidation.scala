@@ -414,18 +414,34 @@ object Consolidation {
     cat.append(spark.createDataFrame(rows, Schemas.datasets), "datasets")
   }
 
+  /** Marks each row of `df` with boolean `mark` = (df[keyCol] ∈
+    * ids[idCol]) via a JOIN — never a multi-literal `isin`: a single
+    * collapse job can lock 10⁶ datasets, and an isin expression tree
+    * breaks down (plan size, codegen) orders of magnitude before that.
+    * The ids side is id-only metadata; AQE broadcasts it when small. */
+  def withMembership(df: DataFrame, keyCol: String, ids: DataFrame,
+      idCol: String, mark: String): DataFrame =
+    df.join(
+      ids.select(col(idCol).as("__mid")).distinct().withColumn(mark, lit(true)),
+      df(keyCol) === col("__mid"), "left_outer")
+      .withColumn(mark, coalesce(col(mark), lit(false)))
+      .drop("__mid")
+
   /** C6 — csldSwapDatasets (consolidater.go:644-667): the atomic flip.
     * Old ACTIVE datasets of the job's records×instance → TODELETE; new
     * INACTIVE ones → ACTIVE. Single rewrite = single transaction. A C9
     * collapse job DUPLICATES data onto the collapse record, so the
-    * originals stay ACTIVE (consolidater.go:649-655). */
+    * originals stay ACTIVE (consolidater.go:649-655). `oldIds` is an
+    * id-column RELATION (see [[withMembership]] — the locked set is
+    * catalog-scale, not an in-plan literal list). */
   def swap(spark: SparkSession, cat: Catalog, instanceId: String,
-      oldDatasetIds: Seq[String], keepOld: Boolean = false,
+      oldIds: DataFrame, keepOld: Boolean = false,
       newPrefix: Option[String] = None): Unit = {
-    val ds = cat.read(spark, "datasets")
-    val old =
-      if (keepOld) lit(false)
-      else col("id").isin(oldDatasetIds: _*) && col("status") === "ACTIVE"
+    val ds0 = cat.read(spark, "datasets")
+    val ds =
+      if (keepOld) ds0.withColumn("__old", lit(false))
+      else withMembership(ds0, "id", oldIds, "id", "__old")
+    val old = col("__old") && col("status") === "ACTIVE"
     // the INACTIVE→ACTIVE side is scoped to THIS job's output containers
     // when a prefix is given (the reference's ChangeDatasetsStatus is
     // job-lock-scoped): a second in-flight job on the same instance must
@@ -439,6 +455,7 @@ object Consolidation {
     val flipped = ds
       .withColumn("status",
         when(old, "TODELETE").when(fresh, "ACTIVE").otherwise(col("status")))
+      .drop("__old")
     cat.rewrite(flipped, "datasets")
   }
 

@@ -179,17 +179,24 @@ object ConsolidationJob {
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
+    var lockedIds: org.apache.spark.sql.DataFrame = null
     try {
       // layout validation on entry (layout.go:120-129: bad interlacing
       // grammar or grid params fail the job before any work)
       spec.layout.validate()
-      // C2 init: lock = snapshot the ids of the datasets to consolidate
-      val locked = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+      // C2 init: lock = snapshot of the dataset ids to consolidate, held
+      // as an id-only RELATION (a collapse job can lock 10⁶ datasets —
+      // neither a driver array nor an isin literal list survives that).
+      // localCheckpoint(eager) PINS the snapshot: the lazy plan would
+      // otherwise re-read the datasets table after later FSM rewrites
+      // mutate it and silently lock a different set at swap time.
+      lockedIds = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
         status = Seq("ACTIVE"), instanceIds = Seq(spec.instanceId),
         recordIds = spec.recordIds, order = false))
-        .select("id").collect().map(_.getString(0)).toSeq
-      require(locked.nonEmpty, s"job ${spec.jobId}: no datasets to consolidate")
-      if (step("CREATED") { s"""{"locked":${locked.size}}""" }) return "CREATED"
+        .select("id").localCheckpoint(true)
+      val nLocked = lockedIds.count()
+      require(nLocked > 0, s"job ${spec.jobId}: no datasets to consolidate")
+      if (step("CREATED") { s"""{"locked":$nLocked}""" }) return "CREATED"
 
       // C3 prepare orders
       val tasks = Consolidation.prepareOrders(spark, cat, spec.jobId,
@@ -227,17 +234,21 @@ object ConsolidationJob {
       // rows — no journal-vs-effect window. Once INDEXED is journaled the
       // outputs are authoritative and C4 is skipped entirely.
       if (!done.contains("CONSOLIDATIONINDEXED")) {
+        import spark.implicits._
         val pending = allUris.filter(u => journaled.getOrElse(u, "NEW") != "DONE")
-        val prefix = s"${cat.root}/containers/${spec.jobId}/"
-        val pendingCol = col("container_uri").startsWith(prefix) &&
-          col("container_uri").isin(pending: _*)
-        cat.rewrite(cat.read(spark, "tiles").filter(!pendingCol), "tiles")
+        // the pending set rides as a RELATION (anti/semi joins), not an
+        // isin literal list — a big job has 10⁵+ containers and the
+        // uris already carry the job prefix, so the exact-uri anti-join
+        // is strictly job-scoped
+        val pendingDf = pending.toDF("container_uri")
+        cat.rewrite(cat.read(spark, "tiles")
+          .join(pendingDf, Seq("container_uri"), "left_anti"), "tiles")
         cat.rewrite(cat.read(spark, "containers")
-          .filter(!(col("uri").startsWith(prefix) && col("uri").isin(pending: _*))),
-          "containers")
+          .join(pendingDf.withColumnRenamed("container_uri", "uri"),
+            Seq("uri"), "left_anti"), "containers")
         val todo =
           if (pending.size == allUris.size) tasks
-          else tasks.filter(col("container_uri").isin(pending: _*))
+          else tasks.join(pendingDf, Seq("container_uri"), "left_semi")
         val built = Consolidation.consolidate(spark, cat, todo, spec.params,
           spec.layout.overviewsMinSize)
         val failures: Map[String, String] = built
@@ -303,7 +314,7 @@ object ConsolidationJob {
       // scoped to this job's containers so a concurrent job's INACTIVE
       // outputs stay inactive)
       if (!done.contains("CONSOLIDATIONEFFECTIVE"))
-        Consolidation.swap(spark, cat, spec.instanceId, locked,
+        Consolidation.swap(spark, cat, spec.instanceId, lockedIds,
           keepOld = spec.collapseOnRecordId.isDefined,
           newPrefix = Some(s"${cat.root}/containers/${spec.jobId}/"))
       if (step("CONSOLIDATIONEFFECTIVE") { "" }) return "CONSOLIDATIONEFFECTIVE"
@@ -321,6 +332,11 @@ object ConsolidationJob {
           logState(spark, cat, spec, "INITIALISATIONFAILED", errJson(e))
           "INITIALISATIONFAILED"
         } else rollbackToFailed(spark, cat, spec, e)
+    } finally {
+      // release the lock snapshot's checkpoint blocks on EVERY exit
+      // (returns, pauses, failures) — executor storage is not a journal
+      if (lockedIds != null)
+        graft.operators.OperatorCaches.releaseLocalCheckpoint(lockedIds)
     }
   }
 

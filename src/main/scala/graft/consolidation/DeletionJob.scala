@@ -68,11 +68,12 @@ object DeletionJob {
     * "LOCK". Written at CREATED, so every later step (flip, removal,
     * rollback) operates on the EXACT snapshot, never on a re-evaluated
     * filter that might now match other jobs' rows or nothing at all. */
-  private def readLocks(spark: SparkSession, cat: Catalog, jobId: String): Seq[String] =
+  private def readLocksDf(spark: SparkSession, cat: Catalog,
+      jobId: String): org.apache.spark.sql.DataFrame =
     cat.read(spark, "tasks")
       .filter(col("job_id") === jobId && col("state") === "LOCK")
-      .select("payload").distinct() // crash between append and journal may retry the append
-      .collect().map(_.getString(0)).toSeq
+      .select(col("payload").as("id"))
+      .distinct() // crash between append and journal may retry the append
 
   /** CancelledByUser for a deletion job: allowed while the flip is still
     * reversible — once rows have actually been REMOVED (detected from the
@@ -87,22 +88,29 @@ object DeletionJob {
       .filter(col("id") === jobId).select("state")
       .collect().map(_.getString(0)).toSet
     if (done.isEmpty) return "NOTFOUND"
-    val locked = readLocks(spark, cat, jobId)
+    // the lock snapshot rides as a RELATION over the durable LOCK rows —
+    // membership via joins, never a multi-literal isin (a deletion job
+    // over a whole instance can lock 10⁶ datasets)
+    val lockedDf = readLocksDf(spark, cat, jobId)
+    val nLocked = lockedDf.count()
     val present =
-      if (locked.isEmpty) 0L
+      if (nLocked == 0) 0L
       else cat.read(spark, "datasets")
-        .filter(col("id").isin(locked: _*)).count()
+        .join(lockedDf, Seq("id"), "left_semi").count()
     if (done.contains("DELETIONEFFECTIVE") || done.contains("DONE") ||
-        done.contains("DONEBUTUNTIDY") || present < locked.size) {
+        done.contains("DONEBUTUNTIDY") || present < nLocked) {
       ConsolidationJob.logStateRaw(spark, cat, jobId, name,
         "CANCELLATIONFAILED", """{"error":"datasets already removed"}""",
         jobType = "DELETION")
       return "CANCELLATIONFAILED"
     }
-    if (locked.nonEmpty) {
-      cat.rewrite(cat.read(spark, "datasets").withColumn("status",
-        when(col("id").isin(locked: _*) && col("status") === "TODELETE",
-          "ACTIVE").otherwise(col("status"))), "datasets")
+    if (nLocked > 0) {
+      cat.rewrite(Consolidation.withMembership(
+          cat.read(spark, "datasets"), "id", lockedDf, "id", "__lk")
+        .withColumn("status",
+          when(col("__lk") && col("status") === "TODELETE",
+            "ACTIVE").otherwise(col("status")))
+        .drop("__lk"), "datasets")
       cat.rewrite(cat.read(spark, "tasks").filter(
         !(col("job_id") === jobId && col("state") === "LOCK")), "tasks")
     }
@@ -130,39 +138,45 @@ object DeletionJob {
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
-    var locked: Seq[String] = Nil
+    var lockedDf: org.apache.spark.sql.DataFrame = null
+    var nLocked = 0L
     try {
       // delInit: lock = snapshot the ids selected by the filters — ACTIVE
       // rows only, so another job's TODELETE markers (a consolidation past
       // its swap) can never enter this job's scope. The snapshot persists
-      // as LOCK rows in the tasks table; a resumed job reads THOSE back
-      // instead of re-evaluating the filters against a changed catalog.
-      if (done.contains("CREATED")) {
-        locked = readLocks(spark, cat, spec.jobId)
-      } else {
-        locked = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+      // as LOCK rows in the tasks table, written DISTRIBUTED (an
+      // instance-wide deletion locks catalog-scale id sets — no driver
+      // arrays, no isin literal lists anywhere downstream); every later
+      // step reads the durable rows back as a relation.
+      if (!done.contains("CREATED")) {
+        val sel = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
           status = Seq("ACTIVE"),
           instanceIds = spec.instanceIds, recordIds = spec.recordIds,
           containerUriPatterns = spec.containerUriPatterns, order = false))
-          .select("id").collect().map(_.getString(0)).toSeq
-        require(locked.nonEmpty,
+          .select("id")
+        require(sel.limit(1).count() > 0,
           s"deletion job ${spec.jobId}: no dataset found for these records, " +
             "instances and/or pattern")
-        cat.append(spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            locked.zipWithIndex.map { case (id, i) =>
-              Row(s"${spec.jobId}-l$i", spec.jobId, "LOCK", id)
-            }, math.min(8, locked.size)),
-          Schemas.tasks), "tasks")
+        cat.append(sel.select(
+          concat(lit(s"${spec.jobId}-l-"),
+            md5(col("id").cast("binary"))).as("id"),
+          lit(spec.jobId).as("job_id"),
+          lit("LOCK").as("state"),
+          col("id").as("payload")), "tasks")
       }
-      if (step("CREATED") { s"""{"locked":${locked.size}}""" }) return "CREATED"
+      lockedDf = readLocksDf(spark, cat, spec.jobId)
+      nLocked = lockedDf.count()
+      if (step("CREATED") { s"""{"locked":$nLocked}""" }) return "CREATED"
+      def withLock(df: org.apache.spark.sql.DataFrame) =
+        Consolidation.withMembership(df, "id", lockedDf, "id", "__lk")
 
       // delSetToDelete: locked ACTIVE → TODELETE
       if (!done.contains("DELETIONINPROGRESS")) {
-        val ds = cat.read(spark, "datasets")
-        cat.rewrite(ds.withColumn("status",
-          when(col("id").isin(locked: _*) && col("status") === "ACTIVE",
-            "TODELETE").otherwise(col("status"))), "datasets")
+        cat.rewrite(withLock(cat.read(spark, "datasets"))
+          .withColumn("status",
+            when(col("__lk") && col("status") === "ACTIVE",
+              "TODELETE").otherwise(col("status")))
+          .drop("__lk"), "datasets")
       }
       if (step("DELETIONINPROGRESS") { "" }) return "DELETIONINPROGRESS"
 
@@ -171,17 +185,20 @@ object DeletionJob {
       // container becomes a deletion task (unmanaged objects are the
       // user's — the reference only deletes managed ones).
       if (!done.contains("DELETIONEFFECTIVE")) {
-        val ds = cat.read(spark, "datasets")
-        cat.rewrite(ds.filter(
-          !(col("id").isin(locked: _*) && col("status") === "TODELETE")),
-          "datasets")
+        cat.rewrite(withLock(cat.read(spark, "datasets"))
+          .filter(!(col("__lk") && col("status") === "TODELETE"))
+          .drop("__lk"), "datasets")
         val live = cat.read(spark, "datasets")
           .select(col("container_uri")).distinct()
         val containers = cat.read(spark, "containers")
+        // the orphan list must be MATERIALIZED before the containers GC
+        // below removes its rows (a lazy plan re-evaluated afterwards
+        // would see nothing); checkpoint, never a driver array — an
+        // instance-wide deletion orphans catalog-scale container sets
         val orphanManaged = containers
           .join(live, containers("uri") === live("container_uri"), "left_anti")
           .filter(col("managed"))
-          .select("uri").as[String].collect().toSeq
+          .select("uri").localCheckpoint(true)
         cat.rewrite(containers.join(live,
           containers("uri") === live("container_uri"), "left_semi"), "containers")
         val tiles = cat.read(spark, "tiles")
@@ -189,17 +206,19 @@ object DeletionJob {
           tiles("container_uri") === col("__live"), "left_semi"), "tiles")
         // idempotent append: a crash after a previous attempt's append
         // re-enters this block — URIs that already have a task keep it
-        val already = cat.read(spark, "tasks")
+        // (task id = md5 of the uri: deterministic, so retries can never
+        // mint a second id for the same object)
+        val alreadyDf = cat.read(spark, "tasks")
           .filter(col("job_id") === spec.jobId && col("state") =!= "LOCK")
-          .select("payload").collect().map(_.getString(0)).toSet
-        val fresh = orphanManaged.filterNot(already)
-        if (fresh.nonEmpty)
-          cat.append(spark.createDataFrame(
-            spark.sparkContext.parallelize(
-              fresh.zipWithIndex.map { case (uri, i) =>
-                Row(s"${spec.jobId}-t${already.size + i}", spec.jobId, "NEW", uri)
-              }, math.min(8, fresh.size)),
-            Schemas.tasks), "tasks")
+          .select(col("payload").as("uri"))
+        cat.append(orphanManaged.join(alreadyDf, Seq("uri"), "left_anti")
+          .select(
+            concat(lit(s"${spec.jobId}-t-"),
+              md5(col("uri").cast("binary"))).as("id"),
+            lit(spec.jobId).as("job_id"),
+            lit("NEW").as("state"),
+            col("uri").as("payload")), "tasks")
+        graft.operators.OperatorCaches.releaseLocalCheckpoint(orphanManaged)
       }
       if (step("DELETIONEFFECTIVE") { "" }) return "DELETIONEFFECTIVE"
 
@@ -257,11 +276,14 @@ object DeletionJob {
         // TODELETE rows if the removal never became effective — other
         // jobs' TODELETE markers (e.g. a consolidation swap) stay put
         try {
-          if (!done.contains("DELETIONEFFECTIVE") && locked.nonEmpty) {
-            val ds = cat.read(spark, "datasets")
-            cat.rewrite(ds.withColumn("status",
-              when(col("id").isin(locked: _*) && col("status") === "TODELETE",
-                "ACTIVE").otherwise(col("status"))), "datasets")
+          if (!done.contains("DELETIONEFFECTIVE") && lockedDf != null &&
+              nLocked > 0) {
+            cat.rewrite(Consolidation.withMembership(
+                cat.read(spark, "datasets"), "id", lockedDf, "id", "__lk")
+              .withColumn("status",
+                when(col("__lk") && col("status") === "TODELETE",
+                  "ACTIVE").otherwise(col("status")))
+              .drop("__lk"), "datasets")
           }
           logState(spark, cat, spec, "FAILED", errJson(e))
           "FAILED"

@@ -329,16 +329,9 @@ object Dedup {
     labels
   }
 
-  /** Unpersist the RDD blocks behind a `localCheckpoint()`ed frame.
-    * `Dataset.unpersist` can't: it consults the plan-cache manager, which
-    * never saw the checkpoint's internal RDD — reach through the analyzed
-    * plan's LogicalRDD instead. */
+  /** See [[OperatorCaches.releaseLocalCheckpoint]] (shared helper). */
   private def releaseLocalCheckpoint(ds: DataFrame): Unit =
-    ds.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    }
+    OperatorCaches.releaseLocalCheckpoint(ds)
 
   /** Driver-side union-find endgame for a small (already materialized,
     * symmetrized) edge list: path-compressed find, then the component

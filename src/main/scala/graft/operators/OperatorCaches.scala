@@ -38,4 +38,16 @@ object OperatorCaches {
     registered.foreach(_.apply())
     registered.clear()
   }
+
+  /** Release the executor blocks behind a `localCheckpoint`, which
+    * `Dataset.unpersist` can't: it consults the plan-cache manager, which
+    * never saw the checkpoint's internal RDD — reach through the analyzed
+    * plan's LogicalRDD instead. Shared by the checkpoint users (connected
+    * components' label passes, the consolidation lock snapshot). */
+  def releaseLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }
