@@ -217,7 +217,11 @@ object GeoTiffIO {
       .filter(!coalesce(col("subdir"), lit("")).rlike("@ov\\d+$"))
     val scoped =
       if (containerUris.isEmpty) base
-      else base.filter(col("container_uri").isin(containerUris: _*))
+      // semi-join, not a multi-literal isin: a bulk export covers a whole
+      // job's container set (10⁵+ uris) — an isin expression tree breaks
+      // down long before that, while AQE broadcasts a small uri relation
+      else base.join(containerUris.toDF("container_uri"),
+        Seq("container_uri"), "left_semi")
     scoped.select(col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
         col("transform"), col("payload"))
