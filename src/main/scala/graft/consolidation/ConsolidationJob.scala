@@ -180,6 +180,7 @@ object ConsolidationJob {
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
     var lockedIds: org.apache.spark.sql.DataFrame = null
+    var tasks: org.apache.spark.sql.DataFrame = null
     try {
       // layout validation on entry (layout.go:120-129: bad interlacing
       // grammar or grid params fail the job before any work)
@@ -199,7 +200,7 @@ object ConsolidationJob {
       if (step("CREATED") { s"""{"locked":$nLocked}""" }) return "CREATED"
 
       // C3 prepare orders
-      val tasks = Consolidation.prepareOrders(spark, cat, spec.jobId,
+      tasks = Consolidation.prepareOrders(spark, cat, spec.jobId,
         spec.instanceId, spec.recordIds, spec.layout, spec.collapseOnRecordId)
       tasks.cache()
       val nTasks = tasks.count()
@@ -217,10 +218,8 @@ object ConsolidationJob {
           spark.sparkContext.parallelize(
             allUris.map(u => Row(u, spec.jobId, "NEW", ""))),
           Schemas.tasks), "tasks")
-      if (step("CONSOLIDATIONINPROGRESS") { s"""{"tasks":$nTasks}""" }) {
-        tasks.unpersist()
+      if (step("CONSOLIDATIONINPROGRESS") { s"""{"tasks":$nTasks}""" })
         return "CONSOLIDATIONINPROGRESS"
-      }
 
       // C4 consolidate (one Spark task per container, + overview pyramid).
       // The redo scope is the NOT-DONE task rows: a resume or retry only
@@ -259,11 +258,14 @@ object ConsolidationJob {
         built.unpersist()
         // task-row upsert: this job's rows are rewritten whole from the
         // driver-held outcome map (idempotent; tolerates a torn NEW-row
-        // append from a crashed first run)
+        // append from a crashed first run). Set-membership, not
+        // Seq.contains — a fresh big job has pending == allUris and the
+        // quadratic scan would be 10¹⁰ comparisons at 10⁵ containers.
+        val pendingSet = pending.toSet
         val outcome = allUris.map { u =>
           val st =
             if (failures.contains(u)) "FAILED"
-            else if (pending.contains(u)) "DONE"
+            else if (pendingSet.contains(u)) "DONE"
             else journaled.getOrElse(u, "DONE")
           Row(u, spec.jobId, st, failures.getOrElse(u, ""))
         }
@@ -275,7 +277,6 @@ object ConsolidationJob {
           // job.go ConsolidationFailed: journal and WAIT for a user
           // retry/cancel — no rollback, the locked datasets stay locked
           // and the DONE containers' outputs stay for the retry to reuse
-          tasks.unpersist()
           logState(spark, cat, spec, "CONSOLIDATIONFAILED",
             s"""{"failed_tasks":${failures.size},"active_tasks":${allUris.size - failures.size}}""",
             activeTasks = allUris.size - failures.size,
@@ -283,7 +284,7 @@ object ConsolidationJob {
           return "CONSOLIDATIONFAILED"
         }
       }
-      if (step("CONSOLIDATIONDONE") { "" }) { tasks.unpersist(); return "CONSOLIDATIONDONE" }
+      if (step("CONSOLIDATIONDONE") { "" }) return "CONSOLIDATIONDONE"
 
       // C5 index (INACTIVE): dataset identity is re-derived from the
       // durable tiles table + the deterministic record order — NOT from
@@ -291,23 +292,36 @@ object ConsolidationJob {
       // failed containers still indexes the whole job, and the payload
       // column is pruned at the parquet scan (no pixel bytes move here)
       if (!done.contains("CONSOLIDATIONINDEXED")) {
-        // idempotence for the crash window between index() and the
-        // INDEXED journal: the appended rows are exactly this job's
-        // INACTIVE datasets (the swap has provably not run — it only
-        // runs after INDEXED is journaled), so purge-then-append can
-        // never double-index, where append-on-resume would
         val prefix = s"${cat.root}/containers/${spec.jobId}/"
-        cat.rewrite(cat.read(spark, "datasets")
-          .filter(!(col("status") === "INACTIVE" &&
-            col("container_uri").startsWith(prefix))), "datasets")
-        val order = Consolidation.recordOrder(tasks)
-        val jobTiles = cat.read(spark, "tiles")
-          .filter(col("container_uri").startsWith(prefix))
-          .filter(!col("subdir").rlike("@ov\\d+$"))
-          .join(order, Seq("container_uri", "subdir"))
-        Consolidation.index(spark, cat, jobTiles, spec.instanceId, spec.params)
+        // the record-order relation is CHECKPOINTED before the purge
+        // below: its lineage reads the datasets table (via the orders),
+        // and a cache-lost recompute after the purge's rewrite-swap
+        // would re-list deleted parquet files
+        val order = Consolidation.recordOrder(tasks).localCheckpoint(true)
+        try {
+          // idempotence for the crash window between index() and the
+          // INDEXED journal: the appended rows are exactly this job's
+          // INACTIVE datasets (the swap has provably not run — it only
+          // runs after INDEXED is journaled), so purge-then-append can
+          // never double-index, where append-on-resume would. The purge
+          // is an existence-probed no-op on the normal no-crash path —
+          // orphans exist only after a crash in that window, and the
+          // full-table rewrite shouldn't be paid every job.
+          val orphaned = cat.read(spark, "datasets")
+            .filter(col("status") === "INACTIVE" &&
+              col("container_uri").startsWith(prefix))
+            .limit(1).count() > 0
+          if (orphaned)
+            cat.rewrite(cat.read(spark, "datasets")
+              .filter(!(col("status") === "INACTIVE" &&
+                col("container_uri").startsWith(prefix))), "datasets")
+          val jobTiles = cat.read(spark, "tiles")
+            .filter(col("container_uri").startsWith(prefix))
+            .filter(!col("subdir").rlike("@ov\\d+$"))
+            .join(order, Seq("container_uri", "subdir"))
+          Consolidation.index(spark, cat, jobTiles, spec.instanceId, spec.params)
+        } finally graft.operators.OperatorCaches.releaseLocalCheckpoint(order)
       }
-      tasks.unpersist() // consumed by count()+orders+consolidate+recordOrder
       if (step("CONSOLIDATIONINDEXED") { "" }) return "CONSOLIDATIONINDEXED"
 
       // C6 swap (atomic; collapse keeps the originals ACTIVE; the flip is
@@ -333,10 +347,13 @@ object ConsolidationJob {
           "INITIALISATIONFAILED"
         } else rollbackToFailed(spark, cat, spec, e)
     } finally {
-      // release the lock snapshot's checkpoint blocks on EVERY exit
-      // (returns, pauses, failures) — executor storage is not a journal
+      // release the lock snapshot's checkpoint blocks and the cached
+      // task-orders relation on EVERY exit (returns, pauses, failures) —
+      // executor storage is not a journal, and the scattered per-return
+      // unpersists this replaces leaked on every exception path
       if (lockedIds != null)
         graft.operators.OperatorCaches.releaseLocalCheckpoint(lockedIds)
+      if (tasks != null) tasks.unpersist()
     }
   }
 
@@ -360,10 +377,7 @@ object ConsolidationJob {
         "ROLLBACKFAILED"
     }
 
-  private def errJson(e: Exception): String = {
-    val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-      .replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ")
-    s"""{"error":"$msg"}"""
-  }
+  private[consolidation] def errJson(e: Exception): String =
+    s"""{"error":"${graft.core.JsonUtil.escape(
+      Option(e.getMessage).getOrElse(e.getClass.getName))}"}"""
 }

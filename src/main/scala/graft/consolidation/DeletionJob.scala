@@ -140,6 +140,7 @@ object DeletionJob {
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
     var lockedDf: org.apache.spark.sql.DataFrame = null
     var nLocked = 0L
+    var orphanCkpt: org.apache.spark.sql.DataFrame = null
     try {
       // delInit: lock = snapshot the ids selected by the filters — ACTIVE
       // rows only, so another job's TODELETE markers (a consolidation past
@@ -199,6 +200,7 @@ object DeletionJob {
           .join(live, containers("uri") === live("container_uri"), "left_anti")
           .filter(col("managed"))
           .select("uri").localCheckpoint(true)
+        orphanCkpt = orphanManaged
         cat.rewrite(containers.join(live,
           containers("uri") === live("container_uri"), "left_semi"), "containers")
         val tiles = cat.read(spark, "tiles")
@@ -218,7 +220,6 @@ object DeletionJob {
             lit(spec.jobId).as("job_id"),
             lit("NEW").as("state"),
             col("uri").as("payload")), "tasks")
-        graft.operators.OperatorCaches.releaseLocalCheckpoint(orphanManaged)
       }
       if (step("DELETIONEFFECTIVE") { "" }) return "DELETIONEFFECTIVE"
 
@@ -259,12 +260,7 @@ object DeletionJob {
       terminal
     } catch {
       case e: Exception =>
-        def errJson(ex: Exception): String = {
-          val msg = Option(ex.getMessage).getOrElse(ex.getClass.getName)
-            .replace("\\", "\\\\").replace("\"", "\\\"")
-            .replaceAll("[\\n\\r\\t]", " ")
-          s"""{"error":"$msg"}"""
-        }
+        def errJson(ex: Exception): String = ConsolidationJob.errJson(ex)
         if (!reached.contains("CREATED")) {
           // delInit never completed (DeletionNotReady, job.go:556-558):
           // nothing flipped, nothing locked — retryable by re-running
@@ -274,12 +270,20 @@ object DeletionJob {
         }
         // delRollback (operations.go:156-160): un-flip THIS job's locked
         // TODELETE rows if the removal never became effective — other
-        // jobs' TODELETE markers (e.g. a consolidation swap) stay put
+        // jobs' TODELETE markers (e.g. a consolidation swap) stay put.
+        // Guards: `reached`, not the stale pre-run `done` (a run that
+        // journaled DELETIONEFFECTIVE ITSELF must not un-flip); and the
+        // locks are RE-READ fresh — the entry-time lockedDf plan pins a
+        // tasks-dir file listing that later task rewrites swapped away,
+        // so re-evaluating it here would throw FileNotFoundException and
+        // mask the real error as a spurious ROLLBACKFAILED. A job whose
+        // locks were already released reads an empty relation → no-op.
         try {
-          if (!done.contains("DELETIONEFFECTIVE") && lockedDf != null &&
-              nLocked > 0) {
+          val rbLocks = readLocksDf(spark, cat, spec.jobId)
+          if (!reached.contains("DELETIONEFFECTIVE") &&
+              rbLocks.limit(1).count() > 0) {
             cat.rewrite(Consolidation.withMembership(
-                cat.read(spark, "datasets"), "id", lockedDf, "id", "__lk")
+                cat.read(spark, "datasets"), "id", rbLocks, "id", "__lk")
               .withColumn("status",
                 when(col("__lk") && col("status") === "TODELETE",
                   "ACTIVE").otherwise(col("status")))
@@ -296,6 +300,11 @@ object DeletionJob {
             catch { case _: Exception => () }
             "ROLLBACKFAILED"
         }
+    } finally {
+      // executor blocks released on every exit, including exceptions
+      // (the inline release after the task append misses failure paths)
+      if (orphanCkpt != null)
+        graft.operators.OperatorCaches.releaseLocalCheckpoint(orphanCkpt)
     }
   }
 }

@@ -71,23 +71,11 @@ object EventStream {
     * the file-system analogue of a broker's atomic enqueue. Spark-free:
     * external workers publish without a session. */
   def publishToFileQueue(events: Seq[TaskEvent], queueDir: String): Unit = {
-    // full JSON string escaping: error fields carry exception text with
-    // newlines/tabs — one unescaped control character would corrupt the
-    // JSON-LINES framing and the PERMISSIVE reader would null the row,
-    // silently losing the failure event
-    def esc(s: String): String = {
-      val b = new StringBuilder
-      s.foreach {
-        case '"' => b.append("\\\"")
-        case '\\' => b.append("\\\\")
-        case '\n' => b.append("\\n")
-        case '\r' => b.append("\\r")
-        case '\t' => b.append("\\t")
-        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
-        case c => b.append(c)
-      }
-      b.toString
-    }
+    // full JSON string escaping (shared [[graft.core.JsonUtil]]): error
+    // fields carry exception text with newlines/tabs — one unescaped
+    // control character would corrupt the JSON-LINES framing and the
+    // PERMISSIVE reader would null the row, silently losing the event
+    def esc(s: String): String = graft.core.JsonUtil.escape(s)
     val dir = java.nio.file.Paths.get(queueDir)
     java.nio.file.Files.createDirectories(dir)
     val payload = events.map { e =>
@@ -134,23 +122,27 @@ object EventStream {
         max(col("ts")).as("last_event_ts"))
 
   /** Fold one micro-batch of task events into the job journal —
-    * IDEMPOTENT on batchId: Structured Streaming replays the last batch
-    * after a crash (foreachBatch is at-least-once), and a blind append
-    * would double-count every delta of the replayed batch. The journal
-    * itself is the dedup ledger: a batch whose marker rows already exist
-    * is skipped whole (the single streaming writer makes check-then-
-    * append race-free). */
+    * IDEMPOTENT on (runKey, batchId): Structured Streaming replays the
+    * last batch after a crash (foreachBatch is at-least-once), and a
+    * blind append would double-count every delta of the replayed batch.
+    * The journal itself is the dedup ledger: a batch whose marker rows
+    * already exist is skipped whole (the single streaming writer makes
+    * check-then-append race-free). The marker carries `runKey` — NOT
+    * batchId alone: batch ids restart at 0 in a fresh (un-checkpointed)
+    * query incarnation and collide across queries sharing one catalog,
+    * and a bare-batchId guard would then drop fresh deltas forever. */
   def journalTaskDeltas(spark: SparkSession, cat: Catalog,
-      batch: Dataset[TaskEvent], batchId: Long): Unit = {
+      batch: Dataset[TaskEvent], batchId: Long, runKey: String): Unit = {
     val deltas = taskEventDeltas(batch)
     if (!deltas.isEmpty) {
+      val marker = s"$runKey-batch-$batchId"
       val replayed = cat.read(spark, "jobs")
-        .filter(col("type") === "TASKEVENT" && col("name") === s"batch-$batchId")
+        .filter(col("type") === "TASKEVENT" && col("name") === marker)
         .limit(1).count() > 0
       if (!replayed) {
         val rows = deltas.collect().map { r =>
           org.apache.spark.sql.Row(
-            r.getAs[String]("job_id"), s"batch-$batchId", "TASKEVENT",
+            r.getAs[String]("job_id"), marker, "TASKEVENT",
             "COUNTERS",
             r.getAs[Long]("finished_tasks").toInt,
             r.getAs[Long]("failed_tasks").toInt,
@@ -167,17 +159,28 @@ object EventStream {
 
   /** Run the streaming FSM driver: consume task events, fold the deltas
     * into the job journal each micro-batch (exactly-once per batch via
-    * [[journalTaskDeltas]]'s batchId-keyed replay guard). */
+    * [[journalTaskDeltas]]'s replay guard). With `checkpointDir` the
+    * query is DURABLE: batch ids persist across restarts, the marker is
+    * keyed by the stable query name, and a restarted query resumes from
+    * its source offsets — exactly-once end to end. Without it (tests,
+    * throwaway streams) each start is a fresh incarnation: the marker
+    * gets a per-start unique key so a restart can never skip fresh
+    * deltas, at the price of at-least-once (the un-checkpointed source
+    * re-reads from scratch). */
   def driveJobCounters(spark: SparkSession, cat: Catalog,
-      events: Dataset[TaskEvent], queryName: String): StreamingQuery = {
-    events.writeStream
+      events: Dataset[TaskEvent], queryName: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val runKey = checkpointDir.map(_ => queryName).getOrElse(
+      s"$queryName-${java.util.UUID.randomUUID().toString.take(8)}")
+    val writer = events.writeStream
       .outputMode(OutputMode.Update)
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: Dataset[TaskEvent], batchId: Long) =>
-        journalTaskDeltas(spark, cat, batch, batchId)
+        journalTaskDeltas(spark, cat, batch, batchId, runKey)
       }
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
   }
 
   /** The job FSM as CUSTOM STREAMING STATE (flatMapGroupsWithState — the

@@ -53,18 +53,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = Seq(
       TaskEvent("jr1", "t1", "SUCCEEDED", "", ts("2024-01-01 00:00:00")),
       TaskEvent("jr1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01"))).toDS()
-    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7)
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7, "runA")
     // foreachBatch is at-least-once: the SAME batch id replays after a
     // crash — the journal must not double-count its deltas
-    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7)
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7, "runA")
     val rows = cat2.read(spark, "jobs")
       .filter(col("state") === "COUNTERS").collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[Int]("active_tasks") == 2)
     assert(rows.head.getAs[Int]("failed_tasks") == 1)
     // a NEW batch id still appends
-    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 8)
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 8, "runA")
     assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 2)
+    // a fresh query incarnation restarts batch ids at 0 — its batches
+    // must NOT be skipped as replays of the previous run's ids
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7, "runB")
+    assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 3)
   }
 
   test("file-queue broker adapter: published files drive the same counter FSM") {
