@@ -63,7 +63,7 @@ object Bench {
     // whenever an entry was added (run-order JIT/GC effects, round-7 p5).
     val ordered = SparkEntry.queries.toSeq
       .filterNot { case (name, _) =>
-        fixtureOnly(name) || exprMicro(name) || SparkEntry.diagOnly(name) }
+        fixtureOnly(name) || exprMicro(name) }
     def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

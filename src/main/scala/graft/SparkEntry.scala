@@ -37,15 +37,4 @@ object SparkEntry {
   val exprMicro: Set[String] = Set(
     "f6_webmerc", "f6_utm", "f6_stere", "f6_lcc", "f6_laea", "f6_aea",
     "f6_datum")
-
-  /** Round-9 driver-divergence probes (VERDICT r8 #1): four queries that
-    * localize which axis breaks the a4_warp/d5_xyz/mm_resize hash
-    * compares on the driver (all three are bit-exact in local replay) —
-    * bare-vs-cast integer SUM (DuckDB HUGEINT rendering), the a4 warp
-    * arithmetic with no aggregates at all, and the PNG/ImageIO
-    * roundtrip. Correctness-gated like everything else; excluded from
-    * the timed bench line (they are probes, not operators); to be
-    * removed once the three stay green at the driver. */
-  val diagOnly: Set[String] = Set(
-    "diag_sum_bare", "diag_sum_cast", "diag_a4_probe", "diag_png_gray")
 }

@@ -921,92 +921,6 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
-  /** diag_sum_bare — round-9 driver-divergence probe (VERDICT r8 #1a):
-    * a deliberately BARE integer SUM. DuckDB types SUM(BIGINT) as
-    * HUGEINT; every green oracle casts it back to BIGINT in the final
-    * SELECT and the three red ones (a4_warp/d5_xyz/mm_resize) did not —
-    * if the driver's DuckDB/pandas renders HUGEINT differently (float64
-    * or Decimal), THIS query goes red while [[diagSumCast]] stays green,
-    * confirming the cause from the driver's own CORRECTNESS output. */
-  def diagSumBare(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "supplier")
-      .agg(
-        sum(col("s_suppkey").cast("long")).as("s_big"),
-        count(lit(1)).as("n"))
-
-  /** diag_sum_cast — the control for [[diagSumBare]]: identical Spark
-    * plan, oracle casts the SUM to BIGINT (the idiom every green oracle
-    * already uses). Red here too would mean the divergence is not the
-    * HUGEINT rendering. */
-  def diagSumCast(s: SparkSession, dir: String): DataFrame =
-    diagSumBare(s, dir)
-
-  /** diag_a4_probe — round-9 driver-divergence probe (VERDICT r8 #1d):
-    * the exact [[a4Warp]] warp per supplier, but emitting the five probe
-    * pixels as UNGROUPED rows — no SUM, no MAX, no aggregate anywhere on
-    * either side. Red here would mean the warp arithmetic itself
-    * diverges on the driver (contradicting the local bit-exact replay);
-    * green here + red a4_warp isolates the aggregate idiom. */
-  def diagA4Probe(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.core.{DataFormat, DataMapping, DType, NumRange}
-    import graft.geo.{Affine, CRS}
-    import graft.raster.{Bitmap, OutDescriptor, Resampling, SourceRaster, Warp}
-    val mapping = DataMapping(
-      DataFormat(DType.Float64, -1.0, NumRange(0, 100)), NumRange(0, 100), 1.0)
-    t(s, dir, "supplier")
-      .select(col("s_suppkey").cast("long")).as[Long]
-      .flatMap { k =>
-        val lon0 = (k * 7 % 100 - 50).toDouble
-        val lat0 = (k * 11 % 80 - 30).toDouble
-        val rsx = 0.03125
-        val rsy = 0.0625
-        val offx = 10 + (2 * (k % 8) + 1) / 16.0
-        val offy = 20 + (2 * (k % 4) + 1) / 16.0
-        val src = SourceRaster(
-          new Bitmap(64, 48, 1, DType.Float64,
-            Array.tabulate(64 * 48)(i =>
-              (((i % 64) * 7 + (i / 64) * 13 + k * 5) % 97).toDouble)),
-          Affine.northUp(lon0 - offx * rsx, lat0 + offy * rsy, rsx, -rsy),
-          CRS.WGS84, mapping)
-        val out = OutDescriptor(64, 64, 1,
-          Affine.northUp(lon0, lat0, 0.015625, -0.015625), CRS.WGS84,
-          mapping, Resampling.Bilinear, validPixPc = 50)
-        Warp.mergeDatasets(Seq(src), out).toSeq.flatMap { b =>
-          Seq((0, 0), (63, 0), (0, 63), (63, 63), (32, 32)).map {
-            case (tx, ty) =>
-              (k, tx.toLong, ty.toLong, math.round(b.get(tx, ty, 0) * 256))
-          }
-        }
-      }
-      .toDF("s_suppkey", "tx", "ty", "v")
-      .orderBy("s_suppkey", "tx", "ty")
-  }
-
-  /** diag_png_gray — round-9 driver-divergence probe: the PNG
-    * encode→ImageIO-decode roundtrip that sits inside d5_xyz and
-    * mm_resize, over a fixed 8×8 gray lattice, emitted per-PIXEL with no
-    * aggregates. PNG gray is lossless and the decode reads RAW raster
-    * samples (the exact [[graft.operators.MediaCodec.decodeImage]] path
-    * mm_resize uses — NOT getRGB, whose gray→sRGB conversion is
-    * colorspace-dependent), so any driver-JDK ImageIO divergence (the
-    * other suspect axis for d5_xyz/mm_resize) turns exactly this red. */
-  def diagPngGray(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.operators.MediaCodec
-    t(s, dir, "region")
-      .select(col("r_regionkey").cast("long")).as[Long]
-      .flatMap { k =>
-        val px = Array.tabulate(64)(i =>
-          (((i % 8) * 7 + (i / 8) * 13 + k * 5) % 256).toDouble)
-        val png = MediaCodec.encodePng(8, 8, 1, px)
-        val dec = MediaCodec.decodeImage(png).get._4
-        (0 until 64).map(i => (k, i.toLong, dec(i).toLong))
-      }
-      .toDF("r_regionkey", "i", "v")
-      .orderBy("r_regionkey", "i")
-  }
-
   /** f4_kernels — the point-resampling kernels (F4, reference
     * image.go resampling enum) evaluated by the REAL [[graft.raster
     * .Sampler]] per row at exact-binary fractional offsets (the f8
@@ -2225,11 +2139,7 @@ object RelationalQueries {
     "g5_covers" -> g5Covers _,
     "mm_featurize" -> mmFeaturize _,
     "mm_resize" -> mmResize _,
-    "mm_frames" -> mmFrames _,
-    "diag_sum_bare" -> diagSumBare _,
-    "diag_sum_cast" -> diagSumCast _,
-    "diag_a4_probe" -> diagA4Probe _,
-    "diag_png_gray" -> diagPngGray _)
+    "mm_frames" -> mmFrames _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: scala.collection.immutable.ListMap[String, String] =
@@ -2383,49 +2293,6 @@ object RelationalQueries {
                   AS BIGINT) AS sy
          FROM q3 ORDER BY c_custkey""",
     "f4_kernels" -> f4KernelsSql,
-    "diag_sum_bare" ->
-      """SELECT SUM(CAST(s_suppkey AS BIGINT)) AS s_big, COUNT(*) AS n
-         FROM supplier""",
-    "diag_sum_cast" ->
-      """SELECT CAST(SUM(CAST(s_suppkey AS BIGINT)) AS BIGINT) AS s_big,
-                COUNT(*) AS n
-         FROM supplier""",
-    "diag_a4_probe" ->
-      """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
-         off AS (SELECT k,
-             10 + (2*(k % 8) + 1)/16.0 AS offx,
-             20 + (2*(k % 4) + 1)/16.0 AS offy
-           FROM sup),
-         probes AS (SELECT CAST(p.c1 AS BIGINT) AS tx, CAST(p.c2 AS BIGINT) AS ty
-           FROM (VALUES (0,0),(63,0),(0,63),(63,63),(32,32)) p(c1,c2)),
-         px AS (SELECT o.*, p.tx, p.ty FROM off o, probes p),
-         g AS (SELECT k, tx, ty,
-             offx + 0.5*tx - 0.25 AS gx,
-             offy + 0.25*ty - 0.375 AS gy
-           FROM px),
-         bil AS (SELECT k, tx, ty,
-             CAST(floor(gx) AS BIGINT) AS xi,
-             CAST(floor(gy) AS BIGINT) AS yi,
-             gx - floor(gx) AS fx,
-             gy - floor(gy) AS fy
-           FROM g),
-         vals AS (SELECT *,
-             CAST((xi*7 + yi*13 + k*5) % 97 AS DOUBLE) AS v00,
-             CAST(((xi+1)*7 + yi*13 + k*5) % 97 AS DOUBLE) AS v10,
-             CAST((xi*7 + (yi+1)*13 + k*5) % 97 AS DOUBLE) AS v01,
-             CAST(((xi+1)*7 + (yi+1)*13 + k*5) % 97 AS DOUBLE) AS v11
-           FROM bil)
-         SELECT k AS s_suppkey, tx, ty,
-             CAST(round(((1-fx)*(1-fy)*v00 + fx*(1-fy)*v10
-               + (1-fx)*fy*v01 + fx*fy*v11) * 256) AS BIGINT) AS v
-         FROM vals ORDER BY s_suppkey, tx, ty""",
-    "diag_png_gray" ->
-      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
-                CAST(g.i AS BIGINT) AS i,
-                CAST(((g.i % 8)*7 + (g.i // 8)*13 + r_regionkey*5) % 256
-                  AS BIGINT) AS v
-         FROM region, generate_series(0, 63) g(i)
-         ORDER BY r_regionkey, i""",
     "a4_warp" ->
       """WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
          off AS (SELECT k,

@@ -23,14 +23,23 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     built.computeIfAbsent((spark, dir, name), { _ =>
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        // reader rejects. Read it as raw long nanos and convert to a µs
-        // timestamp with integer arithmetic (a double division would lose
-        // precision at 2024-epoch nanos ≈ 1.7e18 > 2^53).
+        // events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        // Spark's vectorized reader rejects — read as raw long nanos and
+        // convert with integer arithmetic; a double division would lose
+        // precision at 2024-epoch nanos ≈ 1.7e18 > 2^53) and plain
+        // TIMESTAMP(MICROS) (readable directly). Branch on the read type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         import org.apache.spark.sql.functions._
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType =>
+            // Session TZ is UTC everywhere (Verify/Bench/tests), so NTZ→TZ
+            // is a type relabel, keeping downstream unix_micros() legal.
+            raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
 
