@@ -77,12 +77,22 @@ object Consolidation {
     * their dataset ids). */
   def prepareOrders(spark: SparkSession, cat: Catalog, jobId: String,
       instanceId: String, recordIds: Seq[String], layout: Layout,
-      collapseOnRecordId: Option[String] = None): DataFrame = {
+      collapseOnRecordId: Option[String] = None,
+      lockedIds: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
-    val datasets = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+    // When the job holds a durable lock snapshot, the packing input is
+    // PINNED to it (semi-join on id): a resume/retry then derives the
+    // exact container set of the original run even if the live catalog
+    // gained new ACTIVE datasets for the same records in between —
+    // drifting packing would orphan the journaled task rows' outputs.
+    val found = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
       status = Seq("ACTIVE"), instanceIds = Seq(instanceId),
       recordIds = recordIds, order = true))
+    val datasets = lockedIds match {
+      case Some(lk) => found.join(lk, Seq("id"), "left_semi")
+      case None => found
+    }
 
     // A3: job AOI = union of locked footprints
     val aoi = unionFootprints(datasets, "geog_wkb")
@@ -260,6 +270,36 @@ object Consolidation {
     * carries the error text. Never appended to the tiles table. */
   val FailedSubdir = "__FAILED__"
 
+  /** A job's durable lock snapshot — one `tasks` row per locked dataset
+    * id, state "LOCK", payload = the id (the reference's
+    * job.LockDatasets flags). Written at CREATED; read back as an
+    * id-only relation by every later step and by resumes, so the lock
+    * can never silently re-derive to a different set. Shared by the
+    * consolidation and deletion FSMs. */
+  def readLockIds(spark: SparkSession, cat: Catalog, jobId: String): DataFrame =
+    cat.read(spark, "tasks")
+      .filter(col("job_id") === jobId && col("state") === "LOCK")
+      .select(col("payload").as("id"))
+      .distinct() // crash between append and journal may retry the append
+
+  /** Unsigned byte-wise UTF-8 comparison — Spark's UTF8String order, which
+    * differs from JVM `String.compareTo` (UTF-16 code units) whenever a
+    * supplementary code point meets one in [U+E000, U+FFFF]. Used by
+    * [[buildContainer]] so its JVM-side sort can never disagree with the
+    * Spark sort in [[recordOrder]]. */
+  private[consolidation] def utf8Compare(a: String, b: String): Int = {
+    val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ba.length, bb.length)
+    while (i < n) {
+      val c = (ba(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ba.length - bb.length
+  }
+
   /** The (container, subdir) → record mapping [[buildContainer]] commits
     * to, re-derived RELATIONALLY from the task orders: records group per
     * container, order by (earliest source datetime, record id), subdir =
@@ -303,10 +343,26 @@ object Consolidation {
     // normal path, while a C9 collapse packs MANY source datetimes under
     // the single collapse record — those must land in ONE output dir,
     // merged in source-datetime order (consolidater.go:328-345).
+    //
+    // Ordering MUST match [[recordOrder]]'s Spark sort bit-for-bit: C5
+    // indexes datasets against the subdir numbers re-derived there, so a
+    // divergence here serves one record's pixels under another record's
+    // identity. Spark compares TimestampType at full microsecond
+    // precision and strings as unsigned UTF-8 bytes; `getTime` (millis)
+    // and JVM UTF-16 compareTo both silently disagree with that
+    // (sub-millisecond datetimes; non-BMP code points vs [U+E000,U+FFFF]).
+    def minTs(rs: Seq[ConsolidationRow]): java.sql.Timestamp =
+      rs.map(_.datetime).reduce((x, y) => if (x.compareTo(y) <= 0) x else y)
     val byRecord = rows.groupBy(_.record_id).toSeq
-      .sortBy { case (rid, rs) => (rs.map(_.datetime.getTime).min, rid) }
+      .sortWith { case ((ridA, rsA), (ridB, rsB)) =>
+        val c = minTs(rsA).compareTo(minTs(rsB))
+        if (c != 0) c < 0 else utf8Compare(ridA, ridB) < 0
+      }
     byRecord.zipWithIndex.iterator.flatMap { case ((recordId, rs), i) =>
-      val sources = rs.sortBy(r => (r.datetime.getTime, r.dataset_id)).map { r =>
+      val sources = rs.sortWith { (a, b) =>
+        val c = a.datetime.compareTo(b.datetime)
+        if (c != 0) c < 0 else utf8Compare(a.dataset_id, b.dataset_id) < 0
+      }.map { r =>
         val full = Bitmap.fromBytes(r.payload, r.t_width, r.t_height, r.t_bands,
           DType.fromName(r.t_dtype))
         val mapping = DataMapping(

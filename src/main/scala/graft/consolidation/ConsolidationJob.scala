@@ -178,6 +178,7 @@ object ConsolidationJob {
       pauseAfter.contains(state)
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
+    if (done.contains("DONE")) return "DONE" // completed: locks released
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
     var lockedIds: org.apache.spark.sql.DataFrame = null
     var tasks: org.apache.spark.sql.DataFrame = null
@@ -185,39 +186,73 @@ object ConsolidationJob {
       // layout validation on entry (layout.go:120-129: bad interlacing
       // grammar or grid params fail the job before any work)
       spec.layout.validate()
-      // C2 init: lock = snapshot of the dataset ids to consolidate, held
-      // as an id-only RELATION (a collapse job can lock 10⁶ datasets —
-      // neither a driver array nor an isin literal list survives that).
-      // localCheckpoint(eager) PINS the snapshot: the lazy plan would
-      // otherwise re-read the datasets table after later FSM rewrites
-      // mutate it and silently lock a different set at swap time.
-      lockedIds = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
-        status = Seq("ACTIVE"), instanceIds = Seq(spec.instanceId),
-        recordIds = spec.recordIds, order = false))
-        .select("id").localCheckpoint(true)
+      // C2 init: lock = DURABLE snapshot of the dataset ids to consolidate
+      // (job.LockDatasets), written as LOCK task rows at CREATED exactly
+      // like DeletionJob, then read back as an id-only RELATION (a
+      // collapse job can lock 10⁶ datasets — neither a driver array nor an
+      // isin literal list survives that). A resume MUST read the durable
+      // snapshot, never re-derive it from the live ACTIVE set: after a
+      // crash between the swap's datasets rewrite and the EFFECTIVE
+      // journal append, the ACTIVE rows matching this filter ARE the
+      // job's own freshly-activated outputs — re-locking them would have
+      // the re-run swap flip them to TODELETE and the job journal DONE
+      // with every output and original deleted.
+      // localCheckpoint(eager) PINS the read: the lazy plan would
+      // otherwise re-read the tasks table after later FSM rewrites.
+      if (!done.contains("CREATED")) {
+        val sel = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+          status = Seq("ACTIVE"), instanceIds = Seq(spec.instanceId),
+          recordIds = spec.recordIds, order = false))
+          .select("id")
+        cat.append(sel.select(
+          concat(lit(s"${spec.jobId}-l-"),
+            md5(col("id").cast("binary"))).as("id"),
+          lit(spec.jobId).as("job_id"),
+          lit("LOCK").as("state"),
+          col("id").as("payload")), "tasks")
+      }
+      lockedIds = Consolidation.readLockIds(spark, cat, spec.jobId)
+        .localCheckpoint(true)
       val nLocked = lockedIds.count()
-      require(nLocked > 0, s"job ${spec.jobId}: no datasets to consolidate")
+      // past the swap the locks may already be released (the DONE step
+      // drops them before its journal append lands) and nothing left to
+      // run needs them — only a pre-swap job with an empty lock is broken
+      require(nLocked > 0 || done.contains("CONSOLIDATIONEFFECTIVE"),
+        s"job ${spec.jobId}: no datasets to consolidate")
       if (step("CREATED") { s"""{"locked":$nLocked}""" }) return "CREATED"
 
-      // C3 prepare orders
-      tasks = Consolidation.prepareOrders(spark, cat, spec.jobId,
-        spec.instanceId, spec.recordIds, spec.layout, spec.collapseOnRecordId)
-      tasks.cache()
-      val nTasks = tasks.count()
-      // Task rows journaled BEFORE the state (csldPrepareOrders creates
-      // tasks, then CREATED→INPROGRESS fires): one row per output
-      // container. The uri list is job-scoped metadata collected to the
-      // driver — the same cardinality the reference holds in job.Tasks.
-      val allUris: Seq[String] = tasks.select("container_uri").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      val journaled: Map[String, String] = cat.read(spark, "tasks")
-        .filter(col("job_id") === spec.jobId).select("id", "state")
-        .collect().map(r => (r.getString(0), r.getString(1))).toMap
-      if (journaled.isEmpty && !done.contains("CONSOLIDATIONINDEXED"))
-        cat.append(spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            allUris.map(u => Row(u, spec.jobId, "NEW", ""))),
-          Schemas.tasks), "tasks")
+      // C3 prepare orders — scoped to the LOCK snapshot, so a resume packs
+      // the exact container set the failed run packed even if the live
+      // catalog gained new ACTIVE datasets for the same records meanwhile
+      // (drifting packing would orphan the journaled task rows' outputs).
+      // Skipped entirely once INDEXED is journaled: nothing after C5 reads
+      // the orders, and a post-swap resume could not even rebuild them
+      // (the locked datasets are TODELETE/deleted by then).
+      var nTasks = 0L
+      var allUris: Seq[String] = Nil
+      var journaled: Map[String, String] = Map.empty
+      if (!done.contains("CONSOLIDATIONINDEXED")) {
+        tasks = Consolidation.prepareOrders(spark, cat, spec.jobId,
+          spec.instanceId, spec.recordIds, spec.layout, spec.collapseOnRecordId,
+          lockedIds = Some(lockedIds))
+        tasks.cache()
+        nTasks = tasks.count()
+        // Task rows journaled BEFORE the state (csldPrepareOrders creates
+        // tasks, then CREATED→INPROGRESS fires): one row per output
+        // container. The uri list is job-scoped metadata collected to the
+        // driver — the same cardinality the reference holds in job.Tasks.
+        allUris = tasks.select("container_uri").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        journaled = cat.read(spark, "tasks")
+          .filter(col("job_id") === spec.jobId && col("state") =!= "LOCK")
+          .select("id", "state")
+          .collect().map(r => (r.getString(0), r.getString(1))).toMap
+        if (journaled.isEmpty)
+          cat.append(spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              allUris.map(u => Row(u, spec.jobId, "NEW", ""))),
+            Schemas.tasks), "tasks")
+      }
       if (step("CONSOLIDATIONINPROGRESS") { s"""{"tasks":$nTasks}""" })
         return "CONSOLIDATIONINPROGRESS"
 
@@ -269,8 +304,10 @@ object ConsolidationJob {
             else journaled.getOrElse(u, "DONE")
           Row(u, spec.jobId, st, failures.getOrElse(u, ""))
         }
+        // LOCK rows survive the outcome rewrite — they are the durable
+        // lock snapshot, not task state
         cat.rewrite(cat.read(spark, "tasks")
-          .filter(col("job_id") =!= spec.jobId)
+          .filter(col("job_id") =!= spec.jobId || col("state") === "LOCK")
           .unionByName(spark.createDataFrame(
             spark.sparkContext.parallelize(outcome), Schemas.tasks)), "tasks")
         if (failures.nonEmpty) {
@@ -333,8 +370,14 @@ object ConsolidationJob {
           newPrefix = Some(s"${cat.root}/containers/${spec.jobId}/"))
       if (step("CONSOLIDATIONEFFECTIVE") { "" }) return "CONSOLIDATIONEFFECTIVE"
 
-      // C7 delete old
-      if (!done.contains("DONE")) Consolidation.deleteDatasets(spark, cat)
+      // C7 delete old + release the lock snapshot (the locked rows are
+      // the just-deleted TODELETE datasets; a resume that lands here
+      // again is guarded by the early DONE return / the relaxed require)
+      if (!done.contains("DONE")) {
+        Consolidation.deleteDatasets(spark, cat)
+        cat.rewrite(cat.read(spark, "tasks").filter(
+          !(col("job_id") === spec.jobId && col("state") === "LOCK")), "tasks")
+      }
       step("DONE") { "" }
       "DONE"
     } catch {
@@ -368,6 +411,9 @@ object ConsolidationJob {
       cat.rewrite(ds.filter(!(col("status") === "INACTIVE" &&
         col("container_uri").startsWith(s"${cat.root}/containers/${spec.jobId}/"))),
         "datasets")
+      // FAILED is terminal (retry refuses it) — release the lock snapshot
+      cat.rewrite(cat.read(spark, "tasks").filter(
+        !(col("job_id") === spec.jobId && col("state") === "LOCK")), "tasks")
       logState(spark, cat, spec, "FAILED", errJson(cause))
       "FAILED"
     } catch {

@@ -70,10 +70,7 @@ object DeletionJob {
     * filter that might now match other jobs' rows or nothing at all. */
   private def readLocksDf(spark: SparkSession, cat: Catalog,
       jobId: String): org.apache.spark.sql.DataFrame =
-    cat.read(spark, "tasks")
-      .filter(col("job_id") === jobId && col("state") === "LOCK")
-      .select(col("payload").as("id"))
-      .distinct() // crash between append and journal may retry the append
+    Consolidation.readLockIds(spark, cat, jobId)
 
   /** CancelledByUser for a deletion job: allowed while the flip is still
     * reversible — once rows have actually been REMOVED (detected from the

@@ -481,9 +481,12 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // r2's poisoned payload fails ITS container's task; the job parks in
     // CONSOLIDATIONFAILED without rollback — r1's container is DONE
     assert(ConsolidationJob.run(spark, cat2, spec) == "CONSOLIDATIONFAILED")
-    val taskStates = cat2.read(spark, "tasks").filter(col("job_id") === "jr1")
+    val taskStates = cat2.read(spark, "tasks")
+      .filter(col("job_id") === "jr1" && col("state") =!= "LOCK")
       .select("state").collect().map(_.getString(0)).sorted.toSeq
     assert(taskStates == Seq("DONE", "FAILED"))
+    // the durable lock snapshot is HELD while the job is parked FAILED
+    assert(Consolidation.readLockIds(spark, cat2, "jr1").count() == 2)
     val failedRow = cat2.read(spark, "tasks")
       .filter(col("job_id") === "jr1" && col("state") === "FAILED").collect().head
     assert(failedRow.getString(3).nonEmpty) // error text journaled
@@ -591,5 +594,147 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown id refuses cleanly
     assert(ConsolidationJob.retry(spark, cat2,
       spec.copy(jobId = "nope"), force = true) == "NOTFOUND")
+  }
+
+  test("C4/C5 ordering parity: sub-ms datetimes and non-BMP ids (ADVICE r9)") {
+    // Three records in ONE cell whose pack order differs between the buggy
+    // comparators (getTime millis + UTF-16 compareTo) and Spark's order
+    // (full-micros timestamps + UTF-8 bytes): all three datetimes share a
+    // millisecond, and the two tied ids straddle the UTF-16/UTF-8
+    // disagreement (U+1F600 surrogate pair vs U+E000). A comparator drift
+    // makes C5 index a record against another record's pixels.
+    val root3 = java.nio.file.Files.createTempDirectory("graft-csld-ord").toString
+    val cat3 = Catalog(root3)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat3.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val b = BBox(0, 0, 4, 4)
+    val idEarly = "zzz"                 // .000300 — earliest by micros
+    val idE000 = "zz\uE000"             // .000400 — UTF-8 EE.. < F0.., UTF-16 E000 > D83D
+    val idEmoji = "zz\uD83D\uDE00"      // .000400 — U+1F600
+    val idLate = "aaa"                  // .000500 — LAST by micros, FIRST by id:
+                                        // a millis-truncating comparator ties all
+                                        // four datetimes and packs this record first
+    write("aoi", Seq(Row("a1", "h1", wkbBox(b), bboxRow(b))))
+    write("records", Seq(
+      Row(idEarly, "s1", ts("2024-01-01 00:00:00.0003"), Map.empty[String, String], "a1"),
+      Row(idE000, "s2", ts("2024-01-01 00:00:00.0004"), Map.empty[String, String], "a1"),
+      Row(idEmoji, "s3", ts("2024-01-01 00:00:00.0004"), Map.empty[String, String], "a1"),
+      Row(idLate, "s4", ts("2024-01-01 00:00:00.0005"), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://o1", false, "STANDARD"),
+      Row("mem://o2", false, "STANDARD"), Row("mem://o3", false, "STANDARD"),
+      Row("mem://o4", false, "STANDARD")))
+    def dsRow(id: String, rid: String, uri: String): Row =
+      Row(id, rid, "i1", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(b), wkbBox(b), 4326, bboxRow(b))
+    write("datasets", Seq(dsRow("d1", idEarly, "mem://o1"),
+      dsRow("d2", idE000, "mem://o2"), dsRow("d3", idEmoji, "mem://o3"),
+      dsRow("d4", idLate, "mem://o4")))
+    def tile(uri: String, v: Double): Row =
+      Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326", Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(v)).toBytes)
+    write("tiles", Seq(tile("mem://o1", 30.0), tile("mem://o2", 40.0),
+      tile("mem://o3", 50.0), tile("mem://o4", 60.0)))
+
+    val spec = ConsolidationJob.Spec("jord", "ordering", "i1",
+      Seq(idEarly, idE000, idEmoji, idLate),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat3, spec) == "DONE")
+
+    // Spark's order: earliest micros first, then UTF-8 id tie-break
+    val ds = cat3.read(spark, "datasets").collect()
+      .map(r => r.getAs[String]("record_id") ->
+        (r.getAs[String]("container_uri"), r.getAs[String]("subdir"))).toMap
+    assert(ds(idEarly)._2 == "GTIFF_DIR:1")
+    assert(ds(idE000)._2 == "GTIFF_DIR:2")
+    assert(ds(idEmoji)._2 == "GTIFF_DIR:3")
+    assert(ds(idLate)._2 == "GTIFF_DIR:4")
+    // and the indexed identity serves the record's OWN pixels
+    val tiles = cat3.read(spark, "tiles").collect()
+      .map(r => (r.getAs[String]("container_uri"), r.getAs[String]("subdir")) ->
+        r.getAs[Array[Byte]]("payload")).toMap
+    for ((rid, v) <- Seq(idEarly -> 30.0, idE000 -> 40.0, idEmoji -> 50.0,
+        idLate -> 60.0)) {
+      val bm = Bitmap.fromBytes(tiles(ds(rid)), 8, 8, 1, DType.UInt8)
+      assert(bm.pixels.exists(_ == v), s"record $rid lost its pixels")
+      assert(!bm.pixels.exists(p => p != v && p != 255.0),
+        s"record $rid serves another record's pixels")
+    }
+    // the comparator itself agrees with Spark on the adversarial pair
+    assert(Consolidation.utf8Compare(idE000, idEmoji) < 0)
+    assert(idE000.compareTo(idEmoji) > 0) // …which the JVM order inverts
+  }
+
+  test("swap-crash window: resume reads the durable lock, outputs survive") {
+    val cat2 = twoCellCatalog("swapcrash", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jsw", "swapcrash", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONINDEXED")) == "CONSOLIDATIONINDEXED")
+    // the durable snapshot exists from CREATED on
+    val locked = Consolidation.readLockIds(spark, cat2, "jsw").localCheckpoint(true)
+    assert(locked.count() == 2)
+    // simulate the crash: the swap's datasets rewrite lands, the
+    // CONSOLIDATIONEFFECTIVE journal append does not
+    Consolidation.swap(spark, cat2, "i1", locked, keepOld = false,
+      newPrefix = Some(s"${cat2.root}/containers/jsw/"))
+    // resume: a lock re-derived from the live ACTIVE set would now be the
+    // job's own freshly-activated outputs, and the re-run swap would flip
+    // them to TODELETE — C7 then deletes originals AND outputs
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    val ds = cat2.read(spark, "datasets").collect()
+    assert(ds.nonEmpty,
+      "all datasets deleted: the resume re-locked the job's own outputs")
+    assert(ds.forall(_.getAs[String]("status") == "ACTIVE"))
+    assert(ds.forall(_.getAs[String]("container_uri")
+      .startsWith(s"${cat2.root}/containers/jsw/")))
+    // locks released at DONE; a re-run of a DONE job is a journal no-op
+    assert(cat2.read(spark, "tasks").filter(col("state") === "LOCK").count() == 0)
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+  }
+
+  test("resume packing is pinned to the lock: mid-job ingest stays out") {
+    val cat2 = twoCellCatalog("midingest", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jmi", "midingest", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONINPROGRESS")) == "CONSOLIDATIONINPROGRESS")
+    // a new ACTIVE dataset for r1 lands while the job is parked
+    val b1 = BBox(0, 0, 4, 4)
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("dX", "r1", "i1", "mem://cX", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(b1), wkbBox(b1), 4326, bboxRow(b1)))),
+      Schemas.all("datasets")), "datasets")
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("mem://cX", false, "STANDARD"))), Schemas.all("containers")), "containers")
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("mem://cX", "", 4, 4, 1, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(77.0)).toBytes))),
+      Schemas.all("tiles")), "tiles")
+    // resume to DONE: the packing re-derives from the LOCK snapshot, so
+    // dX is neither consolidated nor swapped out
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    val dx = cat2.read(spark, "datasets").filter(col("id") === "dX").collect()
+    assert(dx.length == 1 && dx.head.getAs[String]("status") == "ACTIVE")
+    assert(dx.head.getAs[String]("container_uri") == "mem://cX")
+    // its container and tile survive C7's GC (a dataset references them)
+    assert(cat2.read(spark, "containers")
+      .filter(col("uri") === "mem://cX").count() == 1)
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri") === "mem://cX").count() == 1)
+    // the consolidated outputs hold ONLY the locked records' pixels
+    val outTiles = cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(s"${cat2.root}/containers/jmi/"))
+      .filter(!col("subdir").rlike("@ov\\d+$")).collect()
+    assert(outTiles.forall { t =>
+      val bm = Bitmap.fromBytes(t.getAs[Array[Byte]]("payload"), 8, 8, 1, DType.UInt8)
+      !bm.pixels.exists(_ == 77.0)
+    })
   }
 }
