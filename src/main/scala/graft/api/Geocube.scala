@@ -185,21 +185,28 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     CatalogQueries.listByName(spark, cat, "jobs", nameLike, limit)
 
   def cleanJobs(nameLike: String = "", state: Option[String] = None): Long = {
-    var jobs = cat.read(spark, "jobs")
+    val jobs = cat.read(spark, "jobs")
     val total = jobs.count()
     var victims = jobs
     Patterns.predicate(col("name"), if (nameLike.isEmpty) Nil else Seq(nameLike))
       .foreach(p => victims = victims.filter(p))
     state.foreach(s => victims = victims.filter(col("state") === s))
-    val ids = victims.select("id").distinct().collect().map(_.getString(0)).toSeq
-    if (ids.nonEmpty) {
-      cat.rewrite(jobs.filter(!col("id").isin(ids: _*)), "jobs")
-      // cascade to the jobs' task rows (the reference deletes tasks with
-      // their job) — otherwise cleaned jobs leak task rows forever
-      cat.rewrite(cat.read(spark, "tasks")
-        .filter(!col("job_id").isin(ids: _*)), "tasks")
-    }
-    total - cat.read(spark, "jobs").count()
+    // the victim set rides as a RELATION (anti-joins), never an isin
+    // literal list — a bulk clean by state over a long job history is
+    // unbounded. Checkpoint pins the set: the jobs rewrite below mutates
+    // the table the lazy victims plan reads.
+    val victimIds = victims.select("id").distinct().localCheckpoint(true)
+    try {
+      if (victimIds.limit(1).count() > 0) {
+        cat.rewrite(jobs.join(victimIds, Seq("id"), "left_anti"), "jobs")
+        // cascade to the jobs' task rows (the reference deletes tasks with
+        // their job) — otherwise cleaned jobs leak task rows forever
+        cat.rewrite(cat.read(spark, "tasks")
+          .join(victimIds.withColumnRenamed("id", "job_id"),
+            Seq("job_id"), "left_anti"), "tasks")
+      }
+      total - cat.read(spark, "jobs").count()
+    } finally graft.operators.OperatorCaches.releaseLocalCheckpoint(victimIds)
   }
 
   // ---- grids / layouts (service.go:78-86)

@@ -26,9 +26,19 @@ final case class Catalog(root: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.all(table))
   }
 
+  /** Tables written with a partition column: `datasets` by instance
+    * (instance filters prune), `jobs` by type — the streaming journal
+    * probes `type = TASKEVENT` once per micro-batch, and FSM state rows
+    * must not make that probe a full-history scan at 100× scale. */
+  private def partitionColumn(table: String): Option[String] = table match {
+    case "datasets" => Some("instance_id")
+    case "jobs" => Some("type")
+    case _ => None
+  }
+
   def append(df: DataFrame, table: String): Unit = {
     val writer = df.write.mode(SaveMode.Append)
-    (if (table == "datasets") writer.partitionBy("instance_id") else writer)
+    partitionColumn(table).fold(writer)(writer.partitionBy(_))
       .parquet(path(table))
   }
 
@@ -42,7 +52,7 @@ final case class Catalog(root: String) {
     val old = new java.io.File(path(table) + ".old")
     if (tmp.exists) delete(tmp)
     val writer = df.write.mode(SaveMode.Overwrite)
-    (if (table == "datasets") writer.partitionBy("instance_id") else writer)
+    partitionColumn(table).fold(writer)(writer.partitionBy(_))
       .parquet(tmp.getPath)
     if (old.exists) delete(old)
     if (dest.exists && !dest.renameTo(old))

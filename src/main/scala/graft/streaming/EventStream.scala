@@ -136,11 +136,18 @@ object EventStream {
     val deltas = taskEventDeltas(batch)
     if (!deltas.isEmpty) {
       val marker = s"$runKey-batch-$batchId"
-      val replayed = cat.read(spark, "jobs")
+      // Replay guard keyed per (marker, job), not marker existence alone:
+      // cat.append is a plain multi-file parquet append, so a crash
+      // mid-commit can persist marker rows for a SUBSET of the batch's
+      // jobs — a batch-level probe would then skip the replayed batch
+      // whole and lose the remaining jobs' deltas forever. The anti-join
+      // appends exactly the missing rows, so any number of replays
+      // converges on one marker row per job.
+      val already = cat.read(spark, "jobs")
         .filter(col("type") === "TASKEVENT" && col("name") === marker)
-        .limit(1).count() > 0
-      if (!replayed) {
-        val rows = deltas.collect().map { r =>
+        .select(col("id").as("job_id"))
+      val rows = deltas.join(already, Seq("job_id"), "left_anti")
+        .collect().map { r =>
           org.apache.spark.sql.Row(
             r.getAs[String]("job_id"), marker, "TASKEVENT",
             "COUNTERS",
@@ -150,10 +157,10 @@ object EventStream {
             r.getAs[java.sql.Timestamp]("last_event_ts"),
             r.getAs[java.sql.Timestamp]("last_event_ts"))
         }
+      if (rows.nonEmpty)
         cat.append(spark.createDataFrame(
           spark.sparkContext.parallelize(rows.toSeq),
           graft.catalog.Schemas.jobs), "jobs")
-      }
     }
   }
 

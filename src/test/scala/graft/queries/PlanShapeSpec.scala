@@ -94,6 +94,39 @@ class PlanShapeSpec extends AnyFunSuite {
     rm(new java.io.File(root))
   }
 
+  test("streaming journal marker probe partition-prunes on jobs type") {
+    import graft.catalog.{Catalog, Schemas}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-planshape-jobs").toString
+    val cat = Catalog(root)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    cat.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("j1", "runA-batch-1", "TASKEVENT", "COUNTERS", 1, 0, "", t0, t0),
+      Row("j1", "csld", "CONSOLIDATION", "DONE", 0, 0, "", t0, t0),
+      Row("j2", "del", "DELETION", "DONE", 0, 0, "", t0, t0))),
+      Schemas.jobs), "jobs")
+    // round-trip sanity: the partitioned layout serves the full schema
+    assert(cat.read(spark, "jobs").count() == 3)
+    // the per-micro-batch replay probe (EventStream.journalTaskDeltas)
+    // must prune to the type=TASKEVENT directory — at 100× scale the FSM
+    // state history dwarfs the journal and a full scan per batch is the
+    // driver-path bottleneck VERDICT r9 flagged
+    val probe = cat.read(spark, "jobs")
+      .filter(col("type") === "TASKEVENT" && col("name") === "runA-batch-1")
+    val scans = probe.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }
+    assert(scans.nonEmpty, "no parquet scan in the probe plan")
+    val part = scans.map(_.getOrElse("PartitionFilters", "")).mkString(";")
+    assert(part.contains("type"), s"no type partition pruning: $part")
+    assert(probe.count() == 1)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+  }
+
   test("the dedup/LSH family stays on keyed equi-joins end to end") {
     for (name <- Seq("dedup_lsh_pairs", "dedup_embed", "dedup_ngram",
         "sim_lsh_buckets", "mix_stratified")) {

@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 3)
   }
 
+  test("torn marker append: replay journals only the missing jobs' deltas") {
+    import spark.implicits._
+    val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-torn").toString)
+    // simulate a crash mid-commit of batch 5: the marker row for jA
+    // persisted, jB's never landed
+    val t0 = ts("2024-01-01 00:00:00")
+    cat2.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        "jA", "runT-batch-5", "TASKEVENT", "COUNTERS", 1, 0,
+        """{"batch":5}""", t0, t0))),
+      graft.catalog.Schemas.jobs), "jobs")
+    val batch = Seq(
+      TaskEvent("jA", "t1", "SUCCEEDED", "", t0),
+      TaskEvent("jB", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01"))).toDS()
+    // the replayed batch must append jB's delta and NOT double-count jA's
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 5, "runT")
+    val rows = cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.getAs[String]("id") == "jA") == 1)
+    val jb = rows.find(_.getAs[String]("id") == "jB").get
+    assert(jb.getAs[Int]("active_tasks") == 1 && jb.getAs[Int]("failed_tasks") == 1)
+    // a further replay of the now-complete batch is a no-op
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 5, "runT")
+    assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 2)
+  }
+
   test("file-queue broker adapter: published files drive the same counter FSM") {
     // messaging.go Publisher/Consumer parity: an external (Spark-free)
     // producer drops JSON files in a queue dir; the SAME driveJobCounters
