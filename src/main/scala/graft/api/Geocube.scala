@@ -113,6 +113,159 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
   def listVariables(nameLike: String = "", limit: Int = 0, offset: Int = 0): DataFrame =
     CatalogQueries.listByName(spark, cat, "variable_definitions", nameLike, limit, offset)
 
+  final case class InstanceInfo(id: String, name: String,
+      metadata: Map[String, String])
+
+  final case class VariableInfo(id: String, name: String, unit: String,
+      description: String, bands: Seq[String], dtype: String, noData: Double,
+      minValue: Double, maxValue: Double, palette: String,
+      resamplingAlg: String, instances: Seq[InstanceInfo])
+
+  /** UpdateVariable (service.go:50; svc/service.go:130-143): partial
+    * update — None leaves a field untouched; renaming onto another
+    * variable's name refuses (the reference's unique-name constraint);
+    * the resampling name is validated up front. False for unknown ids.
+    * The update is immediately visible on the serving paths (the XYZ
+    * palette/resampling resolution reads the definitions table). */
+  def updateVariable(variableId: String, name: Option[String] = None,
+      unit: Option[String] = None, description: Option[String] = None,
+      palette: Option[String] = None,
+      resamplingAlg: Option[String] = None): Boolean = {
+    resamplingAlg.foreach(graft.raster.Resampling.fromName) // throws on bad
+    val defs = cat.read(spark, "variable_definitions")
+    if (defs.filter(col("id") === variableId).limit(1).count() == 0) false
+    else {
+      name.foreach { n =>
+        require(defs.filter(col("name") === n && col("id") =!= variableId)
+          .limit(1).count() == 0,
+          s"variable name '$n' already exists")
+      }
+      val hit = col("id") === variableId
+      var out = defs
+      def set(c: String, v: Option[String]): Unit = v.foreach(x =>
+        out = out.withColumn(c, when(hit, lit(x)).otherwise(col(c))))
+      set("name", name); set("unit", unit); set("description", description)
+      set("palette", palette); set("resampling_alg", resamplingAlg)
+      cat.rewrite(out, "variable_definitions")
+      true
+    }
+  }
+
+  /** GetVariable (service.go:52; svc/service.go:145-166): resolve by the
+    * FIRST non-empty of variable id / instance id / variable name, with
+    * the variable's instances attached. All-empty refuses. */
+  def getVariable(variableId: String = "", instanceId: String = "",
+      variableName: String = ""): Option[VariableInfo] = {
+    require(variableId.nonEmpty || instanceId.nonEmpty || variableName.nonEmpty,
+      "getVariable: all parameters are empty")
+    val defs = cat.read(spark, "variable_definitions")
+    val insts = cat.read(spark, "variable_instances")
+    val defRow: Option[Row] =
+      if (variableId.nonEmpty) defs.filter(col("id") === variableId)
+        .collect().headOption
+      else if (instanceId.nonEmpty)
+        insts.filter(col("id") === instanceId)
+          .select("definition_id").collect().headOption
+          .flatMap(d => defs.filter(col("id") === d.getString(0))
+            .collect().headOption)
+      else defs.filter(col("name") === variableName).collect().headOption
+    defRow.map { r =>
+      val vid = r.getAs[String]("id")
+      val vis = insts.filter(col("definition_id") === vid)
+        .orderBy("id").collect().map { i =>
+          InstanceInfo(i.getAs[String]("id"), i.getAs[String]("name"),
+            Option(i.getAs[scala.collection.Map[String, String]]("metadata"))
+              .map(_.toMap).getOrElse(Map.empty))
+        }.toSeq
+      VariableInfo(vid, r.getAs[String]("name"), r.getAs[String]("unit"),
+        r.getAs[String]("description"),
+        r.getAs[scala.collection.Seq[String]]("bands").toSeq,
+        r.getAs[String]("dtype"), r.getAs[Double]("no_data"),
+        r.getAs[Double]("min_value"), r.getAs[Double]("max_value"),
+        r.getAs[String]("palette"), r.getAs[String]("resampling_alg"), vis)
+    }
+  }
+
+  /** UpdateInstance (service.go:55; svc/service.go:200-212): rename and/or
+    * merge-in metadata and delete metadata keys. False for unknown ids;
+    * renaming onto a sibling instance's name refuses. */
+  def updateInstance(instanceId: String, name: Option[String] = None,
+      newMetadata: Map[String, String] = Map.empty,
+      delMetadataKeys: Seq[String] = Nil): Boolean = {
+    val insts = cat.read(spark, "variable_instances")
+    val mine = insts.filter(col("id") === instanceId)
+      .select("definition_id").collect().headOption
+    if (mine.isEmpty) false
+    else {
+      name.foreach { n =>
+        require(insts.filter(col("definition_id") === mine.get.getString(0) &&
+            col("name") === n && col("id") =!= instanceId)
+          .limit(1).count() == 0,
+          s"instance name '$n' already exists for this variable")
+      }
+      val hit = col("id") === instanceId
+      var out = insts
+      name.foreach(n => out = out.withColumn("name",
+        when(hit, lit(n)).otherwise(col("name"))))
+      if (newMetadata.nonEmpty) {
+        val merged = map_concat(
+          map_filter(coalesce(col("metadata"), map()),
+            (k, _) => !k.isin(newMetadata.keys.map(lit(_)).toSeq: _*)),
+          map(newMetadata.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*))
+        out = out.withColumn("metadata",
+          when(hit, merged).otherwise(col("metadata")))
+      }
+      if (delMetadataKeys.nonEmpty) {
+        val pruned = map_filter(coalesce(col("metadata"), map()),
+          (k, _) => !k.isin(delMetadataKeys.map(lit(_)): _*))
+        out = out.withColumn("metadata",
+          when(hit, pruned).otherwise(col("metadata")))
+      }
+      cat.rewrite(out, "variable_instances")
+      true
+    }
+  }
+
+  /** DeleteInstance (service.go:58-59; pg_variables.go
+    * DeletePendingInstances): delete iff no dataset (any status)
+    * references the instance — true deleted, false refused-in-use;
+    * unknown ids raise. */
+  def deleteInstance(instanceId: String): Boolean = {
+    val insts = cat.read(spark, "variable_instances")
+    if (insts.filter(col("id") === instanceId).limit(1).count() == 0)
+      throw new NoSuchElementException(s"instance $instanceId not found")
+    val used = cat.read(spark, "datasets")
+      .filter(col("instance_id") === instanceId).limit(1).count() > 0
+    if (used) false
+    else {
+      cat.rewrite(insts.filter(col("id") =!= instanceId), "variable_instances")
+      true
+    }
+  }
+
+  /** DeleteVariable (service.go:56-57): delete the variable AND all its
+    * instances iff no dataset references any of them — true deleted,
+    * false refused-in-use; unknown ids raise. */
+  def deleteVariable(variableId: String): Boolean = {
+    val defs = cat.read(spark, "variable_definitions")
+    if (defs.filter(col("id") === variableId).limit(1).count() == 0)
+      throw new NoSuchElementException(s"variable $variableId not found")
+    val insts = cat.read(spark, "variable_instances")
+    val mine = insts.filter(col("definition_id") === variableId)
+    val used = cat.read(spark, "datasets")
+      .join(mine.select(col("id").as("instance_id")), Seq("instance_id"),
+        "left_semi")
+      .limit(1).count() > 0
+    if (used) false
+    else {
+      cat.rewrite(insts.filter(col("definition_id") =!= variableId),
+        "variable_instances")
+      cat.rewrite(defs.filter(col("id") =!= variableId),
+        "variable_definitions")
+      true
+    }
+  }
+
   /** CreatePalette (grpc service.go CreatePalette, palette.go:37): store a
     * named palette in the catalog; `replace` upserts. A variable that
     * names this palette gets it applied on the XYZ/PNG serving paths. */
@@ -149,6 +302,25 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       collapseOnRecordId: Option[String] = None): String =
     ConsolidationJob.run(spark, cat, ConsolidationJob.Spec(
       jobId, name, instanceId, recordIds, layout, params, collapseOnRecordId))
+
+  /** ConsolidateFromFilters (service.go:70; svc/service.go:447-461):
+    * resolve the record set from tags + time over the instance's ACTIVE
+    * datasets (ListActiveDatasetsID), then drive the same consolidation
+    * FSM. Refuses when the filters select nothing. */
+  def consolidateFromFilters(jobId: String, name: String, instanceId: String,
+      tags: Map[String, String], fromTime: Option[java.sql.Timestamp],
+      toTime: Option[java.sql.Timestamp], layout: GridLayout,
+      params: ConsolidationParams): String = {
+    val recordIds = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+        status = Seq("ACTIVE"), instanceIds = Seq(instanceId),
+        recordTags = tags, fromTime = fromTime, toTime = toTime,
+        order = false))
+      .select("record_id").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(recordIds.nonEmpty,
+      s"consolidateFromFilters: no ACTIVE dataset matches the filters")
+    consolidateFromRecords(jobId, name, instanceId, recordIds, layout, params)
+  }
 
   /** Retry (grpc RetryJob → operations.go Retry trigger, job.go:28-55
     * RETRYING/FORCERETRYING): re-emit a parked job's FAILED tasks; force
@@ -226,7 +398,15 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
   }
 
   def createLayout(l: GridLayout): Unit = {
-    l.validate()
+    val kind = l.gridFlags.headOption.getOrElse("regular")
+    if (kind == "regular" || kind == "singlecell") l.validate()
+    else {
+      // custom grid (customgrid.go:26-41): structural checks here, the
+      // named grid must exist in the cells table
+      l.validateStructure()
+      require(cat.read(spark, "cells").filter(col("grid") === kind)
+        .limit(1).count() > 0, s"custom grid '$kind' not found")
+    }
     append("layouts", Seq(Row(l.name, l.gridFlags, l.gridParameters,
       l.blockXSize, l.blockYSize, l.maxRecords, l.overviewsMinSize,
       l.interlacingPattern)))
@@ -234,6 +414,59 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
 
   def listLayouts(nameLike: String = ""): DataFrame =
     CatalogQueries.listByName(spark, cat, "layouts", nameLike)
+
+  /** DeleteLayout (service.go:84): refuses while any consolidated
+    * container still follows the layout (the container_layouts FK of the
+    * reference schema) — true deleted, false not found. */
+  def deleteLayout(name: String): Boolean = {
+    val layouts = cat.read(spark, "layouts")
+    if (layouts.filter(col("name") === name).limit(1).count() == 0) false
+    else {
+      require(cat.read(spark, "container_layouts")
+        .filter(col("layout_name") === name).limit(1).count() == 0,
+        s"layout '$name' is still referenced by consolidated containers")
+      cat.rewrite(layouts.filter(col("name") =!= name), "layouts")
+      true
+    }
+  }
+
+  /** DeleteGrid (service.go:80; pg_grids.go:63-68: drop the grid's cells):
+    * refuses while a layout still names the grid in its grid_flags —
+    * true deleted, false not found. */
+  def deleteGrid(gridName: String): Boolean = {
+    val cells = cat.read(spark, "cells")
+    if (cells.filter(col("grid") === gridName).limit(1).count() == 0) false
+    else {
+      require(cat.read(spark, "layouts")
+        .filter(array_contains(col("grid_flags"), gridName))
+        .limit(1).count() == 0,
+        s"grid '$gridName' is still referenced by a layout")
+      cat.rewrite(cells.filter(col("grid") =!= gridName), "cells")
+      true
+    }
+  }
+
+  /** FindContainerLayouts (service.go:85; db.go:175-177;
+    * pg_layouts.go:85-130): which layout each consolidated container
+    * follows, for a dataset filter set — the metadata the reference's
+    * DownloadCube client replays cubes from. One distinct
+    * (layout_name, container_uri) relation: datasets filtered like S1,
+    * semi-joined into container_layouts. */
+  def findContainerLayouts(instanceId: String, recordIds: Seq[String] = Nil,
+      recordTags: Map[String, String] = Map.empty,
+      fromTime: Option[java.sql.Timestamp] = None,
+      toTime: Option[java.sql.Timestamp] = None,
+      aoi: Option[Geometry] = None): DataFrame = {
+    val ds = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
+      status = Seq("ACTIVE"), instanceIds = Seq(instanceId),
+      recordIds = recordIds, recordTags = recordTags,
+      fromTime = fromTime, toTime = toTime, geog = aoi, order = false))
+    cat.read(spark, "container_layouts")
+      .join(ds.select("container_uri").distinct(), Seq("container_uri"),
+        "left_semi")
+      .select("layout_name", "container_uri").distinct()
+      .orderBy("layout_name", "container_uri")
+  }
 
   /** TileAOI (G6): stream covering cells in fixed batches. */
   def tileAoi(aoi: Geometry, layout: GridLayout,
@@ -244,8 +477,23 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
 
   def getXyzTile(instanceId: String, x: Long, y: Long, z: Int,
       min: Double = 0, max: Double = 0,
+      palette: Option[Palette] = None,
+      recordIds: Seq[String] = Nil): Option[Array[Byte]] =
+    XYZTile.getTile(spark, cat, instanceId, x, y, z, min, max, palette,
+      recordIds = recordIds)
+
+  /** GetXYZTileFromFilters (service.go:90): the tile's record set scoped
+    * by tags + time instead of explicit ids — a thin wrapper over the
+    * same mosaic path. */
+  def getXyzTileFromFilters(instanceId: String,
+      tags: Map[String, String] = Map.empty,
+      fromTime: Option[java.sql.Timestamp] = None,
+      toTime: Option[java.sql.Timestamp] = None,
+      x: Long, y: Long, z: Int,
+      min: Double = 0, max: Double = 0,
       palette: Option[Palette] = None): Option[Array[Byte]] =
-    XYZTile.getTile(spark, cat, instanceId, x, y, z, min, max, palette)
+    XYZTile.getTile(spark, cat, instanceId, x, y, z, min, max, palette,
+      tags = tags, fromTime = fromTime, toTime = toTime)
 
   def getCubeFromRecords(recordGroups: Seq[Seq[String]], instanceIds: Seq[String],
       crs: String, transform: graft.geo.Affine, width: Int, height: Int,

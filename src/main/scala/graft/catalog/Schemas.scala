@@ -98,6 +98,13 @@ object Schemas {
     StructField("coordinates_wkb", BinaryType),
     StructField("bbox", bbox)))
 
+  /** container_layouts — create.sql:180-186 (which layout each
+    * consolidated container follows; written at C5, read by
+    * FindContainerLayouts / the downloadCube metadata path). */
+  val containerLayouts: StructType = StructType(Seq(
+    StructField("container_uri", StringType, nullable = false),
+    StructField("layout_name", StringType, nullable = false)))
+
   /** palette — create.sql:41-45. */
   val palette: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -147,5 +154,6 @@ object Schemas {
     "variable_instances" -> variableInstances,
     "containers" -> containers, "datasets" -> datasets,
     "layouts" -> layouts, "cells" -> cells, "palette" -> palette,
+    "container_layouts" -> containerLayouts,
     "jobs" -> jobs, "tasks" -> tasks, "tiles" -> tiles)
 }

@@ -527,5 +527,17 @@ object Consolidation {
     val tiles = cat.read(spark, "tiles")
     cat.rewrite(tiles.join(live.withColumnRenamed("container_uri", "__live"),
       tiles("container_uri") === col("__live"), "left_semi"), "tiles")
+    gcContainerLayouts(spark, cat)
+  }
+
+  /** Drop container_layouts rows whose container is gone — the cascade the
+    * reference runs with each container delete (persister.go:215,
+    * DeleteContainerLayout). Called after every containers GC. */
+  def gcContainerLayouts(spark: SparkSession, cat: Catalog): Unit = {
+    val cl = cat.read(spark, "container_layouts")
+    if (cl.limit(1).count() > 0)
+      cat.rewrite(cl.join(
+        cat.read(spark, "containers").select(col("uri").as("container_uri")),
+        Seq("container_uri"), "left_semi"), "container_layouts")
   }
 }

@@ -104,6 +104,8 @@ object ConsolidationJob {
       .filter(!col("container_uri").startsWith(prefix)), "tiles")
     cat.rewrite(cat.read(spark, "containers")
       .filter(!col("uri").startsWith(prefix)), "containers")
+    cat.rewrite(cat.read(spark, "container_layouts")
+      .filter(!col("container_uri").startsWith(prefix)), "container_layouts")
     // the rolled-back job's task rows are dead — drop them with the
     // rollback (the reference deletes a job's tasks alongside it)
     cat.rewrite(cat.read(spark, "tasks")
@@ -357,6 +359,19 @@ object ConsolidationJob {
             .filter(!col("subdir").rlike("@ov\\d+$"))
             .join(order, Seq("container_uri", "subdir"))
           Consolidation.index(spark, cat, jobTiles, spec.instanceId, spec.params)
+          // container_layouts: which layout each new container follows
+          // (csldIndex's SaveContainerLayout, consolidater.go:625) —
+          // purge-then-append under the job prefix for the same crash
+          // window the dataset purge above covers
+          val cl = cat.read(spark, "container_layouts")
+          if (cl.filter(col("container_uri").startsWith(prefix))
+              .limit(1).count() > 0)
+            cat.rewrite(cl.filter(!col("container_uri").startsWith(prefix)),
+              "container_layouts")
+          cat.append(cat.read(spark, "containers")
+            .filter(col("uri").startsWith(prefix))
+            .select(col("uri").as("container_uri"),
+              lit(spec.layout.name).as("layout_name")), "container_layouts")
         } finally graft.operators.OperatorCaches.releaseLocalCheckpoint(order)
       }
       if (step("CONSOLIDATIONINDEXED") { "" }) return "CONSOLIDATIONINDEXED"

@@ -203,6 +203,7 @@ object DeletionJob {
         val tiles = cat.read(spark, "tiles")
         cat.rewrite(tiles.join(live.withColumnRenamed("container_uri", "__live"),
           tiles("container_uri") === col("__live"), "left_semi"), "tiles")
+        Consolidation.gcContainerLayouts(spark, cat)
         // idempotent append: a crash after a previous attempt's append
         // re-enters this block — URIs that already have a task keep it
         // (task id = md5 of the uri: deterministic, so retries can never

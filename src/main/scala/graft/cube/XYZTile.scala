@@ -22,14 +22,22 @@ object XYZTile {
   def getTile(spark: SparkSession, cat: Catalog, instanceId: String,
       x: Long, y: Long, z: Int,
       minOverride: Double = 0, maxOverride: Double = 0,
-      palette: Option[Palette] = None): Option[Array[Byte]] = {
+      palette: Option[Palette] = None,
+      recordIds: Seq[String] = Nil,
+      tags: Map[String, String] = Map.empty,
+      fromTime: Option[java.sql.Timestamp] = None,
+      toTime: Option[java.sql.Timestamp] = None): Option[Array[Byte]] = {
     // all records merged into one slice: a single group of every matching
-    // record (getMosaic consolidates the full scan into one image)
+    // record (getMosaic consolidates the full scan into one image);
+    // records scoped by ids (GetXYZTile) or tags+time
+    // (GetXYZTileFromFilters, service.go:90) when given
     val req = CubeRequest(
       instanceIds = Seq(instanceId),
       crs = "EPSG:3857",
       transform = Grid.xyzTransform(x, y, z),
       width = 256, height = 256,
+      recordIds = recordIds, tags = tags,
+      fromTime = fromTime, toTime = toTime,
       validPixPc = 0)
 
     val out = GetCube.prepare(spark, cat, req)

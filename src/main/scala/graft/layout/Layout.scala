@@ -19,14 +19,22 @@ final case class Layout(
 
   @transient lazy val grid: Grid = Grid.fromLayout(gridFlags, gridParameters)
 
-  /** Validation the reference runs on layout creation (layout.go:120-129):
-    * block sizes/packing positive, and the interlacing pattern must parse
-    * (mucog.InitIterators check :127). Throws IllegalArgumentException. */
-  def validate(): this.type = {
+  /** The grid-independent half of [[validate]] — used for layouts whose
+    * grid is a catalog-defined CUSTOM grid (resolvable only with a
+    * catalog at covers time, customgrid.go:26-41). */
+  def validateStructure(): this.type = {
     require(blockXSize > 0 && blockYSize > 0, "block sizes must be positive")
     require(maxRecords > 0, "max_records must be positive")
     if (interlacingPattern.nonEmpty)
       graft.raster.Interlacing.parse(interlacingPattern) // throws on bad grammar
+    this
+  }
+
+  /** Validation the reference runs on layout creation (layout.go:120-129):
+    * block sizes/packing positive, and the interlacing pattern must parse
+    * (mucog.InitIterators check :127). Throws IllegalArgumentException. */
+  def validate(): this.type = {
+    validateStructure()
     grid // force grid-parameter validation too
     this
   }

@@ -1417,6 +1417,80 @@ object RelationalQueries {
       .orderBy("n_nationkey")
   }
 
+  /** s5_variable_lifecycle — the variable CRUD surface driven end to end
+    * through the facade (service.go:49-59; svc/service.go:130-236):
+    * per nation key, create a variable + two instances, partial-update
+    * the definition (rename/unit/resampling), resolve it back BY
+    * INSTANCE ID, rename an instance and merge/delete its metadata, then
+    * exercise the only-if-unused delete guards — keys ≡0 (mod 3) index a
+    * dataset against instance b first, so both deletes REFUSE and both
+    * instances survive; other keys delete instance b then the whole
+    * variable. Every emitted column is analytic in k, so DuckDB mirrors
+    * the lifecycle outcome without a catalog. */
+  def s5VariableLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.api.Geocube
+    import graft.catalog.{Catalog, Schemas}
+    import graft.core.{DataFormat, DType, NumRange}
+    import graft.geo.{BBox, GeomOps}
+    import graft.raster.Bitmap
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-varlc-" + dirKey(dir))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val cat = Catalog(root.toString)
+    val gc = Geocube(s, cat)
+    // shared backing for the in-use guard: one record + container + tile
+    val box = BBox(0, 0, 4, 4)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(box))
+    cat.append(s.createDataFrame(s.sparkContext.parallelize(Seq(
+      Row("a1", "h1", wkb, Row(box.xmin, box.ymin, box.xmax, box.ymax)))),
+      Schemas.all("aoi")), "aoi")
+    cat.append(s.createDataFrame(s.sparkContext.parallelize(Seq(
+      Row("rvl", "scene", new java.sql.Timestamp(1704067200000L),
+        Map.empty[String, String], "a1"))), Schemas.all("records")), "records")
+    cat.append(s.createDataFrame(s.sparkContext.parallelize(Seq(
+      Row("mem://vl", true, "STANDARD"))), Schemas.all("containers")), "containers")
+    cat.append(s.createDataFrame(s.sparkContext.parallelize(Seq(
+      Row("mem://vl", "", 4, 4, 1, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(7.0)).toBytes))),
+      Schemas.all("tiles")), "tiles")
+    val keys = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+    val rows = keys.map { k =>
+      val (v, ia, ib) = (s"v$k", s"i${k}a", s"i${k}b")
+      gc.createVariable(gc.NewVariable(id = v, name = s"var_$k",
+        unit = "u", dtype = "uint8", noData = 255.0,
+        minValue = 0.0, maxValue = 254.0))
+      gc.instantiateVariable(v, ia, "inst_a", Map("m0" -> "x"))
+      gc.instantiateVariable(v, ib, "inst_b")
+      require(gc.updateVariable(v, name = Some(s"var_${k}_r"),
+        unit = Some(s"u${k * 7 % 10}"), resamplingAlg = Some("cubic")))
+      require(gc.updateInstance(ia, name = Some("inst_a2"),
+        newMetadata = Map("m1" -> "y"), delMetadataKeys = Seq("m0")))
+      val got = gc.getVariable(instanceId = ia).get
+      val nMeta = got.instances.find(_.id == ia).get.metadata.size
+      if (k % 3 == 0)
+        gc.indexExternalDatasets(Seq(graft.ingest.IndexDatasets.NewDataset(
+          recordId = "rvl", instanceId = ib, containerUri = "mem://vl",
+          dformat = DataFormat(DType.UInt8, 255.0, NumRange(0, 254)),
+          realMin = 0, realMax = 254)))
+      val delInst = gc.deleteInstance(ib)
+      val delVar = gc.deleteVariable(v)
+      val left = gc.getVariable(variableId = v)
+        .map(_.instances.size.toLong).getOrElse(0L)
+      (k, got.name, got.unit, got.resamplingAlg, nMeta.toLong,
+        if (delInst) 1L else 0L, if (delVar) 1L else 0L, left)
+    }.toSeq
+    rows.toDF("n_nationkey", "vname", "vunit", "vresamp", "n_meta",
+      "del_inst", "del_var", "n_inst_left")
+      .orderBy("n_nationkey")
+  }
+
   /** d4_band_errors — band projection + the error-as-value envelope
     * (P7 + D4, reference catalog.go:531-625 band extraction and
     * grpc/service.go:1086-1089 per-slice errors): 16 records carry 8×8
@@ -2139,7 +2213,8 @@ object RelationalQueries {
     "g5_covers" -> g5Covers _,
     "mm_featurize" -> mmFeaturize _,
     "mm_resize" -> mmResize _,
-    "mm_frames" -> mmFrames _)
+    "mm_frames" -> mmFrames _,
+    "s5_variable_lifecycle" -> s5VariableLifecycle _)
 
   /** DuckDB-runnable oracles, column-name- and order-aligned with the plans. */
   val oracle: scala.collection.immutable.ListMap[String, String] =
@@ -2429,6 +2504,16 @@ object RelationalQueries {
          SELECT k AS s_suppkey, CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x,
                 CAST(y AS BIGINT) AS y, CAST(SUM(u) AS BIGINT) AS chk
          FROM gr GROUP BY k, z, x, y ORDER BY s_suppkey""",
+    "s5_variable_lifecycle" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                'var_' || n_nationkey || '_r' AS vname,
+                'u' || (n_nationkey*7 % 10) AS vunit,
+                'cubic' AS vresamp,
+                CAST(1 AS BIGINT) AS n_meta,
+                CAST(CASE WHEN n_nationkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS del_inst,
+                CAST(CASE WHEN n_nationkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS del_var,
+                CAST(CASE WHEN n_nationkey % 3 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_inst_left
+         FROM nation ORDER BY n_nationkey""",
     "d5_palette" ->
       """WITH nat AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
          til AS (SELECT k, 4 + k % 2 AS z,

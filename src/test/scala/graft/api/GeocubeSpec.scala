@@ -149,4 +149,110 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no render → no palette read), mirroring the reference's order
     assert(gc.getXyzTile("i3", 40, 31, 6).isEmpty)
   }
+
+  test("variable lifecycle: update/get by id-instance-name, guarded deletes") {
+    // partial update: only the named fields change
+    assert(gc.updateVariable("v1", name = Some("ndvi2"), unit = Some("idx"),
+      resamplingAlg = Some("cubic")))
+    val byName = gc.getVariable(variableName = "ndvi2").get
+    assert(byName.id == "v1" && byName.unit == "idx" &&
+      byName.resamplingAlg == "cubic" && byName.dtype == "uint8")
+    // resolution precedence: id > instance > name, first non-empty wins
+    assert(gc.getVariable(instanceId = "i1").get.id == "v1")
+    assert(gc.getVariable(variableId = "v1").get.instances.map(_.name) ==
+      Seq("master"))
+    assertThrows[IllegalArgumentException](gc.getVariable())
+    assert(gc.getVariable(variableId = "nope").isEmpty)
+    assert(!gc.updateVariable("nope", name = Some("x")))
+    // renaming onto an existing variable's name refuses
+    assertThrows[IllegalArgumentException](
+      gc.updateVariable("v2", name = Some("ndvi2")))
+    // bad resampling name refuses up front
+    assertThrows[IllegalArgumentException](
+      gc.updateVariable("v1", resamplingAlg = Some("bogus")))
+
+    // instance update: rename + metadata merge/delete
+    assert(gc.updateInstance("i1", name = Some("master2"),
+      newMetadata = Map("k" -> "v", "drop" -> "me")))
+    assert(gc.updateInstance("i1", delMetadataKeys = Seq("drop")))
+    val vi = gc.getVariable(variableId = "v1").get.instances.head
+    assert(vi.name == "master2" && vi.metadata == Map("k" -> "v"))
+    assert(!gc.updateInstance("nope"))
+
+    // deletes refuse while datasets reference the instance
+    assert(!gc.deleteInstance("i1"))
+    assert(!gc.deleteVariable("v1"))
+    assertThrows[NoSuchElementException](gc.deleteInstance("ghost"))
+    assertThrows[NoSuchElementException](gc.deleteVariable("ghost"))
+    // an unused variable deletes whole (definition + instances)
+    gc.createVariable(gc.NewVariable(id = "v9", name = "temp",
+      dtype = "uint8", noData = 255.0, minValue = 0.0, maxValue = 254.0))
+    gc.instantiateVariable("v9", "i9a", "a")
+    gc.instantiateVariable("v9", "i9b", "b")
+    assert(gc.deleteInstance("i9b"))
+    assert(gc.deleteVariable("v9"))
+    assert(gc.getVariable(variableId = "v9").isEmpty)
+    assert(cat.read(spark, "variable_instances")
+      .filter(col("definition_id") === "v9").count() == 0)
+  }
+
+  test("updateVariable palette swap is visible on the XYZ serving path") {
+    import graft.cube.Palette
+    val reds = Palette("heat-v2", Seq(
+      Palette.ColorPoint(0f, 255, 0, 0, 255), Palette.ColorPoint(1f, 255, 255, 0, 255)))
+    gc.createPalette(reds)
+    assert(gc.updateVariable("v2", palette = Some("heat-v2")))
+    val png = gc.getXyzTile("i2", 32, 31, 6).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val rgba = reds.paletteN(255)(100)
+    val expected = ((rgba & 0xff) << 24) | (rgba >>> 8)
+    val pixels = for (y <- 0 until 256; x <- 0 until 256) yield img.getRGB(x, y)
+    assert(pixels.exists(_ == expected), "tile not re-colored by the updated palette")
+  }
+
+  test("XYZ tile record scoping: explicit ids and tags+time filters") {
+    // i2 serves r1's dataset (sat=S2A from the flow test)
+    assert(gc.getXyzTile("i2", 32, 31, 6, recordIds = Seq("r1")).isDefined)
+    assert(gc.getXyzTile("i2", 32, 31, 6, recordIds = Seq("r-none")).isEmpty)
+    assert(gc.getXyzTileFromFilters("i2", tags = Map("sat" -> "S2A"),
+      x = 32, y = 31, z = 6).isDefined)
+    assert(gc.getXyzTileFromFilters("i2", tags = Map("sat" -> "nope"),
+      x = 32, y = 31, z = 6).isEmpty)
+    assert(gc.getXyzTileFromFilters("i2",
+      fromTime = Some(ts("2024-02-01 00:00:00")),
+      x = 32, y = 31, z = 6).isEmpty) // r1 is 2024-01-01: outside window
+  }
+
+  test("deleteGrid / deleteLayout with in-use guards; findContainerLayouts") {
+    // layout delete: free layout deletes, referenced one refuses
+    val l2 = graft.layout.Layout("l2", Seq("regular"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "1", "cell_size" -> "4"))
+    gc.createLayout(l2)
+    assert(gc.deleteLayout("l2"))
+    assert(!gc.deleteLayout("l2")) // gone: not found
+    gc.createLayout(l2)
+    // a consolidated container following l2 (the C5 container_layouts row)
+    cat.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("mem://c1", "l2"))), graft.catalog.Schemas.all("container_layouts")),
+      "container_layouts")
+    assertThrows[IllegalArgumentException](gc.deleteLayout("l2"))
+    // FindContainerLayouts: i1's ACTIVE dataset sits on mem://c1
+    val found = gc.findContainerLayouts("i1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(found == Seq(("l2", "mem://c1")))
+    // an instance with no datasets finds nothing
+    assert(gc.findContainerLayouts("i-none").count() == 0)
+
+    // grid delete: referenced by a layout's grid_flags refuses
+    gc.createGrid("g2", Seq(
+      ("c1", "EPSG:4326", GeomOps.polygonFromBBox(BBox(0, 0, 10, 10)))))
+    val lg = graft.layout.Layout("lg", Seq("g2"),
+      Map("crs" -> "EPSG:4326", "resolution" -> "1", "cell_size" -> "4"))
+    gc.createLayout(lg)
+    assertThrows[IllegalArgumentException](gc.deleteGrid("g2"))
+    assert(gc.deleteLayout("lg"))
+    assert(gc.deleteGrid("g2"))
+    assert(cat.read(spark, "cells").filter(col("grid") === "g2").count() == 0)
+    assert(!gc.deleteGrid("g2")) // gone: not found
+  }
 }

@@ -106,6 +106,11 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bm2.pixels.forall(_ == 20.0))
 
     // old unmanaged containers were GC'd with their tiles
+    // C5 journals which layout each new container follows
+    val cls = cat.read(spark, "container_layouts").collect()
+    assert(cls.nonEmpty && cls.forall(r =>
+      r.getString(1) == "cells" &&
+      r.getString(0).startsWith(s"$root/containers/job1/")))
     val uris = cat.read(spark, "containers").select("uri")
       .collect().map(_.getString(0)).toSet
     assert(!uris.contains("mem://c1") && !uris.contains("mem://c2"))
@@ -736,5 +741,25 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
       val bm = Bitmap.fromBytes(t.getAs[Array[Byte]]("payload"), 8, 8, 1, DType.UInt8)
       !bm.pixels.exists(_ == 77.0)
     })
+  }
+
+  test("consolidateFromFilters: record set resolved from tags+time") {
+    val cat2 = twoCellCatalog("fromfilters", poisonR2 = false)
+    val gc2 = graft.api.Geocube(spark, cat2)
+    // the time window covers r1 (2024-01-01) but not r2 (2024-01-02)
+    assert(gc2.consolidateFromFilters("jff", "ff", "i1", Map.empty,
+      Some(ts("2023-12-31 00:00:00")), Some(ts("2024-01-01 12:00:00")),
+      layout, ConsolidationParams(uint8Map, Resampling.Near)) == "DONE")
+    val active = cat2.read(spark, "datasets")
+      .filter(col("status") === "ACTIVE").collect()
+    // r1 consolidated under the job, r2 untouched on its original container
+    assert(active.map(r => (r.getAs[String]("record_id"),
+      r.getAs[String]("container_uri").startsWith(
+        s"${cat2.root}/containers/jff/"))).sortBy(_._1).toSeq ==
+      Seq(("r1", true), ("r2", false)))
+    // nothing matching refuses up front
+    assertThrows[IllegalArgumentException](
+      gc2.consolidateFromFilters("jff2", "ff2", "i1", Map("no" -> "pe"),
+        None, None, layout, ConsolidationParams(uint8Map, Resampling.Near)))
   }
 }
