@@ -25,7 +25,7 @@ object SparkEntry {
     * a query in one list but not the other would either time minutes of
     * fixture construction as engine speed or skip the plan check). */
   val fixtureOnly: Set[String] = Set(
-    "d1_cube", "d2_headers", "d4_band_errors", "s6_find_cells",
+    "d1_cube", "d1_download", "d2_headers", "d4_band_errors", "s6_find_cells",
     "c4_consolidate", "c9_collapse", "c7_gc", "c7_delete_job",
     "d5_palette", "s5_variable_lifecycle")
 

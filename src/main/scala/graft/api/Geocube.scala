@@ -4,6 +4,7 @@ import graft.catalog._
 import graft.consolidation.{ConsolidationJob, ConsolidationParams, DeletionJob}
 import graft.cube.{CubeRequest, GetCube, Palette, Slice, XYZTile}
 import graft.geo.GeomOps
+import graft.core.DataFormat
 import graft.ingest.IndexDatasets
 import graft.layout.{Layout => GridLayout, TileRow}
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
@@ -502,6 +503,39 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       instanceIds = instanceIds, crs = crs, transform = transform,
       width = width, height = height, recordGroups = recordGroups,
       headersOnly = headersOnly))
+
+  /** GetCube metadata (the GetCubeResponse DatasetMeta headers the
+    * reference streams, service.go:88 + svc/catalog.go:39-70): per-slice
+    * dataset addressing + dformat, no pixels. Feed to [[downloadCube]]. */
+  def getCubeMetadata(recordGroups: Seq[Seq[String]], instanceIds: Seq[String],
+      crs: String, transform: graft.geo.Affine, width: Int, height: Int):
+      Dataset[graft.cube.DatasetMeta] =
+    GetCube.cubeMetadata(spark, cat, CubeRequest(
+      instanceIds = instanceIds, crs = crs, transform = transform,
+      width = width, height = height, recordGroups = recordGroups))
+
+  /** DownloadCube (downloader service, downloader.go:47-158): rebuild the
+    * cube from metadata + the raw tile store only — no catalog tables
+    * read. The reference dformat and resampling come from the caller
+    * exactly like the DownloadCube request; bands defaults to the widest
+    * band list in the metadata. */
+  def downloadCube(meta: Dataset[graft.cube.DatasetMeta],
+      crs: String, transform: graft.geo.Affine, width: Int, height: Int,
+      dformat: DataFormat, resamplingAlg: String = "near",
+      bands: Int = 0): Dataset[Slice] = {
+    val nBands =
+      if (bands > 0) bands
+      else meta.toDF().select(size(col("bands")).as("__nb"))
+        .agg(max(col("__nb"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int])).getOrElse(1)
+    val out = graft.raster.OutDescriptor(
+      width = width, height = height, bands = math.max(1, nBands),
+      pixToCrs = transform, crs = graft.geo.CRS.parse(crs),
+      mapping = graft.core.DataMapping(dformat, dformat.range, 1.0),
+      resampling = graft.raster.Resampling.fromName(resamplingAlg),
+      validPixPc = -1)
+    GetCube.cubeFromMetadata(spark, cat, meta, out)
+  }
 
   def getCubeFromFilters(tags: Map[String, String],
       fromTime: Option[java.sql.Timestamp], toTime: Option[java.sql.Timestamp],

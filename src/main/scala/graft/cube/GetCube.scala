@@ -39,6 +39,21 @@ final case class DatasetTile(
     t_crs: String, t_transform: Seq[Double],
     payload: Array[Byte])
 
+/** One dataset's slice metadata — the reference's pb.InternalMeta inside
+  * a DatasetMeta (svc/catalog.go:53-70): raster addressing (container,
+  * subdir) + the dataset's dformat/ranges, WITHOUT pixels. What the
+  * DownloadCube client replays cubes from. */
+final case class DatasetMeta(
+    group_key: String,
+    record_id: String,
+    datetime: java.sql.Timestamp,
+    dataset_id: String,
+    container_uri: String,
+    subdir: String,
+    bands: Seq[Int],
+    dtype: String, no_data: Double, min_value: Double, max_value: Double,
+    real_min_value: Double, real_max_value: Double, exponent: Double)
+
 /** One output slice of the cube: header + (unless headers-only/error) the
   * merged bitmap payload in the engine's byte codec. Per-slice errors are
   * values, not failures (reference grpc/service.go:1086-1089). */
@@ -261,6 +276,51 @@ object GetCube {
     tiles.groupByKey(_.group_key)
       .mapGroups { (key, it) => buildSlice(key, it, out) }
       .orderBy(col("min_datetime"), col("group_key"))
+  }
+
+  /** Per-dataset slice metadata (the reference's pb.DatasetMeta /
+    * InternalMeta, svc/catalog.go:39-70): container addressing + dformat
+    * + ranges — everything [[cubeFromMetadata]] needs to rebuild the
+    * slice from the raw tile store with NO catalog round-trip. */
+  def cubeMetadata(spark: SparkSession, cat: Catalog,
+      req: CubeRequest): Dataset[DatasetMeta] = {
+    import spark.implicits._
+    val out = prepare(spark, cat, req)
+    datasetTilesMetaOnly(spark, cat, req, out)
+      .select(
+        col("group_key"), col("record_id"), col("datetime"),
+        col("id").as("dataset_id"),
+        col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
+        col("bands"),
+        col("dtype"), col("no_data"), col("min_value"), col("max_value"),
+        col("real_min_value"), col("real_max_value"), col("exponent"))
+      .as[DatasetMeta]
+  }
+
+  /** GetCubeFromMetadatas (reference downloader.go:47-158 +
+    * svc/catalog.go:112-150): rebuild the cube from CLIENT-held metadata
+    * and the raw tile store ONLY — the datasets/records/variable tables
+    * are never read, mirroring the reference's downloader which fetches
+    * the COGs itself from object storage using the URIs in the metadata.
+    * The caller supplies the output grid + reference dformat the way the
+    * DownloadCube request does. */
+  def cubeFromMetadata(spark: SparkSession, cat: Catalog,
+      meta: Dataset[DatasetMeta], out: OutDescriptor): Dataset[Slice] = {
+    import spark.implicits._
+    val tiles = selectTileLevel(spark, cat, out) // reads the tiles store only
+    val ds = meta.toDF()
+      .join(tiles,
+        col("container_uri") === col("t_uri") &&
+          col("subdir") === col("t_base_subdir"))
+      .select(
+        col("group_key"), col("record_id"), col("datetime"),
+        col("dataset_id"), col("bands"),
+        col("dtype"), col("no_data"), col("min_value"), col("max_value"),
+        col("real_min_value"), col("real_max_value"), col("exponent"),
+        col("t_width"), col("t_height"), col("t_bands"), col("t_dtype"),
+        col("t_crs"), col("t_transform"), col("payload"))
+      .as[DatasetTile]
+    downloadCube(spark, ds, out)
   }
 
   private def datasetTilesMetaOnly(spark: SparkSession, cat: Catalog,

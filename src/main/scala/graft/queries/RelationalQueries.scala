@@ -1224,6 +1224,35 @@ object RelationalQueries {
       .orderBy("rid")
   }
 
+  /** d1_download — the DownloadCube metadata-replay path (reference
+    * downloader.go:47-158 + svc/catalog.go:112-150): the SAME seeded
+    * catalog as [[d1Cube]], but the cube is rebuilt client-style — slice
+    * metadata from [[graft.cube.GetCube.cubeMetadata]], pixels joined
+    * back from the raw tile store only, the datasets/records/variable
+    * tables never read on the replay. Identical checksums to d1_cube,
+    * same oracle. */
+  def d1Download(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{DataFormat, DataMapping, DType, NumRange}
+    import graft.raster.Bitmap
+    val (cat, req) = seedCubeCatalog(s, dir)
+    val gc = graft.api.Geocube(s, cat)
+    val meta = gc.getCubeMetadata(Nil, req.instanceIds, req.crs,
+      req.transform, req.width, req.height)
+    gc.downloadCube(meta, req.crs, req.transform, req.width, req.height,
+      DataFormat(DType.UInt8, 255.0, NumRange(0, 254)))
+      .map { sl =>
+        val bm = Bitmap.fromBytes(sl.payload, sl.width, sl.height, sl.bands,
+          DType.UInt8)
+        var chk = 0L
+        bm.pixels.foreach(v => chk += v.toLong)
+        (sl.group_key, sl.record_ids.mkString(","),
+          sl.min_datetime.getTime / 1000, sl.valid_pixels, chk)
+      }
+      .toDF("rid", "rids", "ts_epoch", "n_valid", "chk")
+      .orderBy("rid")
+  }
+
   /** d2_headers — the headers-only branch of the serving path (D2,
     * getCubeStream catalog.go:325-339): the SAME seeded catalog as
     * [[d1Cube]], served with `headersOnly = true` — no tile join, no
@@ -2191,6 +2220,7 @@ object RelationalQueries {
     "f6_aea" -> f6Aea _,
     "f6_datum" -> f6Datum _,
     "d1_cube" -> d1Cube _,
+    "d1_download" -> d1Download _,
     "d2_headers" -> d2Headers _,
     "d5_xyz" -> d5XyzTile _,
     "d5_palette" -> d5Palette _,
@@ -2696,6 +2726,19 @@ object RelationalQueries {
                 CAST(-1 AS BIGINT) AS sy8
          FROM nation ORDER BY key""",
     "d1_cube" ->
+      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
+         px AS (SELECT i,
+             SUM((p*7 + i*13) % 200) AS sa,
+             SUM(CASE WHEN p < 512 THEN (p*3 + i*11) % 200
+                      ELSE (p*7 + i*13) % 200 END) AS sb
+           FROM r, generate_series(0, 1023) q(p) GROUP BY i)
+         SELECT printf('r%03d', i) AS rid,
+                printf('r%03d', i) AS rids,
+                CAST(1704067200 + i*3600 AS BIGINT) AS ts_epoch,
+                CAST(1024 AS BIGINT) AS n_valid,
+                CAST(CASE WHEN i % 3 = 0 THEN sb ELSE sa END AS BIGINT) AS chk
+         FROM px ORDER BY rid""",
+    "d1_download" ->
       """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
          px AS (SELECT i,
              SUM((p*7 + i*13) % 200) AS sa,

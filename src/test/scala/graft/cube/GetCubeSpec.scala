@@ -209,6 +209,45 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bm.pixels.forall(v => math.abs(v - cast100) < 1e-6))
   }
 
+  test("cubeMetadata -> cubeFromMetadata replays without the catalog tables") {
+    import spark.implicits._
+    // a fresh catalog copy so the tables can be dropped mid-test
+    val root2 = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles.foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    new java.io.File(root).listFiles.foreach(f =>
+      cp(f, new java.io.File(root2, f.getName)))
+    val cat2 = Catalog(root2)
+    val req = request()
+    val expected = GetCube.cube(spark, cat2, req).collect()
+    // client side: materialize the metadata, then DROP every catalog
+    // table except the raw tile store — the replay must still work
+    // (the reference's downloader has no database at all)
+    val meta = GetCube.cubeMetadata(spark, cat2, req).collect().toSeq
+    val out = GetCube.prepare(spark, cat2, req)
+    for (t <- Seq("datasets", "records", "variable_definitions",
+        "variable_instances", "aoi", "containers")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$root2/$t"))
+    }
+    val replayed = GetCube.cubeFromMetadata(spark, cat2, meta.toDS(), out).collect()
+    assert(replayed.length == expected.length)
+    for ((r, e) <- replayed.zip(expected)) {
+      assert(r.group_key == e.group_key && r.record_ids == e.record_ids)
+      assert(r.valid_pixels == e.valid_pixels)
+      assert(java.util.Arrays.equals(r.payload, e.payload))
+    }
+    def rm2(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm2); f.delete(): Unit
+    }
+    rm2(new java.io.File(root2))
+  }
+
   test("headers-only short-circuits the kernel") {
     val slices = GetCube.cube(spark, cat, request().copy(headersOnly = true)).collect()
     assert(slices.length == 2)
