@@ -65,24 +65,56 @@ object EventStream {
       .as[TaskEvent]
   }
 
+  /** The wire encoding shared by EVERY broker binding (one message = one
+    * JSON object, the same shape the file queue frames as lines and a
+    * Kafka producer puts in the record value): full string escaping —
+    * error fields carry exception text with newlines/tabs, and one
+    * unescaped control character would corrupt the framing and silently
+    * null the row in a PERMISSIVE reader. */
+  def encodeEvent(e: TaskEvent): String = {
+    def esc(s: String): String = graft.core.JsonUtil.escape(s)
+    s"""{"job_id":"${esc(e.job_id)}","task_id":"${esc(e.task_id)}",""" +
+      s""""status":"${esc(e.status)}","error":"${esc(e.error)}",""" +
+      s""""ts":"${e.ts.toInstant}"}""" // ISO-8601 Z — Spark's default parse
+  }
+
+  /** Broker adapter, generic consumer side: any Structured Streaming
+    * source whose rows carry the message bytes in a `value` column (the
+    * Kafka/PubSub wire shape) maps onto the FSM with this one shim —
+    * parse the [[encodeEvent]] JSON out of the value, done. Downstream
+    * (driveJobCounters, the deltas fold, the journal) consumes
+    * `Dataset[TaskEvent]` and cannot tell transports apart. */
+  def eventsFromBroker(broker: DataFrame): Dataset[TaskEvent] = {
+    val spark = broker.sparkSession
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[TaskEvent]].schema
+    broker
+      .select(from_json(col("value").cast("string"), schema).as("e"))
+      .select("e.*").as[TaskEvent]
+  }
+
+  /** Kafka binding — pure configuration over [[eventsFromBroker]]
+    * (messaging.go's PubSub/pgqueue backends swap the same way). Needs
+    * the spark-sql-kafka connector on the deploy classpath; the sandbox
+    * has no broker, so the seam is proven by StreamingSpec feeding the
+    * SAME wire bytes through an in-memory source instead. */
+  def kafkaEvents(spark: SparkSession, bootstrapServers: String,
+      topic: String, startingOffsets: String = "latest"): Dataset[TaskEvent] =
+    eventsFromBroker(spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load())
+
   /** Publisher side of the file queue (messaging.go Publish): one
     * JSON-lines file per publish batch, written to a temp name and
     * renamed — the file source must never observe a partial message,
     * the file-system analogue of a broker's atomic enqueue. Spark-free:
     * external workers publish without a session. */
   def publishToFileQueue(events: Seq[TaskEvent], queueDir: String): Unit = {
-    // full JSON string escaping (shared [[graft.core.JsonUtil]]): error
-    // fields carry exception text with newlines/tabs — one unescaped
-    // control character would corrupt the JSON-LINES framing and the
-    // PERMISSIVE reader would null the row, silently losing the event
-    def esc(s: String): String = graft.core.JsonUtil.escape(s)
     val dir = java.nio.file.Paths.get(queueDir)
     java.nio.file.Files.createDirectories(dir)
-    val payload = events.map { e =>
-      s"""{"job_id":"${esc(e.job_id)}","task_id":"${esc(e.task_id)}",""" +
-        s""""status":"${esc(e.status)}","error":"${esc(e.error)}",""" +
-        s""""ts":"${e.ts.toInstant}"}""" // ISO-8601 Z — Spark's default parse
-    }.mkString("", "\n", "\n")
+    val payload = events.map(encodeEvent).mkString("", "\n", "\n")
     // UUID name: nanoTime+hash can collide across publisher PROCESSES and
     // POSIX ATOMIC_MOVE replaces an existing target — a collision would
     // silently drop a whole published batch

@@ -71,6 +71,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 3)
   }
 
+  test("broker seam: Kafka wire-shape values drive the same counter FSM") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-broker").toString)
+    // the wire: record VALUE bytes carrying encodeEvent JSON — exactly
+    // what a Kafka producer publishes and kafkaEvents' from_json parses;
+    // only the transport differs (MemoryStream instead of format("kafka"))
+    val wire = MemoryStream[Array[Byte]]
+    val events = EventStream.eventsFromBroker(wire.toDS().toDF("value"))
+    val q = EventStream.driveJobCounters(spark, cat2, events, "broker-seam")
+    try {
+      def bytes(e: TaskEvent): Array[Byte] =
+        EventStream.encodeEvent(e).getBytes("UTF-8")
+      wire.addData(
+        bytes(TaskEvent("jk1", "t1", "SUCCEEDED", "", ts("2024-01-01 00:00:00"))),
+        bytes(TaskEvent("jk1", "t2", "FAILED", "tab\t\"quote\"",
+          ts("2024-01-01 00:00:01"))),
+        bytes(TaskEvent("jk1", "t2", "FAILED", "tab\t\"quote\"",
+          ts("2024-01-01 00:00:01"))), // broker redelivery
+        bytes(TaskEvent("jk2", "t9", "SUCCEEDED", "", ts("2024-01-01 00:00:02"))))
+      q.processAllAvailable()
+      val jobs = cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
+      val j1 = jobs.find(_.getAs[String]("id") == "jk1").get
+      assert(j1.getAs[Int]("active_tasks") == 2) // redelivery dedup'd
+      assert(j1.getAs[Int]("failed_tasks") == 1)
+      assert(jobs.find(_.getAs[String]("id") == "jk2").get
+        .getAs[Int]("active_tasks") == 1)
+    } finally q.stop()
+  }
+
   test("torn marker append: replay journals only the missing jobs' deltas") {
     import spark.implicits._
     val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-torn").toString)
