@@ -23,26 +23,59 @@ import org.locationtech.jts.geom.Geometry
   */
 object SpatialExpressions {
 
+  /** Parse-once cache for a FOLDABLE geometry operand: the serving paths
+    * compare every row against one literal request geometry
+    * (CatalogQueries' refined predicate: `st_interior_intersects(
+    * col("shape_wkb"), lit(requestWkb))`), and re-parsing that constant
+    * per row is the dominant waste in the fine stage. The JTS prepared
+    * form adds an edge index for the repeated side. Initialized lazily
+    * per deserialized expression instance (task-confined), with the
+    * envelope + index forced during init so later queries are read-only. */
+  private def prepareFoldable(e: Expression):
+      Option[org.locationtech.jts.geom.prep.PreparedGeometry] =
+    if (!e.foldable) None
+    else Option(e.eval(null)).map { b =>
+      val g = GeomOps.readWkb(b.asInstanceOf[Array[Byte]])
+      g.getEnvelopeInternal // force the lazy envelope inside init
+      val p = GeomOps.prepared(g)
+      p.intersects(g.getCentroid) // force the lazy edge index inside init
+      p
+    }
+
   /** ST_Intersects(wkbA, wkbB). */
   case class STIntersects(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
-    override def nullSafeEval(a: Any, b: Any): Any =
-      GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
-        .intersects(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+    @transient private lazy val preparedRight = prepareFoldable(right)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val ga = GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
+      preparedRight match {
+        case Some(p) => p.intersects(ga)
+        case None => ga.intersects(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+      }
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** Interior-intersects: ST_Relate(a, b, 'T********') — the refined
-    * same-SRID predicate (pg_containers.go:308-310). */
+    * same-SRID predicate (pg_containers.go:308-310). The II cell of the
+    * intersection matrix is symmetric, so the cached-literal path may
+    * swap operands freely; the prepared indexed `intersects` serves as
+    * an exact-negative short-circuit before the full relate. */
   case class STInteriorIntersects(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
-    override def nullSafeEval(a: Any, b: Any): Any =
-      GeomOps.interiorIntersects(
-        GeomOps.readWkb(a.asInstanceOf[Array[Byte]]),
-        GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+    @transient private lazy val preparedRight = prepareFoldable(right)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val ga = GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
+      preparedRight match {
+        case Some(p) =>
+          p.intersects(ga) && GeomOps.interiorIntersects(ga, p.getGeometry)
+        case None =>
+          GeomOps.interiorIntersects(ga, GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+      }
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

@@ -15,8 +15,16 @@ import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader}
 object GeomOps {
   val factory = new GeometryFactory(new PrecisionModel(), 4326)
 
-  def readWkb(b: Array[Byte]): Geometry = new WKBReader(factory).read(b)
-  def writeWkb(g: Geometry): Array[Byte] = new WKBWriter().write(g)
+  // WKB codecs are stateful but reusable — thread-local reuse keeps the
+  // per-row expression paths (every spatial predicate decodes 1-2 WKBs
+  // per row) from constructing a fresh reader/writer each call
+  private val wkbReader: ThreadLocal[WKBReader] =
+    ThreadLocal.withInitial(() => new WKBReader(factory))
+  private val wkbWriter: ThreadLocal[WKBWriter] =
+    ThreadLocal.withInitial(() => new WKBWriter())
+
+  def readWkb(b: Array[Byte]): Geometry = wkbReader.get().read(b)
+  def writeWkb(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
   def readWkt(s: String): Geometry = new WKTReader(factory).read(s)
 
   def bbox(g: Geometry): BBox = {
