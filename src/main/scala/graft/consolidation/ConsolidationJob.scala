@@ -277,11 +277,34 @@ object ConsolidationJob {
         // uris already carry the job prefix, so the exact-uri anti-join
         // is strictly job-scoped
         val pendingDf = pending.toDF("container_uri")
-        cat.rewrite(cat.read(spark, "tiles")
-          .join(pendingDf, Seq("container_uri"), "left_anti"), "tiles")
-        cat.rewrite(cat.read(spark, "containers")
-          .join(pendingDf.withColumnRenamed("container_uri", "uri"),
-            Seq("uri"), "left_anti"), "containers")
+        // ALSO purge any job-prefix rows NOT in the current packing at
+        // all (allUris) — with the lock-pinned prepareOrders the packing
+        // is stable across resumes, but if locked datasets were
+        // physically removed between incarnations a previous run's uris
+        // can drop out, and rows never purged here would never be
+        // indexed either: permanent catalog orphans. Existence-probed —
+        // the no-drift path pays one limit(1) count, not a rewrite.
+        val prefix0 = s"${cat.root}/containers/${spec.jobId}/"
+        val allUrisDf = allUris.toDF("container_uri")
+        val staleTiles = cat.read(spark, "tiles")
+          .filter(col("container_uri").startsWith(prefix0))
+          .join(allUrisDf, Seq("container_uri"), "left_anti")
+        // checkpoint pins the purge set: its lineage reads the tiles
+        // table, whose files the first rewrite below deletes
+        val purgeTiles =
+          if (staleTiles.limit(1).count() > 0)
+            pendingDf.unionByName(
+              staleTiles.select("container_uri").distinct())
+              .localCheckpoint(true)
+          else pendingDf
+        try {
+          cat.rewrite(cat.read(spark, "tiles")
+            .join(purgeTiles, Seq("container_uri"), "left_anti"), "tiles")
+          cat.rewrite(cat.read(spark, "containers")
+            .join(purgeTiles.withColumnRenamed("container_uri", "uri"),
+              Seq("uri"), "left_anti"), "containers")
+        } finally if (purgeTiles ne pendingDf)
+          graft.operators.OperatorCaches.releaseLocalCheckpoint(purgeTiles)
         val todo =
           if (pending.size == allUris.size) tasks
           else tasks.join(pendingDf, Seq("container_uri"), "left_semi")

@@ -762,4 +762,30 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
       gc2.consolidateFromFilters("jff2", "ff2", "i1", Map("no" -> "pe"),
         None, None, layout, ConsolidationParams(uint8Map, Resampling.Near)))
   }
+
+  test("stale job-prefix outputs from a drifted packing are purged on resume") {
+    val cat2 = twoCellCatalog("stalepurge", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jsp", "stale", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONINPROGRESS")) == "CONSOLIDATIONINPROGRESS")
+    // an output of a hypothetical earlier incarnation whose uri is not in
+    // the current packing: without the stale purge it survives C4's
+    // pending-scoped purge, is never indexed, and orphans forever
+    val ghost = s"${cat2.root}/containers/jsp/ghost-cell"
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(ghost, true, "STANDARD"))), Schemas.all("containers")), "containers")
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(ghost, "GTIFF_DIR:1", 4, 4, 1, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(9.0)).toBytes))),
+      Schemas.all("tiles")), "tiles")
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri") === ghost).count() == 0)
+    assert(cat2.read(spark, "containers")
+      .filter(col("uri") === ghost).count() == 0)
+    assert(cat2.read(spark, "datasets")
+      .filter(col("container_uri") === ghost).count() == 0)
+  }
 }
