@@ -304,6 +304,66 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     ConsolidationJob.run(spark, cat, ConsolidationJob.Spec(
       jobId, name, instanceId, recordIds, layout, params, collapseOnRecordId))
 
+  /** ConfigConsolidation (service.go:66; svc/service.go:406-421): persist
+    * the consolidation parameters ON the variable — the job reads them
+    * back when the caller does not pass params explicitly. Upserts;
+    * refuses unknown variables and bad dtype/resampling up front. */
+  def configConsolidation(variableId: String, params: ConsolidationParams): Unit = {
+    require(cat.read(spark, "variable_definitions")
+      .filter(col("id") === variableId).limit(1).count() > 0,
+      s"variable $variableId not found")
+    val cp = cat.read(spark, "consolidation_params")
+    val m = params.mapping
+    val row = Row(variableId, m.format.dtype.name, m.format.noData,
+      m.format.range.min, m.format.range.max,
+      m.rangeExt.min, m.rangeExt.max, m.exponent,
+      params.resampling.name, params.storageClass)
+    cat.rewrite(cp.filter(col("variable_id") =!= variableId)
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row)),
+        Schemas.all("consolidation_params"))), "consolidation_params")
+  }
+
+  /** GetConsolidationParams (service.go:67): the variable's persisted
+    * consolidation configuration, if any. */
+  def getConsolidationParams(variableId: String): Option[ConsolidationParams] =
+    cat.read(spark, "consolidation_params")
+      .filter(col("variable_id") === variableId).collect().headOption
+      .map { r =>
+        import graft.core.{DataFormat, DataMapping, DType, NumRange}
+        ConsolidationParams(
+          DataMapping(
+            DataFormat(DType.fromName(r.getAs[String]("dtype")),
+              r.getAs[Double]("no_data"),
+              NumRange(r.getAs[Double]("min_value"), r.getAs[Double]("max_value"))),
+            NumRange(r.getAs[Double]("real_min_value"),
+              r.getAs[Double]("real_max_value")),
+            r.getAs[Double]("exponent")),
+          graft.raster.Resampling.fromName(r.getAs[String]("resampling_alg")),
+          r.getAs[String]("storage_class"))
+      }
+
+  /** The variable-configured params for an INSTANCE (the job resolves
+    * through instance → variable, csldInit's ReadConsolidationParams). */
+  private def paramsForInstance(instanceId: String): ConsolidationParams = {
+    val vid = cat.read(spark, "variable_instances")
+      .filter(col("id") === instanceId).select("definition_id")
+      .collect().headOption
+      .getOrElse(throw new NoSuchElementException(
+        s"instance $instanceId not found")).getString(0)
+    getConsolidationParams(vid).getOrElse(throw new IllegalStateException(
+      s"variable $vid has no consolidation params configured " +
+        "(ConfigConsolidation first, or pass params explicitly)"))
+  }
+
+  /** ConsolidateFromRecords with the params resolved from the variable's
+    * persisted configuration (the reference's only form — params always
+    * come from ConfigConsolidation, service.go:66-70). */
+  def consolidateFromRecords(jobId: String, name: String, instanceId: String,
+      recordIds: Seq[String], layout: GridLayout): String =
+    consolidateFromRecords(jobId, name, instanceId, recordIds, layout,
+      paramsForInstance(instanceId))
+
   /** ConsolidateFromFilters (service.go:70; svc/service.go:447-461):
     * resolve the record set from tags + time over the instance's ACTIVE
     * datasets (ListActiveDatasetsID), then drive the same consolidation
@@ -356,6 +416,34 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
 
   def listJobs(nameLike: String = "", limit: Int = 0): DataFrame =
     CatalogQueries.listByName(spark, cat, "jobs", nameLike, limit)
+
+  /** GetJob (service.go:73; svc/service.go:542-550): the job's full state
+    * journal, oldest first — state history, task counters, payloads (the
+    * reference's job + logs form). Empty for unknown ids. */
+  def getJob(jobId: String): DataFrame =
+    cat.read(spark, "jobs").filter(col("id") === jobId)
+      .orderBy("created_at")
+
+  /** ContinueJob (service.go:75; svc/service.go:587-598): resume a paused
+    * or interrupted job BY ID — the spec is rehydrated from the NEW
+    * journal row's payload, then the FSM drives on from wherever the
+    * journal stopped. `pauseAfter` keeps the step-by-step execution
+    * level. NOTFOUND for unknown ids or pre-spec-journal jobs. */
+  def continueJob(jobId: String, pauseAfter: Option[String] = None): String = {
+    val typ = cat.read(spark, "jobs").filter(col("id") === jobId)
+      .select("type").limit(1).collect().headOption.map(_.getString(0))
+    typ match {
+      case Some("DELETION") =>
+        DeletionJob.specFromJournal(spark, cat, jobId)
+          .map(DeletionJob.run(spark, cat, _, pauseAfter))
+          .getOrElse("NOTFOUND")
+      case Some(_) =>
+        ConsolidationJob.specFromJournal(spark, cat, jobId)
+          .map(ConsolidationJob.run(spark, cat, _, pauseAfter))
+          .getOrElse("NOTFOUND")
+      case None => "NOTFOUND"
+    }
+  }
 
   def cleanJobs(nameLike: String = "", state: Option[String] = None): Long = {
     val jobs = cat.read(spark, "jobs")

@@ -98,6 +98,21 @@ object Schemas {
     StructField("coordinates_wkb", BinaryType),
     StructField("bbox", bbox)))
 
+  /** consolidation_params — create.sql:100-114 (per-VARIABLE consolidation
+    * configuration, written by ConfigConsolidation and read by the
+    * consolidation job when the caller does not pass params explicitly). */
+  val consolidationParams: StructType = StructType(Seq(
+    StructField("variable_id", StringType, nullable = false),
+    StructField("dtype", StringType, nullable = false),
+    StructField("no_data", DoubleType),
+    StructField("min_value", DoubleType),
+    StructField("max_value", DoubleType),
+    StructField("real_min_value", DoubleType),
+    StructField("real_max_value", DoubleType),
+    StructField("exponent", DoubleType),
+    StructField("resampling_alg", StringType),
+    StructField("storage_class", StringType)))
+
   /** container_layouts — create.sql:180-186 (which layout each
     * consolidated container follows; written at C5, read by
     * FindContainerLayouts / the downloadCube metadata path). */
@@ -155,5 +170,6 @@ object Schemas {
     "containers" -> containers, "datasets" -> datasets,
     "layouts" -> layouts, "cells" -> cells, "palette" -> palette,
     "container_layouts" -> containerLayouts,
+    "consolidation_params" -> consolidationParams,
     "jobs" -> jobs, "tasks" -> tasks, "tiles" -> tiles)
 }

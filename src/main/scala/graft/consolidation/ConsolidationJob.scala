@@ -181,7 +181,7 @@ object ConsolidationJob {
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
     if (done.contains("DONE")) return "DONE" // completed: locks released
-    if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
+    if (!done.contains("NEW")) logState(spark, cat, spec, "NEW", specJson(spec))
     var lockedIds: org.apache.spark.sql.DataFrame = null
     var tasks: org.apache.spark.sql.DataFrame = null
     try {
@@ -464,4 +464,113 @@ object ConsolidationJob {
   private[consolidation] def errJson(e: Exception): String =
     s"""{"error":"${graft.core.JsonUtil.escape(
       Option(e.getMessage).getOrElse(e.getClass.getName))}"}"""
+
+  /** The job spec serialized into the NEW journal row's payload — what
+    * makes a job resumable BY ID alone (the reference journals
+    * job.Payload the same way and ContinueJob/operations replay from it,
+    * job.go + operations.go:38). */
+  private[consolidation] def specJson(spec: Spec): String = {
+    import graft.core.JsonUtil.escape
+    def arr(xs: Seq[String]) = xs.map(x => s""""${escape(x)}"""").mkString("[", ",", "]")
+    val l = spec.layout
+    val m = spec.params.mapping
+    val gp = l.gridParameters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
+      .mkString("{", ",", "}")
+    s"""{"name":"${escape(spec.name)}","instance_id":"${escape(spec.instanceId)}",""" +
+      s""""record_ids":${arr(spec.recordIds)},""" +
+      s""""collapse":${spec.collapseOnRecordId.map(r => s""""${escape(r)}"""").getOrElse("null")},""" +
+      s""""layout":{"name":"${escape(l.name)}","grid_flags":${arr(l.gridFlags)},""" +
+      s""""grid_parameters":$gp,"block_x":${l.blockXSize},"block_y":${l.blockYSize},""" +
+      s""""max_records":${l.maxRecords},"overviews_min_size":${l.overviewsMinSize},""" +
+      s""""interlacing":"${escape(l.interlacingPattern)}"},""" +
+      s""""params":{"dtype":"${m.format.dtype.name}","no_data":${jsNum(m.format.noData)},""" +
+      s""""min":${jsNum(m.format.range.min)},"max":${jsNum(m.format.range.max)},""" +
+      s""""real_min":${jsNum(m.rangeExt.min)},"real_max":${jsNum(m.rangeExt.max)},""" +
+      s""""exponent":${jsNum(m.exponent)},""" +
+      s""""resampling":"${spec.params.resampling.name}",""" +
+      s""""storage_class":"${escape(spec.params.storageClass)}"}}"""
+  }
+
+  // JSON has no NaN/Infinity literals; a nodata of NaN is common
+  private def jsNum(d: Double): String =
+    if (d.isNaN) "\"NaN\""
+    else if (d.isPosInfinity) "\"Infinity\""
+    else if (d.isNegInfinity) "\"-Infinity\""
+    else d.toString
+
+  private def parseNum(s: String): Double = s match {
+    case "NaN" => Double.NaN
+    case "Infinity" => Double.PositiveInfinity
+    case "-Infinity" => Double.NegativeInfinity
+    case x => x.toDouble
+  }
+
+  /** Rehydrate the Spec from the NEW journal row (ContinueJob's enabler,
+    * service.go:587-598). None when the job has no journal or predates
+    * spec journaling. */
+  def specFromJournal(spark: SparkSession, cat: Catalog,
+      jobId: String): Option[Spec] = {
+    import org.apache.spark.sql.types._
+    val payload = cat.read(spark, "jobs")
+      .filter(col("id") === jobId && col("state") === "NEW")
+      .select("payload").collect().headOption.map(_.getString(0))
+      .filter(_.nonEmpty)
+    payload.map { js =>
+      val schema = StructType(Seq(
+        StructField("name", StringType),
+        StructField("instance_id", StringType),
+        StructField("record_ids", ArrayType(StringType)),
+        StructField("collapse", StringType),
+        StructField("layout", StructType(Seq(
+          StructField("name", StringType),
+          StructField("grid_flags", ArrayType(StringType)),
+          StructField("grid_parameters", MapType(StringType, StringType)),
+          StructField("block_x", IntegerType),
+          StructField("block_y", IntegerType),
+          StructField("max_records", IntegerType),
+          StructField("overviews_min_size", IntegerType),
+          StructField("interlacing", StringType)))),
+        StructField("params", StructType(Seq(
+          StructField("dtype", StringType),
+          StructField("no_data", StringType),
+          StructField("min", StringType),
+          StructField("max", StringType),
+          StructField("real_min", StringType),
+          StructField("real_max", StringType),
+          StructField("exponent", StringType),
+          StructField("resampling", StringType),
+          StructField("storage_class", StringType))))))
+      import spark.implicits._
+      val r = spark.read.schema(schema).json(Seq(js).toDS()).collect().head
+      val lr = r.getAs[Row]("layout")
+      val pr = r.getAs[Row]("params")
+      import graft.core.{DataFormat, DataMapping, DType, NumRange}
+      Spec(
+        jobId = jobId,
+        name = r.getAs[String]("name"),
+        instanceId = r.getAs[String]("instance_id"),
+        recordIds = r.getAs[scala.collection.Seq[String]]("record_ids").toSeq,
+        layout = graft.layout.Layout(
+          lr.getAs[String]("name"),
+          lr.getAs[scala.collection.Seq[String]]("grid_flags").toSeq,
+          Option(lr.getAs[scala.collection.Map[String, String]]("grid_parameters"))
+            .map(_.toMap).getOrElse(Map.empty),
+          lr.getAs[Int]("block_x"), lr.getAs[Int]("block_y"),
+          lr.getAs[Int]("max_records"), lr.getAs[Int]("overviews_min_size"),
+          lr.getAs[String]("interlacing")),
+        params = ConsolidationParams(
+          DataMapping(
+            DataFormat(DType.fromName(pr.getAs[String]("dtype")),
+              parseNum(pr.getAs[String]("no_data")),
+              NumRange(parseNum(pr.getAs[String]("min")),
+                parseNum(pr.getAs[String]("max")))),
+            NumRange(parseNum(pr.getAs[String]("real_min")),
+              parseNum(pr.getAs[String]("real_max"))),
+            parseNum(pr.getAs[String]("exponent"))),
+          graft.raster.Resampling.fromName(pr.getAs[String]("resampling")),
+          pr.getAs[String]("storage_class")),
+        collapseOnRecordId = Option(r.getAs[String]("collapse")))
+    }
+  }
 }

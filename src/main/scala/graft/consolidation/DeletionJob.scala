@@ -41,6 +41,40 @@ object DeletionJob {
       Schemas.jobs), "jobs")
   }
 
+  /** The job spec serialized into the NEW journal row's payload — makes
+    * the job resumable BY ID alone (ContinueJob; same convention as
+    * [[ConsolidationJob.specJson]]). */
+  private[consolidation] def specJson(spec: Spec): String = {
+    import graft.core.JsonUtil.escape
+    def arr(xs: Seq[String]) = xs.map(x => s""""${escape(x)}"""").mkString("[", ",", "]")
+    s"""{"name":"${escape(spec.name)}","instance_ids":${arr(spec.instanceIds)},""" +
+      s""""record_ids":${arr(spec.recordIds)},""" +
+      s""""patterns":${arr(spec.containerUriPatterns)}}"""
+  }
+
+  /** Rehydrate the Spec from the NEW journal row. */
+  def specFromJournal(spark: SparkSession, cat: Catalog,
+      jobId: String): Option[Spec] = {
+    import org.apache.spark.sql.types._
+    val payload = cat.read(spark, "jobs")
+      .filter(col("id") === jobId && col("state") === "NEW")
+      .select("payload").collect().headOption.map(_.getString(0))
+      .filter(_.nonEmpty)
+    payload.map { js =>
+      val schema = StructType(Seq(
+        StructField("name", StringType),
+        StructField("instance_ids", ArrayType(StringType)),
+        StructField("record_ids", ArrayType(StringType)),
+        StructField("patterns", ArrayType(StringType))))
+      import spark.implicits._
+      val r = spark.read.schema(schema).json(Seq(js).toDS()).collect().head
+      def seq(c: String): Seq[String] =
+        Option(r.getAs[scala.collection.Seq[String]](c)).map(_.toSeq).getOrElse(Nil)
+      Spec(jobId, r.getAs[String]("name"), seq("instance_ids"),
+        seq("record_ids"), seq("patterns"))
+    }
+  }
+
   /** Physical removal of one container object — the opSubFncDeleteContainer
     * equivalent (operations.go:435-445). Catalog-virtual URIs (mem://,
     * whose pixels live in the tiles table only) have no object to remove
@@ -134,7 +168,7 @@ object DeletionJob {
       pauseAfter.contains(state)
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
-    if (!done.contains("NEW")) logState(spark, cat, spec, "NEW")
+    if (!done.contains("NEW")) logState(spark, cat, spec, "NEW", specJson(spec))
     var lockedDf: org.apache.spark.sql.DataFrame = null
     var nLocked = 0L
     var orphanCkpt: org.apache.spark.sql.DataFrame = null

@@ -788,4 +788,55 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.read(spark, "datasets")
       .filter(col("container_uri") === ghost).count() == 0)
   }
+
+  test("configConsolidation + continueJob by id: params from the variable, resume without the spec") {
+    val cat2 = twoCellCatalog("continue", poisonR2 = false)
+    val gc2 = graft.api.Geocube(spark, cat2)
+    // ConfigConsolidation persists params on the variable; upsert replaces
+    gc2.configConsolidation("v1",
+      ConsolidationParams(uint8Map, Resampling.Bilinear))
+    gc2.configConsolidation("v1",
+      ConsolidationParams(uint8Map, Resampling.Near, storageClass = "COLDLINE"))
+    val cp = gc2.getConsolidationParams("v1").get
+    assert(cp.resampling == Resampling.Near && cp.storageClass == "COLDLINE")
+    assert(cp.mapping == uint8Map)
+    assert(gc2.getConsolidationParams("v-none").isEmpty)
+    assertThrows[IllegalArgumentException](gc2.configConsolidation("v-none",
+      ConsolidationParams(uint8Map, Resampling.Near)))
+
+    // the params-less consolidate resolves instance -> variable -> params
+    // and pauses mid-flight; continueJob(id) alone drives it to DONE
+    assert(gc2.consolidateFromRecords("jcj", "cont", "i1", Seq("r1", "r2"),
+      layout) == "DONE")
+    // a second paused job, continued purely by id (no spec re-presented)
+    val spec2 = ConsolidationJob.specFromJournal(spark, cat2, "jcj")
+    assert(spec2.isDefined)
+    assert(spec2.get.params.storageClass == "COLDLINE")
+    assert(spec2.get.layout == layout)
+    assert(spec2.get.recordIds == Seq("r1", "r2"))
+
+    val cat3 = twoCellCatalog("continue2", poisonR2 = false)
+    val gc3 = graft.api.Geocube(spark, cat3)
+    gc3.configConsolidation("v1", ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat3, ConsolidationJob.Spec(
+      "jcj2", "cont2", "i1", Seq("r1", "r2"), layout,
+      ConsolidationParams(uint8Map, Resampling.Near)),
+      pauseAfter = Some("CONSOLIDATIONINPROGRESS")) == "CONSOLIDATIONINPROGRESS")
+    assert(gc3.continueJob("jcj2") == "DONE")
+    assert(gc3.continueJob("nope") == "NOTFOUND")
+    // getJob returns the ordered journal
+    val states = gc3.getJob("jcj2").select("state").collect()
+      .map(_.getString(0)).toSeq
+    assert(states.head == "NEW" && states.last == "DONE")
+    // NaN nodata survives the spec JSON round-trip
+    val nanMap = DataMapping(
+      DataFormat(DType.Float32, Double.NaN, NumRange(0, 254)),
+      NumRange(0, 254), 1.0)
+    val js = ConsolidationJob.Spec("jn", "nan", "i1", Seq("r1"),
+      layout, ConsolidationParams(nanMap, Resampling.Near))
+    ConsolidationJob.run(spark, cat3, js, pauseAfter = Some("NEW"))
+    val back = ConsolidationJob.specFromJournal(spark, cat3, "jn")
+    assert(back.isDefined &&
+      back.get.params.mapping.format.noData.isNaN)
+  }
 }
