@@ -409,6 +409,27 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       DeletionJob.Spec(jobId, name, instanceIds, recordIds, datasetPatterns),
       pauseAfter)
 
+  /** RetryJob (service.go:552-567): retry BY ID — the spec rehydrates
+    * from the NEW journal row like [[continueJob]]. Consolidation jobs
+    * take the (force-)retry path (FAILED tasks re-emitted; force also
+    * NEW/PENDING); a deletion job's resume IS its retry (the worker
+    * stage re-processes NEW/PENDING/FAILED tasks). NOTFOUND for unknown
+    * ids or pre-spec-journal jobs. */
+  def retryJob(jobId: String, force: Boolean = false): String = {
+    val typ = cat.read(spark, "jobs").filter(col("id") === jobId)
+      .select("type").limit(1).collect().headOption.map(_.getString(0))
+    typ match {
+      case Some("DELETION") =>
+        DeletionJob.specFromJournal(spark, cat, jobId)
+          .map(DeletionJob.run(spark, cat, _)).getOrElse("NOTFOUND")
+      case Some(_) =>
+        ConsolidationJob.specFromJournal(spark, cat, jobId)
+          .map(ConsolidationJob.retry(spark, cat, _, force))
+          .getOrElse("NOTFOUND")
+      case None => "NOTFOUND"
+    }
+  }
+
   /** CancelJob (service.go:74): cancel by id, routed on the journaled job
     * type; NOTFOUND / CANCELLATIONFAILED / ABORTED. */
   def cancelJob(jobId: String): String =

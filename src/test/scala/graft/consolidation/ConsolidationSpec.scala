@@ -839,4 +839,25 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.isDefined &&
       back.get.params.mapping.format.noData.isNaN)
   }
+
+  test("retryJob by id: journaled spec drives the retry path") {
+    val cat2 = twoCellCatalog("retrybyid", poisonR2 = true)
+    val gc2 = graft.api.Geocube(spark, cat2)
+    val spec = ConsolidationJob.Spec("jri", "retrybyid", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec) == "CONSOLIDATIONFAILED")
+    // repair the poisoned tile, then retry purely BY ID
+    val fixed = new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(20.0)).toBytes
+    val tiles = cat2.read(spark, "tiles").collect().map { r =>
+      if (r.getString(0) == "mem://c2")
+        Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          r.get(6), r.get(7), fixed)
+      else r
+    }.toSeq
+    cat2.rewrite(spark.createDataFrame(
+      spark.sparkContext.parallelize(tiles), Schemas.all("tiles")), "tiles")
+    assert(gc2.retryJob("jri") == "DONE")
+    assert(gc2.retryJob("nope") == "NOTFOUND")
+    assert(gc2.retryJob("jri") == "UNHANDLED") // terminal
+  }
 }
