@@ -657,8 +657,15 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
 
   // ---- admin (admin.proto:58-62, C10)
 
-  def updateDatasets(instanceIds: Seq[String], up: Admin.DFormatUpdate): Long =
-    Admin.updateDatasets(spark, cat, instanceIds, up)
+  def updateDatasets(instanceIds: Seq[String], up: Admin.DFormatUpdate,
+      recordIds: Seq[String] = Nil, simulate: Boolean = false): Long =
+    Admin.updateDatasets(spark, cat, instanceIds, up, recordIds, simulate)
 
-  def tidyDb(): Map[String, Long] = Admin.tidy(spark, cat)
+  /** TidyPending (admin.go:11-13): granular entity flags + dry-run. */
+  def tidyDb(aois: Boolean = true, records: Boolean = true,
+      variables: Boolean = true, instances: Boolean = true,
+      containers: Boolean = true, params: Boolean = true,
+      simulate: Boolean = false): Map[String, Long] =
+    Admin.tidy(spark, cat, aois, records, variables, instances,
+      containers, params, simulate)
 }

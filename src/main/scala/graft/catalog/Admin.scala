@@ -39,11 +39,16 @@ object Admin {
     * the number of rows touched. One scan + one swap — no per-row round
     * trips, so a 10⁹-row datasets table updates in one distributed pass. */
   def updateDatasets(spark: SparkSession, cat: Catalog,
-      instanceIds: Seq[String], up: DFormatUpdate): Long = {
+      instanceIds: Seq[String], up: DFormatUpdate,
+      recordIds: Seq[String] = Nil, simulate: Boolean = false): Long = {
     val ds = cat.read(spark, "datasets")
-    val hit = col("instance_id").isin(instanceIds: _*)
+    // record scoping (admin.go:15 RecordIds) narrows the hit set; both
+    // lists are request arguments, bounded like the reference's
+    val hit0 = col("instance_id").isin(instanceIds: _*)
+    val hit = if (recordIds.isEmpty) hit0
+      else hit0 && col("record_id").isin(recordIds: _*)
     val n = ds.filter(hit).count()
-    if (n > 0) {
+    if (n > 0 && !simulate) {
       val updates: Seq[(String, Option[Any])] = Seq(
         "dtype" -> up.dtype, "no_data" -> up.noData,
         "min_value" -> up.minValue, "max_value" -> up.maxValue,
@@ -65,42 +70,69 @@ object Admin {
     * each one left_anti plan + atomic swap, in dependency order (J6 shape:
     * the NOT EXISTS GC of pg_records.go:176-191 / pg_containers.go:100-109).
     * Returns per-table deleted counts. */
-  def tidy(spark: SparkSession, cat: Catalog): Map[String, Long] = {
+  def tidy(spark: SparkSession, cat: Catalog,
+      aois: Boolean = true, records: Boolean = true,
+      variables: Boolean = true, instances: Boolean = true,
+      containers: Boolean = true, params: Boolean = true,
+      simulate: Boolean = false): Map[String, Long] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val ds = cat.read(spark, "datasets")
 
     def gc(table: String, df: DataFrame, keep: DataFrame): Unit = {
       val total = df.count()
       val kept = keep.count()
-      if (kept < total) cat.rewrite(keep, table)
+      if (kept < total && !simulate) cat.rewrite(keep, table)
       out += table -> (total - kept)
     }
+    def skip(table: String): Unit = out += table -> 0L
 
-    val records = cat.read(spark, "records")
-    val keptRecords = records.join(ds.select(col("record_id").as("__r")).distinct(),
-      col("id") === col("__r"), "left_semi")
-    gc("records", records, keptRecords)
+    if (records) {
+      val rec = cat.read(spark, "records")
+      gc("records", rec, rec.join(
+        ds.select(col("record_id").as("__r")).distinct(),
+        col("id") === col("__r"), "left_semi"))
+    } else skip("records")
 
-    val aoi = cat.read(spark, "aoi")
-    gc("aoi", aoi, aoi.join(
-      cat.read(spark, "records").select(col("aoi_id").as("__a")).distinct(),
-      col("id") === col("__a"), "left_semi"))
+    if (aois) {
+      // reads records POST-gc (dependency order); under simulate the
+      // upstream deletion didn't apply, so counts are per-entity against
+      // the current state — the reference's dry-run reports the same way
+      val aoi = cat.read(spark, "aoi")
+      gc("aoi", aoi, aoi.join(
+        cat.read(spark, "records").select(col("aoi_id").as("__a")).distinct(),
+        col("id") === col("__a"), "left_semi"))
+    } else skip("aoi")
 
-    val inst = cat.read(spark, "variable_instances")
-    gc("variable_instances", inst, inst.join(
-      ds.select(col("instance_id").as("__i")).distinct(),
-      col("id") === col("__i"), "left_semi"))
+    if (instances) {
+      val inst = cat.read(spark, "variable_instances")
+      gc("variable_instances", inst, inst.join(
+        ds.select(col("instance_id").as("__i")).distinct(),
+        col("id") === col("__i"), "left_semi"))
+    } else skip("variable_instances")
 
-    val vars = cat.read(spark, "variable_definitions")
-    gc("variable_definitions", vars, vars.join(
-      cat.read(spark, "variable_instances")
-        .select(col("definition_id").as("__d")).distinct(),
-      col("id") === col("__d"), "left_semi"))
+    if (variables) {
+      val vars = cat.read(spark, "variable_definitions")
+      gc("variable_definitions", vars, vars.join(
+        cat.read(spark, "variable_instances")
+          .select(col("definition_id").as("__d")).distinct(),
+        col("id") === col("__d"), "left_semi"))
+    } else skip("variable_definitions")
 
-    val containers = cat.read(spark, "containers")
-    gc("containers", containers, containers.join(
-      ds.select(col("container_uri").as("__c")).distinct(),
-      col("uri") === col("__c"), "left_semi"))
+    if (params) {
+      // consolidation_params of variables that no longer exist (the
+      // `params` flag of TidyPending, admin.go:13)
+      val cp = cat.read(spark, "consolidation_params")
+      gc("consolidation_params", cp, cp.join(
+        cat.read(spark, "variable_definitions").select(col("id").as("__v")),
+        col("variable_id") === col("__v"), "left_semi"))
+    } else skip("consolidation_params")
+
+    if (containers) {
+      val cont = cat.read(spark, "containers")
+      gc("containers", cont, cont.join(
+        ds.select(col("container_uri").as("__c")).distinct(),
+        col("uri") === col("__c"), "left_semi"))
+    } else skip("containers")
 
     out.toMap
   }

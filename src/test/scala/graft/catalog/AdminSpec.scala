@@ -92,16 +92,50 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tidy: GC of unreferenced rows in dependency order") {
+    // dry-run first: counts the same candidates, deletes nothing
+    val dry = Admin.tidy(spark, cat, simulate = true)
+    assert(dry("records") == 1 && dry("variable_instances") == 1)
+    assert(cat.read(spark, "records").count() == 2) // nothing deleted
+    // granular flags: records-only pass leaves the rest untouched
+    val recOnly = Admin.tidy(spark, cat, aois = false, variables = false,
+      instances = false, containers = false, params = false)
+    assert(recOnly("records") == 1 && recOnly("aoi") == 0 &&
+      recOnly("variable_instances") == 0)
+    assert(cat.read(spark, "aoi").count() == 2) // a2 still there
     val deleted = Admin.tidy(spark, cat)
     assert(deleted == Map(
-      "records" -> 1, // r2 had no datasets
+      "records" -> 0, // r2 already went in the records-only pass
       "aoi" -> 1, // a2 orphaned once r2 went
       "variable_instances" -> 1, // i2 unreferenced
       "variable_definitions" -> 2, // v2 (after i2) and v3
+      "consolidation_params" -> 0,
       "containers" -> 1)) // mem://gone
     assert(cat.read(spark, "records").select("id").collect().map(_.getString(0)).toSeq == Seq("r1"))
     assert(cat.read(spark, "variable_definitions").count() == 1)
     // second pass is a no-op (fixpoint)
     assert(Admin.tidy(spark, cat).values.sum == 0)
+    // params flag: a consolidation_params row of a vanished variable GCs
+    cat.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("v-ghost", "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0,
+        "near", "STANDARD"))), Schemas.all("consolidation_params")),
+      "consolidation_params")
+    assert(Admin.tidy(spark, cat)("consolidation_params") == 1)
+    assert(cat.read(spark, "consolidation_params").count() == 0)
+  }
+
+  test("updateDatasets: record scoping and simulate") {
+    // r1 has both datasets; scope to a single record id — only d1 moves
+    val n = Admin.updateDatasets(spark, cat, Seq("i1"),
+      Admin.DFormatUpdate(noData = Some(7.0)), recordIds = Seq("r1"),
+      simulate = true)
+    assert(n == 2) // both datasets belong to r1 in this fixture
+    assert(cat.read(spark, "datasets")
+      .filter(col("no_data") === 7.0).count() == 0) // dry-run applied nothing
+    assert(Admin.updateDatasets(spark, cat, Seq("i1"),
+      Admin.DFormatUpdate(noData = Some(7.0)), recordIds = Seq("r-none")) == 0)
+    assert(Admin.updateDatasets(spark, cat, Seq("i1"),
+      Admin.DFormatUpdate(noData = Some(7.0)), recordIds = Seq("r1")) == 2)
+    assert(cat.read(spark, "datasets")
+      .filter(col("no_data") === 7.0).count() == 2)
   }
 }
