@@ -415,20 +415,27 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     * NEW/PENDING); a deletion job's resume IS its retry (the worker
     * stage re-processes NEW/PENDING/FAILED tasks). NOTFOUND for unknown
     * ids or pre-spec-journal jobs. */
-  def retryJob(jobId: String, force: Boolean = false): String = {
-    val typ = cat.read(spark, "jobs").filter(col("id") === jobId)
-      .select("type").limit(1).collect().headOption.map(_.getString(0))
-    typ match {
-      case Some("DELETION") =>
+  def retryJob(jobId: String, force: Boolean = false): String =
+    routeByType(jobId)(
+      onDeletion = s => DeletionJob.run(spark, cat, s),
+      onConsolidation = s => ConsolidationJob.retry(spark, cat, s, force))
+
+  /** Shared by-id routing for retry/continue: FSM type from the NEW
+    * journal row (the jobs table also holds TASKEVENT counter rows under
+    * the same id — an unordered limit(1) could misroute), then the spec
+    * rehydrated from that row's payload. */
+  private def routeByType(jobId: String)(
+      onDeletion: DeletionJob.Spec => String,
+      onConsolidation: ConsolidationJob.Spec => String): String =
+    ConsolidationJob.jobTypeAndName(spark, cat, jobId) match {
+      case Some(("DELETION", _)) =>
         DeletionJob.specFromJournal(spark, cat, jobId)
-          .map(DeletionJob.run(spark, cat, _)).getOrElse("NOTFOUND")
+          .map(onDeletion).getOrElse("NOTFOUND")
       case Some(_) =>
         ConsolidationJob.specFromJournal(spark, cat, jobId)
-          .map(ConsolidationJob.retry(spark, cat, _, force))
-          .getOrElse("NOTFOUND")
+          .map(onConsolidation).getOrElse("NOTFOUND")
       case None => "NOTFOUND"
     }
-  }
 
   /** CancelJob (service.go:74): cancel by id, routed on the journaled job
     * type; NOTFOUND / CANCELLATIONFAILED / ABORTED. */
@@ -450,21 +457,10 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     * journal row's payload, then the FSM drives on from wherever the
     * journal stopped. `pauseAfter` keeps the step-by-step execution
     * level. NOTFOUND for unknown ids or pre-spec-journal jobs. */
-  def continueJob(jobId: String, pauseAfter: Option[String] = None): String = {
-    val typ = cat.read(spark, "jobs").filter(col("id") === jobId)
-      .select("type").limit(1).collect().headOption.map(_.getString(0))
-    typ match {
-      case Some("DELETION") =>
-        DeletionJob.specFromJournal(spark, cat, jobId)
-          .map(DeletionJob.run(spark, cat, _, pauseAfter))
-          .getOrElse("NOTFOUND")
-      case Some(_) =>
-        ConsolidationJob.specFromJournal(spark, cat, jobId)
-          .map(ConsolidationJob.run(spark, cat, _, pauseAfter))
-          .getOrElse("NOTFOUND")
-      case None => "NOTFOUND"
-    }
-  }
+  def continueJob(jobId: String, pauseAfter: Option[String] = None): String =
+    routeByType(jobId)(
+      onDeletion = s => DeletionJob.run(spark, cat, s, pauseAfter),
+      onConsolidation = s => ConsolidationJob.run(spark, cat, s, pauseAfter))
 
   def cleanJobs(nameLike: String = "", state: Option[String] = None): Long = {
     val jobs = cat.read(spark, "jobs")
@@ -578,10 +574,12 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       .orderBy("layout_name", "container_uri")
   }
 
-  /** TileAOI (G6): stream covering cells in fixed batches. */
+  /** TileAOI (G6): stream covering cells in fixed batches. Custom
+    * catalog-defined grids resolve here (their covers queries the cells
+    * table — the reference's DB-backed TileAOI path). */
   def tileAoi(aoi: Geometry, layout: GridLayout,
       batchSize: Int = 1000): Iterator[Seq[TileRow]] =
-    GridLayout.tileAoiBatches(layout, aoi, batchSize)
+    GridLayout.tileAoiBatches(layout.resolveGrid(spark, cat), aoi, batchSize)
 
   // ---- read path (service.go:88-92)
 

@@ -29,7 +29,13 @@ final case class Catalog(root: String) {
   /** Tables written with a partition column: `datasets` by instance
     * (instance filters prune), `jobs` by type — the streaming journal
     * probes `type = TASKEVENT` once per micro-batch, and FSM state rows
-    * must not make that probe a full-history scan at 100× scale. */
+    * must not make that probe a full-history scan at 100× scale.
+    *
+    * Layout-version note: a jobs directory written BEFORE the
+    * partitioning (flat part files with `type` as a data column) cannot
+    * be mixed with `type=` subdirectories — migrating a pre-existing
+    * catalog means one rewrite of the jobs table under the new build
+    * before the first append. */
   private def partitionColumn(table: String): Option[String] = table match {
     case "datasets" => Some("instance_id")
     case "jobs" => Some("type")

@@ -97,8 +97,9 @@ object Consolidation {
     // A3: job AOI = union of locked footprints
     val aoi = unionFootprints(datasets, "geog_wkb")
 
-    // G5: covering cells of the job AOI (dedup by geometry hash)
-    val cells = layout.covers(aoi).map { c =>
+    // G5: covering cells of the job AOI (dedup by geometry hash); the
+    // grid resolves against the catalog so custom grids pack too
+    val cells = layout.resolveGrid(spark, cat).covers(aoi).map { c =>
       val ring = c.geographicRing
       val b = GeomOps.bbox(ring)
       (c.uri, GeomOps.writeWkb(ring), b.xmin, b.ymin, b.xmax, b.ymax,

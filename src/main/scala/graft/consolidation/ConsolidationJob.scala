@@ -50,16 +50,24 @@ object ConsolidationJob {
     * journaled job type — consolidation jobs roll back via the csldRollback
     * chain below, deletion jobs via `DeletionJob.cancel`. NOTFOUND for ids
     * with no journal. */
-  def cancelById(spark: SparkSession, cat: Catalog, jobId: String): String = {
-    val rows = cat.read(spark, "jobs").filter(col("id") === jobId)
-      .select("name", "type").collect()
-    if (rows.isEmpty) return "NOTFOUND"
-    val name = rows.head.getString(0)
-    rows.head.getString(1) match {
-      case "DELETION" => DeletionJob.cancel(spark, cat, jobId, name)
-      case _ => cancelConsolidation(spark, cat, jobId, name)
+  def cancelById(spark: SparkSession, cat: Catalog, jobId: String): String =
+    jobTypeAndName(spark, cat, jobId) match {
+      case Some(("DELETION", name)) => DeletionJob.cancel(spark, cat, jobId, name)
+      case Some((_, name)) => cancelConsolidation(spark, cat, jobId, name)
+      case None => "NOTFOUND"
     }
-  }
+
+  /** The job's FSM type + name, read off its NEW journal row. NEVER an
+    * unordered limit(1) over all of the job's rows: the jobs table also
+    * carries the streaming TASKEVENT counter rows under the same job id,
+    * and an arbitrary row could route a deletion job down the
+    * consolidation path (or parse the wrong spec schema). */
+  private[graft] def jobTypeAndName(spark: SparkSession, cat: Catalog,
+      jobId: String): Option[(String, String)] =
+    cat.read(spark, "jobs")
+      .filter(col("id") === jobId && col("state") === "NEW")
+      .select("type", "name").limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1)))
 
   /** CancelledByUser — allowed until the swap is journaled (job.go
     * :550-580 marks the post-swap states critical): runs the csldRollback
@@ -181,13 +189,23 @@ object ConsolidationJob {
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
     if (done.contains("DONE")) return "DONE" // completed: locks released
+    // FAILED is terminal too (retry() refuses it) and its rollback
+    // released the locks — a resume would trip the empty-lock require and
+    // re-run the whole rollback, appending a duplicate FAILED journal row
+    if (done.contains("FAILED")) return "FAILED"
+    // ROLLBACKFAILED: only retry() may re-attempt the rollback — a plain
+    // resume driving the forward path over a half-rolled-back catalog
+    // could re-index or re-swap datasets the failed rollback left behind
+    if (done.contains("ROLLBACKFAILED")) return "ROLLBACKFAILED"
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW", specJson(spec))
     var lockedIds: org.apache.spark.sql.DataFrame = null
     var tasks: org.apache.spark.sql.DataFrame = null
     try {
       // layout validation on entry (layout.go:120-129: bad interlacing
-      // grammar or grid params fail the job before any work)
-      spec.layout.validate()
+      // grammar or grid params fail the job before any work); the grid
+      // resolves against the catalog first so CATALOG-DEFINED custom
+      // grids consolidate like built-ins
+      spec.layout.resolveGrid(spark, cat).validate()
       // C2 init: lock = DURABLE snapshot of the dataset ids to consolidate
       // (job.LockDatasets), written as LOCK task rows at CREATED exactly
       // like DeletionJob, then read back as an id-only RELATION (a

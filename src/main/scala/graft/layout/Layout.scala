@@ -17,7 +17,27 @@ final case class Layout(
     overviewsMinSize: Int = 256,
     interlacingPattern: String = "") {
 
-  @transient lazy val grid: Grid = Grid.fromLayout(gridFlags, gridParameters)
+  // The resolved grid. Built-in kinds (regular/singlecell) resolve from
+  // the parameters alone; a CATALOG-DEFINED custom grid (any other flag,
+  // customgrid.go:26-41) needs a catalog — callers that hold one invoke
+  // [[resolveGrid]] first, after which `grid` serves the catalog-backed
+  // form. Memoized; driver-side only for custom grids (their covers runs
+  // catalog queries, like the reference's DB-backed TileAOI).
+  @transient private var resolvedGrid: Grid = null
+
+  /** Resolve the grid against a catalog (no-op re-resolution is cheap for
+    * built-ins; required before `grid`/`covers` for custom grids). */
+  def resolveGrid(spark: SparkSession,
+      cat: graft.catalog.Catalog): this.type = {
+    resolvedGrid = Grid.fromLayout(gridFlags, gridParameters, spark, cat)
+    this
+  }
+
+  def grid: Grid = {
+    if (resolvedGrid == null)
+      resolvedGrid = Grid.fromLayout(gridFlags, gridParameters)
+    resolvedGrid
+  }
 
   /** The grid-independent half of [[validate]] — used for layouts whose
     * grid is a catalog-defined CUSTOM grid (resolvable only with a

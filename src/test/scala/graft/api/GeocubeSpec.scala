@@ -249,6 +249,11 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lg = graft.layout.Layout("lg", Seq("g2"),
       Map("crs" -> "EPSG:4326", "resolution" -> "1", "cell_size" -> "4"))
     gc.createLayout(lg)
+    // the stored custom-grid layout is USABLE, not just creatable: TileAOI
+    // resolves the grid against the cells table and streams its cells
+    val customCells = gc.tileAoi(
+      GeomOps.polygonFromBBox(BBox(0, 0, 8, 8)), lg).toSeq.flatten
+    assert(customCells.map(_.uri) == Seq("c1"))
     assertThrows[IllegalArgumentException](gc.deleteGrid("g2"))
     assert(gc.deleteLayout("lg"))
     assert(gc.deleteGrid("g2"))

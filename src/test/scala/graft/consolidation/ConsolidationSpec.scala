@@ -860,4 +860,42 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gc2.retryJob("nope") == "NOTFOUND")
     assert(gc2.retryJob("jri") == "UNHANDLED") // terminal
   }
+
+  test("terminal FAILED: resume early-returns, no duplicate journal or rollback") {
+    val cat2 = twoCellCatalog("failterm", poisonR2 = false)
+    // collapse onto a nonexistent record throws AFTER CREATED -> rollback
+    // -> terminal FAILED with the locks released
+    val spec = ConsolidationJob.Spec("jft", "failterm", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near),
+      collapseOnRecordId = Some("r-ghost"))
+    assert(ConsolidationJob.run(spark, cat2, spec) == "FAILED")
+    assert(Consolidation.readLockIds(spark, cat2, "jft").count() == 0)
+    def nFailed = cat2.read(spark, "jobs")
+      .filter(col("id") === "jft" && col("state") === "FAILED").count()
+    val n1 = nFailed
+    assert(n1 == 1)
+    // a resume must NOT trip the empty-lock require and re-run the
+    // rollback (which would append a second FAILED row)
+    assert(ConsolidationJob.run(spark, cat2, spec) == "FAILED")
+    assert(nFailed == n1)
+  }
+
+  test("TASKEVENT counter rows under the job id don't misroute by-id RPCs") {
+    val cat2 = twoCellCatalog("taskevt", poisonR2 = false)
+    val gc2 = graft.api.Geocube(spark, cat2)
+    // a DELETION job paused mid-flight...
+    assert(DeletionJob.run(spark, cat2,
+      DeletionJob.Spec("jte", "te", recordIds = Seq("r2")),
+      pauseAfter = Some("CREATED")) == "CREATED")
+    // ...whose id also carries streaming TASKEVENT counter rows (the
+    // journal form EventStream writes) — an unordered limit(1) over the
+    // job's rows could pick one and route down the consolidation path
+    val t0 = ts("2024-01-01 00:00:00")
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("jte", "run-batch-0", "TASKEVENT", "COUNTERS", 1, 0, "", t0, t0))),
+      Schemas.all("jobs")), "jobs")
+    assert(gc2.continueJob("jte") == "DONE")
+    assert(cat2.read(spark, "datasets").filter(col("record_id") === "r2")
+      .count() == 0)
+  }
 }
