@@ -1369,7 +1369,13 @@ object RelationalQueries {
     * floor((c0·(254−v)+c1·v)/254) sits ≥1/254 from the truncation
     * boundary — float (engine) and double (DuckDB) agree bit-for-bit.
     * Driver-looped serving mirrors the request-bounded XYZ path; the
-    * query is fixture-only (not a throughput benchmark). */
+    * query is fixture-only (not a throughput benchmark).
+    *
+    * Routing: alternate keys go through the two facade entry points —
+    * [[graft.api.Geocube.getXyzTile]] (explicit record ids, service.go:88)
+    * and [[graft.api.Geocube.getXyzTileFromFilters]] (tags+time scoping,
+    * service.go:90) — so this one oracle row also proves the
+    * filter-resolved record set serves byte-identical tiles. */
   def d5Palette(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.catalog.{Catalog, Schemas}
@@ -1418,6 +1424,7 @@ object RelationalQueries {
     write("tiles", Seq(
       Row("mem://d5pal", "", 144, 144, 1, "uint8", "EPSG:3857",
         tf.toArray.toSeq, new Bitmap(144, 144, 1, DType.UInt8, px).toBytes)))
+    val gc = graft.api.Geocube(s, cat)
     val keys = t(s, dir, "nation")
       .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
     val rows = keys.map { k =>
@@ -1425,7 +1432,14 @@ object RelationalQueries {
       val (x, y) =
         if (z == 4) (8 + (k / 2) % 2, 6 + (k / 4) % 2)
         else (16 + (k / 2) % 4, 12 + (k / 4) % 4)
-      val png = XYZTile.getTile(s, cat, "i1", x, y, z)
+      // alternate the two facade routes; both must resolve record r1
+      // (datetime 2024-01-01T00:00Z sits inside the filter window)
+      val png = (if (k % 2 == 0)
+          gc.getXyzTileFromFilters("i1",
+            fromTime = Some(java.sql.Timestamp.valueOf("2023-12-31 00:00:00")),
+            toTime = Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+            x = x, y = y, z = z)
+        else gc.getXyzTile("i1", x, y, z, recordIds = Seq("r1")))
         .getOrElse(throw new IllegalStateException(s"no tile for nation $k"))
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
       var (cr, cg, cb, ca) = (0L, 0L, 0L, 0L)
