@@ -507,11 +507,14 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     val kind = l.gridFlags.headOption.getOrElse("regular")
     if (kind == "regular" || kind == "singlecell") l.validate()
     else {
-      // custom grid (customgrid.go:26-41): structural checks here, the
-      // named grid must exist in the cells table
+      // custom grid (customgrid.go:26-41): structural checks, the named
+      // grid must exist in the cells table, AND the grid parameters must
+      // resolve (a valid positive 'resolution', a parseable 'subgrid') —
+      // the reference fails creation, not first use (layout.go:120-129)
       l.validateStructure()
       require(cat.read(spark, "cells").filter(col("grid") === kind)
         .limit(1).count() > 0, s"custom grid '$kind' not found")
+      l.resolveGrid(spark, cat).validate()
     }
     append("layouts", Seq(Row(l.name, l.gridFlags, l.gridParameters,
       l.blockXSize, l.blockYSize, l.maxRecords, l.overviewsMinSize,
@@ -630,9 +633,15 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       crs: String, transform: graft.geo.Affine, width: Int, height: Int,
       dformat: DataFormat, resamplingAlg: String = "near",
       bands: Int = 0): Dataset[Slice] = {
+    // the band-count probe is a full action over the metadata pipeline;
+    // cache it so cubeFromMetadata's tile join replays blocks, not the
+    // whole upstream catalog-scan lineage (registered for release with
+    // the operator caches, the repo's consume-then-unpersist convention)
+    val src = if (bands > 0) meta
+      else graft.operators.OperatorCaches.register(meta.cache())
     val nBands =
       if (bands > 0) bands
-      else meta.toDF().select(size(col("bands")).as("__nb"))
+      else src.toDF().select(size(col("bands")).as("__nb"))
         .agg(max(col("__nb"))).collect().headOption
         .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int])).getOrElse(1)
     val out = graft.raster.OutDescriptor(
@@ -641,7 +650,7 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       mapping = graft.core.DataMapping(dformat, dformat.range, 1.0),
       resampling = graft.raster.Resampling.fromName(resamplingAlg),
       validPixPc = -1)
-    GetCube.cubeFromMetadata(spark, cat, meta, out)
+    GetCube.cubeFromMetadata(spark, cat, src, out)
   }
 
   def getCubeFromFilters(tags: Map[String, String],

@@ -132,6 +132,10 @@ object Admin {
       gc("containers", cont, cont.join(
         ds.select(col("container_uri").as("__c")).distinct(),
         col("uri") === col("__c"), "left_semi"))
+      // cascade: container_layouts rows of just-deleted containers (the
+      // reference's DeleteContainerLayout fires with each container
+      // delete) — a dangling row would block deleteLayout forever
+      graft.consolidation.Consolidation.gcContainerLayouts(spark, cat)
     } else skip("containers")
 
     out.toMap

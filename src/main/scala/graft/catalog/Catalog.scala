@@ -21,8 +21,10 @@ final case class Catalog(root: String) {
 
   def read(spark: SparkSession, table: String): DataFrame = {
     val p = new java.io.File(path(table))
-    if (p.exists) spark.read.schema(Schemas.all(table)).parquet(path(table))
-    else spark.createDataFrame(
+    if (p.exists) {
+      migrateLegacyLayout(spark, table)
+      spark.read.schema(Schemas.all(table)).parquet(path(table))
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.all(table))
   }
 
@@ -33,16 +35,48 @@ final case class Catalog(root: String) {
     *
     * Layout-version note: a jobs directory written BEFORE the
     * partitioning (flat part files with `type` as a data column) cannot
-    * be mixed with `type=` subdirectories — migrating a pre-existing
-    * catalog means one rewrite of the jobs table under the new build
-    * before the first append. */
+    * be mixed with `type=` subdirectories — Spark refuses mixed leaf
+    * depths ("Conflicting directory structures detected"). Every
+    * read/append of a partitioned table therefore runs
+    * [[migrateLegacyLayout]] first: a one-time atomic rewrite of any
+    * flat legacy files into the partitioned form (memoized per JVM so
+    * the steady-state cost is one set lookup). */
   private def partitionColumn(table: String): Option[String] = table match {
     case "datasets" => Some("instance_id")
     case "jobs" => Some("type")
     case _ => None
   }
 
+  /** Upgrade a pre-partitioning table directory in place: flat
+    * `part-*.parquet` files (the partition key still a data column) are
+    * read with the full schema, unioned with any already-partitioned
+    * subdirectories (a half-migrated or mixed dir), and rewritten through
+    * the atomic [[rewrite]] swap. No-op when the layout is already clean. */
+  private def migrateLegacyLayout(spark: SparkSession, table: String): Unit =
+    partitionColumn(table).foreach { _ =>
+      val key = s"${path(table)}"
+      if (!Catalog.migrationChecked.contains(key)) {
+        val dir = new java.io.File(path(table))
+        val files = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+        val flat = files.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (flat.nonEmpty) {
+          val schema = Schemas.all(table)
+          val legacy = spark.read.schema(schema)
+            .parquet(flat.map(_.getPath).toIndexedSeq: _*)
+          val parts = files.filter(f => f.isDirectory && f.getName.contains("="))
+          val whole =
+            if (parts.isEmpty) legacy
+            else legacy.unionByName(spark.read
+              .option("basePath", dir.getPath).schema(schema)
+              .parquet(parts.map(_.getPath).toIndexedSeq: _*))
+          rewrite(whole, table)
+        }
+        Catalog.migrationChecked.add(key): Unit
+      }
+    }
+
   def append(df: DataFrame, table: String): Unit = {
+    migrateLegacyLayout(df.sparkSession, table)
     val writer = df.write.mode(SaveMode.Append)
     partitionColumn(table).fold(writer)(writer.partitionBy(_))
       .parquet(path(table))
@@ -73,5 +107,27 @@ final case class Catalog(root: String) {
   private def delete(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(delete)
     f.delete()
+  }
+}
+
+object Catalog {
+  /** Table paths whose on-disk layout has been checked (and migrated if
+    * legacy) this JVM — keeps [[Catalog.migrateLegacyLayout]] to one set
+    * lookup on the hot read/append paths. */
+  private val migrationChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Strictly-increasing microsecond wall clock for journal rows: two
+    * FSM transitions in the same millisecond still get distinct,
+    * correctly-ordered `created_at` stamps, so `ORDER BY created_at`
+    * reconstructs one driver's journal deterministically (across driver
+    * restarts the ≥1 s gap dwarfs the microsecond tie window). */
+  private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0L)
+  def journalNow(): java.sql.Timestamp = {
+    val micros = lastMicros.updateAndGet(prev =>
+      math.max(prev + 1, System.currentTimeMillis() * 1000L))
+    val ts = new java.sql.Timestamp((micros / 1000000L) * 1000L)
+    ts.setNanos(((micros % 1000000L) * 1000L).toInt)
+    ts
   }
 }

@@ -38,7 +38,8 @@ object ConsolidationJob {
       jobId: String, name: String, state: String, payload: String = "",
       jobType: String = "CONSOLIDATION",
       activeTasks: Int = 0, failedTasks: Int = 0): Unit = {
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    // monotonic stamp: same-millisecond transitions stay totally ordered
+    val now = graft.catalog.Catalog.journalNow()
     cat.append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         Row(jobId, name, jobType, state, activeTasks, failedTasks,
@@ -68,6 +69,16 @@ object ConsolidationJob {
       .filter(col("id") === jobId && col("state") === "NEW")
       .select("type", "name").limit(1).collect().headOption
       .map(r => (r.getString(0), r.getString(1)))
+
+  /** The job's current FSM state = its LAST journaled state row (counter
+    * rows excluded). Deterministic because journal stamps come from the
+    * monotonic [[graft.catalog.Catalog.journalNow]] clock. */
+  private def latestState(spark: SparkSession, cat: Catalog,
+      jobId: String): Option[String] =
+    cat.read(spark, "jobs")
+      .filter(col("id") === jobId && col("type") =!= "TASKEVENT")
+      .orderBy(col("created_at").desc)
+      .select("state").limit(1).collect().headOption.map(_.getString(0))
 
   /** CancelledByUser — allowed until the swap is journaled (job.go
     * :550-580 marks the post-swap states critical): runs the csldRollback
@@ -197,6 +208,14 @@ object ConsolidationJob {
     // resume driving the forward path over a half-rolled-back catalog
     // could re-index or re-swap datasets the failed rollback left behind
     if (done.contains("ROLLBACKFAILED")) return "ROLLBACKFAILED"
+    // CONSOLIDATIONFAILED parks the job for an explicit user decision
+    // (retry/force-retry/cancel; the reference's ContinueJob resumes only
+    // paused/interrupted jobs): a plain resume must not silently redo the
+    // failed tasks without the RETRYING journal entry. retry() appends
+    // CONSOLIDATION(FORCE)RETRYING before re-entering run(), so the guard
+    // keys on the LATEST journaled state, not set membership.
+    if (latestState(spark, cat, spec.jobId).contains("CONSOLIDATIONFAILED"))
+      return "CONSOLIDATIONFAILED"
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW", specJson(spec))
     var lockedIds: org.apache.spark.sql.DataFrame = null
     var tasks: org.apache.spark.sql.DataFrame = null
@@ -463,13 +482,32 @@ object ConsolidationJob {
   private def rollbackToFailed(spark: SparkSession, cat: Catalog, spec: Spec,
       cause: Exception): String =
     try {
+      val prefix = s"${cat.root}/containers/${spec.jobId}/"
       val ds = cat.read(spark, "datasets")
       cat.rewrite(ds.filter(!(col("status") === "INACTIVE" &&
-        col("container_uri").startsWith(s"${cat.root}/containers/${spec.jobId}/"))),
-        "datasets")
-      // FAILED is terminal (retry refuses it) — release the lock snapshot
+        col("container_uri").startsWith(prefix))), "datasets")
+      // FAILED is terminal: the job's not-yet-authoritative C4/C5 outputs
+      // (containers/tiles/container_layouts under the job prefix) are
+      // dead rows — purge them like cancel does, or they dangle forever
+      // (deleteLayout would refuse on a container_layouts row no dataset
+      // references). Guarded on the swap NOT being applied: after the
+      // swap those rows serve the job's ACTIVE datasets and must stay.
+      val swapApplied = cat.read(spark, "datasets")
+        .filter(col("container_uri").startsWith(prefix) &&
+          col("status") === "ACTIVE")
+        .limit(1).count() > 0
+      if (!swapApplied) {
+        cat.rewrite(cat.read(spark, "tiles")
+          .filter(!col("container_uri").startsWith(prefix)), "tiles")
+        cat.rewrite(cat.read(spark, "containers")
+          .filter(!col("uri").startsWith(prefix)), "containers")
+        cat.rewrite(cat.read(spark, "container_layouts")
+          .filter(!col("container_uri").startsWith(prefix)), "container_layouts")
+      }
+      // release the lock snapshot AND drop the dead task rows (the
+      // reference deletes a job's tasks alongside it)
       cat.rewrite(cat.read(spark, "tasks").filter(
-        !(col("job_id") === spec.jobId && col("state") === "LOCK")), "tasks")
+        col("job_id") =!= spec.jobId), "tasks")
       logState(spark, cat, spec, "FAILED", errJson(cause))
       "FAILED"
     } catch {

@@ -34,7 +34,8 @@ object DeletionJob {
 
   private def logState(spark: SparkSession, cat: Catalog, spec: Spec,
       state: String, payload: String = ""): Unit = {
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    // monotonic stamp: same-millisecond transitions stay totally ordered
+    val now = graft.catalog.Catalog.journalNow()
     cat.append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
         Row(spec.jobId, spec.name, "DELETION", state, 0, 0, payload, now, now))),

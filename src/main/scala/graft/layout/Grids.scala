@@ -233,10 +233,15 @@ object Grid {
     else {
       val resolution = params.getOrElse("resolution",
         throw new IllegalArgumentException("must contain a valid 'resolution'")).toDouble
+      require(resolution > 0, "must contain a valid 'resolution'")
       val sub = params.get("subgrid").map { s =>
         (crs: CRS) => fromLayout(Seq(s),
           params + ("crs" -> graft.geo.CRS.serialize(crs)))
       }
+      // eager subgrid validation: constructing it once against a dummy
+      // CRS surfaces an unsupported subgrid kind or missing cell sizes at
+      // layout-resolution time (create), not first covers
+      sub.foreach(f => f(CRS.parse("EPSG:4326")))
       CustomGrid(spark, cat, kind, resolution, sub)
     }
   }

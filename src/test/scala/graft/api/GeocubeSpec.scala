@@ -260,4 +260,26 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "cells").filter(col("grid") === "g2").count() == 0)
     assert(!gc.deleteGrid("g2")) // gone: not found
   }
+
+  test("createLayout rejects unusable custom-grid layouts at create time") {
+    gc.createGrid("g3", Seq(
+      ("c1", "EPSG:4326", GeomOps.polygonFromBBox(BBox(0, 0, 10, 10)))))
+    // the reference fails creation, not first use (layout.go:120-129 +
+    // customgrid.go:26-41): missing resolution...
+    assertThrows[IllegalArgumentException](gc.createLayout(
+      graft.layout.Layout("lbad", Seq("g3"), Map("crs" -> "EPSG:4326"))))
+    // ...non-positive resolution...
+    assertThrows[IllegalArgumentException](gc.createLayout(
+      graft.layout.Layout("lbad2", Seq("g3"), Map("resolution" -> "-1"))))
+    // ...an unsupported subgrid kind...
+    assertThrows[IllegalArgumentException](gc.createLayout(
+      graft.layout.Layout("lbad3", Seq("g3"),
+        Map("resolution" -> "1", "subgrid" -> "bogus"))))
+    // ...or a regular subgrid with no cell sizes
+    assertThrows[Exception](gc.createLayout(
+      graft.layout.Layout("lbad4", Seq("g3"),
+        Map("resolution" -> "1", "subgrid" -> "regular"))))
+    assert(gc.listLayouts().filter(col("name").startsWith("lbad")).count() == 0)
+    assert(gc.deleteGrid("g3")) // nothing was created that references it
+  }
 }

@@ -123,6 +123,24 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "consolidation_params").count() == 0)
   }
 
+  test("tidy containers cascades to container_layouts (no dangling rows)") {
+    val sc = spark
+    // a consolidated container that lost its last dataset, plus its C5
+    // container_layouts row
+    cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
+      Row("mem://stale", true, "STANDARD"))), Schemas.all("containers")),
+      "containers")
+    cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
+      Row("mem://stale", "lx"))), Schemas.all("container_layouts")),
+      "container_layouts")
+    assert(Admin.tidy(spark, cat, aois = false, records = false,
+      variables = false, instances = false, params = false)("containers") == 1)
+    // the layout reference went with its container — a dangling row here
+    // would block deleteLayout("lx") forever
+    assert(cat.read(spark, "container_layouts")
+      .filter(col("container_uri") === "mem://stale").count() == 0)
+  }
+
   test("updateDatasets: record scoping and simulate") {
     // r1 has both datasets; scope to a single record id — only d1 moves
     val n = Admin.updateDatasets(spark, cat, Seq("i1"),

@@ -880,6 +880,66 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nFailed == n1)
   }
 
+  test("parked CONSOLIDATIONFAILED: plain resume refuses; retry still drives") {
+    val cat2 = twoCellCatalog("parkguard", poisonR2 = true)
+    val spec = ConsolidationJob.Spec("jpg", "parkguard", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec) == "CONSOLIDATIONFAILED")
+    val nJournal = cat2.read(spark, "jobs").filter(col("id") === "jpg").count()
+    def taskSnap = cat2.read(spark, "tasks").filter(col("job_id") === "jpg")
+      .select("id", "state").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val snap0 = taskSnap
+    // a plain resume (ContinueJob) must NOT silently redo the failed
+    // tasks without the RETRYING journal entry: refuse, journal and task
+    // rows untouched (the reference's ContinueJob only handles paused or
+    // interrupted jobs — a parked-failed one awaits retry/cancel)
+    assert(ConsolidationJob.run(spark, cat2, spec) == "CONSOLIDATIONFAILED")
+    assert(cat2.read(spark, "jobs").filter(col("id") === "jpg").count() == nJournal)
+    assert(taskSnap == snap0)
+    // the explicit retry path still re-enters (journals RETRYING first)
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "CONSOLIDATIONFAILED")
+    assert(cat2.read(spark, "jobs").filter(col("id") === "jpg" &&
+      col("state") === "CONSOLIDATIONRETRYING").count() == 1)
+  }
+
+  test("terminal FAILED purges the job's dead outputs (rollback cascade)") {
+    val cat2 = twoCellCatalog("failpurge", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jfp2", "failpurge", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONDONE")) == "CONSOLIDATIONDONE")
+    val prefix = s"${cat2.root}/containers/jfp2/"
+    assert(cat2.read(spark, "containers")
+      .filter(col("uri").startsWith(prefix)).count() > 0)
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix)).count() > 0)
+    // a C5-style container_layouts row for one of the job's containers
+    val jobUri = cat2.read(spark, "containers")
+      .filter(col("uri").startsWith(prefix)).select("uri")
+      .collect().head.getString(0)
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(jobUri, "cells"))), Schemas.all("container_layouts")),
+      "container_layouts")
+    // poison the records table: the resume's C3 re-derivation throws
+    // after CREATED → rollbackToFailed
+    val garbage = new java.io.File(s"${cat2.root}/records/part-garbage.parquet")
+    java.nio.file.Files.write(garbage.toPath, "not parquet".getBytes("UTF-8"))
+    assert(ConsolidationJob.run(spark, cat2, spec) == "FAILED")
+    // the never-authoritative outputs go with the rollback — nothing
+    // dangles to block deleteLayout or confuse FindContainerLayouts
+    assert(cat2.read(spark, "containers")
+      .filter(col("uri").startsWith(prefix)).count() == 0)
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix)).count() == 0)
+    assert(cat2.read(spark, "container_layouts")
+      .filter(col("container_uri").startsWith(prefix)).count() == 0)
+    assert(cat2.read(spark, "tasks").filter(col("job_id") === "jfp2").count() == 0)
+    // the original catalog rows survive untouched
+    assert(cat2.read(spark, "datasets")
+      .filter(col("status") === "ACTIVE").count() == 2)
+  }
+
   test("TASKEVENT counter rows under the job id don't misroute by-id RPCs") {
     val cat2 = twoCellCatalog("taskevt", poisonR2 = false)
     val gc2 = graft.api.Geocube(spark, cat2)
