@@ -36,5 +36,5 @@ object SparkEntry {
     * line past the driver's 2000-char log tail. */
   val exprMicro: Set[String] = Set(
     "f6_webmerc", "f6_utm", "f6_stere", "f6_lcc", "f6_laea", "f6_aea",
-    "f6_datum")
+    "f6_datum", "f14_humanise")
 }

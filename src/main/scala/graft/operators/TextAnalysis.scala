@@ -231,6 +231,39 @@ object TextAnalysis {
         (col("__before") % capacity).as("seq_offset"))
   }
 
+  /** Corpus-level boilerplate scoring — the C4/CCNet repeated-content
+    * filter class (their unit is the LINE; shingles generalise to corpora
+    * without line structure): an n-gram is boilerplate when it appears in
+    * at least `ceil(minDocFrac · nDocs)` distinct documents, and each
+    * document reports how much of its distinct-gram set is boilerplate.
+    * Documents shorter than n tokens have no grams and drop out.
+    *
+    * Scale shape: ONE keyed shuffle on the gram computes document
+    * frequencies (per-doc grams are `array_distinct`'d map-side, so the
+    * rollup is a plain count); the surviving frequent set is tiny by
+    * construction (only grams in ≥frac·N docs) and BROADCASTS back over
+    * the per-doc side; the corpus size rides a broadcast 1-row relation.
+    * The wide gram relation is never shuffled twice and text never moves.
+    * Both engines evaluate `ceil(frac·N)` in IEEE doubles, so the
+    * threshold agrees bit-for-bit with the DuckDB oracle. */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocFrac: Double = 0.006): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(array_distinct(Dedup.wordNgrams(col(textCol), n))).as("__g"))
+    val nDocs = df.select(count(lit(1)).as("__nd"))
+    val frequent = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") >= ceil(lit(minDocFrac) * col("__nd")))
+      .select(col("__g"), lit(1L).as("__b"))
+    grams.join(broadcast(frequent), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__b"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler") / col("n_grams"), 6))
+  }
+
   /** Apply the full per-document analysis in one pass. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("quality", qualityFeatures(col(textCol)))

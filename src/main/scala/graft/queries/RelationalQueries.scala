@@ -619,6 +619,24 @@ object RelationalQueries {
         substring(col("p_name"), 1, 12).as("name_limited"))
       .orderBy("p_partkey")
 
+  /** f14_humanise — the byte-count log formatter (F14, reference
+    * grpc/service.go:986-997) as a codegen'd column expression, with four
+    * derived spans so every branch (plain/k/M/G) and every 10-unit
+    * threshold crossing appears in the output. DuckDB mirrors the
+    * truncating integer division with `//`. */
+  def f14Humanise(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FormatExpressions.humanise
+    val k = col("o_orderkey")
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"))
+      .withColumn("h_plain", humanise(k * 5L))
+      .withColumn("h_k", humanise(k * 8191L))
+      .withColumn("h_m", humanise(k * 1048576L + 12345L))
+      .withColumn("h_g", humanise(k * 1073741824L))
+      .orderBy("o_orderkey")
+  }
+
   // ── Library-kernel evidence queries ────────────────────────────────
   // These run the ACTUAL raster/grid/consolidation kernels per-row on
   // executors (typed maps — evidence surface, not a throughput path) and
@@ -959,6 +977,23 @@ object RelationalQueries {
     * in the sampler's exact loop order (dy outer, dx inner), so partial
     * sums associate identically. Cell values collapse to
     * (53 + 7dx + 13dy + k) % 97 constants around the fixed (x0,y0)=(2,3). */
+  /** Shared by the `d1_cube` and `d1_download` oracle entries: the
+    * download path replays the cube from metadata, so both must verify
+    * against the same expected slices. */
+  private val d1CubeSql: String =
+    """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
+       px AS (SELECT i,
+           SUM((p*7 + i*13) % 200) AS sa,
+           SUM(CASE WHEN p < 512 THEN (p*3 + i*11) % 200
+                    ELSE (p*7 + i*13) % 200 END) AS sb
+         FROM r, generate_series(0, 1023) q(p) GROUP BY i)
+       SELECT printf('r%03d', i) AS rid,
+              printf('r%03d', i) AS rids,
+              CAST(1704067200 + i*3600 AS BIGINT) AS ts_epoch,
+              CAST(1024 AS BIGINT) AS n_valid,
+              CAST(CASE WHEN i % 3 = 0 THEN sb ELSE sa END AS BIGINT) AS chk
+       FROM px ORDER BY rid"""
+
   private def f4KernelsSql: String = {
     def cat(t: String) =
       s"(CASE WHEN abs($t) < 1 THEN 1.5*abs($t)*abs($t)*abs($t) - 2.5*abs($t)*abs($t) + 1 " +
@@ -2213,6 +2248,7 @@ object RelationalQueries {
     "f4_percentiles" -> f4Percentiles _,
     "o4_order_results" -> o4OrderResults _,
     "f10_uri_helpers" -> f10UriHelpers _,
+    "f14_humanise" -> f14Humanise _,
     "a6_update_impact" -> a6UpdateImpact _,
     "w3_sessionize" -> w3Sessionize _,
     "j4_bbox_join" -> j4BboxJoin _,
@@ -2739,32 +2775,12 @@ object RelationalQueries {
                 CAST(1 AS BIGINT) AS sx8,
                 CAST(-1 AS BIGINT) AS sy8
          FROM nation ORDER BY key""",
-    "d1_cube" ->
-      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
-         px AS (SELECT i,
-             SUM((p*7 + i*13) % 200) AS sa,
-             SUM(CASE WHEN p < 512 THEN (p*3 + i*11) % 200
-                      ELSE (p*7 + i*13) % 200 END) AS sb
-           FROM r, generate_series(0, 1023) q(p) GROUP BY i)
-         SELECT printf('r%03d', i) AS rid,
-                printf('r%03d', i) AS rids,
-                CAST(1704067200 + i*3600 AS BIGINT) AS ts_epoch,
-                CAST(1024 AS BIGINT) AS n_valid,
-                CAST(CASE WHEN i % 3 = 0 THEN sb ELSE sa END AS BIGINT) AS chk
-         FROM px ORDER BY rid""",
-    "d1_download" ->
-      """WITH r AS (SELECT CAST(t.i AS BIGINT) AS i FROM generate_series(1, 48) t(i)),
-         px AS (SELECT i,
-             SUM((p*7 + i*13) % 200) AS sa,
-             SUM(CASE WHEN p < 512 THEN (p*3 + i*11) % 200
-                      ELSE (p*7 + i*13) % 200 END) AS sb
-           FROM r, generate_series(0, 1023) q(p) GROUP BY i)
-         SELECT printf('r%03d', i) AS rid,
-                printf('r%03d', i) AS rids,
-                CAST(1704067200 + i*3600 AS BIGINT) AS ts_epoch,
-                CAST(1024 AS BIGINT) AS n_valid,
-                CAST(CASE WHEN i % 3 = 0 THEN sb ELSE sa END AS BIGINT) AS chk
-         FROM px ORDER BY rid""",
+    "d1_cube" -> d1CubeSql,
+    // d1_download replays d1_cube's slices from the metadata path —
+    // identical checksums BY CONSTRUCTION, so the two entries share one
+    // SQL definition (a drifting copy would silently verify against a
+    // stale oracle)
+    "d1_download" -> d1CubeSql,
     "f6_laea" ->
       """WITH c0 AS (SELECT 6378137.0 AS aa,
              (1.0/298.257223563)*(2-1.0/298.257223563) AS e2,
@@ -3240,5 +3256,28 @@ object RelationalQueries {
          concat('GTIFF_DIR:', CAST(p_partkey % 4 + 1 AS VARCHAR),
                 ':container/', p_brand) AS gdal_uri,
          substring(p_name, 1, 12) AS name_limited
-         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""")
+         FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
+    "f14_humanise" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+                    WHERE o_orderkey <= 2000),
+         v AS (SELECT k, k*5 AS p, k*8191 AS q,
+                      k*1048576+12345 AS m, k*1073741824 AS g FROM b)
+         SELECT k AS o_orderkey,
+           CASE WHEN p < 10240 THEN CAST(p AS VARCHAR)
+                WHEN p < 10485760 THEN CAST(p//1024 AS VARCHAR) || 'k'
+                WHEN p < 10737418240 THEN CAST(p//1048576 AS VARCHAR) || 'M'
+                ELSE CAST(p//1073741824 AS VARCHAR) || 'G' END AS h_plain,
+           CASE WHEN q < 10240 THEN CAST(q AS VARCHAR)
+                WHEN q < 10485760 THEN CAST(q//1024 AS VARCHAR) || 'k'
+                WHEN q < 10737418240 THEN CAST(q//1048576 AS VARCHAR) || 'M'
+                ELSE CAST(q//1073741824 AS VARCHAR) || 'G' END AS h_k,
+           CASE WHEN m < 10240 THEN CAST(m AS VARCHAR)
+                WHEN m < 10485760 THEN CAST(m//1024 AS VARCHAR) || 'k'
+                WHEN m < 10737418240 THEN CAST(m//1048576 AS VARCHAR) || 'M'
+                ELSE CAST(m//1073741824 AS VARCHAR) || 'G' END AS h_m,
+           CASE WHEN g < 10240 THEN CAST(g AS VARCHAR)
+                WHEN g < 10485760 THEN CAST(g//1024 AS VARCHAR) || 'k'
+                WHEN g < 10737418240 THEN CAST(g//1048576 AS VARCHAR) || 'M'
+                ELSE CAST(g//1073741824 AS VARCHAR) || 'G' END AS h_g
+         FROM v ORDER BY o_orderkey""")
 }

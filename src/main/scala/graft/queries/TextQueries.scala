@@ -258,6 +258,17 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** text_boilerplate — corpus-frequent-content scoring
+    * ([[graft.operators.TextAnalysis.boilerplate]], the C4/CCNet
+    * repeated-line filter class at shingle granularity): word-3-grams
+    * present in ≥ ceil(0.006·N) documents are boilerplate; each doc
+    * reports its distinct-gram count, boilerplate-gram count and ratio.
+    * One keyed shuffle for the doc frequencies, broadcast back. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.boilerplate(
+        docs(s, dir), "doc_id", "text", n = 3, minDocFrac = 0.006)
+      .orderBy("doc_id")
+
   /** dedup_components — near-dup pairs folded into dedup CLUSTERS
     * ([[graft.operators.Dedup.connectedComponents]]): every doc implicated
     * in an LSH pair mapped to its cluster representative (the smallest
@@ -388,6 +399,7 @@ object TextQueries {
     "text_idf" -> textIdf _,
     "text_perplexity" -> textPerplexity _,
     "text_decontaminate" -> textDecontaminate _,
+    "text_boilerplate" -> textBoilerplate _,
     "text_repetition" -> textRepetition _,
     "text_redact" -> textRedact _,
     "text_pack" -> textPack _)
@@ -612,6 +624,23 @@ object TextQueries {
           SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
           FROM g JOIN bench ON g.gram = bench.gram
           WHERE g.source != 'src0'
+          GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "text_boilerplate" ->
+      s"""WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len($tokSql) - 2, 0) + 1),
+                     i -> array_to_string(($tokSql)[i:i+2], ' ')))) AS gram
+            FROM documents),
+          nd AS (SELECT count(*) AS n FROM documents),
+          freq AS (SELECT gram FROM g, nd GROUP BY gram, n
+                   HAVING count(*) >= ceil(0.006 * n))
+          SELECT g.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(freq.gram) AS BIGINT) AS n_boiler,
+                 round(CAST(count(freq.gram) AS DOUBLE) / count(*), 6)
+                   AS boiler_ratio
+          FROM g LEFT JOIN freq ON g.gram = freq.gram
           GROUP BY g.doc_id ORDER BY g.doc_id""",
     "text_perplexity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
