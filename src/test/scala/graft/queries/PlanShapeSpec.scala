@@ -30,7 +30,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_cosine_topk", "sim_ivf_topk", // broadcast query vector / probe ids
     "j5_range_join", "g1_grid_assign", // broadcast range-bucket literal dims
     // broadcast 1-row corpus/model totals
-    "text_idf", "text_perplexity", "text_tfidf_cos")
+    "text_idf", "text_perplexity", "text_tfidf_cos", "text_boilerplate")
 
   // fixture-evidence queries run a whole consolidation/serving FSM inside
   // their builder (minutes of driver actions) and return a trivial
