@@ -20,6 +20,10 @@ import org.locationtech.jts.geom.Geometry
   */
 final case class Geocube(spark: SparkSession, cat: Catalog) {
 
+  /** Version (service.go:1362; GeocubeServerVersion): the engine version
+    * a client can probe for compatibility checks. */
+  def version: String = Geocube.EngineVersion
+
   private def append(table: String, rows: Seq[Row]): Unit =
     cat.append(spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)),
@@ -675,4 +679,10 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       simulate: Boolean = false): Map[String, Long] =
     Admin.tidy(spark, cat, aois, records, variables, instances,
       containers, params, simulate)
+}
+
+object Geocube {
+  /** Engine version reported by [[Geocube.version]] (the reference pins
+    * GeocubeServerVersion the same way, service.go:34). */
+  val EngineVersion = "1.0.0"
 }

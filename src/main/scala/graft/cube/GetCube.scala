@@ -397,8 +397,18 @@ object GetCube {
         col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("crs"), col("transform"))
       .withColumn("base_subdir", regexp_replace(col("subdir"), "@ov\\d+$", ""))
+      // geographic tile CRS ⇒ resolution already in degrees. tiles.crs is
+      // always CRS.serialize output: "EPSG:<srid>" for a known code or a
+      // proj4 string — the geographic forms are exactly EPSG:4326 and
+      // "+proj=longlat ..." (incl. datum-shifted longlat, whose towgs84
+      // suffix keeps the prefix). A string-match on 4326 alone treated
+      // every other geographic CRS as meters, shrinking res_deg ~1e5×:
+      // all pyramid levels looked eligible and the window served the
+      // COARSEST overview for every request.
       .withColumn("res_deg",
-        when(col("crs") === "EPSG:4326", abs(element_at(col("transform"), 2)))
+        when(col("crs") === "EPSG:4326" ||
+            col("crs").startsWith("+proj=longlat"),
+          abs(element_at(col("transform"), 2)))
           .otherwise(abs(element_at(col("transform"), 2)) / 111320.0))
       .withColumn("eligible", col("res_deg") <= targetResDeg * 1.2)
     val w = Window.partitionBy(col("container_uri"), col("base_subdir"))

@@ -60,10 +60,15 @@ object GeoTiffIO {
     val rows = files.rdd.flatMap { r =>
       val path = r.getAs[String]("path")
       val data = r.getAs[Array[Byte]]("content")
-      val nFull = GeoTiff.read(data).count(!_.isOverview)
-      (1 to nFull).map { i =>
-        val img = GeoTiff.readForResolution(data, s"GTIFF_DIR:$i", targetRes)
-        Row(path, s"GTIFF_DIR:$i",
+      // one head parse + one decode of each chain's CHOSEN level (the
+      // ranged reader over a memory-backed readAt): the per-subdir
+      // readForResolution form re-decoded every IFD of the container
+      // once per subdir — O(R²) inflate work for R records
+      val imgs = GeoTiff.readAllForResolutionRanged(
+        (pos, buf, off, n) => System.arraycopy(data, pos.toInt, buf, off, n),
+        data.length.toLong, targetRes)
+      imgs.zipWithIndex.map { case (img, i) =>
+        Row(path, s"GTIFF_DIR:${i + 1}",
           img.bitmap.width, img.bitmap.height, img.bitmap.bands,
           img.bitmap.dtype.name, graft.geo.CRS.serialize(img.crs),
           img.transform.toArray.toSeq, img.bitmap.toBytes)

@@ -43,11 +43,16 @@ object IndexDatasets {
     }.toDF("record_id", "instance_id", "uri", "sub", "req_bands", "req_dtype",
       "no_data", "min_value", "max_value", "real_min", "real_max", "exponent")
 
-    // header relation: payload column pruned away by Catalyst
+    // header relation: payload column pruned away by Catalyst. One header
+    // per (container, subdir): the tiles table is append-only, so a
+    // re-imported container carries duplicate rows — without the dedup
+    // each request would fan out into several identical dataset
+    // registrations (distinct ids, same pixels painted twice)
     val tiles = cat.read(spark, "tiles").select(
-      col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
-      col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
-      col("transform"))
+        col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
+        col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
+        col("transform"))
+      .dropDuplicates("container_uri", "subdir")
 
     // validation as joined columns (the doc's "distributed validation",
     // now actually distributed): requests left-join their headers, errors

@@ -78,7 +78,11 @@ object WorldImageIO {
       .select(col("path"), col("content"))
     val parsed = files.rdd.map { r =>
       val path = r.getAs[String]("path")
-      val raw = path.stripPrefix("file:")
+      // keep the full URI (scheme included): Hadoop Path resolves the
+      // CORRECT filesystem from it — stripping "file:" would send the
+      // sidecar lookup to fs.defaultFS (e.g. HDFS) on a cluster and
+      // silently skip every image
+      val raw = path
       val world = readSidecar(hconf.value, sidecarNames(raw))
       val decoded = MediaCodec.decodeImageWithDepth(r.getAs[Array[Byte]]("content"))
       (world, decoded) match {

@@ -46,6 +46,7 @@ object GeoTiff {
   private val TSampleFormat = 339
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
+  private val TModelTransformation = 34264 // 4×4 matrix for rotated grids
   private val TGeoKeyDirectory = 34735
   private val TGeoDoubleParams = 34736
   private val TGdalNoData = 42113 // ASCII nodata value (GDAL convention)
@@ -83,6 +84,16 @@ object GeoTiff {
     case (64, 3) => DType.Float64
     case _ => throw new IllegalArgumentException(s"unsupported sample: $bits bits fmt $fmt")
   }
+
+  /** Geotransform from the georeferencing tags: a ModelTransformation
+    * matrix wins (it alone can carry rotation), else PixelScale+Tiepoint,
+    * else identity (non-georeferenced TIFF). */
+  private def geoTransform(scale: Seq[Double], tie: Seq[Double],
+      m: Seq[Double]): Affine =
+    if (m.size >= 8) Affine(m(3), m(0), m(1), m(7), m(4), m(5))
+    else if (scale.size >= 2 && tie.size >= 5)
+      Affine.northUp(tie(3), tie(4), scale(0), -scale(1))
+    else Affine.identity
 
   /** Number of ×2 overview levels until max(w,h) ≤ minSize (0 = none). */
   def nbOverviews(w: Int, h: Int, minSize: Int): Int = {
@@ -241,14 +252,18 @@ object GeoTiff {
     // `autoBigTiff` mirrors the reference's consolidation writer
     // (mucog.go:82): switch when the container COULD exceed the classic
     // address space. The decision rides the pre-layout uncompressed bound
-    // (pixel volume + the ≤1/3 overview tail) — compression and sparse
-    // elision only shrink the file, so a classic verdict never needs
-    // revisiting after the expensive block cut; an over-eager BigTIFF
-    // verdict costs a few header bytes on a file every reader here
-    // auto-detects anyway.
+    // (PADDED pixel volume + the ≤1/3 overview tail) — tiled layouts
+    // zero-pad every edge tile to tileSize², so the bound must use
+    // ceil(w/ts)·ceil(h/ts)·ts², not w·h (a 129×129-tile container can
+    // be ~4× its raw volume); compression and sparse elision only
+    // shrink the file, so a classic verdict never needs revisiting after
+    // the expensive block cut; an over-eager BigTIFF verdict costs a few
+    // header bytes on a file every reader here auto-detects anyway.
     val big = bigTiff || (autoBigTiff && {
+      def padded(n: Int): Long =
+        if (tileSize > 0) ((n + tileSize - 1L) / tileSize) * tileSize else n.toLong
       val base = images.iterator.map(im =>
-        im.bitmap.width.toLong * im.bitmap.height * im.bitmap.bands *
+        padded(im.bitmap.width) * padded(im.bitmap.height) * im.bitmap.bands *
           im.bitmap.dtype.sizeBytes).sum
       val bound = if (overviewsMinSize > 0) base + base / 3 else base
       bound + (1L << 20) > 0xF0000000L // ~3.75 GiB guard band
@@ -293,6 +308,12 @@ object GeoTiff {
       // block offsets/counts: LONG8 in BigTIFF, LONG in classic
       val offTyp = if (big) 16 else 4
       def offArr(vs: Seq[Long]) = if (big) longs8(vs) else longs(vs)
+      // dimension tags (width/height/rows-per-strip): SHORT while the
+      // value fits, LONG past 65535 (TIFF 6.0 allows either — a truncated
+      // SHORT would silently disagree with the block geometry)
+      def dimEntry(tag: Int, v: Int): (Int, Int, Int, Array[Byte]) =
+        if (v > 0xFFFF) (tag, 4, 1, longVal(v.toLong))
+        else (tag, 3, 1, shortVal(v))
       def doubles(vs: Seq[Double]) = {
         val b = ByteBuffer.allocate(vs.size * 8).order(ByteOrder.LITTLE_ENDIAN)
         vs.foreach(b.putDouble); b.array()
@@ -351,8 +372,8 @@ object GeoTiff {
       }
       val entries = Seq.newBuilder[(Int, Int, Int, Array[Byte])] // (tag, type, count, value)
       subfile.foreach(s => entries += ((TNewSubfileType, 4, 1, longVal(s.toLong))))
-      entries += ((TWidth, 3, 1, shortVal(bm.width)))
-      entries += ((THeight, 3, 1, shortVal(bm.height)))
+      entries += dimEntry(TWidth, bm.width)
+      entries += dimEntry(THeight, bm.height)
       entries += ((TBitsPerSample, 3, bm.bands, shorts(Seq.fill(bm.bands)(bits))))
       entries += ((TCompression, 3, 1, shortVal(if (compress) 8 else 1)))
       entries += ((TPhotometric, 3, 1, shortVal(1)))
@@ -364,13 +385,25 @@ object GeoTiff {
         entries += ((TTileByteCounts, offTyp, blocks.size, offArr(blocks.map(_.length.toLong))))
       } else {
         entries += ((TStripOffsets, offTyp, 1, offArr(Seq(0L)))) // patched
-        entries += ((TRowsPerStrip, 3, 1, shortVal(bm.height)))
+        entries += dimEntry(TRowsPerStrip, bm.height)
         entries += ((TStripByteCounts, offTyp, 1, offArr(Seq(blocks.head.length.toLong))))
       }
       entries += ((TPlanarConfig, 3, 1, shortVal(2))) // band-planar
       entries += ((TSampleFormat, 3, bm.bands, shorts(Seq.fill(bm.bands)(sampleFormat(bm.dtype)))))
-      entries += ((TModelPixelScale, 12, 3, doubles(Seq(img.transform.rx, -img.transform.ry, 0))))
-      entries += ((TModelTiepoint, 12, 6, doubles(Seq(0, 0, 0, img.transform.c0, img.transform.c3, 0))))
+      if (img.transform.c2 == 0 && img.transform.c4 == 0) {
+        entries += ((TModelPixelScale, 12, 3, doubles(Seq(img.transform.rx, -img.transform.ry, 0))))
+        entries += ((TModelTiepoint, 12, 6, doubles(Seq(0, 0, 0, img.transform.c0, img.transform.c3, 0))))
+      } else {
+        // rotated grid (world-file imports can carry shear terms):
+        // PixelScale+Tiepoint cannot express it — write the full
+        // ModelTransformation matrix instead of silently axis-aligning
+        val t = img.transform
+        entries += ((TModelTransformation, 12, 16, doubles(Seq(
+          t.c1, t.c2, 0, t.c0,
+          t.c4, t.c5, 0, t.c3,
+          0, 0, 0, 0,
+          0, 0, 0, 1))))
+      }
       entries += ((TGeoKeyDirectory, 3, geoKeys.length / 2, geoKeys))
       if (geoDoubles.nonEmpty)
         entries += ((TGeoDoubleParams, 12, geoDoubles.size, doubles(geoDoubles)))
@@ -432,8 +465,14 @@ object GeoTiff {
       else {
         val byRZ = pend.zipWithIndex.map { case (p, i) => (p.rIdx, p.zIdx) -> i }.toMap
         val nRec = pend.map(_.rIdx).max + 1
+        // precomputed lookup arrays: enumerate probes these callbacks at
+        // every candidate leaf of its r×z×b×t cross product — an O(|pend|)
+        // pend.count per probe would make block ordering quadratic in the
+        // record count before a byte is written
+        val zooms = new Array[Int](nRec)
+        pend.foreach(p => zooms(p.rIdx) += 1)
         Interlacing.enumerate(Interlacing.parse(interlacing), nRec,
-          r => pend.count(_.rIdx == r),
+          r => zooms(r),
           r => pend(byRZ((r, 0))).bands,
           (r, z) => pend(byRZ((r, z))).tilesPerBand)
           .map { case (r, z, b, t) =>
@@ -751,15 +790,40 @@ object GeoTiff {
           }
           out
         } else {
-          val raw = fetch(tagLongs(TStripOffsets).head, tagLongs(TStripByteCounts).head)
-          Bitmap.fromBytes(decode(raw, w * h * bands * sz), w, h, bands, dt)
+          val offs = tagLongs(TStripOffsets)
+          val counts = tagLongs(TStripByteCounts)
+          val total = w * h * bands * sz
+          if (offs.size == 1)
+            Bitmap.fromBytes(decode(fetch(offs.head, counts.head), total),
+              w, h, bands, dt)
+          else {
+            // multi-strip layout (foreign writers: GDAL defaults
+            // RowsPerStrip to ~8 KiB of rows): strips partition the image
+            // rows top-down — decode each and concatenate. Multi-band
+            // multi-strip files interleave samples within a row (chunky),
+            // which this band-planar reader does not reassemble; the
+            // single-band case (the common GDAL export) is exact.
+            require(bands == 1,
+              s"multi-strip decode supports 1 band, got $bands")
+            val rps = tagVal(TRowsPerStrip, h)
+            require(rps > 0 && offs.size == (h + rps - 1) / rps,
+              s"strip count ${offs.size} != ceil($h/$rps)")
+            val px = new Array[Byte](total)
+            var i = 0
+            var off = 0
+            while (i < offs.size) {
+              val rows = math.min(rps, h - i * rps)
+              val expect = rows * w * sz
+              System.arraycopy(decode(fetch(offs(i), counts(i)), expect),
+                0, px, off, expect)
+              off += expect
+              i += 1
+            }
+            Bitmap.fromBytes(px, w, h, bands, dt)
+          }
         }
-      val scale = tagDoubles(TModelPixelScale)
-      val tie = tagDoubles(TModelTiepoint)
-      val transform =
-        if (scale.size >= 2 && tie.size >= 5)
-          Affine.northUp(tie(3), tie(4), scale(0), -scale(1))
-        else Affine.identity
+      val transform = geoTransform(tagDoubles(TModelPixelScale),
+        tagDoubles(TModelTiepoint), tagDoubles(TModelTransformation))
       val crs = crsFromGeoKeys(tagShorts(TGeoKeyDirectory), tagDoubles(TGeoDoubleParams))
       val isOv = tagVal(TNewSubfileType, 0) == 1
       Directory(Image(bm, transform, crs), isOv)
@@ -814,7 +878,9 @@ object GeoTiff {
       // transform default the header-only path uses, so payload and
       // metadata projections agree on non-georeferenced TIFFs
       def res(i: Int): Double =
-        tagDoubles(ifds(i), TModelPixelScale).headOption.getOrElse(1.0)
+        tagDoubles(ifds(i), TModelPixelScale).headOption
+          .orElse(tagDoubles(ifds(i), TModelTransformation).headOption)
+          .getOrElse(1.0)
       val chosen: Seq[Option[Int]] = chains.zipWithIndex.map { case (candidates, r) =>
         if (only.exists(_ != r)) None
         else Some(
@@ -888,14 +954,12 @@ object GeoTiff {
     scanIfds(data).map { tags =>
       val bits = tagShorts(tags, TBitsPerSample).headOption.getOrElse(8)
       val fmt = tagShorts(tags, TSampleFormat).headOption.getOrElse(1)
-      val scale = tagDoubles(tags, TModelPixelScale)
-      val tie = tagDoubles(tags, TModelTiepoint)
       Header(
         tagVal(tags, TWidth), tagVal(tags, THeight), tagVal(tags, TSamplesPerPixel, 1),
         dtypeOf(bits, fmt),
-        if (scale.size >= 2 && tie.size >= 5)
-          Affine.northUp(tie(3), tie(4), scale(0), -scale(1))
-        else Affine.identity,
+        geoTransform(tagDoubles(tags, TModelPixelScale),
+          tagDoubles(tags, TModelTiepoint),
+          tagDoubles(tags, TModelTransformation)),
         crsFromGeoKeys(tagShorts(tags, TGeoKeyDirectory), tagDoubles(tags, TGeoDoubleParams)),
         tagVal(tags, TNewSubfileType, 0) == 1)
     }

@@ -132,9 +132,11 @@ object Warp {
       paint(target, out, casted, src.pixToCrs, src.crs, castedNoData)
     }
     if (out.validPixPc >= 0) {
-      val minValid = out.width * out.height * out.validPixPc / 100
+      // long arithmetic: width*height*pc overflows Int past ~21 Mpx,
+      // which silently disabled the threshold on large outputs
+      val minValid = out.width.toLong * out.height * out.validPixPc / 100
       val valid = target.validPixels(out.mapping.format.noData)
-      if (valid < math.max(minValid, 1)) return None
+      if (valid < math.max(minValid, 1L)) return None
     }
     Some(target)
   }

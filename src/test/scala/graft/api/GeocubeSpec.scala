@@ -261,6 +261,10 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gc.deleteGrid("g2")) // gone: not found
   }
 
+  test("version reports the pinned engine version (service.go:1362)") {
+    assert(gc.version == Geocube.EngineVersion && gc.version.nonEmpty)
+  }
+
   test("createLayout rejects unusable custom-grid layouts at create time") {
     gc.createGrid("g3", Seq(
       ("c1", "EPSG:4326", GeomOps.polygonFromBBox(BBox(0, 0, 10, 10)))))

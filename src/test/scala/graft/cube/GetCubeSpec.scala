@@ -248,6 +248,49 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm2(new java.io.File(root2))
   }
 
+  test("overview selection treats non-4326 geographic tile CRS as degrees") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft-ovcrs").toString
+    val cat2 = Catalog(root2)
+    val sc = spark
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat2.append(sc.createDataFrame(
+        sc.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val box = BBox(0, 0, 4, 4)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(box), bboxRow(box))))
+    write("records", Seq(Row("r1", "s1", ts("2024-01-01 00:00:00"),
+      Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://ovg", true, "STANDARD")))
+    write("datasets", Seq(Row("d1", "r1", "i1", "mem://ovg", "", Seq(1),
+      "ACTIVE", null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+      wkbBox(box), wkbBox(box), 4326, bboxRow(box))))
+    // a geographic CRS that does NOT serialize as "EPSG:4326" (GRS80
+    // ellipsoid): its degree resolutions must not be divided by 111320 —
+    // that made every pyramid level look eligible and served the
+    // coarsest overview for every request
+    val grs80 = graft.geo.CRS.serialize(
+      graft.geo.CRS.Geographic(6378137.0, 1.0 / 298.257222101))
+    assert(grs80.startsWith("+proj=longlat"))
+    def tile(sub: String, w: Int, res: Double, v: Double): Row =
+      Row("mem://ovg", sub, w, w, 1, "uint8", grs80,
+        Seq(0.0, res, 0.0, 4.0, 0.0, -res),
+        new graft.raster.Bitmap(w, w, 1, graft.core.DType.UInt8,
+          Array.fill(w * w)(v)).toBytes)
+    write("tiles", Seq(tile("", 4, 1.0, 10.0), tile("@ov1", 2, 2.0, 99.0)))
+    // full-resolution request → the BASE level, not the coarsest
+    val fine = GetCube.datasetTiles(spark, cat2, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = grid4, width = 4, height = 4)).collect()
+    assert(fine.nonEmpty && fine.forall(_.t_width == 4))
+    // coarse request → the overview is adequate and chosen
+    val coarse = GetCube.datasetTiles(spark, cat2, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 4, 2, -2), width = 2, height = 2)).collect()
+    assert(coarse.nonEmpty && coarse.forall(_.t_width == 2))
+  }
+
   test("headers-only short-circuits the kernel") {
     val slices = GetCube.cube(spark, cat, request().copy(headersOnly = true)).collect()
     assert(slices.length == 2)

@@ -79,4 +79,20 @@ class IndexDatasetsSpec extends AnyFunSuite with BeforeAndAfterAll {
         realMin = 0, realMax = 1))))
     assert(e2.getMessage.contains("dtype mismatch"))
   }
+
+  test("duplicate tile rows (re-imported container) index ONE dataset") {
+    val sc = spark
+    // the tiles table is append-only: a second import of bulk42 leaves
+    // two identical header rows — the validation join must not fan the
+    // request out into two registrations
+    cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
+      Row("mem://bulk42", "", 1, 1, 1, "uint8", "EPSG:4326",
+        Seq(42.0 % 360 - 180, 1.0, 0.0, 45.0, 0.0, -1.0), Array[Byte](0)))),
+      Schemas.all("tiles")), "tiles")
+    IndexDatasets.run(spark, cat, Seq(
+      IndexDatasets.NewDataset(recordId = "rdup", instanceId = "i2",
+        containerUri = "mem://bulk42", dformat = fmt, realMin = 0, realMax = 1)))
+    assert(cat.read(spark, "datasets")
+      .filter(col("record_id") === "rdup").count() == 1)
+  }
 }

@@ -436,4 +436,61 @@ class GeoTiffSpec extends AnyFunSuite {
       Array(1, 2, 3, 4, 5, 6), crs = ed50)))).head.image
     assert(e.crs == ed50)
   }
+
+  test("rotated transform round-trips via ModelTransformation (tag 34264)") {
+    val rot = Affine(100, 2.0, 0.5, 200, -0.25, -2.0)
+    val im = GeoTiff.Image(
+      new Bitmap(3, 2, 1, DType.UInt8, Array(1, 2, 3, 4, 5, 6)), rot, CRS.WGS84)
+    val bytes = GeoTiff.write(Seq(im))
+    // full decode and headers-only agree on the exact rotated matrix —
+    // PixelScale+Tiepoint alone would have silently axis-aligned it
+    assert(GeoTiff.read(bytes).head.image.transform == rot)
+    assert(GeoTiff.readHeaders(bytes).head.transform == rot)
+    // axis-aligned images keep the compact scale+tiepoint form
+    val plain = GeoTiff.write(Seq(img(3, 2, DType.UInt8, Array(1, 2, 3, 4, 5, 6))))
+    assert(GeoTiff.readHeaders(plain).head.transform == Affine.northUp(10, 20, 1, -1))
+  }
+
+  test(">65535-px dimension writes LONG tags (no SHORT truncation)") {
+    val w = 70000
+    val vals = Array.tabulate(w)(i => (i % 251).toDouble)
+    val im = GeoTiff.Image(new Bitmap(w, 1, 1, DType.UInt8, vals),
+      Affine.northUp(0, 0, 1, -1), CRS.WGS84)
+    val bytes = GeoTiff.write(Seq(im), compress = true)
+    val h = GeoTiff.readHeaders(bytes).head
+    assert(h.width == w && h.height == 1) // 70000 & 0xffff would be 4464
+    assert(GeoTiff.read(bytes).head.image.bitmap.pixels.toSeq == vals.toSeq)
+  }
+
+  test("foreign multi-strip single-band file decodes strip-by-strip") {
+    // hand-built little-endian classic TIFF the way GDAL writes small
+    // non-tiled files: 4×4 uint8, RowsPerStrip=2 → two strips of 8 bytes
+    import java.nio.{ByteBuffer, ByteOrder}
+    val px = Array.tabulate(16)(i => (i + 1).toByte)
+    val buf = ByteBuffer.allocate(8 + 16 + 2 + 10 * 12 + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(24) // IFD at 24
+    buf.put(px, 0, 8).put(px, 8, 8) // strip 0 at 8, strip 1 at 16
+    def entry(tag: Int, typ: Int, count: Int)(value: ByteBuffer => Unit): Unit = {
+      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val mark = buf.position()
+      value(buf)
+      while (buf.position() < mark + 4) buf.put(0.toByte)
+    }
+    buf.putShort(10) // entry count
+    entry(256, 3, 1)(_.putShort(4)) // width
+    entry(257, 3, 1)(_.putShort(4)) // height
+    entry(258, 3, 1)(_.putShort(8)) // bits
+    entry(259, 3, 1)(_.putShort(1)) // no compression
+    entry(262, 3, 1)(_.putShort(1)) // photometric
+    entry(273, 3, 2)(b => { b.putShort(8); b.putShort(16) }) // strip offsets
+    entry(277, 3, 1)(_.putShort(1)) // samples/pixel
+    entry(278, 3, 1)(_.putShort(2)) // rows/strip
+    entry(279, 3, 2)(b => { b.putShort(8); b.putShort(8) }) // byte counts
+    entry(339, 3, 1)(_.putShort(1)) // unsigned
+    buf.putInt(0) // no next IFD
+    val got = GeoTiff.read(buf.array()).head.image
+    assert(got.bitmap.width == 4 && got.bitmap.height == 4)
+    assert(got.bitmap.pixels.toSeq == px.map(_.toDouble).toSeq)
+  }
 }
