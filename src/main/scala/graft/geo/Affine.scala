@@ -73,10 +73,19 @@ final case class BBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double) {
 
 object BBox {
   /** Extent of a width×height grid under pixToCrs (NewPolygonFromExtent,
-    * proj.go:300-316 — normalizes min/max for negative resolutions). */
+    * proj.go:300-316 — normalizes min/max for negative resolutions).
+    * All FOUR corners are transformed: under a rotated affine (c2/c4 ≠ 0,
+    * world-file imports) the other diagonal's corners fall outside the
+    * two-corner box, and every coarse prune downstream would silently
+    * drop intersecting data. */
   def fromExtent(pixToCrs: Affine, width: Int, height: Int): BBox = {
     val (x1, y1) = pixToCrs.transform(0, 0)
     val (x2, y2) = pixToCrs.transform(width.toDouble, height.toDouble)
-    BBox(math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2))
+    val (x3, y3) = pixToCrs.transform(width.toDouble, 0)
+    val (x4, y4) = pixToCrs.transform(0, height.toDouble)
+    BBox(math.min(math.min(x1, x2), math.min(x3, x4)),
+      math.min(math.min(y1, y2), math.min(y3, y4)),
+      math.max(math.max(x1, x2), math.max(x3, x4)),
+      math.max(math.max(y1, y2), math.max(y3, y4)))
   }
 }

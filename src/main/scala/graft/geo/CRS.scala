@@ -873,8 +873,27 @@ object CRS {
     // (when the CRS resolves through its EPSG id, the id wins — EPSG
     // definitions are datum-complete)
     val towgs84Re = """(?i)TOWGS84\s*\[([^\]]*)\]""".r
-    re.findAllMatchIn(s).toSeq.lastOption match {
-      case Some(m) => fromSrid(m.group(1).toInt)
+    // only the WHOLE-CRS id may short-circuit parameter parsing: that is
+    // the AUTHORITY/ID node sitting directly inside the outer CRS node
+    // (bracket depth 1). An inner node's authority (UNIT metre → 9001,
+    // the GEOGCS inside a custom PROJCS → 4326) must never resolve the
+    // CRS — custom projected WKT without a whole-CRS id would otherwise
+    // throw on 9001 or silently come back geographic.
+    def bracketDepthAt(i: Int): Int = {
+      var d = 0
+      var k = 0
+      while (k < i) {
+        val c = s.charAt(k)
+        if (c == '[') d += 1 else if (c == ']') d -= 1
+        k += 1
+      }
+      d
+    }
+    val topLevelId = re.findAllMatchIn(s).toSeq
+      .filter(m => bracketDepthAt(m.start) == 1)
+      .lastOption.map(_.group(1).toInt)
+    topLevelId match {
+      case Some(srid) => fromSrid(srid)
       case None =>
         val projRe = """(?i)PROJECTION\s*\[\s*"([^"]+)"""".r
         // WKT2 spells the operation METHOD["Name"]

@@ -105,8 +105,12 @@ final case class SingleCellGrid(crs: CRS, resolution: Double) extends Grid {
     require(!aoiLonLat.isEmpty, "SingleCellGrid.Covers: empty AOI")
     val projected = RegularGrid(crs, 1, 1, resolution).projectToCrs(aoiLonLat, crs)
     val b = projected.getEnvelopeInternal
-    val width = math.round(math.abs(b.getMinX - b.getMaxX) / math.abs(resolution))
-    val height = math.round(math.abs(b.getMinY - b.getMaxY) / math.abs(resolution))
+    // clamp to ≥1 px (same policy as CustomGrid.cell): a point/sliver AOI
+    // narrower than resolution/2 would otherwise round to a 0-sized cell
+    val width = math.max(1L,
+      math.round(math.abs(b.getMinX - b.getMaxX) / math.abs(resolution)))
+    val height = math.max(1L,
+      math.round(math.abs(b.getMinY - b.getMaxY) / math.abs(resolution)))
     Iterator.single(s"${fmt(b.getMinX)}/${fmt(b.getMaxY)}/$width/$height")
   }
 

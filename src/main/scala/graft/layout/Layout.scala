@@ -85,6 +85,15 @@ object Layout {
   def tileAois(spark: SparkSession, layout: Layout,
       aois: Dataset[(String, Array[Byte])]): DataFrame = {
     import spark.implicits._
+    // eager guard: a CATALOG-BACKED custom grid resolves on the driver
+    // only (its covers runs catalog queries, and the memoized grid is
+    // @transient — gone in the executor closure). Without this the job
+    // fails per-task with a misleading "unsupported grid" error.
+    require(layout.gridFlags.headOption.forall(k =>
+      k == "regular" || k == "singlecell"),
+      s"tileAois runs covers on executors; catalog-backed custom grid " +
+        s"'${layout.gridFlags.headOption.getOrElse("")}' must tile on the " +
+        "driver via tileAoiBatches / FindCells")
     aois.flatMap { case (aoiId, wkb) =>
       layout.covers(GeomOps.readWkb(wkb)).map { c =>
         (aoiId, TileRow(c.uri, graft.geo.CRS.serialize(c.crs), c.sizeX, c.sizeY,

@@ -166,11 +166,17 @@ object Dedup {
 
   /** Character n-gram set (shingling for texts without token structure):
     * all n-char substrings, deduped — the Jaccard basis when whitespace
-    * tokenization doesn't apply (CJK, code). */
+    * tokenization doesn't apply (CJK, code). Empty below n chars, the
+    * same boundary contract as [[wordNgrams]] (the old `greatest(...,1)`
+    * form emitted one SHORTER-than-n substring, so two 2-char texts
+    * scored Jaccard 1.0 on a fake "trigram" — and disagreed with the
+    * DuckDB oracle's range() which is already empty there). */
   def charNgrams(text: Column, n: Int): Column =
-    array_sort(array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => text.substr(i, lit(n)))))
+    when(length(text) >= n,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct word n-grams (token windows joined by a single space) —
     * empty for texts shorter than n tokens. The overlap unit for

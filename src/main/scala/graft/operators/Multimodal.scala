@@ -84,12 +84,18 @@ object Multimodal {
               val n = math.max(1, r.width * r.height)
               (MediaCodec.rawGray(r.payload, n), r.width, r.height)
           }
-          val mean = px.sum / px.length
-          val std = math.sqrt(px.map(v => (v - mean) * (v - mean)).sum / px.length)
+          // a decodable container can still carry ZERO samples (empty WAV
+          // data chunk): report 0-stats, not NaNs that pass/fail every
+          // downstream threshold silently
+          val n = px.length
+          val mean = if (n == 0) 0.0 else px.sum / n
+          val std =
+            if (n == 0) 0.0
+            else math.sqrt(px.map(v => (v - mean) * (v - mean)).sum / n)
           val hist = new Array[Float](16)
           px.foreach(v =>
             hist(math.max(0, math.min(15, (v / 16).toInt))) += 1f)
-          val total = px.length.toFloat
+          val total = math.max(1, n).toFloat
           Features(r.media_id, r.kind, r.payload.length.toLong,
             w, h, mean, std, hist.map(_ / total).toSeq)
         }
@@ -137,9 +143,14 @@ object Multimodal {
               (r.media_id, r.kind, outW, outH, "png",
                 MediaCodec.encodePng(outW, outH, ch, resample(src)))
             case None =>
-              val src = new graft.raster.Bitmap(r.width, r.height, 1,
+              // clamp unknown/zero metadata dims to 1 (featurize's guard):
+              // a 0×0 source would make every sampled pixel NaN and ship
+              // a garbage payload with no error
+              val sw = math.max(1, r.width)
+              val sh = math.max(1, r.height)
+              val src = new graft.raster.Bitmap(sw, sh, 1,
                 graft.core.DType.UInt8,
-                MediaCodec.rawGray(r.payload, r.width * r.height))
+                MediaCodec.rawGray(r.payload, sw * sh))
               (r.media_id, r.kind, outW, outH, "raw-gray",
                 new graft.raster.Bitmap(outW, outH, 1,
                   graft.core.DType.UInt8, resample(src)).toBytes)
@@ -151,11 +162,17 @@ object Multimodal {
 
   /** Video frame sampling: every k-th frame index (metadata-only — no
     * payload scan; Catalyst prunes the binary column from the read). */
-  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"sample every $everyK frames")
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("meta.n_frames").as("n_frames"))
+      // n_frames = 0 (unknown/empty) has nothing to sample — and
+      // sequence(0, -1) throws, the same Spark pitfall duplicateSpans
+      // and wordGramList guard
+      .filter(col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
+  }
 
   /** Real frame EXTRACTION for MJPEG-AVI payloads: every k-th frame of
     * each video row, emitted as standalone JPEG payloads (frames are

@@ -35,18 +35,26 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id (nPlanes sign bits) with plane
-    * weights derived from a seed — deterministic across runs/engines. */
-  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+  /** Deterministic hyperplane weights (seeded LCG, values rounded to
+    * 1e-6) — the ONE generator behind both the executor-side bucket
+    * expressions and the driver-side query bucket: the LSH scheme only
+    * works while the two are bit-identical, and a divergent copy would
+    * silently collapse ANN recall with no error. */
+  private def hyperplanes(seed: Long, dim: Int, nPlanes: Int): Seq[Seq[Double]] = {
     var state = seed
     def next(): Double = {
       state = (state * 1103515245L + 12345L) & 0x7fffffffL
       math.rint((state.toDouble / 0x7fffffffL.toDouble * 2.0 - 1.0) * 1e6) / 1e6
     }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Random-hyperplane LSH bucket id (nPlanes sign bits) with plane
+    * weights derived from a seed — deterministic across runs/engines. */
+  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
     val v = vecCol.cast("array<double>")
-    val terms = (0 until nPlanes).map { j =>
-      val plane = array(Seq.fill(dim)(lit(next())): _*)
-      when(dot(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
+    val terms = hyperplanes(seed, dim, nPlanes).zipWithIndex.map { case (plane, j) =>
+      when(dot(v, array(plane.map(lit): _*)) > 0, lit(1 << j)).otherwise(lit(0))
     }
     terms.reduce(_ + _).cast("int")
   }
@@ -59,14 +67,8 @@ object Similarity {
       k: Int, nPlanes: Int = 8, multiProbe: Boolean = true, seed: Long = 42L,
       tieBreak: Seq[Column] = Nil): DataFrame = {
     val withBucket = df.withColumn("__bucket", lshBucket(col(vecCol), dim, nPlanes, seed))
-    // driver-side bucket of the query (same LCG)
-    var state = seed
-    def next(): Double = {
-      state = (state * 1103515245L + 12345L) & 0x7fffffffL
-      math.rint((state.toDouble / 0x7fffffffL.toDouble * 2.0 - 1.0) * 1e6) / 1e6
-    }
-    val qBucket = (0 until nPlanes).map { j =>
-      val plane = Seq.fill(dim)(next())
+    // driver-side bucket of the query — SAME planes as the data side
+    val qBucket = hyperplanes(seed, dim, nPlanes).zipWithIndex.map { case (plane, j) =>
       val d = plane.zip(query).map { case (w, x) => w * x }.sum
       if (d > 0) 1 << j else 0
     }.sum

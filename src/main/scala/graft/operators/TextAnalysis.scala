@@ -101,10 +101,18 @@ object TextAnalysis {
       .agg(sum(col("__wa") * col("__wb")).as("__dot"))
     pairs
       .join(dot, Seq("doc_a", "doc_b"), "left")
-      .join(norms.select(col("__id").as("doc_a"), col("__nrm").as("__na")), "doc_a")
-      .join(norms.select(col("__id").as("doc_b"), col("__nrm").as("__nb")), "doc_b")
+      // LEFT joins on the norms: a token-less doc has no norm row, and an
+      // inner join would silently DELETE its pairs from the output — a
+      // candidate scorer must return a 0 score, not lose candidates
+      .join(norms.select(col("__id").as("doc_a"), col("__nrm").as("__na")),
+        Seq("doc_a"), "left")
+      .join(norms.select(col("__id").as("doc_b"), col("__nrm").as("__nb")),
+        Seq("doc_b"), "left")
       .withColumn("tfidf_cos",
-        round(coalesce(col("__dot"), lit(0.0)) / (col("__na") * col("__nb")), 6))
+        when(coalesce(col("__na"), lit(0.0)) === 0.0 ||
+            coalesce(col("__nb"), lit(0.0)) === 0.0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("__dot"), lit(0.0)) / (col("__na") * col("__nb")), 6)))
       .select(col("doc_a"), col("doc_b"), col("tfidf_cos"))
   }
 

@@ -488,9 +488,11 @@ object TextQueries {
     "dedup_ngram" ->
       """WITH g AS (
            SELECT doc_id, source,
-             list_sort(list_distinct(list_transform(
-               range(1, greatest(length(text) - 2, 1) + 1),
-               i -> substring(text, i, 3)))) AS g3
+             CASE WHEN length(text) >= 3 THEN
+               list_sort(list_distinct(list_transform(
+                 range(1, length(text) - 2 + 1),
+                 i -> substring(text, i, 3))))
+             ELSE [] END AS g3
            FROM documents),
          p AS (
            SELECT doc_id, source, g3,

@@ -138,6 +138,18 @@ class GeoSpec extends AnyFunSuite {
       PARAMETER["false_northing",0]]"""
     assert(CRS.parse(utmWkt) == CRS.UTM(33, north = true))
     assert(CRS.parse("""GEOGCS["WGS 84",DATUM["WGS_1984"]]""") == CRS.WGS84)
+    // INNER authorities (the GEOGCS id, the UNIT's EPSG:9001) must never
+    // resolve the whole CRS: a custom PROJCS without a whole-CRS id
+    // parses through its parameters instead of throwing on 9001 or
+    // silently coming back geographic
+    val innerAuth = """PROJCS["custom TM",GEOGCS["WGS 84",
+      AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],
+      PARAMETER["latitude_of_origin",50],PARAMETER["central_meridian",9],
+      PARAMETER["scale_factor",1],PARAMETER["false_easting",3500000],
+      PARAMETER["false_northing",200000],
+      UNIT["metre",1,AUTHORITY["EPSG","9001"]]]"""
+    assert(CRS.parse(innerAuth) ==
+      CRS.TransverseMercator(9, 50, 1.0, 3500000, 200000))
   }
 
   test("wkb round trip + geometry hash is deterministic") {

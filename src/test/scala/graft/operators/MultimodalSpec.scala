@@ -96,6 +96,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getAs[String]("media_id") == "vid1"))
   }
 
+  test("sampleFrames: zero-frame videos drop instead of crashing sequence()") {
+    val rows = Seq(Row("vid0", "video", Row(4, 4, 1, 0, 0), Array[Byte](1)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    // n_frames = 0 → sequence(0, -1) would throw; the row must drop
+    assert(Multimodal.sampleFrames(df, everyK = 2).count() == 0)
+    assertThrows[IllegalArgumentException](Multimodal.sampleFrames(df, everyK = 0))
+  }
+
+  test("featurize: zero-sample audio reports 0-stats, never NaN") {
+    val emptyWav = MediaCodec.encodeWavPcm8(8000, Array.empty[Byte])
+    val rows = Seq(Row("wav0", "audio", Row(0, 0, 1, 8000, 0), emptyWav))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val f = Multimodal.featurize(spark, df).collect().head
+    assert(f.mean == 0.0 && f.std == 0.0)
+    assert(f.embedding.forall(!_.isNaN))
+  }
+
   /** A 4×4 five-frame MJPEG AVI: frame f is a JPEG of constant gray
     * 40·f + 20. */
   private def mjpegAvi(): Array[Byte] = {

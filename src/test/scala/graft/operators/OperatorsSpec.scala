@@ -61,6 +61,14 @@ class OperatorsSpec extends AnyFunSuite {
     val grams = spark.range(1).select(Dedup.charNgrams(lit("abcd"), 2).as("g"))
       .collect().head.getAs[scala.collection.Seq[String]]("g")
     assert(grams.sorted == Seq("ab", "bc", "cd"))
+    // below n chars: EMPTY (the wordNgrams contract), never a
+    // shorter-than-n substring masquerading as a shingle
+    val short = spark.range(1)
+      .select(Dedup.charNgrams(lit("ab"), 3).as("g"),
+        Dedup.charNgrams(lit(""), 3).as("e"))
+      .collect().head
+    assert(short.getAs[scala.collection.Seq[String]]("g").isEmpty)
+    assert(short.getAs[scala.collection.Seq[String]]("e").isEmpty)
   }
 
   val vecs = Seq(
