@@ -421,7 +421,7 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     * ids or pre-spec-journal jobs. */
   def retryJob(jobId: String, force: Boolean = false): String =
     routeByType(jobId)(
-      onDeletion = s => DeletionJob.run(spark, cat, s),
+      onDeletion = s => DeletionJob.retry(spark, cat, s),
       onConsolidation = s => ConsolidationJob.retry(spark, cat, s, force))
 
   /** Shared by-id routing for retry/continue: FSM type from the NEW

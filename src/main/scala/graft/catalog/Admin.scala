@@ -26,13 +26,19 @@ object Admin {
     * pg_containers.go:436-459): GROUP BY the current dformat fields +
     * COUNT over the datasets the update would touch. */
   def updateImpact(spark: SparkSession, cat: Catalog,
-      instanceIds: Seq[String]): DataFrame =
+      instanceIds: Seq[String], recordIds: Seq[String] = Nil): DataFrame = {
+    // same scoping as updateDatasets — a record-scoped update's dry-run
+    // must describe the update that will run, not the whole instance
+    val hit0 = col("instance_id").isin(instanceIds: _*)
+    val hit = if (recordIds.isEmpty) hit0
+      else hit0 && col("record_id").isin(recordIds: _*)
     cat.read(spark, "datasets")
-      .filter(col("instance_id").isin(instanceIds: _*))
+      .filter(hit)
       .groupBy("dtype", "no_data", "min_value", "max_value",
         "real_min_value", "real_max_value", "exponent")
       .agg(count(lit(1)).as("n_datasets"))
       .orderBy("dtype", "no_data")
+  }
 
   /** Bulk data-format rewrite (pg_containers.go:460-473): every dataset of
     * the given instances gets the new dformat values, atomically. Returns
@@ -48,12 +54,14 @@ object Admin {
     val hit = if (recordIds.isEmpty) hit0
       else hit0 && col("record_id").isin(recordIds: _*)
     val n = ds.filter(hit).count()
-    if (n > 0 && !simulate) {
-      val updates: Seq[(String, Option[Any])] = Seq(
-        "dtype" -> up.dtype, "no_data" -> up.noData,
-        "min_value" -> up.minValue, "max_value" -> up.maxValue,
-        "real_min_value" -> up.realMinValue, "real_max_value" -> up.realMaxValue,
-        "exponent" -> up.exponent)
+    val updates: Seq[(String, Option[Any])] = Seq(
+      "dtype" -> up.dtype, "no_data" -> up.noData,
+      "min_value" -> up.minValue, "max_value" -> up.maxValue,
+      "real_min_value" -> up.realMinValue, "real_max_value" -> up.realMaxValue,
+      "exponent" -> up.exponent)
+    // an all-None update changes nothing — skip the full-table scan+swap
+    // (the datasets table is the catalog's big relation)
+    if (n > 0 && !simulate && updates.exists(_._2.isDefined)) {
       val rewritten = updates.foldLeft(ds) {
         case (df, (field, Some(v))) =>
           df.withColumn(field, when(hit, lit(v)).otherwise(col(field)))
@@ -132,10 +140,25 @@ object Admin {
       gc("containers", cont, cont.join(
         ds.select(col("container_uri").as("__c")).distinct(),
         col("uri") === col("__c"), "left_semi"))
-      // cascade: container_layouts rows of just-deleted containers (the
-      // reference's DeleteContainerLayout fires with each container
-      // delete) — a dangling row would block deleteLayout forever
-      graft.consolidation.Consolidation.gcContainerLayouts(spark, cat)
+      if (!simulate) {
+        // cascade: container_layouts rows of just-deleted containers (the
+        // reference's DeleteContainerLayout fires with each container
+        // delete) — a dangling row would block deleteLayout forever
+        graft.consolidation.Consolidation.gcContainerLayouts(spark, cat)
+        // ...and the containers' PIXELS: tiles rows whose container row is
+        // gone are unreachable by any read path, and nothing else GCs
+        // them for a catalog maintained by TidyDB alone — the dead pixel
+        // storage would otherwise grow without bound. Existence-probed so
+        // the clean path never rewrites the largest table.
+        val tiles = cat.read(spark, "tiles")
+        val live = cat.read(spark, "containers")
+          .select(col("uri").as("container_uri"))
+        val orphan = tiles.select("container_uri")
+          .join(live, Seq("container_uri"), "left_anti")
+        if (orphan.limit(1).count() > 0)
+          cat.rewrite(tiles.join(live, Seq("container_uri"), "left_semi"),
+            "tiles")
+      }
     } else skip("containers")
 
     out.toMap

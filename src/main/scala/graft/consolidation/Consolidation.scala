@@ -288,7 +288,7 @@ object Consolidation {
     * supplementary code point meets one in [U+E000, U+FFFF]. Used by
     * [[buildContainer]] so its JVM-side sort can never disagree with the
     * Spark sort in [[recordOrder]]. */
-  private[consolidation] def utf8Compare(a: String, b: String): Int = {
+  private[graft] def utf8Compare(a: String, b: String): Int = {
     val ba = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -366,11 +366,16 @@ object Consolidation {
       }.map { r =>
         val full = Bitmap.fromBytes(r.payload, r.t_width, r.t_height, r.t_bands,
           DType.fromName(r.t_dtype))
+        // the dataset's band subset applies to the consolidation merge
+        // exactly like the read path (image.go:221-231: CastFile extracts
+        // dataset.Bands) — without it a bands=[2] dataset would
+        // consolidate band 1's pixels under its identity
+        val subset = graft.cube.GetCube.extractBands(full, r.bands)
         val mapping = DataMapping(
           DataFormat(DType.fromName(r.dtype), r.no_data,
             NumRange(r.min_value, r.max_value)),
           NumRange(r.real_min_value, r.real_max_value), r.exponent)
-        SourceRaster(full, Affine.fromArray(r.t_transform.toArray),
+        SourceRaster(subset, Affine.fromArray(r.t_transform.toArray),
           CRS.parse(r.t_crs), mapping)
       }
       val merged = Warp.mergeDatasets(sources, out.copy(bands = sources.head.bitmap.bands))
@@ -454,8 +459,13 @@ object Consolidation {
         val crs = CRS.parse(r.getAs[String]("crs"))
         val native = GeomOps.polygonFromBBox(graft.geo.BBox.fromExtent(
           tf, r.getAs[Int]("width"), r.getAs[Int]("height")))
-        val geog = GeomOps.geographicRingFromExtent(
-          tf, r.getAs[Int]("width"), r.getAs[Int]("height"), crs)
+        // P9 ingest normalization, same as IndexDatasets.run: a cell
+        // crossing the antimeridian must split before its bbox is taken,
+        // or the stored footprint goes near-global and dateline requests
+        // stop matching after the swap
+        val geog = GeomOps.normalizeAntimeridian(
+          GeomOps.geographicRingFromExtent(
+            tf, r.getAs[Int]("width"), r.getAs[Int]("height"), crs))
         val b = GeomOps.bbox(geog)
         val did = datasetId(instanceId, r.getAs[String]("container_uri"),
           r.getAs[String]("subdir"), r.getAs[String]("record_id"))

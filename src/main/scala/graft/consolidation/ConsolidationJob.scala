@@ -322,26 +322,38 @@ object ConsolidationJob {
         // indexed either: permanent catalog orphans. Existence-probed —
         // the no-drift path pays one limit(1) count, not a rewrite.
         val prefix0 = s"${cat.root}/containers/${spec.jobId}/"
-        val allUrisDf = allUris.toDF("container_uri")
-        val staleTiles = cat.read(spark, "tiles")
+        // the purge itself is existence-probed too: a FRESH job has no
+        // job-prefix rows at all, and rewriting the tiles table (the
+        // pixel store — the catalog's largest relation) twice for a
+        // guaranteed no-op would dominate the job's cost at scale
+        val anyJobRows = cat.read(spark, "tiles")
           .filter(col("container_uri").startsWith(prefix0))
-          .join(allUrisDf, Seq("container_uri"), "left_anti")
-        // checkpoint pins the purge set: its lineage reads the tiles
-        // table, whose files the first rewrite below deletes
-        val purgeTiles =
-          if (staleTiles.limit(1).count() > 0)
-            pendingDf.unionByName(
-              staleTiles.select("container_uri").distinct())
-              .localCheckpoint(true)
-          else pendingDf
-        try {
-          cat.rewrite(cat.read(spark, "tiles")
-            .join(purgeTiles, Seq("container_uri"), "left_anti"), "tiles")
-          cat.rewrite(cat.read(spark, "containers")
-            .join(purgeTiles.withColumnRenamed("container_uri", "uri"),
-              Seq("uri"), "left_anti"), "containers")
-        } finally if (purgeTiles ne pendingDf)
-          graft.operators.OperatorCaches.releaseLocalCheckpoint(purgeTiles)
+          .limit(1).count() > 0 ||
+          cat.read(spark, "containers")
+            .filter(col("uri").startsWith(prefix0))
+            .limit(1).count() > 0
+        if (anyJobRows) {
+          val allUrisDf = allUris.toDF("container_uri")
+          val staleTiles = cat.read(spark, "tiles")
+            .filter(col("container_uri").startsWith(prefix0))
+            .join(allUrisDf, Seq("container_uri"), "left_anti")
+          // checkpoint pins the purge set: its lineage reads the tiles
+          // table, whose files the first rewrite below deletes
+          val purgeTiles =
+            if (staleTiles.limit(1).count() > 0)
+              pendingDf.unionByName(
+                staleTiles.select("container_uri").distinct())
+                .localCheckpoint(true)
+            else pendingDf
+          try {
+            cat.rewrite(cat.read(spark, "tiles")
+              .join(purgeTiles, Seq("container_uri"), "left_anti"), "tiles")
+            cat.rewrite(cat.read(spark, "containers")
+              .join(purgeTiles.withColumnRenamed("container_uri", "uri"),
+                Seq("uri"), "left_anti"), "containers")
+          } finally if (purgeTiles ne pendingDf)
+            graft.operators.OperatorCaches.releaseLocalCheckpoint(purgeTiles)
+        }
         val todo =
           if (pending.size == allUris.size) tasks
           else tasks.join(pendingDf, Seq("container_uri"), "left_semi")

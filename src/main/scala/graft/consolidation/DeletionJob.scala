@@ -169,6 +169,14 @@ object DeletionJob {
       pauseAfter.contains(state)
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
+    // FAILED: the rollback already un-flipped this job's TODELETE rows
+    // back to ACTIVE — a forward re-drive would skip the flip (its state
+    // is journaled), remove nothing, and journal DONE while every
+    // targeted dataset still exists. Terminal, like ConsolidationJob.
+    if (done.contains("FAILED")) return "FAILED"
+    // ROLLBACKFAILED: the catalog is half-rolled-back; only an explicit
+    // retry may re-attempt the rollback — never the forward path
+    if (done.contains("ROLLBACKFAILED")) return "ROLLBACKFAILED"
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW", specJson(spec))
     var lockedDf: org.apache.spark.sql.DataFrame = null
     var nLocked = 0L
@@ -311,33 +319,62 @@ object DeletionJob {
         // so re-evaluating it here would throw FileNotFoundException and
         // mask the real error as a spurious ROLLBACKFAILED. A job whose
         // locks were already released reads an empty relation → no-op.
-        try {
-          val rbLocks = readLocksDf(spark, cat, spec.jobId)
-          if (!reached.contains("DELETIONEFFECTIVE") &&
-              rbLocks.limit(1).count() > 0) {
-            cat.rewrite(Consolidation.withMembership(
-                cat.read(spark, "datasets"), "id", rbLocks, "id", "__lk")
-              .withColumn("status",
-                when(col("__lk") && col("status") === "TODELETE",
-                  "ACTIVE").otherwise(col("status")))
-              .drop("__lk"), "datasets")
-          }
-          logState(spark, cat, spec, "FAILED", errJson(e))
-          "FAILED"
-        } catch {
-          case e2: Exception =>
-            // the rollback itself failed: journal it as such (job.go
-            // ROLLBACKFAILED) — a re-run re-enters via the journal and
-            // re-attempts; never swallowed into a clean-looking FAILED
-            try logState(spark, cat, spec, "ROLLBACKFAILED", errJson(e2))
-            catch { case _: Exception => () }
-            "ROLLBACKFAILED"
-        }
+        rollbackToFailed(spark, cat, spec,
+          effective = reached.contains("DELETIONEFFECTIVE"), e)
     } finally {
       // executor blocks released on every exit, including exceptions
       // (the inline release after the task append misses failure paths)
       if (orphanCkpt != null)
         graft.operators.OperatorCaches.releaseLocalCheckpoint(orphanCkpt)
     }
+  }
+
+  /** delRollback + terminal FAILED: un-flip THIS job's locked TODELETE
+    * rows (unless the removal became effective), release the job's task
+    * rows, journal FAILED. A rollback that itself throws journals
+    * ROLLBACKFAILED — [[retry]] re-attempts only the rollback from there
+    * (job.go:505-510); run() refuses both terminal states. */
+  private def rollbackToFailed(spark: SparkSession, cat: Catalog, spec: Spec,
+      effective: Boolean, cause: Exception): String =
+    try {
+      val rbLocks = readLocksDf(spark, cat, spec.jobId)
+      if (!effective && rbLocks.limit(1).count() > 0) {
+        cat.rewrite(Consolidation.withMembership(
+            cat.read(spark, "datasets"), "id", rbLocks, "id", "__lk")
+          .withColumn("status",
+            when(col("__lk") && col("status") === "TODELETE",
+              "ACTIVE").otherwise(col("status")))
+          .drop("__lk"), "datasets")
+      }
+      // FAILED is terminal (run() refuses it; retry returns UNHANDLED) —
+      // release the lock snapshot and the dead task rows with it
+      cat.rewrite(cat.read(spark, "tasks")
+        .filter(col("job_id") =!= spec.jobId), "tasks")
+      logState(spark, cat, spec, "FAILED", ConsolidationJob.errJson(cause))
+      "FAILED"
+    } catch {
+      case e2: Exception =>
+        try logState(spark, cat, spec, "ROLLBACKFAILED",
+          ConsolidationJob.errJson(e2))
+        catch { case _: Exception => () }
+        "ROLLBACKFAILED"
+    }
+
+  /** Retried for a deletion job (job.go:419-421): a parked DONEBUTUNTIDY
+    * or interrupted job resumes through [[run]] (the worker stage
+    * re-processes NEW/PENDING/FAILED tasks — the resume IS the retry);
+    * ROLLBACKFAILED re-attempts ONLY the rollback; terminal FAILED /
+    * ABORTED refuse with UNHANDLED; unknown ids with NOTFOUND. */
+  def retry(spark: SparkSession, cat: Catalog, spec: Spec): String = {
+    val done: Set[String] = cat.read(spark, "jobs")
+      .filter(col("id") === spec.jobId).select("state")
+      .collect().map(_.getString(0)).toSet
+    if (done.isEmpty) return "NOTFOUND"
+    if (done.contains("FAILED") || done.contains("ABORTED")) return "UNHANDLED"
+    if (done.contains("ROLLBACKFAILED"))
+      return rollbackToFailed(spark, cat, spec,
+        effective = done.contains("DELETIONEFFECTIVE"),
+        new IllegalStateException("rollback retried by user"))
+    run(spark, cat, spec)
   }
 }

@@ -11,11 +11,14 @@ import java.util.zip.{Deflater, Inflater}
 object Compress {
   val ChunkSize: Int = 512 * 1024
 
-  /** Deflate at `level` (1-9); level ≤ 0 returns the input unchanged
-    * (the reference's negative levels disable compression). */
+  /** Deflate at `level` (0-9); NEGATIVE levels return the input unchanged
+    * (the reference disables compression for -3..-1 only — level 0 is a
+    * valid STORE-mode deflate stream (flate.NoCompression, compress.go),
+    * so a caller honoring "compressed when level > -1" still gets bytes
+    * its inflate accepts). */
   def deflate(data: Array[Byte], level: Int): Array[Byte] = {
     require(level >= -3 && level <= 9, s"compression level $level not in -3..9")
-    if (level <= 0) return data
+    if (level < 0) return data
     val d = new Deflater(level)
     d.setInput(data); d.finish()
     val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)

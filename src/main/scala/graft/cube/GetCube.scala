@@ -344,9 +344,22 @@ object GetCube {
     * by (datetime, dataset id) so the latest paints last; decode tiles;
     * extract the dataset's band subset; merge; envelope errors as values. */
   private[cube] def buildSlice(key: String, rows: Iterator[DatasetTile], out: OutDescriptor): Slice = {
-    val list = rows.toArray.sortBy(r => (r.datetime.getTime, r.dataset_id))
-    val recordIds = list.map(_.record_id).distinct.sorted.toSeq
-    val minDt = new java.sql.Timestamp(list.map(_.datetime.getTime).min)
+    import graft.consolidation.Consolidation.utf8Compare
+    // merge order sorts EXACTLY like Spark would (full-microsecond
+    // Timestamp compare, unsigned UTF-8 tie-break) — `getTime` truncates
+    // to millis and JVM String order is UTF-16, the two divergences the
+    // consolidation kernel's ordering-parity fix documents; a tie decided
+    // differently here would let an OLDER record paint last
+    val list = rows.toArray.sortWith { (a, b) =>
+      val c = a.datetime.compareTo(b.datetime)
+      if (c != 0) c < 0 else utf8Compare(a.dataset_id, b.dataset_id) < 0
+    }
+    // UTF-8 order, matching the headers-only path's sort_array (UTF8String
+    // binary order) so the two paths return identical header keys
+    val recordIds = list.map(_.record_id).distinct
+      .sortWith(utf8Compare(_, _) < 0).toSeq
+    val minDt = list.map(_.datetime)
+      .reduce((x, y) => if (x.compareTo(y) <= 0) x else y)
     try {
       val sources = list.map { r =>
         val full = Bitmap.fromBytes(r.payload, r.t_width, r.t_height, r.t_bands,
@@ -439,7 +452,7 @@ object GetCube {
 
   /** GDAL `-b`-style band subset (1-based; empty = all bands) —
     * image.go:221-231. */
-  private def extractBands(bm: Bitmap, bands: Seq[Int]): Bitmap = {
+  private[graft] def extractBands(bm: Bitmap, bands: Seq[Int]): Bitmap = {
     if (bands.isEmpty || bands == (1 to bm.bands)) return bm
     val plane = bm.width * bm.height
     val px = new Array[Double](plane * bands.size)

@@ -123,22 +123,51 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "consolidation_params").count() == 0)
   }
 
-  test("tidy containers cascades to container_layouts (no dangling rows)") {
+  test("tidy containers cascades to container_layouts and tiles") {
     val sc = spark
     // a consolidated container that lost its last dataset, plus its C5
-    // container_layouts row
+    // container_layouts row and its pixel rows
     cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
       Row("mem://stale", true, "STANDARD"))), Schemas.all("containers")),
       "containers")
     cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
       Row("mem://stale", "lx"))), Schemas.all("container_layouts")),
       "container_layouts")
+    cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
+      Row("mem://stale", "", 1, 1, 1, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 1.0, 0.0, -1.0), Array[Byte](7)))),
+      Schemas.all("tiles")), "tiles")
+    // dry-run counts but deletes nothing, pixels included
+    assert(Admin.tidy(spark, cat, aois = false, records = false,
+      variables = false, instances = false, params = false,
+      simulate = true)("containers") == 1)
+    assert(cat.read(spark, "tiles")
+      .filter(col("container_uri") === "mem://stale").count() == 1)
     assert(Admin.tidy(spark, cat, aois = false, records = false,
       variables = false, instances = false, params = false)("containers") == 1)
     // the layout reference went with its container — a dangling row here
     // would block deleteLayout("lx") forever
     assert(cat.read(spark, "container_layouts")
       .filter(col("container_uri") === "mem://stale").count() == 0)
+    // ...and the dead pixel rows went too (nothing else GCs them for a
+    // catalog maintained by TidyDB alone)
+    assert(cat.read(spark, "tiles")
+      .filter(col("container_uri") === "mem://stale").count() == 0)
+  }
+
+  test("updateImpact scopes by recordIds; all-None update skips the rewrite") {
+    // record-scoped dry-run describes only the scoped hit set
+    val whole = Admin.updateImpact(spark, cat, Seq("i1"))
+      .agg(sum(col("n_datasets"))).collect().head.getLong(0)
+    val scoped = Admin.updateImpact(spark, cat, Seq("i1"), Seq("r1"))
+      .agg(sum(col("n_datasets"))).collect().head.getLong(0)
+    assert(scoped <= whole && scoped > 0)
+    // an empty DFormatUpdate reports the hit count without a table swap
+    val before = new java.io.File(s"$root/datasets").lastModified
+    Thread.sleep(5)
+    assert(Admin.updateDatasets(spark, cat, Seq("i1"),
+      Admin.DFormatUpdate()) > 0)
+    assert(new java.io.File(s"$root/datasets").lastModified == before)
   }
 
   test("updateDatasets: record scoping and simulate") {

@@ -880,6 +880,69 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nFailed == n1)
   }
 
+  test("C4 honors the dataset band subset (image.go:221-231)") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft-csld-bands").toString
+    val cat2 = Catalog(root2)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat2.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val box = BBox(0, 0, 4, 4)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(box), bboxRow(box))))
+    write("records", Seq(
+      Row("r1", "s1", ts("2024-01-01 00:00:00"), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://cb", false, "STANDARD")))
+    // dataset selects band 2 of a 2-band tile (band1=11, band2=22)
+    write("datasets", Seq(
+      Row("d1", "r1", "i1", "mem://cb", "", Seq(2), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box))))
+    val px = Array.fill(16)(11.0) ++ Array.fill(16)(22.0) // band-planar
+    write("tiles", Seq(
+      Row("mem://cb", "", 4, 4, 2, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 2, DType.UInt8, px).toBytes)))
+    val spec = ConsolidationJob.Spec("jbs", "bands", "i1", Seq("r1"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    // the consolidated record must carry BAND 2's pixels — merging the
+    // full bitmap would serve band 1 (11) under this dataset's identity
+    val out = cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(s"${cat2.root}/containers/jbs/") &&
+        !col("subdir").rlike("@ov\\d+$"))
+      .collect().head
+    val bm = Bitmap.fromBytes(out.getAs[Array[Byte]]("payload"),
+      out.getAs[Int]("width"), out.getAs[Int]("height"),
+      out.getAs[Int]("bands"), DType.fromName(out.getAs[String]("dtype")))
+    assert(bm.bands == 1)
+    assert(bm.pixels.forall(_ == 22.0))
+  }
+
+  test("deletion job: terminal FAILED/ROLLBACKFAILED refuse the forward path") {
+    val cat2 = twoCellCatalog("delterm", poisonR2 = false)
+    // journal a deletion job whose rollback already completed: NEW (with
+    // spec payload) + mid-flight states + FAILED
+    val spec = DeletionJob.Spec("jdt", "delterm", recordIds = Seq("r2"))
+    assert(DeletionJob.run(spark, cat2, spec,
+      pauseAfter = Some("CREATED")) == "CREATED")
+    val t0 = ts("2024-01-01 00:00:00")
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("jdt", "delterm", "DELETION", "DELETIONINPROGRESS", 0, 0, "", t0, t0),
+      Row("jdt", "delterm", "DELETION", "FAILED", 0, 0, "", t0, t0))),
+      Schemas.all("jobs")), "jobs")
+    // forward re-drive would skip the (journaled) flip, remove nothing,
+    // and journal DONE claiming success — it must refuse instead
+    assert(DeletionJob.run(spark, cat2, spec) == "FAILED")
+    assert(cat2.read(spark, "jobs")
+      .filter(col("id") === "jdt" && col("state") === "DONE").count() == 0)
+    assert(cat2.read(spark, "datasets")
+      .filter(col("record_id") === "r2").count() == 1) // nothing deleted
+    // terminal FAILED refuses retry too (reference UnhandledEvent)
+    assert(DeletionJob.retry(spark, cat2, spec) == "UNHANDLED")
+  }
+
   test("parked CONSOLIDATIONFAILED: plain resume refuses; retry still drives") {
     val cat2 = twoCellCatalog("parkguard", poisonR2 = true)
     val spec = ConsolidationJob.Spec("jpg", "parkguard", "i1", Seq("r1", "r2"),

@@ -41,8 +41,9 @@ class CompressExternalSpec extends AnyFunSuite {
     assume(pythonPresent, "python3 absent")
     for (level <- -3 to 9) {
       val packed = Compress.deflate(payload, level)
-      if (level <= 0) {
-        // negative levels disable compression (catalog.proto:105)
+      if (level < 0) {
+        // NEGATIVE levels disable compression (catalog.proto:105);
+        // level 0 is a valid store-mode deflate stream a client inflates
         assert(packed eq payload, s"level $level must pass through")
       } else {
         val in = tmp(".z"); val out = tmp(".raw")

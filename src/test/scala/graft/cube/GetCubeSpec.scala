@@ -248,6 +248,53 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     rm2(new java.io.File(root2))
   }
 
+  test("grouped mosaic order survives sub-millisecond datetime ties") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft-subms").toString
+    val cat2 = Catalog(root2)
+    val sc = spark
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat2.append(sc.createDataFrame(
+        sc.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val box = BBox(0, 0, 4, 4)
+    write("aoi", Seq(Row("a1", "h1", wkbBox(box), bboxRow(box))))
+    // 300 µs apart: identical to the millisecond — getTime-based ordering
+    // ties and could let the OLDER record paint last
+    write("records", Seq(
+      Row("rold", "s1", ts("2024-01-01 00:00:00.0001"), Map.empty[String, String], "a1"),
+      Row("rnew", "s2", ts("2024-01-01 00:00:00.0004"), Map.empty[String, String], "a1")))
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    write("containers", Seq(Row("mem://o", false, "STANDARD"),
+      Row("mem://n", false, "STANDARD")))
+    def dsRow(id: String, rid: String, uri: String): Row =
+      Row(id, rid, "i1", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box))
+    // dataset ids chosen so a millisecond-tied sort's id tie-break puts
+    // the NEWER one first (older would paint last → 10): only the full
+    // microsecond compare yields the correct order
+    write("datasets", Seq(dsRow("zz-old", "rold", "mem://o"),
+      dsRow("aa-new", "rnew", "mem://n")))
+    def tile(uri: String, v: Double): Row =
+      Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new graft.raster.Bitmap(4, 4, 1, graft.core.DType.UInt8,
+          Array.fill(16)(v)).toBytes)
+    write("tiles", Seq(tile("mem://o", 10.0), tile("mem://n", 20.0)))
+    // one grouped slice: the newer record must paint LAST
+    val slices = GetCube.cube(spark, cat2, CubeRequest(
+      instanceIds = Seq("i1"), crs = "EPSG:4326", transform = grid4,
+      width = 4, height = 4,
+      recordGroups = Seq(Seq("rold", "rnew")))).collect()
+    assert(slices.length == 1)
+    val bm = graft.raster.Bitmap.fromBytes(slices(0).payload, 4, 4, 1,
+      graft.core.DType.UInt8)
+    assert(bm.pixels.forall(_ == 20.0), "newer record must win the mosaic")
+    // min_datetime keeps full microsecond precision
+    assert(slices(0).min_datetime == ts("2024-01-01 00:00:00.0001"))
+  }
+
   test("overview selection treats non-4326 geographic tile CRS as degrees") {
     val root2 = java.nio.file.Files.createTempDirectory("graft-ovcrs").toString
     val cat2 = Catalog(root2)
