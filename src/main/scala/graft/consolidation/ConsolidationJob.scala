@@ -107,12 +107,22 @@ object ConsolidationJob {
       .filter(col("container_uri").startsWith(prefix) &&
         col("status") === "ACTIVE")
       .limit(1).count() > 0
+    if (done.contains("ABORTED")) return "ABORTED" // cancel is idempotent
     if (done.contains("CONSOLIDATIONEFFECTIVE") || done.contains("DONE") ||
         swapApplied) {
       logStateRaw(spark, cat, jobId, name, "CANCELLATIONFAILED",
         """{"error":"job already effective"}""")
       return "CANCELLATIONFAILED"
     }
+    // Journal the rollback START before the first rewrite (job.go's
+    // CONSOLIDATIONCANCELLING, job.go:40-81): the purges below span five
+    // tables and are not atomic as a group, so a crash mid-cancel must
+    // leave journal evidence — run()/retry() then COMPLETE the cancel
+    // (every purge is an idempotent predicate) instead of forward-driving
+    // over a half-rolled-back catalog, where a swap would activate
+    // already-purged outputs and DONE would delete the originals.
+    if (!done.contains("CONSOLIDATIONCANCELLING"))
+      logStateRaw(spark, cat, jobId, name, "CONSOLIDATIONCANCELLING")
     // from CONSOLIDATIONDONE/INDEXED: the job's INACTIVE datasets vanish
     cat.rewrite(cat.read(spark, "datasets")
       .filter(!(col("status") === "INACTIVE" &&
@@ -151,6 +161,10 @@ object ConsolidationJob {
     if (done.isEmpty) return "NOTFOUND"
     if (done.contains("DONE") || done.contains("ABORTED") ||
         done.contains("FAILED")) return "UNHANDLED"
+    // an interrupted cancel re-attempts the cancellation (the reference
+    // marks CONSOLIDATIONCANCELLING RetryForced, job.go:81)
+    if (done.contains("CONSOLIDATIONCANCELLING"))
+      return cancelConsolidation(spark, cat, spec.jobId, spec.name)
     // ROLLBACKFAILED (job.go:505-510): the retry re-attempts ONLY the
     // rollback; RollbackDone lands the job in terminal FAILED
     if (done.contains("ROLLBACKFAILED"))
@@ -199,6 +213,11 @@ object ConsolidationJob {
       pauseAfter.contains(state)
     }
     if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
+    // a journaled CANCELLING without ABORTED is a cancel that crashed
+    // mid-rollback: finish the cancel (its purges are idempotent), never
+    // drive forward — the catalog may already be half rolled back
+    if (done.contains("CONSOLIDATIONCANCELLING"))
+      return cancelConsolidation(spark, cat, spec.jobId, spec.name)
     if (done.contains("DONE")) return "DONE" // completed: locks released
     // FAILED is terminal too (retry() refuses it) and its rollback
     // released the locks — a resume would trip the empty-lock require and
@@ -308,7 +327,21 @@ object ConsolidationJob {
       // outputs are authoritative and C4 is skipped entirely.
       if (!done.contains("CONSOLIDATIONINDEXED")) {
         import spark.implicits._
-        val pending = allUris.filter(u => journaled.getOrElse(u, "NEW") != "DONE")
+        val prefix0 = s"${cat.root}/containers/${spec.jobId}/"
+        // A DONE task row is only trusted when its container's tiles
+        // actually exist: a rollback/cancel that crashed after purging
+        // the job-prefix tiles but BEFORE its terminal journal append
+        // leaves DONE rows pointing at purged outputs — forward-driving
+        // on the rows alone would have C5 index nothing and the swap
+        // delete the originals with no replacement. One column-pruned
+        // distinct over the job prefix, same job-scoped cardinality as
+        // allUris itself.
+        val withTiles: Set[String] = cat.read(spark, "tiles")
+          .filter(col("container_uri").startsWith(prefix0))
+          .select("container_uri").distinct()
+          .collect().map(_.getString(0)).toSet
+        val pending = allUris.filter(u =>
+          journaled.getOrElse(u, "NEW") != "DONE" || !withTiles.contains(u))
         // the pending set rides as a RELATION (anti/semi joins), not an
         // isin literal list — a big job has 10⁵+ containers and the
         // uris already carry the job prefix, so the exact-uri anti-join
@@ -321,7 +354,6 @@ object ConsolidationJob {
         // can drop out, and rows never purged here would never be
         // indexed either: permanent catalog orphans. Existence-probed —
         // the no-drift path pays one limit(1) count, not a rewrite.
-        val prefix0 = s"${cat.root}/containers/${spec.jobId}/"
         // the purge itself is existence-probed too: a FRESH job has no
         // job-prefix rows at all, and rewriting the tiles table (the
         // pixel store — the catalog's largest relation) twice for a

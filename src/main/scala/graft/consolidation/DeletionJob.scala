@@ -112,8 +112,12 @@ object DeletionJob {
     * data: any locked id missing from the datasets table, covering the
     * crash window where the removal rewrite landed but
     * DELETIONEFFECTIVE was never journaled), cancellation refuses.
-    * Rollback un-flips the locked TODELETE rows, releases the locks, and
-    * journals ABORTED — terminal for [[run]]. */
+    * ABORTED journals FIRST, then the rollback un-flips the locked
+    * TODELETE rows and releases the locks (the reference's ordering —
+    * the rollback runs IN the aborted state, job.go:560-612); a crash
+    * mid-rollback is finished by the next cancel()/run() touch, with the
+    * surviving LOCK rows as the not-yet-complete witness. Terminal for
+    * [[run]]. */
   def cancel(spark: SparkSession, cat: Catalog, jobId: String,
       name: String): String = {
     val done: Set[String] = cat.read(spark, "jobs")
@@ -125,6 +129,24 @@ object DeletionJob {
     // over a whole instance can lock 10⁶ datasets)
     val lockedDf = readLocksDf(spark, cat, jobId)
     val nLocked = lockedDf.count()
+    // the un-flip + lock release below span two tables: ABORTED is
+    // journaled FIRST (the reference's ordering — CancelledByUser changes
+    // state to ABORTED transactionally and the rollback then runs IN
+    // aborted, job.go:560-612), so a crash mid-rollback leaves the
+    // ABORTED row and this branch finishes the work on the next touch.
+    // Surviving LOCK rows are the completion witness: the release is the
+    // rollback's last write, so locks-gone ⇒ rollback done.
+    def rollbackWork(): Unit = if (nLocked > 0) {
+      cat.rewrite(Consolidation.withMembership(
+          cat.read(spark, "datasets"), "id", lockedDf, "id", "__lk")
+        .withColumn("status",
+          when(col("__lk") && col("status") === "TODELETE",
+            "ACTIVE").otherwise(col("status")))
+        .drop("__lk"), "datasets")
+      cat.rewrite(cat.read(spark, "tasks").filter(
+        !(col("job_id") === jobId && col("state") === "LOCK")), "tasks")
+    }
+    if (done.contains("ABORTED")) { rollbackWork(); return "ABORTED" }
     val present =
       if (nLocked == 0) 0L
       else cat.read(spark, "datasets")
@@ -136,18 +158,9 @@ object DeletionJob {
         jobType = "DELETION")
       return "CANCELLATIONFAILED"
     }
-    if (nLocked > 0) {
-      cat.rewrite(Consolidation.withMembership(
-          cat.read(spark, "datasets"), "id", lockedDf, "id", "__lk")
-        .withColumn("status",
-          when(col("__lk") && col("status") === "TODELETE",
-            "ACTIVE").otherwise(col("status")))
-        .drop("__lk"), "datasets")
-      cat.rewrite(cat.read(spark, "tasks").filter(
-        !(col("job_id") === jobId && col("state") === "LOCK")), "tasks")
-    }
     ConsolidationJob.logStateRaw(spark, cat, jobId, name, "ABORTED",
       jobType = "DELETION")
+    rollbackWork()
     "ABORTED"
   }
 
@@ -168,7 +181,10 @@ object DeletionJob {
       reached += state
       pauseAfter.contains(state)
     }
-    if (done.contains("ABORTED")) return "ABORTED" // cancelled: terminal
+    // cancelled: terminal — but the cancel's rollback may have been cut
+    // short by a crash after its ABORTED journal append; cancel()'s
+    // ABORTED branch finishes it (idempotent, witnessed by LOCK rows)
+    if (done.contains("ABORTED")) return cancel(spark, cat, spec.jobId, spec.name)
     // FAILED: the rollback already un-flipped this job's TODELETE rows
     // back to ACTIVE — a forward re-drive would skip the flip (its state
     // is journaled), remove nothing, and journal DONE while every

@@ -1021,4 +1021,96 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.read(spark, "datasets").filter(col("record_id") === "r2")
       .count() == 0)
   }
+
+  test("torn cancel: CANCELLING journaled, crash mid-purge — resume completes the cancel") {
+    val cat2 = twoCellCatalog("torncancel", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jtc", "torncancel", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONINDEXED")) == "CONSOLIDATIONINDEXED")
+    val prefix = s"${cat2.root}/containers/jtc/"
+    // simulate a cancel that crashed right after its FIRST rewrite: the
+    // CANCELLING journal row landed and the INACTIVE outputs are purged,
+    // but tiles/containers/tasks were never touched and ABORTED was
+    // never journaled
+    ConsolidationJob.logStateRaw(spark, cat2, "jtc", "torncancel",
+      "CONSOLIDATIONCANCELLING")
+    cat2.rewrite(cat2.read(spark, "datasets")
+      .filter(!(col("status") === "INACTIVE" &&
+        col("container_uri").startsWith(prefix))), "datasets")
+    // a plain resume (ContinueJob) must COMPLETE the cancel — forward
+    // driving would swap-in nothing and then delete the originals
+    assert(ConsolidationJob.run(spark, cat2, spec) == "ABORTED")
+    val ds = cat2.read(spark, "datasets").collect()
+    assert(ds.length == 2 && ds.forall(_.getAs[String]("status") == "ACTIVE"))
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix)).count() == 0)
+    assert(cat2.read(spark, "containers")
+      .filter(col("uri").startsWith(prefix)).count() == 0)
+    assert(cat2.read(spark, "tasks").filter(col("job_id") === "jtc").count() == 0)
+    assert(cat2.read(spark, "jobs")
+      .filter(col("id") === "jtc" && col("state") === "ABORTED").count() == 1)
+    // terminal afterwards: retry refuses, rerun stays ABORTED
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "UNHANDLED")
+    assert(ConsolidationJob.run(spark, cat2, spec) == "ABORTED")
+  }
+
+  test("torn rollback: job tiles purged under DONE task rows — C4 rebuilds, never indexes nothing") {
+    val cat2 = twoCellCatalog("tornrb", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jtr", "tornrb", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONDONE")) == "CONSOLIDATIONDONE")
+    val prefix = s"${cat2.root}/containers/jtr/"
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix)).count() > 0)
+    // simulate a failure rollback that crashed after its tiles purge but
+    // BEFORE journaling FAILED: all job-prefix tiles gone, containers
+    // rows and DONE task rows still in place, journal still says
+    // CONSOLIDATIONDONE
+    cat2.rewrite(cat2.read(spark, "tiles")
+      .filter(!col("container_uri").startsWith(prefix)), "tiles")
+    // the resume must DETECT the missing outputs behind the DONE task
+    // rows and rebuild them — trusting the rows would have C5 index
+    // nothing and the swap delete the originals with no replacement
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    val ds = cat2.read(spark, "datasets").collect()
+    assert(ds.length == 2 && ds.forall(_.getAs[String]("status") == "ACTIVE"))
+    assert(ds.forall(_.getAs[String]("container_uri").startsWith(prefix)))
+    val base = cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix) &&
+        !col("subdir").contains("@ov")).collect()
+    assert(base.length == 2)
+    val pix = base.map { t =>
+      Bitmap.fromBytes(t.getAs[Array[Byte]]("payload"), 8, 8, 1, DType.UInt8)
+        .pixels.head
+    }.toSet
+    assert(pix == Set(10.0, 20.0))
+  }
+
+  test("deletion torn cancel: ABORTED journaled, crash before un-flip — resume finishes the rollback") {
+    val cat2 = twoCellCatalog("deltorn", poisonR2 = false)
+    val spec = DeletionJob.Spec("jdc", "deltorn", recordIds = Seq("r2"))
+    assert(DeletionJob.run(spark, cat2, spec,
+      pauseAfter = Some("DELETIONINPROGRESS")) == "DELETIONINPROGRESS")
+    assert(cat2.read(spark, "datasets")
+      .filter(col("id") === "d2").select("status")
+      .collect().head.getString(0) == "TODELETE")
+    // simulate cancel() crashing right after its ABORTED journal append:
+    // the flip is still in place and the LOCK rows survive
+    ConsolidationJob.logStateRaw(spark, cat2, "jdc", "deltorn", "ABORTED",
+      jobType = "DELETION")
+    // any later touch finishes the rollback instead of journaling a
+    // bogus DONE over a skipped removal
+    assert(DeletionJob.run(spark, cat2, spec) == "ABORTED")
+    assert(cat2.read(spark, "datasets")
+      .filter(col("id") === "d2").select("status")
+      .collect().head.getString(0) == "ACTIVE")
+    assert(cat2.read(spark, "tasks").filter(col("job_id") === "jdc").count() == 0)
+    assert(cat2.read(spark, "jobs")
+      .filter(col("id") === "jdc" && col("state").isin("DONE", "DONEBUTUNTIDY"))
+      .count() == 0)
+    // idempotent: a second touch is a no-op ABORTED
+    assert(DeletionJob.run(spark, cat2, spec) == "ABORTED")
+  }
 }
