@@ -480,12 +480,17 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     val victimIds = victims.select("id").distinct().localCheckpoint(true)
     try {
       if (victimIds.limit(1).count() > 0) {
-        cat.rewrite(jobs.join(victimIds, Seq("id"), "left_anti"), "jobs")
         // cascade to the jobs' task rows (the reference deletes tasks with
-        // their job) — otherwise cleaned jobs leak task rows forever
+        // their job) — otherwise cleaned jobs leak task rows forever.
+        // Tasks go FIRST: a crash between the two rewrites then leaves
+        // jobs whose tasks are already gone (harmless, and a re-run
+        // re-identifies them from the jobs filter), where the reverse
+        // order would leave task rows whose job rows no longer exist —
+        // unidentifiable, so orphaned forever.
         cat.rewrite(cat.read(spark, "tasks")
           .join(victimIds.withColumnRenamed("id", "job_id"),
             Seq("job_id"), "left_anti"), "tasks")
+        cat.rewrite(jobs.join(victimIds, Seq("id"), "left_anti"), "jobs")
       }
       total - cat.read(spark, "jobs").count()
     } finally graft.operators.OperatorCaches.releaseLocalCheckpoint(victimIds)

@@ -149,10 +149,17 @@ object Admin {
         // gone are unreachable by any read path, and nothing else GCs
         // them for a catalog maintained by TidyDB alone — the dead pixel
         // storage would otherwise grow without bound. Existence-probed so
-        // the clean path never rewrites the largest table.
+        // the clean path never rewrites the largest table. A tile is live
+        // when its container row exists OR a dataset still references its
+        // uri — the second leg keeps the scrub from eating the pixels of
+        // a SERVING dataset whose containers row was lost to a torn
+        // import (tiles landed, the containers append crashed, and
+        // IndexDatasets — which validates against tiles — registered it).
         val tiles = cat.read(spark, "tiles")
         val live = cat.read(spark, "containers")
           .select(col("uri").as("container_uri"))
+          .unionByName(ds.select("container_uri"))
+          .distinct()
         val orphan = tiles.select("container_uri")
           .join(live, Seq("container_uri"), "left_anti")
         if (orphan.limit(1).count() > 0)

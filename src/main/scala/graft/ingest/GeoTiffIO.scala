@@ -34,11 +34,15 @@ object GeoTiffIO {
           d.image.transform.toArray.toSeq, d.image.bitmap.toBytes)
       }
     }
-    cat.append(spark.createDataFrame(rows, Schemas.tiles), "tiles")
+    // containers BEFORE tiles: a crash between the two appends then
+    // leaves a dangling containers row (harmless, TidyDB collects it),
+    // where tiles-first left pixels a later IndexDatasets could bind a
+    // dataset to while the containers row never landed
     val uris = files.select(col("path").as("uri")).distinct()
       .withColumn("managed", lit(false))
       .withColumn("storage_class", lit("STANDARD"))
     cat.append(uris, "containers")
+    cat.append(spark.createDataFrame(rows, Schemas.tiles), "tiles")
   }
 
   /** File-backed cube source (S8): read GeoTIFF containers straight from

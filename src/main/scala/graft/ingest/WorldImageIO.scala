@@ -107,11 +107,13 @@ object WorldImageIO {
       }
     }.cache()
     try {
-      val rows = parsed.collect { case Right(row) => row }
-      cat.append(spark.createDataFrame(rows, Schemas.tiles), "tiles")
+      // containers BEFORE tiles (same crash-ordering rule as GeoTiffIO:
+      // a dangling containers row is harmless, dangling pixels are not)
       val uris = parsed.collect { case Right(row) => row.getString(0) }
         .distinct().map(u => Row(u, false, "STANDARD"))
       cat.append(spark.createDataFrame(uris, Schemas.containers), "containers")
+      val rows = parsed.collect { case Right(row) => row }
+      cat.append(spark.createDataFrame(rows, Schemas.tiles), "tiles")
       val imported = parsed.filter(_.isRight).count()
       val skipped = parsed.filter(_.isLeft).count()
       (imported, skipped)

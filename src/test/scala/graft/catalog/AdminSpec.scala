@@ -155,6 +155,35 @@ class AdminSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("container_uri") === "mem://stale").count() == 0)
   }
 
+  test("tidy tiles scrub spares pixels a dataset still references (torn import)") {
+    val sc = spark
+    // a torn import: tiles landed, the containers append crashed, and
+    // IndexDatasets (validating against tiles) registered an ACTIVE
+    // dataset on the uri — no containers row exists
+    cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
+      Row("mem://torn", "", 1, 1, 1, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 1.0, 0.0, -1.0), Array[Byte](9)))),
+      Schemas.all("tiles")), "tiles")
+    val box = BBox(0, 0, 1, 1)
+    cat.append(sc.createDataFrame(sc.sparkContext.parallelize(Seq(
+      Row("d-torn", "r1", "i1", "mem://torn", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, -1.0, 1.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box)))),
+      Schemas.all("datasets")), "datasets")
+    Admin.tidy(spark, cat, aois = false, records = false,
+      variables = false, instances = false, params = false)
+    // the serving dataset's pixels survive the scrub
+    assert(cat.read(spark, "tiles")
+      .filter(col("container_uri") === "mem://torn").count() == 1)
+    // drop the dataset: the next tidy may collect the now-dead pixels
+    cat.rewrite(cat.read(spark, "datasets")
+      .filter(col("id") =!= "d-torn"), "datasets")
+    Admin.tidy(spark, cat, aois = false, records = false,
+      variables = false, instances = false, params = false)
+    assert(cat.read(spark, "tiles")
+      .filter(col("container_uri") === "mem://torn").count() == 0)
+  }
+
   test("updateImpact scopes by recordIds; all-None update skips the rewrite") {
     // record-scoped dry-run describes only the scoped hit set
     val whole = Admin.updateImpact(spark, cat, Seq("i1"))
