@@ -20,6 +20,7 @@ final case class Catalog(root: String) {
   private def path(table: String) = s"$root/$table"
 
   def read(spark: SparkSession, table: String): DataFrame = {
+    healSwap(table)
     val p = new java.io.File(path(table))
     if (p.exists) {
       migrateLegacyLayout(spark, table)
@@ -76,6 +77,7 @@ final case class Catalog(root: String) {
     }
 
   def append(df: DataFrame, table: String): Unit = {
+    healSwap(table)
     migrateLegacyLayout(df.sparkSession, table)
     val writer = df.write.mode(SaveMode.Append)
     partitionColumn(table).fold(writer)(writer.partitionBy(_))
@@ -87,6 +89,7 @@ final case class Catalog(root: String) {
     * new reads see the new version — the single-writer ACID contract the
     * consolidation FSM needs (csldSwapDatasets, consolidater.go:644-667). */
   def rewrite(df: DataFrame, table: String): Unit = {
+    healSwap(table)
     val dest = new java.io.File(path(table))
     val tmp = new java.io.File(path(table) + ".swap")
     val old = new java.io.File(path(table) + ".old")
@@ -102,6 +105,24 @@ final case class Catalog(root: String) {
       throw new java.io.IOException(s"swap: cannot promote $tmp")
     }
     delete(old)
+  }
+
+  /** Repair a [[rewrite]] swap cut short by a crash. The swap's commit
+    * point is the tmp→dest rename: a MISSING table dir with a staged
+    * `.old` beside it means the swap never committed — the pre-image is
+    * authoritative and is restored (the `.swap` payload is recomputed by
+    * whoever retries). With the dir present, a leftover `.old` is
+    * already-committed garbage and is reclaimed. Without this, the
+    * missing-dir branch of [[read]] would serve an EMPTY table for the
+    * whole window — a silently wrong catalog (GC would collect
+    * everything, FSM resumes would re-derive nonsense). */
+  private def healSwap(table: String): Unit = {
+    val dest = new java.io.File(path(table))
+    val old = new java.io.File(path(table) + ".old")
+    if (!dest.exists) {
+      if (old.exists && !old.renameTo(dest))
+        throw new java.io.IOException(s"swap heal: cannot restore $dest")
+    } else if (old.exists) delete(old)
   }
 
   private def delete(f: java.io.File): Unit = {

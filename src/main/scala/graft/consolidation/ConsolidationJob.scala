@@ -286,10 +286,26 @@ object ConsolidationJob {
       // Skipped entirely once INDEXED is journaled: nothing after C5 reads
       // the orders, and a post-swap resume could not even rebuild them
       // (the locked datasets are TODELETE/deleted by then).
+      //
+      // INDEXED is only TRUSTED when the outputs it claims are actually
+      // present: a failure rollback (e.g. after a swap-step exception)
+      // purges the job's INACTIVE datasets and tiles, and a crash before
+      // its FAILED journal append leaves INDEXED as the last state — a
+      // resume trusting it would skip C3–C5, swap in nothing, and the
+      // DONE step would delete the originals with no replacement.
+      // Post-swap the outputs are ACTIVE under the prefix, so the probe
+      // stays true for every healthy resume; pre-swap a healthy INDEXED
+      // job has them INACTIVE there. One limit(1) count, job-scoped.
+      val indexedTrusted = done.contains("CONSOLIDATIONINDEXED") && (
+        done.contains("CONSOLIDATIONEFFECTIVE") ||
+        cat.read(spark, "datasets")
+          .filter(col("container_uri").startsWith(
+            s"${cat.root}/containers/${spec.jobId}/"))
+          .limit(1).count() > 0)
       var nTasks = 0L
       var allUris: Seq[String] = Nil
       var journaled: Map[String, String] = Map.empty
-      if (!done.contains("CONSOLIDATIONINDEXED")) {
+      if (!indexedTrusted) {
         tasks = Consolidation.prepareOrders(spark, cat, spec.jobId,
           spec.instanceId, spec.recordIds, spec.layout, spec.collapseOnRecordId,
           lockedIds = Some(lockedIds))
@@ -325,7 +341,7 @@ object ConsolidationJob {
       // update leaves the task non-DONE, so the rerun purges the orphan
       // rows — no journal-vs-effect window. Once INDEXED is journaled the
       // outputs are authoritative and C4 is skipped entirely.
-      if (!done.contains("CONSOLIDATIONINDEXED")) {
+      if (!indexedTrusted) {
         import spark.implicits._
         val prefix0 = s"${cat.root}/containers/${spec.jobId}/"
         // A DONE task row is only trusted when its container's tiles
@@ -434,7 +450,7 @@ object ConsolidationJob {
       // consolidate's return value — so a retry that only rebuilt the
       // failed containers still indexes the whole job, and the payload
       // column is pruned at the parquet scan (no pixel bytes move here)
-      if (!done.contains("CONSOLIDATIONINDEXED")) {
+      if (!indexedTrusted) {
         val prefix = s"${cat.root}/containers/${spec.jobId}/"
         // the record-order relation is CHECKPOINTED before the purge
         // below: its lineage reads the datasets table (via the orders),

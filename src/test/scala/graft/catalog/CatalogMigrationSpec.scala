@@ -57,4 +57,33 @@ class CatalogMigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _ => true
     })
   }
+
+  test("swap heal: a crash between the two renames never reads as an empty table") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    val cat2 = Catalog(root2)
+    def names(): Set[String] = cat2.read(spark, "records")
+      .select("id").collect().map(_.getString(0)).toSet
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def rec(id: String): Row = Row(id, id, t0, Map.empty[String, String], "a1")
+    cat2.append(spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(rec("r1"), rec("r2"))), Schemas.all("records")), "records")
+    // simulate rewrite() crashing between dest→old and tmp→dest: the
+    // table dir is gone, the pre-image is staged at .old, the new
+    // payload half-baked at .swap
+    val dir = new java.io.File(s"$root2/records")
+    assert(dir.renameTo(new java.io.File(s"$root2/records.old")))
+    new java.io.File(s"$root2/records.swap").mkdirs()
+    // the un-promoted swap never committed: reads restore and serve the
+    // pre-image, not the silently-empty missing-dir fallback
+    assert(names() == Set("r1", "r2"))
+    assert(!new java.io.File(s"$root2/records.old").exists)
+    // a committed swap's leftover .old is garbage — reclaimed, dest kept
+    new java.io.File(s"$root2/records.old").mkdirs()
+    assert(names() == Set("r1", "r2"))
+    assert(!new java.io.File(s"$root2/records.old").exists)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root2))
+  }
 }

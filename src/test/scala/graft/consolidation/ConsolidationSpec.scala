@@ -1088,6 +1088,40 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pix == Set(10.0, 20.0))
   }
 
+  test("torn rollback after INDEXED: outputs purged, journal still says INDEXED — resume rebuilds") {
+    val cat2 = twoCellCatalog("tornidx", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jti", "tornidx", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONINDEXED")) == "CONSOLIDATIONINDEXED")
+    val prefix = s"${cat2.root}/containers/jti/"
+    // simulate a swap-step exception whose rollback purged the INACTIVE
+    // datasets, tiles and containers but crashed before journaling
+    // FAILED: the journal's last word is INDEXED, the outputs are gone
+    cat2.rewrite(cat2.read(spark, "datasets")
+      .filter(!(col("status") === "INACTIVE" &&
+        col("container_uri").startsWith(prefix))), "datasets")
+    cat2.rewrite(cat2.read(spark, "tiles")
+      .filter(!col("container_uri").startsWith(prefix)), "tiles")
+    cat2.rewrite(cat2.read(spark, "containers")
+      .filter(!col("uri").startsWith(prefix)), "containers")
+    // a resume trusting INDEXED would skip C3-C5, swap in nothing and
+    // delete the originals at DONE — it must distrust it and rebuild
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    val ds = cat2.read(spark, "datasets").collect()
+    assert(ds.length == 2 && ds.forall(_.getAs[String]("status") == "ACTIVE"))
+    assert(ds.forall(_.getAs[String]("container_uri").startsWith(prefix)))
+    val base = cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix) &&
+        !col("subdir").contains("@ov")).collect()
+    assert(base.length == 2)
+    val pix = base.map { t =>
+      Bitmap.fromBytes(t.getAs[Array[Byte]]("payload"), 8, 8, 1, DType.UInt8)
+        .pixels.head
+    }.toSet
+    assert(pix == Set(10.0, 20.0))
+  }
+
   test("deletion torn cancel: ABORTED journaled, crash before un-flip — resume finishes the rollback") {
     val cat2 = twoCellCatalog("deltorn", poisonR2 = false)
     val spec = DeletionJob.Spec("jdc", "deltorn", recordIds = Seq("r2"))
