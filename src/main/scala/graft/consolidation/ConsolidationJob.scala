@@ -172,6 +172,7 @@ object ConsolidationJob {
         new IllegalStateException("rollback retried by user"))
     val retryable = done.contains("CONSOLIDATIONFAILED") ||
       done.contains("INITIALISATIONFAILED") || // job.go:493-499 → CREATED
+      done.contains("DONEBUTUNTIDY") || // job.go:468-472 → re-run the cleanup
       (force && done.contains("CONSOLIDATIONINPROGRESS"))
     if (!retryable) return "UNHANDLED"
     val resetFrom: Seq[String] =
@@ -523,6 +524,22 @@ object ConsolidationJob {
           // Retried re-enters from CREATED once the cause is fixed
           logState(spark, cat, spec, "INITIALISATIONFAILED", errJson(e))
           "INITIALISATIONFAILED"
+        } else if (reached.contains("CONSOLIDATIONEFFECTIVE") ||
+            scala.util.Try(cat.read(spark, "datasets")
+              .filter(col("container_uri").startsWith(
+                s"${cat.root}/containers/${spec.jobId}/") &&
+                col("status") === "ACTIVE")
+              .limit(1).count() > 0).getOrElse(false)) {
+          // StartDeletionFailed (job.go:459-461): the swap IS effective —
+          // the outputs serve reads and must NOT be rolled back; only the
+          // old-dataset cleanup (or the EFFECTIVE journal append itself,
+          // covered by the data probe) failed. DONEBUTUNTIDY parks the
+          // job with its lock snapshot intact; run()/retry() re-attempt
+          // the cleanup (the reference's Retried → EFFECTIVE → DONE).
+          // The old rollback here journaled a terminal FAILED on a job
+          // whose outputs were actively serving — untrue and unfixable.
+          logState(spark, cat, spec, "DONEBUTUNTIDY", errJson(e))
+          "DONEBUTUNTIDY"
         } else rollbackToFailed(spark, cat, spec, e)
     } finally {
       // release the lock snapshot's checkpoint blocks and the cached

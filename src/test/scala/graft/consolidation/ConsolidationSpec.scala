@@ -1122,6 +1122,39 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pix == Set(10.0, 20.0))
   }
 
+  test("post-swap cleanup failure parks DONEBUTUNTIDY (job.go:459); retry finishes the tidy") {
+    val cat2 = twoCellCatalog("untidy", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jbu", "untidy", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONEFFECTIVE")) == "CONSOLIDATIONEFFECTIVE")
+    val prefix = s"${cat2.root}/containers/jbu/"
+    // make the C7 old-dataset cleanup throw: a garbage parquet file in
+    // the datasets partition dir fails the scan
+    val garbage = new java.io.File(
+      s"${cat2.root}/datasets/instance_id=i1/zzz-garbage.parquet")
+    java.nio.file.Files.write(garbage.toPath, "not parquet".getBytes("UTF-8"))
+    // the swap is EFFECTIVE: the outputs serve reads — the failure must
+    // park as DONEBUTUNTIDY, never roll back or journal a fake FAILED
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONEBUTUNTIDY")
+    assert(garbage.delete())
+    assert(cat2.read(spark, "datasets")
+      .filter(col("container_uri").startsWith(prefix) &&
+        col("status") === "ACTIVE").count() == 2)
+    assert(cat2.read(spark, "datasets")
+      .filter(col("status") === "TODELETE").count() == 2) // cleanup pending
+    // retry re-attempts ONLY the cleanup (reference Retried → EFFECTIVE
+    // → DeletionStarted → DONE)
+    assert(ConsolidationJob.retry(spark, cat2, spec) == "DONE")
+    assert(cat2.read(spark, "datasets")
+      .filter(col("status") === "TODELETE").count() == 0)
+    assert(cat2.read(spark, "datasets").count() == 2)
+    // the lock snapshot is released with DONE (container task rows stay
+    // as history until cleanJobs)
+    assert(cat2.read(spark, "tasks")
+      .filter(col("job_id") === "jbu" && col("state") === "LOCK").count() == 0)
+  }
+
   test("deletion torn cancel: ABORTED journaled, crash before un-flip — resume finishes the rollback") {
     val cat2 = twoCellCatalog("deltorn", poisonR2 = false)
     val spec = DeletionJob.Spec("jdc", "deltorn", recordIds = Seq("r2"))
