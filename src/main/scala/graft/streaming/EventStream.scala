@@ -241,11 +241,18 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (job: String, evts: Iterator[TaskEvent], state: GroupState[JobFsmState]) =>
           val st0 = state.getOption.getOrElse(JobFsmState(Seq.empty, 0))
-          val st = evts.foldLeft(st0) { (acc, e) =>
-            if (acc.seen.contains(e.task_id)) acc // at-least-once dedup guard
-            else JobFsmState(acc.seen :+ e.task_id,
-              acc.failed + (if (e.status == "FAILED") 1 else 0))
+          // the seen-set folds through a hash set, not Seq.contains — a
+          // collapse job journals 10⁵ task events and the linear scan per
+          // event would make the fold quadratic in job size (state still
+          // ENCODES as a Seq; emission order is irrelevant to the guard)
+          val seenSet = scala.collection.mutable.LinkedHashSet.empty[String]
+          seenSet ++= st0.seen
+          var failed = st0.failed
+          evts.foreach { e =>
+            if (seenSet.add(e.task_id)) // at-least-once dedup guard
+              failed += (if (e.status == "FAILED") 1 else 0)
           }
+          val st = JobFsmState(seenSet.toSeq, failed)
           state.update(st)
           val expected = expectedTasks.getOrElse(job, Int.MaxValue)
           val phase =
