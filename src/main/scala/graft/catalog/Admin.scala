@@ -137,9 +137,22 @@ object Admin {
 
     if (containers) {
       val cont = cat.read(spark, "containers")
-      gc("containers", cont, cont.join(
-        ds.select(col("container_uri").as("__c")).distinct(),
-        col("uri") === col("__c"), "left_semi"))
+      // A container is live when a DATASET references it or a JOB TASK
+      // ROW names it: consolidation task ids ARE the job's output uris,
+      // and a paused pre-INDEXED or parked CONSOLIDATIONFAILED job's
+      // outputs have no dataset rows yet (C5 writes those) — the GC
+      // eating them would silently discard the job's completed C4 work
+      // and force a full rebuild on resume. Deletion-task ids are md5
+      // digests and match no uri, so they add nothing here. (In the
+      // reference a mid-job container lives only in object storage, so
+      // its TidyDB can't hit this; our materialized tiles/containers
+      // rows can.)
+      val taskUris = cat.read(spark, "tasks")
+        .filter(col("state") =!= "LOCK").select(col("id").as("__c"))
+      val liveUris = ds.select(col("container_uri").as("__c"))
+        .unionByName(taskUris).distinct()
+      gc("containers", cont,
+        cont.join(liveUris, col("uri") === col("__c"), "left_semi"))
       if (!simulate) {
         // cascade: container_layouts rows of just-deleted containers (the
         // reference's DeleteContainerLayout fires with each container
@@ -150,15 +163,16 @@ object Admin {
         // them for a catalog maintained by TidyDB alone — the dead pixel
         // storage would otherwise grow without bound. Existence-probed so
         // the clean path never rewrites the largest table. A tile is live
-        // when its container row exists OR a dataset still references its
-        // uri — the second leg keeps the scrub from eating the pixels of
-        // a SERVING dataset whose containers row was lost to a torn
-        // import (tiles landed, the containers append crashed, and
-        // IndexDatasets — which validates against tiles — registered it).
+        // when its container row exists, a dataset still references its
+        // uri (a torn import: tiles landed, the containers append
+        // crashed, and IndexDatasets — which validates against tiles —
+        // registered a SERVING dataset), or a job task row names it (the
+        // paused/parked-job outputs above).
         val tiles = cat.read(spark, "tiles")
         val live = cat.read(spark, "containers")
           .select(col("uri").as("container_uri"))
           .unionByName(ds.select("container_uri"))
+          .unionByName(taskUris.withColumnRenamed("__c", "container_uri"))
           .distinct()
         val orphan = tiles.select("container_uri")
           .join(live, Seq("container_uri"), "left_anti")

@@ -283,6 +283,43 @@ object Consolidation {
       .select(col("payload").as("id"))
       .distinct() // crash between append and journal may retry the append
 
+  /** The write side of the lock snapshot — the ONE place that mints
+    * LOCK rows (row id = jobId-l-md5(dataset id), deterministic so a
+    * retried append can never mint a second id), shared by both FSMs so
+    * the [[readLockIds]] contract cannot drift between them. `ids` is an
+    * id-only relation; the write stays distributed. */
+  def writeLockSnapshot(spark: SparkSession, cat: Catalog, jobId: String,
+      ids: DataFrame): Unit =
+    cat.append(ids.select(
+      concat(lit(s"$jobId-l-"), md5(col("id").cast("binary"))).as("id"),
+      lit(jobId).as("job_id"),
+      lit("LOCK").as("state"),
+      col("id").as("payload")), "tasks")
+
+  /** Rollback legs shared by the cancel and failure paths of the
+    * consolidation FSM — one definition so a table added to one route
+    * can never be missed on the other. Each leg is an idempotent
+    * predicate rewrite, safe to re-run after a torn rollback. */
+  def purgeInactiveOutputs(spark: SparkSession, cat: Catalog,
+      prefix: String): Unit =
+    cat.rewrite(cat.read(spark, "datasets")
+      .filter(!(col("status") === "INACTIVE" &&
+        col("container_uri").startsWith(prefix))), "datasets")
+
+  def purgeJobContainers(spark: SparkSession, cat: Catalog,
+      prefix: String): Unit = {
+    cat.rewrite(cat.read(spark, "tiles")
+      .filter(!col("container_uri").startsWith(prefix)), "tiles")
+    cat.rewrite(cat.read(spark, "containers")
+      .filter(!col("uri").startsWith(prefix)), "containers")
+    cat.rewrite(cat.read(spark, "container_layouts")
+      .filter(!col("container_uri").startsWith(prefix)), "container_layouts")
+  }
+
+  def dropJobTasks(spark: SparkSession, cat: Catalog, jobId: String): Unit =
+    cat.rewrite(cat.read(spark, "tasks")
+      .filter(col("job_id") =!= jobId), "tasks")
+
   /** Unsigned byte-wise UTF-8 comparison — Spark's UTF8String order, which
     * differs from JVM `String.compareTo` (UTF-16 code units) whenever a
     * supplementary code point meets one in [U+E000, U+FFFF]. Used by

@@ -108,8 +108,19 @@ object ConsolidationJob {
         col("status") === "ACTIVE")
       .limit(1).count() > 0
     if (done.contains("ABORTED")) return "ABORTED" // cancel is idempotent
+    // terminal FAILED refuses: its rollback already ran and journaling a
+    // second terminal state (ABORTED) would contradict it — the
+    // reference's FSM has no cancel event out of FAILED (job.go:466-467)
+    if (done.contains("FAILED")) return "UNHANDLED"
+    // ROLLBACKFAILED + cancel is the user ABANDONING the rollback-retry
+    // loop: accept terminal FAILED (CancelledByUserForced, job.go:515-517)
+    if (done.contains("ROLLBACKFAILED")) {
+      logStateRaw(spark, cat, jobId, name, "FAILED",
+        """{"error":"rollback abandoned by user"}""")
+      return "FAILED"
+    }
     if (done.contains("CONSOLIDATIONEFFECTIVE") || done.contains("DONE") ||
-        swapApplied) {
+        done.contains("DONEBUTUNTIDY") || swapApplied) {
       logStateRaw(spark, cat, jobId, name, "CANCELLATIONFAILED",
         """{"error":"job already effective"}""")
       return "CANCELLATIONFAILED"
@@ -123,22 +134,14 @@ object ConsolidationJob {
     // already-purged outputs and DONE would delete the originals.
     if (!done.contains("CONSOLIDATIONCANCELLING"))
       logStateRaw(spark, cat, jobId, name, "CONSOLIDATIONCANCELLING")
-    // from CONSOLIDATIONDONE/INDEXED: the job's INACTIVE datasets vanish
-    cat.rewrite(cat.read(spark, "datasets")
-      .filter(!(col("status") === "INACTIVE" &&
-        col("container_uri").startsWith(prefix))), "datasets")
+    // from CONSOLIDATIONDONE/INDEXED: the job's INACTIVE datasets vanish;
     // from CONSOLIDATIONINPROGRESS: its containers/tiles are not
-    // authoritative until INDEXED — purge them
-    cat.rewrite(cat.read(spark, "tiles")
-      .filter(!col("container_uri").startsWith(prefix)), "tiles")
-    cat.rewrite(cat.read(spark, "containers")
-      .filter(!col("uri").startsWith(prefix)), "containers")
-    cat.rewrite(cat.read(spark, "container_layouts")
-      .filter(!col("container_uri").startsWith(prefix)), "container_layouts")
-    // the rolled-back job's task rows are dead — drop them with the
-    // rollback (the reference deletes a job's tasks alongside it)
-    cat.rewrite(cat.read(spark, "tasks")
-      .filter(col("job_id") =!= jobId), "tasks")
+    // authoritative until INDEXED — purge them; the rolled-back job's
+    // task rows are dead — drop them with the rollback (the reference
+    // deletes a job's tasks alongside it)
+    Consolidation.purgeInactiveOutputs(spark, cat, prefix)
+    Consolidation.purgeJobContainers(spark, cat, prefix)
+    Consolidation.dropJobTasks(spark, cat, jobId)
     logStateRaw(spark, cat, jobId, name, "ABORTED")
     "ABORTED"
   }
@@ -186,7 +189,7 @@ object ConsolidationJob {
     logState(spark, cat, spec,
       if (force) "CONSOLIDATIONFORCERETRYING" else "CONSOLIDATIONRETRYING",
       s"""{"reset_tasks":$nReset}""")
-    run(spark, cat, spec)
+    run(spark, cat, spec, unparked = true)
   }
 
   /** Drive the FSM (sync execution mode). `pauseAfter` is the step-by-step
@@ -196,7 +199,8 @@ object ConsolidationJob {
     * (idempotent state guards, like handleTaskEvt's "already done" path).
     * Returns the final state reached. */
   def run(spark: SparkSession, cat: Catalog, spec: Spec,
-      pauseAfter: Option[String] = None): String = {
+      pauseAfter: Option[String] = None,
+      unparked: Boolean = false): String = {
     // resume support: states already journaled for this job are skipped
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === spec.jobId).select("state")
@@ -231,10 +235,14 @@ object ConsolidationJob {
     // CONSOLIDATIONFAILED parks the job for an explicit user decision
     // (retry/force-retry/cancel; the reference's ContinueJob resumes only
     // paused/interrupted jobs): a plain resume must not silently redo the
-    // failed tasks without the RETRYING journal entry. retry() appends
-    // CONSOLIDATION(FORCE)RETRYING before re-entering run(), so the guard
-    // keys on the LATEST journaled state, not set membership.
-    if (latestState(spark, cat, spec.jobId).contains("CONSOLIDATIONFAILED"))
+    // failed tasks without the RETRYING journal entry. retry() passes
+    // `unparked` after journaling CONSOLIDATION(FORCE)RETRYING — an
+    // explicit flag, NOT a latest-state comparison, because created_at
+    // ordering is only monotonic within one JVM (a wall-clock step-back
+    // across a driver restart would stamp the RETRYING row BEFORE the
+    // parked FAILED row and brick every retry until the clock caught up).
+    if (!unparked &&
+        latestState(spark, cat, spec.jobId).contains("CONSOLIDATIONFAILED"))
       return "CONSOLIDATIONFAILED"
     if (!done.contains("NEW")) logState(spark, cat, spec, "NEW", specJson(spec))
     var lockedIds: org.apache.spark.sql.DataFrame = null
@@ -263,12 +271,7 @@ object ConsolidationJob {
           status = Seq("ACTIVE"), instanceIds = Seq(spec.instanceId),
           recordIds = spec.recordIds, order = false))
           .select("id")
-        cat.append(sel.select(
-          concat(lit(s"${spec.jobId}-l-"),
-            md5(col("id").cast("binary"))).as("id"),
-          lit(spec.jobId).as("job_id"),
-          lit("LOCK").as("state"),
-          col("id").as("payload")), "tasks")
+        Consolidation.writeLockSnapshot(spark, cat, spec.jobId, sel)
       }
       lockedIds = Consolidation.readLockIds(spark, cat, spec.jobId)
         .localCheckpoint(true)
@@ -560,9 +563,7 @@ object ConsolidationJob {
       cause: Exception): String =
     try {
       val prefix = s"${cat.root}/containers/${spec.jobId}/"
-      val ds = cat.read(spark, "datasets")
-      cat.rewrite(ds.filter(!(col("status") === "INACTIVE" &&
-        col("container_uri").startsWith(prefix))), "datasets")
+      Consolidation.purgeInactiveOutputs(spark, cat, prefix)
       // FAILED is terminal: the job's not-yet-authoritative C4/C5 outputs
       // (containers/tiles/container_layouts under the job prefix) are
       // dead rows — purge them like cancel does, or they dangle forever
@@ -573,19 +574,15 @@ object ConsolidationJob {
         .filter(col("container_uri").startsWith(prefix) &&
           col("status") === "ACTIVE")
         .limit(1).count() > 0
-      if (!swapApplied) {
-        cat.rewrite(cat.read(spark, "tiles")
-          .filter(!col("container_uri").startsWith(prefix)), "tiles")
-        cat.rewrite(cat.read(spark, "containers")
-          .filter(!col("uri").startsWith(prefix)), "containers")
-        cat.rewrite(cat.read(spark, "container_layouts")
-          .filter(!col("container_uri").startsWith(prefix)), "container_layouts")
-      }
-      // release the lock snapshot AND drop the dead task rows (the
-      // reference deletes a job's tasks alongside it)
-      cat.rewrite(cat.read(spark, "tasks").filter(
-        col("job_id") =!= spec.jobId), "tasks")
+      if (!swapApplied)
+        Consolidation.purgeJobContainers(spark, cat, prefix)
+      // FAILED (with the real cause) journals BEFORE the task drop: the
+      // old order could crash between the two and the resume's
+      // empty-lock require then became the journaled FAILED payload —
+      // the original diagnosis lost forever. A crash after FAILED merely
+      // leaves dead task rows for cleanJobs to collect.
       logState(spark, cat, spec, "FAILED", errJson(cause))
+      Consolidation.dropJobTasks(spark, cat, spec.jobId)
       "FAILED"
     } catch {
       case e2: Exception =>

@@ -124,6 +124,17 @@ object DeletionJob {
       .filter(col("id") === jobId).select("state")
       .collect().map(_.getString(0)).toSet
     if (done.isEmpty) return "NOTFOUND"
+    // terminal FAILED refuses: its rollback already ran and a second
+    // terminal ABORTED row would contradict it (reference: no cancel
+    // event out of FAILED, job.go:526)
+    if (done.contains("FAILED")) return "UNHANDLED"
+    // ROLLBACKFAILED + cancel abandons the rollback-retry loop: accept
+    // terminal FAILED (CancelledByUserForced, job.go:612-617)
+    if (done.contains("ROLLBACKFAILED")) {
+      ConsolidationJob.logStateRaw(spark, cat, jobId, name, "FAILED",
+        """{"error":"rollback abandoned by user"}""", jobType = "DELETION")
+      return "FAILED"
+    }
     // the lock snapshot rides as a RELATION over the durable LOCK rows —
     // membership via joins, never a multi-literal isin (a deletion job
     // over a whole instance can lock 10⁶ datasets)
@@ -214,12 +225,7 @@ object DeletionJob {
         require(sel.limit(1).count() > 0,
           s"deletion job ${spec.jobId}: no dataset found for these records, " +
             "instances and/or pattern")
-        cat.append(sel.select(
-          concat(lit(s"${spec.jobId}-l-"),
-            md5(col("id").cast("binary"))).as("id"),
-          lit(spec.jobId).as("job_id"),
-          lit("LOCK").as("state"),
-          col("id").as("payload")), "tasks")
+        Consolidation.writeLockSnapshot(spark, cat, spec.jobId, sel)
       }
       lockedDf = readLocksDf(spark, cat, spec.jobId)
       nLocked = lockedDf.count()
@@ -362,11 +368,13 @@ object DeletionJob {
               "ACTIVE").otherwise(col("status")))
           .drop("__lk"), "datasets")
       }
-      // FAILED is terminal (run() refuses it; retry returns UNHANDLED) —
-      // release the lock snapshot and the dead task rows with it
-      cat.rewrite(cat.read(spark, "tasks")
-        .filter(col("job_id") =!= spec.jobId), "tasks")
+      // FAILED (with the real cause) journals BEFORE the lock/task drop:
+      // a crash between the old order's two writes left the resume's
+      // empty-catalog error as the journaled cause. FAILED is terminal
+      // (run() refuses it; retry returns UNHANDLED); a crash after it
+      // merely leaves dead task rows for cleanJobs.
       logState(spark, cat, spec, "FAILED", ConsolidationJob.errJson(cause))
+      Consolidation.dropJobTasks(spark, cat, spec.jobId)
       "FAILED"
     } catch {
       case e2: Exception =>

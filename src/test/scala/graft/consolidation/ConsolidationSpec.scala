@@ -941,6 +941,11 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("record_id") === "r2").count() == 1) // nothing deleted
     // terminal FAILED refuses retry too (reference UnhandledEvent)
     assert(DeletionJob.retry(spark, cat2, spec) == "UNHANDLED")
+    // ...and refuses cancel: a second terminal ABORTED row would
+    // contradict the already-journaled FAILED
+    assert(DeletionJob.cancel(spark, cat2, "jdt", "delterm") == "UNHANDLED")
+    assert(cat2.read(spark, "jobs")
+      .filter(col("id") === "jdt" && col("state") === "ABORTED").count() == 0)
   }
 
   test("parked CONSOLIDATIONFAILED: plain resume refuses; retry still drives") {
@@ -1001,6 +1006,10 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the original catalog rows survive untouched
     assert(cat2.read(spark, "datasets")
       .filter(col("status") === "ACTIVE").count() == 2)
+    // terminal FAILED also refuses cancel — no contradictory ABORTED row
+    assert(ConsolidationJob.cancel(spark, cat2, spec) == "UNHANDLED")
+    assert(cat2.read(spark, "jobs")
+      .filter(col("id") === "jfp2" && col("state") === "ABORTED").count() == 0)
   }
 
   test("TASKEVENT counter rows under the job id don't misroute by-id RPCs") {
@@ -1120,6 +1129,32 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
         .pixels.head
     }.toSet
     assert(pix == Set(10.0, 20.0))
+  }
+
+  test("TidyDB spares a paused pre-INDEXED job's outputs (completed C4 work)") {
+    val cat2 = twoCellCatalog("tidypause", poisonR2 = false)
+    val spec = ConsolidationJob.Spec("jtp", "tidypause", "i1", Seq("r1", "r2"),
+      layout, ConsolidationParams(uint8Map, Resampling.Near))
+    // paused after C4: containers+tiles exist under the job prefix but
+    // no dataset references them yet (C5 writes those)
+    assert(ConsolidationJob.run(spark, cat2, spec,
+      pauseAfter = Some("CONSOLIDATIONDONE")) == "CONSOLIDATIONDONE")
+    val prefix = s"${cat2.root}/containers/jtp/"
+    val nTiles = cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix)).count()
+    assert(nTiles > 0)
+    // an admin tidy must NOT collect the mid-job outputs — the task rows
+    // name them (their ids ARE the output uris)
+    graft.catalog.Admin.tidy(spark, cat2)
+    assert(cat2.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix)).count() == nTiles)
+    assert(cat2.read(spark, "containers")
+      .filter(col("uri").startsWith(prefix)).count() > 0)
+    // the paused job resumes to DONE on the preserved outputs
+    assert(ConsolidationJob.run(spark, cat2, spec) == "DONE")
+    val ds = cat2.read(spark, "datasets").collect()
+    assert(ds.length == 2 && ds.forall(_.getAs[String]("status") == "ACTIVE"))
+    assert(ds.forall(_.getAs[String]("container_uri").startsWith(prefix)))
   }
 
   test("post-swap cleanup failure parks DONEBUTUNTIDY (job.go:459); retry finishes the tidy") {
