@@ -35,6 +35,10 @@ object Compress {
     val buf = new Array[Byte](64 * 1024)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
+      if (n == 0 && inf.needsDictionary())
+        // FDICT streams (preset dictionary) are invalid here: without
+        // this check inflate()==0 with needsInput()==false loops forever
+        throw new java.util.zip.DataFormatException("preset dictionary required")
       if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
       out.write(buf, 0, n)
     }

@@ -67,10 +67,19 @@ final case class RegularGrid(
       crsToPix.transform(env.getMaxX, env.getMinY),
       crsToPix.transform(env.getMinX, env.getMaxY),
       crsToPix.transform(env.getMaxX, env.getMaxY))
-    val i0 = math.floor(corners.map(_._1).min / cellSizeX).toInt
-    val i1 = math.ceil(corners.map(_._1).max / cellSizeX).toInt
-    val j0 = math.floor(corners.map(_._2).min / cellSizeY).toInt
-    val j1 = math.ceil(corners.map(_._2).max / cellSizeY).toInt
+    // fail LOUDLY on degenerate corner math: a NaN from a projection
+    // blowup or a cell-index range past Int (where `.toInt` saturates
+    // and `Iterator.range(j0, Int.MaxValue + 1)` wraps to an EMPTY
+    // iterator) would otherwise return zero cells with no error
+    val is = corners.map(_._1 / cellSizeX)
+    val js = corners.map(_._2 / cellSizeY)
+    require((is ++ js).forall(v => !v.isNaN && math.abs(v) < (Int.MaxValue - 1).toDouble),
+      s"grid cover: cell index range degenerate or past Int " +
+        s"(i=${is.min}..${is.max}, j=${js.min}..${js.max})")
+    val i0 = math.floor(is.min).toInt
+    val i1 = math.ceil(is.max).toInt
+    val j0 = math.floor(js.min).toInt
+    val j1 = math.ceil(js.max).toInt
     // prepared fast-reject, then interior-intersects (T********): a cell
     // merely touching the AOI boundary has zero coverage and is not
     // emitted (matches the reference's rasterize-then-scan, which never

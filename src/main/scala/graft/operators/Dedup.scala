@@ -107,8 +107,10 @@ object Dedup {
       .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")), "id_b")
       .withColumn("__inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("__ta"), col("__tb")))
-      .withColumn("jaccard",
-        col("__inter") / (size(col("__ta")) + size(col("__tb")) - col("__inter")))
+      .withColumn("jaccard", // two empty sets: 1.0 (ANSI 0/0 guard, see jaccard)
+        when(size(col("__ta")) + size(col("__tb")) === 0, lit(1.0))
+          .otherwise(col("__inter") /
+            (size(col("__ta")) + size(col("__tb")) - col("__inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -139,6 +141,8 @@ object Dedup {
             md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))).as("h")))).as("s"))
       .select(col("__id"), col("__n"),
         col("s.start").as("start"), col("s.h").as("h"))
+      .cache() // the corpus-wide tokenize+window-hash explode feeds BOTH
+    OperatorCaches.register(spans) // the dup count and the join below
     val dup = spans.groupBy("h")
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("h")
     val w = Window.partitionBy("__id").orderBy("start")
@@ -161,7 +165,10 @@ object Dedup {
     * without materializing it. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = graft.functions.ArrayExpressions.sorted_intersect_size(a, b)
-    inter / (size(a) + size(b) - inter)
+    // two EMPTY sets: identical by convention (1.0) — the raw division
+    // is 0/0, a DIVIDE_BY_ZERO error under ANSI mode
+    when(size(a) + size(b) === 0, lit(1.0))
+      .otherwise(inter / (size(a) + size(b) - inter))
   }
 
   /** Character n-gram set (shingling for texts without token structure):
@@ -342,9 +349,13 @@ object Dedup {
   /** Driver-side union-find endgame for a small (already materialized,
     * symmetrized) edge list: path-compressed find, then the component
     * representative is re-derived as the MIN member under the same
-    * ordering Spark's `least`/`min` would use (ids are Comparable —
-    * strings, longs, ints alike). Output schema matches the distributed
-    * path: (id, component) with the edge columns' type. */
+    * ordering Spark's `least`/`min` would use — for STRINGS that is
+    * UTF8String's unsigned byte order, NOT `String.compareTo` (UTF-16
+    * code units invert supplementary code points against [U+E000,
+    * U+FFFF]); a divergence would have the ≤1M-edge and distributed
+    * regimes keep DIFFERENT representative documents for the same
+    * cluster. Output schema matches the distributed path: (id,
+    * component) with the edge columns' type. */
   private def localComponents(spark: org.apache.spark.sql.SparkSession,
       sym: DataFrame): DataFrame = {
     val parent = new java.util.HashMap[Any, Any]()
@@ -362,7 +373,11 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent.put(ra, rb)
     }
-    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        graft.consolidation.Consolidation.utf8Compare(a, b) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOf = new java.util.HashMap[Any, Any]()
     parent.keySet().forEach { x =>
       val r = find(x)

@@ -88,9 +88,11 @@ object MediaCodec {
     bb.array()
   }
 
-  /** Decode an audio container to (sampleRate, channels, interleaved PCM
-    * samples as doubles); 8-bit unsigned and 16-bit signed PCM supported. */
-  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+  /** Decode an audio container to (sampleRate, channels, sampleBits,
+    * interleaved PCM samples as doubles); 8-bit unsigned (0..255) and
+    * 16-bit signed (−32768..32767) PCM supported — callers bucketing or
+    * normalizing samples MUST use the bits to pick the value range. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -105,14 +107,18 @@ object MediaCodec {
           Array.tabulate(bytes.length / 2)(i => bb.getShort(2 * i).toDouble)
         case _ => return None
       }
-      Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
+      Some((fmt.getSampleRate.toInt, fmt.getChannels,
+        fmt.getSampleSizeInBits, samples))
     } catch { case _: Exception => None }
   }
 
   /** Raw fallback: payload bytes ARE the 8-bit gray samples of an
-    * n-element raster, cycling when the payload is shorter. */
+    * n-element raster, cycling when the payload is shorter. An EMPTY
+    * payload yields all-zero samples — the documented 0-stats row, not
+    * an ArithmeticException (i % 0) killing the whole featurize job. */
   def rawGray(payload: Array[Byte], n: Int): Array[Double] = {
     val out = new Array[Double](n)
+    if (payload.isEmpty) return out
     var i = 0
     while (i < n) { out(i) = (payload(i % payload.length) & 0xff).toDouble; i += 1 }
     out

@@ -56,33 +56,47 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (px, w, h) = r.kind match {
-            case "image" => MediaCodec.decodeImage(r.payload) match {
-              case Some((dw, dh, _, samples)) => (samples, dw, dh)
+          // (samples, w, h, bucketOffset, bucketDiv): the 16-bucket
+          // histogram normalizes by the DECODED sample range, not a
+          // hard-coded 0..255 — a 16-bit PNG (0..65535) would otherwise
+          // clamp every pixel into bucket 15 and signed 16-bit audio
+          // (−32768..32767) into buckets 0/15, collapsing the embedding
+          // to ~1 bit and making near-dup detection match everything.
+          // 8-bit paths keep offset 0 / div 16 — bit-identical to the
+          // old v/16 bucketing (the DuckDB oracle's integer replay).
+          val (px, w, h, bOff, bDiv) = r.kind match {
+            case "image" => MediaCodec.decodeImageWithDepth(r.payload) match {
+              case Some((dw, dh, _, bits, samples)) =>
+                (samples, dw, dh, 0.0,
+                  math.max(16.0, (1L << bits).toDouble / 16.0))
               case None =>
                 val n = math.max(1, r.width * r.height)
-                (MediaCodec.rawGray(r.payload, n), r.width, r.height)
+                (MediaCodec.rawGray(r.payload, n), r.width, r.height, 0.0, 16.0)
             }
             case "audio" => MediaCodec.decodeAudio(r.payload) match {
-              case Some((_, _, samples)) => (samples, r.width, r.height)
+              case Some((_, _, bits, samples)) =>
+                if (bits <= 8) (samples, r.width, r.height, 0.0, 16.0)
+                else (samples, r.width, r.height, // signed → shift to 0-based
+                  (1L << (bits - 1)).toDouble, (1L << bits).toDouble / 16.0)
               case None =>
                 (MediaCodec.rawGray(r.payload, math.max(1, r.payload.length)),
-                  r.width, r.height)
+                  r.width, r.height, 0.0, 16.0)
             }
             case "video" =>
-              // MJPEG-AVI: stats over the first decodable frame
+              // MJPEG-AVI: stats over the first decodable frame (JPEG
+              // frames decode 8-bit)
               MediaCodec.decodeAvi(r.payload)
                 .flatMap(v => v.frames.iterator.flatMap(MediaCodec.decodeImage)
                   .nextOption())
               match {
-                case Some((dw, dh, _, samples)) => (samples, dw, dh)
+                case Some((dw, dh, _, samples)) => (samples, dw, dh, 0.0, 16.0)
                 case None =>
                   val n = math.max(1, r.width * r.height)
-                  (MediaCodec.rawGray(r.payload, n), r.width, r.height)
+                  (MediaCodec.rawGray(r.payload, n), r.width, r.height, 0.0, 16.0)
               }
             case _ =>
               val n = math.max(1, r.width * r.height)
-              (MediaCodec.rawGray(r.payload, n), r.width, r.height)
+              (MediaCodec.rawGray(r.payload, n), r.width, r.height, 0.0, 16.0)
           }
           // a decodable container can still carry ZERO samples (empty WAV
           // data chunk): report 0-stats, not NaNs that pass/fail every
@@ -94,7 +108,7 @@ object Multimodal {
             else math.sqrt(px.map(v => (v - mean) * (v - mean)).sum / n)
           val hist = new Array[Float](16)
           px.foreach(v =>
-            hist(math.max(0, math.min(15, (v / 16).toInt))) += 1f)
+            hist(math.max(0, math.min(15, ((v + bOff) / bDiv).toInt))) += 1f)
           val total = math.max(1, n).toFloat
           Features(r.media_id, r.kind, r.payload.length.toLong,
             w, h, mean, std, hist.map(_ / total).toSeq)
@@ -136,8 +150,17 @@ object Multimodal {
             }
             out
           }
-          MediaCodec.decodeImage(r.payload) match {
-            case Some((w, h, ch, samples)) =>
+          MediaCodec.decodeImageWithDepth(r.payload) match {
+            case Some((w, h, ch, bits, samples0)) =>
+              // encodePng clamps to 0..255: rescale deeper rasters first
+              // (a 16-bit PNG decodes 0..65535 — unscaled, nearly every
+              // pixel saturates and the output is all-white with no error)
+              val samples =
+                if (bits <= 8) samples0
+                else {
+                  val s = 255.0 / ((1L << bits) - 1).toDouble
+                  samples0.map(_ * s)
+                }
               val src = new graft.raster.Bitmap(w, h, ch,
                 graft.core.DType.Float64, samples)
               (r.media_id, r.kind, outW, outH, "png",

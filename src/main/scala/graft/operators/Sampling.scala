@@ -12,15 +12,18 @@ import org.apache.spark.sql.functions._
   * compare pushes into the scan stage). */
 object Sampling {
 
-  /** Hex threshold below which the first 4 md5 digits of a key fall with
+  /** Hex threshold below which the first 8 md5 digits of a key fall with
     * probability `rate` (hex digits are uniform; "g" accepts everything
-    * because every hex digit sorts below it). */
+    * because every hex digit sorts below it). 32-bit granularity: the
+    * old 16-bit form floored any rate below 1/65536 to ZERO — a
+    * realistic web-scale mixing rate like 1e-5 silently contributed
+    * nothing — and quantized every rate by up to 1/65536. */
   def rateThreshold(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate $rate outside [0,1]")
-    if (rate >= 1.0) "g" else f"${(rate * 65536).toInt}%04x"
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
-  /** Keep each row of `df` iff substring(md5(key),1,4) < threshold(rate of
+  /** Keep each row of `df` iff substring(md5(key),1,8) < threshold(rate of
     * its stratum). Rows in strata absent from `rates` are dropped (mixing
     * semantics: unlisted sources contribute nothing). */
   def stratified(spark: SparkSession, df: DataFrame, keyCol: String,
@@ -29,7 +32,7 @@ object Sampling {
     val dim = rates.toSeq.map { case (k, r) => (k, rateThreshold(r)) }
       .toDF("__stratum", "__thr")
     df.join(broadcast(dim), col(strataCol) === col("__stratum"))
-      .filter(substring(md5(col(keyCol).cast("string")), 1, 4) < col("__thr"))
+      .filter(substring(md5(col(keyCol).cast("string")), 1, 8) < col("__thr"))
       .drop("__stratum", "__thr")
   }
 

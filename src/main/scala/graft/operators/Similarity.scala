@@ -20,7 +20,15 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL-safe cosine: a zero-norm vector (padding row, failed embed)
+    * has no direction — its cosine is NULL, which comparisons and
+    * desc-ordering (nulls last) both handle, where the raw division is
+    * a DIVIDE_BY_ZERO error under ANSI mode and a NaN that sorts ABOVE
+    * every real value otherwise. */
+  def cosine(a: Column, b: Column): Column = {
+    val np = norm(a) * norm(b)
+    when(np === 0, lit(null)).otherwise(dot(a, b) / np)
+  }
 
   /** Exact top-k nearest rows to a literal query vector by cosine:
     * one codegen'd pass + TakeOrderedAndProject (no global sort).
@@ -31,6 +39,7 @@ object Similarity {
     val q = array(query.map(lit): _*)
     val v = col(vecCol).cast("array<double>")
     df.withColumn("cosine", cosine(v, q))
+      .filter(col("cosine").isNotNull) // zero-norm rows are never a match
       .orderBy(col("cosine").desc +: tieBreak: _*)
       .limit(k)
   }

@@ -91,6 +91,8 @@ object TextAnalysis {
     val w = tf.join(df, "__t").crossJoin(broadcast(n))
       .select(col("__id"), col("__t"),
         (col("__tf") * log(col("__nn") / col("__df"))).as("__w"))
+      .cache() // the corpus explode→TF→IDF chain feeds THREE consumers
+    graft.operators.OperatorCaches.register(w) // (two dot sides + norms)
     val norms = w.groupBy("__id")
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
     val dot = pairs

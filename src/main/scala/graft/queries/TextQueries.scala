@@ -417,7 +417,7 @@ object TextQueries {
       s"""WITH rates(src, thr) AS (VALUES $vals)
           SELECT source, count(*) AS n_kept, min(doc_id) AS first_id
           FROM documents JOIN rates ON source = src
-          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr
           GROUP BY source ORDER BY source"""
     },
     "mix_weighted" -> {

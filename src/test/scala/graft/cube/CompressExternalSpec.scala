@@ -70,4 +70,12 @@ class CompressExternalSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(back, payload), s"level $level mismatch")
     }
   }
+
+  test("inflate throws on an FDICT (preset-dictionary) stream instead of hanging") {
+    // zlib header with the FDICT bit set: CMF=0x78, FLG=0xBB
+    // ((0x78*256+0xBB) % 31 == 0, bit 0x20 on) — Inflater.inflate()
+    // returns 0 with needsInput()==false forever on such a stream
+    val fdict = Array[Byte](0x78.toByte, 0xBB.toByte, 1, 2, 3, 4, 5, 6)
+    intercept[java.util.zip.DataFormatException](Compress.inflate(fdict))
+  }
 }

@@ -40,6 +40,17 @@ class GridSpec extends AnyFunSuite {
     assert(uris.size == 1)
   }
 
+  test("covers fails LOUDLY when the cell-index range degenerates (no silent zero cells)") {
+    // a sub-micro-degree grid: a whole-hemisphere AOI's cell indices
+    // blow past Int — `.toInt` saturation used to wrap
+    // Iterator.range(j0, Int.MaxValue+1) into an EMPTY iterator and
+    // return no cells with no error
+    val fine = RegularGrid(CRS.WGS84, 1, 1, 1e-8)
+    val hemisphere = GeomOps.polygonFromBBox(BBox(-90, -45, 90, 45))
+    val e = intercept[IllegalArgumentException](fine.covers(hemisphere).size)
+    assert(e.getMessage.contains("degenerate or past Int"))
+  }
+
   test("single-cell grid: one cell spanning the aoi bbox") {
     val g = SingleCellGrid(CRS.WebMercator, 100.0)
     val aoi = GeomOps.polygonFromBBox(BBox(1, 1, 2, 2)) // lon/lat

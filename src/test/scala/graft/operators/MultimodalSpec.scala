@@ -78,8 +78,8 @@ class MultimodalSpec extends AnyFunSuite {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     val wav = bos.toByteArray
 
-    val (rate, ch, samples) = MediaCodec.decodeAudio(wav).get
-    assert(rate == 8000 && ch == 1)
+    val (rate, ch, bits, samples) = MediaCodec.decodeAudio(wav).get
+    assert(rate == 8000 && ch == 1 && bits == 8)
     assert(samples.toSeq == pcm.map(b => (b & 0xff).toDouble).toSeq)
 
     // the featurize path takes the audio branch on the container bytes
@@ -156,5 +156,44 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = frames(1).getAs[Array[Byte]]("payload")
     val (w2, _, _, px2) = MediaCodec.decodeImage(f2).get
     assert(w2 == 4 && math.abs(px2.sum / px2.length - 100.0) <= 2)
+  }
+
+  test("empty payload: raw-gray fallback reports 0-stats, never divides by zero") {
+    assert(MediaCodec.rawGray(Array.emptyByteArray, 4).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    val rows = Seq(Row("e1", "image", Row(2, 2, 1, 0, 0), Array.emptyByteArray))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val f = Multimodal.featurize(spark, df).collect().head
+    assert(f.mean == 0.0 && f.std == 0.0)
+  }
+
+  test("16-bit gray PNG: resize rescales instead of whiting out; histogram spreads") {
+    // a 16-bit gradient: TYPE_USHORT_GRAY, samples 0..65535
+    val im = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val raster = im.getRaster
+    for (y <- 0 until 16; x <- 0 until 16)
+      raster.setSample(x, y, 0, (y * 16 + x) * 257) // 0..65535 spread
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val png16 = bos.toByteArray
+    val (_, _, _, bits, _) = MediaCodec.decodeImageWithDepth(png16).get
+    assert(bits == 16)
+    // resize: the old depth-ignoring path clamped nearly every pixel to
+    // 255 (all-white); rescaled, the gradient survives
+    val rows = Seq(Row("g16", "image", Row(16, 16, 1, 0, 0), png16))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.resize(spark, df, 8, 8).collect().head
+    val (_, _, _, outPx) = MediaCodec.decodeImage(
+      out.getAs[Array[Byte]]("payload")).get
+    assert(outPx.min < 32 && outPx.max > 223) // gradient, not all-white
+    assert(outPx.distinct.length > 8)
+    // featurize: histogram buckets by the 16-bit range — the uniform
+    // gradient spreads across (nearly) all 16 buckets instead of
+    // collapsing into bucket 15
+    val f = Multimodal.featurize(spark, df).collect().head
+    assert(f.embedding.count(_ > 0f) >= 12)
+    assert(f.embedding.max < 0.5f)
   }
 }

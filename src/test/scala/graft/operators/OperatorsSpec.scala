@@ -86,6 +86,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top == Seq(0L, 1L, 4L))
   }
 
+  test("topK: zero-norm vectors (NaN cosine) never displace real neighbours") {
+    import spark.implicits._
+    // Spark orders NaN ABOVE every real value — an unfiltered zero
+    // vector would rank FIRST
+    val withZero = vecsDf.unionByName(
+      Seq((99L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v"))
+    val top = Similarity.topK(withZero, "v", Seq(1.0, 0.0, 0.0, 0.0), 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L, 4L) && !top.contains(99L))
+  }
+
   test("annSearch multiprobe recovers exact neighbors on this set") {
     val ann = Similarity.annSearch(vecsDf, "v", dim = 4,
       query = Seq(1.0, 0.0, 0.0, 0.0), k = 2, nPlanes = 4)
@@ -261,8 +272,12 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again == out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
     // threshold edges
-    assert(Sampling.rateThreshold(1.0) == "g" && Sampling.rateThreshold(0.0) == "0000")
-    assert(Sampling.rateThreshold(0.5) == "8000")
+    assert(Sampling.rateThreshold(1.0) == "g" && Sampling.rateThreshold(0.0) == "00000000")
+    assert(Sampling.rateThreshold(0.5) == "80000000")
+    // sub-1/65536 rates survive the 32-bit granularity (the 16-bit form
+    // floored them to zero — a 1e-5 web-scale mixing rate sampled nothing)
+    assert(Sampling.rateThreshold(1e-5) == f"${(1e-5 * 4294967296.0).toLong}%08x")
+    assert(Sampling.rateThreshold(1e-5) != "00000000")
   }
 
   test("weighted reservoir sampling (A-ES): exactly k per stratum, weight-sensitive, deterministic") {
