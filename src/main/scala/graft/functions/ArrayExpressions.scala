@@ -19,11 +19,31 @@ import org.apache.spark.sql.types._
   */
 object ArrayExpressions {
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  /** ExpectsInputTypes is private[sql], but `checkInputDataTypes()` is a
+    * public Expression override — these functions are REGISTERED AS SQL
+    * functions, and without the check `array<int>` input would be read
+    * through `getDouble` on 4-byte-packed elements: silently wrong
+    * scores, not an analysis error. */
+  private def checkArrays(name: String, want: String,
+      elemOk: DataType => Boolean, l: Expression, r: Expression): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(et, _) => elemOk(et)
+      case _ => false
+    }
+    if (ok(l.dataType) && ok(r.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<$want> inputs, got " +
+        s"${l.dataType.simpleString} and ${r.dataType.simpleString}")
+  }
+
   /** |a ∩ b| for SORTED DISTINCT string arrays, by merge-count. */
   case class SortedIntersectSize(left: Expression, right: Expression)
       extends BinaryExpression {
-    // AbstractDataType (ExpectsInputTypes) is private[sql]; inputs are
-    // array<string> by construction at every call site
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrays("sorted_intersect_size", "string",
+        _ == StringType, left, right)
     override def dataType: DataType = IntegerType
 
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -75,6 +95,9 @@ object ArrayExpressions {
     * candidate pair. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrays("vec_dot", "float|double",
+        dt => dt == FloatType || dt == DoubleType, left, right)
     override def dataType: DataType = DoubleType
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
@@ -127,6 +150,9 @@ object ArrayExpressions {
     * centroid). */
   case class SquaredDistance(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArrays("vec_dist2", "float|double",
+        dt => dt == FloatType || dt == DoubleType, left, right)
     override def dataType: DataType = DoubleType
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true

@@ -53,33 +53,45 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, child) =>
-      child.output.find(a => a.name == "bbox" && isBBoxStruct(a.dataType)) match {
-        case None => f
-        case Some(battr) =>
-          val companionIds = child.output
-            .collect { case a if companionGeomNames(a.name) => a.exprId }.toSet
-          def isCompanion(e: Expression): Boolean = e match {
-            case a: Attribute => companionIds(a.exprId)
-            case _ => false
-          }
-          // Only TOP-LEVEL conjuncts may contribute: a predicate sitting
-          // under Or/Not/CaseWhen is not an implication of the whole filter,
-          // so ANDing its bbox onto the filter would silently drop rows
-          // (e.g. `NOT st_intersects(g, A)` or `st_intersects(g, A) OR
-          // st_intersects(g, B)`).
-          val literalGeoms = splitConjunctivePredicates(cond).collect {
-            case SpatialExpressions.STIntersects(g, Literal(w: Array[Byte], BinaryType)) if isCompanion(g) => w
-            case SpatialExpressions.STIntersects(Literal(w: Array[Byte], BinaryType), g) if isCompanion(g) => w
-            case SpatialExpressions.STInteriorIntersects(g, Literal(w: Array[Byte], BinaryType)) if isCompanion(g) => w
-            case SpatialExpressions.STInteriorIntersects(Literal(w: Array[Byte], BinaryType), g) if isCompanion(g) => w
-          }
-          val adds = literalGeoms
-            .map(w => conjunct(battr, GeomOps.bbox(GeomOps.readWkb(w))))
-            .filterNot(c => cond.exists(_.semanticEquals(c))) // fixpoint-safe
-          if (adds.isEmpty) f
-          else Filter(adds.foldLeft(cond)((acc, c) => And(c, acc)), child)
+    case f @ Filter(cond, child)
+        if child.output.exists(a => a.name == "bbox" && isBBoxStruct(a.dataType)) =>
+      // The bbox conjunct must come from the SAME source relation as the
+      // predicate's geometry column: after a join, child.output can carry
+      // SEVERAL same-named bbox structs, and pairing the geometry with an
+      // arbitrary one would AND another relation's box onto the filter —
+      // silently dropping rows whose own geometry satisfies the user
+      // predicate. Resolve the companion through the LEAF that produced
+      // the geometry attribute; renames/computed columns find no leaf and
+      // safely gain no conjunct.
+      def bboxFor(g: Attribute): Option[Attribute] =
+        child.collectLeaves()
+          .find(_.output.exists(_.exprId == g.exprId))
+          .flatMap(_.output.find(a =>
+            a.name == "bbox" && isBBoxStruct(a.dataType)))
+          .filter(b => child.outputSet.contains(b)) // pruned → no pushdown
+      def isCompanion(e: Expression): Boolean = e match {
+        case a: Attribute => companionGeomNames(a.name)
+        case _ => false
       }
+      // Only TOP-LEVEL conjuncts may contribute: a predicate sitting
+      // under Or/Not/CaseWhen is not an implication of the whole filter,
+      // so ANDing its bbox onto the filter would silently drop rows
+      // (e.g. `NOT st_intersects(g, A)` or `st_intersects(g, A) OR
+      // st_intersects(g, B)`).
+      val literalGeoms: Seq[(Attribute, Array[Byte])] =
+        splitConjunctivePredicates(cond).collect {
+          case SpatialExpressions.STIntersects(g: Attribute, Literal(w: Array[Byte], BinaryType)) if isCompanion(g) => (g, w)
+          case SpatialExpressions.STIntersects(Literal(w: Array[Byte], BinaryType), g: Attribute) if isCompanion(g) => (g, w)
+          case SpatialExpressions.STInteriorIntersects(g: Attribute, Literal(w: Array[Byte], BinaryType)) if isCompanion(g) => (g, w)
+          case SpatialExpressions.STInteriorIntersects(Literal(w: Array[Byte], BinaryType), g: Attribute) if isCompanion(g) => (g, w)
+        }
+      val adds = literalGeoms
+        .flatMap { case (g, w) =>
+          bboxFor(g).map(b => conjunct(b, GeomOps.bbox(GeomOps.readWkb(w))))
+        }
+        .filterNot(c => cond.exists(_.semanticEquals(c))) // fixpoint-safe
+      if (adds.isEmpty) f
+      else Filter(adds.foldLeft(cond)((acc, c) => And(c, acc)), child)
   }
 }
 

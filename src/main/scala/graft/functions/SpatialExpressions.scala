@@ -42,17 +42,22 @@ object SpatialExpressions {
       p
     }
 
-  /** ST_Intersects(wkbA, wkbB). */
+  /** ST_Intersects(wkbA, wkbB). The predicate is symmetric, so EITHER
+    * foldable operand may be the prepared one — a literal-on-the-left
+    * call (a shape the pushdown rule explicitly matches) must not
+    * re-parse its constant per row. */
   case class STIntersects(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
-    @transient private lazy val preparedRight = prepareFoldable(right)
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val ga = GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
-      preparedRight match {
-        case Some(p) => p.intersects(ga)
-        case None => ga.intersects(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
-      }
+    @transient private lazy val prepared = prepareFoldable(right)
+      .map((_, false)).orElse(prepareFoldable(left).map((_, true)))
+    override def nullSafeEval(a: Any, b: Any): Any = prepared match {
+      case Some((p, prepIsLeft)) =>
+        p.intersects(GeomOps.readWkb(
+          (if (prepIsLeft) b else a).asInstanceOf[Array[Byte]]))
+      case None =>
+        GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
+          .intersects(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -66,15 +71,17 @@ object SpatialExpressions {
   case class STInteriorIntersects(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
-    @transient private lazy val preparedRight = prepareFoldable(right)
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val ga = GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
-      preparedRight match {
-        case Some(p) =>
-          p.intersects(ga) && GeomOps.interiorIntersects(ga, p.getGeometry)
-        case None =>
-          GeomOps.interiorIntersects(ga, GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
-      }
+    @transient private lazy val prepared = prepareFoldable(right)
+      .map((_, false)).orElse(prepareFoldable(left).map((_, true)))
+    override def nullSafeEval(a: Any, b: Any): Any = prepared match {
+      case Some((p, prepIsLeft)) =>
+        val g = GeomOps.readWkb(
+          (if (prepIsLeft) b else a).asInstanceOf[Array[Byte]])
+        p.intersects(g) && GeomOps.interiorIntersects(g, p.getGeometry)
+      case None =>
+        GeomOps.interiorIntersects(
+          GeomOps.readWkb(a.asInstanceOf[Array[Byte]]),
+          GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)

@@ -788,11 +788,31 @@ object CRS {
       case Some("longlat") | Some("latlong") =>
         val (a, f) = ellipsoidOf(kv)
         if (a == A && f == F) WGS84 else Geographic(a, f)
-      case Some("merc") | Some("webmerc") => WebMercator
+      case Some("webmerc") => WebMercator
+      case Some("merc") =>
+        // PROJ's `merc` is the ELLIPSOIDAL Mercator (EPSG:3395-style)
+        // unless the ellipsoid degenerates to the 3857 sphere (+a=+b=
+        // 6378137 / +R= / +ellps=sphere — GDAL's 3857 proj4 string).
+        // Substituting spherical WebMercator for ellipsoidal data would
+        // misplace it ~37 km at lat 60 — refuse instead of guessing.
+        val spherical = (kv.get("R").exists(_.toDouble == A)) ||
+          (kv.get("a").exists(_.toDouble == A) && kv.get("a") == kv.get("b")) ||
+          (kv.get("ellps").contains("sphere") && !kv.contains("a"))
+        if (spherical && d("lat_ts", 0) == 0 && d("lon_0", 0) == 0) WebMercator
+        else throw new IllegalArgumentException(
+          s"unsupported: ellipsoidal or non-3857 Mercator ($s)")
       case Some("utm") =>
         val zone = kv.getOrElse("zone",
           throw new IllegalArgumentException(s"+proj=utm needs +zone=: $s")).toInt
-        UTM(zone, north = !kv.contains("south"))
+        val north = !kv.contains("south")
+        val (a, f) = ellipsoidOf(kv)
+        if (a == A && f == F) UTM(zone, north)
+        else
+          // a UTM grid on another ellipsoid (ED50, SAD69 …) is a plain
+          // tmerc with the UTM constants on that ellipsoid — dropping
+          // the declared +ellps/+datum projected ~100-200 m off
+          TransverseMercator((zone - 1) * 6 - 180 + 3, 0, 0.9996, 500000.0,
+            if (north) 0.0 else 10000000.0, None, a, f)
       case Some("tmerc") =>
         val (a, f) = ellipsoidOf(kv)
         tmercOrUtm(d("lon_0", 0), d("lat_0", 0), d("k", d("k_0", 1.0)),

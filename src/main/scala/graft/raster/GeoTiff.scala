@@ -49,7 +49,9 @@ object GeoTiff {
   private val TModelTransformation = 34264 // 4×4 matrix for rotated grids
   private val TGeoKeyDirectory = 34735
   private val TGeoDoubleParams = 34736
+  private val TGeoAsciiParams = 34737
   private val TGdalNoData = 42113 // ASCII nodata value (GDAL convention)
+  private val KPCSCitation = 3073 // ASCII citation for user-defined PCS
 
   // GeoKey ids for user-defined transverse-Mercator projections
   private val KGeographicType = 2048
@@ -323,43 +325,64 @@ object GeoTiff {
       // its projection parameters, non-WGS84 geographic its ellipsoid
       // (2057/2059), and a declared datum shift its towgs84 (2062,
       // GeogTOWGS84GeoKey) into GeoDoubleParams so the CRS round-trips
-      val (geoKeys, geoDoubles) = {
+      val (geoKeys, geoDoubles, geoAscii) = {
         val (baseCrs, shift) = img.crs match {
           case CRS.DatumShifted(b, h) => (b, Some(h))
           case c => (c, None)
         }
-        val (keys0, dbl0): (Seq[(Int, Int, Int, Int)], Seq[Double]) = baseCrs match {
-          case tm: CRS.TransverseMercator =>
-            (Seq(
-              (1024, 0, 1, 1), // GTModelType = projected
-              (1025, 0, 1, 1), // RasterPixelIsArea
-              (KGeographicType, 0, 1, 4326), // datum: WGS84
-              (KProjectedCSType, 0, 1, UserDefined),
-              (KProjection, 0, 1, UserDefined),
-              (KProjCoordTrans, 0, 1, 1), // CT_TransverseMercator
-              (KProjNatOriginLong, TGeoDoubleParams, 1, 0),
-              (KProjNatOriginLat, TGeoDoubleParams, 1, 1),
-              (KProjScaleAtNatOrigin, TGeoDoubleParams, 1, 2),
-              (KProjFalseEasting, TGeoDoubleParams, 1, 3),
-              (KProjFalseNorthing, TGeoDoubleParams, 1, 4)),
-              Seq(tm.lon0Deg, tm.lat0Deg, tm.k0, tm.fe, tm.fnParam))
-          case g: CRS.Geographic =>
-            // user-defined geographic: ellipsoid via semi-major (2057) +
-            // inverse flattening (2059; 0 = sphere, the GeoTIFF convention)
-            (Seq(
-              (1024, 0, 1, 2), // GTModelType = geographic
-              (1025, 0, 1, 1),
-              (KGeographicType, 0, 1, UserDefined),
-              (KGeogSemiMajor, TGeoDoubleParams, 1, 0),
-              (KGeogInvFlattening, TGeoDoubleParams, 1, 1)),
-              Seq(g.a, if (g.f == 0) 0.0 else 1.0 / g.f))
-          case crs =>
-            val isGeo = crs.isGeographic
-            (Seq(
-              (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
-              (1025, 0, 1, 1), // RasterPixelIsArea
-              (if (isGeo) 2048 else 3072, 0, 1, crs.srid)), Nil)
-        }
+        val wgs = CRS.Geographic() // WGS84 ellipsoid constants (a, f)
+        val (keys0, dbl0, asc0): (Seq[(Int, Int, Int, Int)], Seq[Double], String) =
+          baseCrs match {
+            case crs if crs.srid != UserDefined =>
+              // KNOWN EPSG code first — compact AND datum-exact: a
+              // non-WGS84 national tmerc (27700, Airy 1830) must NOT
+              // fall through to the param branch below, which writes a
+              // WGS84 datum and silently shifts the grid ~100 m on
+              // re-read
+              val isGeo = crs.isGeographic
+              (Seq(
+                (1024, 0, 1, if (isGeo) 2 else 1), // GTModelType
+                (1025, 0, 1, 1), // RasterPixelIsArea
+                (if (isGeo) 2048 else 3072, 0, 1, crs.srid)), Nil, "")
+            case tm: CRS.TransverseMercator if tm.a == wgs.a && tm.f == wgs.f =>
+              (Seq(
+                (1024, 0, 1, 1), // GTModelType = projected
+                (1025, 0, 1, 1), // RasterPixelIsArea
+                (KGeographicType, 0, 1, 4326), // datum: WGS84 (guarded above)
+                (KProjectedCSType, 0, 1, UserDefined),
+                (KProjection, 0, 1, UserDefined),
+                (KProjCoordTrans, 0, 1, 1), // CT_TransverseMercator
+                (KProjNatOriginLong, TGeoDoubleParams, 1, 0),
+                (KProjNatOriginLat, TGeoDoubleParams, 1, 1),
+                (KProjScaleAtNatOrigin, TGeoDoubleParams, 1, 2),
+                (KProjFalseEasting, TGeoDoubleParams, 1, 3),
+                (KProjFalseNorthing, TGeoDoubleParams, 1, 4)),
+                Seq(tm.lon0Deg, tm.lat0Deg, tm.k0, tm.fe, tm.fnParam), "")
+            case g: CRS.Geographic =>
+              // user-defined geographic: ellipsoid via semi-major (2057) +
+              // inverse flattening (2059; 0 = sphere, the GeoTIFF convention)
+              (Seq(
+                (1024, 0, 1, 2), // GTModelType = geographic
+                (1025, 0, 1, 1),
+                (KGeographicType, 0, 1, UserDefined),
+                (KGeogSemiMajor, TGeoDoubleParams, 1, 0),
+                (KGeogInvFlattening, TGeoDoubleParams, 1, 1)),
+                Seq(g.a, if (g.f == 0) 0.0 else 1.0 / g.f), "")
+            case other =>
+              // user-defined projected beyond WGS84-tmerc (param-only
+              // lcc/laea/aea/stere, non-WGS84 tmerc): the geokeys cannot
+              // name it, and writing 3072 = 32767 made the file
+              // UNREADABLE (fromSrid throws on UserDefined). Write the
+              // engine's serialized form as a PCSCitation ASCII key —
+              // the reader parses it back; '|' is the GeoTIFF ASCII
+              // terminator convention.
+              val s = CRS.serialize(other) + "|"
+              (Seq(
+                (1024, 0, 1, 1), // GTModelType = projected
+                (1025, 0, 1, 1),
+                (KProjectedCSType, 0, 1, UserDefined),
+                (KPCSCitation, TGeoAsciiParams, s.length, 0)), Nil, s)
+          }
         val keys = keys0 ++ shift.map(_ =>
           (KGeogTowgs84, TGeoDoubleParams, 7, dbl0.size)).toSeq
         val dbl = dbl0 ++ shift.toSeq.flatMap(h =>
@@ -368,7 +391,7 @@ object GeoTiff {
         // out-of-order directories) — sort, mirroring the IFD-entry sort
         val sorted = keys.sortBy(_._1)
         (shorts(Seq(1, 1, 0, sorted.size) ++
-          sorted.flatMap(k => Seq(k._1, k._2, k._3, k._4))), dbl)
+          sorted.flatMap(k => Seq(k._1, k._2, k._3, k._4))), dbl, asc0)
       }
       val entries = Seq.newBuilder[(Int, Int, Int, Array[Byte])] // (tag, type, count, value)
       subfile.foreach(s => entries += ((TNewSubfileType, 4, 1, longVal(s.toLong))))
@@ -407,6 +430,9 @@ object GeoTiff {
       entries += ((TGeoKeyDirectory, 3, geoKeys.length / 2, geoKeys))
       if (geoDoubles.nonEmpty)
         entries += ((TGeoDoubleParams, 12, geoDoubles.size, doubles(geoDoubles)))
+      if (geoAscii.nonEmpty)
+        entries += ((TGeoAsciiParams, 2, geoAscii.length,
+          geoAscii.getBytes("US-ASCII")))
       // GDAL nodata convention: ASCII, NUL-terminated ("nan" for NaN) —
       // lets readers fill sparse tiles and carry nodata across files
       val ndStr = (if (noData.isNaN) "nan" else noData.toString) + "\u0000"
@@ -632,6 +658,12 @@ object GeoTiff {
     }
   private def tagLongs(tags: Map[Int, TagEntry], tag: Int): Seq[Long] =
     tags.get(tag).map(e => Seq.tabulate(e.count)(e.longAt)).getOrElse(Nil)
+  private def tagAscii(tags: Map[Int, TagEntry], tag: Int): String =
+    tags.get(tag) match {
+      case Some(e) if e.typ == 2 =>
+        new String(Array.tabulate(e.count)(e.byteAt), "US-ASCII")
+      case _ => ""
+    }
 
   /** Block offsets of the n-th IFD (test/diagnostic hook: lets callers
     * verify the physical interlacing order without re-parsing TIFF). */
@@ -824,7 +856,8 @@ object GeoTiff {
         }
       val transform = geoTransform(tagDoubles(TModelPixelScale),
         tagDoubles(TModelTiepoint), tagDoubles(TModelTransformation))
-      val crs = crsFromGeoKeys(tagShorts(TGeoKeyDirectory), tagDoubles(TGeoDoubleParams))
+      val crs = crsFromGeoKeys(tagShorts(TGeoKeyDirectory),
+        tagDoubles(TGeoDoubleParams), GeoTiff.tagAscii(tags, TGeoAsciiParams))
       val isOv = tagVal(TNewSubfileType, 0) == 1
       Directory(Image(bm, transform, crs), isOv)
     }
@@ -840,11 +873,7 @@ object GeoTiff {
   def readForResolutionRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
       fileLen: Long, subdir: String, targetRes: Double = 0.0,
       initial: Int = 256 * 1024): Image = {
-    val idx = subdir.trim match {
-      case "" => 0
-      case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
-      case s => s.toInt - 1
-    }
+    val idx = subdirIndex(subdir)
     val all = readAllForResolutionRanged(readAt, fileLen, targetRes, initial,
       only = Some(idx))
     all(idx)
@@ -905,8 +934,10 @@ object GeoTiff {
 
   /** CRS from the GeoKeyDirectory shorts (+ GeoDoubleParams for the
     * user-defined transverse-Mercator / geographic-ellipsoid / towgs84
-    * forms). Shared by the full and the header-only read paths. */
-  private def crsFromGeoKeys(geo: Seq[Int], dbl: Seq[Double]): CRS = {
+    * forms, + the PCSCitation ASCII for every other user-defined
+    * projection). Shared by the full and the header-only read paths. */
+  private def crsFromGeoKeys(geo: Seq[Int], dbl: Seq[Double],
+      ascii: String = ""): CRS = {
     // keys start at index 4, stride 4: (id, loc, count, value)
     val entries4 = geo.drop(4).grouped(4).collect {
       case Seq(id, loc, count, v) => id -> ((loc, count, v))
@@ -915,6 +946,12 @@ object GeoTiff {
     def p(key: Int, default: Double): Double = entries4.get(key) match {
       case Some((TGeoDoubleParams, _, idx)) if idx < dbl.size => dbl(idx)
       case _ => default
+    }
+    def citation: Option[String] = entries4.get(KPCSCitation) match {
+      case Some((TGeoAsciiParams, count, idx)) if idx + count <= ascii.length =>
+        Some(ascii.substring(idx, idx + count).takeWhile(_ != '|').trim)
+          .filter(_.nonEmpty)
+      case _ => None
     }
     val base: CRS =
       if (keys.get(KProjectedCSType).contains(UserDefined) &&
@@ -928,7 +965,15 @@ object GeoTiff {
         val invF = p(KGeogInvFlattening, 0)
         CRS.Geographic(p(KGeogSemiMajor, 6378137.0),
           if (invF == 0) 0.0 else 1.0 / invF)
-      } else
+      } else if (keys.get(KProjectedCSType).contains(UserDefined) ||
+          keys.get(KGeographicType).contains(UserDefined))
+        // user-defined beyond the key-encoded families: the writer put
+        // the serialized CRS in the PCSCitation; a file with NEITHER
+        // projection keys NOR a citation is unreadable — say so, never
+        // default to WGS84 (silently wrong georeferencing)
+        citation.map(CRS.parse).getOrElse(throw new IllegalArgumentException(
+          "user-defined CRS without projection keys or PCSCitation"))
+      else
         keys.get(2048).orElse(keys.get(3072)).map(CRS.fromSrid).getOrElse(CRS.WGS84)
     // GeogTOWGS84GeoKey (2062): 3 or 7 datum-shift parameters
     entries4.get(KGeogTowgs84) match {
@@ -960,7 +1005,8 @@ object GeoTiff {
         geoTransform(tagDoubles(tags, TModelPixelScale),
           tagDoubles(tags, TModelTiepoint),
           tagDoubles(tags, TModelTransformation)),
-        crsFromGeoKeys(tagShorts(tags, TGeoKeyDirectory), tagDoubles(tags, TGeoDoubleParams)),
+        crsFromGeoKeys(tagShorts(tags, TGeoKeyDirectory),
+          tagDoubles(tags, TGeoDoubleParams), tagAscii(tags, TGeoAsciiParams)),
         tagVal(tags, TNewSubfileType, 0) == 1)
     }
   }
@@ -975,37 +1021,24 @@ object GeoTiff {
     * buf, len)` is the positioned-read primitive (Hadoop
     * FSDataInputStream.readFully, an HTTP range GET, …). */
   def readHeadersRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
-      fileLen: Long, initial: Int = 256 * 1024): Seq[Header] = {
-    var sz = math.max(16, math.min(initial.toLong, fileLen)).toInt
-    var buf = new Array[Byte](sz)
-    readAt(0L, buf, 0, sz)
-    var out: Option[Seq[Header]] = None
-    while (out.isEmpty) {
-      try out = Some(readHeaders(buf))
-      catch {
-        case _: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException
-            if sz < fileLen =>
-          val grown = math.min(fileLen, sz.toLong * 4)
-          require(grown <= Int.MaxValue,
-            "header region beyond 2 GiB — not a head-first layout")
-          val next = new Array[Byte](grown.toInt)
-          System.arraycopy(buf, 0, next, 0, sz)
-          readAt(sz.toLong, next, sz, grown.toInt - sz) // fetch only the tail
-          buf = next; sz = grown.toInt
-      }
-    }
-    out.get
+      fileLen: Long, initial: Int = 256 * 1024): Seq[Header] =
+    parseHeadGrowing(readAt, fileLen, initial)(readHeaders)
+
+  /** 0-based image index of a subdir string — the ONE parser of the
+    * reference's `GTIFF_DIR:n` addressing ("" or "1" = first; bare
+    * numbers are 1-based), shared by every read path so the convention
+    * cannot drift between them. */
+  private def subdirIndex(subdir: String): Int = subdir.trim match {
+    case "" => 0
+    case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
+    case s => s.toInt - 1
   }
 
   /** Read one subdir the way the reference addresses MuCOG stacks:
     * "GTIFF_DIR:n" = n-th full-resolution image (1-based); "" or "1" = first. */
   def readSubdir(data: Array[Byte], subdir: String): Image = {
     val fulls = read(data).filterNot(_.isOverview).map(_.image)
-    val idx = subdir.trim match {
-      case "" => 0
-      case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
-      case s => s.toInt - 1
-    }
+    val idx = subdirIndex(subdir)
     require(idx >= 0 && idx < fulls.size, s"subdir $subdir out of range 1..${fulls.size}")
     fulls(idx)
   }
@@ -1065,11 +1098,7 @@ object GeoTiff {
     * 1/4ⁿ of the pixels when the request is coarse). */
   def readForResolution(data: Array[Byte], subdir: String, targetRes: Double): Image = {
     val dirs = read(data)
-    val idx = subdir.trim match {
-      case "" => 0
-      case s if s.startsWith("GTIFF_DIR:") => s.stripPrefix("GTIFF_DIR:").toInt - 1
-      case s => s.toInt - 1
-    }
+    val idx = subdirIndex(subdir)
     val chains = overviewChains(dirs)
     require(idx >= 0 && idx < chains.size, s"subdir $subdir out of range 1..${chains.size}")
     val candidates = chains(idx)

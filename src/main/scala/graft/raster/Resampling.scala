@@ -164,33 +164,78 @@ object Sampler {
     val y0 = math.max(0, math.floor(yf - sy / 2).toInt)
     val y1 = math.min(src.height - 1, math.ceil(yf + sy / 2 - 1e-9).toInt - 1)
     if (x1 < x0 || y1 < y0) return near(src, band, xf, yf, noData)
-    val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var y = y0
-    while (y <= y1) {
-      var x = x0
-      while (x <= x1) {
-        val v = src.get(x, y, band)
-        if (valid(v, noData)) vals += v
-        x += 1
-      }
-      y += 1
-    }
-    if (vals.isEmpty) return Double.NaN
+    // This is the warp inner loop (one call per target pixel per band):
+    // min/max/average fold through SCALARS, and the rank statistics fill
+    // ONE primitive scratch array sorted in place — the previous
+    // ArrayBuffer + groupBy/sorted copies allocated per pixel were pure
+    // GC churn (~10⁷-10⁸ short-lived objects on a large downscale).
+    // Reduction order and tie-breaks are unchanged: row-major
+    // left-to-right accumulation, percentile by the same rounded index,
+    // mode's strictly-greater scan keeping the smallest value on ties.
     r match {
-      case Resampling.Average => vals.sum / vals.size
-      case Resampling.Max => vals.max
-      case Resampling.Min => vals.min
-      case Resampling.Mode =>
-        vals.groupBy(identity).maxBy { case (v, g) => (g.size, -v) }._1
-      case Resampling.Med => percentile(vals, 0.5)
-      case Resampling.Q1 => percentile(vals, 0.25)
-      case Resampling.Q3 => percentile(vals, 0.75)
-      case _ => vals.sum / vals.size
+      case Resampling.Max | Resampling.Min =>
+        val wantMax = r == Resampling.Max
+        var best = Double.NaN
+        var y = y0
+        while (y <= y1) {
+          var x = x0
+          while (x <= x1) {
+            val v = src.get(x, y, band)
+            if (valid(v, noData) &&
+                (best.isNaN || (if (wantMax) v > best else v < best))) best = v
+            x += 1
+          }
+          y += 1
+        }
+        best
+      case Resampling.Mode | Resampling.Med | Resampling.Q1 | Resampling.Q3 =>
+        val buf = new Array[Double]((x1 - x0 + 1) * (y1 - y0 + 1))
+        var n = 0
+        var y = y0
+        while (y <= y1) {
+          var x = x0
+          while (x <= x1) {
+            val v = src.get(x, y, band)
+            if (valid(v, noData)) { buf(n) = v; n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        if (n == 0) Double.NaN
+        else {
+          java.util.Arrays.sort(buf, 0, n)
+          if (r == Resampling.Mode) {
+            // ascending runs: only a STRICTLY greater count replaces the
+            // best, so the first (smallest) value keeps ties — exactly
+            // the old groupBy.maxBy((size, -v)) tie-break
+            var bestV = buf(0); var bestC = 1; var curC = 1
+            var i = 1
+            while (i < n) {
+              if (buf(i) == buf(i - 1)) curC += 1 else curC = 1
+              if (curC > bestC) { bestC = curC; bestV = buf(i) }
+              i += 1
+            }
+            bestV
+          } else {
+            val p =
+              if (r == Resampling.Med) 0.5
+              else if (r == Resampling.Q1) 0.25 else 0.75
+            buf(math.min(n - 1, math.max(0, math.round(p * (n - 1)).toInt)))
+          }
+        }
+      case _ => // Average (and the area-family default)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y <= y1) {
+          var x = x0
+          while (x <= x1) {
+            val v = src.get(x, y, band)
+            if (valid(v, noData)) { sum += v; n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        if (n == 0) Double.NaN else sum / n
     }
-  }
-
-  private def percentile(vals: scala.collection.mutable.ArrayBuffer[Double], p: Double): Double = {
-    val sorted = vals.sorted
-    sorted(math.min(sorted.size - 1, math.max(0, math.round(p * (sorted.size - 1)).toInt)))
   }
 }

@@ -85,6 +85,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mixQ.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
   }
 
+  test("post-join filter binds the bbox of the geometry's OWN relation") {
+    import spark.implicits._
+    import SpatialExpressions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ext3").toString
+    // left: unit squares at (i,i) — geom_wkb + ITS bbox
+    geomsDf.write.mode("overwrite").parquet(s"$dir/left")
+    // right: unit squares at (i+100, i+100) — coordinates_wkb + ITS bbox
+    (0 until 20).map { i =>
+      val g = GeomOps.polygonFromBBox(BBox(i + 100, i + 100, i + 101, i + 101))
+      val b = GeomOps.bbox(g)
+      (i, GeomOps.writeWkb(g), (b.xmin, b.ymin, b.xmax, b.ymax))
+    }.toDF("id", "coordinates_wkb", "bbox")
+      .withColumn("bbox",
+        col("bbox").cast("struct<xmin:double,ymin:double,xmax:double,ymax:double>"))
+      .write.mode("overwrite").parquet(s"$dir/right")
+    val l = spark.read.parquet(s"$dir/left")
+    val r = spark.read.parquet(s"$dir/right")
+    // probe hits the RIGHT table's square at (105,105) only; the LEFT
+    // row's bbox (5,5,6,6) does NOT overlap it — a rule that binds the
+    // first same-named bbox in the joined output would AND the LEFT box
+    // onto the filter and silently drop the matching row
+    val probe = GeomOps.writeWkb(GeomOps.polygonFromBBox(
+      BBox(105.2, 105.2, 105.8, 105.8)))
+    val q = l.join(r, Seq("id"))
+      .filter(st_intersects(r("coordinates_wkb"), lit(probe)))
+    assert(q.select("id").collect().map(_.getInt(0)).toSeq == Seq(5))
+    // and the conjunct still exists (over the right relation's bbox)
+    assert(q.queryExecution.optimizedPlan.toString.contains(".xmin <="))
+  }
+
   test("rule leaves filters without a bbox companion untouched") {
     val probe = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(0, 0, 3, 3)))
     val q = geomsDf.drop("bbox").filter(

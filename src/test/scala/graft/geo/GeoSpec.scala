@@ -69,6 +69,20 @@ class GeoSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](CRS.fromSrid(4269)) // NAD83 geographic
   }
 
+  test("+proj=utm honors a declared non-WGS84 ellipsoid; +proj=merc refuses ellipsoidal") {
+    // ED50-style UTM: dropping +ellps=intl projected on WGS84, ~100-200 m off
+    val ed50 = CRS.parse("+proj=utm +zone=31 +ellps=intl")
+    val wgs = CRS.parse("+proj=utm +zone=31")
+    val (x1, y1) = ed50.fromLonLat(5.0, 45.0)
+    val (x2, y2) = wgs.fromLonLat(5.0, 45.0)
+    assert(math.hypot(x1 - x2, y1 - y2) > 50,
+      s"intl vs WGS84 UTM differ by ${math.hypot(x1 - x2, y1 - y2)} m")
+    // PROJ's bare `merc` is the ELLIPSOIDAL Mercator (EPSG:3395): ~37 km
+    // from spherical 3857 at lat 60 — refusing beats silently substituting
+    intercept[IllegalArgumentException](CRS.parse("+proj=merc"))
+    intercept[IllegalArgumentException](CRS.parse("+proj=merc +ellps=WGS84"))
+  }
+
   test("proj4 string parsing: longlat, merc, utm, tmerc") {
     assert(CRS.parse("+proj=longlat +datum=WGS84 +no_defs") == CRS.WGS84)
     assert(CRS.parse("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 " +

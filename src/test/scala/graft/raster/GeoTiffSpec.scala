@@ -381,6 +381,37 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(utm.crs == CRS.UTM(33, north = true))
   }
 
+  test("user-defined non-tmerc CRS round-trips via PCSCitation (key 3073)") {
+    // param-only LCC: srid 32767 in geokey 3072 alone used to make the
+    // file UNREADABLE (fromSrid throws on UserDefined)
+    val lcc = CRS.parse("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-95")
+    val got = GeoTiff.read(GeoTiff.write(Seq(
+      img(3, 2, DType.UInt8, Array(1, 2, 3, 4, 5, 6), crs = lcc)))).head.image
+    assert(got.crs == lcc)
+    // header-only path parses the citation too
+    val hs = GeoTiff.readHeaders(GeoTiff.write(Seq(
+      img(3, 2, DType.UInt8, Array(1, 2, 3, 4, 5, 6), crs = lcc))))
+    assert(hs.head.crs == lcc)
+    // NON-WGS84 tmerc (Bessel): the WGS84-datum param branch must not
+    // claim it — citation carries the ellipsoid
+    val bessel = CRS.TransverseMercator(lon0Deg = 9, k0 = 1.0,
+      fe = 500000, fnParam = 0, a = 6377397.155, f = 1.0 / 299.1528128)
+    val gb = GeoTiff.read(GeoTiff.write(Seq(
+      img(3, 2, DType.UInt8, Array(1, 2, 3, 4, 5, 6), crs = bessel)))).head.image
+    // the serialized +rf can differ by 1 ulp on the flattening — compare
+    // projected coordinates (µm agreement), not case-class equality
+    val (gx, gy) = gb.crs.fromLonLat(10.0, 51.0)
+    val (ex, ey) = bessel.fromLonLat(10.0, 51.0)
+    assert(math.abs(gx - ex) < 1e-6 && math.abs(gy - ey) < 1e-6,
+      s"($gx,$gy) vs ($ex,$ey)")
+    // a KNOWN EPSG tmerc (OSGB 27700, Airy) writes its CODE, never the
+    // WGS84-datum param form that silently shifted the grid ~100 m
+    val osgb = CRS.fromSrid(27700)
+    val go = GeoTiff.read(GeoTiff.write(Seq(
+      img(3, 2, DType.UInt8, Array(1, 2, 3, 4, 5, 6), crs = osgb)))).head.image
+    assert(go.crs == osgb)
+  }
+
   test("multiband planar round trip") {
     val two = GeoTiff.Image(
       new Bitmap(2, 1, 2, DType.UInt8, Array(1, 2, 11, 12)),
