@@ -68,10 +68,21 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
       tags = tags, fromTime = fromTime, toTime = toTime, aoi = aoi,
       limit = limit)
 
+  /** DeleteRecords (service.go:62): refuses while a dataset still
+    * references any of the ids — the reference's FK (datasets.record_id
+    * → records.id) makes its delete fail the same way; silently
+    * orphaning datasets would drop them from every ordered/time-filtered
+    * listing while their pixels stay unreclaimable. */
   def deleteRecords(ids: Seq[String]): Long = {
     val rec = cat.read(spark, "records")
     val n = rec.filter(col("id").isin(ids: _*)).count()
-    if (n > 0) cat.rewrite(rec.filter(!col("id").isin(ids: _*)), "records")
+    if (n > 0) {
+      val inUse = cat.read(spark, "datasets")
+        .filter(col("record_id").isin(ids: _*)).limit(1).count()
+      require(inUse == 0,
+        s"records still referenced by datasets — delete the datasets first")
+      cat.rewrite(rec.filter(!col("id").isin(ids: _*)), "records")
+    }
     n
   }
 
@@ -80,7 +91,13 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     val hit = col("id").isin(ids: _*)
     val n = rec.filter(hit).count()
     if (n > 0) {
-      val merged = map_concat(coalesce(col("tags"), map()),
+      // UPSERT semantics (the reference's hstore ||): existing keys are
+      // replaced — a bare map_concat over a duplicate key throws under
+      // Spark's default mapKeyDedupPolicy=EXCEPTION, so tag values
+      // could never be updated
+      val merged = map_concat(
+        map_filter(coalesce(col("tags"), map()),
+          (k, _) => !k.isin(tags.keys.map(lit(_)).toSeq: _*)),
         map(tags.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*))
       cat.rewrite(rec.withColumn("tags", when(hit, merged).otherwise(col("tags"))),
         "records")
@@ -446,8 +463,29 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
   def cancelJob(jobId: String): String =
     ConsolidationJob.cancelById(spark, cat, jobId)
 
-  def listJobs(nameLike: String = "", limit: Int = 0): DataFrame =
-    CatalogQueries.listByName(spark, cat, "jobs", nameLike, limit)
+  /** One row per job: its LATEST journaled FSM state (TASKEVENT counter
+    * rows excluded) — the reference's jobs-table shape, derived from
+    * the append-only journal. One keyed window, no driver work. */
+  private def currentJobs: DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("created_at").desc)
+    cat.read(spark, "jobs")
+      .filter(col("type") =!= "TASKEVENT")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** ListJobs (service.go:72): ONE row per job with its current state —
+    * listing the raw journal returned a row per transition (and the
+    * streaming counter markers), so a small `limit` could be consumed
+    * by one job's history. */
+  def listJobs(nameLike: String = "", limit: Int = 0): DataFrame = {
+    var df = currentJobs
+    Patterns.predicate(col("name"), if (nameLike.isEmpty) Nil else Seq(nameLike))
+      .foreach(p => df = df.filter(p))
+    df = df.orderBy("name", "id")
+    if (limit > 0) df.limit(limit) else df
+  }
 
   /** GetJob (service.go:73; svc/service.go:542-550): the job's full state
     * journal, oldest first — state history, task counters, payloads (the
@@ -469,7 +507,12 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
   def cleanJobs(nameLike: String = "", state: Option[String] = None): Long = {
     val jobs = cat.read(spark, "jobs")
     val total = jobs.count()
-    var victims = jobs
+    // victims match on the job's CURRENT state, never any historical
+    // journal row: every job has a NEW row forever, so a raw-row match
+    // for state=NEW (or a once-FAILED state a retry fixed) would sweep
+    // mid-flight jobs — destroying their journal, LOCK snapshot and
+    // resume/rollback state
+    var victims = currentJobs
     Patterns.predicate(col("name"), if (nameLike.isEmpty) Nil else Seq(nameLike))
       .foreach(p => victims = victims.filter(p))
     state.foreach(s => victims = victims.filter(col("state") === s))

@@ -47,6 +47,17 @@ object Admin {
   def updateDatasets(spark: SparkSession, cat: Catalog,
       instanceIds: Seq[String], up: DFormatUpdate,
       recordIds: Seq[String] = Nil, simulate: Boolean = false): Long = {
+    // validate BEFORE the atomic rewrite — a bad dtype name or an
+    // inverted range would otherwise land in every hit row of the
+    // central datasets table and poison the serving path (the read side
+    // does DType.fromName and divides by the range interval). The
+    // reference gets this from its enum/check constraints.
+    up.dtype.foreach(graft.core.DType.fromName) // throws on unknown names
+    for (mn <- up.minValue; mx <- up.maxValue)
+      require(mn < mx, s"min_value $mn must be < max_value $mx")
+    for (mn <- up.realMinValue; mx <- up.realMaxValue)
+      require(mn < mx, s"real_min_value $mn must be < real_max_value $mx")
+    up.exponent.foreach(e => require(e > 0, s"exponent $e must be positive"))
     val ds = cat.read(spark, "datasets")
     // record scoping (admin.go:15 RecordIds) narrows the hit set; both
     // lists are request arguments, bounded like the reference's

@@ -48,18 +48,43 @@ object IndexDatasets {
     // re-imported container carries duplicate rows — without the dedup
     // each request would fan out into several identical dataset
     // registrations (distinct ids, same pixels painted twice)
-    val tiles = cat.read(spark, "tiles").select(
+    val rawHeaders = cat.read(spark, "tiles").select(
         col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
         col("transform"))
-      .dropDuplicates("container_uri", "subdir")
+      // request-scoped: the homogeneity check below must not scan the
+      // whole tile store for a bounded request
+      .join(broadcast(reqs.select(col("uri").as("container_uri"),
+        col("sub").as("subdir")).distinct()),
+        Seq("container_uri", "subdir"), "left_semi")
+    // HOMOGENEITY across duplicate header rows (the scaladoc's promise):
+    // a container re-imported after its source changed has CONFLICTING
+    // headers, and dropDuplicates alone would pick an arbitrary one per
+    // Spark job — validation could pass or fail across runs, and the row
+    // that passed need not be the row whose dims derive the footprint.
+    val mixed = rawHeaders
+      .groupBy("container_uri", "subdir")
+      .agg(countDistinct(struct(col("width"), col("height"), col("bands"),
+        col("dtype"), col("crs"), col("transform"))).as("__v"))
+      .filter(col("__v") > 1)
+      .select("container_uri", "subdir").limit(10)
+      .collect().map(r => s"${r.getString(0)}[${r.getString(1)}]")
+    if (mixed.nonEmpty)
+      throw new IllegalArgumentException(
+        "IndexDatasets: conflicting duplicate headers for " +
+          mixed.mkString(", ") + " — re-import or tidy the container first")
+    val tiles = rawHeaders.dropDuplicates("container_uri", "subdir")
 
     // validation as joined columns (the doc's "distributed validation",
     // now actually distributed): requests left-join their headers, errors
-    // are computed per-row in codegen
+    // are computed per-row in codegen. Cached: the error collect and the
+    // footprint derivation both consume it — uncached, the header join
+    // (the indexation's heaviest stage) ran twice.
     val checked = reqs
       .join(tiles, reqs("uri") === tiles("container_uri") &&
         reqs("sub") === tiles("subdir"), "left_outer")
+      .cache()
+    val checkedErr = checked
       .withColumn("err",
         when(col("container_uri").isNull,
           concat(lit("container "), col("uri"), lit("["), col("sub"),
@@ -73,11 +98,13 @@ object IndexDatasets {
               col("req_dtype"))))
 
     // collect only failures — a bounded sample, never the full header set
-    val errs = checked.filter(col("err").isNotNull)
+    val errs = checkedErr.filter(col("err").isNotNull)
       .select("err").limit(10).collect().map(_.getString(0))
-    if (errs.nonEmpty)
+    if (errs.nonEmpty) {
+      checked.unpersist()
       throw new IllegalArgumentException(
         s"IndexDatasets: ${errs.mkString("; ")}")
+    }
 
     // distributed derivation: footprint from the georeferencing, one
     // dataset row per request (JTS + CRS math is genuine per-row imperative
@@ -107,6 +134,7 @@ object IndexDatasets {
         GeomOps.writeWkb(geog), GeomOps.writeWkb(native), crs.srid,
         Row(b.xmin, b.ymin, b.xmax, b.ymax))
     }
-    cat.append(spark.createDataFrame(rows, Schemas.datasets), "datasets")
+    try cat.append(spark.createDataFrame(rows, Schemas.datasets), "datasets")
+    finally checked.unpersist()
   }
 }

@@ -136,9 +136,9 @@ object EventStream {
   def dedupDocuments(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("fingerprint", md5(array_join(
-        array_sort(array_distinct(filter(split(col(textCol), " "),
-          x => x =!= ""))), " ")))
+      // THE batch key, not a re-implementation: a diverging inline copy
+      // would silently stop batch and streaming dedup agreeing
+      .withColumn("fingerprint", graft.operators.Dedup.canonicalKey(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
@@ -154,45 +154,43 @@ object EventStream {
         max(col("ts")).as("last_event_ts"))
 
   /** Fold one micro-batch of task events into the job journal —
-    * IDEMPOTENT on (runKey, batchId): Structured Streaming replays the
-    * last batch after a crash (foreachBatch is at-least-once), and a
-    * blind append would double-count every delta of the replayed batch.
-    * The journal itself is the dedup ledger: a batch whose marker rows
-    * already exist is skipped whole (the single streaming writer makes
-    * check-then-append race-free). The marker carries `runKey` — NOT
-    * batchId alone: batch ids restart at 0 in a fresh (un-checkpointed)
-    * query incarnation and collide across queries sharing one catalog,
-    * and a bare-batchId guard would then drop fresh deltas forever. */
+    * IDEMPOTENT per (runKey, job, TASK): one ledger row per task, name
+    * `<runKey>-task-<task_id>`, so the journal itself is the dedup
+    * ledger (the single streaming writer makes check-then-append
+    * race-free) and convergence is per task, not per batch. The old
+    * per-(runKey, batchId) marker only caught SAME-batch replays: an
+    * at-least-once transport (a re-dropped queue file, broker
+    * redelivery past a lost checkpoint) delivers the same (job, task)
+    * event in a LATER micro-batch with a fresh batch id, and the
+    * batch-keyed guard double-counted it — a consumer summing
+    * finished_tasks could declare a job complete while real tasks were
+    * still outstanding. The key carries `runKey` — batch-independent,
+    * stable across restarts for checkpointed queries (runKey =
+    * queryName), per-incarnation for throwaway streams (documented
+    * at-least-once there). Volume: one row per task ever — the
+    * cardinality of the tasks table itself, partition-pruned by type;
+    * the per-batch probe reads only the `type=TASKEVENT` partition. */
   def journalTaskDeltas(spark: SparkSession, cat: Catalog,
       batch: Dataset[TaskEvent], batchId: Long, runKey: String): Unit = {
-    val deltas = taskEventDeltas(batch)
-    if (!deltas.isEmpty) {
-      val marker = s"$runKey-batch-$batchId"
-      // Replay guard keyed per (marker, job), not marker existence alone:
-      // cat.append is a plain multi-file parquet append, so a crash
-      // mid-commit can persist marker rows for a SUBSET of the batch's
-      // jobs — a batch-level probe would then skip the replayed batch
-      // whole and lose the remaining jobs' deltas forever. The anti-join
-      // appends exactly the missing rows, so any number of replays
-      // converges on one marker row per job.
+    val evts = batch.dropDuplicates("job_id", "task_id")
+    if (!evts.isEmpty) {
       val already = cat.read(spark, "jobs")
-        .filter(col("type") === "TASKEVENT" && col("name") === marker)
-        .select(col("id").as("job_id"))
-      val rows = deltas.join(already, Seq("job_id"), "left_anti")
-        .collect().map { r =>
-          org.apache.spark.sql.Row(
-            r.getAs[String]("job_id"), marker, "TASKEVENT",
-            "COUNTERS",
-            r.getAs[Long]("finished_tasks").toInt,
-            r.getAs[Long]("failed_tasks").toInt,
-            s"""{"batch":$batchId}""",
-            r.getAs[java.sql.Timestamp]("last_event_ts"),
-            r.getAs[java.sql.Timestamp]("last_event_ts"))
-        }
-      if (rows.nonEmpty)
-        cat.append(spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toSeq),
-          graft.catalog.Schemas.jobs), "jobs")
+        .filter(col("type") === "TASKEVENT" &&
+          col("name").startsWith(s"$runKey-task-"))
+        .select(col("id").as("job_id"), col("name"))
+      val rows = evts.toDF()
+        .withColumn("name", concat(lit(s"$runKey-task-"), col("task_id")))
+        .withColumnRenamed("job_id", "id")
+        .join(already.withColumnRenamed("job_id", "id"), Seq("id", "name"),
+          "left_anti")
+        .select(
+          col("id"), col("name"),
+          lit("TASKEVENT").as("type"), lit("COUNTERS").as("state"),
+          lit(1).as("active_tasks"),
+          when(col("status") === "FAILED", 1).otherwise(0).as("failed_tasks"),
+          lit(s"""{"batch":$batchId}""").as("payload"),
+          col("ts").as("created_at"), col("ts").as("updated_at"))
+      if (rows.limit(1).count() > 0) cat.append(rows, "jobs")
     }
   }
 

@@ -68,8 +68,18 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // tags rpcs
     assert(gc.addRecordsTags(Seq("r1"), Map("proc" -> "L2")) == 1)
     assert(gc.listRecords(tags = Map("proc" -> "L2")).count() == 1)
-    assert(gc.removeRecordsTags(Seq("r1"), Seq("proc")) == 1)
+    // UPSERT of an existing key (the reference's hstore ||): a bare
+    // map_concat threw Duplicate map key under ANSI dedup policy
+    assert(gc.addRecordsTags(Seq("r1"), Map("proc" -> "L2A")) == 1)
+    assert(gc.listRecords(tags = Map("proc" -> "L2A")).count() == 1)
     assert(gc.listRecords(tags = Map("proc" -> "L2")).count() == 0)
+    assert(gc.removeRecordsTags(Seq("r1"), Seq("proc")) == 1)
+    assert(gc.listRecords(tags = Map("proc" -> "L2A")).count() == 0)
+
+    // deleteRecords refuses while a dataset references the record (the
+    // reference's FK) — r1 has the indexed dataset
+    intercept[IllegalArgumentException](gc.deleteRecords(Seq("r1")))
+    assert(gc.listRecords().count() == 2)
 
     // the cube rpc
     val slices = gc.getCubeFromRecords(Seq(Seq("r1")), Seq("i1"),
@@ -80,6 +90,32 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val deleted = gc.tidyDb()
     assert(deleted("records") == 1)
     assert(gc.listRecords().count() == 1)
+  }
+
+  test("listJobs is one row per job; cleanJobs matches the CURRENT state only") {
+    val t0 = ts("2024-01-01 00:00:00"); val t1 = ts("2024-01-01 00:00:01")
+    def jrow(id: String, name: String, tpe: String, state: String,
+        at: java.sql.Timestamp): Row =
+      Row(id, name, tpe, state, 0, 0, "", at, at)
+    cat.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      jrow("cjxa", "cjx-a", "CONSOLIDATION", "NEW", t0),
+      jrow("cjxa", "cjx-a", "CONSOLIDATION", "CONSOLIDATIONINPROGRESS", t1),
+      Row("cjxa", "cjx-run-batch-0", "TASKEVENT", "COUNTERS", 1, 0, "", t1, t1),
+      jrow("cjxb", "cjx-b", "CONSOLIDATION", "NEW", t0),
+      jrow("cjxb", "cjx-b", "CONSOLIDATION", "DONE", t1))),
+      graft.catalog.Schemas.all("jobs")), "jobs")
+    // one row per job at its LATEST state; counter rows excluded
+    val listed = gc.listJobs("cjx*").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("state"))).toSet
+    assert(listed == Set(("cjxa", "CONSOLIDATIONINPROGRESS"), ("cjxb", "DONE")))
+    // every job has a historical NEW row — matching it would sweep the
+    // MID-FLIGHT job and destroy its journal/lock state
+    assert(gc.cleanJobs("cjx*", state = Some("NEW")) == 0)
+    // the current-DONE job sweeps whole (both journal rows)
+    assert(gc.cleanJobs("cjx*", state = Some("DONE")) == 2)
+    assert(cat.read(spark, "jobs").filter(col("id") === "cjxb").count() == 0)
+    assert(cat.read(spark, "jobs").filter(col("id") === "cjxa").count() == 3)
+    gc.cleanJobs("cjx*") // tidy the fixture
   }
 
   test("grids and layouts rpcs") {

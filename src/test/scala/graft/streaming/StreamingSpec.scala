@@ -39,15 +39,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         TaskEvent("j2", "t9", "SUCCEEDED", "", ts("2024-01-01 00:00:02")))
       q.processAllAvailable()
       val jobs = cat.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
-      val j1 = jobs.find(_.getAs[String]("id") == "j1").get
-      assert(j1.getAs[Int]("active_tasks") == 2) // finished count (dedup'd)
-      assert(j1.getAs[Int]("failed_tasks") == 1)
-      val j2 = jobs.find(_.getAs[String]("id") == "j2").get
-      assert(j2.getAs[Int]("active_tasks") == 1)
+      val j1 = jobs.filter(_.getAs[String]("id") == "j1")
+      assert(j1.map(_.getAs[Int]("active_tasks")).sum == 2) // per-task ledger, dedup'd
+      assert(j1.map(_.getAs[Int]("failed_tasks")).sum == 1)
+      val j2 = jobs.filter(_.getAs[String]("id") == "j2")
+      assert(j2.map(_.getAs[Int]("active_tasks")).sum == 1)
     } finally q.stop()
   }
 
-  test("batch replay after a crash journals counter deltas exactly once") {
+  test("replay and cross-batch redelivery journal each task exactly once") {
     import spark.implicits._
     val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-replay").toString)
     val batch = Seq(
@@ -57,18 +57,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // foreachBatch is at-least-once: the SAME batch id replays after a
     // crash — the journal must not double-count its deltas
     EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7, "runA")
-    val rows = cat2.read(spark, "jobs")
+    def counters() = cat2.read(spark, "jobs")
       .filter(col("state") === "COUNTERS").collect()
-    assert(rows.length == 1)
-    assert(rows.head.getAs[Int]("active_tasks") == 2)
-    assert(rows.head.getAs[Int]("failed_tasks") == 1)
-    // a NEW batch id still appends
+    assert(counters().length == 2) // one ledger row per TASK
+    assert(counters().map(_.getAs[Int]("active_tasks")).sum == 2)
+    assert(counters().map(_.getAs[Int]("failed_tasks")).sum == 1)
+    // the same events REDELIVERED in a later micro-batch (a re-dropped
+    // queue file, broker redelivery past a lost checkpoint) must NOT
+    // double-count — the ledger key is the task, not the batch
     EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 8, "runA")
-    assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 2)
-    // a fresh query incarnation restarts batch ids at 0 — its batches
-    // must NOT be skipped as replays of the previous run's ids
-    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 7, "runB")
-    assert(cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").count() == 3)
+    assert(counters().map(_.getAs[Int]("active_tasks")).sum == 2)
+    // genuinely NEW tasks still append
+    EventStream.journalTaskDeltas(spark, cat2,
+      Seq(TaskEvent("jr1", "t3", "SUCCEEDED", "",
+        ts("2024-01-01 00:00:02"))).toDS(), batchId = 9, "runA")
+    assert(counters().map(_.getAs[Int]("active_tasks")).sum == 3)
+    // a fresh un-checkpointed incarnation gets its own key space
+    // (documented at-least-once for throwaway streams)
+    EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 0, "runB")
+    assert(counters().length == 5)
   }
 
   test("broker seam: Kafka wire-shape values drive the same counter FSM") {
@@ -93,29 +100,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         bytes(TaskEvent("jk2", "t9", "SUCCEEDED", "", ts("2024-01-01 00:00:02"))))
       q.processAllAvailable()
       val jobs = cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
-      val j1 = jobs.find(_.getAs[String]("id") == "jk1").get
-      assert(j1.getAs[Int]("active_tasks") == 2) // redelivery dedup'd
-      assert(j1.getAs[Int]("failed_tasks") == 1)
-      assert(jobs.find(_.getAs[String]("id") == "jk2").get
-        .getAs[Int]("active_tasks") == 1)
+      val j1 = jobs.filter(_.getAs[String]("id") == "jk1")
+      assert(j1.map(_.getAs[Int]("active_tasks")).sum == 2) // redelivery dedup'd
+      assert(j1.map(_.getAs[Int]("failed_tasks")).sum == 1)
+      assert(jobs.filter(_.getAs[String]("id") == "jk2")
+        .map(_.getAs[Int]("active_tasks")).sum == 1)
     } finally q.stop()
   }
 
-  test("torn marker append: replay journals only the missing jobs' deltas") {
+  test("torn ledger append: replay journals only the missing tasks' rows") {
     import spark.implicits._
     val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-torn").toString)
-    // simulate a crash mid-commit of batch 5: the marker row for jA
-    // persisted, jB's never landed
+    // simulate a crash mid-commit of batch 5: jA/t1's ledger row
+    // persisted, jB/t2's never landed
     val t0 = ts("2024-01-01 00:00:00")
     cat2.append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
-        "jA", "runT-batch-5", "TASKEVENT", "COUNTERS", 1, 0,
+        "jA", "runT-task-t1", "TASKEVENT", "COUNTERS", 1, 0,
         """{"batch":5}""", t0, t0))),
       graft.catalog.Schemas.jobs), "jobs")
     val batch = Seq(
       TaskEvent("jA", "t1", "SUCCEEDED", "", t0),
       TaskEvent("jB", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01"))).toDS()
-    // the replayed batch must append jB's delta and NOT double-count jA's
+    // the replayed batch must append jB/t2 and NOT double-count jA/t1
     EventStream.journalTaskDeltas(spark, cat2, batch, batchId = 5, "runT")
     val rows = cat2.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
     assert(rows.length == 2)
