@@ -24,9 +24,23 @@ final case class Catalog(root: String) {
     val p = new java.io.File(path(table))
     if (p.exists) {
       migrateLegacyLayout(spark, table)
-      spark.read.schema(Schemas.all(table)).parquet(path(table))
+      spark.read.schema(readSchema(table)).parquet(path(table))
     } else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.all(table))
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema(table))
+  }
+
+  /** Read-side schema: the logical table schema plus any DERIVED partition
+    * column ([[derivedPartition]]). The derived column is part of the read
+    * frame on purpose — pruned joins reference it so Catalyst's dynamic
+    * partition pruning can skip whole buckets (see [[graft.cube.GetCube]]
+    * `prunedTiles`). */
+  private def readSchema(table: String): org.apache.spark.sql.types.StructType = {
+    val base = Schemas.all(table)
+    derivedPartition(table).fold(base) { case (name, _) =>
+      org.apache.spark.sql.types.StructType(
+        base.fields :+ org.apache.spark.sql.types.StructField(
+          name, org.apache.spark.sql.types.IntegerType))
+    }
   }
 
   /** Tables written with a partition column: `datasets` by instance
@@ -45,8 +59,25 @@ final case class Catalog(root: String) {
   private def partitionColumn(table: String): Option[String] = table match {
     case "datasets" => Some("instance_id")
     case "jobs" => Some("type")
+    case "tiles" => Some(Catalog.TilesBucketCol)
     case _ => None
   }
+
+  /** DERIVED partition columns: not part of the logical schema — computed
+    * by [[append]]/[[rewrite]] from a data column at write time. `tiles`
+    * (the pixel store, the ONLY 100-TB-class table) is hash-bucketed by
+    * container URI so a serving-path join against a request's container
+    * set becomes dynamic partition pruning instead of a full payload scan.
+    * CRC-32 is the bucket hash on purpose: a frozen public standard, so
+    * the layout can never silently disagree with the query-time derivation
+    * the way a Spark-internal hash could across versions. */
+  private def derivedPartition(table: String): Option[(String, org.apache.spark.sql.Column)] =
+    table match {
+      case "tiles" =>
+        Some((Catalog.TilesBucketCol, Catalog.tilesBucketOf(
+          org.apache.spark.sql.functions.col("container_uri"))))
+      case _ => None
+    }
 
   /** Upgrade a pre-partitioning table directory in place: flat
     * `part-*.parquet` files (the partition key still a data column) are
@@ -65,21 +96,35 @@ final case class Catalog(root: String) {
           val legacy = spark.read.schema(schema)
             .parquet(flat.map(_.getPath).toIndexedSeq: _*)
           val parts = files.filter(f => f.isDirectory && f.getName.contains("="))
+          // project both legs onto the LOGICAL schema: a derived partition
+          // column (tiles' bucket) exists only on the partitioned leg and
+          // is recomputed by the rewrite below anyway
+          val logical = schema.fieldNames.toIndexedSeq
+            .map(org.apache.spark.sql.functions.col)
           val whole =
             if (parts.isEmpty) legacy
-            else legacy.unionByName(spark.read
+            else legacy.select(logical: _*).unionByName(spark.read
               .option("basePath", dir.getPath).schema(schema)
-              .parquet(parts.map(_.getPath).toIndexedSeq: _*))
+              .parquet(parts.map(_.getPath).toIndexedSeq: _*)
+              .select(logical: _*))
           rewrite(whole, table)
         }
         Catalog.migrationChecked.add(key): Unit
       }
     }
 
+  /** Recompute any derived partition column from its source data column —
+    * authoritative at every write, so callers never supply (or can never
+    * corrupt) the bucket. Idempotent on frames that already carry it. */
+  private def withDerived(df: DataFrame, table: String): DataFrame =
+    derivedPartition(table).fold(df) { case (name, expr) =>
+      df.withColumn(name, expr)
+    }
+
   def append(df: DataFrame, table: String): Unit = {
     healSwap(table)
     migrateLegacyLayout(df.sparkSession, table)
-    val writer = df.write.mode(SaveMode.Append)
+    val writer = withDerived(df, table).write.mode(SaveMode.Append)
     partitionColumn(table).fold(writer)(writer.partitionBy(_))
       .parquet(path(table))
   }
@@ -94,7 +139,7 @@ final case class Catalog(root: String) {
     val tmp = new java.io.File(path(table) + ".swap")
     val old = new java.io.File(path(table) + ".old")
     if (tmp.exists) delete(tmp)
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val writer = withDerived(df, table).write.mode(SaveMode.Overwrite)
     partitionColumn(table).fold(writer)(writer.partitionBy(_))
       .parquet(tmp.getPath)
     if (old.exists) delete(old)
@@ -137,6 +182,26 @@ object Catalog {
     * lookup on the hot read/append paths. */
   private val migrationChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The tiles store's derived partition column (bucket of the container
+    * URI) and its bucket count. 64 buckets keeps directories manageable
+    * while cutting a request-scoped payload scan ~64× via dynamic
+    * partition pruning; at 100 TB that is ~1.5 TB of parquet per bucket —
+    * row-group stats on `container_uri` prune further within a bucket. */
+  val TilesBucketCol = "__bucket"
+  val TilesBuckets = 64
+
+  /** The bucket derivation, usable on EITHER side of a pruned join: the
+    * write path stamps rows with it, and query-side joins compare the
+    * stored bucket against this same expression over the request's
+    * container set — the equality Catalyst's DPP rule turns into a
+    * partition filter. CRC-32 over UTF-8 bytes: frozen standard, stable
+    * across Spark/JVM versions (a Spark-internal hash could silently
+    * re-bucket on upgrade and mis-prune). */
+  def tilesBucketOf(uri: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(crc32(encode(uri, "UTF-8")), lit(TilesBuckets.toLong)).cast("int")
+  }
 
   /** Strictly-increasing microsecond wall clock for journal rows: two
     * FSM transitions in the same millisecond still get distinct,

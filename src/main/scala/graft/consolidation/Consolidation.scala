@@ -177,7 +177,20 @@ object Consolidation {
       col("dtype"), col("no_data"), col("min_value"), col("max_value"),
       col("real_min_value"), col("real_max_value"), col("exponent"))
 
-    val tiles = cat.read(spark, "tiles").select(
+    // scope the pixel-store scan to the job's SOURCE container set before
+    // the payload column is touched: the bucket conjunct against the
+    // store's derived partition column turns into dynamic partition
+    // pruning (same shape as the serving path's GetCube.prunedTiles) — a
+    // job consolidating 100 containers never reads the other buckets of a
+    // 100-TB tiles table
+    val srcUris = exploded.join(ds, col("dataset_id") === ds("id"))
+      .select(col("container_uri").as("__pu")).distinct()
+    val tiles = cat.read(spark, "tiles")
+      .join(broadcast(srcUris),
+        col("container_uri") === col("__pu") &&
+          col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu")),
+        "left_semi")
+      .select(
       col("container_uri").as("t_uri"), coalesce(col("subdir"), lit("")).as("t_subdir"),
       col("width").as("t_width"), col("height").as("t_height"),
       col("bands").as("t_bands"), col("dtype").as("t_dtype"),

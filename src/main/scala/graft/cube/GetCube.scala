@@ -221,7 +221,7 @@ object GetCube {
       found.join(broadcast(groups), col("record_id") === col("__grid")).drop("__grid")
     } else found.withColumn("group_key", col("record_id"))
 
-    val tiles = selectTileLevel(spark, cat, out)
+    val tiles = selectTileLevel(spark, cat, out, withGroup)
 
     withGroup
       .join(tiles,
@@ -307,7 +307,8 @@ object GetCube {
   def cubeFromMetadata(spark: SparkSession, cat: Catalog,
       meta: Dataset[DatasetMeta], out: OutDescriptor): Dataset[Slice] = {
     import spark.implicits._
-    val tiles = selectTileLevel(spark, cat, out) // reads the tiles store only
+    // reads the tiles store only, scoped to the metadata's container set
+    val tiles = selectTileLevel(spark, cat, out, meta.toDF())
     val ds = meta.toDF()
       .join(tiles,
         col("container_uri") === col("t_uri") &&
@@ -399,13 +400,40 @@ object GetCube {
     * chosen levels' payloads are joined — a coarse request reads 1/4ᴷ of
     * the pixel bytes. Meters→degrees uses the equatorial factor (no
     * cos-lat), which only ever errs toward a finer level. */
-  private def selectTileLevel(spark: SparkSession, cat: Catalog, out: OutDescriptor): DataFrame = {
+  /** Scope the tiles scan to a request's container set BEFORE anything
+    * else touches it. Two effects, both load-bearing at 100 TB (the tiles
+    * store is the engine's only 100-TB-class table):
+    *
+    *  1. The broadcast semi-join's bucket conjunct compares the store's
+    *     derived partition column against [[Catalog.tilesBucketOf]] of the
+    *     request side, which Catalyst's dynamic partition pruning turns
+    *     into a partition filter — only the containers' ~|uris|/64 buckets
+    *     are LISTED AND READ; payload bytes in other buckets are never
+    *     touched (PLANS.md d1: `dynamicpruningexpression` on the scan).
+    *  2. The overview-selection window below then shuffles only the
+    *     request's tile metadata, not the whole store's.
+    */
+  private def prunedTiles(spark: SparkSession, cat: Catalog,
+      containers: DataFrame): DataFrame = {
+    // NO distinct on the build side: a left-semi join is insensitive to
+    // build duplicates and DPP aggregates the pruning key itself — a
+    // distinct here would add a (tiny but needless) metadata shuffle per
+    // tiles reference, breaking the one-payload-shuffle plan contract
+    val uris = containers.select(col("container_uri").as("__pu"))
+    cat.read(spark, "tiles").join(broadcast(uris),
+      col("container_uri") === col("__pu") &&
+        col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu")),
+      "left_semi")
+  }
+
+  private def selectTileLevel(spark: SparkSession, cat: Catalog, out: OutDescriptor,
+      containers: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val targetResDeg = {
       val rx = math.abs(out.pixToCrs.rx)
       if (out.crs.isGeographic) rx else rx / 111320.0
     }
-    val all = cat.read(spark, "tiles")
+    val all = prunedTiles(spark, cat, containers)
     val meta = all.select(
         col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("crs"), col("transform"))

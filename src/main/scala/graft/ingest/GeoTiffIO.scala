@@ -188,7 +188,10 @@ object GeoTiffIO {
       compress: Boolean = false, tileSize: Int = 0,
       interlacing: String = "", bigTiff: Boolean = false): Array[Byte] = {
     val rows = cat.read(spark, "tiles")
-      .filter(col("container_uri") === containerUri)
+      // the bucket conjunct constant-folds to a literal → STATIC partition
+      // pruning: only the uri's one bucket directory is listed/read
+      .filter(col("container_uri") === containerUri &&
+        col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(lit(containerUri)))
       // pyramid rows ("<subdir>@ovK") are not their own subdirs — the
       // overview chain is re-derived from overviewsMinSize at write time
       .filter(!coalesce(col("subdir"), lit("")).rlike("@ov\\d+$"))
@@ -228,9 +231,13 @@ object GeoTiffIO {
       if (containerUris.isEmpty) base
       // semi-join, not a multi-literal isin: a bulk export covers a whole
       // job's container set (10⁵+ uris) — an isin expression tree breaks
-      // down long before that, while AQE broadcasts a small uri relation
-      else base.join(containerUris.toDF("container_uri"),
-        Seq("container_uri"), "left_semi")
+      // down long before that, while AQE broadcasts a small uri relation.
+      // The bucket conjunct turns into dynamic partition pruning on the
+      // store's derived partition column (GetCube.prunedTiles shape).
+      else base.join(broadcast(containerUris.toDF("__pu")),
+        col("container_uri") === col("__pu") &&
+          col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu")),
+        "left_semi")
     scoped.select(col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
         col("transform"), col("payload"))

@@ -48,15 +48,21 @@ object IndexDatasets {
     // re-imported container carries duplicate rows — without the dedup
     // each request would fan out into several identical dataset
     // registrations (distinct ids, same pixels painted twice)
-    val rawHeaders = cat.read(spark, "tiles").select(
+    val rawHeaders = cat.read(spark, "tiles")
+      // request-scoped: the homogeneity check below must not scan the
+      // whole tile store for a bounded request; the bucket conjunct
+      // partition-prunes the listing itself (GetCube.prunedTiles shape)
+      .join(broadcast(reqs.select(col("uri").as("__pu"),
+          col("sub").as("__ps")).distinct()),
+        col("container_uri") === col("__pu") &&
+          coalesce(col("subdir"), lit("")) === col("__ps") &&
+          col(graft.catalog.Catalog.TilesBucketCol) ===
+            graft.catalog.Catalog.tilesBucketOf(col("__pu")),
+        "left_semi")
+      .select(
         col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
         col("transform"))
-      // request-scoped: the homogeneity check below must not scan the
-      // whole tile store for a bounded request
-      .join(broadcast(reqs.select(col("uri").as("container_uri"),
-        col("sub").as("subdir")).distinct()),
-        Seq("container_uri", "subdir"), "left_semi")
     // HOMOGENEITY across duplicate header rows (the scaladoc's promise):
     // a container re-imported after its source changed has CONFLICTING
     // headers, and dropDuplicates alone would pick an arbitrary one per
