@@ -115,10 +115,22 @@ final case class Catalog(root: String) {
 
   /** Recompute any derived partition column from its source data column —
     * authoritative at every write, so callers never supply (or can never
-    * corrupt) the bucket. Idempotent on frames that already carry it. */
+    * corrupt) the bucket. Idempotent on frames that already carry it.
+    *
+    * Derived-bucket writes also repartition on the bucket, so each write
+    * emits ≤1 file per bucket instead of one per (task × bucket): an
+    * unrepartitioned partitionBy append from a 1000-task consolidation
+    * batch would spray up to 64k tiny files into the 100-TB store per
+    * batch — the small-file death spiral. One extra shuffle of bytes
+    * that are being written anyway, the standard partitioned-write
+    * pattern. Safe to key on the bucket alone (unlike `instance_id` /
+    * `type` partitioned tables, where repartitioning on a low-cardinality
+    * key would collapse write parallelism) because the bucket is a hash
+    * with a guaranteed 64-way spread. */
   private def withDerived(df: DataFrame, table: String): DataFrame =
     derivedPartition(table).fold(df) { case (name, expr) =>
       df.withColumn(name, expr)
+        .repartition(Catalog.TilesBuckets, org.apache.spark.sql.functions.col(name))
     }
 
   def append(df: DataFrame, table: String): Unit = {
