@@ -172,13 +172,16 @@ object Admin {
         // ...and the containers' PIXELS: tiles rows whose container row is
         // gone are unreachable by any read path, and nothing else GCs
         // them for a catalog maintained by TidyDB alone — the dead pixel
-        // storage would otherwise grow without bound. Existence-probed so
-        // the clean path never rewrites the largest table. A tile is live
+        // storage would otherwise grow without bound. A tile is live
         // when its container row exists, a dataset still references its
         // uri (a torn import: tiles landed, the containers append
         // crashed, and IndexDatasets — which validates against tiles —
         // registered a SERVING dataset), or a job task row names it (the
-        // paused/parked-job outputs above).
+        // paused/parked-job outputs above). The orphan set is a
+        // column-pruned metadata anti-join; deleteWhere then rewrites
+        // ONLY the buckets it hashes to — a clean store still costs one
+        // uri-column scan but never touches a payload byte, and a dirty
+        // one rewrites ~|orphans|/64 of the table, not all of it.
         val tiles = cat.read(spark, "tiles")
         val live = cat.read(spark, "containers")
           .select(col("uri").as("container_uri"))
@@ -187,9 +190,7 @@ object Admin {
           .distinct()
         val orphan = tiles.select("container_uri")
           .join(live, Seq("container_uri"), "left_anti")
-        if (orphan.limit(1).count() > 0)
-          cat.rewrite(tiles.join(live, Seq("container_uri"), "left_semi"),
-            "tiles")
+        cat.deleteWhere(spark, "tiles", orphan)
       }
     } else skip("containers")
 

@@ -321,8 +321,13 @@ object Consolidation {
 
   def purgeJobContainers(spark: SparkSession, cat: Catalog,
       prefix: String): Unit = {
-    cat.rewrite(cat.read(spark, "tiles")
-      .filter(!col("container_uri").startsWith(prefix)), "tiles")
+    // bucket-scoped tiles delete: the doomed uri set comes from a
+    // column-pruned metadata scan (container_uri only — dictionary pages,
+    // never payload bytes); deleteWhere then rewrites ONLY the buckets
+    // that set hashes to, not the 100-TB store
+    cat.deleteWhere(spark, "tiles", cat.read(spark, "tiles")
+      .filter(col("container_uri").startsWith(prefix))
+      .select("container_uri"))
     cat.rewrite(cat.read(spark, "containers")
       .filter(!col("uri").startsWith(prefix)), "containers")
     cat.rewrite(cat.read(spark, "container_layouts")
@@ -585,9 +590,12 @@ object Consolidation {
     val containers = cat.read(spark, "containers")
     cat.rewrite(containers.join(live, containers("uri") === live("container_uri"), "left_semi"),
       "containers")
+    // bucket-scoped tiles GC: the doomed set (tile uris no dataset
+    // references) is a metadata-only anti-join; only its buckets rewrite
     val tiles = cat.read(spark, "tiles")
-    cat.rewrite(tiles.join(live.withColumnRenamed("container_uri", "__live"),
-      tiles("container_uri") === col("__live"), "left_semi"), "tiles")
+    cat.deleteWhere(spark, "tiles", tiles.select("container_uri").distinct()
+      .join(live.withColumnRenamed("container_uri", "__live"),
+        col("container_uri") === col("__live"), "left_anti"))
     gcContainerLayouts(spark, cat)
   }
 

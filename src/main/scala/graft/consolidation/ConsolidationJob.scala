@@ -389,8 +389,9 @@ object ConsolidationJob {
           val staleTiles = cat.read(spark, "tiles")
             .filter(col("container_uri").startsWith(prefix0))
             .join(allUrisDf, Seq("container_uri"), "left_anti")
-          // checkpoint pins the purge set: its lineage reads the tiles
-          // table, whose files the first rewrite below deletes
+          // checkpoint pins the union against the tiles mutation below
+          // (deleteWhere re-checkpoints its own copy; this one also
+          // feeds the containers rewrite after the tiles files move)
           val purgeTiles =
             if (staleTiles.limit(1).count() > 0)
               pendingDf.unionByName(
@@ -398,8 +399,9 @@ object ConsolidationJob {
                 .localCheckpoint(true)
             else pendingDf
           try {
-            cat.rewrite(cat.read(spark, "tiles")
-              .join(purgeTiles, Seq("container_uri"), "left_anti"), "tiles")
+            // bucket-scoped: only the purge set's hash buckets rewrite —
+            // a resume never pays a full pixel-store rewrite
+            cat.deleteWhere(spark, "tiles", purgeTiles)
             cat.rewrite(cat.read(spark, "containers")
               .join(purgeTiles.withColumnRenamed("container_uri", "uri"),
                 Seq("uri"), "left_anti"), "containers")

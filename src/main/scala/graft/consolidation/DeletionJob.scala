@@ -265,9 +265,13 @@ object DeletionJob {
         orphanCkpt = orphanManaged
         cat.rewrite(containers.join(live,
           containers("uri") === live("container_uri"), "left_semi"), "containers")
+        // bucket-scoped tiles GC: the doomed uri set (tiles no surviving
+        // dataset references) is a metadata-only anti-join; deleteWhere
+        // rewrites just its hash buckets, never the whole pixel store
         val tiles = cat.read(spark, "tiles")
-        cat.rewrite(tiles.join(live.withColumnRenamed("container_uri", "__live"),
-          tiles("container_uri") === col("__live"), "left_semi"), "tiles")
+        cat.deleteWhere(spark, "tiles", tiles.select("container_uri").distinct()
+          .join(live.withColumnRenamed("container_uri", "__live"),
+            col("container_uri") === col("__live"), "left_anti"))
         Consolidation.gcContainerLayouts(spark, cat)
         // idempotent append: a crash after a previous attempt's append
         // re-enters this block — URIs that already have a task keep it
