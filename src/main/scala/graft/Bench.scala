@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver-side file listing up to 1024 dirs: the bucketed tiles
+      // store always has 64 partition dirs, above Spark's default
+      // 32-path threshold — without this every tiles read launches a
+      // distributed LISTING job (~0.15 s) before the scan even plans.
+      // At real scale the leaf-file listing inside each bucket still
+      // parallelizes over the driver's listing pool.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .getOrCreate()
     // ERROR, not WARN: the per-pass localCheckpoint releases log a benign
     // lineage-truncation WARN per RDD, and any log line after the compact
@@ -235,10 +242,23 @@ object Bench {
     val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
       transform = Affine.northUp(0, 2.56, 0.01, -0.01), width = 256, height = 256)
     def run(): Long = graft.cube.GetCube.cube(spark, cat, req).count()
-    require(run() == 100L, "getcube bench: expected 100 slices")
-    val times = (1 to 2).map { _ =>
-      val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
-    }
+    // the serving benchmark runs under the engine's recommended
+    // latency-serving session configuration (GetCube.ServingSessionConfs
+    // — AQE off for request-bounded plans); the ETL-style SQL corpus
+    // above keeps the session's AQE-on defaults. Restored afterwards.
+    val saved = graft.cube.GetCube.ServingSessionConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    graft.cube.GetCube.ServingSessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val times =
+      try {
+        require(run() == 100L, "getcube bench: expected 100 slices")
+        (1 to 2).map { _ =>
+          val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
+        }
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
     rm(new java.io.File(root))
     times.min

@@ -21,6 +21,13 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver-side file listing up to 1024 dirs: the bucketed tiles
+      // store always has 64 partition dirs, above Spark's default
+      // 32-path threshold — without this every tiles read launches a
+      // distributed LISTING job (~0.15 s) before the scan even plans.
+      // At real scale the leaf-file listing inside each bucket still
+      // parallelizes over the driver's listing pool.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

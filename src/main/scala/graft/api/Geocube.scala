@@ -521,8 +521,23 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     // unbounded. Checkpoint pins the set: the jobs rewrite below mutates
     // the table the lazy victims plan reads.
     val victimIds = victims.select("id").distinct().localCheckpoint(true)
+    // TASKEVENT retirement (VERDICT r10 #6): the streaming journal keeps
+    // one counter row per task FOREVER — for a DONE job the counters
+    // have served their purpose (progress of an in-flight job), so every
+    // cleanJobs pass also drops the type=TASKEVENT rows of pattern-
+    // matched jobs whose CURRENT state is DONE, keeping the partition
+    // bounded by live-job task counts even when the job journals
+    // themselves are retained as history. Same pattern scope as the
+    // victims so a targeted clean never touches unrelated jobs.
+    var done = currentJobs.filter(col("state") === "DONE")
+    Patterns.predicate(col("name"), if (nameLike.isEmpty) Nil else Seq(nameLike))
+      .foreach(p => done = done.filter(p))
+    val doneIds = done.select("id").distinct().localCheckpoint(true)
     try {
-      if (victimIds.limit(1).count() > 0) {
+      val anyVictims = victimIds.limit(1).count() > 0
+      val anyRetire = jobs.filter(col("type") === "TASKEVENT")
+        .join(doneIds, Seq("id"), "left_semi").limit(1).count() > 0
+      if (anyVictims) {
         // cascade to the jobs' task rows (the reference deletes tasks with
         // their job) — otherwise cleaned jobs leak task rows forever.
         // Tasks go FIRST: a crash between the two rewrites then leaves
@@ -533,10 +548,18 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
         cat.rewrite(cat.read(spark, "tasks")
           .join(victimIds.withColumnRenamed("id", "job_id"),
             Seq("job_id"), "left_anti"), "tasks")
-        cat.rewrite(jobs.join(victimIds, Seq("id"), "left_anti"), "jobs")
       }
+      if (anyVictims || anyRetire)
+        cat.rewrite(jobs
+          .join(victimIds, Seq("id"), "left_anti")
+          .join(doneIds.withColumnRenamed("id", "__done"),
+            col("id") === col("__done") && col("type") === "TASKEVENT",
+            "left_anti"), "jobs")
       total - cat.read(spark, "jobs").count()
-    } finally graft.operators.OperatorCaches.releaseLocalCheckpoint(victimIds)
+    } finally {
+      graft.operators.OperatorCaches.releaseLocalCheckpoint(victimIds)
+      graft.operators.OperatorCaches.releaseLocalCheckpoint(doneIds)
+    }
   }
 
   // ---- grids / layouts (service.go:78-86)

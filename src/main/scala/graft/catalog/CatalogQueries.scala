@@ -25,7 +25,14 @@ final case class DatasetFilters(
     refined: Option[(Geometry, Int)] = None,
     offset: Int = 0,
     limit: Int = 0,
-    order: Boolean = true)
+    order: Boolean = true,
+    /** join the records dimension (datetime/tags columns) WITHOUT the
+      * global (datetime, record, id) sort — for consumers that need the
+      * record datetime but immediately join/group the result (the cube
+      * serving path): a pre-join orderBy there is pure waste — Spark
+      * does not preserve it through the join, and its range exchange
+      * costs a sampling pass that re-evaluates the discovery subtree. */
+    joinRecords: Boolean = false)
 
 /** The catalog query builders (SURVEY §2.1/§2.3): DataFrame plans with the
   * same conditional structure as the reference's SQL builders. Joins are
@@ -68,8 +75,8 @@ object CatalogQueries {
     }
 
     // records join only when time/tags/order need it (pg:256-258)
-    val needRecords = f.order || f.fromTime.isDefined || f.toTime.isDefined ||
-      f.recordTags.nonEmpty
+    val needRecords = f.order || f.joinRecords || f.fromTime.isDefined ||
+      f.toTime.isDefined || f.recordTags.nonEmpty
     var out = if (needRecords) {
       var r = cat.read(spark, "records")
         .select(col("id").as("__rid"), col("datetime"), col("tags"))

@@ -81,6 +81,28 @@ final case class Slice(
   */
 object GetCube {
 
+  /** Minimum tiles-store size (file bytes, from the scan's listing stats)
+    * for the serving path's derived-bucket pruning conjunct — below it
+    * the DPP subquery stages cost more than the full scan they prune
+    * (see [[selectTileLevel]]). Overridable per session for tests/tuning. */
+  val BucketPruneMinBytesConf = "graft.tiles.bucketPruneMinBytes"
+  val BucketPruneMinBytesDefault: Long = 1L << 30
+
+  /** Recommended session configuration for LATENCY-SERVING deployments
+    * (a GetCube/XYZ tile server — the reference runs these as a
+    * dedicated apiserver, svc/service.go): request-bounded plans with
+    * explicit broadcast hints gain nothing from adaptive execution's
+    * stage-by-stage materialization and re-optimization, which measured
+    * ~0.3 s of pure driver overhead per 100-slice request (r11
+    * profiling: 0.80 → 0.49 s min). ETL/analytics sessions (ingest,
+    * consolidation, the dedup/text corpus) should keep AQE ON — skew
+    * joins and partition coalescing matter there. The listing threshold
+    * keeps the 64-bucket tiles store's directory listing on the driver
+    * instead of launching a distributed listing job per request. */
+  val ServingSessionConfs: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024")
+
   /** The cacheable part of a variable lookup: everything [[prepare]]
     * reads off the definition row. */
   private final case class VariableInfo(dtype: String, noData: Double,
@@ -211,9 +233,20 @@ object GetCube {
       recordIds = if (req.recordGroups.nonEmpty) req.recordGroups.flatten else req.recordIds,
       recordTags = req.tags,
       fromTime = req.fromTime, toTime = req.toTime,
-      geog = Some(footprint), refined = Some(refined), order = true))
+      geog = Some(footprint), refined = Some(refined),
+      // no global sort: the result is joined/grouped immediately and the
+      // kernel (or the headers agg) establishes its own order — see
+      // DatasetFilters.joinRecords
+      order = false, joinRecords = true))
 
-    // group key: the record itself (A1) or the client-supplied group (A2)
+    // group key: the record itself (A1) or the client-supplied group (A2).
+    // Deliberately LAZY even though the frame feeds both the
+    // level-selection pass and the final tile join: the duplicate
+    // catalog-discovery subtrees execute inside ONE job and overlap
+    // across cores, where an eager localCheckpoint here serialized the
+    // request into a chain of small jobs and measured ~30% SLOWER
+    // end-to-end (r11 profiling: plan-construction-only latency ~1.0 s
+    // of a 1.6 s request).
     val withGroup = if (req.recordGroups.nonEmpty) {
       val groups = req.recordGroups.zipWithIndex
         .flatMap { case (g, i) => g.map(r => (r, f"g$i%06d")) }
@@ -223,8 +256,12 @@ object GetCube {
 
     val tiles = selectTileLevel(spark, cat, out, withGroup)
 
-    withGroup
-      .join(tiles,
+    // broadcast the request-bounded DATASET side, never the tile side:
+    // size-based selection at toy scale picked the tiles projection as
+    // the build — pushing every payload byte through the driver — where
+    // the metadata side is k rows per request at any store size
+    tiles
+      .join(broadcast(withGroup),
         col("container_uri") === col("t_uri") &&
           coalesce(col("subdir"), lit("")) === col("t_base_subdir"))
       .select(
@@ -307,10 +344,12 @@ object GetCube {
   def cubeFromMetadata(spark: SparkSession, cat: Catalog,
       meta: Dataset[DatasetMeta], out: OutDescriptor): Dataset[Slice] = {
     import spark.implicits._
-    // reads the tiles store only, scoped to the metadata's container set
+    // reads the tiles store only, scoped to the metadata's container set;
+    // the broadcast goes on the client-metadata side (k rows), never the
+    // tile-payload side
     val tiles = selectTileLevel(spark, cat, out, meta.toDF())
-    val ds = meta.toDF()
-      .join(tiles,
+    val ds = tiles
+      .join(broadcast(meta.toDF()),
         col("container_uri") === col("t_uri") &&
           col("subdir") === col("t_base_subdir"))
       .select(
@@ -331,7 +370,11 @@ object GetCube {
       status = Seq("ACTIVE"), instanceIds = req.instanceIds,
       recordIds = if (req.recordGroups.nonEmpty) req.recordGroups.flatten else req.recordIds,
       recordTags = req.tags, fromTime = req.fromTime, toTime = req.toTime,
-      geog = Some(footprint), refined = Some(refined), order = true))
+      geog = Some(footprint), refined = Some(refined),
+      // no global sort: the result is joined/grouped immediately and the
+      // kernel (or the headers agg) establishes its own order — see
+      // DatasetFilters.joinRecords
+      order = false, joinRecords = true))
     if (req.recordGroups.nonEmpty) {
       import spark.implicits._
       val groups = req.recordGroups.zipWithIndex
@@ -400,32 +443,32 @@ object GetCube {
     * chosen levels' payloads are joined — a coarse request reads 1/4ᴷ of
     * the pixel bytes. Meters→degrees uses the equatorial factor (no
     * cos-lat), which only ever errs toward a finer level. */
-  /** Scope the tiles scan to a request's container set BEFORE anything
-    * else touches it. Two effects, both load-bearing at 100 TB (the tiles
-    * store is the engine's only 100-TB-class table):
+  /** Both tiles scans of a request are container-scoped BEFORE anything
+    * else touches the store. Three effects, all load-bearing at 100 TB
+    * (the tiles store is the engine's only 100-TB-class table):
     *
-    *  1. The broadcast semi-join's bucket conjunct compares the store's
-    *     derived partition column against [[Catalog.tilesBucketOf]] of the
-    *     request side, which Catalyst's dynamic partition pruning turns
-    *     into a partition filter — only the containers' ~|uris|/64 buckets
-    *     are LISTED AND READ; payload bytes in other buckets are never
-    *     touched (PLANS.md d1: `dynamicpruningexpression` on the scan).
-    *  2. The overview-selection window below then shuffles only the
-    *     request's tile metadata, not the whole store's.
-    */
-  private def prunedTiles(spark: SparkSession, cat: Catalog,
-      containers: DataFrame): DataFrame = {
-    // NO distinct on the build side: a left-semi join is insensitive to
-    // build duplicates and DPP aggregates the pruning key itself — a
-    // distinct here would add a (tiny but needless) metadata shuffle per
-    // tiles reference, breaking the one-payload-shuffle plan contract
-    val uris = containers.select(col("container_uri").as("__pu"))
-    cat.read(spark, "tiles").join(broadcast(uris),
-      col("container_uri") === col("__pu") &&
-        col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu")),
-      "left_semi")
-  }
-
+    *  1. On a big store, each join carries a bucket conjunct comparing
+    *     the derived partition column against [[Catalog.tilesBucketOf]]
+    *     of its scoping side, which Catalyst's dynamic partition pruning
+    *     turns into a partition filter — only the relevant ~|uris|/64
+    *     buckets are LISTED AND READ; payload bytes in other buckets are
+    *     never touched (PLANS.md d1: `dynamicpruningexpression` on the
+    *     scan). The METADATA scan is scoped by the request's container
+    *     set; the PAYLOAD scan by the (even narrower) chosen-level set.
+    *  2. The overview-selection window shuffles only the request's tile
+    *     metadata, not the whole store's.
+    *  3. The payload side joins the chosen-level relation DIRECTLY (no
+    *     second request-container semi-join): the chosen set already is
+    *     a subset of the request's containers, so a semi-join there
+    *     would only re-run the dataset-discovery subtree a third time.
+    *
+    * The bucket conjuncts are COST-GATED ([[BucketPruneMinBytesConf]]):
+    * below the threshold the DPP subquery stages cost more than the
+    * whole scan they would prune (r10 bench: getcube 0.5→1.0 s on a 6 MB
+    * toy store), so a small store joins on the uri alone — the same
+    * size-based strategy choice Spark itself makes for broadcast joins.
+    * At 100-TB the threshold is exceeded by five orders of magnitude and
+    * the plan is the r10 DPP shape with one fewer discovery subtree. */
   private def selectTileLevel(spark: SparkSession, cat: Catalog, out: OutDescriptor,
       containers: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -433,7 +476,23 @@ object GetCube {
       val rx = math.abs(out.pixToCrs.rx)
       if (out.crs.isGeographic) rx else rx / 111320.0
     }
-    val all = prunedTiles(spark, cat, containers)
+    // ONE store relation for both scans: the directory listing (a real
+    // cost per request — 64 bucket dirs) happens once per plan
+    val store = cat.read(spark, "tiles")
+    val minBytes = spark.conf.getOption(GetCube.BucketPruneMinBytesConf)
+      .map(_.toLong).getOrElse(GetCube.BucketPruneMinBytesDefault)
+    val big = store.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+    // NO distinct on the build side: a left-semi join is insensitive to
+    // build duplicates and DPP aggregates the pruning key itself — a
+    // distinct here would add a (tiny but needless) metadata shuffle per
+    // tiles reference, breaking the one-payload-shuffle plan contract
+    val uris = containers.select(col("container_uri").as("__pu"))
+    val semiCond =
+      if (big)
+        col("container_uri") === col("__pu") &&
+          col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu"))
+      else col("container_uri") === col("__pu")
+    val all = store.join(broadcast(uris), semiCond, "left_semi")
     val meta = all.select(
         col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("crs"), col("transform"))
@@ -455,18 +514,32 @@ object GetCube {
     val w = Window.partitionBy(col("container_uri"), col("base_subdir"))
       .orderBy(col("eligible").desc,
         when(col("eligible"), -col("res_deg")).otherwise(col("res_deg")))
+    // Fully-lazy join-back: the level-selection window and the payload
+    // retrieval live in ONE plan, so the shared subtrees overlap inside a
+    // single job. (An eager localCheckpoint of `chosen` + a static bucket
+    // collect was tried in r11 and measured ~30% slower per request at
+    // toy scale — plan-construction latency alone reached ~1.0 s — while
+    // also disabling Catalyst's DPP on the meta scan, whose rule needs a
+    // selective filter on the build side that a bare checkpointed
+    // relation no longer carries.)
     val chosen = meta.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("container_uri").as("c_uri"), col("subdir").as("c_subdir"),
         col("base_subdir").as("t_base_subdir"))
-    all.select(
+    val payCond = {
+      val base = col("container_uri") === col("c_uri") &&
+        coalesce(col("subdir"), lit("")) === col("c_subdir")
+      if (big)
+        base && col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("c_uri"))
+      else base
+    }
+    store.join(broadcast(chosen), payCond)
+      .select(
         col("container_uri").as("t_uri"), coalesce(col("subdir"), lit("")).as("t_subdir"),
         col("width").as("t_width"), col("height").as("t_height"),
         col("bands").as("t_bands"), col("dtype").as("t_dtype"),
-        col("crs").as("t_crs"), col("transform").as("t_transform"), col("payload"))
-      .join(chosen,
-        col("t_uri") === col("c_uri") && col("t_subdir") === col("c_subdir"))
-      .drop("c_uri", "c_subdir")
+        col("crs").as("t_crs"), col("transform").as("t_transform"),
+        col("t_base_subdir"), col("payload"))
   }
 
   /** Merge a collected set of dataset tiles into one mosaic payload (the

@@ -231,13 +231,21 @@ object GeoTiffIO {
       if (containerUris.isEmpty) base
       // semi-join, not a multi-literal isin: a bulk export covers a whole
       // job's container set (10⁵+ uris) — an isin expression tree breaks
-      // down long before that, while AQE broadcasts a small uri relation.
-      // The bucket conjunct turns into dynamic partition pruning on the
-      // store's derived partition column (GetCube.prunedTiles shape).
-      else base.join(broadcast(containerUris.toDF("__pu")),
-        col("container_uri") === col("__pu") &&
-          col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu")),
-        "left_semi")
+      // down long before that, while a broadcast ships one small uri
+      // relation. The bucket conjunct turns into dynamic partition
+      // pruning on the store's derived partition column
+      // (GetCube.selectTileLevel shape). The broadcast HINT is bounded:
+      // past ~1M uris the driver-side relation stops being "small", so
+      // the hint is dropped and AQE/size stats pick the strategy — the
+      // DPP conjunct works either way.
+      else {
+        val uriDf = containerUris.toDF("__pu")
+        val build = if (containerUris.size <= 1000000) broadcast(uriDf) else uriDf
+        base.join(build,
+          col("container_uri") === col("__pu") &&
+            col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu")),
+          "left_semi")
+      }
     scoped.select(col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("width"), col("height"), col("bands"), col("dtype"), col("crs"),
         col("transform"), col("payload"))

@@ -118,6 +118,31 @@ class GeocubeSpec extends AnyFunSuite with BeforeAndAfterAll {
     gc.cleanJobs("cjx*") // tidy the fixture
   }
 
+  test("cleanJobs retires DONE jobs' TASKEVENT counters even when the journal is kept") {
+    val t0 = ts("2024-01-02 00:00:00"); val t1 = ts("2024-01-02 00:00:01")
+    def jrow(id: String, name: String, tpe: String, state: String,
+        at: java.sql.Timestamp): Row =
+      Row(id, name, tpe, state, 0, 0, "", at, at)
+    cat.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      jrow("cte1", "cte-done", "CONSOLIDATION", "NEW", t0),
+      jrow("cte1", "cte-done", "CONSOLIDATION", "DONE", t1),
+      Row("cte1", "run-task-t1", "TASKEVENT", "COUNTERS", 1, 0, "", t1, t1),
+      Row("cte1", "run-task-t2", "TASKEVENT", "COUNTERS", 1, 0, "", t1, t1),
+      jrow("cte2", "cte-live", "CONSOLIDATION", "CONSOLIDATIONINPROGRESS", t0),
+      Row("cte2", "run-task-t3", "TASKEVENT", "COUNTERS", 1, 0, "", t0, t0))),
+      graft.catalog.Schemas.all("jobs")), "jobs")
+    // a clean that matches NO victim (state filter misses) still retires
+    // the DONE job's counter rows — the journal rows stay as history
+    assert(gc.cleanJobs("cte-*", state = Some("FAILED")) == 2)
+    assert(cat.read(spark, "jobs")
+      .filter(col("id") === "cte1" && col("type") === "TASKEVENT").count() == 0)
+    assert(cat.read(spark, "jobs").filter(col("id") === "cte1").count() == 2)
+    // the in-flight job's counters are untouched (its FSM still reads them)
+    assert(cat.read(spark, "jobs")
+      .filter(col("id") === "cte2" && col("type") === "TASKEVENT").count() == 1)
+    gc.cleanJobs("cte-*") // tidy the fixture
+  }
+
   test("grids and layouts rpcs") {
     gc.createGrid("g1", Seq(
       ("c1", "EPSG:4326", GeomOps.polygonFromBBox(BBox(0, 0, 10, 10)))))

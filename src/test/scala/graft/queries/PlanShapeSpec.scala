@@ -166,11 +166,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // … and a record-scoped cube request must reach the payload scan with
     // a dynamicpruning PartitionFilter on that bucket column — the store
     // is only LISTED/READ in the request's buckets, the pixel bytes of
-    // every other bucket are never touched
+    // every other bucket are never touched. The conjunct is cost-gated
+    // on store size (toy stores skip the DPP subquery overhead), so
+    // force the big-store path for the plan assertion
     val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
       transform = Affine.northUp(0, 2.56, 0.01, -0.01), width = 64, height = 64,
       recordIds = Seq("r1", "r2", "r3"))
-    val cube = graft.cube.GetCube.cube(spark, cat, req)
+    spark.conf.set(graft.cube.GetCube.BucketPruneMinBytesConf, "0")
+    val cube =
+      try graft.cube.GetCube.cube(spark, cat, req)
+      finally spark.conf.unset(graft.cube.GetCube.BucketPruneMinBytesConf)
     // descend through AQE wrappers and subqueries — the cube plan is
     // adaptive, so its file scans are not leaves of the outer plan
     def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
