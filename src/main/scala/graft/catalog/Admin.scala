@@ -73,12 +73,15 @@ object Admin {
     // an all-None update changes nothing — skip the full-table scan+swap
     // (the datasets table is the catalog's big relation)
     if (n > 0 && !simulate && updates.exists(_._2.isDefined)) {
-      val rewritten = updates.foldLeft(ds) {
-        case (df, (field, Some(v))) =>
-          df.withColumn(field, when(hit, lit(v)).otherwise(col(field)))
-        case (df, _) => df
-      }
-      cat.rewrite(rewritten, "datasets")
+      // instance-partition-scoped: the dformat rewrite touches only the
+      // named instances' partitions — the rest of the catalog-scale
+      // datasets relation is never read or rewritten
+      cat.updatePartitions(spark, "datasets", instanceIds, ds =>
+        updates.foldLeft(ds) {
+          case (df, (field, Some(v))) =>
+            df.withColumn(field, when(hit, lit(v)).otherwise(col(field)))
+          case (df, _) => df
+        })
     }
     n
   }

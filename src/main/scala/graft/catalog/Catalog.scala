@@ -217,55 +217,110 @@ final case class Catalog(root: String) {
       uriCol: String = "container_uri"): Unit = {
     val d = derivedPartition(table).getOrElse(throw new IllegalArgumentException(
       s"deleteWhere: table '$table' has no derived bucket partition"))
-    val f = fs(spark)
-    healSwap(f, table)
-    migrateLegacyLayout(spark, table)
-    val dest = new Path(path(table))
-    if (!f.exists(dest)) return
     val del = uris.select(col(uriCol).as("__gc_uri")).distinct()
       .localCheckpoint(true)
     try {
       val affected = del.select(d.derive(col("__gc_uri")).as("__b"))
         .distinct().collect().map(_.getInt(0)).sorted
-      val bucketDirs = affected.map(b => new Path(dest, s"${d.name}=$b"))
-        .filter(f.exists)
-      if (bucketDirs.isEmpty) return
-      val swapRoot = new Path(path(table) + ".bswap")
-      val oldRoot = new Path(path(table) + ".bold")
-      if (f.exists(swapRoot)) f.delete(swapRoot, true)
-      if (f.exists(oldRoot)) f.delete(oldRoot, true)
-      // stage survivors of the affected buckets only; the write runs the
-      // anti-join while the live files still exist (renames come after)
-      val cur = spark.read.option("basePath", dest.toString)
-        .schema(readSchema(table))
-        .parquet(bucketDirs.map(_.toString): _*)
-      val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
-      val kept = cur
-        .join(del, cur(d.srcCol) === del("__gc_uri"), "left_anti")
-        .select(logical: _*)
-      val writer = withDerived(kept, table).write.mode(SaveMode.Overwrite)
-      writer.partitionBy(d.name).parquet(swapRoot.toString)
-      // per-bucket atomic swap; [[healSwap]] closes each crash window
-      f.mkdirs(oldRoot)
-      bucketDirs.foreach { live =>
-        val staged = new Path(swapRoot, live.getName)
-        val pre = new Path(oldRoot, live.getName)
-        if (f.exists(staged)) {
-          if (f.exists(live) && !f.rename(live, pre))
-            throw new java.io.IOException(s"deleteWhere: cannot stage $live")
-          if (!f.rename(staged, live)) {
-            f.rename(pre, live) // rollback this bucket
-            throw new java.io.IOException(s"deleteWhere: cannot promote $staged")
-          }
-        } else {
-          // every row in this bucket was deleted — remove the dir; a
-          // partial delete here is just rows still pending deletion
-          f.delete(live, true): Unit
-        }
-      }
-      f.delete(oldRoot, true): Unit
-      f.delete(swapRoot, true): Unit
+      rewritePartitionDirs(spark, table, affected.map(_.toString),
+        cur => cur.join(del, cur(d.srcCol) === del("__gc_uri"), "left_anti"))
     } finally graft.operators.OperatorCaches.releaseLocalCheckpoint(del)
+  }
+
+  /** Partition-scoped atomic update of a statically-partitioned table
+    * (`datasets` by instance, `jobs` by type): read ONLY the named
+    * partitions' directories, apply `transform` to their logical rows,
+    * and atomically swap those directories — every other partition's
+    * files are untouched, byte-identical, never listed. This is the
+    * metadata-table sibling of [[deleteWhere]] and the parquet stand-in
+    * for the reference's targeted SQL UPDATEs (ChangeDatasetsStatus /
+    * DeleteDatasets, pg_containers.go:385-473): an FSM status flip for
+    * one instance costs that instance's partition I/O, not a rewrite of
+    * the whole catalog-scale datasets relation.
+    *
+    * `partValues` empty means ALL on-disk partitions (the unscoped form
+    * — e.g. a pattern-only deletion job); `transform` must keep every
+    * row in its partition (guarded: a staged directory outside the
+    * target set fails the update before any swap). Crash windows heal
+    * through the same `.bold` pre-image rule as [[deleteWhere]]. */
+  def updatePartitions(spark: SparkSession, table: String,
+      partValues: Seq[String], transform: DataFrame => DataFrame): Unit = {
+    require(derivedPartition(table).isEmpty,
+      s"updatePartitions: '$table' is derived-bucket-partitioned — use deleteWhere")
+    val pc = partitionColumn(table).getOrElse(throw new IllegalArgumentException(
+      s"updatePartitions: table '$table' is not partitioned"))
+    val values =
+      if (partValues.nonEmpty) partValues.distinct
+      else { // unscoped: every on-disk partition, still via per-dir swaps
+        val f = fs(spark)
+        val dest = new Path(path(table))
+        if (!f.exists(dest)) return
+        f.listStatus(dest).toIndexedSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+          .map(_.getPath.getName.stripPrefix(s"$pc="))
+      }
+    rewritePartitionDirs(spark, table, values, transform)
+  }
+
+  /** Shared core of [[deleteWhere]] / [[updatePartitions]]: stage the
+    * transformed rows of the targeted partition directories
+    * (`<table>.bswap`), then atomically swap each directory (pre-image
+    * staged at `<table>.bold` — [[healSwap]] closes every crash window).
+    * A partition whose rows all disappear is removed; a transform that
+    * emits rows OUTSIDE the targeted partitions is rejected before any
+    * swap (those rows would otherwise be silently dropped). */
+  private def rewritePartitionDirs(spark: SparkSession, table: String,
+      values: Seq[String], transform: DataFrame => DataFrame): Unit = {
+    val pc = partitionColumn(table).get
+    val f = fs(spark)
+    healSwap(f, table)
+    migrateLegacyLayout(spark, table)
+    val dest = new Path(path(table))
+    if (!f.exists(dest)) return
+    val dirs = values.map(v => new Path(dest, s"$pc=$v")).filter(f.exists)
+    if (dirs.isEmpty) return
+    val swapRoot = new Path(path(table) + ".bswap")
+    val oldRoot = new Path(path(table) + ".bold")
+    if (f.exists(swapRoot)) f.delete(swapRoot, true)
+    if (f.exists(oldRoot)) f.delete(oldRoot, true)
+    // stage the transformed partitions; the write runs while the live
+    // files still exist (renames come after), so lazy lineage is safe
+    val cur = spark.read.option("basePath", dest.toString)
+      .schema(readSchema(table))
+      .parquet(dirs.map(_.toString): _*)
+    val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
+    val out = withDerived(transform(cur).select(logical: _*), table)
+    out.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(swapRoot.toString)
+    val targeted = dirs.map(_.getName).toSet
+    val staged = f.listStatus(swapRoot).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+    val escaped = staged.map(_.getPath.getName).filterNot(targeted)
+    if (escaped.nonEmpty) {
+      f.delete(swapRoot, true)
+      throw new IllegalArgumentException(
+        s"partition rewrite of '$table' moved rows outside the targeted " +
+          s"partitions: ${escaped.mkString(", ")}")
+    }
+    // per-partition atomic swap; [[healSwap]] closes each crash window
+    f.mkdirs(oldRoot)
+    dirs.foreach { live =>
+      val stagedDir = new Path(swapRoot, live.getName)
+      val pre = new Path(oldRoot, live.getName)
+      if (f.exists(stagedDir)) {
+        if (f.exists(live) && !f.rename(live, pre))
+          throw new java.io.IOException(s"partition swap: cannot stage $live")
+        if (!f.rename(stagedDir, live)) {
+          f.rename(pre, live) // rollback this partition
+          throw new java.io.IOException(s"partition swap: cannot promote $stagedDir")
+        }
+      } else {
+        // every row of this partition was dropped — remove the dir; a
+        // partial delete here is just rows still pending deletion
+        f.delete(live, true): Unit
+      }
+    }
+    f.delete(oldRoot, true): Unit
+    f.delete(swapRoot, true): Unit
   }
 
   /** Repair a [[rewrite]] swap cut short by a crash. The swap's commit
@@ -332,17 +387,25 @@ object Catalog {
     * buckets)⌉, clamped to [1, 64] — a ≥4 TiB append gets the full
     * 4096-way fan-out, a toy append stays at the ≤1-file-per-bucket
     * minimum. Batch bytes come from the optimized plan's stats; an
-    * estimate ≥1 PiB is a join-multiplied default, not a measurement, and
-    * falls back to 1 (the conf override is the escape hatch). */
+    * estimate ≥1 PiB is a default, not a measurement (typed pipelines —
+    * the consolidation worker's mapGroups output, RDD-backed frames —
+    * report `defaultSizeInBytes`), and for those the salt count falls
+    * back to the batch's PLANNED parallelism instead: writing with
+    * roughly the task count the engine already chose to compute the
+    * batch keeps a 4096-partition cluster consolidation at cluster-wide
+    * write fan-out while a 32-partition local batch stays at 1. The conf
+    * override remains the explicit escape hatch. */
   private[catalog] def filesPerBucket(df: DataFrame): Int =
     df.sparkSession.conf.getOption(FilesPerBucketConf)
       .map(_.toInt.max(1).min(TilesBuckets))
       .getOrElse {
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (bytes <= 0 || bytes >= BigInt(1L << 50)) 1
-        else {
+        if (bytes > 0 && bytes < BigInt(1L << 50)) {
           val unit = BigInt(TargetFileBytes) * TilesBuckets
           (((bytes + unit - 1) / unit).min(TilesBuckets)).toInt.max(1)
+        } else {
+          val parts = df.rdd.getNumPartitions
+          math.min(TilesBuckets, math.max(1, (parts + TilesBuckets - 1) / TilesBuckets))
         }
       }
 

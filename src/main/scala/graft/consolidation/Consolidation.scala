@@ -314,10 +314,13 @@ object Consolidation {
     * can never be missed on the other. Each leg is an idempotent
     * predicate rewrite, safe to re-run after a torn rollback. */
   def purgeInactiveOutputs(spark: SparkSession, cat: Catalog,
-      prefix: String): Unit =
-    cat.rewrite(cat.read(spark, "datasets")
-      .filter(!(col("status") === "INACTIVE" &&
-        col("container_uri").startsWith(prefix))), "datasets")
+      prefix: String, instanceIds: Seq[String] = Nil): Unit =
+    // instance-partition-scoped: a job rollback touches only its
+    // instance's datasets partition (empty ids — a pre-spec-journal
+    // legacy job — falls back to all partitions, still per-dir swaps)
+    cat.updatePartitions(spark, "datasets", instanceIds,
+      _.filter(!(col("status") === "INACTIVE" &&
+        col("container_uri").startsWith(prefix))))
 
   def purgeJobContainers(spark: SparkSession, cat: Catalog,
       prefix: String): Unit = {
@@ -558,34 +561,39 @@ object Consolidation {
     * catalog-scale, not an in-plan literal list). */
   def swap(spark: SparkSession, cat: Catalog, instanceId: String,
       oldIds: DataFrame, keepOld: Boolean = false,
-      newPrefix: Option[String] = None): Unit = {
-    val ds0 = cat.read(spark, "datasets")
-    val ds =
-      if (keepOld) ds0.withColumn("__old", lit(false))
-      else withMembership(ds0, "id", oldIds, "id", "__old")
-    val old = col("__old") && col("status") === "ACTIVE"
-    // the INACTIVE→ACTIVE side is scoped to THIS job's output containers
-    // when a prefix is given (the reference's ChangeDatasetsStatus is
-    // job-lock-scoped): a second in-flight job on the same instance must
-    // not have its not-yet-swapped INACTIVE outputs activated here
-    val fresh = newPrefix match {
-      case Some(p) =>
-        col("container_uri").startsWith(p) && col("status") === "INACTIVE"
-      case None =>
-        col("instance_id") === instanceId && col("status") === "INACTIVE"
-    }
-    val flipped = ds
-      .withColumn("status",
-        when(old, "TODELETE").when(fresh, "ACTIVE").otherwise(col("status")))
-      .drop("__old")
-    cat.rewrite(flipped, "datasets")
-  }
+      newPrefix: Option[String] = None): Unit =
+    // instance-partition-scoped status flip (both sides — the job's old
+    // ACTIVE rows and its new INACTIVE outputs — live in the job's
+    // instance partition): the C6 swap costs one partition's I/O, not a
+    // rewrite of the whole datasets relation
+    cat.updatePartitions(spark, "datasets", Seq(instanceId), { ds0 =>
+      val ds =
+        if (keepOld) ds0.withColumn("__old", lit(false))
+        else withMembership(ds0, "id", oldIds, "id", "__old")
+      val old = col("__old") && col("status") === "ACTIVE"
+      // the INACTIVE→ACTIVE side is scoped to THIS job's output containers
+      // when a prefix is given (the reference's ChangeDatasetsStatus is
+      // job-lock-scoped): a second in-flight job on the same instance must
+      // not have its not-yet-swapped INACTIVE outputs activated here
+      val fresh = newPrefix match {
+        case Some(p) =>
+          col("container_uri").startsWith(p) && col("status") === "INACTIVE"
+        case None =>
+          col("instance_id") === instanceId && col("status") === "INACTIVE"
+      }
+      ds.withColumn("status",
+          when(old, "TODELETE").when(fresh, "ACTIVE").otherwise(col("status")))
+        .drop("__old")
+    })
 
   /** C7 — csldDeleteDatasets (consolidater.go:669-748): drop TODELETE
-    * rows, then GC containers (and their tiles) no dataset references. */
-  def deleteDatasets(spark: SparkSession, cat: Catalog): Unit = {
-    val ds = cat.read(spark, "datasets")
-    cat.rewrite(ds.filter(col("status") =!= "TODELETE"), "datasets")
+    * rows, then GC containers (and their tiles) no dataset references.
+    * `instanceIds` scopes the datasets drop to the job's instance
+    * partitions (empty = all partitions, the unscoped admin form). */
+  def deleteDatasets(spark: SparkSession, cat: Catalog,
+      instanceIds: Seq[String] = Nil): Unit = {
+    cat.updatePartitions(spark, "datasets", instanceIds,
+      _.filter(col("status") =!= "TODELETE"))
     val live = cat.read(spark, "datasets").select(col("container_uri")).distinct()
     val containers = cat.read(spark, "containers")
     cat.rewrite(containers.join(live, containers("uri") === live("container_uri"), "left_semi"),

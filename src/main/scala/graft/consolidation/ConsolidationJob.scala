@@ -139,7 +139,10 @@ object ConsolidationJob {
     // authoritative until INDEXED — purge them; the rolled-back job's
     // task rows are dead — drop them with the rollback (the reference
     // deletes a job's tasks alongside it)
-    Consolidation.purgeInactiveOutputs(spark, cat, prefix)
+    // instance scope rehydrated from the journaled spec when present —
+    // a pre-spec-journal legacy job purges unscoped (all partitions)
+    Consolidation.purgeInactiveOutputs(spark, cat, prefix,
+      specFromJournal(spark, cat, jobId).map(_.instanceId).toSeq)
     Consolidation.purgeJobContainers(spark, cat, prefix)
     Consolidation.dropJobTasks(spark, cat, jobId)
     logStateRaw(spark, cat, jobId, name, "ABORTED")
@@ -473,13 +476,13 @@ object ConsolidationJob {
           // orphans exist only after a crash in that window, and the
           // full-table rewrite shouldn't be paid every job.
           val orphaned = cat.read(spark, "datasets")
-            .filter(col("status") === "INACTIVE" &&
+            .filter(col("instance_id") === spec.instanceId &&
+              col("status") === "INACTIVE" &&
               col("container_uri").startsWith(prefix))
             .limit(1).count() > 0
           if (orphaned)
-            cat.rewrite(cat.read(spark, "datasets")
-              .filter(!(col("status") === "INACTIVE" &&
-                col("container_uri").startsWith(prefix))), "datasets")
+            Consolidation.purgeInactiveOutputs(spark, cat, prefix,
+              Seq(spec.instanceId))
           val jobTiles = cat.read(spark, "tiles")
             .filter(col("container_uri").startsWith(prefix))
             .filter(!col("subdir").rlike("@ov\\d+$"))
@@ -515,7 +518,7 @@ object ConsolidationJob {
       // the just-deleted TODELETE datasets; a resume that lands here
       // again is guarded by the early DONE return / the relaxed require)
       if (!done.contains("DONE")) {
-        Consolidation.deleteDatasets(spark, cat)
+        Consolidation.deleteDatasets(spark, cat, Seq(spec.instanceId))
         cat.rewrite(cat.read(spark, "tasks").filter(
           !(col("job_id") === spec.jobId && col("state") === "LOCK")), "tasks")
       }
@@ -565,7 +568,8 @@ object ConsolidationJob {
       cause: Exception): String =
     try {
       val prefix = s"${cat.root}/containers/${spec.jobId}/"
-      Consolidation.purgeInactiveOutputs(spark, cat, prefix)
+      Consolidation.purgeInactiveOutputs(spark, cat, prefix,
+        Seq(spec.instanceId))
       // FAILED is terminal: the job's not-yet-authoritative C4/C5 outputs
       // (containers/tiles/container_layouts under the job prefix) are
       // dead rows — purge them like cancel does, or they dangle forever

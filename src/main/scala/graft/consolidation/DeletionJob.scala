@@ -233,13 +233,16 @@ object DeletionJob {
       def withLock(df: org.apache.spark.sql.DataFrame) =
         Consolidation.withMembership(df, "id", lockedDf, "id", "__lk")
 
-      // delSetToDelete: locked ACTIVE → TODELETE
+      // delSetToDelete: locked ACTIVE → TODELETE. Instance-partition-
+      // scoped when the job names instances; a pattern-only job flips
+      // across all partitions (still per-partition swaps).
       if (!done.contains("DELETIONINPROGRESS")) {
-        cat.rewrite(withLock(cat.read(spark, "datasets"))
-          .withColumn("status",
-            when(col("__lk") && col("status") === "ACTIVE",
-              "TODELETE").otherwise(col("status")))
-          .drop("__lk"), "datasets")
+        cat.updatePartitions(spark, "datasets", spec.instanceIds, df =>
+          withLock(df)
+            .withColumn("status",
+              when(col("__lk") && col("status") === "ACTIVE",
+                "TODELETE").otherwise(col("status")))
+            .drop("__lk"))
       }
       if (step("DELETIONINPROGRESS") { "" }) return "DELETIONINPROGRESS"
 
@@ -248,9 +251,10 @@ object DeletionJob {
       // container becomes a deletion task (unmanaged objects are the
       // user's — the reference only deletes managed ones).
       if (!done.contains("DELETIONEFFECTIVE")) {
-        cat.rewrite(withLock(cat.read(spark, "datasets"))
-          .filter(!(col("__lk") && col("status") === "TODELETE"))
-          .drop("__lk"), "datasets")
+        cat.updatePartitions(spark, "datasets", spec.instanceIds, df =>
+          withLock(df)
+            .filter(!(col("__lk") && col("status") === "TODELETE"))
+            .drop("__lk"))
         val live = cat.read(spark, "datasets")
           .select(col("container_uri")).distinct()
         val containers = cat.read(spark, "containers")

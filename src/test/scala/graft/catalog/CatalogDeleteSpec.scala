@@ -161,6 +161,14 @@ class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(Catalog.filesPerBucket(Seq("a").toDF("container_uri"))
       == Catalog.TilesBuckets)
     finally spark.conf.unset(Catalog.FilesPerBucketConf)
+    // a stats-less RDD-backed frame (the consolidation worker's output
+    // shape) falls back to planned parallelism: 256 partitions ⇒ 4 salts
+    val wide = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("x")), 256),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("container_uri",
+          org.apache.spark.sql.types.StringType))))
+    assert(Catalog.filesPerBucket(wide) == 4)
   }
 
   test("deleteWhere refuses tables without a derived bucket partition") {
