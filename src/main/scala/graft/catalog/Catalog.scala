@@ -44,7 +44,12 @@ final case class Catalog(root: String) {
     healSwap(f, table)
     if (f.exists(new Path(path(table)))) {
       migrateLegacyLayout(spark, table)
+      // normalize to the logical column order: Spark appends partition
+      // columns after the data columns, so a partitioned table would
+      // otherwise change its positional layout (readers select by name,
+      // but Row-positional consumers and encoders must see one order)
       spark.read.schema(readSchema(table)).parquet(path(table))
+        .select(readSchema(table).fieldNames.toIndexedSeq.map(col): _*)
     } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema(table))
   }
@@ -79,6 +84,12 @@ final case class Catalog(root: String) {
   private def partitionColumn(table: String): Option[String] = table match {
     case "datasets" => Some("instance_id")
     case "jobs" => Some("type")
+    // tasks by job: every FSM read is job-scoped (lock snapshots, task
+    // outcomes, resume journals) and prunes to one partition; every FSM
+    // task rewrite goes through [[updatePartitions]] and swaps only its
+    // job's directory — a big consolidation holds 10⁵ task rows per job
+    // and must not pay (or race) other jobs' I/O
+    case "tasks" => Some("job_id")
     case "tiles" => Some(Catalog.TilesBucketCol)
     case _ => None
   }

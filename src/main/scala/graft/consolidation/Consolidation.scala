@@ -338,8 +338,9 @@ object Consolidation {
   }
 
   def dropJobTasks(spark: SparkSession, cat: Catalog, jobId: String): Unit =
-    cat.rewrite(cat.read(spark, "tasks")
-      .filter(col("job_id") =!= jobId), "tasks")
+    // drop the whole job_id partition (filter-none ⇒ dir removal); other
+    // jobs' task directories are never read or rewritten
+    cat.updatePartitions(spark, "tasks", Seq(jobId), _.filter(lit(false)))
 
   /** Unsigned byte-wise UTF-8 comparison — Spark's UTF8String order, which
     * differs from JVM `String.compareTo` (UTF-16 code units) whenever a

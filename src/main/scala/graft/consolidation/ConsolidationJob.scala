@@ -185,10 +185,9 @@ object ConsolidationJob {
       if (force) Seq("FAILED", "NEW", "PENDING") else Seq("FAILED")
     val isReset = col("job_id") === spec.jobId && col("state").isin(resetFrom: _*)
     val nReset = cat.read(spark, "tasks").filter(isReset).count()
-    cat.rewrite(cat.read(spark, "tasks")
+    cat.updatePartitions(spark, "tasks", Seq(spec.jobId), df => df
       .withColumn("payload", when(isReset, "").otherwise(col("payload")))
-      .withColumn("state", when(isReset, "NEW").otherwise(col("state"))),
-      "tasks")
+      .withColumn("state", when(isReset, "NEW").otherwise(col("state"))))
     logState(spark, cat, spec,
       if (force) "CONSOLIDATIONFORCERETRYING" else "CONSOLIDATIONRETRYING",
       s"""{"reset_tasks":$nReset}""")
@@ -437,10 +436,10 @@ object ConsolidationJob {
         }
         // LOCK rows survive the outcome rewrite — they are the durable
         // lock snapshot, not task state
-        cat.rewrite(cat.read(spark, "tasks")
-          .filter(col("job_id") =!= spec.jobId || col("state") === "LOCK")
+        cat.updatePartitions(spark, "tasks", Seq(spec.jobId), df => df
+          .filter(col("state") === "LOCK")
           .unionByName(spark.createDataFrame(
-            spark.sparkContext.parallelize(outcome), Schemas.tasks)), "tasks")
+            spark.sparkContext.parallelize(outcome), Schemas.tasks)))
         if (failures.nonEmpty) {
           // job.go ConsolidationFailed: journal and WAIT for a user
           // retry/cancel — no rollback, the locked datasets stay locked
@@ -519,8 +518,8 @@ object ConsolidationJob {
       // again is guarded by the early DONE return / the relaxed require)
       if (!done.contains("DONE")) {
         Consolidation.deleteDatasets(spark, cat, Seq(spec.instanceId))
-        cat.rewrite(cat.read(spark, "tasks").filter(
-          !(col("job_id") === spec.jobId && col("state") === "LOCK")), "tasks")
+        cat.updatePartitions(spark, "tasks", Seq(spec.jobId),
+          _.filter(col("state") =!= "LOCK"))
       }
       step("DONE") { "" }
       "DONE"

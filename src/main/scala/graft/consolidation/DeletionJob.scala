@@ -148,14 +148,18 @@ object DeletionJob {
     // Surviving LOCK rows are the completion witness: the release is the
     // rollback's last write, so locks-gone ⇒ rollback done.
     def rollbackWork(): Unit = if (nLocked > 0) {
-      cat.rewrite(Consolidation.withMembership(
-          cat.read(spark, "datasets"), "id", lockedDf, "id", "__lk")
-        .withColumn("status",
-          when(col("__lk") && col("status") === "TODELETE",
-            "ACTIVE").otherwise(col("status")))
-        .drop("__lk"), "datasets")
-      cat.rewrite(cat.read(spark, "tasks").filter(
-        !(col("job_id") === jobId && col("state") === "LOCK")), "tasks")
+      // instance scope rehydrated from the journaled spec when present
+      // (a legacy job un-flips unscoped — all partitions, per-dir swaps)
+      val instScope = specFromJournal(spark, cat, jobId)
+        .map(_.instanceIds).getOrElse(Nil)
+      cat.updatePartitions(spark, "datasets", instScope, df =>
+        Consolidation.withMembership(df, "id", lockedDf, "id", "__lk")
+          .withColumn("status",
+            when(col("__lk") && col("status") === "TODELETE",
+              "ACTIVE").otherwise(col("status")))
+          .drop("__lk"))
+      cat.updatePartitions(spark, "tasks", Seq(jobId),
+        _.filter(col("state") =!= "LOCK"))
     }
     if (done.contains("ABORTED")) { rollbackWork(); return "ABORTED" }
     val present =
@@ -312,19 +316,19 @@ object DeletionJob {
       val nTasks = resDf.count()
       val nFailed = resDf.filter(col("__new_state") === "FAILED").count()
       if (nTasks > 0) {
-        val tasksDf = cat.read(spark, "tasks")
-        cat.rewrite(tasksDf
-          .join(resDf, tasksDf("id") === col("__tid"), "left")
-          .withColumn("state", coalesce(col("__new_state"), col("state")))
-          .drop("__tid", "__new_state"), "tasks")
+        cat.updatePartitions(spark, "tasks", Seq(spec.jobId), tasksDf =>
+          tasksDf
+            .join(resDf, tasksDf("id") === col("__tid"), "left")
+            .withColumn("state", coalesce(col("__new_state"), col("state")))
+            .drop("__tid", "__new_state"))
       }
       resDf.unpersist()
       val terminal = if (nFailed == 0) "DONE" else "DONEBUTUNTIDY"
       // ReleaseDatasets: drop the LOCK rows once fully done (a
       // DONEBUTUNTIDY job keeps them — its retry resumes on the snapshot)
       if (terminal == "DONE")
-        cat.rewrite(cat.read(spark, "tasks").filter(
-          !(col("job_id") === spec.jobId && col("state") === "LOCK")), "tasks")
+        cat.updatePartitions(spark, "tasks", Seq(spec.jobId),
+          _.filter(col("state") =!= "LOCK"))
       if (!done.contains(terminal))
         logState(spark, cat, spec, terminal,
           s"""{"tasks":$nTasks,"failed":$nFailed}""")
