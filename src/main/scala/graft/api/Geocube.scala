@@ -549,12 +549,18 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
           .join(victimIds.withColumnRenamed("id", "job_id"),
             Seq("job_id"), "left_anti"), "tasks")
       }
-      if (anyVictims || anyRetire)
+      if (anyVictims)
         cat.rewrite(jobs
           .join(victimIds, Seq("id"), "left_anti")
           .join(doneIds.withColumnRenamed("id", "__done"),
             col("id") === col("__done") && col("type") === "TASKEVENT",
             "left_anti"), "jobs")
+      else if (anyRetire)
+        // retire-only pass: the doomed rows live solely in the
+        // type=TASKEVENT partition — swap that one directory instead of
+        // rewriting every journal partition
+        cat.updatePartitions(spark, "jobs", Seq("TASKEVENT"),
+          _.join(doneIds, Seq("id"), "left_anti"))
       total - cat.read(spark, "jobs").count()
     } finally {
       graft.operators.OperatorCaches.releaseLocalCheckpoint(victimIds)

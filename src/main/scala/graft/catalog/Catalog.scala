@@ -268,18 +268,32 @@ final case class Catalog(root: String) {
         if (!f.exists(dest)) return
         f.listStatus(dest).toIndexedSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
-          .map(_.getPath.getName.stripPrefix(s"$pc="))
+          .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.getPath.getName.stripPrefix(s"$pc=")))
       }
     rewritePartitionDirs(spark, table, values, transform)
   }
 
   /** Shared core of [[deleteWhere]] / [[updatePartitions]]: stage the
     * transformed rows of the targeted partition directories
-    * (`<table>.bswap`), then atomically swap each directory (pre-image
-    * staged at `<table>.bold` — [[healSwap]] closes every crash window).
-    * A partition whose rows all disappear is removed; a transform that
-    * emits rows OUTSIDE the targeted partitions is rejected before any
-    * swap (those rows would otherwise be silently dropped). */
+    * (`<table>.bswap`), COMMIT by renaming a `_COMMIT` marker into the
+    * staging root (its lines record each targeted directory and whether
+    * it swaps or is a pure delete), then swap each directory in place.
+    * A partition whose rows all disappear is removed; one the transform
+    * INSERTS rows into (a named-but-absent partition — the task-outcome
+    * upsert shape) is created by its swap; a transform that emits rows
+    * OUTSIDE the targeted partitions is rejected before the commit
+    * (those rows would otherwise be silently dropped).
+    *
+    * Crash/concurrency protocol: before the marker exists, the staging
+    * root is invisible to [[healSwap]] — a concurrent reader can never
+    * disturb (or be disturbed by) an in-flight staging job, whose window
+    * is minutes-long at scale. From the marker on, the swap only ROLLS
+    * FORWARD: writer and any concurrent healer drive the same idempotent
+    * per-directory promotion ([[applyMarked]]), so a crash at any rename
+    * completes on the next read/write instead of restoring pre-images
+    * (pre-images parked under `<table>.bold` are debris, kept only until
+    * cleanup). */
   private def rewritePartitionDirs(spark: SparkSession, table: String,
       values: Seq[String], transform: DataFrame => DataFrame): Unit = {
     val pc = partitionColumn(table).get
@@ -287,51 +301,94 @@ final case class Catalog(root: String) {
     healSwap(f, table)
     migrateLegacyLayout(spark, table)
     val dest = new Path(path(table))
-    if (!f.exists(dest)) return
-    val dirs = values.map(v => new Path(dest, s"$pc=$v")).filter(f.exists)
-    if (dirs.isEmpty) return
+    if (!f.exists(dest) || values.isEmpty) return
+    // directory names use Spark's partition-value escaping (a job id
+    // with ':' writes as job_id=a%3Ab) — building paths from the RAW
+    // value would silently miss the partition and no-op the update
+    val names = values.map(v => s"$pc=" + org.apache.spark.sql.catalyst
+      .catalog.ExternalCatalogUtils.escapePathName(v)).distinct
+    val existing = names.map(n => new Path(dest, n)).filter(f.exists)
     val swapRoot = new Path(path(table) + ".bswap")
     val oldRoot = new Path(path(table) + ".bold")
     if (f.exists(swapRoot)) f.delete(swapRoot, true)
     if (f.exists(oldRoot)) f.delete(oldRoot, true)
     // stage the transformed partitions; the write runs while the live
-    // files still exist (renames come after), so lazy lineage is safe
-    val cur = spark.read.option("basePath", dest.toString)
-      .schema(readSchema(table))
-      .parquet(dirs.map(_.toString): _*)
+    // files still exist (renames come after), so lazy lineage is safe.
+    // An all-absent target set still stages: the transform may insert.
+    val cur =
+      if (existing.nonEmpty)
+        spark.read.option("basePath", dest.toString)
+          .schema(readSchema(table))
+          .parquet(existing.map(_.toString): _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema(table))
     val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
     val out = withDerived(transform(cur).select(logical: _*), table)
     out.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(swapRoot.toString)
-    val targeted = dirs.map(_.getName).toSet
-    val staged = f.listStatus(swapRoot).toIndexedSeq
+    val stagedNames = f.listStatus(swapRoot).toIndexedSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
-    val escaped = staged.map(_.getPath.getName).filterNot(targeted)
-    if (escaped.nonEmpty) {
+      .map(_.getPath.getName).toSet
+    val escapedOut = stagedNames.toSeq.filterNot(names.toSet)
+    if (escapedOut.nonEmpty) {
       f.delete(swapRoot, true)
       throw new IllegalArgumentException(
         s"partition rewrite of '$table' moved rows outside the targeted " +
-          s"partitions: ${escaped.mkString(", ")}")
+          s"partitions: ${escapedOut.mkString(", ")}")
     }
-    // per-partition atomic swap; [[healSwap]] closes each crash window
+    // ops per targeted dir: swap in staged content, or pure delete. A
+    // name neither staged nor on disk is a no-op and is not recorded.
+    val ops = names.flatMap { n =>
+      if (stagedNames(n)) Some(s"S $n")
+      else if (f.exists(new Path(dest, n))) Some(s"D $n")
+      else None
+    }
+    if (ops.isEmpty) { f.delete(swapRoot, true); return }
+    // COMMIT: marker written whole then renamed into place (atomic) —
+    // from here the swap is committed and only rolls forward
+    val markerTmp = new Path(swapRoot, "_COMMIT.tmp")
+    val os = f.create(markerTmp, true)
+    try os.write((ops.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+    if (!f.rename(markerTmp, new Path(swapRoot, Catalog.CommitMarker)))
+      throw new java.io.IOException(s"partition swap: cannot commit $swapRoot")
     f.mkdirs(oldRoot)
-    dirs.foreach { live =>
-      val stagedDir = new Path(swapRoot, live.getName)
-      val pre = new Path(oldRoot, live.getName)
-      if (f.exists(stagedDir)) {
-        if (f.exists(live) && !f.rename(live, pre))
-          throw new java.io.IOException(s"partition swap: cannot stage $live")
-        if (!f.rename(stagedDir, live)) {
-          f.rename(pre, live) // rollback this partition
-          throw new java.io.IOException(s"partition swap: cannot promote $stagedDir")
-        }
-      } else {
-        // every row of this partition was dropped — remove the dir; a
-        // partial delete here is just rows still pending deletion
-        f.delete(live, true): Unit
-      }
-    }
-    f.delete(oldRoot, true): Unit
+    ops.foreach(op => applyMarked(f, dest, swapRoot, oldRoot, op))
     f.delete(swapRoot, true): Unit
+    f.delete(oldRoot, true): Unit
+  }
+
+  /** One committed per-directory swap op, idempotent and shared by the
+    * writer and [[healSwap]]'s roll-forward: `"S <dir>"` promotes the
+    * staged directory (parking any live pre-image under `oldRoot`),
+    * `"D <dir>"` deletes the live directory. Concurrent executions race
+    * only on atomic renames; every loser re-checks for the completed
+    * state and an unrecognizable state throws loudly — never a silent
+    * loss. */
+  private def applyMarked(f: FileSystem, dest: Path, swapRoot: Path,
+      oldRoot: Path, op: String): Unit = {
+    val (kind, name) = (op.take(1), op.drop(2))
+    val staged = new Path(swapRoot, name)
+    val live = new Path(dest, name)
+    val pre = new Path(oldRoot, name)
+    kind match {
+      case "S" =>
+        if (!f.exists(staged)) {
+          // already promoted by the writer or a concurrent healer — or a
+          // racer parked the new live away a heartbeat ago: restore it
+          if (f.exists(live)) return
+          if (f.exists(pre) && f.rename(pre, live)) return
+          if (f.exists(live)) return
+          throw new java.io.IOException(s"partition swap: lost $name")
+        }
+        if (f.exists(live)) { f.rename(live, pre): Unit } // park pre-image
+        if (!f.rename(staged, live)) {
+          // lost the promotion race iff someone else completed it
+          if (!(f.exists(live) && !f.exists(staged)))
+            throw new java.io.IOException(s"partition swap: cannot promote $staged")
+        }
+      case _ =>
+        if (f.exists(live)) f.delete(live, true): Unit
+    }
   }
 
   /** Repair a [[rewrite]] swap cut short by a crash. The swap's commit
@@ -344,11 +401,15 @@ final case class Catalog(root: String) {
     * whole window — a silently wrong catalog (GC would collect
     * everything, FSM resumes would re-derive nonsense).
     *
-    * The same rule heals a torn [[deleteWhere]] per BUCKET: a bucket dir
-    * staged under `<table>.bold` whose live counterpart is missing was
-    * caught between its two renames — restore the pre-image (the delete
-    * is idempotent; the retry re-drops those rows). Any other `.bold` /
-    * `.bswap` leftovers are committed-or-recomputable garbage. */
+    * Partition-scoped swaps ([[rewritePartitionDirs]]) heal by their
+    * commit marker: a staging root WITHOUT `_COMMIT` is an in-flight or
+    * crashed staging job and is left strictly alone — a reader touching
+    * it could destroy a live writer's minutes-long staging pass (the
+    * next write on the table reclaims it); one WITH the marker is a
+    * committed swap cut short mid-loop, and the heal ROLLS IT FORWARD by
+    * replaying the marker's idempotent ops. Pre-image debris under
+    * `.bold` outlives its marker only between the two cleanup deletes —
+    * reclaimed here. */
   private def healSwap(f: FileSystem, table: String): Unit = {
     val dest = new Path(path(table))
     val old = new Path(path(table) + ".old")
@@ -356,18 +417,26 @@ final case class Catalog(root: String) {
       if (f.exists(old) && !f.rename(old, dest))
         throw new java.io.IOException(s"swap heal: cannot restore $dest")
     } else if (f.exists(old)) f.delete(old, true)
+    val swapRoot = new Path(path(table) + ".bswap")
     val oldRoot = new Path(path(table) + ".bold")
-    if (f.exists(oldRoot)) {
-      f.listStatus(oldRoot).foreach { s =>
-        val live = new Path(dest, s.getPath.getName)
-        if (s.isDirectory && s.getPath.getName.contains("=") && !f.exists(live))
-          if (!f.rename(s.getPath, live))
-            throw new java.io.IOException(s"swap heal: cannot restore $live")
-      }
+    val marker = new Path(swapRoot, Catalog.CommitMarker)
+    if (f.exists(marker)) {
+      val in = f.open(marker)
+      val ops =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toVector
+        finally in.close()
+      f.mkdirs(oldRoot)
+      ops.foreach(op => applyMarked(f, dest, swapRoot, oldRoot, op))
+      f.delete(swapRoot, true): Unit
+      f.delete(oldRoot, true): Unit
+    } else if (f.exists(oldRoot) && !f.exists(swapRoot)) {
+      // marker (and staging) gone ⇒ the swap completed; parked
+      // pre-images are debris from an interrupted cleanup
       f.delete(oldRoot, true): Unit
     }
-    val swapRoot = new Path(path(table) + ".bswap")
-    if (f.exists(swapRoot)) f.delete(swapRoot, true): Unit
+    // a swapRoot without a marker is left alone on purpose (in-flight or
+    // crashed staging; reclaimed by the next write on this table)
   }
 }
 
@@ -393,6 +462,11 @@ object Catalog {
   /** Conf key overriding the per-append salt count (mainly for tests and
     * for operators that know their batch size better than plan stats). */
   val FilesPerBucketConf = "graft.tiles.filesPerBucket"
+
+  /** The partition-swap commit marker: a staging root holding this file
+    * is a COMMITTED swap (heal rolls it forward); without it the staging
+    * is in-flight/abandoned and heal leaves it strictly alone. */
+  private[catalog] val CommitMarker = "_COMMIT"
 
   /** Intra-bucket write salts for one batch: ⌈batchBytes / (1 GiB × 64
     * buckets)⌉, clamped to [1, 64] — a ≥4 TiB append gets the full

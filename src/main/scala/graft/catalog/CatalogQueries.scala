@@ -43,7 +43,9 @@ final case class DatasetFilters(
 object CatalogQueries {
 
   /** FindDatasets — pg_containers.go:244-348. Returns dataset rows
-    * (+record datetime when joined) ordered by (datetime, record id). */
+    * (+record datetime when joined); ordered by (datetime, record id, id)
+    * when `order` is set — `joinRecords`-without-`order` callers (the
+    * cube kernel path) get the records columns with no sort. */
   def findDatasets(spark: SparkSession, cat: Catalog, f: DatasetFilters): DataFrame = {
     var d = cat.read(spark, "datasets")
 

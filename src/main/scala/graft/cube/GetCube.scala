@@ -254,14 +254,23 @@ object GetCube {
       found.join(broadcast(groups), col("record_id") === col("__grid")).drop("__grid")
     } else found.withColumn("group_key", col("record_id"))
 
-    val tiles = selectTileLevel(spark, cat, out, withGroup)
+    // the broadcast hints below are applied only to BOUNDED requests
+    // (record/group/tag/time-filtered): an instance-wide unfiltered cube
+    // can match catalog-scale dataset counts, where a forced broadcast
+    // would OOM the driver or hit Spark's broadcast hard limit — there
+    // the planner's size-based choice decides (r11 review finding)
+    val bounded = req.recordIds.nonEmpty || req.recordGroups.nonEmpty ||
+      req.tags.nonEmpty || req.fromTime.isDefined || req.toTime.isDefined
+    def hinted(df: DataFrame): DataFrame = if (bounded) broadcast(df) else df
+
+    val tiles = selectTileLevel(spark, cat, out, withGroup, bounded)
 
     // broadcast the request-bounded DATASET side, never the tile side:
     // size-based selection at toy scale picked the tiles projection as
     // the build — pushing every payload byte through the driver — where
     // the metadata side is k rows per request at any store size
     tiles
-      .join(broadcast(withGroup),
+      .join(hinted(withGroup),
         col("container_uri") === col("t_uri") &&
           coalesce(col("subdir"), lit("")) === col("t_base_subdir"))
       .select(
@@ -347,7 +356,8 @@ object GetCube {
     // reads the tiles store only, scoped to the metadata's container set;
     // the broadcast goes on the client-metadata side (k rows), never the
     // tile-payload side
-    val tiles = selectTileLevel(spark, cat, out, meta.toDF())
+    // client-held metadata is bounded by what the client materialized
+    val tiles = selectTileLevel(spark, cat, out, meta.toDF(), bounded = true)
     val ds = tiles
       .join(broadcast(meta.toDF()),
         col("container_uri") === col("t_uri") &&
@@ -470,7 +480,7 @@ object GetCube {
     * At 100-TB the threshold is exceeded by five orders of magnitude and
     * the plan is the r10 DPP shape with one fewer discovery subtree. */
   private def selectTileLevel(spark: SparkSession, cat: Catalog, out: OutDescriptor,
-      containers: DataFrame): DataFrame = {
+      containers: DataFrame, bounded: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val targetResDeg = {
       val rx = math.abs(out.pixToCrs.rx)
@@ -492,7 +502,8 @@ object GetCube {
         col("container_uri") === col("__pu") &&
           col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("__pu"))
       else col("container_uri") === col("__pu")
-    val all = store.join(broadcast(uris), semiCond, "left_semi")
+    val all = store.join(if (bounded) broadcast(uris) else uris,
+      semiCond, "left_semi")
     val meta = all.select(
         col("container_uri"), coalesce(col("subdir"), lit("")).as("subdir"),
         col("crs"), col("transform"))
@@ -533,7 +544,9 @@ object GetCube {
         base && col(Catalog.TilesBucketCol) === Catalog.tilesBucketOf(col("c_uri"))
       else base
     }
-    store.join(broadcast(chosen), payCond)
+    // the chosen-level relation is containers×levels-sized — bounded
+    // requests hint it broadcast; unbounded ones let the planner decide
+    store.join(if (bounded) broadcast(chosen) else chosen, payCond)
       .select(
         col("container_uri").as("t_uri"), coalesce(col("subdir"), lit("")).as("t_subdir"),
         col("width").as("t_width"), col("height").as("t_height"),

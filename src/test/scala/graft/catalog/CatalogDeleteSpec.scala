@@ -28,12 +28,8 @@ class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   val root: String =
     java.nio.file.Files.createTempDirectory("graft-del").toString
 
-  override def afterAll(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
-    }
-    rm(new java.io.File(root))
-  }
+  override def afterAll(): Unit =
+    CatalogTestIO.rm(new java.io.File(root))
 
   private def tileRow(uri: String): Row =
     Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326",
@@ -50,18 +46,6 @@ class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     (crc.getValue % Catalog.TilesBuckets).toInt
   }
 
-  /** (relative path → (size, contentHash)) for every file under a dir. */
-  private def fileState(dir: java.io.File): Map[String, (Long, Int)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-    if (!dir.exists) Map.empty
-    else walk(dir).map { f =>
-      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      (f.getPath.stripPrefix(dir.getPath),
-        (f.length(), java.util.Arrays.hashCode(bytes)))
-    }.toMap
-  }
-
   test("deleteWhere rewrites only the affected buckets; others stay byte-identical") {
     val r = s"$root/scoped"
     val cat = Catalog(r)
@@ -72,13 +56,13 @@ class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val untouched = (0 until Catalog.TilesBuckets).filterNot(doomedBuckets)
     // snapshot every untouched bucket dir before the delete
     val before = untouched.map { b =>
-      b -> fileState(new java.io.File(s"$r/tiles/${Catalog.TilesBucketCol}=$b"))
+      b -> CatalogTestIO.fileState(new java.io.File(s"$r/tiles/${Catalog.TilesBucketCol}=$b"))
     }.toMap
     assert(before.values.exists(_.nonEmpty), "test needs populated untouched buckets")
     import spark.implicits._
     cat.deleteWhere(spark, "tiles", doomed.toDF("container_uri"))
     untouched.foreach { b =>
-      val after = fileState(new java.io.File(s"$r/tiles/${Catalog.TilesBucketCol}=$b"))
+      val after = CatalogTestIO.fileState(new java.io.File(s"$r/tiles/${Catalog.TilesBucketCol}=$b"))
       assert(after == before(b), s"bucket $b was touched by an unrelated delete")
     }
     val left = cat.read(spark, "tiles").select("container_uri")
@@ -108,27 +92,50 @@ class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "tiles").count() == others.size)
   }
 
-  test("torn per-bucket swap heals to the pre-image; retry completes the delete") {
+  test("torn COMMITTED swap rolls forward on read; uncommitted staging is untouched") {
     val r = s"$root/torn"
     val cat = Catalog(r)
     val uris = (0 until 50).map(i => s"file:///t/$i")
     cat.append(tilesDf(uris), "tiles")
-    // simulate deleteWhere crashing between dest→bold and bswap→dest for
-    // one bucket: the live dir is missing, its pre-image staged in .bold
+    // simulate a deleteWhere crash mid-swap AFTER the commit point for
+    // uris.head's bucket: the live dir is parked under .bold, the staged
+    // post-delete replacement sits in .bswap beside the _COMMIT marker
     val b = bucketOf(uris.head)
-    val live = new java.io.File(s"$r/tiles/${Catalog.TilesBucketCol}=$b")
+    val bucketDir = s"${Catalog.TilesBucketCol}=$b"
+    val live = new java.io.File(s"$r/tiles/$bucketDir")
     assert(live.exists)
-    val bold = new java.io.File(s"$r/tiles.bold/${Catalog.TilesBucketCol}=$b")
+    val bold = new java.io.File(s"$r/tiles.bold/$bucketDir")
     bold.getParentFile.mkdirs()
+    val survivors = uris.filter(u => bucketOf(u) == b && u != uris.head)
+    // staged content = the bucket minus the deleted uri (logical columns
+    // only, like the real staging write under partitionBy)
+    tilesDf(survivors)
+      .write.parquet(s"$r/tiles.bswap/$bucketDir")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$r/tiles.bswap/_COMMIT"),
+      s"S $bucketDir\n".getBytes("UTF-8"))
     assert(live.renameTo(bold))
-    // any read heals: the un-promoted bucket restores, nothing is lost
+    // any read heals by COMPLETING the committed delete — never by
+    // restoring the pre-image
     val seen = cat.read(spark, "tiles").select("container_uri")
       .collect().map(_.getString(0)).toSet
-    assert(seen == uris.toSet)
+    assert(seen == uris.toSet - uris.head)
     assert(!new java.io.File(s"$r/tiles.bold").exists)
-    // a leftover .bold whose live bucket EXISTS is committed garbage
-    bold.getParentFile.mkdirs(); bold.mkdirs()
-    assert(cat.read(spark, "tiles").count() == 50)
+    assert(!new java.io.File(s"$r/tiles.bswap").exists)
+    // an UNCOMMITTED staging root (no marker — an in-flight or crashed
+    // staging job) is left strictly alone by reads: a reader must never
+    // destroy a live writer's staging pass
+    val inflight = new java.io.File(s"$r/tiles.bswap/$bucketDir")
+    inflight.mkdirs()
+    assert(cat.read(spark, "tiles").count() == 49)
+    assert(inflight.exists)
+    // ...and the next WRITE reclaims it
+    cat.deleteWhere(spark, "tiles",
+      { import spark.implicits._; Seq(uris(1)).toDF("container_uri") })
+    assert(!new java.io.File(s"$r/tiles.bswap").exists)
+    // orphan .bold with no staging left: debris of a completed cleanup
+    new java.io.File(s"$r/tiles.bold/$bucketDir").mkdirs()
+    cat.read(spark, "tiles").count()
     assert(!new java.io.File(s"$r/tiles.bold").exists)
   }
 

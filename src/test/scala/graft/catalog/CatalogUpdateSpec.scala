@@ -21,27 +21,12 @@ class CatalogUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
   val root: String =
     java.nio.file.Files.createTempDirectory("graft-upd").toString
 
-  override def afterAll(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
-    }
-    rm(new java.io.File(root))
-  }
+  override def afterAll(): Unit =
+    CatalogTestIO.rm(new java.io.File(root))
 
   private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
   private def jrow(id: String, name: String, tpe: String, state: String): Row =
     Row(id, name, tpe, state, 0, 0, "", t0, t0)
-
-  private def fileState(dir: java.io.File): Map[String, (Long, Int)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-    if (!dir.exists) Map.empty
-    else walk(dir).map { f =>
-      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      (f.getPath.stripPrefix(dir.getPath),
-        (f.length(), java.util.Arrays.hashCode(bytes)))
-    }.toMap
-  }
 
   test("updatePartitions touches only the named partitions; others stay byte-identical") {
     val r = s"$root/scoped"
@@ -53,13 +38,13 @@ class CatalogUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
       jrow("c1", "c", "TASKEVENT", "COUNTERS"))),
       Schemas.all("jobs")), "jobs")
     val untouched = Seq("type=DELETION", "type=TASKEVENT")
-      .map(d => d -> fileState(new java.io.File(s"$r/jobs/$d"))).toMap
+      .map(d => d -> CatalogTestIO.fileState(new java.io.File(s"$r/jobs/$d"))).toMap
     assert(untouched.values.forall(_.nonEmpty))
     cat.updatePartitions(spark, "jobs", Seq("CONSOLIDATION"),
       _.withColumn("state",
         when(col("state") === "FAILED", "RETRIED").otherwise(col("state"))))
     untouched.foreach { case (d, before) =>
-      assert(fileState(new java.io.File(s"$r/jobs/$d")) == before,
+      assert(CatalogTestIO.fileState(new java.io.File(s"$r/jobs/$d")) == before,
         s"partition $d was touched by an unrelated update")
     }
     val states = cat.read(spark, "jobs").select("id", "state").collect()
@@ -93,14 +78,35 @@ class CatalogUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
       jrow("a1", "a", "CONSOLIDATION", "NEW"),
       jrow("b1", "b", "DELETION", "NEW"))),
       Schemas.all("jobs")), "jobs")
-    val before = fileState(new java.io.File(s"$r/jobs"))
+    val before = CatalogTestIO.fileState(new java.io.File(s"$r/jobs"))
     intercept[IllegalArgumentException] {
       cat.updatePartitions(spark, "jobs", Seq("CONSOLIDATION"),
         _.withColumn("type", lit("DELETION")))
     }
     // nothing swapped, nothing staged left behind
-    assert(fileState(new java.io.File(s"$r/jobs")) == before)
+    assert(CatalogTestIO.fileState(new java.io.File(s"$r/jobs")) == before)
     assert(!new java.io.File(s"$r/jobs.bswap").exists)
+  }
+
+  test("partition values with special characters match their escaped directories") {
+    val r = s"$root/escapechars"
+    val cat = Catalog(r)
+    // Spark writes this partition as job_id=job%3A1%20x — the update must
+    // find it from the raw value, not silently no-op on a missing path
+    val odd = "job:1 x"
+    cat.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("t1", odd, "NEW", ""), Row("t2", "plain", "NEW", ""))),
+      Schemas.all("tasks")), "tasks")
+    cat.updatePartitions(spark, "tasks", Seq(odd),
+      _.withColumn("state", lit("DONE")))
+    val states = cat.read(spark, "tasks").select("job_id", "state").collect()
+      .map(row => (row.getString(0), row.getString(1))).toSet
+    assert(states == Set((odd, "DONE"), ("plain", "NEW")))
+    // unscoped listing round-trips the escaping too
+    cat.updatePartitions(spark, "tasks", Nil,
+      _.withColumn("state", lit("GONE")))
+    assert(cat.read(spark, "tasks").select("state").collect()
+      .map(_.getString(0)).toSet == Set("GONE"))
   }
 
   test("updatePartitions refuses unpartitioned and derived-partitioned tables") {
