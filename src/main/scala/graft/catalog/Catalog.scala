@@ -301,7 +301,10 @@ final case class Catalog(root: String) {
     healSwap(f, table)
     migrateLegacyLayout(spark, table)
     val dest = new Path(path(table))
-    if (!f.exists(dest) || values.isEmpty) return
+    if (values.isEmpty) return
+    // a missing table dir is NOT a no-op: the transform may INSERT rows
+    // (the task-outcome upsert on a job with no prior task rows)
+    if (!f.exists(dest)) f.mkdirs(dest)
     // directory names use Spark's partition-value escaping (a job id
     // with ':' writes as job_id=a%3Ab) — building paths from the RAW
     // value would silently miss the partition and no-op the update
