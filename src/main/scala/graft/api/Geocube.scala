@@ -512,15 +512,18 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     // for state=NEW (or a once-FAILED state a retry fixed) would sweep
     // mid-flight jobs — destroying their journal, LOCK snapshot and
     // resume/rollback state
-    var victims = currentJobs
+    // one windowed pass over the journal yields BOTH scopes below; the
+    // sets ride as RELATIONS (anti-joins), never isin literal lists — a
+    // bulk clean by state over a long job history is unbounded.
+    // Checkpoint pins them: the jobs rewrite below mutates the table the
+    // lazy plan reads.
+    var current = currentJobs.select(col("id"), col("name"), col("state"))
     Patterns.predicate(col("name"), if (nameLike.isEmpty) Nil else Seq(nameLike))
-      .foreach(p => victims = victims.filter(p))
-    state.foreach(s => victims = victims.filter(col("state") === s))
-    // the victim set rides as a RELATION (anti-joins), never an isin
-    // literal list — a bulk clean by state over a long job history is
-    // unbounded. Checkpoint pins the set: the jobs rewrite below mutates
-    // the table the lazy victims plan reads.
-    val victimIds = victims.select("id").distinct().localCheckpoint(true)
+      .foreach(p => current = current.filter(p))
+    val currentCkpt = current.localCheckpoint(true)
+    val victimIds = state.foldLeft(currentCkpt)(
+        (df, s) => df.filter(col("state") === s))
+      .select("id").distinct()
     // TASKEVENT retirement (VERDICT r10 #6): the streaming journal keeps
     // one counter row per task FOREVER — for a DONE job the counters
     // have served their purpose (progress of an in-flight job), so every
@@ -529,10 +532,8 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     // bounded by live-job task counts even when the job journals
     // themselves are retained as history. Same pattern scope as the
     // victims so a targeted clean never touches unrelated jobs.
-    var done = currentJobs.filter(col("state") === "DONE")
-    Patterns.predicate(col("name"), if (nameLike.isEmpty) Nil else Seq(nameLike))
-      .foreach(p => done = done.filter(p))
-    val doneIds = done.select("id").distinct().localCheckpoint(true)
+    val doneIds = currentCkpt.filter(col("state") === "DONE")
+      .select("id").distinct()
     try {
       val anyVictims = victimIds.limit(1).count() > 0
       val anyRetire = jobs.filter(col("type") === "TASKEVENT")
@@ -563,8 +564,7 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
           _.join(doneIds, Seq("id"), "left_anti"))
       total - cat.read(spark, "jobs").count()
     } finally {
-      graft.operators.OperatorCaches.releaseLocalCheckpoint(victimIds)
-      graft.operators.OperatorCaches.releaseLocalCheckpoint(doneIds)
+      graft.operators.OperatorCaches.releaseLocalCheckpoint(currentCkpt)
     }
   }
 

@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Parquet-backed catalog root: one directory per table under `root`.
@@ -42,23 +43,24 @@ final case class Catalog(root: String) {
   def read(spark: SparkSession, table: String): DataFrame = {
     val f = fs(spark)
     healSwap(f, table)
+    val schema = readSchema(table)
     if (f.exists(new Path(path(table)))) {
       migrateLegacyLayout(spark, table)
       // normalize to the logical column order: Spark appends partition
       // columns after the data columns, so a partitioned table would
       // otherwise change its positional layout (readers select by name,
       // but Row-positional consumers and encoders must see one order)
-      spark.read.schema(readSchema(table)).parquet(path(table))
-        .select(readSchema(table).fieldNames.toIndexedSeq.map(col): _*)
+      spark.read.schema(schema).parquet(path(table))
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     } else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema(table))
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Read-side schema: the logical table schema plus any DERIVED partition
     * column ([[derivedPartition]]). The derived column is part of the read
     * frame on purpose — pruned joins reference it so Catalyst's dynamic
     * partition pruning can skip whole buckets (see [[graft.cube.GetCube]]
-    * `prunedTiles`). */
+    * `selectTileLevel`). */
   private def readSchema(table: String): org.apache.spark.sql.types.StructType = {
     val base = Schemas.all(table)
     derivedPartition(table).fold(base) { d =>
@@ -118,7 +120,7 @@ final case class Catalog(root: String) {
     * the atomic [[rewrite]] swap. No-op when the layout is already clean. */
   private def migrateLegacyLayout(spark: SparkSession, table: String): Unit =
     partitionColumn(table).foreach { _ =>
-      val key = s"${path(table)}"
+      val key = path(table)
       if (!Catalog.migrationChecked.contains(key)) {
         val f = fs(spark)
         val dir = new Path(path(table))
@@ -216,14 +218,12 @@ final case class Catalog(root: String) {
     * the affected ~|uris|/64 buckets' I/O, not a ~200 TB full rewrite.
     *
     * Steps: (1) checkpoint the delete set — its lineage may read the very
-    * files phase 3 replaces, and it is consumed twice; (2) stage the
-    * affected buckets' surviving rows (read-bucket → anti-join →
-    * partitioned write to `<table>.bswap`); (3) per bucket, atomically
-    * swap: current dir → `<table>.bold/` pre-image, staged dir → live. A
-    * bucket whose rows are all deleted is removed outright. Crash windows
-    * are healed by [[healSwap]] (a bucket missing from the table with a
-    * staged pre-image is restored); the operation is idempotent — the FSM
-    * retry that re-runs it deletes nothing new. */
+    * files the swap replaces, and it is consumed twice; (2) derive the
+    * affected bucket set (≤64 ints, a driver-safe collect); (3) hand the
+    * anti-join to [[rewritePartitionDirs]], whose commit-marker swap
+    * stages survivors and replaces only those bucket directories. A
+    * bucket whose rows are all deleted is removed outright; the operation
+    * is idempotent — the FSM retry that re-runs it deletes nothing new. */
   def deleteWhere(spark: SparkSession, table: String, uris: DataFrame,
       uriCol: String = "container_uri"): Unit = {
     val d = derivedPartition(table).getOrElse(throw new IllegalArgumentException(
@@ -252,8 +252,9 @@ final case class Catalog(root: String) {
     * `partValues` empty means ALL on-disk partitions (the unscoped form
     * — e.g. a pattern-only deletion job); `transform` must keep every
     * row in its partition (guarded: a staged directory outside the
-    * target set fails the update before any swap). Crash windows heal
-    * through the same `.bold` pre-image rule as [[deleteWhere]]. */
+    * target set fails the update before any swap) but may insert into an
+    * absent one. Crash windows close through [[rewritePartitionDirs]]'s
+    * commit-marker roll-forward. */
   def updatePartitions(spark: SparkSession, table: String,
       partValues: Seq[String], transform: DataFrame => DataFrame): Unit = {
     require(derivedPartition(table).isEmpty,
@@ -268,7 +269,7 @@ final case class Catalog(root: String) {
         if (!f.exists(dest)) return
         f.listStatus(dest).toIndexedSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
-          .map(s => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .map(s => ExternalCatalogUtils
             .unescapePathName(s.getPath.getName.stripPrefix(s"$pc=")))
       }
     rewritePartitionDirs(spark, table, values, transform)
@@ -308,8 +309,8 @@ final case class Catalog(root: String) {
     // directory names use Spark's partition-value escaping (a job id
     // with ':' writes as job_id=a%3Ab) — building paths from the RAW
     // value would silently miss the partition and no-op the update
-    val names = values.map(v => s"$pc=" + org.apache.spark.sql.catalyst
-      .catalog.ExternalCatalogUtils.escapePathName(v)).distinct
+    val names =
+      values.map(v => s"$pc=" + ExternalCatalogUtils.escapePathName(v)).distinct
     val existing = names.map(n => new Path(dest, n)).filter(f.exists)
     val swapRoot = new Path(path(table) + ".bswap")
     val oldRoot = new Path(path(table) + ".bold")

@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *    other bucket's files are byte-identical afterwards (not rewritten,
   *    not even re-listed into new file names);
   *  - a bucket whose rows are all deleted disappears;
-  *  - a torn per-bucket swap heals to the pre-image (idempotent retry);
+  *  - a torn COMMITTED swap rolls forward on the next read, while an
+  *    uncommitted staging root is never touched by readers;
   *  - an append salted to k files/bucket keeps the bounded-file-count
   *    property (≤ k per bucket per batch) while writing each bucket from
   *    MORE than one task.
