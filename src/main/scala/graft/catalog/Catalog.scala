@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * Writes that must be atomic (the consolidation status swap, C6) go
   * through [[Catalog.rewrite]]: write-new-then-rename, the filesystem
   * stand-in for a Delta MERGE transaction.
+  *
+  * Reader contract: NOT snapshot isolation. A query whose file listing
+  * predates a concurrent swap can fail transiently with Spark's
+  * stale-file error (`FAILED_READ_FILE`) when it opens the replaced
+  * files — retry the read (the same guidance Spark's error text gives).
+  * The swap protocol guarantees the stronger properties that matter:
+  * readers can never corrupt the store or destroy in-flight staging,
+  * committed swaps always complete, and no state is silently lost
+  * (CatalogPartitionOpsSpec pins this under a concurrent hammer).
   */
 final case class Catalog(root: String) {
   private def path(table: String) = s"$root/$table"
@@ -424,17 +433,26 @@ final case class Catalog(root: String) {
     val swapRoot = new Path(path(table) + ".bswap")
     val oldRoot = new Path(path(table) + ".bold")
     val marker = new Path(swapRoot, Catalog.CommitMarker)
-    if (f.exists(marker)) {
-      val in = f.open(marker)
-      val ops =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    // the marker can vanish between the exists probe and the open (the
+    // writer's cleanup deleting the staging root) — that IS the
+    // completed-swap state, not an error
+    val ops =
+      if (!f.exists(marker)) None
+      else try {
+        val in = f.open(marker)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
           .filter(_.nonEmpty).toVector
-        finally in.close()
-      f.mkdirs(oldRoot)
-      ops.foreach(op => applyMarked(f, dest, swapRoot, oldRoot, op))
-      f.delete(swapRoot, true): Unit
-      f.delete(oldRoot, true): Unit
-    } else if (f.exists(oldRoot) && !f.exists(swapRoot)) {
+        finally in.close())
+      } catch { case _: java.io.FileNotFoundException => None }
+    ops match {
+      case Some(lines) =>
+        f.mkdirs(oldRoot)
+        lines.foreach(op => applyMarked(f, dest, swapRoot, oldRoot, op))
+        f.delete(swapRoot, true): Unit
+        f.delete(oldRoot, true): Unit
+      case None =>
+    }
+    if (ops.isEmpty && f.exists(oldRoot) && !f.exists(swapRoot)) {
       // marker (and staging) gone ⇒ the swap completed; parked
       // pre-images are debris from an interrupted cleanup
       f.delete(oldRoot, true): Unit

@@ -93,6 +93,45 @@ class CatalogPartitionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.createDataFrame(
       spark.sparkContext.parallelize(uris.map(tileRow), 2), Schemas.all("tiles"))
 
+  test("concurrent readers during deletes: transient-retry contract, exact final state") {
+    import spark.implicits._
+    // the r11 review's race: a reader's heal running DURING a writer's
+    // staging/swap pass. Hammer reads from another thread across a
+    // series of deleteWhere calls. The catalog's contract is NOT
+    // snapshot isolation (that is Delta's job on a real lake): a reader
+    // whose file listing predates a swap may fail TRANSIENTLY with
+    // Spark's stale-file error and must simply retry. What the commit-
+    // marker protocol guarantees — and this test pins — is that such a
+    // reader can never corrupt the store, destroy in-flight staging, or
+    // hit any NON-transient error, and that the final state is exact.
+    val cat = Catalog(s"$root/concurrent")
+    val uris = (0 until 300).map(i => s"mem://cc$i")
+    cat.append(tilesDf(uris), "tiles")
+    @volatile var stop = false
+    @volatile var readerFailure: Option[Throwable] = None
+    def isTransient(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => String.valueOf(c.getMessage).contains("FAILED_READ_FILE"))
+    val reader = new Thread(() => {
+      while (!stop && readerFailure.isEmpty)
+        try { cat.read(spark, "tiles").count(): Unit }
+        catch {
+          // transient stale listing mid-swap — the documented retry case
+          case t: Throwable if isTransient(t) =>
+          case t: Throwable => readerFailure = Some(t)
+        }
+    })
+    reader.start()
+    try {
+      for (batch <- uris.take(120).grouped(30))
+        cat.deleteWhere(spark, "tiles", batch.toDF("container_uri"))
+    } finally { stop = true; reader.join(30000) }
+    readerFailure.foreach(t => fail(s"concurrent reader hit a non-transient failure: $t", t))
+    val left = cat.read(spark, "tiles").select("container_uri")
+      .collect().map(_.getString(0)).toSet
+    assert(left == uris.drop(120).toSet)
+  }
+
   test("random append/delete sequences match the in-memory model (tiles)") {
     import spark.implicits._
     for (seed <- 1 to 3) {
