@@ -155,12 +155,23 @@ object Consolidation {
     * container, and append the ×2 overview pyramid per record
     * (subdir "GTIFF_DIR:n@ovK") down to `overviewsMinSize` — the
     * pre-aggregation the read path's -ovr AUTO selection consumes.
-    * Returns the built rows (persisted; caller unpersists when done):
-    * real tile rows appended to the catalog, plus one [[FailedSubdir]]
-    * marker row per container whose build threw — error-as-value at the
-    * reference's task granularity, consumed by the job FSM. */
-  def consolidate(spark: SparkSession, cat: Catalog, tasks: DataFrame,
-      params: ConsolidationParams, overviewsMinSize: Int = 0): DataFrame = {
+    * Returns the per-container failure map (one [[FailedSubdir]] marker
+    * row per container whose build threw — error-as-value at the
+    * reference's task granularity, consumed by the job FSM).
+    *
+    * The kernel pass runs ONCE, materialized to a per-job scratch
+    * parquet dir under the catalog root; the three consumers (tiles
+    * append — the only payload reader — plus the uri-only containers
+    * append and the failure scan) read it back column-pruned. A scratch
+    * file beats `persist(MEMORY_AND_DISK)` at job scale: a multi-TB
+    * batch neither competes for executor storage nor recomputes the
+    * whole kernel when an executor dies mid-append — the property the
+    * reference gets from uploading each task's COG as it completes. The
+    * scratch dir is removed on every exit; a hard-crash leftover is
+    * overwritten by the retry and removed at its completion. */
+  def consolidate(spark: SparkSession, cat: Catalog, jobId: String,
+      tasks: DataFrame, params: ConsolidationParams,
+      overviewsMinSize: Int = 0): Map[String, String] = {
     import spark.implicits._
 
     // explode tasks to (container, record, dataset) and join dataset+tile
@@ -231,7 +242,7 @@ object Consolidation {
     val resamplingName = params.resampling.name
 
     // group by output container; one Spark task per container (C4 contract)
-    val built = okRows.select(
+    val built0 = okRows.select(
         col("out_uri"), col("cell_crs"), col("cell_transform"),
         col("cell_w"), col("cell_h"),
         col("record_id"), col("datetime"), col("dataset_id"), col("bands"),
@@ -263,20 +274,28 @@ object Consolidation {
       .toDF("container_uri", "subdir", "width", "height", "bands", "dtype",
         "crs", "transform", "payload", "record_id", "datetime")
       .unionByName(missingMarkers)
-      // ONE pass of the warp work: the failure scan, the tiles append and
-      // the containers append below all consume this relation — uncached
-      // that is 3× the C4 compute (the expensive stage of the whole job)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.operators.OperatorCaches.register(built)
-
-    val newTiles = built.filter(col("subdir") =!= FailedSubdir)
-    // persist: tiles + containers (managed) — C4's upload step; failed
-    // containers register nothing (reference: no upload for failed tasks)
-    cat.append(newTiles.drop("record_id", "datetime"), "tiles")
-    cat.append(newTiles.select(col("container_uri").as("uri")).distinct()
-      .withColumn("managed", lit(true))
-      .withColumn("storage_class", lit(params.storageClass)), "containers")
-    built
+    // ONE pass of the warp work (the expensive stage of the whole job),
+    // durably materialized — see the method doc for why this beats a
+    // cluster-memory persist at job scale
+    val scratch = new org.apache.hadoop.fs.Path(s"${cat.root}/.c4scratch/$jobId")
+    val hfs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val schema = built0.schema
+      built0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(scratch.toString)
+      val built = spark.read.schema(schema).parquet(scratch.toString)
+      val newTiles = built.filter(col("subdir") =!= FailedSubdir)
+      // persist: tiles + containers (managed) — C4's upload step; failed
+      // containers register nothing (reference: no upload for failed tasks)
+      cat.append(newTiles.drop("record_id", "datetime"), "tiles")
+      cat.append(newTiles.select(col("container_uri").as("uri")).distinct()
+        .withColumn("managed", lit(true))
+        .withColumn("storage_class", lit(params.storageClass)), "containers")
+      built.filter(col("subdir") === FailedSubdir)
+        .select("container_uri", "payload").collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+        .toMap
+    } finally hfs.delete(scratch, true): Unit
   }
 
   /** Marker subdir for a container whose build failed — the error-as-value

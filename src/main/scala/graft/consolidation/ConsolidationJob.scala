@@ -413,14 +413,9 @@ object ConsolidationJob {
         val todo =
           if (pending.size == allUris.size) tasks
           else tasks.join(pendingDf, Seq("container_uri"), "left_semi")
-        val built = Consolidation.consolidate(spark, cat, todo, spec.params,
+        val failures: Map[String, String] = Consolidation.consolidate(
+          spark, cat, spec.jobId, todo, spec.params,
           spec.layout.overviewsMinSize)
-        val failures: Map[String, String] = built
-          .filter(col("subdir") === Consolidation.FailedSubdir)
-          .select("container_uri", "payload").collect()
-          .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
-          .toMap
-        built.unpersist()
         // task-row upsert: this job's rows are rewritten whole from the
         // driver-held outcome map (idempotent; tolerates a torn NEW-row
         // append from a crashed first run). Set-membership, not

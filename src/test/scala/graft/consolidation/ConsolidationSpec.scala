@@ -250,7 +250,8 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // catalog, but CONSOLIDATIONDONE is never journaled
     val tasks = Consolidation.prepareOrders(spark, cat, "job4", "i1",
       Seq("r1", "r2"), layout, None)
-    Consolidation.consolidate(spark, cat, tasks, spec.params, layout.overviewsMinSize)
+    Consolidation.consolidate(spark, cat, "job4", tasks, spec.params,
+      layout.overviewsMinSize)
     val jobTiles = cat.read(spark, "tiles")
       .filter(col("container_uri").startsWith(s"$root/containers/job4/"))
     val partial = jobTiles.count()
