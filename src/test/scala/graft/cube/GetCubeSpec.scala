@@ -84,6 +84,28 @@ class GetCubeSpec extends AnyFunSuite with BeforeAndAfterAll {
   val cast100: Double = (100.0 / 254.0) * 2 - 1 // uint8→ext[-1,1]
   val cast200: Double = (200.0 / 254.0) * 2 - 1
 
+  test("ServingSessionConfs (AQE off) serve byte-identical slices") {
+    // the recommended latency-serving session settings are a supported
+    // execution mode, not just a bench trick: the same request must
+    // produce byte-identical slices under them
+    val base = GetCube.cube(spark, cat, request()).collect()
+    val saved = GetCube.ServingSessionConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    GetCube.ServingSessionConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val served =
+      try GetCube.cube(spark, cat, request()).collect()
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    assert(served.length == base.length)
+    base.zip(served).foreach { case (a, b) =>
+      assert(a.group_key == b.group_key && a.min_datetime == b.min_datetime)
+      assert(java.util.Arrays.equals(a.payload, b.payload),
+        s"payload diverged for ${a.group_key}")
+    }
+  }
+
   test("per-record cube: one slice per record, time-ordered, casted pixels") {
     val slices = GetCube.cube(spark, cat, request()).collect()
     assert(slices.length == 2)
