@@ -535,33 +535,42 @@ final case class Geocube(spark: SparkSession, cat: Catalog) {
     val doneIds = currentCkpt.filter(col("state") === "DONE")
       .select("id").distinct()
     try {
-      val anyVictims = victimIds.limit(1).count() > 0
+      // victim ids are job-cardinality — collected once on the driver,
+      // they scope BOTH cascades to the partitions that actually hold
+      // doomed rows instead of full-table rewrites (r11 verdict #2)
+      val victims = victimIds.collect().map(_.getString(0)).toIndexedSeq
       val anyRetire = jobs.filter(col("type") === "TASKEVENT")
         .join(doneIds, Seq("id"), "left_semi").limit(1).count() > 0
-      if (anyVictims) {
+      if (victims.nonEmpty) {
         // cascade to the jobs' task rows (the reference deletes tasks with
         // their job) — otherwise cleaned jobs leak task rows forever.
-        // Tasks go FIRST: a crash between the two rewrites then leaves
+        // Tasks go FIRST: a crash between the two passes then leaves
         // jobs whose tasks are already gone (harmless, and a re-run
         // re-identifies them from the jobs filter), where the reverse
         // order would leave task rows whose job rows no longer exist —
-        // unidentifiable, so orphaned forever.
-        cat.rewrite(cat.read(spark, "tasks")
-          .join(victimIds.withColumnRenamed("id", "job_id"),
-            Seq("job_id"), "left_anti"), "tasks")
+        // unidentifiable, so orphaned forever. The tasks table is
+        // partitioned by job_id, so this drops exactly the victims'
+        // partitions; at 10⁵ tasks/job × many retained jobs, non-victim
+        // partitions are never listed, read, or rewritten.
+        cat.updatePartitions(spark, "tasks", victims, _.filter(lit(false)))
       }
-      if (anyVictims)
-        cat.rewrite(jobs
-          .join(victimIds, Seq("id"), "left_anti")
-          .join(doneIds.withColumnRenamed("id", "__done"),
-            col("id") === col("__done") && col("type") === "TASKEVENT",
-            "left_anti"), "jobs")
-      else if (anyRetire)
-        // retire-only pass: the doomed rows live solely in the
-        // type=TASKEVENT partition — swap that one directory instead of
-        // rewriting every journal partition
-        cat.updatePartitions(spark, "jobs", Seq("TASKEVENT"),
-          _.join(doneIds, Seq("id"), "left_anti"))
+      if (victims.nonEmpty || anyRetire) {
+        // jobs journal purge, scoped to the type partitions that hold
+        // victim rows (TASKEVENT joins in for the DONE-counter
+        // retirement; it also surfaces via victimTypes when victims
+        // have counter rows, since those match the id anti-join too)
+        val victimTypes =
+          if (victims.isEmpty) Seq.empty[String]
+          else jobs.join(victimIds, Seq("id"), "left_semi")
+            .select("type").distinct().collect().map(_.getString(0)).toSeq
+        val touched =
+          (victimTypes ++ (if (anyRetire) Seq("TASKEVENT") else Nil)).distinct
+        cat.updatePartitions(spark, "jobs", touched, df =>
+          df.join(victimIds, Seq("id"), "left_anti")
+            .join(doneIds.withColumnRenamed("id", "__done"),
+              col("id") === col("__done") && col("type") === "TASKEVENT",
+              "left_anti"))
+      }
       total - cat.read(spark, "jobs").count()
     } finally {
       graft.operators.OperatorCaches.releaseLocalCheckpoint(currentCkpt)

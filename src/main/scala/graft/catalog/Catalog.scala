@@ -23,10 +23,20 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * registered connector (e.g. `gs:` without the GCS connector on the
   * classpath) fails LOUDLY at first touch instead of silently no-op'ing
   * renames the way `java.io.File` on a URI string would. On stores whose
-  * rename is a copy (S3A), swap the impl for Delta/Iceberg — the
-  * interface here is the part that matters (reference: the PostGIS
-  * transaction in pg_containers.go plus interface/storage/gcs/strategy.go
-  * for the object side).
+  * rename is a copy (S3A), swap the impl for Delta/Iceberg: the five
+  * mutation/read primitives live behind [[TableStore]] (which this class
+  * implements, contract pinned by TableStoreContractSpec) so a lake
+  * implementation is a drop-in (reference: the PostGIS transaction in
+  * pg_containers.go plus interface/storage/gcs/strategy.go for the
+  * object side).
+  *
+  * Concurrency contract (r12): every mutation stages under a root named
+  * by its own op id, so N writers can mutate one table concurrently —
+  * appends compose with appends and with partition ops; partition ops on
+  * DISJOINT partitions compose exactly (CatalogConcurrencySpec hammers
+  * both); ops on the SAME partition are last-writer-wins and must be
+  * serialized by the caller (the job FSMs do, per-job). Full-table
+  * [[rewrite]] remains an exclusive admin/migration operation.
   *
   * Writes that must be atomic (the consolidation status swap, C6) go
   * through [[Catalog.rewrite]]: write-new-then-rename, the filesystem
@@ -41,7 +51,7 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * committed swaps always complete, and no state is silently lost
   * (CatalogPartitionOpsSpec pins this under a concurrent hammer).
   */
-final case class Catalog(root: String) {
+final case class Catalog(root: String) extends TableStore {
   private def path(table: String) = s"$root/$table"
 
   /** The root's filesystem. Unknown schemes throw here (loud guard):
@@ -185,12 +195,70 @@ final case class Catalog(root: String) {
           pmod(xxhash64(col(d.srcCol)), lit(salts.toLong)))
     }
 
+  /** Staged atomic append: the batch is written to a private per-op
+    * staging root (`<table>.bappend.<opId>`), COMMITTED by a marker
+    * listing every data file, then the files are MOVED into the live
+    * partition directories one rename each (part-file names embed
+    * Spark's per-job UUID, so moves from concurrent appends can never
+    * collide). Two properties a direct `SaveMode.Append` cannot give:
+    *
+    *  - **concurrent-writer safety** — Spark's file commit protocol
+    *    stages every job under the SAME `<dest>/_temporary/0` dir, so two
+    *    simultaneous appends to one table destroy each other's task
+    *    output at job cleanup (the reference's N apiservers journal into
+    *    one `jobs` table concurrently; pg.go gets this from Postgres).
+    *    Per-op roots make appends to a table freely concurrent.
+    *  - **torn-batch healing** — a crash mid-move leaves a committed
+    *    marker; the next read/write rolls the remaining moves forward
+    *    ([[healSwap]]) instead of leaving a silently partial batch.
+    *
+    * The move step is one driver-side rename per file — metadata-only on
+    * HDFS-class stores, and the salted write keeps the file count
+    * bounded (buckets × salts) at any batch size. Appending to a
+    * partition CONCURRENTLY being rewritten by [[updatePartitions]] /
+    * [[deleteWhere]] is last-writer-wins (the swap's read may predate
+    * the moved files) — callers serialize per partition, which the job
+    * FSMs do by construction (a job's task partition is only ever
+    * written by that job's own driver loop). */
   def append(df: DataFrame, table: String): Unit = {
-    healSwap(fs(df.sparkSession), table)
-    migrateLegacyLayout(df.sparkSession, table)
-    val writer = withDerived(df, table).write.mode(SaveMode.Append)
+    val spark = df.sparkSession
+    val f = fs(spark)
+    healSwap(f, table)
+    reclaimStaleRoots(f, spark, table)
+    migrateLegacyLayout(spark, table)
+    val dest = new Path(path(table))
+    val stage = new Path(path(table) + ".bappend." + Catalog.newOpId())
+    val writer = withDerived(df, table).write.mode(SaveMode.Overwrite)
     partitionColumn(table).fold(writer)(writer.partitionBy(_))
-      .parquet(path(table))
+      .parquet(stage.toString)
+    val files = listDataFiles(f, stage)
+    if (files.isEmpty) { f.delete(stage, true); return }
+    writeMarker(f, stage, files.map("A " + _))
+    if (!f.exists(dest)) f.mkdirs(dest)
+    val marker = new Path(stage, Catalog.CommitMarker)
+    files.foreach(rel =>
+      applyAppendMove(f, dest, stage, rel, () => f.exists(marker)))
+    f.delete(stage, true): Unit
+  }
+
+  /** Data files under a staging root, as `/`-joined paths relative to it
+    * (`job_id=X/part-….parquet`). Skips `_SUCCESS`/hidden entries. */
+  private def listDataFiles(f: FileSystem, root: Path): Seq[String] = {
+    val rootStr = f.makeQualified(root).toString
+    def walk(dir: Path): Seq[String] =
+      f.listStatus(dir).toIndexedSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory)
+          // recurse into partition dirs — including `_`-prefixed DERIVED
+          // ones (`__bucket=…`); skip Spark's commit scratch
+          if (n.startsWith(".") || n == "_temporary") Nil else walk(s.getPath)
+        else if (n.startsWith("_") || n.startsWith(".")) Nil // _SUCCESS, crcs
+        else Seq(f.makeQualified(s.getPath).toString.stripPrefix(rootStr + "/"))
+      }
+    val files = walk(root)
+    require(files.forall(r => !new Path(r).isAbsolute),
+      s"append staging produced paths outside $rootStr")
+    files
   }
 
   /** Atomic full-table replace: write to a temp dir, swap directories.
@@ -200,10 +268,14 @@ final case class Catalog(root: String) {
   def rewrite(df: DataFrame, table: String): Unit = {
     val f = fs(df.sparkSession)
     healSwap(f, table)
+    reclaimStaleRoots(f, df.sparkSession, table)
     val dest = new Path(path(table))
-    val tmp = new Path(path(table) + ".swap")
+    // per-op tmp: two concurrent rewriters can no longer delete or write
+    // into each other's in-flight staging (the swap itself stays
+    // last-writer-wins — full-table rewrites of one table are an
+    // exclusive admin/migration operation by contract)
+    val tmp = new Path(path(table) + ".swap." + Catalog.newOpId())
     val old = new Path(path(table) + ".old")
-    if (f.exists(tmp)) f.delete(tmp, true)
     val writer = withDerived(df, table).write.mode(SaveMode.Overwrite)
     partitionColumn(table).fold(writer)(writer.partitionBy(_))
       .parquet(tmp.toString)
@@ -234,10 +306,14 @@ final case class Catalog(root: String) {
     * bucket whose rows are all deleted is removed outright; the operation
     * is idempotent — the FSM retry that re-runs it deletes nothing new. */
   def deleteWhere(spark: SparkSession, table: String, uris: DataFrame,
-      uriCol: String = "container_uri"): Unit = {
+      uriCol: String): Unit = {
     val d = derivedPartition(table).getOrElse(throw new IllegalArgumentException(
       s"deleteWhere: table '$table' has no derived bucket partition"))
-    val del = uris.select(col(uriCol).as("__gc_uri")).distinct()
+    // null uris can never match the anti-join but WOULD null the derived
+    // bucket below (crc32(null) → null → getInt throws, failing the
+    // whole GC pass) — drop them up front
+    val del = uris.select(col(uriCol).as("__gc_uri"))
+      .filter(col("__gc_uri").isNotNull).distinct()
       .localCheckpoint(true)
     try {
       val affected = del.select(d.derive(col("__gc_uri")).as("__b"))
@@ -285,30 +361,47 @@ final case class Catalog(root: String) {
   }
 
   /** Shared core of [[deleteWhere]] / [[updatePartitions]]: stage the
-    * transformed rows of the targeted partition directories
-    * (`<table>.bswap`), COMMIT by renaming a `_COMMIT` marker into the
-    * staging root (its lines record each targeted directory and whether
-    * it swaps or is a pure delete), then swap each directory in place.
-    * A partition whose rows all disappear is removed; one the transform
-    * INSERTS rows into (a named-but-absent partition — the task-outcome
-    * upsert shape) is created by its swap; a transform that emits rows
-    * OUTSIDE the targeted partitions is rejected before the commit
-    * (those rows would otherwise be silently dropped).
+    * transformed rows of the targeted partition directories under a
+    * PRIVATE per-operation root (`<table>.bswap.<opId>`), COMMIT by
+    * renaming a `_COMMIT` marker into that root (its lines record the
+    * op id and each targeted directory — swap or pure delete), then swap
+    * each directory in place. A partition whose rows all disappear is
+    * removed; one the transform INSERTS rows into (a named-but-absent
+    * partition — the task-outcome upsert shape) is created by its swap;
+    * a transform that emits rows OUTSIDE the targeted partitions is
+    * rejected before the commit (those rows would otherwise be silently
+    * dropped).
     *
     * Crash/concurrency protocol: before the marker exists, the staging
     * root is invisible to [[healSwap]] — a concurrent reader can never
     * disturb (or be disturbed by) an in-flight staging job, whose window
     * is minutes-long at scale. From the marker on, the swap only ROLLS
     * FORWARD: writer and any concurrent healer drive the same idempotent
-    * per-directory promotion ([[applyMarked]]), so a crash at any rename
+    * per-directory promotion ([[applySwap]]), so a crash at any rename
     * completes on the next read/write instead of restoring pre-images
-    * (pre-images parked under `<table>.bold` are debris, kept only until
-    * cleanup). */
+    * (pre-images parked under `<table>.bold.<opId>` are debris, kept
+    * only until cleanup).
+    *
+    * CONCURRENT WRITERS (r11 verdict #1 — the reference runs N
+    * apiservers and autoscaled job workers against one Postgres, so
+    * catalog mutation must not be single-writer): because every
+    * operation stages, commits, and parks under roots named by its own
+    * op id, two simultaneous mutations of one table can no longer
+    * destroy each other's staging the way a shared `.bswap` root did
+    * (writer B's pre-delete erased writer A's in-flight pass). Ops on
+    * DISJOINT partitions compose exactly (each swaps only its own
+    * directories — CatalogConcurrencySpec hammers this); ops touching
+    * the SAME partition are last-writer-wins per directory, the
+    * semantics callers must (and the job FSMs do) serialize. A root that
+    * never reaches its marker — a writer that died mid-staging — is
+    * reclaimed by a later writer only after [[Catalog.StaleSwapReclaimMsConf]]
+    * of inactivity, never by readers and never while fresh. */
   private def rewritePartitionDirs(spark: SparkSession, table: String,
       values: Seq[String], transform: DataFrame => DataFrame): Unit = {
     val pc = partitionColumn(table).get
     val f = fs(spark)
     healSwap(f, table)
+    reclaimStaleRoots(f, spark, table)
     migrateLegacyLayout(spark, table)
     val dest = new Path(path(table))
     if (values.isEmpty) return
@@ -321,10 +414,9 @@ final case class Catalog(root: String) {
     val names =
       values.map(v => s"$pc=" + ExternalCatalogUtils.escapePathName(v)).distinct
     val existing = names.map(n => new Path(dest, n)).filter(f.exists)
-    val swapRoot = new Path(path(table) + ".bswap")
-    val oldRoot = new Path(path(table) + ".bold")
-    if (f.exists(swapRoot)) f.delete(swapRoot, true)
-    if (f.exists(oldRoot)) f.delete(oldRoot, true)
+    val opId = Catalog.newOpId()
+    val swapRoot = new Path(path(table) + ".bswap." + opId)
+    val oldRoot = new Path(path(table) + ".bold." + opId)
     // stage the transformed partitions; the write runs while the live
     // files still exist (renames come after), so lazy lineage is safe.
     // An all-absent target set still stages: the transform may insert.
@@ -358,49 +450,162 @@ final case class Catalog(root: String) {
     if (ops.isEmpty) { f.delete(swapRoot, true); return }
     // COMMIT: marker written whole then renamed into place (atomic) —
     // from here the swap is committed and only rolls forward
-    val markerTmp = new Path(swapRoot, "_COMMIT.tmp")
-    val os = f.create(markerTmp, true)
-    try os.write((ops.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally os.close()
-    if (!f.rename(markerTmp, new Path(swapRoot, Catalog.CommitMarker)))
-      throw new java.io.IOException(s"partition swap: cannot commit $swapRoot")
+    writeMarker(f, swapRoot, ops)
     f.mkdirs(oldRoot)
-    ops.foreach(op => applyMarked(f, dest, swapRoot, oldRoot, op))
+    val marker = new Path(swapRoot, Catalog.CommitMarker)
+    ops.foreach(op =>
+      applyOp(f, dest, swapRoot, oldRoot, op, () => f.exists(marker)))
     f.delete(swapRoot, true): Unit
     f.delete(oldRoot, true): Unit
   }
 
-  /** One committed per-directory swap op, idempotent and shared by the
-    * writer and [[healSwap]]'s roll-forward: `"S <dir>"` promotes the
-    * staged directory (parking any live pre-image under `oldRoot`),
-    * `"D <dir>"` deletes the live directory. Concurrent executions race
-    * only on atomic renames; every loser re-checks for the completed
-    * state and an unrecognizable state throws loudly — never a silent
-    * loss. */
-  private def applyMarked(f: FileSystem, dest: Path, swapRoot: Path,
-      oldRoot: Path, op: String): Unit = {
+  /** Write the commit marker atomically: whole content to a tmp name,
+    * then one rename. First line records the op id (diagnostics), the
+    * rest one op per line. */
+  private def writeMarker(f: FileSystem, stagingRoot: Path,
+      ops: Seq[String]): Unit = {
+    val markerTmp = new Path(stagingRoot, Catalog.CommitMarker + ".tmp")
+    val os = f.create(markerTmp, true)
+    try os.write((s"ID ${stagingRoot.getName}\n" + ops.mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally os.close()
+    if (!f.rename(markerTmp, new Path(stagingRoot, Catalog.CommitMarker)))
+      throw new java.io.IOException(s"partition swap: cannot commit $stagingRoot")
+  }
+
+  /** One committed op, idempotent and shared by the writer and
+    * [[healSwap]]'s roll-forward: `"S <dir>"` promotes a staged
+    * directory, `"D <dir>"` deletes a live directory, `"A <file>"` moves
+    * a staged append file into place. Concurrent executions race only on
+    * atomic renames; every loser re-checks for the completed state.
+    * `markerAlive` re-probes this op's own commit marker and is
+    * consulted immediately before every destructive or ambiguous step: a
+    * STALE healer — one that loaded the marker, stalled past the op's
+    * completion, and woke after a LATER op touched the same partitions —
+    * observes its marker gone and abandons the replay instead of
+    * deleting a re-created partition or failing loudly on a state the
+    * later op owns (r11 advice). */
+  private def applyOp(f: FileSystem, dest: Path, stagingRoot: Path,
+      oldRoot: Path, op: String, markerAlive: () => Boolean): Unit = {
     val (kind, name) = (op.take(1), op.drop(2))
-    val staged = new Path(swapRoot, name)
-    val live = new Path(dest, name)
-    val pre = new Path(oldRoot, name)
     kind match {
-      case "S" =>
-        if (!f.exists(staged)) {
-          // already promoted by the writer or a concurrent healer — or a
-          // racer parked the new live away a heartbeat ago: restore it
-          if (f.exists(live)) return
-          if (f.exists(pre) && f.rename(pre, live)) return
-          if (f.exists(live)) return
-          throw new java.io.IOException(s"partition swap: lost $name")
-        }
-        if (f.exists(live)) { f.rename(live, pre): Unit } // park pre-image
-        if (!f.rename(staged, live)) {
-          // lost the promotion race iff someone else completed it
-          if (!(f.exists(live) && !f.exists(staged)))
-            throw new java.io.IOException(s"partition swap: cannot promote $staged")
-        }
+      case "S" => applySwap(f, dest, stagingRoot, oldRoot, name, markerAlive)
+      case "A" => applyAppendMove(f, dest, stagingRoot, name, markerAlive)
       case _ =>
-        if (f.exists(live)) f.delete(live, true): Unit
+        val live = new Path(dest, name)
+        // marker re-verified between the probe and the delete: shrinks a
+        // stale replay's resurrection window to one FS beat and makes
+        // the common stale case (marker long gone) a guaranteed no-op
+        if (f.exists(live) && markerAlive()) f.delete(live, true): Unit
+    }
+  }
+
+  /** Promote one staged partition directory over its live counterpart.
+    * Pre-images are parked under `oldRoot` in a FREE slot only
+    * (`<name>`, then `<name>.p1`, `.p2`, …): a rename onto an EXISTING
+    * directory nests the source inside it on both the local FS and HDFS,
+    * so the r11 protocol's unconditional park could merge the NEW live
+    * content under a stale pre-image when a healer raced the writer past
+    * its exists-probe — the double-park is now structurally impossible,
+    * and each loop iteration re-reads the world before acting. */
+  private def applySwap(f: FileSystem, dest: Path, stagingRoot: Path,
+      oldRoot: Path, name: String, markerAlive: () => Boolean): Unit = {
+    val staged = new Path(stagingRoot, name)
+    val live = new Path(dest, name)
+    var spin = 0
+    while (true) {
+      if (!f.exists(staged)) {
+        // promoted by the writer or a concurrent healer…
+        if (f.exists(live)) return
+        // …or promoted and then parked away by a racer mid-beat: restore
+        // the NEWEST parked image (unique slots — never a merged dir)
+        val parked = parkedSlots(f, oldRoot, name)
+        if (parked.nonEmpty && f.rename(parked.last, live)) return
+        if (f.exists(live)) return
+        if (!markerAlive()) return // op completed and cleaned up elsewhere
+        spin += 1
+        if (spin > 50)
+          throw new java.io.IOException(s"partition swap: lost $name")
+        Thread.sleep(10)
+      } else {
+        if (f.exists(live)) {
+          // park the pre-image; a failed rename means a racer moved the
+          // live dir first — the loop re-checks rather than assumes
+          f.rename(live, freeParkSlot(f, oldRoot, name)): Unit
+        }
+        if (!f.exists(live) && f.rename(staged, live)) return
+        spin += 1
+        if (spin > 50)
+          throw new java.io.IOException(s"partition swap: cannot promote $staged")
+        Thread.sleep(10)
+      }
+    }
+  }
+
+  /** All parked pre-image slots for `name`, oldest→newest. */
+  private def parkedSlots(f: FileSystem, oldRoot: Path, name: String): Seq[Path] = {
+    val base = new Path(oldRoot, name)
+    val extra = Option(f.globStatus(new Path(oldRoot, name + ".p*")))
+      .getOrElse(Array.empty).toIndexedSeq.map(_.getPath)
+      .sortBy(p => p.getName.stripPrefix(name + ".p").toIntOption.getOrElse(0))
+    (if (f.exists(base)) Seq(base) else Seq.empty) ++ extra
+  }
+
+  /** First unoccupied park slot for `name` under `oldRoot`. */
+  private def freeParkSlot(f: FileSystem, oldRoot: Path, name: String): Path = {
+    f.mkdirs(oldRoot)
+    val base = new Path(oldRoot, name)
+    if (!f.exists(base)) base
+    else Iterator.from(1).map(i => new Path(oldRoot, s"$name.p$i"))
+      .find(p => !f.exists(p)).get
+  }
+
+  /** Move one staged append file into its live partition directory —
+    * idempotent (a vanished source means the move already happened) and
+    * collision-free (part-file names embed the writing job's UUID). The
+    * parent may vanish between mkdirs and rename when a concurrent swap
+    * parks the partition dir — bounded retry, then defer to the marker. */
+  private def applyAppendMove(f: FileSystem, dest: Path, stagingRoot: Path,
+      rel: String, markerAlive: () => Boolean): Unit = {
+    val src = new Path(stagingRoot, rel)
+    val dst = new Path(dest, rel)
+    var spin = 0
+    while (f.exists(src)) {
+      val parent = dst.getParent
+      if (!f.exists(parent)) f.mkdirs(parent)
+      if (f.rename(src, dst)) return
+      if (!markerAlive()) return
+      spin += 1
+      if (spin > 50)
+        throw new java.io.IOException(s"append: cannot place $dst")
+      Thread.sleep(10)
+    }
+  }
+
+  /** Reclaim staging debris that can ONLY belong to a dead writer: roots
+    * that never reached their commit marker (`.bswap.*` / `.bappend.*`
+    * without `_COMMIT`, plus full-rewrite `.swap.*` tmps and the
+    * pre-r12 legacy `.bswap`) whose directory has been quiet for
+    * [[Catalog.StaleSwapReclaimMsConf]]. Writer-only and age-gated on
+    * purpose: a FRESH unmarked root is some live writer's minutes-long
+    * staging pass, and readers never reclaim anything — the two rules
+    * that keep N concurrent writers from eating each other's staging. */
+  private def reclaimStaleRoots(f: FileSystem, spark: SparkSession,
+      table: String): Unit = {
+    val ttl = spark.conf.getOption(Catalog.StaleSwapReclaimMsConf)
+      .map(_.toLong).getOrElse(Catalog.DefaultStaleSwapReclaimMs)
+    val now = System.currentTimeMillis()
+    val candidates =
+      Seq(".bswap.*", ".bappend.*", ".swap.*").flatMap { g =>
+        Option(f.globStatus(new Path(path(table) + g)))
+          .getOrElse(Array.empty).toIndexedSeq
+      } ++
+        Seq(".bswap", ".swap").map(s => new Path(path(table) + s))
+          .filter(f.exists).map(f.getFileStatus)
+    candidates.foreach { s =>
+      val marked = f.exists(new Path(s.getPath, Catalog.CommitMarker))
+      if (!marked && now - s.getModificationTime >= ttl)
+        f.delete(s.getPath, true): Unit
     }
   }
 
@@ -430,35 +635,57 @@ final case class Catalog(root: String) {
       if (f.exists(old) && !f.rename(old, dest))
         throw new java.io.IOException(s"swap heal: cannot restore $dest")
     } else if (f.exists(old)) f.delete(old, true)
-    val swapRoot = new Path(path(table) + ".bswap")
-    val oldRoot = new Path(path(table) + ".bold")
-    val marker = new Path(swapRoot, Catalog.CommitMarker)
-    // the marker can vanish between the exists probe and the open (the
-    // writer's cleanup deleting the staging root) — that IS the
-    // completed-swap state, not an error
+    // partition-swap / staged-append heal: one listing finds every
+    // sibling staging root of this table (`<t>.bswap.<op>`,
+    // `<t>.bappend.<op>`, their `.bold.<op>` park roots, and the pre-r12
+    // legacy shared names). Committed roots roll forward; unmarked ones
+    // are some writer's in-flight staging and are left strictly alone
+    // (reclaimed age-gated by writers, [[reclaimStaleRoots]]).
+    val tableName = dest.getName
+    val roots = Option(f.globStatus(new Path(path(table) + ".b*")))
+      .getOrElse(Array.empty).toIndexedSeq.map(_.getPath)
+    if (roots.isEmpty) return
+    val parent = dest.getParent
+    val staging = roots.filter { p =>
+      val n = p.getName
+      n.startsWith(s"$tableName.bswap") || n.startsWith(s"$tableName.bappend")
+    }
+    staging.foreach { stagingRoot =>
+      val boldName = stagingRoot.getName
+        .replaceFirst("\\.(bswap|bappend)", ".bold")
+      rollForward(f, dest, stagingRoot, new Path(parent, boldName))
+    }
+    // orphan park roots whose staging root is gone: the swap completed
+    // and cleanup was cut short — parked pre-images are debris
+    roots.filter(_.getName.startsWith(s"$tableName.bold")).foreach { bold =>
+      val swapName = bold.getName.replaceFirst("\\.bold", ".bswap")
+      if (!f.exists(new Path(parent, swapName))) f.delete(bold, true): Unit
+    }
+  }
+
+  /** Roll one staging root forward iff its commit marker exists. The
+    * marker can vanish between the exists probe and the open (the
+    * writer's cleanup deleting the root) — that IS the completed state,
+    * not an error. Marker lines: an `ID` header (diagnostics) then one
+    * op per line ([[applyOp]]). */
+  private def rollForward(f: FileSystem, dest: Path, stagingRoot: Path,
+      oldRoot: Path): Unit = {
+    val marker = new Path(stagingRoot, Catalog.CommitMarker)
     val ops =
       if (!f.exists(marker)) None
       else try {
         val in = f.open(marker)
         Some(try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).toVector
+          .filter(_.nonEmpty).filterNot(_.startsWith("ID ")).toVector
         finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
-    ops match {
-      case Some(lines) =>
-        f.mkdirs(oldRoot)
-        lines.foreach(op => applyMarked(f, dest, swapRoot, oldRoot, op))
-        f.delete(swapRoot, true): Unit
-        f.delete(oldRoot, true): Unit
-      case None =>
-    }
-    if (ops.isEmpty && f.exists(oldRoot) && !f.exists(swapRoot)) {
-      // marker (and staging) gone ⇒ the swap completed; parked
-      // pre-images are debris from an interrupted cleanup
+    ops.foreach { lines =>
+      if (lines.exists(_.startsWith("S "))) f.mkdirs(oldRoot)
+      lines.foreach(op =>
+        applyOp(f, dest, stagingRoot, oldRoot, op, () => f.exists(marker)))
+      f.delete(stagingRoot, true): Unit
       f.delete(oldRoot, true): Unit
     }
-    // a swapRoot without a marker is left alone on purpose (in-flight or
-    // crashed staging; reclaimed by the next write on this table)
   }
 }
 
@@ -489,6 +716,21 @@ object Catalog {
     * is a COMMITTED swap (heal rolls it forward); without it the staging
     * is in-flight/abandoned and heal leaves it strictly alone. */
   private[catalog] val CommitMarker = "_COMMIT"
+
+  /** Conf key: milliseconds of inactivity after which a writer reclaims
+    * an UNMARKED staging root (a writer that died before committing).
+    * Must exceed the longest plausible staging pass — a root being
+    * actively written updates its mtime as Spark creates/commits its
+    * output structure. Readers never reclaim. Default 6 h. */
+  val StaleSwapReclaimMsConf = "graft.catalog.staleSwapReclaimMs"
+  private[catalog] val DefaultStaleSwapReclaimMs = 6L * 3600 * 1000
+
+  /** Unique id naming one mutation's staging/park roots — the property
+    * that makes N concurrent writers unable to touch each other's
+    * staging. 48 random bits: a collision needs two simultaneous ops on
+    * one table drawing the same id (~2⁻⁴⁸ per pair). */
+  private[catalog] def newOpId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   /** Intra-bucket write salts for one batch: ⌈batchBytes / (1 GiB × 64
     * buckets)⌉, clamped to [1, 64] — a ≥4 TiB append gets the full

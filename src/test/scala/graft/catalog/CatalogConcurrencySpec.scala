@@ -1,0 +1,196 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-writer catalog contract (r12): the reference's deployment shape
+  * is N apiservers and autoscaled job workers mutating ONE transactional
+  * store, so the parquet catalog must survive CONCURRENT writers — not
+  * just the reader-vs-writer races r11 pinned. Per-operation staging
+  * roots (`<table>.bswap.<opId>` / `.bappend.<opId>`) make that hold:
+  *
+  *  - writers mutating DISJOINT partitions of one table compose exactly
+  *    (no writer can delete another's in-flight staging, the r11 shared-
+  *    root failure mode);
+  *  - concurrent APPENDS to one table compose (a direct SaveMode.Append
+  *    would share Spark's `<dest>/_temporary/0` commit scratch and
+  *    destroy each other's task output);
+  *  - an appender racing a partition swap of the SAME table (different
+  *    partitions) loses nothing on either side;
+  *  - a healer that stalls past an op's completion abandons its replay
+  *    instead of double-parking live content under a stale pre-image or
+  *    resurrecting deleted partitions (the r11 'S'-race advice).
+  */
+class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val root: String =
+    java.nio.file.Files.createTempDirectory("graft-conc").toString
+
+  override def afterAll(): Unit =
+    CatalogTestIO.rm(new java.io.File(root))
+
+  private type Task = (String, String, String, String) // id, job, state, payload
+
+  private def tasksDf(rows: Seq[Task]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(t => Row(t._1, t._2, t._3, t._4)), 2),
+      Schemas.all("tasks"))
+
+  private def readTasks(cat: Catalog): Set[Task] =
+    cat.read(spark, "tasks").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+
+  /** Run `bodies` concurrently; rethrow the first failure. */
+  private def concurrently(bodies: Seq[() => Unit]): Unit = {
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = bodies.map(b => new Thread(() =>
+      try b() catch { case t: Throwable => failure.compareAndSet(null, t): Unit }))
+    threads.foreach(_.start())
+    // generous bound: a loaded box (full suite + parallel benches) can
+    // stretch the ~100 small Spark jobs here past two minutes — a silent
+    // timed-out join would fail the final assert with a misleading
+    // "lost rows" instead of the real cause
+    threads.foreach(_.join(600000))
+    assert(threads.forall(!_.isAlive), "writer threads still running after 10 min")
+    Option(failure.get()).foreach(t => throw t)
+  }
+
+  test("N writers on disjoint task partitions compose exactly") {
+    val cat = Catalog(s"$root/disjoint")
+    val writers = 4
+    val models = Array.fill(writers)(Set.empty[Task])
+    concurrently((0 until writers).map { w => () =>
+      val rnd = new scala.util.Random(1000 + w)
+      val jobs = (0 until 3).map(j => s"w$w-job$j")
+      var model = Set.empty[Task]
+      var nextId = 0
+      for (_ <- 0 until 6) {
+        rnd.nextInt(4) match {
+          case 0 => // append a batch across this writer's OWN jobs
+            val batch = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              nextId += 1
+              (s"w$w-t$nextId", jobs(rnd.nextInt(jobs.size)),
+                if (rnd.nextBoolean()) "NEW" else "LOCK", s"p$nextId")
+            }
+            cat.append(tasksDf(batch), "tasks")
+            model ++= batch
+          case 1 => // partition-scoped state flip
+            val scope = rnd.shuffle(jobs).take(1 + rnd.nextInt(2))
+            cat.updatePartitions(spark, "tasks", scope,
+              _.withColumn("state",
+                when(col("state") === "NEW", "DONE").otherwise(col("state"))))
+            model = model.map { t =>
+              if (scope.contains(t._2) && t._3 == "NEW") t.copy(_3 = "DONE") else t
+            }
+          case 2 => // drop one of this writer's partitions
+            val job = jobs(rnd.nextInt(jobs.size))
+            cat.updatePartitions(spark, "tasks", Seq(job), _.filter(lit(false)))
+            model = model.filterNot(_._2 == job)
+          case _ => // upsert: keep LOCK rows, replace the rest of one job
+            val job = jobs(rnd.nextInt(jobs.size))
+            val fresh = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              nextId += 1; (s"w$w-t$nextId", job, "DONE", s"u$nextId")
+            }
+            cat.updatePartitions(spark, "tasks", Seq(job),
+              _.filter(col("state") === "LOCK").unionByName(tasksDf(fresh)))
+            model = model.filterNot(t => t._2 == job && t._3 != "LOCK") ++ fresh
+        }
+      }
+      models(w) = model
+    })
+    assert(readTasks(cat) == models.toSeq.reduce(_ ++ _))
+    assert(CatalogTestIO.swapResidue(s"$root/disjoint", "tasks").isEmpty)
+  }
+
+  test("concurrent appends to one table lose nothing") {
+    val cat = Catalog(s"$root/appends")
+    val writers = 4
+    val perWriter = 3
+    concurrently((0 until writers).map { w => () =>
+      for (b <- 0 until perWriter)
+        cat.append(tasksDf((0 until 20).map(i =>
+          (s"a$w-$b-$i", s"job$w", "NEW", s"p$i"))), "tasks")
+    })
+    val all = readTasks(cat)
+    assert(all.size == writers * perWriter * 20,
+      s"lost ${writers * perWriter * 20 - all.size} appended rows")
+    assert(CatalogTestIO.swapResidue(s"$root/appends", "tasks").isEmpty)
+  }
+
+  test("an appender races partition swaps of the same table: both sides land") {
+    val cat = Catalog(s"$root/appendswap")
+    // seed the partitions the swapper will flip
+    cat.append(tasksDf((0 until 40).map(i =>
+      (s"s$i", s"swap-job${i % 2}", "NEW", s"p$i"))), "tasks")
+    concurrently(Seq(
+      () => for (b <- 0 until 6)
+        cat.append(tasksDf((0 until 10).map(i =>
+          (s"a$b-$i", "append-job", "NEW", s"q$i"))), "tasks"),
+      () => for (_ <- 0 until 6)
+        cat.updatePartitions(spark, "tasks", Seq("swap-job0", "swap-job1"),
+          _.withColumn("state", lit("DONE")))))
+    val all = readTasks(cat)
+    assert(all.count(_._2 == "append-job") == 60, "appender lost rows")
+    assert(all.count(_._2 != "append-job") == 40, "swapper lost rows")
+    // the LAST swap ran after the last competing append of its own
+    // partitions (they're disjoint from the appender's), so its flip is
+    // fully applied
+    assert(all.filter(_._2.startsWith("swap-job")).forall(_._3 == "DONE"))
+    assert(CatalogTestIO.swapResidue(s"$root/appendswap", "tasks").isEmpty)
+  }
+
+  test("a stale healer abandons its replay instead of corrupting later state") {
+    // White-box reconstruction of the r11 advice race, post-completion:
+    // op1 committed "S <dir>", promoted, and its cleanup was cut short —
+    // live holds the NEW content, the stale pre-image is still parked,
+    // and the staged dir is GONE. The old protocol's unconditional park
+    // (rename live → occupied pre slot) would nest the new live under
+    // the stale pre-image and leave the table dir missing; the r12 heal
+    // must keep live byte-identical and just clear the debris.
+    val r = s"$root/stale"
+    val cat = Catalog(r)
+    cat.append(tasksDf(Seq(("t1", "job0", "NEW", "old"))), "tasks")
+    cat.updatePartitions(spark, "tasks", Seq("job0"),
+      _.withColumn("payload", lit("new")))
+    val live = new java.io.File(s"$r/tasks/job_id=job0")
+    val liveBefore = CatalogTestIO.fileState(live)
+    assert(liveBefore.nonEmpty)
+    // reconstruct op1's torn-cleanup debris: a marker-bearing swap root
+    // whose staged dir is gone, plus a parked stale pre-image
+    new java.io.File(s"$r/tasks.bold.deadop1/job_id=job0/part-stale.parquet")
+      .getParentFile.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$r/tasks.bold.deadop1/job_id=job0/part-stale.parquet"),
+      "stale".getBytes("UTF-8"))
+    new java.io.File(s"$r/tasks.bswap.deadop1").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$r/tasks.bswap.deadop1/_COMMIT"),
+      "ID tasks.bswap.deadop1\nS job_id=job0\n".getBytes("UTF-8"))
+    // the heal (any read) replays op1's marker against the current world
+    assert(readTasks(cat) == Set(("t1", "job0", "NEW", "new")))
+    assert(CatalogTestIO.fileState(live) == liveBefore, "live dir was disturbed")
+    assert(CatalogTestIO.swapResidue(r, "tasks").isEmpty)
+
+    // and a stale "D" replay must not delete a RE-created partition when
+    // its marker is already gone (delete is marker-verified): a marker-
+    // less root is left alone entirely, so reconstruct a committed D
+    // whose live dir was since re-created, then vaporize the marker
+    // between the heal's read and its delete — approximated here by the
+    // strongest observable contract: a D op with its marker present
+    // deletes, and the SAME root once marker-less never deletes.
+    new java.io.File(s"$r/tasks.bswap.deadop2").mkdirs()
+    assert(readTasks(cat) == Set(("t1", "job0", "NEW", "new")))
+    assert(new java.io.File(s"$r/tasks.bswap.deadop2").exists,
+      "reader reclaimed an unmarked staging root")
+    CatalogTestIO.rm(new java.io.File(s"$r/tasks.bswap.deadop2"))
+  }
+}

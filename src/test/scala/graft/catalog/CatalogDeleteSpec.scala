@@ -69,9 +69,8 @@ class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val left = cat.read(spark, "tiles").select("container_uri")
       .collect().map(_.getString(0)).toSet
     assert(left == uris.drop(5).toSet)
-    // no staging residue
-    assert(!new java.io.File(s"$r/tiles.bswap").exists)
-    assert(!new java.io.File(s"$r/tiles.bold").exists)
+    // no staging residue (per-op roots included)
+    assert(CatalogTestIO.swapResidue(r, "tiles").isEmpty)
     // idempotent: re-deleting the same set is a no-op
     cat.deleteWhere(spark, "tiles", doomed.toDF("container_uri"))
     assert(cat.read(spark, "tiles").count() == 195)
@@ -130,9 +129,15 @@ class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     inflight.mkdirs()
     assert(cat.read(spark, "tiles").count() == 49)
     assert(inflight.exists)
-    // ...and the next WRITE reclaims it
-    cat.deleteWhere(spark, "tiles",
-      { import spark.implicits._; Seq(uris(1)).toDF("container_uri") })
+    // a WRITE leaves it alone too while fresh — it may be another live
+    // writer's minutes-long staging pass (r12 multi-writer contract)…
+    import spark.implicits._
+    cat.deleteWhere(spark, "tiles", Seq(uris(1)).toDF("container_uri"))
+    assert(inflight.exists)
+    // …and reclaims it only once it has been quiet past the stale TTL
+    spark.conf.set(Catalog.StaleSwapReclaimMsConf, "0")
+    try cat.deleteWhere(spark, "tiles", Seq(uris(2)).toDF("container_uri"))
+    finally spark.conf.unset(Catalog.StaleSwapReclaimMsConf)
     assert(!new java.io.File(s"$r/tiles.bswap").exists)
     // orphan .bold with no staging left: debris of a completed cleanup
     new java.io.File(s"$r/tiles.bold/$bucketDir").mkdirs()

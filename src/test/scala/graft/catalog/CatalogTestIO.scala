@@ -17,6 +17,14 @@ object CatalogTestIO {
     }.toMap
   }
 
+  /** Staging/park residue for a table: any sibling of `<root>/<table>`
+    * left behind by the swap machinery (`<table>.bswap*`, `.bold*`,
+    * `.bappend*`, `.swap*`, `.old`) — empty after every completed op. */
+  def swapResidue(root: String, table: String): Seq[String] =
+    Option(new java.io.File(root).listFiles).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n != table && n.startsWith(table + "."))
+      .toSeq.sorted
+
   def rm(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(rm)
     f.delete(): Unit

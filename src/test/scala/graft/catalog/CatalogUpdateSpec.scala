@@ -51,8 +51,7 @@ class CatalogUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(row => (row.getString(0), row.getString(1))).toSet
     assert(states == Set(("a1", "NEW"), ("a2", "RETRIED"),
       ("b1", "NEW"), ("c1", "COUNTERS")))
-    assert(!new java.io.File(s"$r/jobs.bswap").exists)
-    assert(!new java.io.File(s"$r/jobs.bold").exists)
+    assert(CatalogTestIO.swapResidue(r, "jobs").isEmpty)
   }
 
   test("a partition whose rows are all dropped disappears; empty values = all partitions") {
@@ -85,7 +84,7 @@ class CatalogUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // nothing swapped, nothing staged left behind
     assert(CatalogTestIO.fileState(new java.io.File(s"$r/jobs")) == before)
-    assert(!new java.io.File(s"$r/jobs.bswap").exists)
+    assert(CatalogTestIO.swapResidue(r, "jobs").isEmpty)
   }
 
   test("partition values with special characters match their escaped directories") {
