@@ -592,8 +592,7 @@ final case class Catalog(root: String) extends TableStore {
     * that keep N concurrent writers from eating each other's staging. */
   private def reclaimStaleRoots(f: FileSystem, spark: SparkSession,
       table: String): Unit = {
-    val ttl = spark.conf.getOption(Catalog.StaleSwapReclaimMsConf)
-      .map(_.toLong).getOrElse(Catalog.DefaultStaleSwapReclaimMs)
+    val ttl = Catalog.staleReclaimMs(spark)
     val now = System.currentTimeMillis()
     val candidates =
       Seq(".bswap.*", ".bappend.*", ".swap.*").flatMap { g =>
@@ -724,6 +723,14 @@ object Catalog {
     * output structure. Readers never reclaim. Default 6 h. */
   val StaleSwapReclaimMsConf = "graft.catalog.staleSwapReclaimMs"
   private[catalog] val DefaultStaleSwapReclaimMs = 6L * 3600 * 1000
+
+  /** The effective stale-staging TTL — shared by the catalog's unmarked
+    * staging roots and the consolidation worker's `.c4scratch` dirs (one
+    * knob for "how long can a writer be silent before its debris is
+    * someone else's to reclaim"). */
+  private[graft] def staleReclaimMs(spark: SparkSession): Long =
+    spark.conf.getOption(StaleSwapReclaimMsConf).map(_.toLong)
+      .getOrElse(DefaultStaleSwapReclaimMs)
 
   /** Unique id naming one mutation's staging/park roots — the property
     * that makes N concurrent writers unable to touch each other's

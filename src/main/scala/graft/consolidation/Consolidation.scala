@@ -279,6 +279,21 @@ object Consolidation {
     // cluster-memory persist at job scale
     val scratch = new org.apache.hadoop.fs.Path(s"${cat.root}/.c4scratch/$jobId")
     val hfs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // reclaim scratch left by hard-crashed jobs that never retried (a
+    // retry of the SAME id overwrites its own dir; other ids' debris
+    // would otherwise live forever). Age-gated with the catalog's stale-
+    // staging TTL: a fresh dir may be a LIVE concurrent job's one-pass
+    // materialization and is left strictly alone.
+    locally {
+      val ttl = graft.catalog.Catalog.staleReclaimMs(spark)
+      val now = System.currentTimeMillis()
+      val root = scratch.getParent
+      if (hfs.exists(root))
+        hfs.listStatus(root).foreach { s =>
+          if (s.getPath.getName != jobId && now - s.getModificationTime >= ttl)
+            hfs.delete(s.getPath, true): Unit
+        }
+    }
     try {
       val schema = built0.schema
       built0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)

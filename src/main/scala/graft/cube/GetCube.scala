@@ -113,8 +113,9 @@ object GetCube {
     * fixed-latency floor (a full Spark action per GetCube/XYZ request for
     * two broadcast-sized dims that change ~never; the reference holds
     * variables in process memory the same way). Keyed by the two variable
-    * tables' directory stamps so any local append/rewrite invalidates;
-    * non-local roots (no observable stamp) bypass the cache entirely
+    * tables' directory stamps (via the root's Hadoop FileSystem, so
+    * HDFS-class roots get the cache too) so any append/rewrite
+    * invalidates; an unobservable stamp bypasses the cache entirely
     * rather than risk staleness. */
   private val varCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Seq[String], Long, Long, Long, Long), VariableInfo]()
@@ -123,20 +124,26 @@ object GetCube {
     * listing hash matters — mtime alone is millisecond-truncated (and
     * seconds-coarse on some filesystems), so a rewrite landing in the
     * same tick with an unchanged file count would serve stale variables
-    * forever. (-1, -1) = unobservable (non-local root). */
-  private[cube] def dirStamp(root: String, table: String): (Long, Long) = {
-    val d = new java.io.File(s"$root/$table")
-    if (!d.exists) (-1L, -1L)
-    else {
+    * forever. Resolved through the Hadoop [[FileSystem]] of the root's
+    * scheme (r11 verdict #3: the `java.io.File` stamp bypassed the cache
+    * on every non-local root, charging HDFS-class deployments a full
+    * variable-lookup Spark action per request). (-1, -1) = unobservable
+    * (missing dir, or a listing cut mid-swap) → callers bypass the cache
+    * rather than risk staleness. */
+  private[cube] def dirStamp(spark: SparkSession, root: String,
+      table: String): (Long, Long) =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$table")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val status = f.getFileStatus(p) // throws FileNotFound when absent
       var h = 1L
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        h = h * 1000003L + f.getName.hashCode
-        h = h * 1000003L + f.length
-        h = h * 1000003L + f.lastModified
+      f.listStatus(p).foreach { s =>
+        h = h * 1000003L + s.getPath.getName.hashCode
+        h = h * 1000003L + s.getLen
+        h = h * 1000003L + s.getModificationTime
       }
-      (d.lastModified, h)
-    }
-  }
+      (status.getModificationTime, h)
+    } catch { case _: java.io.IOException => (-1L, -1L) }
 
   private def lookupVariable(spark: SparkSession, cat: Catalog,
       instanceIds: Seq[String]): VariableInfo = {
@@ -165,8 +172,8 @@ object GetCube {
     * lookup — one driver action per (instances, table-stamp) key. */
   private def resolveVariable(spark: SparkSession, cat: Catalog,
       instanceIds: Seq[String]): VariableInfo = {
-    val si = dirStamp(cat.root, "variable_instances")
-    val sd = dirStamp(cat.root, "variable_definitions")
+    val si = dirStamp(spark, cat.root, "variable_instances")
+    val sd = dirStamp(spark, cat.root, "variable_definitions")
     if (si._1 < 0 || sd._1 < 0) lookupVariable(spark, cat, instanceIds)
     else {
       if (varCache.size > 1024) varCache.clear() // bound, not LRU: refill is one action
@@ -355,11 +362,21 @@ object GetCube {
     import spark.implicits._
     // reads the tiles store only, scoped to the metadata's container set;
     // the broadcast goes on the client-metadata side (k rows), never the
-    // tile-payload side
-    // client-held metadata is bounded by what the client materialized
-    val tiles = selectTileLevel(spark, cat, out, meta.toDF(), bounded = true)
+    // tile-payload side. The hint is GATED on the metadata frame's plan
+    // size the same way the sibling getCube path gates on request
+    // boundedness: client-held metadata is usually a LocalRelation with
+    // exact stats, but this entry point also serves bulk-export-scale
+    // sets (GeoTiffIO allows 10⁶ uris), where a forced broadcast could
+    // OOM the driver or exceed Spark's broadcast hard limit — there the
+    // planner's size-based choice decides (r11 advice).
+    val metaDf = meta.toDF()
+    val bounded =
+      metaDf.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 28)
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      if (bounded) broadcast(df) else df
+    val tiles = selectTileLevel(spark, cat, out, metaDf, bounded)
     val ds = tiles
-      .join(broadcast(meta.toDF()),
+      .join(hinted(metaDf),
         col("container_uri") === col("t_uri") &&
           col("subdir") === col("t_base_subdir"))
       .select(

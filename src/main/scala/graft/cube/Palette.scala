@@ -63,7 +63,7 @@ object Palette {
     * the cache rather than risk staleness. */
   def cachedRead(spark: org.apache.spark.sql.SparkSession,
       cat: graft.catalog.Catalog, name: String): Option[Palette] = {
-    val st = GetCube.dirStamp(cat.root, "palette")
+    val st = GetCube.dirStamp(spark, cat.root, "palette")
     if (st._1 < 0) read(spark, cat, name)
     else {
       if (readCache.size > 1024) readCache.clear() // bound, not LRU

@@ -250,8 +250,18 @@ class ConsolidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // catalog, but CONSOLIDATIONDONE is never journaled
     val tasks = Consolidation.prepareOrders(spark, cat, "job4", "i1",
       Seq("r1", "r2"), layout, None)
+    // scratch debris from hard-crashed jobs: a STALE foreign dir is
+    // reclaimed by this C4 pass, a FRESH one (possibly a live concurrent
+    // job's materialization) survives
+    val staleScratch = new java.io.File(s"$root/.c4scratch/dead-old-job")
+    val freshScratch = new java.io.File(s"$root/.c4scratch/live-other-job")
+    staleScratch.mkdirs(); freshScratch.mkdirs()
+    staleScratch.setLastModified(1000L)
     Consolidation.consolidate(spark, cat, "job4", tasks, spec.params,
       layout.overviewsMinSize)
+    assert(!staleScratch.exists, "stale crashed-job scratch not reclaimed")
+    assert(freshScratch.exists, "fresh (possibly live) scratch was reclaimed")
+    graft.catalog.CatalogTestIO.rm(freshScratch)
     val jobTiles = cat.read(spark, "tiles")
       .filter(col("container_uri").startsWith(s"$root/containers/job4/"))
     val partial = jobTiles.count()
