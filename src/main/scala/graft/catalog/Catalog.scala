@@ -233,12 +233,21 @@ final case class Catalog(root: String) extends TableStore {
       .parquet(stage.toString)
     val files = listDataFiles(f, stage)
     if (files.isEmpty) { f.delete(stage, true); return }
-    writeMarker(f, stage, files.map("A " + _))
-    if (!f.exists(dest)) f.mkdirs(dest)
-    val marker = new Path(stage, Catalog.CommitMarker)
-    files.foreach(rel =>
-      applyAppendMove(f, dest, stage, rel, () => f.exists(marker)))
-    f.delete(stage, true): Unit
+    // lease the partition dirs this batch lands in for the (fast) move
+    // phase: without them, files moved between a same-partition swap's
+    // staging read and its promotion would be parked into debris and
+    // silently lost — with them, the batch lands wholly before or wholly
+    // after the swap. Unpartitioned tables skip this (no partition ops
+    // exist to race; concurrent appends never collide on file names).
+    val partDirs = files.flatMap(_.split('/').dropRight(1).headOption).distinct
+    withPartitionLeases(f, spark, table, partDirs, stage.getName) {
+      writeMarker(f, stage, files.map("A " + _))
+      if (!f.exists(dest)) f.mkdirs(dest)
+      val marker = new Path(stage, Catalog.CommitMarker)
+      files.foreach(rel =>
+        applyAppendMove(f, dest, stage, rel, () => f.exists(marker)))
+      f.delete(stage, true): Unit
+    }
   }
 
   /** Data files under a staging root, as `/`-joined paths relative to it
@@ -413,50 +422,151 @@ final case class Catalog(root: String) extends TableStore {
     // value would silently miss the partition and no-op the update
     val names =
       values.map(v => s"$pc=" + ExternalCatalogUtils.escapePathName(v)).distinct
-    val existing = names.map(n => new Path(dest, n)).filter(f.exists)
     val opId = Catalog.newOpId()
     val swapRoot = new Path(path(table) + ".bswap." + opId)
     val oldRoot = new Path(path(table) + ".bold." + opId)
-    // stage the transformed partitions; the write runs while the live
-    // files still exist (renames come after), so lazy lineage is safe.
-    // An all-absent target set still stages: the transform may insert.
-    val cur =
-      if (existing.nonEmpty)
-        spark.read.option("basePath", dest.toString)
-          .schema(readSchema(table))
-          .parquet(existing.map(_.toString): _*)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema(table))
-    val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
-    val out = withDerived(transform(cur).select(logical: _*), table)
-    out.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(swapRoot.toString)
-    val stagedNames = f.listStatus(swapRoot).toIndexedSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
-      .map(_.getPath.getName).toSet
-    val escapedOut = stagedNames.toSeq.filterNot(names.toSet)
-    if (escapedOut.nonEmpty) {
-      f.delete(swapRoot, true)
-      throw new IllegalArgumentException(
-        s"partition rewrite of '$table' moved rows outside the targeted " +
-          s"partitions: ${escapedOut.mkString(", ")}")
+    // the leases span the WHOLE read-modify-write — the live listing,
+    // the staging read's file index, the commit and every promotion —
+    // so a same-partition competitor (appender or another update)
+    // serializes before the listing or after the last rename, never
+    // in between ([[withPartitionLeases]])
+    withPartitionLeases(f, spark, table, names, opId) {
+      try {
+        val existing = names.map(n => new Path(dest, n)).filter(f.exists)
+        // stage the transformed partitions; the write runs while the live
+        // files still exist (renames come after), so lazy lineage is safe.
+        // An all-absent target set still stages: the transform may insert.
+        val cur =
+          if (existing.nonEmpty)
+            spark.read.option("basePath", dest.toString)
+              .schema(readSchema(table))
+              .parquet(existing.map(_.toString): _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema(table))
+        val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
+        val out = withDerived(transform(cur).select(logical: _*), table)
+        out.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(swapRoot.toString)
+        val stagedNames = f.listStatus(swapRoot).toIndexedSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pc="))
+          .map(_.getPath.getName).toSet
+        val escapedOut = stagedNames.toSeq.filterNot(names.toSet)
+        if (escapedOut.nonEmpty)
+          throw new IllegalArgumentException(
+            s"partition rewrite of '$table' moved rows outside the targeted " +
+              s"partitions: ${escapedOut.mkString(", ")}")
+        // ops per targeted dir: swap in staged content, or pure delete. A
+        // name neither staged nor on disk is a no-op and is not recorded.
+        val ops = names.flatMap { n =>
+          if (stagedNames(n)) Some(s"S $n")
+          else if (f.exists(new Path(dest, n))) Some(s"D $n")
+          else None
+        }
+        if (ops.nonEmpty) {
+          // COMMIT: marker written whole then renamed into place (atomic)
+          // — from here the swap is committed and only rolls forward.
+          // oldRoot is NOT pre-created: parks create it on demand
+          // ([[freeParkSlot]]), and an upfront mkdirs races a concurrent
+          // healer's terminal delete of it (local-FS mkdirs+chmod is not
+          // atomic against a delete)
+          writeMarker(f, swapRoot, ops)
+          val marker = new Path(swapRoot, Catalog.CommitMarker)
+          ops.foreach(op =>
+            applyOp(f, dest, swapRoot, oldRoot, op, () => f.exists(marker)))
+        }
+        f.delete(swapRoot, true): Unit
+        f.delete(oldRoot, true): Unit
+      } finally {
+        // failure before the commit point: the op never happened — clear
+        // this op's own staging rather than leave it for the stale TTL
+        if (!f.exists(new Path(swapRoot, Catalog.CommitMarker)))
+          f.delete(swapRoot, true): Unit
+      }
     }
-    // ops per targeted dir: swap in staged content, or pure delete. A
-    // name neither staged nor on disk is a no-op and is not recorded.
-    val ops = names.flatMap { n =>
-      if (stagedNames(n)) Some(s"S $n")
-      else if (f.exists(new Path(dest, n))) Some(s"D $n")
-      else None
+  }
+
+  /** Run `body` holding advisory write leases on the named partition
+    * directories of `table` — the engine's substitute for the
+    * reference's Postgres row locks (pg.go unitOfWork `SELECT … FOR
+    * UPDATE`): writers touching the SAME partition serialize instead of
+    * last-writer-wins clobbering (the lost-update shape: an append whose
+    * files land between a swap's staging read and its promotion would
+    * vanish into parked debris). Writers touching disjoint partitions
+    * share nothing and never wait.
+    *
+    * Two layers, both scoped per (root, table, partition dir):
+    *  - an in-JVM striped lock (local-FS `create(overwrite=false)` is
+    *    not atomic, so same-JVM threads — the common local deployment —
+    *    serialize here);
+    *  - a lease FILE under `<root>/_leases/<table>/`, created
+    *    exclusively (atomic on HDFS-class stores), content = op id.
+    *
+    * Acquisition is in sorted order (no deadlocks) and bounded by
+    * [[Catalog.LeaseTimeoutMsConf]]. A lease older than the stale-staging
+    * TTL is BROKEN: its holder is dead (crashed mid-op — its uncommitted
+    * staging is reclaimed by the same TTL) or has violated the
+    * documented op-duration bound. Committed work never waits on a dead
+    * holder's lease: [[healSwap]] runs before acquisition, so a crashed
+    * writer's marker-bearing roots are rolled forward first. Release
+    * deletes the file only if it still carries this op's id (a broken
+    * and re-acquired lease belongs to someone else). */
+  private def withPartitionLeases[T](f: FileSystem, spark: SparkSession,
+      table: String, partDirs: Seq[String], opId: String)(body: => T): T = {
+    val keys = partDirs.distinct.sorted
+    if (keys.isEmpty) return body
+    val ttl = Catalog.staleReclaimMs(spark)
+    val timeoutMs = spark.conf.getOption(Catalog.LeaseTimeoutMsConf)
+      .map(_.toLong).getOrElse(Catalog.DefaultLeaseTimeoutMs)
+    val locks = keys.map(k => Catalog.jvmLocks
+      .computeIfAbsent(s"$root|$table|$k", _ => new java.util.concurrent.locks.ReentrantLock))
+    val leaseDir = new Path(s"$root/${Catalog.LeaseDirName}/$table")
+    val held = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.locks.ReentrantLock]
+    val leased = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      locks.foreach { l =>
+        if (!l.tryLock(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+          throw new java.io.IOException(
+            s"write lease: in-JVM lock timeout on $table (another writer holds a targeted partition)")
+        held += l
+      }
+      f.mkdirs(leaseDir)
+      keys.foreach { k =>
+        val lp = new Path(leaseDir, k + ".lease")
+        val deadline = System.currentTimeMillis() + timeoutMs
+        var ok = false
+        while (!ok) {
+          try {
+            val os = f.create(lp, false) // exclusive — atomic on HDFS
+            try os.write(opId.getBytes("UTF-8")) finally os.close()
+            leased += lp
+            ok = true
+          } catch {
+            case _: java.io.IOException =>
+              val st = try Some(f.getFileStatus(lp))
+                catch { case _: java.io.FileNotFoundException => None }
+              st match {
+                case Some(s) if System.currentTimeMillis() - s.getModificationTime >= ttl =>
+                  f.delete(lp, false): Unit // dead holder — break it
+                case _ =>
+                  if (System.currentTimeMillis() > deadline)
+                    throw new java.io.IOException(
+                      s"write lease: timeout acquiring $lp after ${timeoutMs}ms")
+                  Thread.sleep(50)
+              }
+          }
+        }
+      }
+      body
+    } finally {
+      leased.foreach { lp =>
+        val mine = try {
+          val in = f.open(lp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString == opId
+          finally in.close()
+        } catch { case _: java.io.IOException => false }
+        if (mine) f.delete(lp, false): Unit
+      }
+      held.foreach(_.unlock())
     }
-    if (ops.isEmpty) { f.delete(swapRoot, true); return }
-    // COMMIT: marker written whole then renamed into place (atomic) —
-    // from here the swap is committed and only rolls forward
-    writeMarker(f, swapRoot, ops)
-    f.mkdirs(oldRoot)
-    val marker = new Path(swapRoot, Catalog.CommitMarker)
-    ops.foreach(op =>
-      applyOp(f, dest, swapRoot, oldRoot, op, () => f.exists(marker)))
-    f.delete(swapRoot, true): Unit
-    f.delete(oldRoot, true): Unit
   }
 
   /** Write the commit marker atomically: whole content to a tmp name,
@@ -551,9 +661,17 @@ final case class Catalog(root: String) extends TableStore {
     (if (f.exists(base)) Seq(base) else Seq.empty) ++ extra
   }
 
+  /** mkdirs tolerant of a concurrent delete of the same path (local-FS
+    * mkdirs chmods the dir it just made — a racer's delete in between
+    * surfaces as a shell ExitCodeException, not a clean false). Callers
+    * retry or re-check the world; they never need the dir to have
+    * survived. */
+  private def quietMkdirs(f: FileSystem, p: Path): Unit =
+    try f.mkdirs(p): Unit catch { case _: java.io.IOException => }
+
   /** First unoccupied park slot for `name` under `oldRoot`. */
   private def freeParkSlot(f: FileSystem, oldRoot: Path, name: String): Path = {
-    f.mkdirs(oldRoot)
+    quietMkdirs(f, oldRoot)
     val base = new Path(oldRoot, name)
     if (!f.exists(base)) base
     else Iterator.from(1).map(i => new Path(oldRoot, s"$name.p$i"))
@@ -572,7 +690,7 @@ final case class Catalog(root: String) extends TableStore {
     var spin = 0
     while (f.exists(src)) {
       val parent = dst.getParent
-      if (!f.exists(parent)) f.mkdirs(parent)
+      if (!f.exists(parent)) quietMkdirs(f, parent)
       if (f.rename(src, dst)) return
       if (!markerAlive()) return
       spin += 1
@@ -679,7 +797,6 @@ final case class Catalog(root: String) extends TableStore {
         finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
     ops.foreach { lines =>
-      if (lines.exists(_.startsWith("S "))) f.mkdirs(oldRoot)
       lines.foreach(op =>
         applyOp(f, dest, stagingRoot, oldRoot, op, () => f.exists(marker)))
       f.delete(stagingRoot, true): Unit
@@ -731,6 +848,21 @@ object Catalog {
   private[graft] def staleReclaimMs(spark: SparkSession): Long =
     spark.conf.getOption(StaleSwapReclaimMsConf).map(_.toLong)
       .getOrElse(DefaultStaleSwapReclaimMs)
+
+  /** Directory under the catalog root holding per-partition write-lease
+    * files (`_leases/<table>/<partitionDir>.lease`). */
+  private[catalog] val LeaseDirName = "_leases"
+
+  /** Conf key: how long a writer waits for a contended partition lease
+    * before failing loudly. Same-partition contention is rare by design
+    * (FSMs own their partitions); the default absorbs a competing
+    * minutes-long staging pass. */
+  val LeaseTimeoutMsConf = "graft.catalog.leaseTimeoutMs"
+  private[catalog] val DefaultLeaseTimeoutMs = 3600L * 1000
+
+  /** In-JVM stripe for write leases, keyed (root, table, partition). */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
 
   /** Unique id naming one mutation's staging/park roots — the property
     * that makes N concurrent writers unable to touch each other's

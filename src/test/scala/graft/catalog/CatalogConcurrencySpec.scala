@@ -148,6 +148,68 @@ class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CatalogTestIO.swapResidue(s"$root/appendswap", "tasks").isEmpty)
   }
 
+  test("SAME-partition appender vs swapper: leases prevent the lost update") {
+    // The Postgres-row-lock substitute: without the per-partition write
+    // leases, an append whose files land between a swap's staging read
+    // and its promotion is parked into pre-image debris and silently
+    // deleted — the classic lost update. With leases the batch lands
+    // wholly before or wholly after the swap, so every appended row
+    // survives (possibly state-flipped, which is the serial semantics).
+    val cat = Catalog(s"$root/samepart")
+    cat.append(tasksDf(Seq(("seed", "hot", "NEW", ""))), "tasks")
+    val rounds = 8
+    concurrently(Seq(
+      () => for (b <- 0 until rounds)
+        cat.append(tasksDf((0 until 5).map(i =>
+          (s"a$b-$i", "hot", "NEW", s"p$b-$i"))), "tasks"),
+      () => for (_ <- 0 until rounds)
+        cat.updatePartitions(spark, "tasks", Seq("hot"),
+          _.withColumn("state", lit("DONE")))))
+    val all = readTasks(cat)
+    assert(all.size == 1 + rounds * 5,
+      s"lost ${1 + rounds * 5 - all.size} rows to the append/swap race")
+    assert(all.map(_._1) ==
+      (Set("seed") ++ (for (b <- 0 until rounds; i <- 0 until 5) yield s"a$b-$i")))
+    assert(CatalogTestIO.swapResidue(s"$root/samepart", "tasks").isEmpty)
+    // leases are released: a follow-up writer acquires immediately
+    cat.updatePartitions(spark, "tasks", Seq("hot"), _.filter(lit(false)))
+    assert(readTasks(cat).isEmpty)
+  }
+
+  test("a dead writer's expired lease is broken; a live one blocks then times out") {
+    val r = s"$root/leases"
+    val cat = Catalog(r)
+    cat.append(tasksDf(Seq(("t1", "j1", "NEW", ""))), "tasks")
+    // a crashed writer's leftover lease, older than the stale TTL
+    val lease = new java.io.File(s"$r/${"_leases"}/tasks/job_id=j1.lease")
+    lease.getParentFile.mkdirs()
+    java.nio.file.Files.write(lease.toPath, "deadop".getBytes("UTF-8"))
+    lease.setLastModified(1000L)
+    // broken transparently: the update acquires and completes
+    cat.updatePartitions(spark, "tasks", Seq("j1"),
+      _.withColumn("state", lit("DONE")))
+    assert(readTasks(cat) == Set(("t1", "j1", "DONE", "")))
+    assert(!lease.exists || {
+      // if re-created it must be someone's fresh lease, not the dead one
+      new String(java.nio.file.Files.readAllBytes(lease.toPath), "UTF-8") != "deadop"
+    })
+    // a FRESH foreign lease blocks the writer until the acquire timeout
+    java.nio.file.Files.write(lease.toPath, "liveop".getBytes("UTF-8"))
+    spark.conf.set(Catalog.LeaseTimeoutMsConf, "300")
+    try {
+      val e = intercept[java.io.IOException] {
+        cat.updatePartitions(spark, "tasks", Seq("j1"),
+          _.withColumn("state", lit("NEW")))
+      }
+      assert(e.getMessage.contains("lease"))
+    } finally {
+      spark.conf.unset(Catalog.LeaseTimeoutMsConf)
+      lease.delete()
+    }
+    // state unchanged by the refused op
+    assert(readTasks(cat) == Set(("t1", "j1", "DONE", "")))
+  }
+
   test("a stale healer abandons its replay instead of corrupting later state") {
     // White-box reconstruction of the r11 advice race, post-completion:
     // op1 committed "S <dir>", promoted, and its cleanup was cut short —
