@@ -33,10 +33,13 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * Concurrency contract (r12): every mutation stages under a root named
   * by its own op id, so N writers can mutate one table concurrently —
   * appends compose with appends and with partition ops; partition ops on
-  * DISJOINT partitions compose exactly (CatalogConcurrencySpec hammers
-  * both); ops on the SAME partition are last-writer-wins and must be
-  * serialized by the caller (the job FSMs do, per-job). Full-table
-  * [[rewrite]] remains an exclusive admin/migration operation.
+  * DISJOINT partitions compose exactly; ops on the SAME partition
+  * SERIALIZE behind advisory per-partition write leases
+  * ([[withPartitionLeases]] — the Postgres-row-lock substitute), so a
+  * racing append/update pair yields the serial outcome instead of a lost
+  * update. Readers take no leases and never block.
+  * CatalogConcurrencySpec hammers all of it. Full-table [[rewrite]]
+  * remains an exclusive admin/migration operation.
   *
   * Writes that must be atomic (the consolidation status swap, C6) go
   * through [[Catalog.rewrite]]: write-new-then-rename, the filesystem

@@ -210,6 +210,46 @@ class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTasks(cat) == Set(("t1", "j1", "DONE", "")))
   }
 
+  test("a torn COMMITTED append rolls forward on read; an unmarked one is invisible") {
+    // the staged-append sibling of CatalogDeleteSpec's torn-swap test: a
+    // writer that crashed after committing its file manifest but before
+    // finishing the moves must heal to the WHOLE batch on the next read
+    // — never a silently partial append
+    val r = s"$root/tornappend"
+    val cat = Catalog(r)
+    cat.append(tasksDf(Seq(("t0", "jx", "NEW", ""))), "tasks")
+    // build a committed append staging root by hand: two files, one
+    // already moved (gone from staging), one still staged
+    val stage = new java.io.File(s"$r/tasks.bappend.deadapp1/job_id=jy")
+    stage.mkdirs()
+    // a real parquet file for the staged row (written elsewhere, moved in)
+    val tmp = new java.io.File(s"$r/.mk")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("t1", "jy", "NEW", "late")), 1),
+      Schemas.all("tasks")).drop("job_id").write.parquet(tmp.toString)
+    val part = tmp.listFiles.filter(_.getName.endsWith(".parquet")).head
+    val staged = new java.io.File(stage, "part-torn.parquet")
+    assert(part.renameTo(staged))
+    CatalogTestIO.rm(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$r/tasks.bappend.deadapp1/_COMMIT"),
+      ("ID tasks.bappend.deadapp1\n" +
+        "A job_id=jy/part-torn.parquet\n" +
+        "A job_id=jy/part-already-moved.parquet\n").getBytes("UTF-8"))
+    // heal on read: the staged file moves into the live partition, the
+    // already-moved one is a no-op, the root is cleaned up
+    assert(readTasks(cat) ==
+      Set(("t0", "jx", "NEW", ""), ("t1", "jy", "NEW", "late")))
+    assert(CatalogTestIO.swapResidue(r, "tasks").isEmpty)
+    // an UNMARKED append root (writer mid-staging or dead pre-commit) is
+    // invisible to reads and survives them
+    val inflight = new java.io.File(s"$r/tasks.bappend.live2/job_id=jz")
+    inflight.mkdirs()
+    assert(readTasks(cat).size == 2)
+    assert(inflight.exists)
+    CatalogTestIO.rm(new java.io.File(s"$r/tasks.bappend.live2"))
+  }
+
   test("a stale healer abandons its replay instead of corrupting later state") {
     // White-box reconstruction of the r11 advice race, post-completion:
     // op1 committed "S <dir>", promoted, and its cleanup was cut short —
