@@ -217,12 +217,12 @@ final case class Catalog(root: String) extends TableStore {
     *
     * The move step is one driver-side rename per file — metadata-only on
     * HDFS-class stores, and the salted write keeps the file count
-    * bounded (buckets × salts) at any batch size. Appending to a
-    * partition CONCURRENTLY being rewritten by [[updatePartitions]] /
-    * [[deleteWhere]] is last-writer-wins (the swap's read may predate
-    * the moved files) — callers serialize per partition, which the job
-    * FSMs do by construction (a job's task partition is only ever
-    * written by that job's own driver loop). */
+    * bounded (buckets × salts) at any batch size. The move phase holds
+    * the touched partitions' write leases ([[withPartitionLeases]]), so
+    * an append racing a same-partition [[updatePartitions]] /
+    * [[deleteWhere]] lands wholly before the swap's staging read or
+    * wholly after its promotion — the serial outcome, never a batch
+    * parked into pre-image debris. */
   def append(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
@@ -403,8 +403,9 @@ final case class Catalog(root: String) extends TableStore {
     * (writer B's pre-delete erased writer A's in-flight pass). Ops on
     * DISJOINT partitions compose exactly (each swaps only its own
     * directories — CatalogConcurrencySpec hammers this); ops touching
-    * the SAME partition are last-writer-wins per directory, the
-    * semantics callers must (and the job FSMs do) serialize. A root that
+    * the SAME partition serialize behind that partition's write lease
+    * ([[withPartitionLeases]], held across the whole read-modify-write),
+    * so racing writers produce the serial outcome. A root that
     * never reaches its marker — a writer that died mid-staging — is
     * reclaimed by a later writer only after [[Catalog.StaleSwapReclaimMsConf]]
     * of inactivity, never by readers and never while fresh. */

@@ -210,6 +210,47 @@ class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTasks(cat) == Set(("t1", "j1", "DONE", "")))
   }
 
+  private def tileRow(uri: String): Row =
+    Row(uri, "", 2, 2, 1, "uint8", "EPSG:4326",
+      Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0), Array.fill[Byte](4)(1))
+
+  private def tilesDf(uris: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(uris.map(tileRow), 2), Schemas.all("tiles"))
+
+  private def readUris(cat: Catalog): Set[String] =
+    cat.read(spark, "tiles").select("container_uri").collect()
+      .map(_.getString(0)).toSet
+
+  test("concurrent deleteWhere with OVERLAPPING bucket sets: exact set difference") {
+    // two GC passes whose uri sets hash into overlapping CRC-32 buckets:
+    // without the per-bucket leases both stage the shared bucket from
+    // the same snapshot and the loser's deletions resurrect; with them
+    // the bucket swaps serialize and the result is the serial set
+    // difference, every time
+    val cat = Catalog(s"$root/gcrace")
+    val uris = (0 until 300).map(i => s"mem://gc$i")
+    cat.append(tilesDf(uris), "tiles")
+    import spark.implicits._
+    concurrently(Seq(
+      () => for (batch <- uris.slice(0, 100).grouped(25))
+        cat.deleteWhere(spark, "tiles", batch.toDF("container_uri")),
+      () => for (batch <- uris.slice(100, 200).grouped(25))
+        cat.deleteWhere(spark, "tiles", batch.toDF("container_uri"))))
+    assert(readUris(cat) == uris.drop(200).toSet)
+    assert(CatalogTestIO.swapResidue(s"$root/gcrace", "tiles").isEmpty)
+  }
+
+  test("concurrent salted tile appends land every row") {
+    val cat = Catalog(s"$root/tileapp")
+    concurrently((0 until 3).map { w => () =>
+      for (b <- 0 until 2)
+        cat.append(tilesDf((0 until 40).map(i => s"mem://w$w-b$b-$i")), "tiles")
+    })
+    assert(readUris(cat).size == 3 * 2 * 40)
+    assert(CatalogTestIO.swapResidue(s"$root/tileapp", "tiles").isEmpty)
+  }
+
   test("a torn COMMITTED append rolls forward on read; an unmarked one is invisible") {
     // the staged-append sibling of CatalogDeleteSpec's torn-swap test: a
     // writer that crashed after committing its file manifest but before
