@@ -512,7 +512,10 @@ final case class Catalog(root: String) extends TableStore {
     * holder's lease: [[healSwap]] runs before acquisition, so a crashed
     * writer's marker-bearing roots are rolled forward first. Release
     * deletes the file only if it still carries this op's id (a broken
-    * and re-acquired lease belongs to someone else). */
+    * and re-acquired lease belongs to someone else). NOT reentrant:
+    * `body` must not start another catalog mutation of the same
+    * partitions (transforms are pure DataFrame functions by contract —
+    * a nested mutation would self-block until the acquire timeout). */
   private def withPartitionLeases[T](f: FileSystem, spark: SparkSession,
       table: String, partDirs: Seq[String], opId: String)(body: => T): T = {
     val keys = partDirs.distinct.sorted
@@ -716,6 +719,15 @@ final case class Catalog(root: String) extends TableStore {
       table: String): Unit = {
     val ttl = Catalog.staleReclaimMs(spark)
     val now = System.currentTimeMillis()
+    // the TTL is hours — rescanning on every mutation buys nothing, so
+    // one scan per table per minute per JVM (skipped when the TTL is
+    // test-shortened below the rescan interval)
+    if (ttl > Catalog.ReclaimRescanMs) {
+      val key = path(table)
+      val last = Catalog.reclaimLastScan.get(key)
+      if (last != null && now - last < Catalog.ReclaimRescanMs) return
+      Catalog.reclaimLastScan.put(key, now): Unit
+    }
     val candidates =
       Seq(".bswap.*", ".bappend.*", ".swap.*").flatMap { g =>
         Option(f.globStatus(new Path(path(table) + g)))
@@ -867,6 +879,11 @@ object Catalog {
   /** In-JVM stripe for write leases, keyed (root, table, partition). */
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Per-table floor between stale-root scans (see reclaimStaleRoots). */
+  private val ReclaimRescanMs = 60L * 1000
+  private val reclaimLastScan =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Unique id naming one mutation's staging/park roots — the property
     * that makes N concurrent writers unable to touch each other's
