@@ -108,6 +108,32 @@ class CatalogUpdateSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSet == Set("GONE"))
   }
 
+  test("a transform failing at staging time leaves no residue and a usable table") {
+    val r = s"$root/stagefail"
+    val cat = Catalog(r)
+    cat.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      jrow("a1", "a", "CONSOLIDATION", "NEW"))),
+      Schemas.all("jobs")), "jobs")
+    val before = CatalogTestIO.fileState(new java.io.File(s"$r/jobs"))
+    // fails when the staging WRITE executes (runtime, not analysis): the
+    // op never reaches its commit point, so the pre-commit cleanup must
+    // clear this op's own staging root AND release its leases
+    intercept[Exception] {
+      cat.updatePartitions(spark, "jobs", Seq("CONSOLIDATION"),
+        _.withColumn("payload",
+          org.apache.spark.sql.functions.expr(
+            "assert_true(state != 'NEW', 'induced staging failure')").cast("string")))
+    }
+    assert(CatalogTestIO.fileState(new java.io.File(s"$r/jobs")) == before)
+    assert(CatalogTestIO.swapResidue(r, "jobs").isEmpty,
+      "failed staging left debris")
+    // leases released: the next writer proceeds immediately
+    cat.updatePartitions(spark, "jobs", Seq("CONSOLIDATION"),
+      _.withColumn("state", lit("DONE")))
+    assert(cat.read(spark, "jobs").select("state").collect()
+      .map(_.getString(0)).toSet == Set("DONE"))
+  }
+
   test("updatePartitions refuses unpartitioned and derived-partitioned tables") {
     val cat = Catalog(s"$root/refuse")
     intercept[IllegalArgumentException] {
