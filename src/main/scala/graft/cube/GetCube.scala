@@ -370,8 +370,7 @@ object GetCube {
     // OOM the driver or exceed Spark's broadcast hard limit — there the
     // planner's size-based choice decides (r11 advice).
     val metaDf = meta.toDF()
-    val bounded =
-      metaDf.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 28)
+    val bounded = boundedForBroadcast(metaDf)
     def hinted(df: org.apache.spark.sql.DataFrame) =
       if (bounded) broadcast(df) else df
     val tiles = selectTileLevel(spark, cat, out, metaDf, bounded)
@@ -389,6 +388,15 @@ object GetCube {
       .as[DatasetTile]
     downloadCube(spark, ds, out)
   }
+
+  /** Broadcast-hint gate for frames whose boundedness is only knowable
+    * from plan statistics (client-held metadata): a LocalRelation from a
+    * request carries exact byte stats and hints; an RDD-backed or
+    * store-scale frame reports the default (≈unbounded) size and falls
+    * back to the planner's choice. 256 MiB keeps a hinted build far
+    * under Spark's broadcast hard limit with driver headroom. */
+  private[cube] def boundedForBroadcast(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 28)
 
   private def datasetTilesMetaOnly(spark: SparkSession, cat: Catalog,
       req: CubeRequest, out: OutDescriptor): DataFrame = {

@@ -57,4 +57,22 @@ class VarCacheStampSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a missing table stays unobservable → bypass, never a phantom hit
     assert(GetCube.dirStamp(spark, root, "no_such_table") == ((-1L, -1L)))
   }
+
+  test("metadata broadcast gate: exact-stat local frames hint, stat-less frames don't") {
+    import spark.implicits._
+    // a client request's materialized metadata: LocalRelation, exact size
+    assert(GetCube.boundedForBroadcast(
+      (0 until 100).map(i => (s"u$i", i)).toDF("container_uri", "n")))
+    // an RDD-backed frame reports the default (≈unbounded) size — the
+    // r11 advice case: bulk-export-scale metadata must NOT force a
+    // driver broadcast
+    val rddBacked = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("u", 1)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("container_uri",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType))))
+    assert(!GetCube.boundedForBroadcast(rddBacked))
+  }
 }
