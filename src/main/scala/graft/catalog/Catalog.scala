@@ -295,8 +295,19 @@ final case class Catalog(root: String) extends TableStore {
     if (f.exists(dest) && !f.rename(dest, old))
       throw new java.io.IOException(s"swap: cannot stage $dest")
     if (!f.rename(tmp, dest)) {
-      f.rename(old, dest) // rollback
-      throw new java.io.IOException(s"swap: cannot promote $tmp")
+      // a racing appender can re-create dest in the beat between the two
+      // renames (its partition leases don't conflict with this
+      // exclusive-by-contract op). Its batch loses to the rewrite — but
+      // it must lose CLEANLY: renaming onto the re-created dir would
+      // nest table content inside it (the local-FS/HDFS
+      // rename-into-existing-dir behavior), corrupting the layout.
+      if (f.exists(dest)) f.delete(dest, true): Unit
+      if (!f.rename(tmp, dest)) {
+        // genuine promote failure: restore the pre-image, into an empty
+        // slot only, for the same reason
+        if (!f.exists(dest)) f.rename(old, dest): Unit
+        throw new java.io.IOException(s"swap: cannot promote $tmp")
+      }
     }
     f.delete(old, true): Unit
   }
