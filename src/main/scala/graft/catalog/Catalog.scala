@@ -45,10 +45,12 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * through [[Catalog.rewrite]]: write-new-then-rename, the filesystem
   * stand-in for a Delta MERGE transaction.
   *
-  * Reader contract: NOT snapshot isolation. A query whose file listing
-  * predates a concurrent swap can fail transiently with Spark's
-  * stale-file error (`FAILED_READ_FILE`) when it opens the replaced
-  * files — retry the read (the same guidance Spark's error text gives).
+  * Reader contract: NOT snapshot isolation. A query racing a concurrent
+  * swap can fail transiently in two shapes — Spark's stale-file error
+  * (`FAILED_READ_FILE`, the listing predated the swap) or a
+  * `FileNotFoundException` during partition discovery (a directory seen
+  * at the top level vanished before the leaf listing reached it) — retry
+  * the read in both cases (the same guidance Spark's error text gives).
   * The swap protocol guarantees the stronger properties that matter:
   * readers can never corrupt the store or destroy in-flight staging,
   * committed swaps always complete, and no state is silently lost
@@ -247,7 +249,7 @@ final case class Catalog(root: String) extends TableStore {
       writeMarker(f, stage, files.map("A " + _))
       if (!f.exists(dest)) f.mkdirs(dest)
       val marker = new Path(stage, Catalog.CommitMarker)
-      files.foreach(rel =>
+      applyConcurrently(files)(rel =>
         applyAppendMove(f, dest, stage, rel, () => f.exists(marker)))
       f.delete(stage, true): Unit
     }
@@ -485,7 +487,7 @@ final case class Catalog(root: String) extends TableStore {
           // atomic against a delete)
           writeMarker(f, swapRoot, ops)
           val marker = new Path(swapRoot, Catalog.CommitMarker)
-          ops.foreach(op =>
+          applyConcurrently(ops)(op =>
             applyOp(f, dest, swapRoot, oldRoot, op, () => f.exists(marker)))
         }
         f.delete(swapRoot, true): Unit
@@ -652,7 +654,7 @@ final case class Catalog(root: String) extends TableStore {
         if (f.exists(live)) return
         if (!markerAlive()) return // op completed and cleaned up elsewhere
         spin += 1
-        if (spin > 50)
+        if (spin > 500)
           throw new java.io.IOException(s"partition swap: lost $name")
         Thread.sleep(10)
       } else {
@@ -663,7 +665,7 @@ final case class Catalog(root: String) extends TableStore {
         }
         if (!f.exists(live) && f.rename(staged, live)) return
         spin += 1
-        if (spin > 50)
+        if (spin > 500)
           throw new java.io.IOException(s"partition swap: cannot promote $staged")
         Thread.sleep(10)
       }
@@ -678,6 +680,27 @@ final case class Catalog(root: String) extends TableStore {
       .sortBy(p => p.getName.stripPrefix(name + ".p").toIntOption.getOrElse(0))
     (if (f.exists(base)) Seq(base) else Seq.empty) ++ extra
   }
+
+  /** Run independent per-path filesystem ops concurrently: a multi-TB
+    * salted append stages up to buckets×salts (4096) files and an
+    * unscoped metadata purge can touch 10⁵ partition dirs — at ~ms per
+    * metadata call on HDFS-class stores a sequential driver loop turns
+    * into minutes, while the calls are embarrassingly parallel (every op
+    * touches its own path; the shared park root is created via the
+    * delete-tolerant [[quietMkdirs]]). Failures propagate unwrapped. */
+  private def applyConcurrently[A](items: Seq[A])(fn: A => Unit): Unit =
+    if (items.size <= 4) items.foreach(fn)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futures = items.map(a =>
+          pool.submit(new Runnable { def run(): Unit = fn(a) }))
+        futures.foreach { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
 
   /** mkdirs tolerant of a concurrent delete of the same path (local-FS
     * mkdirs chmods the dir it just made — a racer's delete in between
@@ -712,7 +735,7 @@ final case class Catalog(root: String) extends TableStore {
       if (f.rename(src, dst)) return
       if (!markerAlive()) return
       spin += 1
-      if (spin > 50)
+      if (spin > 500)
         throw new java.io.IOException(s"append: cannot place $dst")
       Thread.sleep(10)
     }
@@ -824,7 +847,7 @@ final case class Catalog(root: String) extends TableStore {
         finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
     ops.foreach { lines =>
-      lines.foreach(op =>
+      applyConcurrently(lines)(op =>
         applyOp(f, dest, stagingRoot, oldRoot, op, () => f.exists(marker)))
       f.delete(stagingRoot, true): Unit
       f.delete(oldRoot, true): Unit

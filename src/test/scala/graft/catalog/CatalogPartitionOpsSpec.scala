@@ -111,7 +111,12 @@ class CatalogPartitionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     @volatile var readerFailure: Option[Throwable] = None
     def isTransient(t: Throwable): Boolean =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-        .exists(c => String.valueOf(c.getMessage).contains("FAILED_READ_FILE"))
+        .exists(c => String.valueOf(c.getMessage).contains("FAILED_READ_FILE") ||
+          // the listing-time shape of the same stale-snapshot window: the
+          // reader's partition discovery saw a bucket dir that a swap
+          // removed before the leaf listing reached it
+          (String.valueOf(c.getMessage).contains("does not exist") &&
+            String.valueOf(c.getMessage).contains("__bucket=")))
     val reader = new Thread(() => {
       while (!stop && readerFailure.isEmpty)
         try { cat.read(spark, "tiles").count(): Unit }
