@@ -293,22 +293,37 @@ final case class Catalog(root: String) extends TableStore {
     val writer = withDerived(df, table).write.mode(SaveMode.Overwrite)
     partitionColumn(table).fold(writer)(writer.partitionBy(_))
       .parquet(tmp.toString)
+    promoteTable(f, tmp, dest, old)
+  }
+
+  /** The full-table swap's promote step, isolated so its interloper
+    * recovery is directly testable (`beforePromote` is a test seam
+    * injecting the racing state between the two renames). */
+  private[catalog] def promoteTable(f: FileSystem, tmp: Path, dest: Path,
+      old: Path, beforePromote: () => Unit = () => ()): Unit = {
     if (f.exists(old)) f.delete(old, true)
     if (f.exists(dest) && !f.rename(dest, old))
       throw new java.io.IOException(s"swap: cannot stage $dest")
-    if (!f.rename(tmp, dest)) {
-      // a racing appender can re-create dest in the beat between the two
-      // renames (its partition leases don't conflict with this
-      // exclusive-by-contract op). Its batch loses to the rewrite — but
-      // it must lose CLEANLY: renaming onto the re-created dir would
-      // nest table content inside it (the local-FS/HDFS
-      // rename-into-existing-dir behavior), corrupting the layout.
+    beforePromote()
+    // the occupied-dest guard must run BEFORE the rename: renaming onto
+    // an existing directory does not fail — it SUCCEEDS by nesting the
+    // source inside it (local FS and HDFS both), which would silently
+    // corrupt the layout. A racing appender that re-created dest in the
+    // beat between the two renames (its partition leases don't conflict
+    // with this exclusive-by-contract op) loses its batch cleanly.
+    var spin = 0
+    var promoted = false
+    while (!promoted) {
       if (f.exists(dest)) f.delete(dest, true): Unit
-      if (!f.rename(tmp, dest)) {
-        // genuine promote failure: restore the pre-image, into an empty
-        // slot only, for the same reason
-        if (!f.exists(dest)) f.rename(old, dest): Unit
-        throw new java.io.IOException(s"swap: cannot promote $tmp")
+      promoted = tryRename(f, tmp, dest)
+      if (!promoted) {
+        spin += 1
+        if (spin > 3) {
+          // genuine promote failure: restore the pre-image, into an
+          // empty slot only, for the same nesting reason
+          if (!f.exists(dest)) tryRename(f, old, dest): Unit
+          throw new java.io.IOException(s"swap: cannot promote $tmp")
+        }
       }
     }
     f.delete(old, true): Unit
@@ -650,7 +665,7 @@ final case class Catalog(root: String) extends TableStore {
         // …or promoted and then parked away by a racer mid-beat: restore
         // the NEWEST parked image (unique slots — never a merged dir)
         val parked = parkedSlots(f, oldRoot, name)
-        if (parked.nonEmpty && f.rename(parked.last, live)) return
+        if (parked.nonEmpty && tryRename(f, parked.last, live)) return
         if (f.exists(live)) return
         if (!markerAlive()) return // op completed and cleaned up elsewhere
         spin += 1
@@ -661,9 +676,9 @@ final case class Catalog(root: String) extends TableStore {
         if (f.exists(live)) {
           // park the pre-image; a failed rename means a racer moved the
           // live dir first — the loop re-checks rather than assumes
-          f.rename(live, freeParkSlot(f, oldRoot, name)): Unit
+          tryRename(f, live, freeParkSlot(f, oldRoot, name)): Unit
         }
-        if (!f.exists(live) && f.rename(staged, live)) return
+        if (!f.exists(live) && tryRename(f, staged, live)) return
         spin += 1
         if (spin > 500)
           throw new java.io.IOException(s"partition swap: cannot promote $staged")
@@ -702,6 +717,13 @@ final case class Catalog(root: String) extends TableStore {
       } finally pool.shutdown()
     }
 
+  /** rename whose failure is a VALUE on every FS: the local FS throws
+    * FileNotFoundException when the source vanished (a racer moved it
+    * mid-beat) where HDFS returns false — the race-tolerant loops here
+    * treat both as "not renamed, re-read the world". */
+  private def tryRename(f: FileSystem, src: Path, dst: Path): Boolean =
+    try f.rename(src, dst) catch { case _: java.io.IOException => false }
+
   /** mkdirs tolerant of a concurrent delete of the same path (local-FS
     * mkdirs chmods the dir it just made — a racer's delete in between
     * surfaces as a shell ExitCodeException, not a clean false). Callers
@@ -732,7 +754,7 @@ final case class Catalog(root: String) extends TableStore {
     while (f.exists(src)) {
       val parent = dst.getParent
       if (!f.exists(parent)) quietMkdirs(f, parent)
-      if (f.rename(src, dst)) return
+      if (tryRename(f, src, dst)) return
       if (!markerAlive()) return
       spin += 1
       if (spin > 500)
@@ -799,7 +821,9 @@ final case class Catalog(root: String) extends TableStore {
     val dest = new Path(path(table))
     val old = new Path(path(table) + ".old")
     if (!f.exists(dest)) {
-      if (f.exists(old) && !f.rename(old, dest))
+      // two healers can race this restore — the loser's rename fails (or
+      // throws on the local FS); only an UNrestored table is an error
+      if (f.exists(old) && !tryRename(f, old, dest) && !f.exists(dest))
         throw new java.io.IOException(s"swap heal: cannot restore $dest")
     } else if (f.exists(old)) f.delete(old, true)
     // partition-swap / staged-append heal: one listing finds every

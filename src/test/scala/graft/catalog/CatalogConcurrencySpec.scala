@@ -291,6 +291,39 @@ class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     CatalogTestIO.rm(new java.io.File(s"$r/tasks.bappend.live2"))
   }
 
+  test("rewrite promote: an interloper dest re-created mid-swap loses cleanly") {
+    val r = s"$root/promote"
+    val f = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cat = Catalog(r)
+    def mkFile(p: String, content: String): Unit = {
+      val file = new java.io.File(p); file.getParentFile.mkdirs()
+      java.nio.file.Files.write(file.toPath, content.getBytes("UTF-8")): Unit
+    }
+    def names(p: String): Set[String] =
+      Option(new java.io.File(p).listFiles).getOrElse(Array.empty)
+        .map(_.getName).toSet
+    import org.apache.hadoop.fs.Path
+    // interloper case: an appender re-creates dest between the two
+    // renames — the promoted table must contain EXACTLY the staged
+    // content, with the interloper neither kept nor nested under
+    mkFile(s"$r/t/pre.parquet", "pre")
+    mkFile(s"$r/t.swap.op1/new.parquet", "new")
+    cat.promoteTable(f, new Path(s"$r/t.swap.op1"), new Path(s"$r/t"),
+      new Path(s"$r/t.old"),
+      beforePromote = () => mkFile(s"$r/t/interloper.parquet", "late"))
+    assert(names(s"$r/t") == Set("new.parquet"), "interloper kept or nested")
+    assert(!new java.io.File(s"$r/t.old").exists)
+    // genuine promote failure (tmp vanished): pre-image restored whole,
+    // never nested into a partial dest
+    mkFile(s"$r/u/pre.parquet", "pre")
+    intercept[java.io.IOException] {
+      cat.promoteTable(f, new Path(s"$r/u.swap.op2"), new Path(s"$r/u"),
+        new Path(s"$r/u.old"))
+    }
+    assert(names(s"$r/u") == Set("pre.parquet"), "pre-image not restored")
+  }
+
   test("a stale healer abandons its replay instead of corrupting later state") {
     // White-box reconstruction of the r11 advice race, post-completion:
     // op1 committed "S <dir>", promoted, and its cleanup was cut short —
