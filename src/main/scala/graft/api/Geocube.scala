@@ -18,7 +18,7 @@ import org.locationtech.jts.geom.Geometry
   * argument shapes track the service interface; streaming rpcs return
   * Datasets/iterators instead of gRPC streams.
   */
-final case class Geocube(spark: SparkSession, cat: Catalog) {
+final case class Geocube(spark: SparkSession, cat: TableStore) {
 
   /** Version (service.go:1362; GeocubeServerVersion): the engine version
     * a client can probe for compatibility checks. */

@@ -25,7 +25,7 @@ object Admin {
   /** The impact summary the reference prints before a bulk update (A6,
     * pg_containers.go:436-459): GROUP BY the current dformat fields +
     * COUNT over the datasets the update would touch. */
-  def updateImpact(spark: SparkSession, cat: Catalog,
+  def updateImpact(spark: SparkSession, cat: TableStore,
       instanceIds: Seq[String], recordIds: Seq[String] = Nil): DataFrame = {
     // same scoping as updateDatasets — a record-scoped update's dry-run
     // must describe the update that will run, not the whole instance
@@ -44,7 +44,7 @@ object Admin {
     * the given instances gets the new dformat values, atomically. Returns
     * the number of rows touched. One scan + one swap — no per-row round
     * trips, so a 10⁹-row datasets table updates in one distributed pass. */
-  def updateDatasets(spark: SparkSession, cat: Catalog,
+  def updateDatasets(spark: SparkSession, cat: TableStore,
       instanceIds: Seq[String], up: DFormatUpdate,
       recordIds: Seq[String] = Nil, simulate: Boolean = false): Long = {
     // validate BEFORE the atomic rewrite — a bad dtype name or an
@@ -92,7 +92,7 @@ object Admin {
     * each one left_anti plan + atomic swap, in dependency order (J6 shape:
     * the NOT EXISTS GC of pg_records.go:176-191 / pg_containers.go:100-109).
     * Returns per-table deleted counts. */
-  def tidy(spark: SparkSession, cat: Catalog,
+  def tidy(spark: SparkSession, cat: TableStore,
       aois: Boolean = true, records: Boolean = true,
       variables: Boolean = true, instances: Boolean = true,
       containers: Boolean = true, params: Boolean = true,

@@ -1,9 +1,9 @@
 package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.col
 
 /** Parquet-backed catalog root: one directory per table under `root`.
   *
@@ -23,12 +23,13 @@ import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
   * registered connector (e.g. `gs:` without the GCS connector on the
   * classpath) fails LOUDLY at first touch instead of silently no-op'ing
   * renames the way `java.io.File` on a URI string would. On stores whose
-  * rename is a copy (S3A), swap the impl for Delta/Iceberg: the five
-  * mutation/read primitives live behind [[TableStore]] (which this class
-  * implements, contract pinned by TableStoreContractSpec) so a lake
-  * implementation is a drop-in (reference: the PostGIS transaction in
-  * pg_containers.go plus interface/storage/gcs/strategy.go for the
-  * object side).
+  * rename is a copy (S3A), use [[CommitLogTableStore]] instead — the
+  * same [[TableStore]] contract (pinned by TableStoreContractSpec) and
+  * the same physical file layout ([[TableLayout]]), published through an
+  * exclusive-create commit log rather than directory renames;
+  * [[TableStore.at]] picks the right implementation from the root's
+  * scheme (reference: the PostGIS transaction in pg_containers.go plus
+  * interface/storage/gcs/strategy.go for the object side).
   *
   * Concurrency contract (r12): every mutation stages under a root named
   * by its own op id, so N writers can mutate one table concurrently —
@@ -67,7 +68,7 @@ final case class Catalog(root: String) extends TableStore {
   def read(spark: SparkSession, table: String): DataFrame = {
     val f = fs(spark)
     healSwap(f, table)
-    val schema = readSchema(table)
+    val schema = TableLayout.readSchema(table)
     if (f.exists(new Path(path(table)))) {
       migrateLegacyLayout(spark, table)
       // normalize to the logical column order: Spark appends partition
@@ -80,62 +81,29 @@ final case class Catalog(root: String) extends TableStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Read-side schema: the logical table schema plus any DERIVED partition
-    * column ([[derivedPartition]]). The derived column is part of the read
-    * frame on purpose — pruned joins reference it so Catalyst's dynamic
-    * partition pruning can skip whole buckets (see [[graft.cube.GetCube]]
-    * `selectTileLevel`). */
-  private def readSchema(table: String): org.apache.spark.sql.types.StructType = {
-    val base = Schemas.all(table)
-    derivedPartition(table).fold(base) { d =>
-      org.apache.spark.sql.types.StructType(
-        base.fields :+ org.apache.spark.sql.types.StructField(
-          d.name, org.apache.spark.sql.types.IntegerType))
-    }
-  }
-
-  /** Tables written with a partition column: `datasets` by instance
-    * (instance filters prune), `jobs` by type — the streaming journal
-    * probes `type = TASKEVENT` once per micro-batch, and FSM state rows
-    * must not make that probe a full-history scan at 100× scale.
+  /** Which tables are partitioned and by what: shared layout knowledge,
+    * extracted to [[TableLayout]] (the commit-log store lays files out
+    * identically). `datasets` by instance (instance filters prune),
+    * `jobs` by type (the streaming journal probes `type = TASKEVENT`
+    * once per micro-batch), `tasks` by job (every FSM read/rewrite is
+    * job-scoped — a big consolidation holds 10⁵ task rows per job and
+    * must not pay, or race, other jobs' I/O), `tiles` by the derived
+    * CRC-32 bucket of the container URI (serving-path joins become
+    * dynamic partition pruning instead of a full payload scan).
     *
-    * Layout-version note: a jobs directory written BEFORE the
-    * partitioning (flat part files with `type` as a data column) cannot
-    * be mixed with `type=` subdirectories — Spark refuses mixed leaf
-    * depths ("Conflicting directory structures detected"). Every
+    * Layout-version note: a table directory written BEFORE its
+    * partitioning (flat part files with the key still a data column)
+    * cannot be mixed with `col=` subdirectories — Spark refuses mixed
+    * leaf depths ("Conflicting directory structures detected"). Every
     * read/append of a partitioned table therefore runs
     * [[migrateLegacyLayout]] first: a one-time atomic rewrite of any
     * flat legacy files into the partitioned form (memoized per JVM so
     * the steady-state cost is one set lookup). */
-  private def partitionColumn(table: String): Option[String] = table match {
-    case "datasets" => Some("instance_id")
-    case "jobs" => Some("type")
-    // tasks by job: every FSM read is job-scoped (lock snapshots, task
-    // outcomes, resume journals) and prunes to one partition; every FSM
-    // task rewrite goes through [[updatePartitions]] and swaps only its
-    // job's directory — a big consolidation holds 10⁵ task rows per job
-    // and must not pay (or race) other jobs' I/O
-    case "tasks" => Some("job_id")
-    case "tiles" => Some(Catalog.TilesBucketCol)
-    case _ => None
-  }
+  private def partitionColumn(table: String): Option[String] =
+    TableLayout.partitionColumn(table)
 
-  private case class Derived(name: String, srcCol: String, derive: Column => Column)
-
-  /** DERIVED partition columns: not part of the logical schema — computed
-    * by [[append]]/[[rewrite]] from a data column at write time. `tiles`
-    * (the pixel store, the ONLY 100-TB-class table) is hash-bucketed by
-    * container URI so a serving-path join against a request's container
-    * set becomes dynamic partition pruning instead of a full payload scan.
-    * CRC-32 is the bucket hash on purpose: a frozen public standard, so
-    * the layout can never silently disagree with the query-time derivation
-    * the way a Spark-internal hash could across versions. */
-  private def derivedPartition(table: String): Option[Derived] =
-    table match {
-      case "tiles" =>
-        Some(Derived(Catalog.TilesBucketCol, "container_uri", Catalog.tilesBucketOf))
-      case _ => None
-    }
+  private def derivedPartition(table: String): Option[TableLayout.Derived] =
+    TableLayout.derivedPartition(table)
 
   /** Upgrade a pre-partitioning table directory in place: flat
     * `part-*.parquet` files (the partition key still a data column) are
@@ -184,21 +152,14 @@ final case class Catalog(root: String) extends TableStore {
     * keying on the bucket ALONE caps write parallelism at ≤64 tasks
     * (really ~40: hash collisions leave ~1/e of the 64 partitions empty),
     * which serializes a multi-TB append through a handful of writers. So
-    * the shuffle key is (bucket, salt) with [[filesPerBucket]] salts sized
-    * from the batch's estimated bytes (targeting ~1 GiB files): a small
-    * append keeps the ≤1-file-per-bucket property, a huge one fans out to
-    * up to 64×64 writers while the per-append file count stays bounded at
-    * buckets × salts (each task still writes ≤1 file per bucket dir). */
+    * the shuffle key is (bucket, salt) with [[Catalog.filesPerBucket]]
+    * salts sized from the batch's estimated bytes (targeting ~1 GiB
+    * files): a small append keeps the ≤1-file-per-bucket property, a huge
+    * one fans out to up to 64×64 writers while the per-append file count
+    * stays bounded at buckets × salts (each task still writes ≤1 file per
+    * bucket dir). */
   private def withDerived(df: DataFrame, table: String): DataFrame =
-    derivedPartition(table).fold(df) { d =>
-      val stamped = df.withColumn(d.name, d.derive(col(d.srcCol)))
-      val salts = Catalog.filesPerBucket(df)
-      if (salts <= 1)
-        stamped.repartition(Catalog.TilesBuckets, col(d.name))
-      else
-        stamped.repartition(Catalog.TilesBuckets * salts, col(d.name),
-          pmod(xxhash64(col(d.srcCol)), lit(salts.toLong)))
-    }
+    TableLayout.withDerived(df, table)
 
   /** Staged atomic append: the batch is written to a private per-op
     * staging root (`<table>.bappend.<opId>`), COMMITTED by a marker
@@ -255,25 +216,9 @@ final case class Catalog(root: String) extends TableStore {
     }
   }
 
-  /** Data files under a staging root, as `/`-joined paths relative to it
-    * (`job_id=X/part-….parquet`). Skips `_SUCCESS`/hidden entries. */
-  private def listDataFiles(f: FileSystem, root: Path): Seq[String] = {
-    val rootStr = f.makeQualified(root).toString
-    def walk(dir: Path): Seq[String] =
-      f.listStatus(dir).toIndexedSeq.flatMap { s =>
-        val n = s.getPath.getName
-        if (s.isDirectory)
-          // recurse into partition dirs — including `_`-prefixed DERIVED
-          // ones (`__bucket=…`); skip Spark's commit scratch
-          if (n.startsWith(".") || n == "_temporary") Nil else walk(s.getPath)
-        else if (n.startsWith("_") || n.startsWith(".")) Nil // _SUCCESS, crcs
-        else Seq(f.makeQualified(s.getPath).toString.stripPrefix(rootStr + "/"))
-      }
-    val files = walk(root)
-    require(files.forall(r => !new Path(r).isAbsolute),
-      s"append staging produced paths outside $rootStr")
-    files
-  }
+  /** Data files under a staging root, relative to it — [[TableLayout]]. */
+  private def listDataFiles(f: FileSystem, root: Path): Seq[String] =
+    TableLayout.listDataFiles(f, root)
 
   /** Atomic full-table replace: write to a temp dir, swap directories.
     * Readers opened before the swap keep their snapshot (file handles);
@@ -471,10 +416,10 @@ final case class Catalog(root: String) extends TableStore {
         val cur =
           if (existing.nonEmpty)
             spark.read.option("basePath", dest.toString)
-              .schema(readSchema(table))
+              .schema(TableLayout.readSchema(table))
               .parquet(existing.map(_.toString): _*)
           else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema(table))
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TableLayout.readSchema(table))
         val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
         val out = withDerived(transform(cur).select(logical: _*), table)
         out.write.mode(SaveMode.Overwrite).partitionBy(pc).parquet(swapRoot.toString)
@@ -704,18 +649,7 @@ final case class Catalog(root: String) extends TableStore {
     * touches its own path; the shared park root is created via the
     * delete-tolerant [[quietMkdirs]]). Failures propagate unwrapped. */
   private def applyConcurrently[A](items: Seq[A])(fn: A => Unit): Unit =
-    if (items.size <= 4) items.foreach(fn)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-      try {
-        val futures = items.map(a =>
-          pool.submit(new Runnable { def run(): Unit = fn(a) }))
-        futures.foreach { fut =>
-          try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        }
-      } finally pool.shutdown()
-    }
+    Catalog.applyConcurrently(items)(fn)
 
   /** rename whose failure is a VALUE on every FS: the local FS throws
     * FileNotFoundException when the source vanished (a racer moved it
@@ -949,6 +883,24 @@ object Catalog {
     * one table drawing the same id (~2⁻⁴⁸ per pair). */
   private[catalog] def newOpId(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** Run independent per-path filesystem ops on a 16-thread pool (the
+    * class-level doc at the forwarder explains why); shared with
+    * [[CommitLogTableStore]]'s migration copy. Failures propagate
+    * unwrapped. */
+  private[catalog] def applyConcurrently[A](items: Seq[A])(fn: A => Unit): Unit =
+    if (items.size <= 4) items.foreach(fn)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futures = items.map(a =>
+          pool.submit(new Runnable { def run(): Unit = fn(a) }))
+        futures.foreach { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
 
   /** Intra-bucket write salts for one batch: ⌈batchBytes / (1 GiB × 64
     * buckets)⌉, clamped to [1, 64] — a ≥4 TiB append gets the full

@@ -46,7 +46,7 @@ object CatalogQueries {
     * (+record datetime when joined); ordered by (datetime, record id, id)
     * when `order` is set — `joinRecords`-without-`order` callers (the
     * cube kernel path) get the records columns with no sort. */
-  def findDatasets(spark: SparkSession, cat: Catalog, f: DatasetFilters): DataFrame = {
+  def findDatasets(spark: SparkSession, cat: TableStore, f: DatasetFilters): DataFrame = {
     var d = cat.read(spark, "datasets")
 
     // status filter (pg:263-267)
@@ -107,7 +107,7 @@ object CatalogQueries {
 
   /** ListActiveDatasetsID — pg_containers.go:352-382: id-only projection;
     * Catalyst prunes the parquet scan to the filter+id columns. */
-  def listActiveDatasetIds(spark: SparkSession, cat: Catalog, instanceId: String,
+  def listActiveDatasetIds(spark: SparkSession, cat: TableStore, instanceId: String,
       recordIds: Seq[String] = Nil, tags: Map[String, String] = Map.empty,
       fromTime: Option[java.sql.Timestamp] = None,
       toTime: Option[java.sql.Timestamp] = None): DataFrame =
@@ -118,7 +118,7 @@ object CatalogQueries {
 
   /** FindRecords — pg_records.go:80-154: name pattern + tags + time + AOI
     * intersection (+aoi join for geometry load). */
-  def findRecords(spark: SparkSession, cat: Catalog,
+  def findRecords(spark: SparkSession, cat: TableStore,
       namePatterns: Seq[String] = Nil,
       tags: Map[String, String] = Map.empty,
       fromTime: Option[java.sql.Timestamp] = None,
@@ -178,7 +178,7 @@ object CatalogQueries {
     * pg_jobs.go — the reference repeats the same SQL per table): P2
     * pattern split on `name` + ORDER BY name + LIMIT/OFFSET paging (O2).
     * Offset is a row_number filter so the plan needs no global collect. */
-  def listByName(spark: SparkSession, cat: Catalog, table: String,
+  def listByName(spark: SparkSession, cat: TableStore, table: String,
       namePattern: String = "", limit: Int = 0, offset: Int = 0): DataFrame = {
     var df = cat.read(spark, table)
     Patterns.predicate(col("name"), if (namePattern.isEmpty) Nil else Seq(namePattern))
@@ -192,7 +192,7 @@ object CatalogQueries {
     if (limit > 0) df.limit(limit) else df
   }
 
-  def findCells(spark: SparkSession, cat: Catalog, grid: String, aoi: Geometry): DataFrame = {
+  def findCells(spark: SparkSession, cat: TableStore, grid: String, aoi: Geometry): DataFrame = {
     val cells = cat.read(spark, "cells").filter(col("grid") === grid)
     val aoiWkb = lit(GeomOps.writeWkb(aoi))
     cells
@@ -204,7 +204,7 @@ object CatalogQueries {
 
   /** Garbage-collection anti-joins (pg_records.go:176-191,
     * pg_containers.go:100-109, J6): rows with no referring datasets. */
-  def pendingDeletion(spark: SparkSession, cat: Catalog, table: String): DataFrame = {
+  def pendingDeletion(spark: SparkSession, cat: TableStore, table: String): DataFrame = {
     val datasets = cat.read(spark, "datasets")
     table match {
       case "records" =>

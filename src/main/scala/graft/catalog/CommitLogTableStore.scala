@@ -1,0 +1,606 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.col
+
+/** A [[TableStore]] for stores WITHOUT atomic rename — the S3-class
+  * object stores where [[Catalog]]'s directory-swap protocol does not
+  * hold (rename = copy + delete, non-atomic, and a reader can observe
+  * the half-copied state). Same data-file layout as [[Catalog]]
+  * ([[TableLayout]]), different visibility mechanism: a Delta-style
+  * ordered commit log.
+  *
+  * Layout per table:
+  * {{{
+  * <root>/<table>/_log/00000000000000000007.commit      ordered commits
+  * <root>/<table>/_log/00000000000000000020.checkpoint  replay shortcut
+  * <root>/<table>/data/<opId>/[col=value/]part-*.parquet immutable files
+  * }}}
+  *
+  * Every mutation (1) writes its batch to a private immutable directory
+  * `data/<opId>` — invisible until committed, so Spark's job-commit
+  * renames inside that directory need NO atomicity — then (2) publishes
+  * one commit file whose lines ADD its new files and REMOVE the files it
+  * replaces, created EXCLUSIVELY at the next log version. That exclusive
+  * create is the only primitive the protocol needs, and it is exactly
+  * what object stores offer natively: S3 conditional writes
+  * (`If-None-Match: *`, GA since 2024), GCS `x-goog-if-generation-match:
+  * 0`, Azure `If-None-Match` — the same primitive Delta Lake's LogStore
+  * contract is built on (delta.io "Storage configuration"; on providers
+  * without it, an external coordinator à la S3DynamoDBLogStore slots in
+  * here). On the local filesystem the create maps to POSIX `O_EXCL` via
+  * NIO, so the protocol is exercised end-to-end by the test suite —
+  * including under a FileSystem whose cross-directory rename THROWS
+  * (NoRenameCommitLogContractSpec), proving nothing on the publish path
+  * renames.
+  *
+  * Concurrency is OPTIMISTIC, no leases: writers race to create the next
+  * version; the loser re-reads the log and either re-commits as-is (an
+  * append — conflict-free by construction), or, when an intervening
+  * commit touched one of its target partitions, re-runs its whole
+  * read-transform-stage pass against the new state. Disjoint-partition
+  * writers therefore compose with at most a version-number retry, and
+  * same-partition writers serialize to the exact serial outcome — the
+  * property [[Catalog]] gets from partition leases, obtained here the
+  * way Delta/Iceberg get it (optimistic transactions + logical conflict
+  * detection), because a lease file's mtime-based breaking is itself
+  * rename/timing-sensitive on object stores.
+  *
+  * Readers get true SNAPSHOT ISOLATION (stronger than [[Catalog]]'s
+  * retry-on-transient contract): a read plans against the file list of
+  * one log version, files are immutable, and replaced files are kept as
+  * tombstones for [[Catalog.StaleSwapReclaimMsConf]] before vacuum.
+  * Crash atomicity is trivial: a writer that dies before its commit file
+  * exists never happened (its staging dir is age-reclaimed); after, its
+  * batch is fully visible. There is no roll-forward to heal.
+  *
+  * Reference: the PostGIS transaction boundary this stands in for is
+  * interface/database/pg/pg.go (unitOfWork); the object-store strategy
+  * interface/storage/gcs/strategy.go. Public designs drawn on: the Delta
+  * Lake transaction-log protocol (github.com/delta-io/delta
+  * PROTOCOL.md: ordered JSON commits, put-if-absent, checkpoints,
+  * tombstoned vacuum) re-expressed minimally over Hadoop FileSystem.
+  *
+  * Scale notes: a read unions one parquet relation per live op
+  * directory, so append-heavy tables should be compacted periodically
+  * ([[rewrite]] is the compaction — it folds every live file into one op
+  * dir and the checkpoint keeps replay O(tail)); the tiles table's
+  * salted bucket fan-out bounds files per append exactly as in
+  * [[Catalog]]. Commit files are O(files touched) text lines — a 4096-
+  * file salted append is a ~200 KB commit, well under any PUT limit. */
+final case class CommitLogTableStore(root: String) extends TableStore {
+  import CommitLogTableStore._
+
+  private def logDir(table: String) = new Path(s"$root/$table/_log")
+  private def dataDir(table: String) = new Path(s"$root/$table/data")
+
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- read
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val f = fs(spark)
+    val schema = TableLayout.readSchema(table)
+    val snap = snapshot(f, table)
+    if (snap.live.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else readFiles(spark, f, table, snap.live)
+  }
+
+  /** One relation per live op directory (its own `basePath`, so Spark's
+    * partition discovery sees only `col=value` segments), unioned in
+    * logical column order. */
+  private def readFiles(spark: SparkSession, f: FileSystem, table: String,
+      rels: Seq[String]): DataFrame = {
+    val schema = TableLayout.readSchema(table)
+    val dd = f.makeQualified(dataDir(table)).toString
+    val ordered = schema.fieldNames.toIndexedSeq.map(col)
+    rels.groupBy(opIdOf).toSeq.sortBy(_._1).map { case (opId, group) =>
+      spark.read.option("basePath", s"$dd/$opId").schema(schema)
+        .parquet(group.map(r => s"$dd/$r"): _*)
+        .select(ordered: _*)
+    }.reduce(_.union(_))
+  }
+
+  // ----------------------------------------------------------- mutations
+
+  def append(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark)
+    maintain(f, spark, table)
+    val opId = Catalog.newOpId()
+    val files = stageBatch(f, df, table, opId)
+    if (files.isEmpty) { f.delete(new Path(dataDir(table), opId), true); return }
+    // appends are conflict-free (pure ADDs): only the version number races
+    commitRetrying(f, table, opId)(_ =>
+      header(opId, "append") ++ files.map("ADD " + _))
+  }
+
+  def rewrite(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark)
+    maintain(f, spark, table)
+    val opId = Catalog.newOpId()
+    val files = stageBatch(f, df, table, opId)
+    // the REMOVE set is the live set AT COMMIT TIME — rebuilt on every
+    // version-race retry, so a rewrite folds in (removes) files committed
+    // while it was staging: the serial order "their op, then this rewrite"
+    commitRetrying(f, table, opId)(snap =>
+      header(opId, "rewrite") ++ snap.live.map("REMOVE " + _) ++
+        files.map("ADD " + _))
+  }
+
+  def deleteWhere(spark: SparkSession, table: String, uris: DataFrame,
+      uriCol: String): Unit = {
+    val d = TableLayout.derivedPartition(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteWhere: table '$table' has no derived bucket partition"))
+    val del = uris.select(col(uriCol).as("__gc_uri"))
+      .filter(col("__gc_uri").isNotNull).distinct()
+      .localCheckpoint(true) // consumed once per optimistic attempt
+    try {
+      val affected = del.select(d.derive(col("__gc_uri")).as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (affected.nonEmpty)
+        rewritePartitions(spark, table, affected.map(_.toString),
+          cur => cur.join(del, cur(d.srcCol) === del("__gc_uri"), "left_anti"))
+    } finally graft.operators.OperatorCaches.releaseLocalCheckpoint(del)
+  }
+
+  def updatePartitions(spark: SparkSession, table: String,
+      partValues: Seq[String], transform: DataFrame => DataFrame): Unit = {
+    require(TableLayout.derivedPartition(table).isEmpty,
+      s"updatePartitions: '$table' is derived-bucket-partitioned — use deleteWhere")
+    require(TableLayout.partitionColumn(table).isDefined,
+      s"updatePartitions: table '$table' is not partitioned")
+    if (partValues.nonEmpty || snapshot(fs(spark), table).live.nonEmpty)
+      rewritePartitions(spark, table, partValues, transform)
+  }
+
+  /** The optimistic read-transform-stage-commit loop shared by
+    * [[updatePartitions]] and [[deleteWhere]]. Each attempt reads ONLY
+    * the targeted partitions' live files at one snapshot, stages the
+    * transformed rows, then commits iff no intervening commit touched a
+    * target partition (or was a full rewrite); on conflict the staging
+    * is discarded and the whole pass re-runs against the new state —
+    * same-partition writers serialize to the serial outcome. */
+  private def rewritePartitions(spark: SparkSession, table: String,
+      partValues: Seq[String], transform: DataFrame => DataFrame): Unit = {
+    val pc = TableLayout.partitionColumn(table).get
+    val f = fs(spark)
+    maintain(f, spark, table)
+    val schema = TableLayout.readSchema(table)
+    val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
+    var attempts = 0
+    while (true) {
+      val snap = snapshot(f, table)
+      // directory names use Spark's partition-value escaping, as in
+      // [[Catalog.rewritePartitionDirs]]; empty partValues = every live
+      // partition (the unscoped form)
+      val names =
+        if (partValues.nonEmpty)
+          partValues.distinct.map(v =>
+            s"$pc=" + ExternalCatalogUtils.escapePathName(v))
+        else snap.live.map(partDirOf).filter(_.nonEmpty).distinct
+      if (names.isEmpty) return
+      val nameSet = names.toSet
+      val targetFiles = snap.live.filter(r => nameSet(partDirOf(r)))
+      val cur =
+        if (targetFiles.nonEmpty) readFiles(spark, f, table, targetFiles)
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      val opId = Catalog.newOpId()
+      val staged = stageBatch(f, transform(cur).select(logical: _*), table, opId)
+      val escaped = staged.map(r => partDirOf(r)).toSet.filterNot(nameSet)
+      if (escaped.nonEmpty) {
+        f.delete(new Path(dataDir(table), opId), true): Unit
+        throw new IllegalArgumentException(
+          s"partition rewrite of '$table' moved rows outside the targeted " +
+            s"partitions: ${escaped.toSeq.sorted.mkString(", ")}")
+      }
+      // PART lines declare the targets (including named-but-absent ones,
+      // so two concurrent inserts into one new partition still conflict)
+      val lines = header(opId, "update") ++ names.map("PART " + _) ++
+        targetFiles.map("REMOVE " + _) ++ staged.map("ADD " + _)
+      if (commitIfNoConflict(f, table, snap.version, nameSet, lines)) {
+        if (staged.isEmpty) f.delete(new Path(dataDir(table), opId), true): Unit
+        return
+      }
+      f.delete(new Path(dataDir(table), opId), true): Unit
+      attempts += 1
+      if (attempts > MaxAttempts)
+        throw new java.io.IOException(
+          s"commit log: update of '$table' lost $attempts conflict races")
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current().nextLong(5, 40))
+    }
+  }
+
+  /** Fold every live file into one op directory — the compaction for
+    * append-heavy tables ([[read]] unions one parquet relation per live
+    * op directory, so an unbounded append history grows the read plan
+    * linearly; Delta's OPTIMIZE analog). NOT [[rewrite]]: a logical
+    * rewrite replaces the table with the caller's batch under
+    * last-writer-wins admin semantics — used as compaction it would fold
+    * away an append committed while it staged (its REMOVE set rebuilds
+    * at commit time, but its rows were staged earlier). Compaction must
+    * be a logical NO-OP, so it publishes at EXACTLY the version it
+    * staged against (`tryCommit(version + 1)`) — any interleaved commit
+    * takes that version and forces a restage — and its `KIND rewrite`
+    * line makes in-flight partition ops restage too (their stale REMOVEs
+    * would no-op against the compacted file and duplicate rows).
+    * Auto-triggered by writer maintenance past
+    * [[CommitLogTableStore.CompactAtConf]] live op directories;
+    * `maxAttempts` lets that path stay best-effort (a contended table is
+    * being appended to — the next maintenance pass retries). */
+  def compact(spark: SparkSession, table: String,
+      maxAttempts: Int = MaxAttempts): Unit = {
+    val f = fs(spark)
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      val snap = snapshot(f, table)
+      if (snap.live.iterator.map(opIdOf).toSet.size <= 1) return
+      val opId = Catalog.newOpId()
+      val staged = stageBatch(f, readFiles(spark, f, table, snap.live), table, opId)
+      val lines = header(opId, "rewrite") ++
+        snap.live.map("REMOVE " + _) ++ staged.map("ADD " + _)
+      if (tryCommit(f, table, snap.version + 1, lines)) return
+      f.delete(new Path(dataDir(table), opId), true): Unit
+      attempts += 1
+    }
+    if (maxAttempts >= MaxAttempts) throw new java.io.IOException(
+      s"commit log: compaction of '$table' lost $attempts version races")
+  }
+
+  /** Migrate a swap-layout table (a [[Catalog]] table directory) into
+    * this store: copy its data files into one op directory, publish them
+    * with ONE commit — never a Spark rewrite. The two stores share
+    * [[TableLayout]], so the parquet bytes are already in this store's
+    * shape; only the visibility mechanism changes. Additive on this
+    * side (an existing table keeps its rows — commit-log appends
+    * compose), but the SOURCE must be quiescent: a mid-copy mutation
+    * over there is the one race neither store's protocol can see.
+    * Typical use: `CommitLogTableStore(s3Root).importTable(spark, t,
+    * s"$hdfsRoot/$t")` per table when a deployment moves to object
+    * storage. */
+  def importTable(spark: SparkSession, table: String, srcTableDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcTableDir)
+    val srcFs = src.getFileSystem(conf)
+    if (!srcFs.exists(src)) return
+    val rels = TableLayout.listDataFiles(srcFs, src)
+    if (rels.isEmpty) return
+    val f = fs(spark)
+    val opId = Catalog.newOpId()
+    val dd = dataDir(table)
+    Catalog.applyConcurrently(rels) { r =>
+      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(src, r),
+          f, new Path(dd, s"$opId/$r"), false, conf))
+        throw new java.io.IOException(s"import copy failed: $srcTableDir/$r")
+    }
+    commitRetrying(f, table, opId)(_ =>
+      header(opId, "import") ++ rels.map(r => s"ADD $opId/$r"))
+  }
+
+  // ------------------------------------------------------------- staging
+
+  /** Write one batch to its private immutable op directory and return
+    * its data files as `<opId>/<partitionDir>/<file>` log paths. */
+  private def stageBatch(f: FileSystem, df: DataFrame, table: String,
+      opId: String): Seq[String] = {
+    val stage = new Path(dataDir(table), opId)
+    val writer = TableLayout.withDerived(df, table).write.mode(SaveMode.Overwrite)
+    TableLayout.partitionColumn(table).fold(writer)(writer.partitionBy(_))
+      .parquet(stage.toString)
+    TableLayout.listDataFiles(f, stage).map(r => s"$opId/$r")
+  }
+
+  // ----------------------------------------------------------- the log
+
+  /** Replayed log state: `version` is the highest allocated version
+    * (terminated or torn — torn commits consume their number), `live`
+    * the current file set, `tombs` removed-but-not-vacuumed files with
+    * their removal time. */
+  private case class Snapshot(version: Long, live: Vector[String],
+      tombs: Map[String, Long])
+
+  private def snapshot(f: FileSystem, table: String): Snapshot = {
+    var attempt = 0
+    while (true) {
+      try return snapshotOnce(f, table)
+      catch {
+        case VanishedCommit =>
+          // a commit listed then truncated beneath us — a newer
+          // checkpoint exists; re-list and replay from it
+          attempt += 1
+          if (attempt > 3) throw new java.io.IOException(
+            s"commit log: cannot replay $table (log truncated mid-read)")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def snapshotOnce(f: FileSystem, table: String): Snapshot = {
+    val ld = logDir(table)
+    val entries =
+      try f.listStatus(ld).toIndexedSeq
+      catch { case _: java.io.FileNotFoundException => IndexedSeq.empty }
+    if (entries.isEmpty) return Snapshot(0L, Vector.empty, Map.empty)
+    val commits = entries.flatMap(versioned(_, CommitSuffix)).sortBy(_._1)
+    val checkpoints = entries.flatMap(versioned(_, CheckpointSuffix)).sortBy(_._1)
+    var live = Set.empty[String]
+    var tombs = Map.empty[String, Long]
+    // newest readable+terminated checkpoint shortcuts the replay
+    val cp = checkpoints.reverseIterator.map { case (v, s) =>
+      (v, try terminatedLines(f, s) catch { case VanishedCommit => None })
+    }.collectFirst { case (v, Some(lines)) => (v, lines) }
+    cp.foreach { case (_, lines) =>
+      lines.foreach { l =>
+        if (l.startsWith("FILE ")) live += l.drop(5)
+        else if (l.startsWith("TOMB ")) {
+          val rest = l.drop(5)
+          val sp = rest.indexOf(' ')
+          tombs += rest.drop(sp + 1) -> rest.take(sp).toLong
+        }
+      }
+    }
+    val from = cp.map(_._1).getOrElse(0L)
+    commits.iterator.filter(_._1 > from).foreach { case (_, s) =>
+      terminatedLines(f, s) match {
+        case Some(lines) =>
+          val at = s.getModificationTime
+          lines.foreach { l =>
+            if (l.startsWith("ADD ")) { val r = l.drop(4); live += r; tombs -= r }
+            else if (l.startsWith("REMOVE ")) {
+              val r = l.drop(7)
+              if (live(r)) { live -= r; tombs += r -> at }
+            }
+          }
+        case None => // torn commit: its version is consumed, its ops void
+      }
+    }
+    val version = math.max(commits.lastOption.map(_._1).getOrElse(0L), from)
+    Snapshot(version, live.toVector.sorted, tombs)
+  }
+
+  /** The full content of a commit/checkpoint iff its terminator line is
+    * present. A file still missing its terminator is given a short grace
+    * (its writer is mid-flush — only possible on filesystems without
+    * atomic whole-file publication, i.e. never on the object stores this
+    * store targets); past the grace it is torn — its writer died — and
+    * permanently void. Throws [[VanishedCommit]] if the file disappears
+    * (concurrent truncation). */
+  private def terminatedLines(f: FileSystem, s: FileStatus): Option[Vector[String]] = {
+    while (true) {
+      val content =
+        try {
+          val in = f.open(s.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => throw VanishedCommit }
+      val lines = content.linesIterator.toVector
+      if (lines.lastOption.contains(Terminator)) return Some(lines.dropRight(1))
+      if (System.currentTimeMillis() - s.getModificationTime >= TornGraceMs)
+        return None
+      Thread.sleep(25)
+    }
+    None
+  }
+
+  private def versioned(s: FileStatus, suffix: String): Option[(Long, FileStatus)] = {
+    val n = s.getPath.getName
+    if (n.endsWith(suffix)) n.stripSuffix(suffix).toLongOption.map((_, s))
+    else None
+  }
+
+  private def header(opId: String, kind: String): Vector[String] =
+    Vector(s"OP $opId", s"KIND $kind")
+
+  /** Publish `lines` at version `v` — THE atomic step. True iff this
+    * writer won the version. */
+  private def tryCommit(f: FileSystem, table: String, v: Long,
+      lines: Seq[String]): Boolean = {
+    f.mkdirs(logDir(table))
+    createExclusive(f, new Path(logDir(table), f"$v%020d$CommitSuffix"),
+      (lines :+ Terminator).mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Commit conflict-free lines (appends/rewrites), rebuilding them from
+    * a fresh snapshot on every lost version race. */
+  private def commitRetrying(f: FileSystem, table: String, opId: String)(
+      build: Snapshot => Seq[String]): Unit = {
+    var attempts = 0
+    var done = false
+    try {
+      while (!done) {
+        val snap = snapshot(f, table)
+        done = tryCommit(f, table, snap.version + 1, build(snap))
+        if (!done) {
+          attempts += 1
+          if (attempts > MaxAttempts) throw new java.io.IOException(
+            s"commit log: append to '$table' lost $attempts version races")
+        }
+      }
+    } finally if (!done) f.delete(new Path(dataDir(table), opId), true): Unit
+  }
+
+  /** Commit `lines` unless a commit since `baseVersion` touched one of
+    * `targets` (or was a full rewrite) — Delta-style logical conflict
+    * detection. False = caller must re-stage against the new state. */
+  private def commitIfNoConflict(f: FileSystem, table: String,
+      baseVersion: Long, targets: Set[String], lines: Seq[String]): Boolean = {
+    while (true) {
+      val entries =
+        try f.listStatus(logDir(table)).toIndexedSeq
+        catch { case _: java.io.FileNotFoundException => IndexedSeq.empty }
+      val commits = entries.flatMap(versioned(_, CommitSuffix)).sortBy(_._1)
+      val conflict = commits.iterator.filter(_._1 > baseVersion).exists { case (_, s) =>
+        (try terminatedLines(f, s) catch { case VanishedCommit => None }) match {
+          case Some(cl) =>
+            cl.exists(_ == "KIND rewrite") || declaredTargets(cl).exists(targets)
+          case None => false // torn: void, conflicts with nothing
+        }
+      }
+      if (conflict) return false
+      val next = math.max(commits.lastOption.map(_._1).getOrElse(0L),
+        entries.flatMap(versioned(_, CheckpointSuffix)).map(_._1).maxOption.getOrElse(0L)) + 1
+      if (tryCommit(f, table, next, lines)) return true
+      // lost the version race — re-examine the interloper for conflicts
+    }
+    false
+  }
+
+  /** The partition directories a commit declared or touched. */
+  private def declaredTargets(lines: Seq[String]): Set[String] =
+    lines.iterator.collect {
+      case l if l.startsWith("PART ") => l.drop(5)
+      case l if l.startsWith("ADD ") => partDirOf(l.drop(4))
+      case l if l.startsWith("REMOVE ") => partDirOf(l.drop(7))
+    }.toSet
+
+  private def opIdOf(rel: String): String = rel.takeWhile(_ != '/')
+
+  /** Partition dir (`col=value`) of a `<opId>/…` log path; `""` for a
+    * file of an unpartitioned table. */
+  private def partDirOf(rel: String): String =
+    TableLayout.partitionDirOf(rel.drop(opIdOf(rel).length + 1))
+
+  // -------------------------------------------------------- maintenance
+
+  /** Writer-side housekeeping, floored to one pass per table per minute
+    * per JVM: (1) a checkpoint every [[CheckpointEvery]] commits keeps
+    * replay O(tail); (2) tombstoned files older than
+    * [[Catalog.StaleSwapReclaimMsConf]] are vacuumed (the age gate is
+    * what gives readers their snapshot window); (3) op directories no
+    * commit ever referenced — a writer that died while staging — are
+    * reclaimed after the same TTL; (4) commits/checkpoints superseded by
+    * a newer checkpoint are truncated after the TTL (their tombstone
+    * records carry forward inside the checkpoint, so vacuum timing
+    * survives truncation). */
+  private def maintain(f: FileSystem, spark: SparkSession, table: String): Unit = {
+    val ttl = Catalog.staleReclaimMs(spark)
+    val now = System.currentTimeMillis()
+    if (ttl > MaintainRescanMs) {
+      val key = s"$root/$table"
+      val last = lastMaintain.get(key)
+      if (last != null && now - last < MaintainRescanMs) return
+      lastMaintain.put(key, now): Unit
+    }
+    val ld = logDir(table)
+    if (!f.exists(ld)) return
+    val snap = snapshot(f, table)
+    val entries = f.listStatus(ld).toIndexedSeq
+    val cpVersions = entries.flatMap(versioned(_, CheckpointSuffix)).map(_._1)
+    val lastCp = cpVersions.maxOption.getOrElse(0L)
+    if (snap.version >= lastCp + CheckpointEvery && snap.version > 0) {
+      val dd = dataDir(table)
+      val lines = snap.live.map("FILE " + _) ++
+        snap.tombs.toVector.sorted.collect {
+          // drop tombstones whose file is already vacuumed
+          case (r, t) if f.exists(new Path(dd, r)) => s"TOMB $t $r"
+        }
+      createExclusive(f, new Path(ld, f"${snap.version}%020d$CheckpointSuffix"),
+        (lines :+ Terminator).mkString("\n").getBytes("UTF-8")): Unit
+    }
+    // vacuum expired tombstones
+    val dd = dataDir(table)
+    snap.tombs.foreach { case (r, t) =>
+      if (now - t >= ttl) f.delete(new Path(dd, r), false): Unit
+    }
+    // reclaim never-committed staging dirs; sweep fully-vacuumed op dirs
+    val referenced = (snap.live ++ snap.tombs.keysIterator
+      .filter(r => now - snap.tombs(r) < ttl)).map(opIdOf).toSet
+    if (f.exists(dd)) f.listStatus(dd).foreach { s =>
+      if (s.isDirectory && !referenced(s.getPath.getName) &&
+          now - s.getModificationTime >= ttl)
+        f.delete(s.getPath, true): Unit
+    }
+    // truncate log entries superseded by the newest readable checkpoint
+    val newestCp = entries.flatMap(versioned(_, CheckpointSuffix)).sortBy(_._1)
+      .reverseIterator.find { case (_, s) =>
+        (try terminatedLines(f, s) catch { case VanishedCommit => None }).isDefined
+      }.map(_._1)
+    newestCp.foreach { cpv =>
+      entries.foreach { s =>
+        val drop =
+          versioned(s, CommitSuffix).exists(_._1 <= cpv) ||
+            versioned(s, CheckpointSuffix).exists(_._1 < cpv)
+        if (drop && now - s.getModificationTime >= ttl)
+          f.delete(s.getPath, false): Unit
+      }
+    }
+    // auto-compact: bound the read plan's op-dir fan-out (best-effort —
+    // a contended table is being appended to; next pass retries)
+    val threshold = compactAt(spark)
+    if (threshold > 0 &&
+        snap.live.iterator.map(opIdOf).toSet.size >= threshold)
+      compact(spark, table, maxAttempts = 3)
+  }
+
+  // ------------------------------------------------- exclusive creation
+
+  /** Create `p` with `content` iff it does not exist — the protocol's
+    * single atomic primitive. Local filesystems get POSIX `O_EXCL`
+    * through NIO (Hadoop's local `create(overwrite=false)` is
+    * check-then-create, not atomic); HDFS-class stores get their
+    * natively atomic exclusive create; object stores map this to a
+    * conditional PUT (see class doc). */
+  private def createExclusive(f: FileSystem, p: Path,
+      content: Array[Byte]): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+        _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(nio.getParent)
+        java.nio.file.Files.write(nio, content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    case _ =>
+      try {
+        val os = f.create(p, false)
+        try os.write(content) finally os.close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+  }
+}
+
+object CommitLogTableStore {
+  private val CommitSuffix = ".commit"
+  private val CheckpointSuffix = ".checkpoint"
+  private val Terminator = "END"
+
+  /** Commits between checkpoints. Replay cost between maintenance
+    * passes is bounded by this many small text files. */
+  private val CheckpointEvery = 20L
+
+  /** How long an unterminated commit may stay unterminated before it is
+    * judged torn (writer died mid-flush). Irrelevant on object stores
+    * (PUTs are all-or-nothing); on local/HDFS the flush of a ≤200 KB
+    * commit is milliseconds, so 2 s is generous. */
+  private val TornGraceMs = 2000L
+
+  /** Optimistic-retry bound for one mutation. */
+  private val MaxAttempts = 50
+
+  /** Conf key: live op-directory count past which writer maintenance
+    * auto-compacts a table (0 disables; default 128 — a read of an
+    * uncompacted table unions one parquet relation per op dir, so this
+    * caps the plan fan-out the way Delta deployments schedule
+    * OPTIMIZE). */
+  val CompactAtConf = "graft.catalog.logCompactAt"
+  private val DefaultCompactAt = 128
+  private[catalog] def compactAt(spark: SparkSession): Int =
+    spark.conf.getOption(CompactAtConf).map(_.toInt).getOrElse(DefaultCompactAt)
+
+  /** Per-table floor between maintenance passes per JVM. */
+  private val MaintainRescanMs = 60L * 1000
+  private val lastMaintain =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** A listed commit vanished mid-replay (concurrent truncation). */
+  private case object VanishedCommit
+    extends Exception("commit vanished", null, false, false)
+}

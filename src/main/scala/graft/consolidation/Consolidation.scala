@@ -1,6 +1,6 @@
 package graft.consolidation
 
-import graft.catalog.{Catalog, CatalogQueries, DatasetFilters, Schemas}
+import graft.catalog.{Catalog, TableStore, CatalogQueries, DatasetFilters, Schemas}
 import graft.core._
 import graft.functions.SpatialExpressions._
 import graft.geo.{Affine, CRS, GeomOps}
@@ -75,7 +75,7 @@ object Consolidation {
   /** C3 — csldPrepareOrders (consolidater.go:166-407): emit one task row
     * per output container: (cell, container index, ordered record list,
     * their dataset ids). */
-  def prepareOrders(spark: SparkSession, cat: Catalog, jobId: String,
+  def prepareOrders(spark: SparkSession, cat: TableStore, jobId: String,
       instanceId: String, recordIds: Seq[String], layout: Layout,
       collapseOnRecordId: Option[String] = None,
       lockedIds: Option[DataFrame] = None): DataFrame = {
@@ -169,7 +169,7 @@ object Consolidation {
     * reference gets from uploading each task's COG as it completes. The
     * scratch dir is removed on every exit; a hard-crash leftover is
     * overwritten by the retry and removed at its completion. */
-  def consolidate(spark: SparkSession, cat: Catalog, jobId: String,
+  def consolidate(spark: SparkSession, cat: TableStore, jobId: String,
       tasks: DataFrame, params: ConsolidationParams,
       overviewsMinSize: Int = 0): Map[String, String] = {
     import spark.implicits._
@@ -324,7 +324,7 @@ object Consolidation {
     * id-only relation by every later step and by resumes, so the lock
     * can never silently re-derive to a different set. Shared by the
     * consolidation and deletion FSMs. */
-  def readLockIds(spark: SparkSession, cat: Catalog, jobId: String): DataFrame =
+  def readLockIds(spark: SparkSession, cat: TableStore, jobId: String): DataFrame =
     cat.read(spark, "tasks")
       .filter(col("job_id") === jobId && col("state") === "LOCK")
       .select(col("payload").as("id"))
@@ -335,7 +335,7 @@ object Consolidation {
     * retried append can never mint a second id), shared by both FSMs so
     * the [[readLockIds]] contract cannot drift between them. `ids` is an
     * id-only relation; the write stays distributed. */
-  def writeLockSnapshot(spark: SparkSession, cat: Catalog, jobId: String,
+  def writeLockSnapshot(spark: SparkSession, cat: TableStore, jobId: String,
       ids: DataFrame): Unit =
     cat.append(ids.select(
       concat(lit(s"$jobId-l-"), md5(col("id").cast("binary"))).as("id"),
@@ -347,7 +347,7 @@ object Consolidation {
     * consolidation FSM — one definition so a table added to one route
     * can never be missed on the other. Each leg is an idempotent
     * predicate rewrite, safe to re-run after a torn rollback. */
-  def purgeInactiveOutputs(spark: SparkSession, cat: Catalog,
+  def purgeInactiveOutputs(spark: SparkSession, cat: TableStore,
       prefix: String, instanceIds: Seq[String] = Nil): Unit =
     // instance-partition-scoped: a job rollback touches only its
     // instance's datasets partition (empty ids — a pre-spec-journal
@@ -356,7 +356,7 @@ object Consolidation {
       _.filter(!(col("status") === "INACTIVE" &&
         col("container_uri").startsWith(prefix))))
 
-  def purgeJobContainers(spark: SparkSession, cat: Catalog,
+  def purgeJobContainers(spark: SparkSession, cat: TableStore,
       prefix: String): Unit = {
     // bucket-scoped tiles delete: the doomed uri set comes from a
     // column-pruned metadata scan (container_uri only — dictionary pages,
@@ -371,7 +371,7 @@ object Consolidation {
       .filter(!col("container_uri").startsWith(prefix)), "container_layouts")
   }
 
-  def dropJobTasks(spark: SparkSession, cat: Catalog, jobId: String): Unit =
+  def dropJobTasks(spark: SparkSession, cat: TableStore, jobId: String): Unit =
     // drop the whole job_id partition (filter-none ⇒ dir removal); other
     // jobs' task directories are never read or rewritten
     cat.updatePartitions(spark, "tasks", Seq(jobId), _.filter(lit(false)))
@@ -501,7 +501,7 @@ object Consolidation {
     * + mucog.go): block size = layout tile size, overview chain re-derived
     * to `overviews_min_size`, data blocks ordered by the layout's
     * interlacing pattern. */
-  def exportPhysical(spark: SparkSession, cat: Catalog, containerUri: String,
+  def exportPhysical(spark: SparkSession, cat: TableStore, containerUri: String,
       layout: graft.layout.Layout, noData: Double,
       bigTiff: Boolean = false): Array[Byte] =
     graft.ingest.GeoTiffIO.exportContainer(spark, cat, containerUri, noData,
@@ -514,7 +514,7 @@ object Consolidation {
     * container, the same key C4 grouped on), the driver handles only the
     * (container_uri, path, n_bytes) manifest. Mirrors the reference's
     * worker-side file build + upload (handler_consolidation.go:59-234). */
-  def exportPhysicalAll(spark: SparkSession, cat: Catalog,
+  def exportPhysicalAll(spark: SparkSession, cat: TableStore,
       containerUris: Seq[String], outDir: String,
       layout: graft.layout.Layout, noData: Double,
       bigTiff: Boolean = false): DataFrame =
@@ -533,7 +533,7 @@ object Consolidation {
       s"$instanceId|$containerUri|$subdir|$recordId"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
 
-  def index(spark: SparkSession, cat: Catalog, newTiles: DataFrame,
+  def index(spark: SparkSession, cat: TableStore, newTiles: DataFrame,
       instanceId: String, params: ConsolidationParams): Unit = {
     // mapping scalars extracted driver-side so the closure ships a few
     // primitives, not the params object
@@ -594,7 +594,7 @@ object Consolidation {
     * originals stay ACTIVE (consolidater.go:649-655). `oldIds` is an
     * id-column RELATION (see [[withMembership]] — the locked set is
     * catalog-scale, not an in-plan literal list). */
-  def swap(spark: SparkSession, cat: Catalog, instanceId: String,
+  def swap(spark: SparkSession, cat: TableStore, instanceId: String,
       oldIds: DataFrame, keepOld: Boolean = false,
       newPrefix: Option[String] = None): Unit =
     // instance-partition-scoped status flip (both sides — the job's old
@@ -625,7 +625,7 @@ object Consolidation {
     * rows, then GC containers (and their tiles) no dataset references.
     * `instanceIds` scopes the datasets drop to the job's instance
     * partitions (empty = all partitions, the unscoped admin form). */
-  def deleteDatasets(spark: SparkSession, cat: Catalog,
+  def deleteDatasets(spark: SparkSession, cat: TableStore,
       instanceIds: Seq[String] = Nil): Unit = {
     cat.updatePartitions(spark, "datasets", instanceIds,
       _.filter(col("status") =!= "TODELETE"))
@@ -645,7 +645,7 @@ object Consolidation {
   /** Drop container_layouts rows whose container is gone — the cascade the
     * reference runs with each container delete (persister.go:215,
     * DeleteContainerLayout). Called after every containers GC. */
-  def gcContainerLayouts(spark: SparkSession, cat: Catalog): Unit = {
+  def gcContainerLayouts(spark: SparkSession, cat: TableStore): Unit = {
     val cl = cat.read(spark, "container_layouts")
     if (cl.limit(1).count() > 0)
       cat.rewrite(cl.join(

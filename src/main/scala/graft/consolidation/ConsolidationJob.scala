@@ -1,6 +1,6 @@
 package graft.consolidation
 
-import graft.catalog.{Catalog, CatalogQueries, DatasetFilters, Schemas}
+import graft.catalog.{Catalog, TableStore, CatalogQueries, DatasetFilters, Schemas}
 import graft.layout.Layout
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,13 +28,13 @@ object ConsolidationJob {
     "NEW", "CREATED", "CONSOLIDATIONINPROGRESS", "CONSOLIDATIONDONE",
     "CONSOLIDATIONINDEXED", "CONSOLIDATIONEFFECTIVE", "DONE")
 
-  private def logState(spark: SparkSession, cat: Catalog, spec: Spec,
+  private def logState(spark: SparkSession, cat: TableStore, spec: Spec,
       state: String, payload: String = "",
       activeTasks: Int = 0, failedTasks: Int = 0): Unit =
     logStateRaw(spark, cat, spec.jobId, spec.name, state, payload,
       activeTasks = activeTasks, failedTasks = failedTasks)
 
-  private[consolidation] def logStateRaw(spark: SparkSession, cat: Catalog,
+  private[consolidation] def logStateRaw(spark: SparkSession, cat: TableStore,
       jobId: String, name: String, state: String, payload: String = "",
       jobType: String = "CONSOLIDATION",
       activeTasks: Int = 0, failedTasks: Int = 0): Unit = {
@@ -51,7 +51,7 @@ object ConsolidationJob {
     * journaled job type — consolidation jobs roll back via the csldRollback
     * chain below, deletion jobs via `DeletionJob.cancel`. NOTFOUND for ids
     * with no journal. */
-  def cancelById(spark: SparkSession, cat: Catalog, jobId: String): String =
+  def cancelById(spark: SparkSession, cat: TableStore, jobId: String): String =
     jobTypeAndName(spark, cat, jobId) match {
       case Some(("DELETION", name)) => DeletionJob.cancel(spark, cat, jobId, name)
       case Some((_, name)) => cancelConsolidation(spark, cat, jobId, name)
@@ -63,7 +63,7 @@ object ConsolidationJob {
     * carries the streaming TASKEVENT counter rows under the same job id,
     * and an arbitrary row could route a deletion job down the
     * consolidation path (or parse the wrong spec schema). */
-  private[graft] def jobTypeAndName(spark: SparkSession, cat: Catalog,
+  private[graft] def jobTypeAndName(spark: SparkSession, cat: TableStore,
       jobId: String): Option[(String, String)] =
     cat.read(spark, "jobs")
       .filter(col("id") === jobId && col("state") === "NEW")
@@ -73,7 +73,7 @@ object ConsolidationJob {
   /** The job's current FSM state = its LAST journaled state row (counter
     * rows excluded). Deterministic because journal stamps come from the
     * monotonic [[graft.catalog.Catalog.journalNow]] clock. */
-  private def latestState(spark: SparkSession, cat: Catalog,
+  private def latestState(spark: SparkSession, cat: TableStore,
       jobId: String): Option[String] =
     cat.read(spark, "jobs")
       .filter(col("id") === jobId && col("type") =!= "TASKEVENT")
@@ -87,10 +87,10 @@ object ConsolidationJob {
     * (our lock is the journal itself) — and journals ABORTED. A job at or
     * past CONSOLIDATIONEFFECTIVE refuses with CANCELLATIONFAILED: the old
     * datasets are already TODELETE-flagged and the new ones serve reads. */
-  def cancel(spark: SparkSession, cat: Catalog, spec: Spec): String =
+  def cancel(spark: SparkSession, cat: TableStore, spec: Spec): String =
     cancelConsolidation(spark, cat, spec.jobId, spec.name)
 
-  private def cancelConsolidation(spark: SparkSession, cat: Catalog,
+  private def cancelConsolidation(spark: SparkSession, cat: TableStore,
       jobId: String, name: String): String = {
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === jobId).select("state")
@@ -159,7 +159,7 @@ object ConsolidationJob {
     * journal; the C4 redo scope picks up exactly the reset rows. Terminal
     * or non-retryable journals refuse with UNHANDLED (the reference's
     * UnhandledEvent), NOTFOUND for unknown ids. */
-  def retry(spark: SparkSession, cat: Catalog, spec: Spec,
+  def retry(spark: SparkSession, cat: TableStore, spec: Spec,
       force: Boolean = false): String = {
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === spec.jobId).select("state")
@@ -200,7 +200,7 @@ object ConsolidationJob {
     * state; a later call with the same spec resumes from the journal
     * (idempotent state guards, like handleTaskEvt's "already done" path).
     * Returns the final state reached. */
-  def run(spark: SparkSession, cat: Catalog, spec: Spec,
+  def run(spark: SparkSession, cat: TableStore, spec: Spec,
       pauseAfter: Option[String] = None,
       unparked: Boolean = false): String = {
     // resume support: states already journaled for this job are skipped
@@ -558,7 +558,7 @@ object ConsolidationJob {
     * FAILED (RollbackDone). A rollback that itself throws journals
     * ROLLBACKFAILED (job.go:505-510) — retryable, never silently
     * swallowed into a clean-looking FAILED. */
-  private def rollbackToFailed(spark: SparkSession, cat: Catalog, spec: Spec,
+  private def rollbackToFailed(spark: SparkSession, cat: TableStore, spec: Spec,
       cause: Exception): String =
     try {
       val prefix = s"${cat.root}/containers/${spec.jobId}/"
@@ -639,7 +639,7 @@ object ConsolidationJob {
   /** Rehydrate the Spec from the NEW journal row (ContinueJob's enabler,
     * service.go:587-598). None when the job has no journal or predates
     * spec journaling. */
-  def specFromJournal(spark: SparkSession, cat: Catalog,
+  def specFromJournal(spark: SparkSession, cat: TableStore,
       jobId: String): Option[Spec] = {
     import org.apache.spark.sql.types._
     val payload = cat.read(spark, "jobs")

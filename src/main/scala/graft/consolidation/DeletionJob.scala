@@ -1,6 +1,6 @@
 package graft.consolidation
 
-import graft.catalog.{Catalog, CatalogQueries, DatasetFilters, Schemas}
+import graft.catalog.{Catalog, TableStore, CatalogQueries, DatasetFilters, Schemas}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,7 @@ object DeletionJob {
   val states: Seq[String] = Seq(
     "NEW", "CREATED", "DELETIONINPROGRESS", "DELETIONEFFECTIVE", "DONE")
 
-  private def logState(spark: SparkSession, cat: Catalog, spec: Spec,
+  private def logState(spark: SparkSession, cat: TableStore, spec: Spec,
       state: String, payload: String = ""): Unit = {
     // monotonic stamp: same-millisecond transitions stay totally ordered
     val now = graft.catalog.Catalog.journalNow()
@@ -54,7 +54,7 @@ object DeletionJob {
   }
 
   /** Rehydrate the Spec from the NEW journal row. */
-  def specFromJournal(spark: SparkSession, cat: Catalog,
+  def specFromJournal(spark: SparkSession, cat: TableStore,
       jobId: String): Option[Spec] = {
     import org.apache.spark.sql.types._
     val payload = cat.read(spark, "jobs")
@@ -103,7 +103,7 @@ object DeletionJob {
     * "LOCK". Written at CREATED, so every later step (flip, removal,
     * rollback) operates on the EXACT snapshot, never on a re-evaluated
     * filter that might now match other jobs' rows or nothing at all. */
-  private def readLocksDf(spark: SparkSession, cat: Catalog,
+  private def readLocksDf(spark: SparkSession, cat: TableStore,
       jobId: String): org.apache.spark.sql.DataFrame =
     Consolidation.readLockIds(spark, cat, jobId)
 
@@ -118,7 +118,7 @@ object DeletionJob {
     * mid-rollback is finished by the next cancel()/run() touch, with the
     * surviving LOCK rows as the not-yet-complete witness. Terminal for
     * [[run]]. */
-  def cancel(spark: SparkSession, cat: Catalog, jobId: String,
+  def cancel(spark: SparkSession, cat: TableStore, jobId: String,
       name: String): String = {
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === jobId).select("state")
@@ -181,7 +181,7 @@ object DeletionJob {
 
   /** Drive the FSM; journals to `jobs`, resumes from the journal, stops
     * after `pauseAfter` if given. Returns the final state. */
-  def run(spark: SparkSession, cat: Catalog, spec: Spec,
+  def run(spark: SparkSession, cat: TableStore, spec: Spec,
       pauseAfter: Option[String] = None): String = {
     import spark.implicits._
     val done: Set[String] = cat.read(spark, "jobs")
@@ -368,7 +368,7 @@ object DeletionJob {
     * rows, journal FAILED. A rollback that itself throws journals
     * ROLLBACKFAILED — [[retry]] re-attempts only the rollback from there
     * (job.go:505-510); run() refuses both terminal states. */
-  private def rollbackToFailed(spark: SparkSession, cat: Catalog, spec: Spec,
+  private def rollbackToFailed(spark: SparkSession, cat: TableStore, spec: Spec,
       effective: Boolean, cause: Exception): String =
     try {
       val rbLocks = readLocksDf(spark, cat, spec.jobId)
@@ -401,7 +401,7 @@ object DeletionJob {
     * re-processes NEW/PENDING/FAILED tasks — the resume IS the retry);
     * ROLLBACKFAILED re-attempts ONLY the rollback; terminal FAILED /
     * ABORTED refuse with UNHANDLED; unknown ids with NOTFOUND. */
-  def retry(spark: SparkSession, cat: Catalog, spec: Spec): String = {
+  def retry(spark: SparkSession, cat: TableStore, spec: Spec): String = {
     val done: Set[String] = cat.read(spark, "jobs")
       .filter(col("id") === spec.jobId).select("state")
       .collect().map(_.getString(0)).toSet

@@ -1,6 +1,6 @@
 package graft.cube
 
-import graft.catalog.{Catalog, CatalogQueries, DatasetFilters}
+import graft.catalog.{Catalog, TableStore, CatalogQueries, DatasetFilters}
 import graft.core._
 import graft.geo.{Affine, CRS, GeomOps}
 import graft.raster._
@@ -145,7 +145,7 @@ object GetCube {
       (status.getModificationTime, h)
     } catch { case _: java.io.IOException => (-1L, -1L) }
 
-  private def lookupVariable(spark: SparkSession, cat: Catalog,
+  private def lookupVariable(spark: SparkSession, cat: TableStore,
       instanceIds: Seq[String]): VariableInfo = {
     // one driver action for the whole variable lookup (instances → shared
     // definition): this runs per request, so its fixed job latency is the
@@ -170,7 +170,7 @@ object GetCube {
 
   /** Cached variable resolve shared by [[prepare]] and the palette name
     * lookup — one driver action per (instances, table-stamp) key. */
-  private def resolveVariable(spark: SparkSession, cat: Catalog,
+  private def resolveVariable(spark: SparkSession, cat: TableStore,
       instanceIds: Seq[String]): VariableInfo = {
     val si = dirStamp(spark, cat.root, "variable_instances")
     val sd = dirStamp(spark, cat.root, "variable_definitions")
@@ -187,14 +187,14 @@ object GetCube {
     * catalog.go:455-467 reads variable.Palette before rendering). Rides
     * the same stamp-keyed cache as [[prepare]] — no extra driver action
     * on the serving path. */
-  def paletteNameOf(spark: SparkSession, cat: Catalog,
+  def paletteNameOf(spark: SparkSession, cat: TableStore,
       instanceIds: Seq[String]): Option[String] =
     resolveVariable(spark, cat, instanceIds).palette
 
   /** Resolve the output descriptor from the variable behind the instance
     * (getCubePrepare: out mapping = variable DFormat, rangeExt = its own
     * range, exponent 1; default resampling from the variable). */
-  def prepare(spark: SparkSession, cat: Catalog, req: CubeRequest): OutDescriptor = {
+  def prepare(spark: SparkSession, cat: TableStore, req: CubeRequest): OutDescriptor = {
     val v = resolveVariable(spark, cat, req.instanceIds)
     val dt = DType.fromName(v.dtype)
     val format = DataFormat(dt, v.noData, NumRange(v.minValue, v.maxValue))
@@ -223,13 +223,13 @@ object GetCube {
   }
 
   /** The dataset scan + tile join + grouping plan (steps 2-4 of §3.1). */
-  def datasetTiles(spark: SparkSession, cat: Catalog, req: CubeRequest): Dataset[DatasetTile] =
+  def datasetTiles(spark: SparkSession, cat: TableStore, req: CubeRequest): Dataset[DatasetTile] =
     datasetTiles(spark, cat, req, prepare(spark, cat, req))
 
   /** As above with the output descriptor already resolved — callers that
     * ran [[prepare]] themselves (cube, the serving paths) must not pay the
     * variable-lookup round-trip twice. */
-  private[cube] def datasetTiles(spark: SparkSession, cat: Catalog, req: CubeRequest,
+  private[cube] def datasetTiles(spark: SparkSession, cat: TableStore, req: CubeRequest,
       out: OutDescriptor): Dataset[DatasetTile] = {
     import spark.implicits._
     val (footprint, refined) = spatialFilters(req, out)
@@ -291,7 +291,7 @@ object GetCube {
   }
 
   /** Full cube: plan + kernel + ordered emission. */
-  def cube(spark: SparkSession, cat: Catalog, req: CubeRequest): Dataset[Slice] = {
+  def cube(spark: SparkSession, cat: TableStore, req: CubeRequest): Dataset[Slice] = {
     import spark.implicits._
     val out = prepare(spark, cat, req)
 
@@ -335,7 +335,7 @@ object GetCube {
     * InternalMeta, svc/catalog.go:39-70): container addressing + dformat
     * + ranges — everything [[cubeFromMetadata]] needs to rebuild the
     * slice from the raw tile store with NO catalog round-trip. */
-  def cubeMetadata(spark: SparkSession, cat: Catalog,
+  def cubeMetadata(spark: SparkSession, cat: TableStore,
       req: CubeRequest): Dataset[DatasetMeta] = {
     import spark.implicits._
     val out = prepare(spark, cat, req)
@@ -357,7 +357,7 @@ object GetCube {
     * the COGs itself from object storage using the URIs in the metadata.
     * The caller supplies the output grid + reference dformat the way the
     * DownloadCube request does. */
-  def cubeFromMetadata(spark: SparkSession, cat: Catalog,
+  def cubeFromMetadata(spark: SparkSession, cat: TableStore,
       meta: Dataset[DatasetMeta], out: OutDescriptor): Dataset[Slice] = {
     import spark.implicits._
     // reads the tiles store only, scoped to the metadata's container set;
@@ -398,7 +398,7 @@ object GetCube {
   private[cube] def boundedForBroadcast(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 28)
 
-  private def datasetTilesMetaOnly(spark: SparkSession, cat: Catalog,
+  private def datasetTilesMetaOnly(spark: SparkSession, cat: TableStore,
       req: CubeRequest, out: OutDescriptor): DataFrame = {
     val (footprint, refined) = spatialFilters(req, out)
     val found = CatalogQueries.findDatasets(spark, cat, DatasetFilters(
@@ -504,7 +504,7 @@ object GetCube {
     * size-based strategy choice Spark itself makes for broadcast joins.
     * At 100-TB the threshold is exceeded by five orders of magnitude and
     * the plan is the r10 DPP shape with one fewer discovery subtree. */
-  private def selectTileLevel(spark: SparkSession, cat: Catalog, out: OutDescriptor,
+  private def selectTileLevel(spark: SparkSession, cat: TableStore, out: OutDescriptor,
       containers: DataFrame, bounded: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val targetResDeg = {

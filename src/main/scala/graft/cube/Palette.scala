@@ -42,7 +42,7 @@ object Palette {
     * (reference pg ReadPalette, catalog.go:454-467). The table is tiny
     * (broadcast-sized); validation re-runs on construction. */
   def read(spark: org.apache.spark.sql.SparkSession,
-      cat: graft.catalog.Catalog, name: String): Option[Palette] = {
+      cat: graft.catalog.TableStore, name: String): Option[Palette] = {
     import org.apache.spark.sql.functions.col
     cat.read(spark, "palette").filter(col("name") === name)
       .collect().headOption.map { r =>
@@ -62,7 +62,7 @@ object Palette {
     * invalidates via the stamp; unobservable (non-local) roots bypass
     * the cache rather than risk staleness. */
   def cachedRead(spark: org.apache.spark.sql.SparkSession,
-      cat: graft.catalog.Catalog, name: String): Option[Palette] = {
+      cat: graft.catalog.TableStore, name: String): Option[Palette] = {
     val st = GetCube.dirStamp(spark, cat.root, "palette")
     if (st._1 < 0) read(spark, cat, name)
     else {
@@ -77,7 +77,7 @@ object Palette {
     * pg CreatePalette/UpdatePalette). Refuses a duplicate name without
     * replace. */
   def write(spark: org.apache.spark.sql.SparkSession,
-      cat: graft.catalog.Catalog, p: Palette, replace: Boolean = false): Unit = {
+      cat: graft.catalog.TableStore, p: Palette, replace: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.Row
     val existing = cat.read(spark, "palette")

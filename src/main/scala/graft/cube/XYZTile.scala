@@ -1,6 +1,6 @@
 package graft.cube
 
-import graft.catalog.Catalog
+import graft.catalog.TableStore
 import graft.core.{DataFormat, DataMapping, DType, NumRange}
 import graft.layout.Grid
 import graft.raster.Bitmap
@@ -19,7 +19,7 @@ object XYZTile {
     * palette table (reference catalog.go:454-467: variable.Palette →
     * ReadPalette; a dangling name fails the request, not silently
     * grayscale). */
-  def getTile(spark: SparkSession, cat: Catalog, instanceId: String,
+  def getTile(spark: SparkSession, cat: TableStore, instanceId: String,
       x: Long, y: Long, z: Int,
       minOverride: Double = 0, maxOverride: Double = 0,
       palette: Option[Palette] = None,

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.catalog.{Catalog, Schemas}
+import graft.catalog.{Catalog, TableStore, Schemas}
 import graft.raster.GeoTiff
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,7 +21,7 @@ object GeoTiffIO {
   /** Import .tif files (each possibly multi-IFD) as containers whose URI
     * is the file path. Runs the TIFF parse on executors via the
     * binaryFile source — one task per file, linear scale-out. */
-  def importFiles(spark: SparkSession, cat: Catalog, pathGlob: String): Unit = {
+  def importFiles(spark: SparkSession, cat: TableStore, pathGlob: String): Unit = {
     val files = spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
     val rows = files.rdd.flatMap { r =>
@@ -183,7 +183,7 @@ object GeoTiffIO {
     * single-container download path (request-sized). Bulk export goes
     * through [[exportContainers]], which never moves payloads to the
     * driver. */
-  def exportContainer(spark: SparkSession, cat: Catalog, containerUri: String,
+  def exportContainer(spark: SparkSession, cat: TableStore, containerUri: String,
       noData: Double = Double.NaN, overviewsMinSize: Int = 0,
       compress: Boolean = false, tileSize: Int = 0,
       interlacing: String = "", bigTiff: Boolean = false): Array[Byte] = {
@@ -216,7 +216,7 @@ object GeoTiffIO {
     *
     * `containerUris` empty = export every container under the tile store
     * matching the filter-free scan (caller pre-filters via the catalog). */
-  def exportContainers(spark: SparkSession, cat: Catalog,
+  def exportContainers(spark: SparkSession, cat: TableStore,
       containerUris: Seq[String], outDir: String,
       noData: Double = Double.NaN, overviewsMinSize: Int = 0,
       compress: Boolean = false, tileSize: Int = 0,

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.catalog.{Catalog, Schemas}
+import graft.catalog.{Catalog, TableStore, Schemas}
 import graft.core.{DataFormat, DType}
 import graft.geo.{Affine, BBox, CRS, GeomOps}
 import org.apache.spark.sql.{Row, SparkSession}
@@ -32,7 +32,7 @@ object IndexDatasets {
   /** Validate + derive + append. Throws when a container is missing or
     * inhomogeneous (service.go's validation errors), reporting a bounded
     * sample of the failures. */
-  def run(spark: SparkSession, cat: Catalog, toIndex: Seq[NewDataset]): Unit = {
+  def run(spark: SparkSession, cat: TableStore, toIndex: Seq[NewDataset]): Unit = {
     import spark.implicits._
     toIndex.foreach(_.dformat.validate()) // request-shape check, driver-side
 

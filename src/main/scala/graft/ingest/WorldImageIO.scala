@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.catalog.{Catalog, Schemas}
+import graft.catalog.{Catalog, TableStore, Schemas}
 import graft.operators.MediaCodec
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -67,7 +67,7 @@ object WorldImageIO {
     * a (container, tile) pair; images without a sidecar or that ImageIO
     * cannot decode are skipped (counted in the returned summary). Returns
     * (imported, skipped). */
-  def importFiles(spark: SparkSession, cat: Catalog, pathGlob: String,
+  def importFiles(spark: SparkSession, cat: TableStore, pathGlob: String,
       defaultCrs: String = "EPSG:4326"): (Long, Long) = {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)

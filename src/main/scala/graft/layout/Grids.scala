@@ -152,7 +152,7 @@ final case class SingleCellGrid(crs: CRS, resolution: Double) extends Grid {
   * (CatalogQueries.findCells) and join instead of materializing. */
 final case class CustomGrid(
     spark: org.apache.spark.sql.SparkSession,
-    cat: graft.catalog.Catalog,
+    cat: graft.catalog.TableStore,
     gridName: String,
     resolution: Double,
     subgridOf: Option[CRS => Grid] = None) extends Grid {
@@ -240,7 +240,7 @@ object Grid {
     * refinement of each cell). */
   def fromLayout(flags: Seq[String], params: Map[String, String],
       spark: org.apache.spark.sql.SparkSession,
-      cat: graft.catalog.Catalog): Grid = {
+      cat: graft.catalog.TableStore): Grid = {
     val kind = flags.headOption.getOrElse("regular")
     if (kind == "regular" || kind == "singlecell") fromLayout(flags, params)
     else {

@@ -28,7 +28,7 @@ final case class Layout(
   /** Resolve the grid against a catalog (no-op re-resolution is cheap for
     * built-ins; required before `grid`/`covers` for custom grids). */
   def resolveGrid(spark: SparkSession,
-      cat: graft.catalog.Catalog): this.type = {
+      cat: graft.catalog.TableStore): this.type = {
     resolvedGrid = Grid.fromLayout(gridFlags, gridParameters, spark, cat)
     this
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.catalog.Catalog
+import graft.catalog.TableStore
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -170,7 +170,7 @@ object EventStream {
     * at-least-once there). Volume: one row per task ever — the
     * cardinality of the tasks table itself, partition-pruned by type;
     * the per-batch probe reads only the `type=TASKEVENT` partition. */
-  def journalTaskDeltas(spark: SparkSession, cat: Catalog,
+  def journalTaskDeltas(spark: SparkSession, cat: TableStore,
       batch: Dataset[TaskEvent], batchId: Long, runKey: String): Unit = {
     val evts = batch.dropDuplicates("job_id", "task_id")
     if (!evts.isEmpty) {
@@ -204,7 +204,7 @@ object EventStream {
     * gets a per-start unique key so a restart can never skip fresh
     * deltas, at the price of at-least-once (the un-checkpointed source
     * re-reads from scratch). */
-  def driveJobCounters(spark: SparkSession, cat: Catalog,
+  def driveJobCounters(spark: SparkSession, cat: TableStore,
       events: Dataset[TaskEvent], queryName: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val runKey = checkpointDir.map(_ => queryName).getOrElse(

@@ -10,6 +10,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * subclass proves nothing about the trait boundary). Not for
   * production use: no durability, no scale, driver-resident. */
 final class InMemoryTableStore extends TableStore {
+  /** Unresolvable on purpose: stamps against it come back unobservable,
+    * so callers bypass their caches (see [[TableStore.root]]). */
+  override def root: String = "memory:///unrooted"
   private val tables =
     scala.collection.mutable.Map.empty[String, Vector[Row]].withDefaultValue(Vector.empty)
 
