@@ -199,6 +199,69 @@ class PlanShapeSpec extends AnyFunSuite {
     rm(new java.io.File(root))
   }
 
+  test("commit-log tiles read keeps bucket DPP on every unioned op-dir scan") {
+    import graft.catalog.{Catalog, CommitLogTableStore, Schemas}
+    import graft.core.DType
+    import graft.geo.{Affine, BBox, GeomOps}
+    import graft.raster.Bitmap
+    import org.apache.spark.sql.Row
+    val root = java.nio.file.Files.createTempDirectory("graft-planshape-cl").toString
+    val cat = CommitLogTableStore(root)
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    val wkb = GeomOps.writeWkb(GeomOps.polygonFromBBox(BBox(0, 0, 2.56, 2.56)))
+    val bbox = Row(0.0, 0.0, 2.56, 2.56)
+    write("variable_definitions", Seq(
+      Row("v1", "b", "1", "d", Seq("b1"), "uint8", 255.0, 0.0, 254.0, "", "near")))
+    write("variable_instances", Seq(Row("i1", "m", Map.empty[String, String], "v1")))
+    val t0 = 1704067200000L
+    write("aoi", Seq(Row("a1", "h", wkb, bbox)))
+    write("records", (1 to 20).map(i =>
+      Row(s"r$i", s"rec$i", new java.sql.Timestamp(t0 + i * 3600000L),
+        Map.empty[String, String], "a1")))
+    write("datasets", (1 to 20).map(i =>
+      Row(s"d$i", s"r$i", "i1", s"mem://c$i", "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326, bbox)))
+    val tf = Seq(0.0, 0.01, 0.0, 2.56, 0.0, -0.01)
+    // THREE separate appends → three live op dirs → the read is a UNION
+    // of three parquet relations; the serving path's bucket prune must
+    // reach each of them, not just a single-relation read
+    for (g <- 0 until 3)
+      write("tiles", (1 to 20).filter(_ % 3 == g).map { i =>
+        val px = Array.tabulate(64 * 64)(p => ((p + i) % 200).toDouble)
+        Row(s"mem://c$i", "", 64, 64, 1, "uint8", "EPSG:4326", tf,
+          new Bitmap(64, 64, 1, DType.UInt8, px).toBytes)
+      })
+    val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
+      transform = Affine.northUp(0, 2.56, 0.01, -0.01), width = 64, height = 64,
+      recordIds = Seq("r1", "r2", "r3"))
+    spark.conf.set(graft.cube.GetCube.BucketPruneMinBytesConf, "0")
+    val cube =
+      try graft.cube.GetCube.cube(spark, cat, req)
+      finally spark.conf.unset(graft.cube.GetCube.BucketPruneMinBytesConf)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scansOf)
+    }
+    val scans = scansOf(cube.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("/tiles"))
+    assert(scans.nonEmpty, "no tiles parquet scan in the cube plan")
+    val unpruned = scans.filterNot(_.partitionFilters.mkString.contains("dynamicpruning"))
+    assert(unpruned.isEmpty,
+      s"${unpruned.size}/${scans.size} unioned tiles scans lost bucket DPP: " +
+        unpruned.map(_.metadata.getOrElse("Location", "")).mkString(","))
+    assert(cube.count() == 3, "pruned cube lost slices")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+  }
+
   test("the dedup/LSH family stays on keyed equi-joins end to end") {
     for (name <- Seq("dedup_lsh_pairs", "dedup_embed", "dedup_ngram",
         "sim_lsh_buckets", "mix_stratified")) {
