@@ -38,9 +38,13 @@ import org.apache.spark.sql.functions.col
   * SERIALIZE behind advisory per-partition write leases
   * ([[withPartitionLeases]] — the Postgres-row-lock substitute), so a
   * racing append/update pair yields the serial outcome instead of a lost
-  * update. Readers take no leases and never block.
-  * CatalogConcurrencySpec hammers all of it. Full-table [[rewrite]]
-  * remains an exclusive admin/migration operation.
+  * update. Readers take no leases on the read path itself; a reader that
+  * finds a COMMITTED-but-unfinished staging root acts as a healer and
+  * takes that op's leases briefly (bounded ~250 ms), skipping the heal
+  * when the op's live writer holds them ([[rollForward]] — one applier
+  * per op at a time). CatalogConcurrencySpec hammers all of it.
+  * Full-table [[rewrite]] remains an exclusive admin/migration
+  * operation.
   *
   * Writes that must be atomic (the consolidation status swap, C6) go
   * through [[Catalog.rewrite]]: write-new-then-rename, the filesystem
@@ -67,7 +71,7 @@ final case class Catalog(root: String) extends TableStore {
 
   def read(spark: SparkSession, table: String): DataFrame = {
     val f = fs(spark)
-    healSwap(f, table)
+    healSwap(f, spark, table)
     val schema = TableLayout.readSchema(table)
     if (f.exists(new Path(path(table)))) {
       migrateLegacyLayout(spark, table)
@@ -189,7 +193,7 @@ final case class Catalog(root: String) extends TableStore {
   def append(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
-    healSwap(f, table)
+    healSwap(f, spark, table)
     reclaimStaleRoots(f, spark, table)
     migrateLegacyLayout(spark, table)
     val dest = new Path(path(table))
@@ -226,7 +230,7 @@ final case class Catalog(root: String) extends TableStore {
     * consolidation FSM needs (csldSwapDatasets, consolidater.go:644-667). */
   def rewrite(df: DataFrame, table: String): Unit = {
     val f = fs(df.sparkSession)
-    healSwap(f, table)
+    healSwap(f, df.sparkSession, table)
     reclaimStaleRoots(f, df.sparkSession, table)
     val dest = new Path(path(table))
     // per-op tmp: two concurrent rewriters can no longer delete or write
@@ -386,7 +390,7 @@ final case class Catalog(root: String) extends TableStore {
       values: Seq[String], transform: DataFrame => DataFrame): Unit = {
     val pc = partitionColumn(table).get
     val f = fs(spark)
-    healSwap(f, table)
+    healSwap(f, spark, table)
     reclaimStaleRoots(f, spark, table)
     migrateLegacyLayout(spark, table)
     val dest = new Path(path(table))
@@ -490,12 +494,15 @@ final case class Catalog(root: String) extends TableStore {
     * partitions (transforms are pure DataFrame functions by contract —
     * a nested mutation would self-block until the acquire timeout). */
   private def withPartitionLeases[T](f: FileSystem, spark: SparkSession,
-      table: String, partDirs: Seq[String], opId: String)(body: => T): T = {
+      table: String, partDirs: Seq[String], opId: String,
+      acquireTimeoutMs: Long = -1L)(body: => T): T = {
     val keys = partDirs.distinct.sorted
     if (keys.isEmpty) return body
     val ttl = Catalog.staleReclaimMs(spark)
-    val timeoutMs = spark.conf.getOption(Catalog.LeaseTimeoutMsConf)
-      .map(_.toLong).getOrElse(Catalog.DefaultLeaseTimeoutMs)
+    val timeoutMs =
+      if (acquireTimeoutMs >= 0) acquireTimeoutMs
+      else spark.conf.getOption(Catalog.LeaseTimeoutMsConf)
+        .map(_.toLong).getOrElse(Catalog.DefaultLeaseTimeoutMs)
     val locks = keys.map(k => Catalog.jvmLocks
       .computeIfAbsent(s"$root|$table|$k", _ => new java.util.concurrent.locks.ReentrantLock))
     val leaseDir = new Path(s"$root/${Catalog.LeaseDirName}/$table")
@@ -504,7 +511,7 @@ final case class Catalog(root: String) extends TableStore {
     try {
       locks.foreach { l =>
         if (!l.tryLock(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
-          throw new java.io.IOException(
+          throw new Catalog.LeaseUnavailable(
             s"write lease: in-JVM lock timeout on $table (another writer holds a targeted partition)")
         held += l
       }
@@ -528,7 +535,7 @@ final case class Catalog(root: String) extends TableStore {
                   f.delete(lp, false): Unit // dead holder — break it
                 case _ =>
                   if (System.currentTimeMillis() > deadline)
-                    throw new java.io.IOException(
+                    throw new Catalog.LeaseUnavailable(
                       s"write lease: timeout acquiring $lp after ${timeoutMs}ms")
                   Thread.sleep(50)
               }
@@ -751,7 +758,7 @@ final case class Catalog(root: String) extends TableStore {
     * replaying the marker's idempotent ops. Pre-image debris under
     * `.bold` outlives its marker only between the two cleanup deletes —
     * reclaimed here. */
-  private def healSwap(f: FileSystem, table: String): Unit = {
+  private def healSwap(f: FileSystem, spark: SparkSession, table: String): Unit = {
     val dest = new Path(path(table))
     val old = new Path(path(table) + ".old")
     if (!f.exists(dest)) {
@@ -778,7 +785,7 @@ final case class Catalog(root: String) extends TableStore {
     staging.foreach { stagingRoot =>
       val boldName = stagingRoot.getName
         .replaceFirst("\\.(bswap|bappend)", ".bold")
-      rollForward(f, dest, stagingRoot, new Path(parent, boldName))
+      rollForward(f, spark, table, dest, stagingRoot, new Path(parent, boldName))
     }
     // orphan park roots whose staging root is gone: the swap completed
     // and cleanup was cut short — parked pre-images are debris
@@ -792,9 +799,26 @@ final case class Catalog(root: String) extends TableStore {
     * marker can vanish between the exists probe and the open (the
     * writer's cleanup deleting the root) — that IS the completed state,
     * not an error. Marker lines: an `ID` header (diagnostics) then one
-    * op per line ([[applyOp]]). */
-  private def rollForward(f: FileSystem, dest: Path, stagingRoot: Path,
-      oldRoot: Path): Unit = {
+    * op per line ([[applyOp]]).
+    *
+    * ONE APPLIER AT A TIME: the heal takes the op's own partition leases
+    * (the same keys its writer holds across apply AND cleanup) before
+    * touching anything, with a short acquisition bound. A healer that
+    * cannot get them skips the root — its owner is ALIVE and finishes
+    * the op itself. Without this, a lagging healer whose staged-exists
+    * probe predated the writer's promotion could park the NEWLY
+    * PROMOTED live directory into the op's pre-image root, which the
+    * writer's cleanup then deletes — the partition's rows silently lost
+    * (caught by the reader-vs-delete hammer under parallel-suite load).
+    * Concurrent-with-writer healing bought nothing anyway: every op is
+    * idempotent and its writer completes it. The cost is that a CRASHED
+    * writer's committed root now waits for its stale leases to break
+    * (mtime ≥ the stale TTL) before a heal completes it — reads stay
+    * correct meanwhile (each partition is atomically old or new), the
+    * same bound same-partition writers already inherit from the lease
+    * layer. */
+  private def rollForward(f: FileSystem, spark: SparkSession, table: String,
+      dest: Path, stagingRoot: Path, oldRoot: Path): Unit = {
     val marker = new Path(stagingRoot, Catalog.CommitMarker)
     val ops =
       if (!f.exists(marker)) None
@@ -805,10 +829,25 @@ final case class Catalog(root: String) extends TableStore {
         finally in.close())
       } catch { case _: java.io.FileNotFoundException => None }
     ops.foreach { lines =>
-      applyConcurrently(lines)(op =>
-        applyOp(f, dest, stagingRoot, oldRoot, op, () => f.exists(marker)))
-      f.delete(stagingRoot, true): Unit
-      f.delete(oldRoot, true): Unit
+      // lease keys: S/D lines name partition dirs; A lines are staged
+      // file paths whose first segment is the partition dir (none for an
+      // unpartitioned table's flat files — those appends hold no leases
+      // and their moves are idempotent + park-free)
+      val dirs = lines.flatMap { l =>
+        val n = l.drop(2)
+        if (l.startsWith("A ")) n.split('/').dropRight(1).headOption else Some(n)
+      }.distinct
+      try withPartitionLeases(f, spark, table, dirs,
+        "heal-" + stagingRoot.getName, acquireTimeoutMs = 250L) {
+        if (f.exists(marker)) { // re-check under the lease: owner may have finished
+          applyConcurrently(lines)(op =>
+            applyOp(f, dest, stagingRoot, oldRoot, op, () => f.exists(marker)))
+          f.delete(stagingRoot, true): Unit
+          f.delete(oldRoot, true): Unit
+        }
+      } catch {
+        case _: Catalog.LeaseUnavailable => // live owner — it finishes the op
+      }
     }
   }
 }
@@ -883,6 +922,14 @@ object Catalog {
     * one table drawing the same id (~2⁻⁴⁸ per pair). */
   private[catalog] def newOpId(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  /** A partition write lease could not be acquired within the caller's
+    * bound — someone else owns the targeted partitions. Writers let this
+    * propagate (their acquisition bound is the configured lease
+    * timeout); the lease-gated heal treats it as "live owner present,
+    * skip". */
+  private[catalog] final class LeaseUnavailable(msg: String)
+    extends java.io.IOException(msg)
 
   /** Run independent per-path filesystem ops on a 16-thread pool (the
     * class-level doc at the forwarder explains why); shared with

@@ -26,15 +26,23 @@ import org.apache.spark.sql.functions.col
   * replaces, created EXCLUSIVELY at the next log version. That exclusive
   * create is the only primitive the protocol needs, and it is exactly
   * what object stores offer natively: S3 conditional writes
-  * (`If-None-Match: *`, GA since 2024), GCS `x-goog-if-generation-match:
-  * 0`, Azure `If-None-Match` — the same primitive Delta Lake's LogStore
-  * contract is built on (delta.io "Storage configuration"; on providers
-  * without it, an external coordinator à la S3DynamoDBLogStore slots in
-  * here). On the local filesystem the create maps to POSIX `O_EXCL` via
-  * NIO, so the protocol is exercised end-to-end by the test suite —
-  * including under a FileSystem whose cross-directory rename THROWS
-  * (NoRenameCommitLogContractSpec), proving nothing on the publish path
-  * renames.
+  * (`If-None-Match: *`, GA since 2024 — REQUIRED and guarded loudly, see
+  * `requireAtomicCreate`), GCS `x-goog-if-generation-match: 0`, Azure
+  * `If-None-Match` — the same primitive Delta Lake's LogStore contract
+  * is built on (delta.io "Storage configuration"; on providers without
+  * it, an external coordinator à la S3DynamoDBLogStore slots in here,
+  * attested via [[CommitLogTableStore.AssumeAtomicCreateConf]]). On the
+  * local filesystem the primitive is EMULATED the way Delta's local
+  * LogStore does: full content staged to a hidden sibling, published by
+  * an atomic exclusive hard link — so the protocol is exercised
+  * end-to-end by the test suite, including under a FileSystem whose
+  * cross-directory rename THROWS (NoRenameCommitLogContractSpec),
+  * proving no Hadoop-level rename on the publish path. HDFS-class
+  * stores, where created files are visible before close, get the
+  * torn-commit machinery: an unterminated commit past a grace is
+  * durably VOIDED by an exclusive `.void` marker (writer-created only —
+  * a slow publisher voids ITSELF rather than claim an un-provable
+  * success), its version consumed, its content forever inert.
   *
   * Concurrency is OPTIMISTIC, no leases: writers race to create the next
   * version; the loser re-reads the log and either re-commits as-is (an
@@ -64,12 +72,16 @@ import org.apache.spark.sql.functions.col
   * tombstoned vacuum) re-expressed minimally over Hadoop FileSystem.
   *
   * Scale notes: a read unions one parquet relation per live op
-  * directory, so append-heavy tables should be compacted periodically
-  * ([[rewrite]] is the compaction — it folds every live file into one op
-  * dir and the checkpoint keeps replay O(tail)); the tiles table's
-  * salted bucket fan-out bounds files per append exactly as in
-  * [[Catalog]]. Commit files are O(files touched) text lines — a 4096-
-  * file salted append is a ~200 KB commit, well under any PUT limit. */
+  * directory, so append-heavy tables are compacted — [[compact]] folds
+  * the live set into one op dir under logical-no-op rules (never
+  * [[rewrite]]'s last-writer-wins), writer maintenance auto-triggers a
+  * DEBT-BOUNDED pass past [[CompactAtConf]] live op dirs, and the
+  * serving-path bucket prune (DPP) survives the union — each unioned
+  * scan gets its own dynamicpruning partition filter (PlanShapeSpec).
+  * Checkpoints keep replay O(tail); the tiles table's salted bucket
+  * fan-out bounds files per append exactly as in [[Catalog]]. Commit
+  * files are O(files touched) text lines — a 4096-file salted append is
+  * a ~200 KB commit, well under any PUT limit. */
 final case class CommitLogTableStore(root: String) extends TableStore {
   import CommitLogTableStore._
 
@@ -156,8 +168,9 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       s"updatePartitions: '$table' is derived-bucket-partitioned — use deleteWhere")
     require(TableLayout.partitionColumn(table).isDefined,
       s"updatePartitions: table '$table' is not partitioned")
-    if (partValues.nonEmpty || snapshot(fs(spark), table).live.nonEmpty)
-      rewritePartitions(spark, table, partValues, transform)
+    // rewritePartitions handles the empty cases itself (no target
+    // partitions → return before staging)
+    rewritePartitions(spark, table, partValues, transform)
   }
 
   /** The optimistic read-transform-stage-commit loop shared by
@@ -235,16 +248,28 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * `maxAttempts` lets that path stay best-effort (a contended table is
     * being appended to — the next maintenance pass retries). */
   def compact(spark: SparkSession, table: String,
-      maxAttempts: Int = MaxAttempts): Unit = {
+      maxAttempts: Int = MaxAttempts): Unit =
+    compactOps(spark, table, None, maxAttempts)
+
+  /** [[compact]] restricted to `only` op directories when set — the
+    * debt-bounded form writer maintenance uses (fold the small-append
+    * backlog, leave the big op dirs alone). A SUBSET fold is still a
+    * logical no-op, so the same rules apply: publish at exactly the
+    * staged-against version, `KIND rewrite` so in-flight partition ops
+    * restage (their REMOVEs of the folded files would no-op and
+    * duplicate rows). */
+  private def compactOps(spark: SparkSession, table: String,
+      only: Option[Set[String]], maxAttempts: Int): Unit = {
     val f = fs(spark)
     var attempts = 0
     while (attempts < maxAttempts) {
       val snap = snapshot(f, table)
-      if (snap.live.iterator.map(opIdOf).toSet.size <= 1) return
+      val target = only.fold(snap.live)(ops => snap.live.filter(r => ops(opIdOf(r))))
+      if (target.iterator.map(opIdOf).toSet.size <= 1) return
       val opId = Catalog.newOpId()
-      val staged = stageBatch(f, readFiles(spark, f, table, snap.live), table, opId)
+      val staged = stageBatch(f, readFiles(spark, f, table, target), table, opId)
       val lines = header(opId, "rewrite") ++
-        snap.live.map("REMOVE " + _) ++ staged.map("ADD " + _)
+        target.map("REMOVE " + _) ++ staged.map("ADD " + _)
       if (tryCommit(f, table, snap.version + 1, lines)) return
       f.delete(new Path(dataDir(table), opId), true): Unit
       attempts += 1
@@ -261,23 +286,35 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * side (an existing table keeps its rows — commit-log appends
     * compose), but the SOURCE must be quiescent: a mid-copy mutation
     * over there is the one race neither store's protocol can see.
-    * Typical use: `CommitLogTableStore(s3Root).importTable(spark, t,
-    * s"$hdfsRoot/$t")` per table when a deployment moves to object
-    * storage. */
-  def importTable(spark: SparkSession, table: String, srcTableDir: String): Unit = {
+    * Taking the source as a [[Catalog]] (not a raw directory) matters:
+    * its `read` runs the swap-store's own repairs first — healSwap rolls
+    * forward a marker-committed batch a crashed writer left staged (a
+    * DURABLY COMMITTED batch that a raw file listing would silently
+    * drop), and migrateLegacyLayout rewrites pre-partitioning flat files
+    * into partition dirs (flat files would import with an empty
+    * partition dir and silently dodge every later partition-scoped
+    * rewrite). Typical use: `CommitLogTableStore(s3Root)
+    * .importTable(spark, t, Catalog(hdfsRoot))` per table when a
+    * deployment moves to object storage. */
+  def importTable(spark: SparkSession, table: String, src: Catalog): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = new Path(srcTableDir)
-    val srcFs = src.getFileSystem(conf)
-    if (!srcFs.exists(src)) return
-    val rels = TableLayout.listDataFiles(srcFs, src)
+    src.read(spark, table): Unit // heal + legacy-layout migration
+    val srcDir = new Path(s"${src.root}/$table")
+    val srcFs = srcDir.getFileSystem(conf)
+    if (!srcFs.exists(srcDir)) return
+    val rels = TableLayout.listDataFiles(srcFs, srcDir)
     if (rels.isEmpty) return
+    if (TableLayout.partitionColumn(table).isDefined)
+      require(rels.forall(r => TableLayout.partitionDirOf(r).nonEmpty),
+        s"import of partitioned '$table' found files outside partition " +
+          "dirs — source not in the shared layout")
     val f = fs(spark)
     val opId = Catalog.newOpId()
     val dd = dataDir(table)
     Catalog.applyConcurrently(rels) { r =>
-      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(src, r),
+      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(srcDir, r),
           f, new Path(dd, s"$opId/$r"), false, conf))
-        throw new java.io.IOException(s"import copy failed: $srcTableDir/$r")
+        throw new java.io.IOException(s"import copy failed: $srcDir/$r")
     }
     commitRetrying(f, table, opId)(_ =>
       header(opId, "import") ++ rels.map(r => s"ADD $opId/$r"))
@@ -329,6 +366,9 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     if (entries.isEmpty) return Snapshot(0L, Vector.empty, Map.empty)
     val commits = entries.flatMap(versioned(_, CommitSuffix)).sortBy(_._1)
     val checkpoints = entries.flatMap(versioned(_, CheckpointSuffix)).sortBy(_._1)
+    // durably-voided versions: torn forever, even if a terminator
+    // appears later (the marker is the arbiter — see [[voidPath]])
+    val voided = entries.flatMap(versioned(_, VoidSuffix)).map(_._1).toSet
     var live = Set.empty[String]
     var tombs = Map.empty[String, Long]
     // newest readable+terminated checkpoint shortcuts the replay
@@ -346,8 +386,8 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       }
     }
     val from = cp.map(_._1).getOrElse(0L)
-    commits.iterator.filter(_._1 > from).foreach { case (_, s) =>
-      terminatedLines(f, s) match {
+    commits.iterator.filter(_._1 > from).foreach { case (v, s) =>
+      (if (voided(v)) None else terminatedLines(f, s)) match {
         case Some(lines) =>
           val at = s.getModificationTime
           lines.foreach { l =>
@@ -398,54 +438,164 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     Vector(s"OP $opId", s"KIND $kind")
 
   /** Publish `lines` at version `v` — THE atomic step. True iff this
-    * writer won the version. */
+    * writer won the version AND can prove its content published inside
+    * the torn grace. A non-local writer that stalls past the grace
+    * mid-publish may already have been judged torn by a concurrent
+    * party, so it deterministically VOIDS ITSELF (the exclusive void
+    * marker is the arbiter — see [[voidPath]]) and retakes the race at
+    * the next version; local publication is a hard link (atomic), so
+    * the slow path cannot arise there. */
   private def tryCommit(f: FileSystem, table: String, v: Long,
       lines: Seq[String]): Boolean = {
     f.mkdirs(logDir(table))
-    createExclusive(f, new Path(logDir(table), f"$v%020d$CommitSuffix"),
+    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val t0 = System.currentTimeMillis()
+    val won = createExclusive(f, new Path(logDir(table), f"$v%020d$CommitSuffix"),
       (lines :+ Terminator).mkString("\n").getBytes("UTF-8"))
+    if (!won) false
+    else if (local || System.currentTimeMillis() - t0 < TornGraceMs / 2) true
+    else {
+      // stalled past the grace on a store where content is visible
+      // before close: a concurrent snapshot may have voided this commit
+      // already — resolve deterministically by voiding it ourselves
+      // (idempotent) and retrying at the next version
+      createExclusive(f, voidPath(table, v), Array.emptyByteArray): Unit
+      false
+    }
   }
 
+  /** The durable void marker for version `v`: once it exists, the commit
+    * at `v` is torn FOREVER, even if its terminator appears later — the
+    * exclusive create of this marker is the arbiter that makes the
+    * torn-judgment deterministic across parties. Only writers create
+    * markers (a slow [[tryCommit]] self-voiding; [[maintain]] before a
+    * checkpoint; [[commitIfNoConflict]] resolving an in-doubt commit) —
+    * readers treat an unmarked past-grace unterminated commit as torn
+    * for their own read only, which is safe because nothing durable is
+    * built from a reader's view. */
+  private def voidPath(table: String, v: Long): Path =
+    new Path(logDir(table), f"$v%020d$VoidSuffix")
+
+  /** Writer-side resolution of an in-doubt commit: re-read; if a
+    * terminator appeared, it is a real commit (return its lines); if
+    * still unterminated past the grace, void it durably and return None.
+    * The recheck-then-mark order plus the marker's exclusivity make the
+    * outcome deterministic: a commit whose terminator lands within the
+    * grace can never be voided (no party past the grace sees it
+    * unterminated), and one that lands late loses to the marker — its
+    * writer's own [[tryCommit]] slow path reaches the same verdict. */
+  private def resolveInDoubt(f: FileSystem, table: String, v: Long,
+      s: FileStatus): Option[Vector[String]] =
+    terminatedLines(f, s) match {
+      case some @ Some(_) => some
+      case None =>
+        createExclusive(f, voidPath(table, v), Array.emptyByteArray): Unit
+        None
+    }
+
   /** Commit conflict-free lines (appends/rewrites), rebuilding them from
-    * a fresh snapshot on every lost version race. */
+    * a fresh snapshot on every lost version race. The staged op
+    * directory is deleted on every PROVEN-unpublished exit — but never
+    * on an AMBIGUOUS one (a create whose outcome is unknown: the
+    * conditional PUT may have landed with its acknowledgment lost).
+    * Deleting there would poison the table — a landed commit ADDs files
+    * that no longer exist, and nothing ever repairs live files. Instead
+    * the ambiguity is resolved by reading the version back
+    * ([[commitLanded]]); if still undecidable the staging is KEPT and
+    * the error propagates: a landed commit references the files (so
+    * reclamation spares them), an unlanded one leaves an unreferenced op
+    * dir that ages out — either way the store stays exact. */
   private def commitRetrying(f: FileSystem, table: String, opId: String)(
       build: Snapshot => Seq[String]): Unit = {
     var attempts = 0
     var done = false
+    var ambiguous = false
     try {
       while (!done) {
         val snap = snapshot(f, table)
-        done = tryCommit(f, table, snap.version + 1, build(snap))
+        val v = snap.version + 1
+        done =
+          try tryCommit(f, table, v, build(snap))
+          catch {
+            case e: java.io.IOException => commitLanded(f, table, v, opId) match {
+              case Some(won) => won
+              case None => ambiguous = true; throw e
+            }
+          }
         if (!done) {
           attempts += 1
           if (attempts > MaxAttempts) throw new java.io.IOException(
             s"commit log: append to '$table' lost $attempts version races")
         }
       }
-    } finally if (!done) f.delete(new Path(dataDir(table), opId), true): Unit
+    } finally if (!done && !ambiguous)
+      f.delete(new Path(dataDir(table), opId), true): Unit
   }
+
+  /** Did OUR commit land at version `v`? Some(true) = yes (terminated,
+    * carries our op id); Some(false) = provably not (absent, vanished,
+    * or someone else's); None = undecidable (present but unterminated —
+    * possibly our own half-flushed write, or unreadable). */
+  private def commitLanded(f: FileSystem, table: String, v: Long,
+      opId: String): Option[Boolean] =
+    try {
+      if (f.exists(voidPath(table, v))) return Some(false)
+      val st = f.getFileStatus(new Path(logDir(table), f"$v%020d$CommitSuffix"))
+      terminatedLines(f, st).map(_.contains(s"OP $opId"))
+    } catch {
+      case _: java.io.FileNotFoundException => Some(false)
+      case VanishedCommit => Some(false)
+      case _: java.io.IOException => None
+    }
 
   /** Commit `lines` unless a commit since `baseVersion` touched one of
     * `targets` (or was a full rewrite) — Delta-style logical conflict
-    * detection. False = caller must re-stage against the new state. */
+    * detection. False = caller must re-stage against the new state.
+    *
+    * Conservatively treats the UNKNOWABLE as conflict: a checkpoint
+    * newer than `baseVersion` (intervening commits may already be
+    * truncated — their content is gone, so they cannot be cleared), and
+    * a commit that vanishes mid-scan (same truncation, caught in the
+    * act). An in-doubt commit (unterminated past the grace) is resolved
+    * writer-side ([[resolveInDoubt]]): durably voided — conflicts with
+    * nothing — or, if its terminator appeared, judged like any other. */
   private def commitIfNoConflict(f: FileSystem, table: String,
       baseVersion: Long, targets: Set[String], lines: Seq[String]): Boolean = {
+    val opId = lines.collectFirst { case l if l.startsWith("OP ") => l.drop(3) }
+      .getOrElse("")
     while (true) {
       val entries =
         try f.listStatus(logDir(table)).toIndexedSeq
         catch { case _: java.io.FileNotFoundException => IndexedSeq.empty }
+      if (entries.flatMap(versioned(_, CheckpointSuffix))
+          .exists(_._1 > baseVersion)) return false
       val commits = entries.flatMap(versioned(_, CommitSuffix)).sortBy(_._1)
-      val conflict = commits.iterator.filter(_._1 > baseVersion).exists { case (_, s) =>
-        (try terminatedLines(f, s) catch { case VanishedCommit => None }) match {
+      val voided = entries.flatMap(versioned(_, VoidSuffix)).map(_._1).toSet
+      val conflict = commits.iterator.filter(_._1 > baseVersion).exists { case (v, s) =>
+        val resolved =
+          if (voided(v)) None
+          else
+            try resolveInDoubt(f, table, v, s)
+            catch { case VanishedCommit => return false } // truncated mid-scan
+        resolved match {
           case Some(cl) =>
             cl.exists(_ == "KIND rewrite") || declaredTargets(cl).exists(targets)
-          case None => false // torn: void, conflicts with nothing
+          case None => false // durably void: conflicts with nothing
         }
       }
       if (conflict) return false
       val next = math.max(commits.lastOption.map(_._1).getOrElse(0L),
         entries.flatMap(versioned(_, CheckpointSuffix)).map(_._1).maxOption.getOrElse(0L)) + 1
-      if (tryCommit(f, table, next, lines)) return true
+      val won =
+        try tryCommit(f, table, next, lines)
+        catch {
+          case e: java.io.IOException => commitLanded(f, table, next, opId) match {
+            case Some(w) => w
+            case None => throw e // ambiguous: caller keeps its staging
+          }
+        }
+      if (won) return true
       // lost the version race — re-examine the interloper for conflicts
     }
     false
@@ -494,14 +644,33 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     val cpVersions = entries.flatMap(versioned(_, CheckpointSuffix)).map(_._1)
     val lastCp = cpVersions.maxOption.getOrElse(0L)
     if (snap.version >= lastCp + CheckpointEvery && snap.version > 0) {
-      val dd = dataDir(table)
-      val lines = snap.live.map("FILE " + _) ++
-        snap.tombs.toVector.sorted.collect {
-          // drop tombstones whose file is already vacuumed
-          case (r, t) if f.exists(new Path(dd, r)) => s"TOMB $t $r"
+      // a checkpoint is DURABLE — before building one, every in-doubt
+      // commit it would exclude must be resolved (durably voided, or
+      // accepted once its terminator appears); a checkpoint built from a
+      // transient torn-judgment could silently drop a commit that later
+      // terminates. resolveInDoubt waits out the grace, so a torn commit
+      // delays checkpointing by at most one grace period.
+      val voidedNow = entries.flatMap(versioned(_, VoidSuffix)).map(_._1).toSet
+      val allResolved = entries.flatMap(versioned(_, CommitSuffix))
+        .filter { case (v, _) => v > lastCp && !voidedNow(v) }
+        .forall { case (v, s) =>
+          try { resolveInDoubt(f, table, v, s); true }
+          catch { case VanishedCommit => false }
         }
-      createExclusive(f, new Path(ld, f"${snap.version}%020d$CheckpointSuffix"),
-        (lines :+ Terminator).mkString("\n").getBytes("UTF-8")): Unit
+      if (allResolved) {
+        val dd = dataDir(table)
+        // re-replay AFTER resolution: a commit that terminated between
+        // the snapshot above and its resolution must be in the checkpoint
+        val resolvedSnap = snapshot(f, table)
+        val lines = resolvedSnap.live.map("FILE " + _) ++
+          resolvedSnap.tombs.toVector.sorted.collect {
+            // drop tombstones whose file is already vacuumed
+            case (r, t) if f.exists(new Path(dd, r)) => s"TOMB $t $r"
+          }
+        createExclusive(f,
+          new Path(ld, f"${resolvedSnap.version}%020d$CheckpointSuffix"),
+          (lines :+ Terminator).mkString("\n").getBytes("UTF-8")): Unit
+      }
     }
     // vacuum expired tombstones
     val dd = dataDir(table)
@@ -525,52 +694,123 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       entries.foreach { s =>
         val drop =
           versioned(s, CommitSuffix).exists(_._1 <= cpv) ||
-            versioned(s, CheckpointSuffix).exists(_._1 < cpv)
+            versioned(s, CheckpointSuffix).exists(_._1 < cpv) ||
+            versioned(s, VoidSuffix).exists(_._1 <= cpv) ||
+            // local-publish scratch of a writer that died between
+            // staging its commit content and hard-linking it live
+            s.getPath.getName.endsWith(".inflight")
         if (drop && now - s.getModificationTime >= ttl)
           f.delete(s.getPath, false): Unit
       }
     }
-    // auto-compact: bound the read plan's op-dir fan-out (best-effort —
-    // a contended table is being appended to; next pass retries)
+    // auto-compact, bounded by DEBT rather than table size: fold only
+    // the smallest live op dirs up to [[CompactMaxBytesConf]] — the
+    // small-append backlog that actually grows the read plan — so the
+    // inline cost charged to this unlucky writer stays capped no matter
+    // how big the table is (a 100-TB tiles store never pays a full
+    // rewrite on an ingest call; its few huge op dirs stay put and its
+    // many tiny ones fold). Best-effort: a contended table retries on
+    // the next maintenance pass.
     val threshold = compactAt(spark)
-    if (threshold > 0 &&
-        snap.live.iterator.map(opIdOf).toSet.size >= threshold)
-      compact(spark, table, maxAttempts = 3)
+    if (threshold > 0) {
+      val liveOps = snap.live.groupBy(opIdOf)
+      if (liveOps.size >= threshold) {
+        val dd2 = dataDir(table)
+        val maxBytes = compactMaxBytes(spark)
+        val sized = liveOps.keysIterator.map { op =>
+          op -> (try f.getContentSummary(new Path(dd2, op)).getLength
+          catch { case _: java.io.FileNotFoundException => 0L })
+        }.toSeq.sortBy(_._2)
+        var cum = 0L
+        val chosen = sized.takeWhile { case (_, b) =>
+          cum += b; cum <= maxBytes
+        }.map(_._1).toSet
+        if (chosen.size >= 2) compactOps(spark, table, Some(chosen), maxAttempts = 3)
+      }
+    }
   }
 
   // ------------------------------------------------- exclusive creation
 
-  /** Create `p` with `content` iff it does not exist — the protocol's
-    * single atomic primitive. Local filesystems get POSIX `O_EXCL`
-    * through NIO (Hadoop's local `create(overwrite=false)` is
-    * check-then-create, not atomic); HDFS-class stores get their
-    * natively atomic exclusive create; object stores map this to a
-    * conditional PUT (see class doc). */
+  /** Create `p` with `content` iff it does not exist, with the content
+    * appearing COMPLETE or not at all — the protocol's single atomic
+    * primitive, i.e. a conditional PUT.
+    *
+    * Local filesystems EMULATE it (the same move Delta's local LogStore
+    * makes): the content is written fully to a hidden sibling, then
+    * published as a POSIX hard LINK to the final name — `link(2)` is
+    * atomic and fails with EEXIST when the destination exists, which
+    * `rename(2)` does not (it silently replaces), so a local commit can
+    * never be observed half-written OR doubly-won. Object stores get
+    * their native conditional PUT (see class doc) — atomic whole-object
+    * publication by construction. HDFS-class stores get the natively
+    * exclusive `create(overwrite=false)`, but content there is visible
+    * BEFORE close — the torn-grace machinery in [[tryCommit]] /
+    * [[maintain]] exists for exactly that class.
+    *
+    * On the S3 family the exclusive create is only real when the
+    * connector's conditional-write support is on (Hadoop 3.4.1+;
+    * `If-None-Match: *` on the PUT) — otherwise `create(overwrite =
+    * false)` is HEAD-then-PUT and two version racers BOTH win, silently
+    * losing one batch. That cannot be detected from here, so it is
+    * guarded loudly at first commit: [[requireAtomicCreate]]. */
   private def createExclusive(f: FileSystem, p: Path,
       content: Array[Byte]): Boolean = f match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
         _: org.apache.hadoop.fs.RawLocalFileSystem =>
       val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(nio.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        nio.getParent, "." + nio.getFileName.toString + ".", ".inflight")
       try {
-        java.nio.file.Files.createDirectories(nio.getParent)
-        java.nio.file.Files.write(nio, content,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        java.nio.file.Files.write(tmp, content)
+        try { java.nio.file.Files.createLink(nio, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp): Unit
     case _ =>
+      requireAtomicCreate(f)
       try {
         val os = f.create(p, false)
         try os.write(content) finally os.close()
         true
       } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
   }
+
+  /** Loud guard for stores whose `create(overwrite=false)` is known to
+    * be check-then-act unless explicitly configured: the S3 family needs
+    * the connector's conditional-write support (Hadoop 3.4.1+) or an
+    * external put-if-absent coordinator. A deployment attests with
+    * either the connector conf or [[CommitLogTableStore.
+    * AssumeAtomicCreateConf]]; without one, fail at first commit instead
+    * of silently letting two version racers both win. */
+  private def requireAtomicCreate(f: FileSystem): Unit = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("")
+    if (scheme.startsWith("s3")) {
+      val c = f.getConf
+      val attested =
+        c.getBoolean("fs.s3a.create.conditional.enabled", false) ||
+          c.getBoolean(AssumeAtomicCreateConf, false)
+      if (!attested) throw new IllegalStateException(
+        s"commit log on $scheme needs an atomic exclusive create: enable " +
+          "the S3A connector's conditional writes (Hadoop 3.4.1+, " +
+          "fs.s3a.create.conditional.enabled) or attest with " +
+          s"$AssumeAtomicCreateConf=true (e.g. an external put-if-absent " +
+          "coordinator fronts the log)")
+    }
+  }
 }
 
 object CommitLogTableStore {
   private val CommitSuffix = ".commit"
   private val CheckpointSuffix = ".checkpoint"
+  private val VoidSuffix = ".void"
   private val Terminator = "END"
+
+  /** Conf key (Hadoop conf, per-filesystem): a deployment's attestation
+    * that `create(overwrite=false)` is an atomic put-if-absent on its
+    * store despite the connector not advertising it — e.g. an external
+    * coordinator fronts the log. See `requireAtomicCreate`. */
+  val AssumeAtomicCreateConf = "graft.catalog.assumeAtomicCreate"
 
   /** Commits between checkpoints. Replay cost between maintenance
     * passes is bounded by this many small text files. */
@@ -578,9 +818,14 @@ object CommitLogTableStore {
 
   /** How long an unterminated commit may stay unterminated before it is
     * judged torn (writer died mid-flush). Irrelevant on object stores
-    * (PUTs are all-or-nothing); on local/HDFS the flush of a ≤200 KB
-    * commit is milliseconds, so 2 s is generous. */
-  private val TornGraceMs = 2000L
+    * (PUTs are all-or-nothing) and local roots (hard-link publication is
+    * atomic); only HDFS-class stores, where create is visible before
+    * close, can produce one — there the flush of a ≤200 KB commit is
+    * milliseconds, so 10 s is generous. A writer only claims success
+    * when it published within HALF this grace ([[tryCommit]]'s slow
+    * path), so observer-vs-writer clock skew up to grace/2 can never
+    * produce a voided-but-acknowledged commit. */
+  private val TornGraceMs = 10000L
 
   /** Optimistic-retry bound for one mutation. */
   private val MaxAttempts = 50
@@ -594,6 +839,17 @@ object CommitLogTableStore {
   private val DefaultCompactAt = 128
   private[catalog] def compactAt(spark: SparkSession): Int =
     spark.conf.getOption(CompactAtConf).map(_.toInt).getOrElse(DefaultCompactAt)
+
+  /** Conf key: byte budget for one auto-compaction pass — maintenance
+    * folds the SMALLEST live op dirs whose sizes fit this budget, so the
+    * inline cost charged to the triggering writer is bounded by debt,
+    * never by table size. Explicit [[CommitLogTableStore.compact]] calls
+    * ignore it (full fold). */
+  val CompactMaxBytesConf = "graft.catalog.logCompactMaxBytes"
+  private val DefaultCompactMaxBytes = 1L << 30
+  private[catalog] def compactMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption(CompactMaxBytesConf).map(_.toLong)
+      .getOrElse(DefaultCompactMaxBytes)
 
   /** Per-table floor between maintenance passes per JVM. */
   private val MaintainRescanMs = 60L * 1000

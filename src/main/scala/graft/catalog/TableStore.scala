@@ -39,13 +39,15 @@ trait TableStore {
   /** The storage root the store serves — payload containers
     * (`<root>/containers/<jobId>/…`), consolidation scratch
     * (`<root>/.c4scratch`), and the serving path's change stamp
-    * ([[graft.cube.GetCube]] `dirStamp`, which hashes the
-    * `<root>/<table>` listing — valid for any FS-backed layout, since
-    * both the swap store's data files and the commit-log store's `_log`
-    * children change on every mutation) all hang off it. A non-
-    * filesystem store returns an unresolvable string: stamps come back
-    * unobservable and callers bypass their caches rather than serve
-    * stale data. */
+    * ([[graft.cube.GetCube]] `dirStamp`) all hang off it. The stamp is
+    * layout-aware: it hashes `<root>/<table>/_log` when that exists (the
+    * commit-log layout — every mutation creates a VERSIONED file there,
+    * so the child names alone carry the change even on flat object
+    * stores whose directory mtimes are synthetic) and the
+    * `<root>/<table>` listing otherwise (the swap layout, where child
+    * dirs/files change on every mutation). A non-filesystem store
+    * returns an unresolvable string: stamps come back unobservable and
+    * callers bypass their caches rather than serve stale data. */
   def root: String
   def read(spark: SparkSession, table: String): DataFrame
   def append(df: DataFrame, table: String): Unit
@@ -62,23 +64,17 @@ object TableStore {
     * `commitlog` forces [[CommitLogTableStore]]. */
   val StoreConf = "graft.catalog.store"
 
-  /** Schemes whose rename is a copy (or otherwise non-atomic), where the
-    * swap protocol's assumptions do not hold: the S3 family, GCS, Azure
-    * blob (wasb; abfs with a hierarchical namespace DOES rename
-    * atomically but the commit log is still safe there), and the other
-    * flat object stores Hadoop ships connectors for. */
-  private val RenameIsCopy =
-    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
-
   /** The production [[TableStore]] for `root`, picked by its scheme:
-    * rename-is-copy object stores get the commit-log store, everything
-    * with atomic rename (local, `file:`, `hdfs:`, `viewfs:`, abfs) the
-    * rename-swap [[Catalog]]. An UNKNOWN scheme also gets the commit-log
-    * store — it asks the least of the filesystem (one exclusive-create
-    * primitive, no rename on the publish path), so it is the safe
-    * default when rename atomicity is unverified; either store still
+    * stores with verifiably atomic rename (local, `file:`, `hdfs:`,
+    * `viewfs:`) get the rename-swap [[Catalog]]; EVERYTHING ELSE —
+    * the S3 family, GCS, Azure (abfs included: rename is only atomic on
+    * hierarchical-namespace accounts, and the scheme alone cannot tell
+    * HNS from flat), and unknown schemes — gets the commit-log store,
+    * which asks the least of the filesystem (one exclusive-create
+    * primitive, no rename on the publish path). Either store still
     * fails loudly on a scheme with no registered connector at first
-    * touch. Overridable via [[StoreConf]]. */
+    * touch. Overridable via [[StoreConf]] (e.g. `swap` for an abfs root
+    * the deployment KNOWS is HNS-backed). */
   def at(spark: SparkSession, root: String): TableStore = {
     val choice = spark.conf.getOption(StoreConf).getOrElse("auto")
     val scheme = Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme)
@@ -87,9 +83,7 @@ object TableStore {
       case "swap" => Catalog(root)
       case "commitlog" => CommitLogTableStore(root)
       case "auto" => scheme match {
-        case None | Some("file" | "hdfs" | "viewfs" | "local" | "abfs" | "abfss") =>
-          Catalog(root)
-        case Some(s) if RenameIsCopy(s) => CommitLogTableStore(root)
+        case None | Some("file" | "hdfs" | "viewfs" | "local") => Catalog(root)
         case Some(_) => CommitLogTableStore(root)
       }
       case other => throw new IllegalArgumentException(

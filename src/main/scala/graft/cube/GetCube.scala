@@ -133,16 +133,34 @@ object GetCube {
   private[cube] def dirStamp(spark: SparkSession, root: String,
       table: String): (Long, Long) =
     try {
-      val p = new org.apache.hadoop.fs.Path(s"$root/$table")
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val status = f.getFileStatus(p) // throws FileNotFound when absent
+      val base = new org.apache.hadoop.fs.Path(s"$root/$table")
+      val f = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // commit-log layout: stamp the `_log` listing instead of the table
+      // dir — every mutation creates a new VERSIONED commit file there,
+      // so the child NAMES alone carry the change. The table dir itself
+      // is blind on exactly the stores CommitLogTableStore targets: its
+      // children are the constant `_log`/`data` entries, and flat object
+      // stores report synthetic directory mtimes that never propagate a
+      // grandchild write.
+      val log = new org.apache.hadoop.fs.Path(base, "_log")
+      val listing =
+        try f.listStatus(log)
+        catch { case _: java.io.FileNotFoundException =>
+          f.listStatus(base) // throws FileNotFound when absent
+        }
       var h = 1L
-      f.listStatus(p).foreach { s =>
+      var maxM = 0L
+      listing.foreach { s =>
         h = h * 1000003L + s.getPath.getName.hashCode
         h = h * 1000003L + s.getLen
         h = h * 1000003L + s.getModificationTime
+        maxM = math.max(maxM, s.getModificationTime)
       }
-      (status.getModificationTime, h)
+      // newest CHILD mtime, not the directory's own — flat object stores
+      // synthesize directory mtimes (sometimes as now(), which would
+      // defeat the cache), while the children here are real files whose
+      // mtimes are their PUT times
+      (maxM, h)
     } catch { case _: java.io.IOException => (-1L, -1L) }
 
   private def lookupVariable(spark: SparkSession, cat: TableStore,

@@ -25,11 +25,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // PRIVATE session: the lease-break test shortens the lease TTL, and a
+  // shared-conf mutation would break other suites' live writers' leases
+  // mid-flight (suites run in parallel on one shared SparkSession)
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate().newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
 
   val root: String =
     java.nio.file.Files.createTempDirectory("graft-conc").toString
@@ -322,6 +328,44 @@ class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
         new Path(s"$r/u.old"))
     }
     assert(names(s"$r/u") == Set("pre.parquet"), "pre-image not restored")
+  }
+
+  test("heal is lease-gated: a live owner's committed root is skipped, then healed once free") {
+    // the closed race: a lagging healer whose staged-exists probe
+    // predated the writer's promotion could park the NEWLY PROMOTED live
+    // dir into the op's pre-image root, which the writer's cleanup then
+    // deletes — rows silently lost. The fix is ONE APPLIER PER OP: heal
+    // takes the op's partition leases and skips while a live owner holds
+    // them. Pinned here through the lease-file seam: a fresh lease on the
+    // targeted partition = live owner.
+    val r = s"$root/healgate"
+    val cat = Catalog(r)
+    cat.append(tasksDf(Seq(("t1", "j1", "NEW", ""), ("t2", "j2", "NEW", ""))), "tasks")
+    // a committed swap root replacing j1's rows, as a crashed writer
+    // would leave it: staged partition dir + _COMMIT marker
+    val swapRoot = s"$r/tasks.bswap.fakeop000001"
+    tasksDf(Seq(("t1", "j1", "DONE", "healed")))
+      .write.partitionBy("job_id").parquet(swapRoot)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(swapRoot, "_COMMIT"),
+      "ID tasks.bswap.fakeop000001\nS job_id=j1\n".getBytes("UTF-8"))
+    // its owner is ALIVE: a fresh lease on job_id=j1
+    val leaseDir = new java.io.File(s"$r/_leases/tasks")
+    leaseDir.mkdirs()
+    val lease = new java.io.File(leaseDir, "job_id=j1.lease")
+    java.nio.file.Files.write(lease.toPath, "fakeop000001".getBytes("UTF-8"))
+    // reads skip the heal (old state served, root untouched) and do not
+    // block beyond the short acquisition bound
+    val t0 = System.currentTimeMillis()
+    assert(readTasks(cat) ==
+      Set(("t1", "j1", "NEW", ""), ("t2", "j2", "NEW", "")))
+    assert(System.currentTimeMillis() - t0 < 10000)
+    assert(new java.io.File(swapRoot).exists, "heal raced a live owner's op")
+    // owner gone (lease released): the next read rolls the op forward
+    assert(lease.delete())
+    assert(readTasks(cat) ==
+      Set(("t1", "j1", "DONE", "healed"), ("t2", "j2", "NEW", "")))
+    assert(!new java.io.File(swapRoot).exists, "committed swap did not complete")
   }
 
   test("a stale healer abandons its replay instead of corrupting later state") {

@@ -20,11 +20,18 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CatalogDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // PRIVATE session: this suite tunes engine confs (reclaim TTL, write
+  // salts) and sbt runs suites in PARALLEL on one shared SparkSession —
+  // a shared TTL=0 would let concurrent hammers in other suites reclaim
+  // each other's in-flight staging
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate().newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
 
   val root: String =
     java.nio.file.Files.createTempDirectory("graft-del").toString

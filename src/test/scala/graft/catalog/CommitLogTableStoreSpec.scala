@@ -53,8 +53,10 @@ class NoRenameCommitLogContractSpec extends TableStoreContract {
 /** [[TableStore.at]] picks the implementation the root's semantics
   * require. */
 class TableStoreFactorySpec extends AnyFunSuite {
+  // private session: StoreConf mutations must not leak to parallel suites
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    .master("local[2]").config("spark.ui.enabled", "false")
+    .getOrCreate().newSession()
 
   test("scheme routing: atomic-rename roots swap, object stores commit-log") {
     assert(TableStore.at(spark, "/data/cat").isInstanceOf[Catalog])
@@ -62,6 +64,11 @@ class TableStoreFactorySpec extends AnyFunSuite {
     assert(TableStore.at(spark, "hdfs://nn/cat").isInstanceOf[Catalog])
     assert(TableStore.at(spark, "s3a://bucket/cat").isInstanceOf[CommitLogTableStore])
     assert(TableStore.at(spark, "gs://bucket/cat").isInstanceOf[CommitLogTableStore])
+    // abfs: rename is atomic ONLY on hierarchical-namespace accounts and
+    // the scheme can't tell — safe default is the commit log (a
+    // known-HNS deployment forces `swap` via the conf)
+    assert(TableStore.at(spark, "abfss://c@a.dfs.core.windows.net/cat")
+      .isInstanceOf[CommitLogTableStore])
     // unknown scheme → the store that asks least of the filesystem
     assert(TableStore.at(spark, "weird://x/cat").isInstanceOf[CommitLogTableStore])
   }
@@ -87,11 +94,18 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val root =
     java.nio.file.Files.createTempDirectory("graft-clp").toString
 
-  lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // PRIVATE session: these tests tune the reclaim TTL and compaction
+  // thresholds; suites run in parallel on one shared SparkSession, and a
+  // shared TTL=0 would let concurrent hammers in other suites reclaim
+  // each other's in-flight staging
+  lazy val spark = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate().newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
 
   override def afterAll(): Unit = CatalogTestIO.rm(new java.io.File(root))
 
@@ -145,6 +159,89 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.append(tasksDf(Seq(("t2", "j2", "NEW", ""))), "tasks")
     assert(logFiles(dir).contains(s"${"0" * 18}03.commit"))
     assert(readTasks(s) == Set(("t1", "j1", "NEW", ""), ("t2", "j2", "NEW", "")))
+  }
+
+  test("a void marker outranks a terminator: the marked version is inert forever") {
+    val dir = s"$root/voidwins"
+    val s = CommitLogTableStore(dir)
+    s.append(tasksDf(Seq(("t1", "j1", "NEW", ""))), "tasks")
+    // a fully TERMINATED commit at version 2 referencing real staged
+    // files — but a concurrent party voided it (the slow-publisher
+    // arbitration): the marker must win, or parties that judged it torn
+    // pre-terminator would diverge from parties reading post-terminator
+    val dd = new java.io.File(s"$dir/tasks/data/deadop000000/job_id=j9")
+    dd.mkdirs()
+    val logd = s"$dir/tasks/_log"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(logd, "0" * 18 + "02.commit"),
+      "OP deadop000000\nKIND append\nADD deadop000000/job_id=j9/p.parquet\nEND"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(logd, "0" * 18 + "02.void"), Array.emptyByteArray)
+    assert(readTasks(s) == Set(("t1", "j1", "NEW", "")))
+    // the voided version stays consumed: the next append takes 3
+    s.append(tasksDf(Seq(("t2", "j2", "NEW", ""))), "tasks")
+    assert(logFiles(dir).contains(s"${"0" * 18}03.commit"))
+    assert(readTasks(s).map(_._1) == Set("t1", "t2"))
+  }
+
+  test("checkpointing durably voids a dead writer's torn commit first") {
+    val dir = s"$root/cpvoid"
+    val s = CommitLogTableStore(dir)
+    // 30 s: below the memoization floor (maintenance runs every append)
+    // but above the test's runtime (truncation must not eat the .void
+    // marker before the assertion reads it)
+    spark.conf.set(Catalog.StaleSwapReclaimMsConf, "30000")
+    try {
+      s.append(tasksDf(Seq(("t0", "j0", "NEW", ""))), "tasks")
+      // a dead writer's unterminated commit at version 2, past the grace
+      val torn = new java.io.File(s"$dir/tasks/_log/${"0" * 18}02.commit")
+      java.nio.file.Files.write(torn.toPath,
+        "OP dead\nKIND append\nADD dead/ghost.parquet\n".getBytes("UTF-8"))
+      assert(torn.setLastModified(System.currentTimeMillis() - 60000))
+      // enough appends to cross the checkpoint cadence: before building
+      // the DURABLE checkpoint, maintenance must resolve the in-doubt
+      // commit with a .void marker (a transient torn-judgment baked into
+      // a checkpoint could silently drop a commit that terminates late)
+      for (i <- 1 to 21)
+        s.append(tasksDf(Seq((s"t$i", s"j${i % 3}", "NEW", ""))), "tasks")
+      val names = logFiles(dir)
+      assert(names.exists(_.endsWith(".checkpoint")), s"no checkpoint in $names")
+      assert(names.contains(s"${"0" * 18}02.void"),
+        s"torn commit not durably voided before checkpointing: $names")
+      assert(readTasks(s).size == 22)
+    } finally spark.conf.unset(Catalog.StaleSwapReclaimMsConf)
+  }
+
+  test("commitLanded verdicts: ours / lost / undecidable / voided") {
+    val dir = s"$root/landed"
+    val s = CommitLogTableStore(dir)
+    s.append(tasksDf(Seq(("t1", "j1", "NEW", ""))), "tasks")
+    val m = classOf[CommitLogTableStore].getDeclaredMethod("commitLanded",
+      classOf[org.apache.hadoop.fs.FileSystem], classOf[String],
+      java.lang.Long.TYPE, classOf[String])
+    m.setAccessible(true)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def landed(v: Long, op: String): Option[Boolean] =
+      m.invoke(s, f, "tasks", java.lang.Long.valueOf(v), op)
+        .asInstanceOf[Option[Boolean]]
+    val opLine = scala.io.Source.fromFile(s"$dir/tasks/_log/${"0" * 18}01.commit")
+      .getLines().find(_.startsWith("OP ")).get.drop(3)
+    assert(landed(1, opLine) == Some(true)) // our commit, terminated
+    assert(landed(1, "someoneelse") == Some(false)) // someone else won v1
+    assert(landed(9, opLine) == Some(false)) // version never allocated
+    // present but unterminated (backdated past grace): torn — terminatedLines
+    // returns None, so the outcome is undecidable → caller keeps staging
+    val torn = new java.io.File(s"$dir/tasks/_log/${"0" * 18}02.commit")
+    java.nio.file.Files.write(torn.toPath, "OP x\nKIND append\n".getBytes("UTF-8"))
+    assert(torn.setLastModified(System.currentTimeMillis() - 60000))
+    assert(landed(2, "x") == None)
+    // …until a writer voids it durably: then provably not landed
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/tasks/_log", "0" * 18 + "02.void"),
+      Array.emptyByteArray)
+    assert(landed(2, "x") == Some(false))
   }
 
   test("checkpoint bounds replay; truncation keeps reads exact") {

@@ -63,7 +63,7 @@ class StoreMigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(0.0, 1.0, 0.0, 2.0, 0.0, -1.0), Array[Byte](5, 6, 7, 8))))
 
     for (t <- Seq("records", "tasks", "tiles"))
-      to.importTable(spark, t, s"${from.root}/$t")
+      to.importTable(spark, t, from)
 
     for (t <- Seq("records", "tasks", "tiles"))
       assert(collectSet(to, t) == collectSet(from, t), s"table $t diverged")
@@ -79,15 +79,39 @@ class StoreMigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a legacy flat source is healed into partition dirs before import") {
+    // a swap catalog written by the pre-partitioning build: flat part
+    // files with job_id still a data column — imported raw, these files
+    // would carry an EMPTY partition dir and silently dodge every later
+    // partition-scoped rewrite. importTable reads through the source
+    // Catalog first, which runs its legacy-layout migration.
+    val legacyRoot = s"$base/legacy"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("t1", "j1", "NEW", ""), Row("t2", "j2", "NEW", "")), 1),
+      Schemas.all("tasks"))
+      .write.mode("overwrite").parquet(s"$legacyRoot/tasks")
+    assert(new java.io.File(s"$legacyRoot/tasks").listFiles
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    val t3 = CommitLogTableStore(s"$base/log3")
+    t3.importTable(spark, "tasks", Catalog(legacyRoot))
+    assert(collectSet(t3, "tasks") == Set("t1|j1|NEW|", "t2|j2|NEW|"))
+    // every imported file sits in a job_id= partition dir, so the
+    // partition-scoped ops actually target it
+    t3.updatePartitions(spark, "tasks", Seq("j1"),
+      _.withColumn("state", org.apache.spark.sql.functions.lit("DONE")))
+    assert(collectSet(t3, "tasks") == Set("t1|j1|DONE|", "t2|j2|NEW|"))
+  }
+
   test("import composes with existing commit-log rows; empty source is a no-op") {
     val t2 = CommitLogTableStore(s"$base/log2")
     t2.append(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("t0", "j0", "NEW", "")), 1),
       Schemas.all("tasks")), "tasks")
-    t2.importTable(spark, "tasks", s"${from.root}/tasks")
+    t2.importTable(spark, "tasks", from)
     assert(collectSet(t2, "tasks") ==
       collectSet(from, "tasks") + "t0|j0|NEW|")
-    t2.importTable(spark, "aoi", s"${from.root}/aoi") // never written
+    t2.importTable(spark, "aoi", from) // never written over there
     assert(t2.read(spark, "aoi").count() == 0)
   }
 }

@@ -58,6 +58,35 @@ class VarCacheStampSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GetCube.dirStamp(spark, root, "no_such_table") == ((-1L, -1L)))
   }
 
+  test("commit-log root: stamp reads the _log listing (object-store honest)") {
+    // on the commit-log layout the table dir's direct children are the
+    // CONSTANT `_log`/`data` entries — a stamp of that listing would be
+    // blind on flat object stores (synthetic directory mtimes); the
+    // stamp must instead track the versioned commit files, whose NAMES
+    // change on every mutation
+    val clDir = java.nio.file.Files.createTempDirectory("graft-stamp-cl")
+    val clRoot = "file://" + clDir.toString
+    try {
+      val cat = graft.catalog.CommitLogTableStore(clRoot)
+      cat.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(vrow("v1")), 1),
+        Schemas.all("variable_definitions")), "variable_definitions")
+      val s1 = GetCube.dirStamp(spark, clRoot, "variable_definitions")
+      assert(s1 != ((-1L, -1L)))
+      assert(GetCube.dirStamp(spark, clRoot, "variable_definitions") == s1)
+      cat.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(vrow("v2")), 1),
+        Schemas.all("variable_definitions")), "variable_definitions")
+      assert(GetCube.dirStamp(spark, clRoot, "variable_definitions") != s1,
+        "commit-log append did not move the serving cache stamp")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+      }
+      rm(clDir.toFile)
+    }
+  }
+
   test("metadata broadcast gate: exact-stat local frames hint, stat-less frames don't") {
     import spark.implicits._
     // a client request's materialized metadata: LocalRelation, exact size
