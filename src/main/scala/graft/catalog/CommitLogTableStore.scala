@@ -755,25 +755,27 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * losing one batch. That cannot be detected from here, so it is
     * guarded loudly at first commit: [[requireAtomicCreate]]. */
   private def createExclusive(f: FileSystem, p: Path,
-      content: Array[Byte]): Boolean = f match {
-    case _: org.apache.hadoop.fs.LocalFileSystem |
-        _: org.apache.hadoop.fs.RawLocalFileSystem =>
-      val nio = java.nio.file.Paths.get(p.toUri.getPath)
-      java.nio.file.Files.createDirectories(nio.getParent)
-      val tmp = java.nio.file.Files.createTempFile(
-        nio.getParent, "." + nio.getFileName.toString + ".", ".inflight")
-      try {
-        java.nio.file.Files.write(tmp, content)
-        try { java.nio.file.Files.createLink(nio, tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } finally java.nio.file.Files.deleteIfExists(tmp): Unit
-    case _ =>
-      requireAtomicCreate(f)
-      try {
-        val os = f.create(p, false)
-        try os.write(content) finally os.close()
-        true
-      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      content: Array[Byte]): Boolean = {
+    requireAtomicCreate(f) // scheme-based, so it guards every branch
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+          _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(nio.getParent)
+        val tmp = java.nio.file.Files.createTempFile(
+          nio.getParent, "." + nio.getFileName.toString + ".", ".inflight")
+        try {
+          java.nio.file.Files.write(tmp, content)
+          try { java.nio.file.Files.createLink(nio, tmp); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+      case _ =>
+        try {
+          val os = f.create(p, false)
+          try os.write(content) finally os.close()
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
   }
 
   /** Loud guard for stores whose `create(overwrite=false)` is known to

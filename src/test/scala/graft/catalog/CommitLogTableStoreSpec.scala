@@ -86,6 +86,56 @@ class TableStoreFactorySpec extends AnyFunSuite {
   }
 }
 
+/** An "S3-family" filesystem for the guard test: the scheme says s3*,
+  * the bytes go to local disk. */
+class FakeS3FileSystem extends NoRenameFileSystem {
+  override def getScheme: String = "s3x"
+  override def getUri: java.net.URI = java.net.URI.create("s3x:///")
+}
+
+/** The conditional-create guard: on an S3-schemed store the commit log
+  * REFUSES to publish unless the deployment attests that
+  * create(overwrite=false) is an atomic put-if-absent — without it two
+  * version racers would BOTH win silently (HEAD-then-PUT). */
+class AtomicCreateGuardSpec extends AnyFunSuite {
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false")
+    .getOrCreate().newSession()
+
+  test("unattested s3 scheme refuses to commit; attestation unblocks it") {
+    val root = java.nio.file.Files.createTempDirectory("graft-s3guard").toString
+    try {
+      spark.sparkContext.hadoopConfiguration
+        .set("fs.s3x.impl", classOf[FakeS3FileSystem].getName)
+      val s = CommitLogTableStore(s"s3x://$root")
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row("t1", "j1", "NEW", "")), 1),
+        Schemas.all("tasks"))
+      val e = intercept[IllegalStateException](s.append(df, "tasks"))
+      assert(e.getMessage.contains("conditional"))
+      // the staged batch was NOT deleted on the refusal: the guard fires
+      // before any publish attempt, so the op provably never happened —
+      // but being pre-commit, the staging is reclaimable debris either way
+      // attested: the full protocol runs (the cached FileSystem holds
+      // this same Configuration object by reference, so the flag is
+      // visible without clearing the FS cache — closeAll() would tear
+      // handles out from under concurrently-running suites)
+      spark.sparkContext.hadoopConfiguration
+        .setBoolean(CommitLogTableStore.AssumeAtomicCreateConf, true)
+      try {
+        val df2 = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(org.apache.spark.sql.Row("t2", "j2", "NEW", "")), 1),
+          Schemas.all("tasks"))
+        s.append(df2, "tasks")
+        assert(s.read(spark, "tasks").count() >= 1)
+      } finally spark.sparkContext.hadoopConfiguration
+        .unset(CommitLogTableStore.AssumeAtomicCreateConf)
+    } finally CatalogTestIO.rm(new java.io.File(root))
+  }
+}
+
 /** Protocol-level behavior the contract cannot see: optimistic
   * same-partition serialization, torn-commit voiding, checkpointing,
   * vacuum/reclaim timing. */

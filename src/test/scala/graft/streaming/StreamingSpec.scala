@@ -47,6 +47,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("the counter FSM runs unchanged on the commit-log store (object-store deployment shape)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clRoot = java.nio.file.Files.createTempDirectory("graft-stream-cl").toString
+    // same streaming code, different TableStore constructor: every
+    // micro-batch's journal append + dedup probe rides the optimistic
+    // commit log instead of directory renames
+    val cl = graft.catalog.CommitLogTableStore(clRoot)
+    val stream = MemoryStream[TaskEvent]
+    val q = EventStream.driveJobCounters(spark, cl, stream.toDS(), "cl-counters")
+    try {
+      stream.addData(
+        TaskEvent("jc1", "t1", "SUCCEEDED", "", ts("2024-01-01 00:00:00")),
+        TaskEvent("jc1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01")),
+        TaskEvent("jc1", "t2", "FAILED", "boom", ts("2024-01-01 00:00:01")), // dup
+        TaskEvent("jc2", "t9", "SUCCEEDED", "", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      // a second micro-batch appends on top of the first's commits
+      stream.addData(
+        TaskEvent("jc1", "t3", "SUCCEEDED", "", ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val jobs = cl.read(spark, "jobs").filter(col("state") === "COUNTERS").collect()
+      val j1 = jobs.filter(_.getAs[String]("id") == "jc1")
+      assert(j1.map(_.getAs[Int]("active_tasks")).sum == 3)
+      assert(j1.map(_.getAs[Int]("failed_tasks")).sum == 1)
+      assert(jobs.filter(_.getAs[String]("id") == "jc2")
+        .map(_.getAs[Int]("active_tasks")).sum == 1)
+    } finally {
+      q.stop()
+      graft.catalog.CatalogTestIO.rm(new java.io.File(clRoot))
+    }
+  }
+
   test("replay and cross-batch redelivery journal each task exactly once") {
     import spark.implicits._
     val cat2 = Catalog(java.nio.file.Files.createTempDirectory("graft-replay").toString)
