@@ -122,6 +122,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
   def append(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
+    requireAtomicCreate(f) // fail BEFORE the distributed staging write
     maintain(f, spark, table)
     val opId = Catalog.newOpId()
     val files = stageBatch(f, df, table, opId)
@@ -134,6 +135,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
   def rewrite(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val f = fs(spark)
+    requireAtomicCreate(f) // fail BEFORE the distributed staging write
     maintain(f, spark, table)
     val opId = Catalog.newOpId()
     val files = stageBatch(f, df, table, opId)
@@ -184,6 +186,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       partValues: Seq[String], transform: DataFrame => DataFrame): Unit = {
     val pc = TableLayout.partitionColumn(table).get
     val f = fs(spark)
+    requireAtomicCreate(f) // fail BEFORE any staging attempt
     maintain(f, spark, table)
     val schema = TableLayout.readSchema(table)
     val logical = Schemas.all(table).fieldNames.toIndexedSeq.map(col)
@@ -261,6 +264,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
   private def compactOps(spark: SparkSession, table: String,
       only: Option[Set[String]], maxAttempts: Int): Unit = {
     val f = fs(spark)
+    requireAtomicCreate(f)
     var attempts = 0
     while (attempts < maxAttempts) {
       val snap = snapshot(f, table)
@@ -298,6 +302,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * deployment moves to object storage. */
   def importTable(spark: SparkSession, table: String, src: Catalog): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    requireAtomicCreate(fs(spark)) // fail BEFORE the file copies
     src.read(spark, table): Unit // heal + legacy-layout migration
     val srcDir = new Path(s"${src.root}/$table")
     val srcFs = srcDir.getFileSystem(conf)
@@ -754,7 +759,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * false)` is HEAD-then-PUT and two version racers BOTH win, silently
     * losing one batch. That cannot be detected from here, so it is
     * guarded loudly at first commit: [[requireAtomicCreate]]. */
-  private def createExclusive(f: FileSystem, p: Path,
+  private[catalog] def createExclusive(f: FileSystem, p: Path,
       content: Array[Byte]): Boolean = {
     requireAtomicCreate(f) // scheme-based, so it guards every branch
     f match {

@@ -100,6 +100,51 @@ class CommitLogEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("GTIFF_DIR:1", "GTIFF_DIR:2", "GTIFF_DIR:1@ov1", "GTIFF_DIR:2@ov1"))
   }
 
+  test("deletion job FSM to DONE on the no-rename commit-log store") {
+    import graft.consolidation.DeletionJob
+    val sc = spark
+    def write(table: String, rows: Seq[Row]): Unit =
+      cat.append(sc.createDataFrame(
+        sc.sparkContext.parallelize(rows), Schemas.all(table)), table)
+    // a separate instance so the consolidation tests' state is untouched
+    val box = BBox(0, 0, 4, 4)
+    write("records", Seq(
+      Row("r9", "s9", ts("2024-02-01 00:00:00"), Map.empty[String, String], "a1")))
+    def dsRow(id: String, uri: String): Row =
+      Row(id, "r9", "i9", uri, "", Seq(1), "ACTIVE", null,
+        "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false,
+        wkbBox(box), wkbBox(box), 4326, bboxRow(box))
+    write("datasets", Seq(dsRow("d9a", "mem://x9a"), dsRow("d9b", "mem://x9b")))
+    write("containers", Seq(
+      Row("mem://x9a", true, "STANDARD"), Row("mem://x9b", true, "STANDARD")))
+    def tile(uri: String): Row =
+      Row(uri, "", 4, 4, 1, "uint8", "EPSG:4326",
+        Seq(0.0, 1.0, 0.0, 4.0, 0.0, -1.0),
+        new Bitmap(4, 4, 1, DType.UInt8, Array.fill(16)(7.0)).toBytes)
+    write("tiles", Seq(tile("mem://x9a"), tile("mem://x9b")))
+
+    // lock → TODELETE flip → GC → physical deletes (catalog-virtual
+    // mem:// containers) → DONE, every mutation riding the commit log:
+    // journal appends, task-partition rewrites, datasets updates, and
+    // the bucket-scoped tiles deleteWhere with its optimistic conflicts
+    assert(DeletionJob.run(spark, cat,
+      DeletionJob.Spec("del9", "del9", instanceIds = Seq("i9"))) == "DONE")
+
+    import org.apache.spark.sql.functions.col
+    assert(cat.read(spark, "datasets")
+      .filter(col("instance_id") === "i9").count() == 0)
+    assert(cat.read(spark, "tiles")
+      .filter(col("container_uri").startsWith("mem://x9")).count() == 0)
+    assert(cat.read(spark, "containers")
+      .filter(col("uri").startsWith("mem://x9")).count() == 0)
+    assert(cat.read(spark, "tasks")
+      .filter(col("job_id") === "del9")
+      .filter(col("state") =!= "SUCCESSFUL").count() == 0)
+    val states = cat.read(spark, "jobs").filter(col("id") === "del9")
+      .select("state").collect().map(_.getString(0))
+    assert(states.contains("DONE"))
+  }
+
   test("the consolidated commit-log catalog serves GetCube") {
     import graft.cube._
     val slices = GetCube.cube(spark, cat, CubeRequest(

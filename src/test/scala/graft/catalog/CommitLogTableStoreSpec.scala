@@ -114,9 +114,11 @@ class AtomicCreateGuardSpec extends AnyFunSuite {
         Schemas.all("tasks"))
       val e = intercept[IllegalStateException](s.append(df, "tasks"))
       assert(e.getMessage.contains("conditional"))
-      // the staged batch was NOT deleted on the refusal: the guard fires
-      // before any publish attempt, so the op provably never happened —
-      // but being pre-commit, the staging is reclaimable debris either way
+      // fail-fast: the guard fires BEFORE the distributed staging write,
+      // so a misconfigured deployment pays no wasted parquet I/O and
+      // leaves no staging debris at all
+      assert(!new java.io.File(s"$root/tasks").exists,
+        "refused append left table state behind")
       // attested: the full protocol runs (the cached FileSystem holds
       // this same Configuration object by reference, so the flag is
       // visible without clearing the FS cache — closeAll() would tear
@@ -129,10 +131,37 @@ class AtomicCreateGuardSpec extends AnyFunSuite {
             Seq(org.apache.spark.sql.Row("t2", "j2", "NEW", "")), 1),
           Schemas.all("tasks"))
         s.append(df2, "tasks")
-        assert(s.read(spark, "tasks").count() >= 1)
+        // exactly the attested batch — the refused one provably never
+        // happened (== 1, not >= 1: a leaked t1 row must fail here)
+        val rows = s.read(spark, "tasks").collect()
+        assert(rows.length == 1 && rows.head.getString(0) == "t2")
       } finally spark.sparkContext.hadoopConfiguration
         .unset(CommitLogTableStore.AssumeAtomicCreateConf)
     } finally CatalogTestIO.rm(new java.io.File(root))
+  }
+
+  test("non-local branch: hadoop create(overwrite=false) publishes exclusively") {
+    // every other test FS here subclasses RawLocalFileSystem and so takes
+    // createExclusive's hard-link branch; wrap one in a FilterFileSystem
+    // (not a RawLocal SUBCLASS) to drive the object-store/HDFS branch —
+    // the version-race loser must get false, never an exception, and the
+    // winner's content must survive untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft-exclusive")
+    try {
+      val raw = new org.apache.hadoop.fs.RawLocalFileSystem
+      raw.initialize(java.net.URI.create("file:///"),
+        spark.sparkContext.hadoopConfiguration)
+      val f = new org.apache.hadoop.fs.FilterFileSystem(raw)
+      val store = CommitLogTableStore(dir.toString)
+      val p = new org.apache.hadoop.fs.Path(
+        dir.toString, "00000000000000000001.commit")
+      assert(store.createExclusive(f, p, "OP x\nEND".getBytes("UTF-8")))
+      assert(!store.createExclusive(f, p, "OP y\nEND".getBytes("UTF-8")))
+      val content = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir.toString, "00000000000000000001.commit")),
+        "UTF-8")
+      assert(content == "OP x\nEND")
+    } finally CatalogTestIO.rm(dir.toFile)
   }
 }
 
