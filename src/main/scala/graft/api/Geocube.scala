@@ -771,4 +771,11 @@ object Geocube {
   /** Engine version reported by [[Geocube.version]] (the reference pins
     * GeocubeServerVersion the same way, service.go:34). */
   val EngineVersion = "1.0.0"
+
+  /** The facade on the right [[TableStore]] for `root`'s scheme
+    * ([[TableStore.at]]): atomic-rename stores get the swap catalog,
+    * object stores the commit log — one call for a deployment that
+    * doesn't want to choose. */
+  def at(spark: SparkSession, root: String): Geocube =
+    Geocube(spark, TableStore.at(spark, root))
 }

@@ -340,13 +340,6 @@ final case class CommitLogTableStore(root: String) extends TableStore {
 
   // ----------------------------------------------------------- the log
 
-  /** Replayed log state: `version` is the highest allocated version
-    * (terminated or torn — torn commits consume their number), `live`
-    * the current file set, `tombs` removed-but-not-vacuumed files with
-    * their removal time. */
-  private case class Snapshot(version: Long, live: Vector[String],
-      tombs: Map[String, Long])
-
   private def snapshot(f: FileSystem, table: String): Snapshot = {
     var attempt = 0
     while (true) {
@@ -363,12 +356,39 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     sys.error("unreachable")
   }
 
+  /** Replay memoization: the live set is a pure function of the `_log`
+    * listing, so an UNCHANGED listing fingerprint (names + sizes +
+    * mtimes) reuses the previous replay — a serving-path read then costs
+    * ONE list call instead of list + O(tail) commit-file gets (on an
+    * object store, 1 LIST vs 1 LIST + ~[[CheckpointEvery]] GETs per
+    * table per query; Delta's snapshot cache makes the same move).
+    * Sound because commits are immutable, every durable state change
+    * creates or removes a log file (commit, checkpoint, `.void` marker,
+    * truncation), and the one TIME-dependent judgment — an unterminated
+    * commit crossing the torn grace — cannot change a fingerprint-stable
+    * outcome: [[snapshotOnce]] blocks inside the grace, and past it the
+    * content either never appears (dead writer) or arrives with its own
+    * self-void marker, both of which move the fingerprint. */
+  private def fingerprint(entries: IndexedSeq[FileStatus]): Long = {
+    var h = entries.length.toLong
+    entries.foreach { s =>
+      h = h * 1000003L + s.getPath.getName.hashCode
+      h = h * 1000003L + s.getLen
+      h = h * 1000003L + s.getModificationTime
+    }
+    h
+  }
+
   private def snapshotOnce(f: FileSystem, table: String): Snapshot = {
     val ld = logDir(table)
     val entries =
       try f.listStatus(ld).toIndexedSeq
       catch { case _: java.io.FileNotFoundException => IndexedSeq.empty }
     if (entries.isEmpty) return Snapshot(0L, Vector.empty, Map.empty)
+    val cacheKey = s"$root/$table"
+    val fp = fingerprint(entries)
+    val hit = snapshotCache.get(cacheKey)
+    if (hit != null && hit._1 == fp) return hit._2
     val commits = entries.flatMap(versioned(_, CommitSuffix)).sortBy(_._1)
     val checkpoints = entries.flatMap(versioned(_, CheckpointSuffix)).sortBy(_._1)
     // durably-voided versions: torn forever, even if a terminator
@@ -406,7 +426,9 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       }
     }
     val version = math.max(commits.lastOption.map(_._1).getOrElse(0L), from)
-    Snapshot(version, live.toVector.sorted, tombs)
+    val snap = Snapshot(version, live.toVector.sorted, tombs)
+    snapshotCache.put(cacheKey, (fp, snap)): Unit
+    snap
   }
 
   /** The full content of a commit/checkpoint iff its terminator line is
@@ -808,6 +830,13 @@ final case class CommitLogTableStore(root: String) extends TableStore {
 }
 
 object CommitLogTableStore {
+  /** Replayed log state: `version` is the highest allocated version
+    * (terminated or torn — torn commits consume their number), `live`
+    * the current file set, `tombs` removed-but-not-vacuumed files with
+    * their removal time. */
+  private[CommitLogTableStore] case class Snapshot(version: Long,
+      live: Vector[String], tombs: Map[String, Long])
+
   private val CommitSuffix = ".commit"
   private val CheckpointSuffix = ".checkpoint"
   private val VoidSuffix = ".void"
@@ -862,6 +891,12 @@ object CommitLogTableStore {
   private val MaintainRescanMs = 60L * 1000
   private val lastMaintain =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Last replayed snapshot per (root, table), validated by the `_log`
+    * listing fingerprint — see the note at `fingerprint`. One entry per
+    * table (snapshots are megabyte-scale at most: file-path strings). */
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Snapshot)]()
 
   /** A listed commit vanished mid-replay (concurrent truncation). */
   private case object VanishedCommit

@@ -73,6 +73,12 @@ class TableStoreFactorySpec extends AnyFunSuite {
     assert(TableStore.at(spark, "weird://x/cat").isInstanceOf[CommitLogTableStore])
   }
 
+  test("the facade wires through the factory: Geocube.at picks by scheme") {
+    assert(graft.api.Geocube.at(spark, "/data/cat").cat.isInstanceOf[Catalog])
+    assert(graft.api.Geocube.at(spark, "s3a://b/cat").cat
+      .isInstanceOf[CommitLogTableStore])
+  }
+
   test("conf override forces the choice; junk value rejected") {
     spark.conf.set(TableStore.StoreConf, "commitlog")
     try assert(TableStore.at(spark, "/data/cat").isInstanceOf[CommitLogTableStore])
@@ -202,6 +208,34 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     Option(new java.io.File(s"$dir/tasks/_log").listFiles())
       .getOrElse(Array.empty).map(_.getName).toSeq.sorted
 
+  test("N disjoint-partition writers compose exactly (optimistic, no leases)") {
+    val s = CommitLogTableStore(s"$root/disjoint")
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // four writers, each owning its own job partition: appends + state
+    // flips + a drop, interleaved — disjoint ops must compose with at
+    // most version-number retries, yielding each writer's serial outcome
+    val threads = (0 until 4).map { w =>
+      val job = s"jw$w"
+      new Thread(() => try {
+        for (i <- 0 until 3)
+          s.append(tasksDf(Seq((s"$job-t$i", job, "NEW", ""))), "tasks")
+        s.updatePartitions(spark, "tasks", Seq(job),
+          _.withColumn("state", org.apache.spark.sql.functions.lit("DONE")))
+        s.updatePartitions(spark, "tasks", Seq(job),
+          df => df.filter(df("id") =!= s"$job-t0")) // drop one row
+        s.append(tasksDf(Seq((s"$job-t9", job, "NEW", ""))), "tasks")
+      } catch { case t: Throwable => failure.compareAndSet(null, t): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(600000))
+    Option(failure.get()).foreach(t => throw t)
+    val expected = (0 until 4).flatMap { w =>
+      val job = s"jw$w"
+      Seq((s"$job-t1", job, "DONE", ""), (s"$job-t2", job, "DONE", ""),
+        (s"$job-t9", job, "NEW", ""))
+    }.toSet
+    assert(readTasks(s) == expected)
+  }
+
   test("same-partition concurrent updates serialize to the serial outcome") {
     val s = CommitLogTableStore(s"$root/samepart")
     s.append(tasksDf(Seq(("t1", "j1", "NEW", ""))), "tasks")
@@ -238,6 +272,29 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.append(tasksDf(Seq(("t2", "j2", "NEW", ""))), "tasks")
     assert(logFiles(dir).contains(s"${"0" * 18}03.commit"))
     assert(readTasks(s) == Set(("t1", "j1", "NEW", ""), ("t2", "j2", "NEW", "")))
+  }
+
+  test("snapshot cache: fingerprint-validated, never stale across writers or stores") {
+    val dir = s"$root/snapcache"
+    val s1 = CommitLogTableStore(dir)
+    val s2 = CommitLogTableStore(dir) // a second handle on the same root
+    s1.append(tasksDf(Seq(("t1", "j1", "NEW", ""))), "tasks")
+    assert(readTasks(s1).map(_._1) == Set("t1"))
+    // repeated reads ride the memoized replay (same listing fingerprint)
+    assert(readTasks(s1).map(_._1) == Set("t1"))
+    // a mutation through ANOTHER handle moves the fingerprint — the
+    // first handle must see it (the cache is validated per read, never
+    // trusted blind)
+    s2.append(tasksDf(Seq(("t2", "j2", "NEW", ""))), "tasks")
+    assert(readTasks(s1).map(_._1) == Set("t1", "t2"))
+    // an out-of-band log change (a heal/maintenance writing a .void
+    // marker) also moves the fingerprint: hand-void the last commit
+    val last = logFiles(dir).filter(_.endsWith(".commit")).max
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/tasks/_log",
+        last.stripSuffix(".commit") + ".void"),
+      Array.emptyByteArray)
+    assert(readTasks(s1).map(_._1) == Set("t1"), "cached snapshot outlived a void marker")
   }
 
   test("a void marker outranks a terminator: the marked version is inert forever") {
