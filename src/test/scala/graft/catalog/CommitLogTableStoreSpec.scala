@@ -208,6 +208,54 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     Option(new java.io.File(s"$dir/tasks/_log").listFiles())
       .getOrElse(Array.empty).map(_.getName).toSeq.sorted
 
+  test("snapshot isolation: a pre-mutation plan collects exactly its version") {
+    val s = CommitLogTableStore(s"$root/snapiso")
+    s.append(tasksDf(Seq(("t1", "j1", "NEW", ""))), "tasks")
+    val before = s.read(spark, "tasks") // planned against version 1's files
+    s.updatePartitions(spark, "tasks", Seq("j1"),
+      _.withColumn("state", lit("DONE")))
+    // the old plan still serves version-1 rows — replaced files are
+    // TOMBSTONED for the stale TTL, not deleted (the snapshot window)
+    assert(before.collect().map(_.getString(2)).toSeq == Seq("NEW"))
+    assert(s.read(spark, "tasks").collect()
+      .map(_.getString(2)).toSeq == Seq("DONE"))
+  }
+
+  test("readers during concurrent deletes: ZERO failures, not even transient ones") {
+    // the swap store's documented reader contract is retry-on-transient;
+    // the commit log's is STRICTLY stronger — a reader plans against one
+    // version's immutable files, so a concurrent delete hammer must
+    // produce no error of any kind and the final state stays exact
+    val s = CommitLogTableStore(s"$root/readdel")
+    val mk: Int => String = i => f"mem://rd$i%03d"
+    def tiles(uris: Seq[String]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(uris.map(u =>
+          Row(u, "", 2, 2, 1, "uint8", "EPSG:4326",
+            Seq(0.0, 1.0, 0.0, 2.0, 0.0, -1.0), Array[Byte](1))), 4),
+        Schemas.all("tiles"))
+    val uris = (0 until 300).map(mk)
+    s.append(tiles(uris), "tiles")
+    @volatile var stop = false
+    val readerFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() => {
+      while (!stop && readerFailure.get() == null)
+        try s.read(spark, "tiles").count(): Unit
+        catch { case t: Throwable => readerFailure.compareAndSet(null, t): Unit }
+    })
+    reader.start()
+    try {
+      import spark.implicits._
+      for (batch <- uris.take(120).grouped(30))
+        s.deleteWhere(spark, "tiles", batch.toDF("container_uri"))
+    } finally { stop = true; reader.join(60000) }
+    Option(readerFailure.get()).foreach(t =>
+      fail(s"commit-log reader failed during deletes: $t", t))
+    val left = s.read(spark, "tiles").collect()
+      .map(_.getString(0)).toSet
+    assert(left == uris.drop(120).toSet)
+  }
+
   test("N disjoint-partition writers compose exactly (optimistic, no leases)") {
     val s = CommitLogTableStore(s"$root/disjoint")
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
