@@ -357,21 +357,37 @@ final case class CommitLogTableStore(root: String) extends TableStore {
   }
 
   /** Replay memoization: the live set is a pure function of the `_log`
-    * listing, so an UNCHANGED listing fingerprint (names + sizes +
-    * mtimes) reuses the previous replay — a serving-path read then costs
-    * ONE list call instead of list + O(tail) commit-file gets (on an
-    * object store, 1 LIST vs 1 LIST + ~[[CheckpointEvery]] GETs per
-    * table per query; Delta's snapshot cache makes the same move).
-    * Sound because commits are immutable, every durable state change
-    * creates or removes a log file (commit, checkpoint, `.void` marker,
-    * truncation), and the one TIME-dependent judgment — an unterminated
-    * commit crossing the torn grace — cannot change a fingerprint-stable
-    * outcome: [[snapshotOnce]] blocks inside the grace, and past it the
-    * content either never appears (dead writer) or arrives with its own
-    * self-void marker, both of which move the fingerprint. */
+    * listing, so an UNCHANGED listing fingerprint reuses the previous
+    * replay — a serving-path read then costs ONE list call instead of
+    * list + O(tail) commit-file gets (on an object store, 1 LIST vs
+    * 1 LIST + ~[[CheckpointEvery]] GETs per table per query; Delta's
+    * snapshot cache makes the same move).
+    *
+    * Sound because a snapshot is cached ONLY when every judgment in it
+    * is STABLE: commit content is immutable once terminated, void
+    * markers are durable, and every durable state change creates or
+    * removes a log file. The one unstable judgment — an unterminated
+    * commit past the torn grace with NO void marker yet — marks the
+    * whole replay uncacheable ([[snapshotOnce]]'s `unstable` flag): on
+    * HDFS-class stores a commit's CONTENT can become readable via
+    * hflush without moving the listed length/mtime, so caching that
+    * transient "torn" view would let a later read (or worse, the
+    * checkpoint builder after [[resolveInDoubt]] accepted the commit)
+    * serve a state that silently drops it.
+    *
+    * The fingerprint covers only the protocol entries (`.commit` /
+    * `.checkpoint` / `.void`), SORTED by name: `listStatus` guarantees
+    * no ordering, and the local publish path stages transient
+    * `.inflight` siblings — either would otherwise thrash the cache
+    * with spurious misses. */
   private def fingerprint(entries: IndexedSeq[FileStatus]): Long = {
-    var h = entries.length.toLong
-    entries.foreach { s =>
+    val protocol = entries.filter { s =>
+      val n = s.getPath.getName
+      n.endsWith(CommitSuffix) || n.endsWith(CheckpointSuffix) ||
+        n.endsWith(VoidSuffix)
+    }.sortBy(_.getPath.getName)
+    var h = protocol.length.toLong
+    protocol.foreach { s =>
       h = h * 1000003L + s.getPath.getName.hashCode
       h = h * 1000003L + s.getLen
       h = h * 1000003L + s.getModificationTime
@@ -411,8 +427,15 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       }
     }
     val from = cp.map(_._1).getOrElse(0L)
+    // torn-without-marker is the one UNSTABLE judgment (see the note at
+    // [[fingerprint]]): a replay containing one must not be cached
+    var unstable = false
     commits.iterator.filter(_._1 > from).foreach { case (v, s) =>
-      (if (voided(v)) None else terminatedLines(f, s)) match {
+      (if (voided(v)) None
+      else terminatedLines(f, s) match {
+        case None => unstable = true; None
+        case some => some
+      }) match {
         case Some(lines) =>
           val at = s.getModificationTime
           lines.foreach { l =>
@@ -427,7 +450,12 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     }
     val version = math.max(commits.lastOption.map(_._1).getOrElse(0L), from)
     val snap = Snapshot(version, live.toVector.sorted, tombs)
-    snapshotCache.put(cacheKey, (fp, snap)): Unit
+    if (!unstable) {
+      // crude bound: snapshots are per-(root, table) and rebuild in one
+      // replay, so overflow just resets the memoization
+      if (snapshotCache.size > 256) snapshotCache.clear()
+      snapshotCache.put(cacheKey, (fp, snap)): Unit
+    }
     snap
   }
 

@@ -345,6 +345,34 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTasks(s1).map(_._1) == Set("t1"), "cached snapshot outlived a void marker")
   }
 
+  test("an unstable torn judgment is never cached: late content under an unchanged listing is seen") {
+    // the HDFS hflush corner: a commit's CONTENT can become readable
+    // without its listed length/mtime moving, so a replay that judged it
+    // torn-without-marker must NOT be memoized — the next read has to
+    // re-read the content, not serve the cached exclusion
+    val dir = s"$root/hflush"
+    val s = CommitLogTableStore(dir)
+    s.append(tasksDf(Seq(("t1", "j1", "NEW", ""), ("t2", "j1", "NEW", ""))), "tasks")
+    val rel = scala.io.Source
+      .fromFile(s"$dir/tasks/_log/${"0" * 18}01.commit").getLines()
+      .find(_.startsWith("ADD ")).get.drop(4)
+    // an unterminated commit REMOVEing one live file, its terminator slot
+    // holding a same-length placeholder; backdated past the grace
+    val torn = new java.io.File(s"$dir/tasks/_log/${"0" * 18}02.commit")
+    java.nio.file.Files.write(torn.toPath,
+      s"OP q\nKIND update\nREMOVE $rel\nXND".getBytes("UTF-8"))
+    val backdated = System.currentTimeMillis() - 60000
+    assert(torn.setLastModified(backdated))
+    assert(readTasks(s).size == 2) // torn: REMOVE not applied (and NOT cached)
+    // the terminator "arrives" with the listing byte-identical: flip the
+    // placeholder to END in place, restore length-neutral + same mtime
+    val raf = new java.io.RandomAccessFile(torn, "rw")
+    try { raf.seek(torn.length() - 3); raf.write('E') } finally raf.close()
+    assert(torn.setLastModified(backdated))
+    assert(readTasks(s).size == 1,
+      "cached torn judgment served after the commit's content terminated")
+  }
+
   test("a void marker outranks a terminator: the marked version is inert forever") {
     val dir = s"$root/voidwins"
     val s = CommitLogTableStore(dir)
