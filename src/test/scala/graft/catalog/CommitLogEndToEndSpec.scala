@@ -33,8 +33,13 @@ class CommitLogEndToEndSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val local: String =
     java.nio.file.Files.createTempDirectory("graft-cle2e").toString
   private lazy val cat: TableStore = {
-    spark.sparkContext.hadoopConfiguration
-      .set("fs.norename.impl", classOf[NoRenameFileSystem].getName)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.norename.impl", classOf[NoRenameFileSystem].getName)
+    // the test scheme is not on the verified allowlist — attest it,
+    // SCHEME-SCOPED so parallel suites' guard tests are untouched (its
+    // exclusive create is genuinely atomic: the hard-link emulation)
+    hc.setBoolean(
+      s"${CommitLogTableStore.AssumeAtomicCreateConf}.norename", true)
     CommitLogTableStore(s"norename://$local")
   }
 

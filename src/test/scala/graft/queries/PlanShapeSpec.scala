@@ -199,7 +199,7 @@ class PlanShapeSpec extends AnyFunSuite {
     rm(new java.io.File(root))
   }
 
-  test("commit-log tiles read keeps bucket DPP on every unioned op-dir scan") {
+  test("commit-log tiles read: ONE scan across op dirs, bucket DPP intact") {
     import graft.catalog.{Catalog, CommitLogTableStore, Schemas}
     import graft.core.DType
     import graft.geo.{Affine, BBox, GeomOps}
@@ -224,9 +224,10 @@ class PlanShapeSpec extends AnyFunSuite {
       Row(s"d$i", s"r$i", "i1", s"mem://c$i", "", Seq(1), "ACTIVE", null,
         "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326, bbox)))
     val tf = Seq(0.0, 0.01, 0.0, 2.56, 0.0, -0.01)
-    // THREE separate appends → three live op dirs → the read is a UNION
-    // of three parquet relations; the serving path's bucket prune must
-    // reach each of them, not just a single-relation read
+    // THREE separate appends → three live op dirs → the read must still
+    // plan ONE file-index-backed relation (r13: plan width is independent
+    // of append history), and the serving path's bucket prune must reach
+    // that single scan
     for (g <- 0 until 3)
       write("tiles", (1 to 20).filter(_ % 3 == g).map { i =>
         val px = Array.tabulate(64 * 64)(p => ((p + i) % 200).toDouble)
@@ -251,9 +252,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = scansOf(cube.queryExecution.executedPlan)
       .filter(_.metadata.getOrElse("Location", "").contains("/tiles"))
     assert(scans.nonEmpty, "no tiles parquet scan in the cube plan")
+    // the cube plan reads tiles TWICE by design (overview-selection probe
+    // + payload scan); each read must stay ONE scan — with the r12
+    // union shape these 3 op dirs planned 2×3 scans
+    assert(scans.size <= 2,
+      s"commit-log tiles reads planned ${scans.size} scans — the op-dir " +
+        "history leaked back into plan width")
     val unpruned = scans.filterNot(_.partitionFilters.mkString.contains("dynamicpruning"))
     assert(unpruned.isEmpty,
-      s"${unpruned.size}/${scans.size} unioned tiles scans lost bucket DPP: " +
+      s"${unpruned.size}/${scans.size} tiles scans lost bucket DPP: " +
         unpruned.map(_.metadata.getOrElse("Location", "")).mkString(","))
     assert(cube.count() == 3, "pruned cube lost slices")
     def rm(f: java.io.File): Unit = {
