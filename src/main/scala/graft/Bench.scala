@@ -98,6 +98,15 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAILURE getcube_100x256: ${e.getMessage}")
         failed += "getcube_100x256"; -1.0
+      })) :+ ("getcube_commitlog" -> (
+      // the SAME 100×256 cube through a CommitLogTableStore root whose
+      // tiles arrived in four separate appends (four live op dirs) —
+      // tracks the commit-log serving overhead vs the swap store as a
+      // driver-recorded number (r12 verdict #4); done-bar ≤2× getcube
+      try getCubeCommitLogBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAILURE getcube_commitlog: ${e.getMessage}")
+        failed += "getcube_commitlog"; -1.0
       })) :+ ("catalog_1m" -> (
       try catalog1mBench(spark)
       catch { case e: Throwable =>
@@ -207,14 +216,26 @@ object Bench {
   /** Seed a 100-record catalog of 256×256 uint8 tiles on one grid and time
     * the full GetCube plan (catalog join → tile join → groupByKey(record)
     * → merge kernel), min of two runs after a warmup. Returns seconds. */
-  private def getCubeBench(spark: SparkSession): Double = {
-    import graft.catalog.{Catalog, Schemas}
+  private def getCubeBench(spark: SparkSession): Double =
+    getCubeBenchOn(spark, root => graft.catalog.Catalog(root), tileAppends = 1)
+
+  /** [[getCubeBench]] on a [[graft.catalog.CommitLogTableStore]] root —
+    * the object-store deployment's serving path — with the tiles written
+    * in FOUR separate appends so the read spans several live op dirs
+    * (the shape the one-relation-per-table read must keep cheap). */
+  private def getCubeCommitLogBench(spark: SparkSession): Double =
+    getCubeBenchOn(spark,
+      root => graft.catalog.CommitLogTableStore(root), tileAppends = 4)
+
+  private def getCubeBenchOn(spark: SparkSession,
+      store: String => graft.catalog.TableStore, tileAppends: Int): Double = {
+    import graft.catalog.Schemas
     import graft.core.DType
     import graft.geo.{Affine, BBox, GeomOps}
     import graft.raster.Bitmap
     import org.apache.spark.sql.Row
     val root = java.nio.file.Files.createTempDirectory("graft-bench-cube").toString
-    val cat = Catalog(root)
+    val cat = store(root)
     def write(table: String, rows: Seq[Row]): Unit =
       cat.append(spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 8), Schemas.all(table)), table)
@@ -234,11 +255,12 @@ object Bench {
       Row(s"d$i", s"r$i", "i1", s"mem://cube$i", "", Seq(1), "ACTIVE", null,
         "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb, 4326, bbox)))
     val tf = Seq(0.0, 0.01, 0.0, 2.56, 0.0, -0.01)
-    write("tiles", (1 to 100).map { i =>
-      val px = Array.tabulate(256 * 256)(p => ((p + i) % 200).toDouble)
-      Row(s"mem://cube$i", "", 256, 256, 1, "uint8", "EPSG:4326", tf,
-        new Bitmap(256, 256, 1, DType.UInt8, px).toBytes)
-    })
+    for (g <- 0 until tileAppends)
+      write("tiles", (1 to 100).filter(_ % tileAppends == g).map { i =>
+        val px = Array.tabulate(256 * 256)(p => ((p + i) % 200).toDouble)
+        Row(s"mem://cube$i", "", 256, 256, 1, "uint8", "EPSG:4326", tf,
+          new Bitmap(256, 256, 1, DType.UInt8, px).toBytes)
+      })
     val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
       transform = Affine.northUp(0, 2.56, 0.01, -0.01), width = 256, height = 256)
     def run(): Long = graft.cube.GetCube.cube(spark, cat, req).count()

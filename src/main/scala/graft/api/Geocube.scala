@@ -506,7 +506,6 @@ final case class Geocube(spark: SparkSession, cat: TableStore) {
 
   def cleanJobs(nameLike: String = "", state: Option[String] = None): Long = {
     val jobs = cat.read(spark, "jobs")
-    val total = jobs.count()
     // victims match on the job's CURRENT state, never any historical
     // journal row: every job has a NEW row forever, so a raw-row match
     // for state=NEW (or a once-FAILED state a retry fixed) would sweep
@@ -565,13 +564,19 @@ final case class Geocube(spark: SparkSession, cat: TableStore) {
             .select("type").distinct().collect().map(_.getString(0)).toSeq
         val touched =
           (victimTypes ++ (if (anyRetire) Seq("TASKEVENT") else Nil)).distinct
+        // deleted-row accounting stays partition-scoped too (r12 verdict
+        // #7: the old full jobs.count() paid a whole-journal scan per
+        // clean call): only the touched type partitions can lose rows,
+        // so count them before and after — both counts partition-prune
+        val before = jobs.filter(col("type").isin(touched: _*)).count()
         cat.updatePartitions(spark, "jobs", touched, df =>
           df.join(victimIds, Seq("id"), "left_anti")
             .join(doneIds.withColumnRenamed("id", "__done"),
               col("id") === col("__done") && col("type") === "TASKEVENT",
               "left_anti"))
-      }
-      total - cat.read(spark, "jobs").count()
+        before - cat.read(spark, "jobs")
+          .filter(col("type").isin(touched: _*)).count()
+      } else 0L
     } finally {
       graft.operators.OperatorCaches.releaseLocalCheckpoint(currentCkpt)
     }

@@ -482,23 +482,32 @@ final case class Catalog(root: String) extends TableStore {
     *    exclusively (atomic on HDFS-class stores), content = op id.
     *
     * Acquisition is in sorted order (no deadlocks) and bounded by
-    * [[Catalog.LeaseTimeoutMsConf]]. A lease older than the stale-staging
-    * TTL is BROKEN: its holder is dead (crashed mid-op — its uncommitted
-    * staging is reclaimed by the same TTL) or has violated the
-    * documented op-duration bound. Committed work never waits on a dead
-    * holder's lease: [[healSwap]] runs before acquisition, so a crashed
-    * writer's marker-bearing roots are rolled forward first. Release
-    * deletes the file only if it still carries this op's id (a broken
-    * and re-acquired lease belongs to someone else). NOT reentrant:
-    * `body` must not start another catalog mutation of the same
-    * partitions (transforms are pure DataFrame functions by contract —
-    * a nested mutation would self-block until the acquire timeout). */
+    * [[Catalog.LeaseTimeoutMsConf]]. Live holders HEARTBEAT: a scheduled
+    * task touches every held lease file's mtime about five times per
+    * [[Catalog.LeaseStaleMsConf]] for as long as `body` runs, so a lease
+    * whose mtime is older than that bound can only belong to a DEAD
+    * holder and is BROKEN — identity-checked (re-stat immediately before
+    * the delete; a changed mtime means another breaker won and a new
+    * writer re-created it, r12 advice) so a breaker can never destroy a
+    * live successor's lease. The heartbeat is what lets the stale bound
+    * be minutes instead of the hours-scale staging TTL: a crashed
+    * writer's committed-but-unfinished op now heals within
+    * ~[[Catalog.LeaseStaleMsConf]] (r12 advice — the torn-visibility
+    * window of a crashed mid-move append is bounded by the same knob).
+    * Committed work never waits on a dead holder's lease beyond that:
+    * [[healSwap]] runs before acquisition, so a crashed writer's
+    * marker-bearing roots are rolled forward first. Release deletes the
+    * file only if it still carries this op's id (a broken and
+    * re-acquired lease belongs to someone else). NOT reentrant: `body`
+    * must not start another catalog mutation of the same partitions
+    * (transforms are pure DataFrame functions by contract — a nested
+    * mutation would self-block until the acquire timeout). */
   private def withPartitionLeases[T](f: FileSystem, spark: SparkSession,
       table: String, partDirs: Seq[String], opId: String,
       acquireTimeoutMs: Long = -1L)(body: => T): T = {
     val keys = partDirs.distinct.sorted
     if (keys.isEmpty) return body
-    val ttl = Catalog.staleReclaimMs(spark)
+    val ttl = Catalog.leaseStaleMs(spark)
     val timeoutMs =
       if (acquireTimeoutMs >= 0) acquireTimeoutMs
       else spark.conf.getOption(Catalog.LeaseTimeoutMsConf)
@@ -532,7 +541,17 @@ final case class Catalog(root: String) extends TableStore {
                 catch { case _: java.io.FileNotFoundException => None }
               st match {
                 case Some(s) if System.currentTimeMillis() - s.getModificationTime >= ttl =>
-                  f.delete(lp, false): Unit // dead holder — break it
+                  // dead holder — break it, identity-checked: between the
+                  // stat above and this delete another breaker may have
+                  // deleted the stale lease and a NEW writer re-created
+                  // it fresh; re-stat and delete only while the observed
+                  // stale mtime still stands (the new holder's create or
+                  // first heartbeat moves it), narrowing the lost-update
+                  // window to one FS beat
+                  val still = try Some(f.getFileStatus(lp))
+                    catch { case _: java.io.FileNotFoundException => None }
+                  if (still.exists(_.getModificationTime == s.getModificationTime))
+                    f.delete(lp, false): Unit
                 case _ =>
                   if (System.currentTimeMillis() > deadline)
                     throw new Catalog.LeaseUnavailable(
@@ -542,7 +561,18 @@ final case class Catalog(root: String) extends TableStore {
           }
         }
       }
-      body
+      // heartbeat for the whole body: live holders keep their lease
+      // mtimes fresh so the break bound above can be minutes, not hours
+      val paths = leased.toList
+      val period = math.max(1000L, ttl / 5)
+      val beat = Catalog.leaseHeartbeats.scheduleAtFixedRate(
+        new Runnable {
+          def run(): Unit = paths.foreach { lp =>
+            try f.setTimes(lp, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => } // released/broken: stop mattering
+          }
+        }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try body finally beat.cancel(false)
     } finally {
       leased.foreach { lp =>
         val mine = try {
@@ -812,11 +842,12 @@ final case class Catalog(root: String) extends TableStore {
     * (caught by the reader-vs-delete hammer under parallel-suite load).
     * Concurrent-with-writer healing bought nothing anyway: every op is
     * idempotent and its writer completes it. The cost is that a CRASHED
-    * writer's committed root now waits for its stale leases to break
-    * (mtime ≥ the stale TTL) before a heal completes it — reads stay
-    * correct meanwhile (each partition is atomically old or new), the
-    * same bound same-partition writers already inherit from the lease
-    * layer. */
+    * writer's committed root waits for its leases to go stale (mtime ≥
+    * [[Catalog.LeaseStaleMsConf]] — MINUTES, because live holders
+    * heartbeat; r12 advice closed the old 6 h wait) before a heal
+    * completes it — reads stay correct meanwhile (each partition is
+    * atomically old or new), the same bound same-partition writers
+    * already inherit from the lease layer. */
   private def rollForward(f: FileSystem, spark: SparkSession, table: String,
       dest: Path, stagingRoot: Path, oldRoot: Path): Unit = {
     val marker = new Path(stagingRoot, Catalog.CommitMarker)
@@ -907,6 +938,35 @@ object Catalog {
   val LeaseTimeoutMsConf = "graft.catalog.leaseTimeoutMs"
   private[catalog] val DefaultLeaseTimeoutMs = 3600L * 1000
 
+  /** Conf key: mtime age past which a partition write lease is judged
+    * DEAD and broken by a contending writer or the lease-gated heal.
+    * Live holders heartbeat their lease files (~5 touches per this
+    * bound), so the default can be minutes — it bounds how long a
+    * crashed writer's committed-but-unfinished op stays unhealed, and
+    * with it the torn-visibility window of a crashed mid-move append
+    * (r12 advice; previously both rode the 6 h staging TTL). Defaults to
+    * min(5 min, [[StaleSwapReclaimMsConf]]) so deployments and tests
+    * that shorten the staging TTL keep their lease-break behavior. */
+  val LeaseStaleMsConf = "graft.catalog.leaseStaleMs"
+  private[catalog] val DefaultLeaseStaleMs = 5L * 60 * 1000
+  private[catalog] def leaseStaleMs(spark: SparkSession): Long =
+    spark.conf.getOption(LeaseStaleMsConf).map(_.toLong)
+      .getOrElse(math.min(DefaultLeaseStaleMs, staleReclaimMs(spark)))
+
+  /** One shared scheduler drives every held lease's heartbeat touches —
+    * a writer holds leases for at most one op at a time and a touch is
+    * one cheap setTimes, so a single daemon thread serves the JVM. */
+  private[catalog] val leaseHeartbeats = {
+    val t = java.util.concurrent.Executors.newScheduledThreadPool(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-lease-heartbeat")
+        th.setDaemon(true); th
+      })
+    t.asInstanceOf[java.util.concurrent.ScheduledThreadPoolExecutor]
+      .setRemoveOnCancelPolicy(true)
+    t
+  }
+
   /** In-JVM stripe for write leases, keyed (root, table, partition). */
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
@@ -931,22 +991,41 @@ object Catalog {
   private[catalog] final class LeaseUnavailable(msg: String)
     extends java.io.IOException(msg)
 
-  /** Run independent per-path filesystem ops on a 16-thread pool (the
-    * class-level doc at the forwarder explains why); shared with
-    * [[CommitLogTableStore]]'s migration copy. Failures propagate
-    * unwrapped. */
+  /** The shared 16-thread daemon pool behind [[applyConcurrently]] —
+    * lazy and JVM-wide rather than per call (r12 verdict #7: building a
+    * fresh pool per invocation). Tasks are pure per-path filesystem ops
+    * that never re-enter this pool, so sharing cannot deadlock; N
+    * concurrent writers simply share the fan-out budget. */
+  private lazy val fsOpsPool = java.util.concurrent.Executors.newFixedThreadPool(16,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-fsops-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+
+  /** Run independent per-path filesystem ops on the shared 16-thread
+    * pool (the class-level doc at the forwarder explains why); shared
+    * with [[CommitLogTableStore]]'s migration copy. Failures propagate
+    * unwrapped — and on the failure path the REMAINING work is cancelled
+    * (r12 advice: the old per-call pool's shutdown() still ran every
+    * queued rename/delete in background threads after the caller had
+    * begun its failure handling, e.g. a partition rewrite's staging
+    * cleanup racing its own leftover moves). */
   private[catalog] def applyConcurrently[A](items: Seq[A])(fn: A => Unit): Unit =
     if (items.size <= 4) items.foreach(fn)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-      try {
-        val futures = items.map(a =>
-          pool.submit(new Runnable { def run(): Unit = fn(a) }))
-        futures.foreach { fut =>
-          try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        }
-      } finally pool.shutdown()
+      val futures = items.map(a =>
+        fsOpsPool.submit(new Runnable { def run(): Unit = fn(a) }))
+      try futures.foreach { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      } catch {
+        case t: Throwable =>
+          futures.foreach(_.cancel(true): Unit)
+          throw t
+      }
     }
 
   /** Intra-bucket write salts for one batch: ⌈batchBytes / (1 GiB × 64

@@ -24,7 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    for a table that has never been written;
   *  - `append` is atomic per batch (a crashed append heals to all-or-
   *    nothing, never a silently torn batch) and safe to run concurrently
-  *    with appends and with mutations of other partitions;
+  *    with appends and with mutations of other partitions. Healing
+  *    latency is impl-specific: the commit-log store has no torn window
+  *    at all (a batch is invisible until its one commit lands), while
+  *    the swap store's crashed mid-move append stays partially visible
+  *    until the dead writer's heartbeat-backed leases go stale
+  *    (`graft.catalog.leaseStaleMs`, default 5 min) and the next
+  *    read/write rolls it forward to the whole batch;
   *  - `rewrite` atomically replaces the whole table;
   *  - `deleteWhere` removes exactly the rows whose key column matches
   *    the delete set, touching only the storage the set maps to

@@ -216,6 +216,51 @@ class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTasks(cat) == Set(("t1", "j1", "DONE", "")))
   }
 
+  test("live holders heartbeat their leases; a dead holder's committed op heals at the lease-stale bound") {
+    val r = s"$root/heartbeat"
+    val cat = Catalog(r)
+    cat.append(tasksDf(Seq(("t1", "hb", "NEW", ""))), "tasks")
+    // (1) HEARTBEAT: while an op holds its lease, the lease file's mtime
+    // must keep moving — that is what makes a minutes-scale break bound
+    // safe for writers whose staging pass runs long. Lease-stale set to
+    // 5 s → heartbeat period 1 s; a transform that dwells 2.6 s under the
+    // lease must observe at least one touch.
+    spark.conf.set(Catalog.LeaseStaleMsConf, "5000")
+    try {
+      val lease = new java.io.File(s"$r/_leases/tasks/job_id=hb.lease")
+      var m1 = 0L
+      var m2 = 0L
+      cat.updatePartitions(spark, "tasks", Seq("hb"), df => {
+        m1 = lease.lastModified
+        Thread.sleep(2600)
+        m2 = lease.lastModified
+        df.withColumn("state", lit("DONE"))
+      })
+      assert(m1 > 0L, "lease file absent while its op ran")
+      assert(m2 > m1, "no heartbeat touched the lease during the op")
+      assert(readTasks(cat) == Set(("t1", "hb", "DONE", "")))
+    } finally spark.conf.unset(Catalog.LeaseStaleMsConf)
+
+    // (2) DEAD HOLDER: a crashed writer's committed root (marker present)
+    // whose lease mtime is older than the lease-stale bound must heal on
+    // the next read — bounded by minutes (the heartbeat-backed lease
+    // knob), NOT by the 6 h staging TTL the r12 protocol waited for.
+    // Default knobs: lease-stale 5 min, staging TTL 6 h; a 10-min-old
+    // lease is past the former and far inside the latter.
+    val swapRoot = s"$r/tasks.bswap.deadhb00001"
+    tasksDf(Seq(("t1", "hb", "HEALED", "")))
+      .write.partitionBy("job_id").parquet(swapRoot)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(swapRoot, "_COMMIT"),
+      "ID tasks.bswap.deadhb00001\nS job_id=hb\n".getBytes("UTF-8"))
+    val lease = new java.io.File(s"$r/_leases/tasks/job_id=hb.lease")
+    java.nio.file.Files.write(lease.toPath, "deadhb00001".getBytes("UTF-8"))
+    assert(lease.setLastModified(System.currentTimeMillis() - 10 * 60 * 1000))
+    assert(readTasks(cat) == Set(("t1", "hb", "HEALED", "")),
+      "committed op of a dead holder not healed past the lease-stale bound")
+    assert(!new java.io.File(swapRoot).exists)
+  }
+
   private def tileRow(uri: String): Row =
     Row(uri, "", 2, 2, 1, "uint8", "EPSG:4326",
       Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0), Array.fill[Byte](4)(1))
