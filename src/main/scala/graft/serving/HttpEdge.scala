@@ -1,0 +1,284 @@
+package graft.serving
+
+import graft.catalog.{CatalogQueries, DatasetFilters, TableStore}
+import graft.cube.{Compress, CubeRequest, GetCube, XYZTile}
+import graft.geo.{Affine, BBox, GeomOps}
+import org.apache.spark.sql.SparkSession
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The HTTP serving edge — the engine-side stand-in for the reference's
+  * streaming gRPC apiserver (internal/grpc/service.go: GetCube
+  * :875-984, GetXYZTile/service.go:90, FindDatasets via grpc catalog
+  * handlers), built on the JDK's own `com.sun.net.httpserver` so the
+  * library keeps its zero-extra-dependencies contract.
+  *
+  * Wire protocol for `/v1/cube` — the same three-part stream the
+  * reference sends over gRPC, framed for HTTP chunked transfer as
+  * `[4-byte big-endian length][payload]` frames:
+  *
+  *  1. one GLOBAL HEADER frame (JSON): output grid, CRS, reference
+  *     dformat, resampling (pb.GetCubeResponseHeader);
+  *  2. per slice, one SLICE HEADER frame (JSON: group key, record ids,
+  *     datetime, shape, valid-pixel count, error-as-value, compression
+  *     level, part count — pb.ImageHeader) followed by `nparts` BINARY
+  *     frames, the ≤512 KiB chunks ([[Compress.chunk]],
+  *     service.go:876 chunkSize) of the deflate-compressed payload
+  *     ([[Compress.deflate]], CompressionLevel ∈ [-3, 9] exactly as the
+  *     reference validates; -3 = raw passthrough).
+  *
+  * The stream ends when the HTTP chunked body ends — no trailing count
+  * needed, so the driver never materializes the whole cube: slices are
+  * written as `toLocalIterator` hands them over, one Spark partition in
+  * flight at a time (the reference's slicesQueue backpressure,
+  * expressed Spark-side).
+  *
+  * `headers_only=true` streams [[graft.cube.DatasetMeta]] JSON frames
+  * from the D2 metadata short-circuit instead — the DownloadCube
+  * client's input, never touching tile payloads.
+  *
+  * `/v1/xyz/<instance>/<z>/<x>/<y>.png` serves the interactive tile
+  * path ([[XYZTile.getTile]]): 200 image/png, or 204 when no dataset
+  * intersects. `/v1/datasets` serves FindDatasets rows as JSON (status,
+  * instance, bbox and limit filters — the catalog browse surface).
+  *
+  * Deployment note (scale): one edge process per serving SparkSession,
+  * N edges behind any HTTP load balancer — the reference's apiserver
+  * autoscaling shape. The handler pool is intentionally small; the
+  * concurrency that matters happens inside Spark. */
+final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0) {
+
+  private val server: HttpServer =
+    HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }))
+  server.createContext("/v1/cube", handler(cubeHandler))
+  server.createContext("/v1/xyz/", handler(xyzHandler))
+  server.createContext("/v1/datasets", handler(datasetsHandler))
+
+  /** Start listening; returns the bound port (useful with port = 0). */
+  def start(): Int = {
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------ handlers
+
+  /** Top-level error envelope: a failure BEFORE the response starts is a
+    * clean 400 with the message (the reference's newValidationError);
+    * after streaming began the connection is simply closed — the
+    * truncated frame stream is the error signal, as for a broken gRPC
+    * stream. */
+  private def handler(h: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (exchange: HttpExchange) =>
+      try h(exchange)
+      catch {
+        case e: Exception =>
+          try {
+            val msg = (s"${e.getClass.getSimpleName}: ${e.getMessage}")
+              .getBytes(UTF_8)
+            exchange.getResponseHeaders.set("Content-Type", "text/plain")
+            exchange.sendResponseHeaders(400, msg.length.toLong)
+            exchange.getResponseBody.write(msg)
+          } catch { case _: java.io.IOException => /* already streaming */ }
+          finally exchange.close()
+      }
+
+  private def cubeHandler(x: HttpExchange): Unit = {
+    val q = query(x)
+    val level = q.get("compression").map(_.toInt).getOrElse(1)
+    require(level >= -3 && level <= 9, "CompressionLevel must be in [-3, 9]")
+    val req = cubeRequest(q)
+    if (req.headersOnly) {
+      // D2: metadata only — the DownloadCube client's replay input
+      val meta = GetCube.cubeMetadata(spark, cat, req)
+      x.getResponseHeaders.set("Content-Type", "application/x-graft-cube")
+      x.sendResponseHeaders(200, 0)
+      val os = x.getResponseBody
+      try {
+        writeFrame(os, globalHeader(req).getBytes(UTF_8))
+        meta.toLocalIterator.forEachRemaining { m =>
+          writeFrame(os, json(
+            "group_key" -> m.group_key, "record_id" -> m.record_id,
+            "datetime" -> m.datetime.toInstant.toString,
+            "dataset_id" -> m.dataset_id,
+            "container_uri" -> m.container_uri, "subdir" -> m.subdir,
+            "bands" -> m.bands, "dtype" -> m.dtype,
+            "no_data" -> m.no_data, "min_value" -> m.min_value,
+            "max_value" -> m.max_value).getBytes(UTF_8))
+        }
+      } finally { os.close(); x.close() }
+    } else {
+      val slices = GetCube.cube(spark, cat, req)
+      x.getResponseHeaders.set("Content-Type", "application/x-graft-cube")
+      x.sendResponseHeaders(200, 0)
+      val os = x.getResponseBody
+      try {
+        writeFrame(os, globalHeader(req).getBytes(UTF_8))
+        slices.toLocalIterator.forEachRemaining { s =>
+          val compressed =
+            if (level == -3 || s.payload.isEmpty) s.payload
+            else Compress.deflate(s.payload, level)
+          val parts = Compress.chunk(compressed)
+          writeFrame(os, json(
+            "group_key" -> s.group_key, "records" -> s.record_ids,
+            "min_datetime" -> s.min_datetime.toInstant.toString,
+            "width" -> s.width, "height" -> s.height, "bands" -> s.bands,
+            "dtype" -> s.dtype, "valid_pixels" -> s.valid_pixels,
+            "error" -> s.error, "compression" -> level,
+            "raw_size" -> s.payload.length,
+            "compressed_size" -> compressed.length,
+            "nparts" -> parts.size).getBytes(UTF_8))
+          parts.foreach { case (_, p) => writeFrame(os, p) }
+        }
+      } finally { os.close(); x.close() }
+    }
+  }
+
+  /** /v1/xyz/<instance>/<z>/<x>/<y>.png — GetXYZTile. */
+  private def xyzHandler(x: HttpExchange): Unit = {
+    val seg = x.getRequestURI.getPath.stripPrefix("/v1/xyz/")
+      .stripSuffix(".png").split('/')
+    require(seg.length == 4, "path must be /v1/xyz/<instance>/<z>/<x>/<y>.png")
+    val q = query(x)
+    val png = XYZTile.getTile(spark, cat, seg(0),
+      x = seg(2).toLong, y = seg(3).toLong, z = seg(1).toInt,
+      minOverride = q.get("min").map(_.toDouble).getOrElse(0),
+      maxOverride = q.get("max").map(_.toDouble).getOrElse(0),
+      recordIds = csv(q, "records"),
+      fromTime = q.get("from").map(ts), toTime = q.get("to").map(ts))
+    png match {
+      case Some(bytes) =>
+        x.getResponseHeaders.set("Content-Type", "image/png")
+        x.sendResponseHeaders(200, bytes.length.toLong)
+        try x.getResponseBody.write(bytes) finally x.close()
+      case None =>
+        x.sendResponseHeaders(204, -1); x.close()
+    }
+  }
+
+  /** /v1/datasets — the FindDatasets browse surface (S1) as JSON. Binary
+    * footprint columns stay out of the JSON; the bbox companion rides
+    * along for clients that draw extents. */
+  private def datasetsHandler(x: HttpExchange): Unit = {
+    val q = query(x)
+    val f = DatasetFilters(
+      status = csv(q, "status"),
+      instanceIds = csv(q, "instances"),
+      recordIds = csv(q, "records"),
+      geog = q.get("bbox").map { b =>
+        val Array(x0, y0, x1, y1) = b.split(',').map(_.toDouble)
+        GeomOps.polygonFromBBox(BBox(x0, y0, x1, y1))
+      },
+      fromTime = q.get("from").map(ts), toTime = q.get("to").map(ts),
+      limit = q.get("limit").map(_.toInt).getOrElse(1000))
+    val rows = CatalogQueries.findDatasets(spark, cat, f)
+      .select("id", "record_id", "instance_id", "container_uri", "subdir",
+        "bands", "status", "dtype", "bbox")
+      .toJSON.collect()
+    val body = rows.mkString("[", ",", "]").getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(200, body.length.toLong)
+    try x.getResponseBody.write(body) finally x.close()
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def cubeRequest(q: Map[String, String]): CubeRequest = {
+    val tf = q.getOrElse("transform",
+      throw new IllegalArgumentException("transform required (6 csv doubles)"))
+      .split(',').map(_.toDouble)
+    require(tf.length == 6, "transform must be 6 csv doubles (GDAL order)")
+    CubeRequest(
+      instanceIds = csv(q, "instances"),
+      crs = q.getOrElse("crs",
+        throw new IllegalArgumentException("crs required")),
+      transform = Affine(tf(0), tf(1), tf(2), tf(3), tf(4), tf(5)),
+      width = q("width").toInt, height = q("height").toInt,
+      recordIds = csv(q, "records"),
+      tags = csv(q, "tags").map { kv =>
+        val i = kv.indexOf(':'); require(i > 0, s"tag '$kv' is not k:v")
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap,
+      fromTime = q.get("from").map(ts), toTime = q.get("to").map(ts),
+      resampling = q.get("resampling"),
+      validPixPc = q.get("valid_pix_pc").map(_.toInt).getOrElse(-1),
+      headersOnly = q.get("headers_only").contains("true"))
+  }
+
+  private def globalHeader(req: CubeRequest): String = {
+    val out = GetCube.prepare(spark, cat, req)
+    json(
+      "crs" -> req.crs,
+      "transform" -> Seq(req.transform.c0, req.transform.c1, req.transform.c2,
+        req.transform.c3, req.transform.c4, req.transform.c5),
+      "width" -> out.width, "height" -> out.height, "bands" -> out.bands,
+      "dtype" -> out.mapping.format.dtype.name,
+      "no_data" -> out.mapping.format.noData,
+      "min_value" -> out.mapping.format.range.min,
+      "max_value" -> out.mapping.format.range.max,
+      "resampling" -> out.resampling.name,
+      "headers_only" -> req.headersOnly)
+  }
+
+  /** One `[4-byte big-endian length][payload]` frame. */
+  private def writeFrame(os: java.io.OutputStream, payload: Array[Byte]): Unit = {
+    os.write(Array[Byte](
+      (payload.length >>> 24).toByte, (payload.length >>> 16).toByte,
+      (payload.length >>> 8).toByte, payload.length.toByte))
+    os.write(payload)
+    os.flush()
+  }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  private def csv(q: Map[String, String], key: String): Seq[String] =
+    q.get(key).map(_.split(',').toIndexedSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Decoded query parameters (last value wins). */
+  private def query(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+        java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  /** Minimal JSON object writer — strings, numbers, booleans, and
+    * sequences thereof; enough for the frame headers without a JSON
+    * dependency. */
+  private def json(fields: (String, Any)*): String =
+    fields.map { case (k, v) => s"${jstr(k)}:${jval(v)}" }
+      .mkString("{", ",", "}")
+
+  private def jval(v: Any): String = v match {
+    case s: String => jstr(s)
+    case d: Double => if (d.isNaN || d.isInfinite) jstr(d.toString) else d.toString
+    case seq: Seq[_] => seq.map(jval).mkString("[", ",", "]")
+    case b: Boolean => b.toString
+    case other => other.toString
+  }
+
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+}
