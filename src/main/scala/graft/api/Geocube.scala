@@ -784,3 +784,29 @@ object Geocube {
   def at(spark: SparkSession, root: String): Geocube =
     Geocube(spark, TableStore.at(spark, root))
 }
+
+/** `runMain graft.api.ServeMain <catalogRoot> [port]` — the apiserver
+  * deployment entrypoint: one latency-tuned SparkSession
+  * ([[graft.cube.GetCube.ServingSessionConfs]]), one
+  * [[graft.serving.HttpEdge]] on `port` (default 8080), blocking until
+  * killed. Scale-out is N of these behind an HTTP balancer, exactly the
+  * reference's autoscaled apiserver shape (cmd/server). */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ServeMain <catalogRoot> [port]")
+    val builder = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+    graft.cube.GetCube.ServingSessionConfs.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
+    // master from spark-submit when deployed; local[*] for a bare run
+    val spark = builder.master(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")).getOrCreate()
+    val edge = new graft.serving.HttpEdge(spark, TableStore.at(spark, args(0)),
+      args.lift(1).map(_.toInt).getOrElse(8080))
+    val port = edge.start()
+    println(s"graft serving edge on :$port over ${args(0)}")
+    Thread.currentThread.join() // serve until killed
+  }
+}
