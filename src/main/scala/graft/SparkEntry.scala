@@ -27,7 +27,7 @@ object SparkEntry {
   val fixtureOnly: Set[String] = Set(
     "d1_cube", "d1_download", "d2_headers", "d4_band_errors", "s6_find_cells",
     "c4_consolidate", "c9_collapse", "c7_gc", "c7_delete_job",
-    "d5_palette", "s5_variable_lifecycle")
+    "cl_store_ops", "d5_palette", "s5_variable_lifecycle")
 
   /** Pure-expression micro-queries (per-row projection math over a small
     * dim, no join/shuffle/IO): correctness-gated every round, excluded

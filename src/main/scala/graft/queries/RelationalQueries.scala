@@ -1952,6 +1952,60 @@ object RelationalQueries {
     * containers never referenced at all; after the GC pass the survivors
     * are exactly the non-TODELETE datasets' rows — a pure relational
     * anti-join DuckDB replays from generate_series. */
+  /** cl_store_ops — the COMMIT-LOG table store under the DuckDB oracle
+    * (it had hammer/contract spec coverage but no CORRECTNESS-board row):
+    * six separate appends (six live op dirs), a partition-scoped state
+    * flip, a partition drop, a bucket-scoped deleteWhere on the derived
+    * tiles layout, and a full compact — then read both tables back
+    * through the one-relation [[graft.catalog.CommitLogFileIndex]] read.
+    * The oracle is closed-form (generate_series), so any protocol bug —
+    * a lost append, a resurrected delete, a compaction fold-away — is a
+    * hash mismatch. Reference analog: the PostGIS transaction surface
+    * (pg.go unitOfWork) this store re-expresses for object storage. */
+  def clStoreOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.{CommitLogTableStore, Schemas}
+    import org.apache.spark.sql.Row
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft-clops-" + dirKey(dir))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    val st = CommitLogTableStore(root.toString)
+    def tasksDf(rows: Seq[(Int, String)]): DataFrame =
+      s.createDataFrame(s.sparkContext.parallelize(rows.map { case (i, state) =>
+        Row(f"t$i%03d", s"j${i % 4}", state, s"p$i")
+      }, 2), Schemas.all("tasks"))
+    // six appends → six live op dirs: the read must replay them as ONE
+    // relation and lose nothing
+    for (b <- 0 until 6)
+      st.append(tasksDf((b * 4 + 1 to b * 4 + 4).map(i => (i, "NEW"))), "tasks")
+    // partition-scoped flip (j1 → DONE) and drop (j2 → gone)
+    st.updatePartitions(s, "tasks", Seq("j1"),
+      _.withColumn("state", lit("DONE")))
+    st.updatePartitions(s, "tasks", Seq("j2"), _.filter(lit(false)))
+    // derived-bucket tiles: two appends, then a bucket-scoped delete of
+    // every third uri (the GC shape; only affected buckets rewrite)
+    def tilesDf(is: Seq[Int]): DataFrame =
+      s.createDataFrame(s.sparkContext.parallelize(is.map(i =>
+        Row(f"mem://u$i%03d", "", 2, 2, 1, "uint8", "EPSG:4326",
+          Seq(0.0, 1.0, 0.0, 2.0, 0.0, -1.0), Array[Byte](1, 2, 3, 4))), 2),
+        Schemas.all("tiles"))
+    st.append(tilesDf(1 to 10), "tiles")
+    st.append(tilesDf(11 to 20), "tiles")
+    import s.implicits._
+    st.deleteWhere(s, "tiles",
+      (1 to 20).filter(_ % 3 == 0).map(i => f"mem://u$i%03d").toDF("container_uri"))
+    // full compact folds the op-dir tail under logical-no-op rules
+    st.compact(s, "tasks")
+    val tasks = st.read(s, "tasks")
+      .select(lit("task").as("kind"), col("id").as("key"), col("state").as("val"))
+    val tiles = st.read(s, "tiles")
+      .select(lit("tile").as("kind"), col("container_uri").as("key"),
+        lit("").as("val"))
+    tasks.unionAll(tiles).orderBy("kind", "key")
+  }
+
   def c7Gc(s: SparkSession, dir: String): DataFrame = {
     import graft.catalog.{Catalog, Schemas}
     import graft.core.DType
@@ -2281,6 +2335,7 @@ object RelationalQueries {
     "c9_collapse" -> c9Collapse _,
     "c7_gc" -> c7Gc _,
     "c7_delete_job" -> c7DeleteJob _,
+    "cl_store_ops" -> clStoreOps _,
     "g3_single_cell" -> g3SingleCell _,
     "f5_affine" -> f5Affine _,
     "a4_mosaic" -> a4Mosaic _,
@@ -2749,6 +2804,17 @@ object RelationalQueries {
            SELECT 'container' AS kind, printf('mem://c%03d', i) AS key FROM s
            UNION ALL
            SELECT 'tile' AS kind, printf('mem://c%03d', i) AS key FROM s)
+         ORDER BY kind, key""",
+    "cl_store_ops" ->
+      """WITH t AS (SELECT CAST(s.i AS BIGINT) AS i
+           FROM generate_series(1, 24) s(i) WHERE s.i % 4 <> 2),
+           u AS (SELECT CAST(s.i AS BIGINT) AS i
+           FROM generate_series(1, 20) s(i) WHERE s.i % 3 <> 0)
+         SELECT kind, key, val FROM (
+           SELECT 'task' AS kind, printf('t%03d', i) AS key,
+                  CASE WHEN i % 4 = 1 THEN 'DONE' ELSE 'NEW' END AS val FROM t
+           UNION ALL
+           SELECT 'tile' AS kind, printf('mem://u%03d', i) AS key, '' AS val FROM u)
          ORDER BY kind, key""",
     "c7_delete_job" ->
       """WITH odd AS (SELECT CAST(t.i AS BIGINT) AS i
