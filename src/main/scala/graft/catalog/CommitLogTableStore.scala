@@ -444,10 +444,32 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     val f = fs(spark)
     val opId = Catalog.newOpId()
     val dd = dataDir(table)
-    Catalog.applyConcurrently(rels) { r =>
-      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, new Path(srcDir, r),
-          f, new Path(dd, s"$opId/$r"), false, conf))
-        throw new java.io.IOException(s"import copy failed: $srcDir/$r")
+    // small tables copy on the driver's fs-ops pool; past that the copy
+    // DISTRIBUTES as a Spark job — the tiles table a deployment migrates
+    // to object storage is the 100-TB one, and a driver-side byte copy of
+    // it is exactly the driver-loop anti-pattern (bounded only by the
+    // driver's NIC). Executors resolve both filesystems from the shipped
+    // Hadoop conf; each copies its own file partition. Staged bytes stay
+    // invisible until the single commit below either way.
+    val srcRoot = srcFs.makeQualified(srcDir).toString
+    val dstRoot = f.makeQualified(dd).toString
+    def copyOne(c: org.apache.hadoop.conf.Configuration, sfs: FileSystem,
+        dfs: FileSystem)(r: String): Unit =
+      if (!org.apache.hadoop.fs.FileUtil.copy(sfs, new Path(s"$srcRoot/$r"),
+          dfs, new Path(s"$dstRoot/$opId/$r"), false, c))
+        throw new java.io.IOException(s"import copy failed: $srcRoot/$r")
+    if (rels.size <= DistributedImportAt)
+      Catalog.applyConcurrently(rels)(copyOne(conf, srcFs, f))
+    else {
+      val ser = new SerializableHadoopConf(conf)
+      val parallelism = math.min(rels.size,
+        spark.sparkContext.defaultParallelism * 2)
+      spark.sparkContext.parallelize(rels, parallelism).foreachPartition { it =>
+        val c = ser.value
+        val sfs = new Path(srcRoot).getFileSystem(c)
+        val dfs = new Path(dstRoot).getFileSystem(c)
+        it.foreach(copyOne(c, sfs, dfs))
+      }
     }
     commitRetrying(f, table, opId)(_ =>
       header(opId, "import") ++ rels.map(r => s"ADD $opId/$r"))
@@ -1193,4 +1215,27 @@ object CommitLogTableStore {
   /** A listed commit vanished mid-replay (concurrent truncation). */
   private case object VanishedCommit
     extends Exception("commit vanished", null, false, false)
+
+  /** File count past which `importTable` distributes its copies as a
+    * Spark job instead of the driver's fs-ops pool. */
+  private val DistributedImportAt = 256
+
+  /** Hadoop [[org.apache.hadoop.conf.Configuration]] is not
+    * Serializable; this is the standard writable-backed wrapper (the
+    * same move Spark's own private SerializableConfiguration makes) so
+    * an executor-side task can rebuild both filesystems. */
+  private final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
 }

@@ -103,6 +103,44 @@ class StoreMigrationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectSet(t3, "tasks") == Set("t1|j1|DONE|", "t2|j2|NEW|"))
   }
 
+  test("a large import distributes its copies as a Spark job, byte-identically") {
+    // >256 files crosses importTable's distributed-copy threshold: the
+    // byte copy runs executor-side (at 100 TB a driver-side loop is
+    // bounded by the driver's NIC), staged invisible until the one
+    // commit. 300 single-row job partitions → 300 source parquet files.
+    val bigRoot = s"$base/big"
+    val bigFrom = Catalog(bigRoot)
+    bigFrom.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 300).map(i => Row(f"t$i%03d", f"j$i%03d", "NEW", "")), 4),
+      Schemas.all("tasks")), "tasks")
+    // keyed by partition dir + name: Spark part-file names repeat across
+    // partition dirs, so the name-only helper above would collapse them
+    def files(dir: java.io.File): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(dir).map { f =>
+        val crc = new java.util.zip.CRC32
+        crc.update(java.nio.file.Files.readAllBytes(f.toPath))
+        s"${f.getParentFile.getName}/${f.getName}" -> crc.getValue
+      }.toMap
+    }
+    val srcFiles = files(new java.io.File(s"$bigRoot/tasks"))
+    assert(srcFiles.size > 256, s"setup: only ${srcFiles.size} source files")
+    val big = CommitLogTableStore(s"$base/logbig")
+    big.importTable(spark, "tasks", bigFrom)
+    assert(big.read(spark, "tasks").count() == 300)
+    val dst = files(new java.io.File(s"$base/logbig/tasks/data"))
+    assert(dst == srcFiles, "distributed import rewrote or lost files")
+    // the imported layout still partition-prunes
+    big.updatePartitions(spark, "tasks", Seq("j007"),
+      _.withColumn("state", org.apache.spark.sql.functions.lit("DONE")))
+    assert(big.read(spark, "tasks")
+      .filter(org.apache.spark.sql.functions.col("state") === "DONE")
+      .collect().map(_.getString(0)).toSeq == Seq("t007"))
+  }
+
   test("import composes with existing commit-log rows; empty source is a no-op") {
     val t2 = CommitLogTableStore(s"$base/log2")
     t2.append(spark.createDataFrame(
