@@ -1017,7 +1017,16 @@ object Catalog {
     if (items.size <= 4) items.foreach(fn)
     else {
       val futures = items.map(a =>
-        fsOpsPool.submit(new Runnable { def run(): Unit = fn(a) }))
+        fsOpsPool.submit(new Runnable {
+          def run(): Unit = {
+            // a cancel(true) on the PREVIOUS task of this pool thread can
+            // leave its interrupt flag set (FutureTask deliberately does
+            // not clear it) — clear before work so one caller's failure
+            // cannot spuriously interrupt an unrelated writer's op
+            Thread.interrupted(): Unit
+            fn(a)
+          }
+        }))
       try futures.foreach { fut =>
         try fut.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
