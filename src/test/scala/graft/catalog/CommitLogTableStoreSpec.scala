@@ -686,6 +686,7 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(live >= 200, s"test setup: only $live live op dirs")
       val probe = s.read(spark, "tasks")
         .filter(org.apache.spark.sql.functions.col("job_id") === "j3")
+        .filter(org.apache.spark.sql.functions.col("state") === "NEW")
       val scans = probe.queryExecution.executedPlan.collectLeaves().collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
@@ -694,6 +695,11 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
           "grew with the append history")
       assert(scans.head.metadata.getOrElse("PartitionFilters", "")
         .contains("job_id"), "job_id filter did not become partition pruning")
+      // data filters must reach the parquet reader through the custom
+      // file index exactly as through Spark's own (row-group skipping)
+      assert(scans.head.metadata.getOrElse("PushedFilters", "")
+        .contains("EqualTo(state,NEW)"),
+        "state filter not pushed to the parquet scan")
       val listing = scans.head.selectedPartitions
       assert(listing.partitionCount == 1,
         s"pruned scan still enumerates ${listing.partitionCount} partitions")
