@@ -198,7 +198,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
         case Some(st) => r -> st
         case None =>
           val fresh = listOpDir(f, new Path(dd, op))
-          opListingCache.put(s"$dd/$op", fresh): Unit
+          cachePut(s"$dd/$op", fresh)
           r -> fresh.getOrElse(rest, throw new java.io.FileNotFoundException(
             s"$dd/$r is live in the commit log but absent on storage"))
       }
@@ -211,11 +211,24 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     if (hit != null) hit
     else {
       val fresh = listOpDir(f, new Path(dd, op))
-      // crude bound, as for the snapshot cache: overflow resets memoization
-      if (opListingCache.size > 1024) opListingCache.clear()
-      opListingCache.put(key, fresh)
+      cachePut(key, fresh)
       fresh
     }
+  }
+
+  /** Cache one op-dir listing, bounded by total cached FILE count rather
+    * than entry count: a salted consolidation append stages up to 4096
+    * files per op dir, so 1024 entry-bounded listings could pin ~GBs of
+    * driver heap at 100-TB scale — the budget is files (~100 MB worst
+    * case), and overflow resets the memoization wholesale (it rebuilds
+    * at one LIST per op dir). */
+  private def cachePut(key: String, listing: Map[String, FileStatus]): Unit = {
+    val added = listing.size.toLong
+    if (opListingCachedFiles.addAndGet(added) > OpListingCacheMaxFiles) {
+      opListingCache.clear()
+      opListingCachedFiles.set(added)
+    }
+    opListingCache.put(key, listing): Unit
   }
 
   /** Data files under one op directory, keyed by their path relative to
@@ -1211,6 +1224,12 @@ object CommitLogTableStore {
     * vacuum — see `fileStatuses`. */
   private val opListingCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, FileStatus]]()
+
+  /** Total files the op-listing cache may hold before a wholesale reset
+    * — see `cachePut` (memory budget ~100 MB of paths+statuses). */
+  private val OpListingCacheMaxFiles = 1L << 18
+  private val opListingCachedFiles =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A listed commit vanished mid-replay (concurrent truncation). */
   private case object VanishedCommit
