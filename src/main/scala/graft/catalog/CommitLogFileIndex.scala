@@ -2,9 +2,9 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructType, TimestampType}
 
 /** A snapshot-backed [[org.apache.spark.sql.execution.datasources.FileIndex]]:
   * plans ONE parquet relation over a commit-log snapshot's live file set,
@@ -31,6 +31,18 @@ import org.apache.spark.sql.types.StructType
   *    `FileSourceScanExec` re-filters `listFiles`' partition directories
   *    against the runtime subquery values itself.
   *
+  * FILE-LEVEL DATA SKIPPING (r13 verdict #3, Delta per-file stats; the
+  * reference's GIST datetime index, create.sql:39): when the commit log
+  * recorded per-file min/max for the table's stats column
+  * ([[TableLayout.statsColumn]]), [[listFiles]] also evaluates the pushed
+  * DATA filters against each file's interval and enumerates only files
+  * that can match — a time-windowed read over a 100-TB table opens the
+  * files inside the window instead of every live file's footer. Skipping
+  * is conservative and best-effort: only comparison shapes it can prove
+  * are judged, everything else (and any file without stats) is kept, and
+  * comparison predicates are null-rejecting so judging them by the
+  * non-null min/max is sound.
+  *
   * The snapshot's files are immutable (tombstoned before vacuum for the
   * reader-horizon TTL), so the listing this index serves can never be
   * stale for the snapshot it represents — the same property that gives
@@ -40,7 +52,9 @@ import org.apache.spark.sql.types.StructType
 private[catalog] final class CommitLogFileIndex(
     tableDataDir: Path,
     override val partitionSchema: StructType,
-    partitions: Seq[(InternalRow, Seq[FileStatus])]) extends FileIndex {
+    partitions: Seq[(InternalRow, Seq[FileStatus])],
+    statsColumn: Option[String] = None,
+    fileStats: Map[String, (Long, Long)] = Map.empty) extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(tableDataDir)
 
@@ -59,7 +73,57 @@ private[catalog] final class CommitLogFileIndex(
         predicate.initialize(0)
         partitions.filter { case (values, _) => predicate.eval(values) }
       }
-    pruned.map { case (values, files) => PartitionDirectory(values, files.toArray) }
+    val skippers = statsColumn match {
+      case Some(col) if dataFilters.nonEmpty =>
+        dataFilters.filter(referencesOnly(_, col))
+      case _ => Nil
+    }
+    if (skippers.isEmpty)
+      pruned.map { case (values, files) => PartitionDirectory(values, files.toArray) }
+    else pruned.map { case (values, files) =>
+      PartitionDirectory(values, files.filter { st =>
+        fileStats.get(st.getPath.toString).forall { case (mn, mx) =>
+          skippers.forall(mayMatch(_, mn, mx))
+        }
+      }.toArray)
+    }
+  }
+
+  /** Cheap pre-check so [[mayMatch]]'s conservative `true` fall-through
+    * never even walks filters on other columns. */
+  private def referencesOnly(e: Expression, col: String): Boolean =
+    e.references.nonEmpty &&
+      e.references.forall(_.name.equalsIgnoreCase(col))
+
+  /** Could a row inside [min, max] (the file's non-null value interval
+    * for the stats column) satisfy `e`? Conservative: anything not
+    * provably unsatisfiable answers true. Comparisons are null-rejecting,
+    * so a file whose only matching rows would have to be null can never
+    * match one — judging them by the non-null interval is exact. */
+  private def mayMatch(e: Expression, mn: Long, mx: Long): Boolean = e match {
+    case And(l, r) => mayMatch(l, mn, mx) && mayMatch(r, mn, mx)
+    case Or(l, r) => mayMatch(l, mn, mx) || mayMatch(r, mn, mx)
+    case EqualTo(_: Attribute, TsLit(v)) => mn <= v && v <= mx
+    case EqualTo(TsLit(v), _: Attribute) => mn <= v && v <= mx
+    case GreaterThan(_: Attribute, TsLit(v)) => mx > v
+    case GreaterThan(TsLit(v), _: Attribute) => mn < v
+    case GreaterThanOrEqual(_: Attribute, TsLit(v)) => mx >= v
+    case GreaterThanOrEqual(TsLit(v), _: Attribute) => mn <= v
+    case LessThan(_: Attribute, TsLit(v)) => mn < v
+    case LessThan(TsLit(v), _: Attribute) => mx > v
+    case LessThanOrEqual(_: Attribute, TsLit(v)) => mn <= v
+    case LessThanOrEqual(TsLit(v), _: Attribute) => mx >= v
+    case In(_: Attribute, vs) if vs.forall(TsLit.unapply(_).isDefined) =>
+      vs.exists { case TsLit(v) => mn <= v && v <= mx; case _ => false }
+    case _ => true
+  }
+
+  /** A non-null timestamp literal's Spark-internal micros. */
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampType) => Some(v)
+      case _ => None
+    }
   }
 
   override lazy val inputFiles: Array[String] =

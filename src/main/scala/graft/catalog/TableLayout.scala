@@ -28,6 +28,16 @@ private[catalog] object TableLayout {
     case _ => None
   }
 
+  /** The timestamp column whose per-file min/max ride the commit-log ADD
+    * lines for file-level data skipping (Delta per-file stats; the
+    * reference's GIST datetime index, create.sql:39): a time-windowed
+    * FindRecords/GetCube over a 100-TB store then opens only the files
+    * whose range can match, instead of every live file's footer. */
+  def statsColumn(table: String): Option[String] = table match {
+    case "records" => Some("datetime")
+    case _ => None
+  }
+
   final case class Derived(name: String, srcCol: String, derive: Column => Column)
 
   /** DERIVED partition columns — computed from a data column at write
