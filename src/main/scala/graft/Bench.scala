@@ -107,6 +107,16 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAILURE getcube_commitlog: ${e.getMessage}")
         failed += "getcube_commitlog"; -1.0
+      })) :+ ("getcube_http" -> (
+      // the same cube THROUGH THE HTTP EDGE over the commit-log root —
+      // the exact deployment shape ServeMain ships (edge + object-store
+      // catalog together); r13 verdict #4 asked for one number covering
+      // HTTP + commit log at once. Done-bar: within noise of the
+      // in-process commit-log path (framing + loopback HTTP only).
+      try getCubeHttpBench(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAILURE getcube_http: ${e.getMessage}")
+        failed += "getcube_http"; -1.0
       })) :+ ("catalog_1m" -> (
       try catalog1mBench(spark)
       catch { case e: Throwable =>
@@ -227,8 +237,17 @@ object Bench {
     getCubeBenchOn(spark,
       root => graft.catalog.CommitLogTableStore(root), tileAppends = 4)
 
+  /** [[getCubeCommitLogBench]]'s cube fetched THROUGH the HTTP edge on a
+    * loopback ephemeral port — raw passthrough compression so the number
+    * is framing + transfer, not deflate CPU. */
+  private def getCubeHttpBench(spark: SparkSession): Double =
+    getCubeBenchOn(spark,
+      root => graft.catalog.CommitLogTableStore(root), tileAppends = 4,
+      viaHttp = true)
+
   private def getCubeBenchOn(spark: SparkSession,
-      store: String => graft.catalog.TableStore, tileAppends: Int): Double = {
+      store: String => graft.catalog.TableStore, tileAppends: Int,
+      viaHttp: Boolean = false): Double = {
     import graft.catalog.Schemas
     import graft.core.DType
     import graft.geo.{Affine, BBox, GeomOps}
@@ -263,7 +282,34 @@ object Bench {
       })
     val req = graft.cube.CubeRequest(instanceIds = Seq("i1"), crs = "EPSG:4326",
       transform = Affine.northUp(0, 2.56, 0.01, -0.01), width = 256, height = 256)
-    def run(): Long = graft.cube.GetCube.cube(spark, cat, req).count()
+    val edge = if (viaHttp) Some(new graft.serving.HttpEdge(spark, cat)) else None
+    val port = edge.map(_.start()).getOrElse(0)
+    val client = java.net.http.HttpClient.newHttpClient()
+    def run(): Long =
+      if (!viaHttp) graft.cube.GetCube.cube(spark, cat, req).count()
+      else {
+        // drain the framed chunked stream and count SLICES: one global
+        // header frame, then per slice one JSON header + one raw chunk
+        // (256×256 uint8 = 64 KiB < the 512 KiB chunk size)
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/v1/cube?instances=i1&crs=EPSG:4326" +
+              "&transform=0,0.01,0,2.56,0,-0.01&width=256&height=256" +
+              "&compression=-3")).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        require(resp.statusCode() == 200, s"HTTP ${resp.statusCode()}")
+        val body = resp.body()
+        var i = 0L
+        var frames = 0L
+        while (i < body.length) {
+          val n = ((body(i.toInt) & 0xff) << 24) |
+            ((body(i.toInt + 1) & 0xff) << 16) |
+            ((body(i.toInt + 2) & 0xff) << 8) | (body(i.toInt + 3) & 0xff)
+          frames += 1
+          i += 4 + n
+        }
+        (frames - 1) / 2 // drop the global header; header+chunk per slice
+      }
     // the serving benchmark runs under the engine's recommended
     // latency-serving session configuration (GetCube.ServingSessionConfs
     // — AQE off for request-bounded plans); the ETL-style SQL corpus
@@ -277,9 +323,12 @@ object Bench {
         (1 to 2).map { _ =>
           val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
         }
-      } finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+      } finally {
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        edge.foreach(_.stop())
       }
     def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete() }
     rm(new java.io.File(root))

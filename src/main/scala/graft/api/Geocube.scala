@@ -785,15 +785,19 @@ object Geocube {
     Geocube(spark, TableStore.at(spark, root))
 }
 
-/** `runMain graft.api.ServeMain <catalogRoot> [port]` — the apiserver
-  * deployment entrypoint: one latency-tuned SparkSession
+/** `runMain graft.api.ServeMain <catalogRoot> [port] [bindAddress]` —
+  * the apiserver deployment entrypoint: one latency-tuned SparkSession
   * ([[graft.cube.GetCube.ServingSessionConfs]]), one
   * [[graft.serving.HttpEdge]] on `port` (default 8080), blocking until
-  * killed. Scale-out is N of these behind an HTTP balancer, exactly the
-  * reference's autoscaled apiserver shape (cmd/server). */
+  * killed. Binds LOOPBACK unless an explicit `bindAddress` is given —
+  * the edge carries no auth/TLS of its own, so exposing it is a
+  * deliberate act and deployments must front it with an authenticating
+  * reverse proxy (the reference's apiserver ships behind the same kind
+  * of middleware). Scale-out is N of these behind an HTTP balancer,
+  * exactly the reference's autoscaled apiserver shape (cmd/server). */
 object ServeMain {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ServeMain <catalogRoot> [port]")
+    require(args.nonEmpty, "usage: ServeMain <catalogRoot> [port] [bindAddress]")
     val builder = SparkSession.builder()
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
@@ -804,7 +808,8 @@ object ServeMain {
     val spark = builder.master(
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")).getOrCreate()
     val edge = new graft.serving.HttpEdge(spark, TableStore.at(spark, args(0)),
-      args.lift(1).map(_.toInt).getOrElse(8080))
+      args.lift(1).map(_.toInt).getOrElse(8080),
+      args.lift(2).getOrElse("127.0.0.1"))
     val port = edge.start()
     println(s"graft serving edge on :$port over ${args(0)}")
     Thread.currentThread.join() // serve until killed

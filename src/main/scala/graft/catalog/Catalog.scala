@@ -946,12 +946,23 @@ object Catalog {
     * with it the torn-visibility window of a crashed mid-move append
     * (r12 advice; previously both rode the 6 h staging TTL). Defaults to
     * min(5 min, [[StaleSwapReclaimMsConf]]) so deployments and tests
-    * that shorten the staging TTL keep their lease-break behavior. */
+    * that shorten the staging TTL keep their lease-break behavior.
+    *
+    * The effective value is FLOORED at [[LeaseStaleFloorMs]] — three
+    * heartbeat-floor periods. Without the floor, a deployment that
+    * shortens [[StaleSwapReclaimMsConf]] below a few seconds (the
+    * aggressive-cleanup move the r13 retention split encourages) would
+    * silently drop the break bound under the heartbeat period
+    * (max(1 s, ttl/5)), letting a contender break a LIVE holder's lease
+    * between beats — two writers then mutate the same partition (r14
+    * advice). */
   val LeaseStaleMsConf = "graft.catalog.leaseStaleMs"
   private[catalog] val DefaultLeaseStaleMs = 5L * 60 * 1000
+  private[catalog] val LeaseStaleFloorMs = 3000L
   private[catalog] def leaseStaleMs(spark: SparkSession): Long =
-    spark.conf.getOption(LeaseStaleMsConf).map(_.toLong)
-      .getOrElse(math.min(DefaultLeaseStaleMs, staleReclaimMs(spark)))
+    math.max(LeaseStaleFloorMs,
+      spark.conf.getOption(LeaseStaleMsConf).map(_.toLong)
+        .getOrElse(math.min(DefaultLeaseStaleMs, staleReclaimMs(spark))))
 
   /** One shared scheduler drives every held lease's heartbeat touches —
     * a writer holds leases for at most one op at a time and a touch is

@@ -510,7 +510,20 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       if (!org.apache.hadoop.fs.FileUtil.copy(sfs, new Path(s"$srcRoot/$r"),
           dfs, new Path(s"$dstRoot/$opId/$r"), false, c))
         throw new java.io.IOException(s"import copy failed: $srcRoot/$r")
-    if (rels.size <= DistributedImportAt)
+    // the distributed branch assumes BOTH filesystems are reachable from
+    // executors: with a file:/local:-schemed root under a non-local
+    // master, executors would copy from/to their own local disks — a
+    // loud FileNotFound for a local source, but a silently misplaced
+    // copy for a local destination, followed by a commit whose ADDs
+    // reference files absent on the driver's store. Local-schemed roots
+    // therefore stay on the driver's fs-ops pool unless the master is
+    // local (same machine, same disks).
+    def isLocalFs(fs: FileSystem): Boolean =
+      Option(fs.getUri.getScheme).forall(s =>
+        s.equalsIgnoreCase("file") || s.equalsIgnoreCase("local"))
+    val executorReachable = spark.sparkContext.master.startsWith("local") ||
+      (!isLocalFs(srcFs) && !isLocalFs(f))
+    if (rels.size <= DistributedImportAt || !executorReachable)
       Catalog.applyConcurrently(rels)(copyOne(conf, srcFs, f))
     else {
       val ser = new SerializableHadoopConf(conf)

@@ -216,6 +216,24 @@ class CatalogConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readTasks(cat) == Set(("t1", "j1", "DONE", "")))
   }
 
+  test("lease-stale bound floors above the heartbeat period, whatever the TTL knobs say") {
+    // r14 advice (medium): leaseStaleMs defaults to min(5 min,
+    // staleSwapReclaimMs), so a deployment shortening the debris TTL to
+    // seconds would silently drop the break bound below the heartbeat
+    // floor (period = max(1 s, ttl/5)) — a contender could then break a
+    // LIVE holder's lease between beats and two writers mutate the same
+    // partition. The effective value floors at 3 s ≥ 3 heartbeat periods.
+    spark.conf.set(Catalog.StaleSwapReclaimMsConf, "0")
+    try assert(Catalog.leaseStaleMs(spark) == Catalog.LeaseStaleFloorMs)
+    finally spark.conf.unset(Catalog.StaleSwapReclaimMsConf)
+    spark.conf.set(Catalog.LeaseStaleMsConf, "500") // explicit but unsafe
+    try assert(Catalog.leaseStaleMs(spark) == Catalog.LeaseStaleFloorMs)
+    finally spark.conf.unset(Catalog.LeaseStaleMsConf)
+    spark.conf.set(Catalog.LeaseStaleMsConf, "5000") // explicit and safe
+    try assert(Catalog.leaseStaleMs(spark) == 5000L)
+    finally spark.conf.unset(Catalog.LeaseStaleMsConf)
+  }
+
   test("live holders heartbeat their leases; a dead holder's committed op heals at the lease-stale bound") {
     val r = s"$root/heartbeat"
     val cat = Catalog(r)
