@@ -1144,10 +1144,24 @@ final case class CommitLogTableStore(root: String) extends TableStore {
         // the snapshot above and its resolution must be in the checkpoint
         val resolvedSnap = snapshot(f, table)
         // FILE lines carry each live file's size/stats forward so replay
-        // from the checkpoint keeps the zero-LIST cold read; legacy
-        // entries (no meta) stay bare and keep their listing fallback
-        val lines = resolvedSnap.live.map(r =>
-          resolvedSnap.meta.get(r).fold("FILE " + r)(entryLine("FILE", r, _))) ++
+        // from the checkpoint keeps the zero-LIST cold read. LEGACY
+        // entries (bare pre-v14 ADDs, imports of old logs) SELF-UPGRADE
+        // here: their sizes come from the op-dir listing — usually the
+        // memoized one the read that preceded this maintenance already
+        // paid — so a legacy table pays its LISTs at most until its
+        // first checkpoint, then cold-reads for free like a native one.
+        val qdd = f.makeQualified(dataDir(table))
+        val lines = resolvedSnap.live.map { r =>
+          resolvedSnap.meta.get(r) match {
+            case Some(m) => entryLine("FILE", r, m)
+            case None =>
+              val op = opIdOf(r)
+              opListing(f, qdd, op).get(r.drop(op.length + 1)) match {
+                case Some(st) => entryLine("FILE", r, FileMeta(st.getLen, None))
+                case None => "FILE " + r // vanished beneath us: keep bare
+              }
+          }
+        } ++
           resolvedSnap.tombs.toVector.sorted.collect {
             // drop tombstones whose file is already vacuumed
             case (r, t) if f.exists(new Path(dd, r)) => s"TOMB $t $r"
@@ -1157,10 +1171,15 @@ final case class CommitLogTableStore(root: String) extends TableStore {
           (lines :+ Terminator).mkString("\n").getBytes("UTF-8")): Unit
       }
     }
-    // vacuum tombstones past the READER-HORIZON retention
+    // vacuum tombstones past the READER-HORIZON retention — on the
+    // fs-ops pool, not a serial driver loop: a rewrite of a salted
+    // bucket table tombstones up to buckets×salts (4096) files, and at
+    // ~50 ms per object-store DELETE a sequential sweep would charge the
+    // triggering writer minutes of inline wall-clock
     val dd = dataDir(table)
-    snap.tombs.foreach { case (r, t) =>
-      if (now - t >= retention) f.delete(new Path(dd, r), false): Unit
+    Catalog.applyConcurrently(
+      snap.tombs.toSeq.collect { case (r, t) if now - t >= retention => r }) {
+      r => f.delete(new Path(dd, r), false): Unit
     }
     // reclaim never-committed staging dirs (dead-writer TTL); sweep
     // fully-vacuumed op dirs — an op dir stays referenced while any of

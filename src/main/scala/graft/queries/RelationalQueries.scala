@@ -1998,12 +1998,31 @@ object RelationalQueries {
       (1 to 20).filter(_ % 3 == 0).map(i => f"mem://u$i%03d").toDF("container_uri"))
     // full compact folds the op-dir tail under logical-no-op rules
     st.compact(s, "tasks")
+    // records carry per-file datetime min/max on their ADD lines (r14):
+    // three single-file appends over disjoint days, then a window
+    // [day0 12:00, day1 12:00) SPANNING a file boundary — file-level
+    // skipping must prune the day-2 file but never a boundary row, and
+    // the formatted datetimes pin the TIMESTAMP_MICROS staging encoding
+    // round-trip (a skipped-too-much or shifted-value bug is a hash
+    // mismatch)
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    def recsDf(d: Int): DataFrame =
+      s.createDataFrame(s.sparkContext.parallelize((0 until 24).map(h =>
+        Row(f"r$d$h%02d", s"rec$d-$h",
+          new java.sql.Timestamp(t0 + (d * 24 + h) * 3600000L),
+          Map.empty[String, String], null)), 1), Schemas.all("records"))
+    for (d <- 0 until 3) st.append(recsDf(d), "records")
+    val recs = st.read(s, "records")
+      .filter(col("datetime") >= lit(new java.sql.Timestamp(t0 + 12 * 3600000L)) &&
+        col("datetime") < lit(new java.sql.Timestamp(t0 + 36 * 3600000L)))
+      .select(lit("rec").as("kind"), col("id").as("key"),
+        date_format(col("datetime"), "yyyy-MM-dd HH:mm").as("val"))
     val tasks = st.read(s, "tasks")
       .select(lit("task").as("kind"), col("id").as("key"), col("state").as("val"))
     val tiles = st.read(s, "tiles")
       .select(lit("tile").as("kind"), col("container_uri").as("key"),
         lit("").as("val"))
-    tasks.unionAll(tiles).orderBy("kind", "key")
+    tasks.unionAll(tiles).unionAll(recs).orderBy("kind", "key")
   }
 
   def c7Gc(s: SparkSession, dir: String): DataFrame = {
@@ -2809,12 +2828,19 @@ object RelationalQueries {
       """WITH t AS (SELECT CAST(s.i AS BIGINT) AS i
            FROM generate_series(1, 24) s(i) WHERE s.i % 4 <> 2),
            u AS (SELECT CAST(s.i AS BIGINT) AS i
-           FROM generate_series(1, 20) s(i) WHERE s.i % 3 <> 0)
+           FROM generate_series(1, 20) s(i) WHERE s.i % 3 <> 0),
+           r AS (SELECT CAST(h.i // 24 AS BIGINT) AS d,
+                        CAST(h.i % 24 AS BIGINT) AS h, CAST(h.i AS BIGINT) AS i
+           FROM generate_series(12, 35) h(i))
          SELECT kind, key, val FROM (
            SELECT 'task' AS kind, printf('t%03d', i) AS key,
                   CASE WHEN i % 4 = 1 THEN 'DONE' ELSE 'NEW' END AS val FROM t
            UNION ALL
-           SELECT 'tile' AS kind, printf('mem://u%03d', i) AS key, '' AS val FROM u)
+           SELECT 'tile' AS kind, printf('mem://u%03d', i) AS key, '' AS val FROM u
+           UNION ALL
+           SELECT 'rec' AS kind, printf('r%d%02d', d, h) AS key,
+                  strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + i * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS val FROM r)
          ORDER BY kind, key""",
     "c7_delete_job" ->
       """WITH odd AS (SELECT CAST(t.i AS BIGINT) AS i

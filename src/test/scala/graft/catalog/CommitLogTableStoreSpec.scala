@@ -843,5 +843,23 @@ class CommitLogColdReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(legacy.length == 6, "legacy bare ADD lines no longer replay")
     assert(CountingListFileSystem.dataLists.get() > 0L,
       "legacy log read listed nothing — the fallback path is dead code")
+    // SELF-UPGRADE: the first checkpoint enriches legacy FILE lines with
+    // sizes from the (memoized) listings, so once one exists the table
+    // cold-reads with zero data-dir LISTs like a native v14 log
+    spark.conf.set(Catalog.StaleSwapReclaimMsConf, "0") // disable the
+    // once-a-minute maintenance floor so the checkpoint builds in-test
+    try
+      for (i <- 6 until 22) // cross the checkpoint cadence (20 commits)
+        s.append(tasksDf(Seq((s"t$i", s"j${i % 3}", "NEW", ""))), "tasks")
+    finally spark.conf.unset(Catalog.StaleSwapReclaimMsConf)
+    assert(new java.io.File(s"$root/cold/tasks/_log").listFiles
+      .exists(_.getName.endsWith(".checkpoint")), "no checkpoint built")
+    CountingListFileSystem.dataLists.set(0L)
+    val upgraded = CommitLogTableStore(dir).read(spark, "tasks").collect()
+    assert(upgraded.length == 22)
+    assert(CountingListFileSystem.dataLists.get() == 0L,
+      s"post-checkpoint cold read of a legacy log still paid " +
+        s"${CountingListFileSystem.dataLists.get()} data-dir LISTs — " +
+        "checkpointing did not self-upgrade the entries")
   }
 }
