@@ -807,11 +807,15 @@ object ServeMain {
     // master from spark-submit when deployed; local[*] for a bare run
     val spark = builder.master(
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")).getOrCreate()
+    val bind = args.lift(2).getOrElse("127.0.0.1")
     val edge = new graft.serving.HttpEdge(spark, TableStore.at(spark, args(0)),
-      args.lift(1).map(_.toInt).getOrElse(8080),
-      args.lift(2).getOrElse("127.0.0.1"))
+      args.lift(1).map(_.toInt).getOrElse(8080), bind)
     val port = edge.start()
-    println(s"graft serving edge on :$port over ${args(0)}")
+    // the bound ADDRESS is in the startup line deliberately: the default
+    // is loopback (no auth/TLS on the edge itself), so a deployment that
+    // expects balancer reachability sees at a glance that it must pass
+    // an explicit bind address
+    println(s"graft serving edge on $bind:$port over ${args(0)}")
     Thread.currentThread.join() // serve until killed
   }
 }

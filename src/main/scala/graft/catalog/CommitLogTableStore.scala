@@ -88,7 +88,19 @@ import org.apache.spark.sql.types.StructType
   * Checkpoints keep replay O(tail); the tiles table's salted bucket
   * fan-out bounds files per append exactly as in [[Catalog]]. Commit
   * files are O(files touched) text lines — a 4096-file salted append is
-  * a ~200 KB commit, well under any PUT limit. */
+  * a ~200 KB commit, well under any PUT limit.
+  *
+  * FORMAT COMPATIBILITY: since r14, ADD/FILE lines append `<size>` (and
+  * for stats tables `s<min>:<max>`) to the rel path — Delta's
+  * `add.size`/per-file-stats analog. r14+ readers replay BOTH forms
+  * (bare legacy lines fall back to one LIST per op dir, and checkpoints
+  * self-upgrade them); pre-r14 readers of an r14-written log fail
+  * LOUDLY (FileNotFoundException naming the operand — they take the
+  * whole line as a path), never silently: in a rolling upgrade, update
+  * readers before writers. A Delta-style minReaderVersion gate is
+  * deliberately not added — the log has exactly one historical format
+  * change and no cross-vendor readers; the loud failure plus this note
+  * is the proportionate contract. */
 final case class CommitLogTableStore(root: String) extends TableStore {
   import CommitLogTableStore._
 
@@ -575,18 +587,25 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       // footer min/max (its statistics sort order is undefined), so the
       // skipping stats could never be read back. Parquet has no
       // per-write option for this, so the session conf is set around
-      // the write and restored; a concurrent write racing the restore
-      // at worst stages INT96 and its files simply carry no stats —
-      // skipping is best-effort, correctness is untouched (both
-      // encodings round-trip Spark timestamps exactly).
-      val conf = df.sparkSession.conf
-      val key = "spark.sql.parquet.outputTimestampType"
-      val prior = conf.getOption(key)
-      conf.set(key, "TIMESTAMP_MICROS")
-      try write()
-      finally prior match {
-        case Some(v) => conf.set(key, v)
-        case None => conf.unset(key)
+      // the write and restored UNDER A JVM-WIDE LOCK — two unserialized
+      // stats writes could interleave set/restore so that one thread's
+      // "prior" is the other's temporary value, permanently leaking
+      // MICROS into the session (harmless to US, but it would silently
+      // change the encoding of the user's own unrelated parquet writes).
+      // Mid-write visibility to other session users is benign: both
+      // encodings round-trip Spark timestamps exactly. Stats tables are
+      // catalog-scale (records), so serializing their stages per JVM
+      // costs nothing at the 100-TB tier (tiles carries no stats).
+      stagingEncodingLock.synchronized {
+        val conf = df.sparkSession.conf
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prior = conf.getOption(key)
+        conf.set(key, "TIMESTAMP_MICROS")
+        try write()
+        finally prior match {
+          case Some(v) => conf.set(key, v)
+          case None => conf.unset(key)
+        }
       }
     }
     val listed = listOpDir(f, stage).toSeq.sortBy(_._1)
@@ -1151,6 +1170,14 @@ final case class CommitLogTableStore(root: String) extends TableStore {
         // paid — so a legacy table pays its LISTs at most until its
         // first checkpoint, then cold-reads for free like a native one.
         val qdd = f.makeQualified(dataDir(table))
+        // pre-warm the legacy listings on the fs-ops pool (usually a
+        // no-op: the read preceding this maintenance memoized them) —
+        // a cold first checkpoint of a 10k-op-dir legacy table must not
+        // pay its LISTs in a serial driver loop
+        Catalog.applyConcurrently(resolvedSnap.live
+          .filterNot(resolvedSnap.meta.contains).map(opIdOf).distinct) { op =>
+          opListing(f, qdd, op): Unit
+        }
         val lines = resolvedSnap.live.map { r =>
           resolvedSnap.meta.get(r) match {
             case Some(m) => entryLine("FILE", r, m)
@@ -1437,6 +1464,10 @@ object CommitLogTableStore {
     * has to be a sane non-zero value (Spark's own object-store listings
     * report the connector's configured block size the same way). */
   private val ScanBlockSize = 128L << 20
+
+  /** Serializes the per-stage `outputTimestampType` conf flip — see the
+    * note in `stageBatch`. */
+  private val stagingEncodingLock = new Object
 
   /** Conf key: live op-directory count past which writer maintenance
     * auto-compacts a table (0 disables; default 128 — a read of an

@@ -116,8 +116,7 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
       val meta = GetCube.cubeMetadata(spark, cat, req)
       x.getResponseHeaders.set("Content-Type", "application/x-graft-cube")
       x.sendResponseHeaders(200, 0)
-      val os = x.getResponseBody
-      try withStallGuard(x) { touch =>
+      try withStallGuard(x) { os =>
         writeFrame(os, globalHeader(req).getBytes(UTF_8))
         streamed(meta) { m =>
           writeFrame(os, json(
@@ -128,15 +127,13 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
             "bands" -> m.bands, "dtype" -> m.dtype,
             "no_data" -> m.no_data, "min_value" -> m.min_value,
             "max_value" -> m.max_value).getBytes(UTF_8))
-          touch()
         }
-      } finally { os.close(); x.close() }
+      } finally { x.getResponseBody.close(); x.close() }
     } else {
       val slices = GetCube.cube(spark, cat, req)
       x.getResponseHeaders.set("Content-Type", "application/x-graft-cube")
       x.sendResponseHeaders(200, 0)
-      val os = x.getResponseBody
-      try withStallGuard(x) { touch =>
+      try withStallGuard(x) { os =>
         writeFrame(os, globalHeader(req).getBytes(UTF_8))
         streamed(slices) { s =>
           val compressed =
@@ -153,9 +150,8 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
             "compressed_size" -> compressed.length,
             "nparts" -> parts.size).getBytes(UTF_8))
           parts.foreach { case (_, p) => writeFrame(os, p) }
-          touch()
         }
-      } finally { os.close(); x.close() }
+      } finally { x.getResponseBody.close(); x.close() }
     }
   }
 
@@ -216,25 +212,40 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
     try pipe.iterator.foreach(each) finally pipe.cancel()
   }
 
-  /** Run a streaming `body`, aborting the exchange when it reports no
-    * progress (the `touch` callback after each frame/row) for
-    * [[HttpEdge.StreamIdleTimeoutMs]] — a client that stopped reading
-    * without closing would otherwise block the handler thread in
+  /** Run a streaming `body` against a guarded view of the response
+    * stream that aborts the exchange when ONE CLIENT WRITE stays blocked
+    * for [[HttpEdge.StreamIdleTimeoutMs]] — a client that stopped
+    * reading without closing would otherwise block the handler thread in
     * `write` forever, pinning the Spark partition iterator behind it
-    * (r13 verdict, optional #7). Closing the exchange from the watchdog
-    * makes the blocked write throw; the handler unwinds through its
-    * normal cleanup. */
-  private def withStallGuard(x: HttpExchange)(body: (() => Unit) => Unit): Unit = {
-    val last =
-      new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+    * (r13 verdict, optional #7). Only time spent INSIDE a write counts:
+    * server-side compute between frames (a slow first partition over a
+    * cold 100-TB table) never trips the guard, however long it takes.
+    * Closing the exchange from the watchdog makes the blocked write
+    * throw; the handler unwinds through its normal cleanup. */
+  private def withStallGuard(x: HttpExchange)(
+      body: java.io.OutputStream => Unit): Unit = {
+    val writingSince = new java.util.concurrent.atomic.AtomicLong(0L)
     val task = watchdog.scheduleAtFixedRate(
       new Runnable {
-        def run(): Unit =
-          if (System.currentTimeMillis() - last.get() >= StreamIdleTimeoutMs)
+        def run(): Unit = {
+          val since = writingSince.get()
+          if (since != 0L &&
+              System.currentTimeMillis() - since >= StreamIdleTimeoutMs)
             x.close()
+        }
       }, StreamIdleTimeoutMs, math.max(1L, StreamIdleTimeoutMs / 4),
       java.util.concurrent.TimeUnit.MILLISECONDS)
-    try body(() => last.set(System.currentTimeMillis()))
+    val guarded = new java.io.FilterOutputStream(x.getResponseBody) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        writingSince.set(System.currentTimeMillis())
+        try out.write(b, off, len) finally writingSince.set(0L)
+      }
+      override def write(b: Int): Unit = {
+        writingSince.set(System.currentTimeMillis())
+        try out.write(b) finally writingSince.set(0L)
+      }
+    }
+    try body(guarded)
     finally task.cancel(false): Unit
   }
 
@@ -289,19 +300,17 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
       .toJSON
     x.getResponseHeaders.set("Content-Type", "application/json")
     x.sendResponseHeaders(200, 0) // chunked: stream rows as they arrive
-    val os = x.getResponseBody
-    try withStallGuard(x) { touch =>
+    try withStallGuard(x) { os =>
       os.write('[')
       var first = true
       streamed(rows) { r =>
         if (!first) os.write(',')
         first = false
         os.write(r.getBytes(UTF_8))
-        touch()
       }
       os.write(']')
       os.flush()
-    } finally { os.close(); x.close() }
+    } finally { x.getResponseBody.close(); x.close() }
   }
 
   // ------------------------------------------------------------- helpers
