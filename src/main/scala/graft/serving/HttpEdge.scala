@@ -58,8 +58,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * `toLocalIterator` partition iterators (and with it a handler thread)
   * forever. */
 final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
-    bindAddress: String = "127.0.0.1") {
-  import HttpEdge.{MaxBrowseLimit, StreamIdleTimeoutMs, StreamPipelineDepth, watchdog}
+    bindAddress: String = "127.0.0.1",
+    stallTimeoutMs: Long = HttpEdge.StreamIdleTimeoutMs) {
+  import HttpEdge.{MaxBrowseLimit, StreamPipelineDepth, watchdog}
 
   private val server: HttpServer =
     HttpServer.create(
@@ -230,10 +231,10 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
         def run(): Unit = {
           val since = writingSince.get()
           if (since != 0L &&
-              System.currentTimeMillis() - since >= StreamIdleTimeoutMs)
+              System.currentTimeMillis() - since >= stallTimeoutMs)
             x.close()
         }
-      }, StreamIdleTimeoutMs, math.max(1L, StreamIdleTimeoutMs / 4),
+      }, stallTimeoutMs, math.max(1L, stallTimeoutMs / 4),
       java.util.concurrent.TimeUnit.MILLISECONDS)
     val guarded = new java.io.FilterOutputStream(x.getResponseBody) {
       override def write(b: Array[Byte], off: Int, len: Int): Unit = {

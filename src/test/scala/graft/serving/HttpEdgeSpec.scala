@@ -174,6 +174,64 @@ class HttpEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(miss.statusCode() == 204)
   }
 
+  test("a client that stops reading mid-stream is aborted at the stall bound, freeing the handler") {
+    // r13 verdict optional #7: a gone-but-unclosed client used to block
+    // the handler thread in write() forever, pinning the Spark partition
+    // iterator behind it. A tight-stall edge (400 ms bound) must close
+    // the exchange once ONE write stays blocked that long — observed
+    // client-side as EOF/reset on the stalled socket, promptly.
+    val stallEdge = new HttpEdge(spark, cat, stallTimeoutMs = 400L)
+    val stallPort = stallEdge.start()
+    try {
+      val sock = new java.net.Socket()
+      try {
+        // a small advertised window plus a raw ~36 MB cube guarantees
+        // the server's write actually BLOCKS instead of parking the
+        // whole body in kernel buffers
+        sock.setReceiveBufferSize(8192)
+        sock.connect(new java.net.InetSocketAddress("127.0.0.1", stallPort))
+        sock.setSoTimeout(30000)
+        // DON'T read: the server's write must block on the TCP window
+        val req = "GET /v1/cube?instances=i1&crs=EPSG:4326" +
+          "&transform=0,0.0004266,0,2.56,0,-0.0004266&width=6000&height=6000" +
+          "&records=r1&compression=-3 HTTP/1.1\r\n" +
+          s"Host: 127.0.0.1:$stallPort\r\n\r\n"
+        sock.getOutputStream.write(req.getBytes("US-ASCII"))
+        sock.getOutputStream.flush()
+        val buf = new Array[Byte](64 * 1024)
+        val in = sock.getInputStream
+        // phase 1: read until the body is clearly flowing (the compute
+        // is done and the server is mid-stream), then STOP reading —
+        // the ~36 MB remainder cannot fit the TCP windows, so the
+        // server's next write blocks and the watchdog must fire
+        var drained = 0L
+        while (drained < 256 * 1024) {
+          val n = in.read(buf)
+          assert(n > 0, "stream ended before the stall phase")
+          drained += n
+        }
+        Thread.sleep(1500) // stalled well past the 400 ms bound
+        // phase 2: the server must have aborted — draining now ends in
+        // EOF/reset after at most the kernel-buffered backlog
+        val t0 = System.nanoTime()
+        var eof = false
+        while (!eof && (System.nanoTime() - t0) < 15e9) {
+          val n = try in.read(buf) catch { case _: java.io.IOException => -1 }
+          if (n < 0) eof = true else drained += n
+        }
+        assert(eof, s"stalled stream never aborted (drained $drained bytes)")
+        assert(drained < 6000L * 6000 / 2, // far less than the full raster
+          s"server pushed the whole body ($drained bytes) to a stalled client")
+      } finally sock.close()
+      // the edge stays healthy for the next client
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$stallPort/v1/datasets?instances=i1&limit=10")).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() == 200)
+    } finally stallEdge.stop()
+  }
+
   test("datasets browse clamps limit (400 above) and streams a large browse chunked") {
     // r13 verdict #2: an uncapped limit used to .collect() the whole
     // browse onto the serving driver. The cap is a clean 400; under it,
