@@ -869,7 +869,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     Vector(s"OP $opId", s"KIND $kind")
 
   /** One sized ADD/FILE line: `<verb> <rel> <size>[ s<min>:<max>]`. */
-  private def entryLine(verb: String, rel: String, m: FileMeta): String =
+  private[catalog] def entryLine(verb: String, rel: String, m: FileMeta): String =
     s"$verb $rel ${m.size}" + m.stats.fold("") { case (mn, mx) => s" s$mn:$mx" }
 
   /** Parse one ADD/REMOVE/FILE operand into (rel path, optional
@@ -883,7 +883,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * meta and fall back to the listing path. REMOVE lines are parsed
     * through this too, so a REMOVE built by echoing a sized ADD operand
     * still matches its live entry. */
-  private def parseEntry(rest: String): (String, Option[FileMeta]) = {
+  private[catalog] def parseEntry(rest: String): (String, Option[FileMeta]) = {
     var s = rest
     var stats: Option[(Long, Long)] = None
     val i = s.lastIndexOf(' ')
@@ -1376,7 +1376,7 @@ object CommitLogTableStore {
     * ([[TableLayout.statsColumn]]) in Spark-internal micros for
     * file-level data skipping (Delta per-file stats; the reference's
     * GIST datetime index, create.sql:39). */
-  private[CommitLogTableStore] final case class FileMeta(size: Long,
+  private[catalog] final case class FileMeta(size: Long,
       stats: Option[(Long, Long)])
 
   /** Replayed log state: `version` is the highest allocated version
