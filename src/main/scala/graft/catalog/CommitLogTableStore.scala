@@ -88,7 +88,13 @@ import org.apache.spark.sql.types.StructType
   * Checkpoints keep replay O(tail); the tiles table's salted bucket
   * fan-out bounds files per append exactly as in [[Catalog]]. Commit
   * files are O(files touched) text lines — a 4096-file salted append is
-  * a ~200 KB commit, well under any PUT limit.
+  * a ~200 KB commit, well under any PUT limit. A checkpoint is O(live
+  * files) text (~120 B per sized FILE line): a million-live-file 100-TB
+  * tiles table writes a ~120 MB checkpoint in one conditional PUT and
+  * replays it once per listing change per JVM (snapshot memoization,
+  * path-count-bounded) — the Delta analog is a parquet checkpoint;
+  * plain text at ~2× the bytes is the zero-dependency trade this store
+  * makes deliberately.
   *
   * FORMAT COMPATIBILITY: since r14, ADD/FILE lines append `<size>` (and
   * for stats tables `s<min>:<max>`) to the rel path — Delta's
@@ -251,6 +257,29 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       val fresh = listOpDir(f, new Path(dd, op))
       cachePut(key, fresh)
       fresh
+    }
+  }
+
+  /** Memoize one replayed snapshot, bounded by total cached PATH count
+    * rather than entry count — snapshots range from a few lines (a jobs
+    * table) to ~100 MB of path strings (a 100-TB tiles table's million
+    * live files), so a 256-ENTRY bound could pin tens of GB while a
+    * serving fleet over many roots could also thrash a too-small one.
+    * Same delta/overflow-recompute discipline as [[cachePut]]: overflow
+    * resets the memoization wholesale (each snapshot rebuilds in one
+    * replay), keeping this entry. */
+  private def snapshotCachePut(key: String, fp: Long, snap: Snapshot): Unit = {
+    val weight = (snap.live.size + snap.tombs.size).toLong
+    val prev = snapshotCache.put(key, (fp, snap))
+    val delta = weight -
+      (if (prev == null) 0L
+      else (prev._2.live.size + prev._2.tombs.size).toLong)
+    if (snapshotCachedPaths.addAndGet(delta) > SnapshotCacheMaxPaths) {
+      snapshotCache.clear()
+      snapshotCache.put(key, (fp, snap)): Unit
+      import scala.jdk.CollectionConverters._
+      snapshotCachedPaths.set(snapshotCache.values.asScala.iterator
+        .map(v => (v._2.live.size + v._2.tombs.size).toLong).sum)
     }
   }
 
@@ -811,12 +840,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     }
     val version = math.max(commits.lastOption.map(_._1).getOrElse(0L), from)
     val snap = Snapshot(version, live.toVector.sorted, tombs, meta)
-    if (!unstable) {
-      // crude bound: snapshots are per-(root, table) and rebuild in one
-      // replay, so overflow just resets the memoization
-      if (snapshotCache.size > 256) snapshotCache.clear()
-      snapshotCache.put(cacheKey, (fp, snap)): Unit
-    }
+    if (!unstable) snapshotCachePut(cacheKey, fp, snap)
     snap
   }
 
@@ -1496,10 +1520,18 @@ object CommitLogTableStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Last replayed snapshot per (root, table), validated by the `_log`
-    * listing fingerprint — see the note at `fingerprint`. One entry per
-    * table (snapshots are megabyte-scale at most: file-path strings). */
+    * listing fingerprint — see the note at `fingerprint`. Bounded by
+    * total cached path count (`snapshotCachePut`), not entry count:
+    * entries range from bytes to ~100 MB. */
   private val snapshotCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Snapshot)]()
+
+  /** Total (live + tombstone) paths the snapshot cache may hold before a
+    * wholesale reset — ~2M paths ≈ a few hundred MB of strings, sized
+    * for one 100-TB tiles table plus its catalog siblings per JVM. */
+  private val SnapshotCacheMaxPaths = 1L << 21
+  private val snapshotCachedPaths =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Memoized per-op-directory data-file listings (qualified op dir →
     * rel path → status), shared across reads/tables/stores in this JVM.
