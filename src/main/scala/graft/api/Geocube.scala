@@ -805,9 +805,19 @@ object ServeMain {
       builder.config(k, v)
     }
     // master from spark-submit when deployed; local[*] for a bare run
-    val spark = builder.master(
-      sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")).getOrCreate()
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")
+    val spark = builder.master(master).getOrCreate()
     val bind = args.lift(2).getOrElse("127.0.0.1")
+    // loopback-by-default is a deliberate hardening (no auth/TLS on the
+    // edge itself), but on a cluster master it is almost certainly a
+    // misconfiguration: the balancer can't reach an edge bound to
+    // 127.0.0.1. Warn loudly rather than fail — single-machine cluster
+    // masters behind a local proxy are legitimate (r14 advice #4).
+    if (args.length < 3 && !master.startsWith("local"))
+      System.err.println(
+        s"WARNING: binding 127.0.0.1 (the default) under non-local master " +
+          s"'$master' — external clients/balancers cannot reach this edge; " +
+          "pass an explicit bindAddress argument to expose it")
     val edge = new graft.serving.HttpEdge(spark, TableStore.at(spark, args(0)),
       args.lift(1).map(_.toInt).getOrElse(8080), bind)
     val port = edge.start()

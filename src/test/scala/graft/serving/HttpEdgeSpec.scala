@@ -261,6 +261,79 @@ class HttpEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.startsWith("[") && body.endsWith("]"))
   }
 
+  test("a wedged partition job frees the consuming thread at the compute deadline and its Spark jobs are cancelled") {
+    // r14 advice #3 / verdict #2: PipelinedPartitions used to Await with
+    // Duration.Inf — a Spark job that never finishes (executor wedge,
+    // storage hang) pinned one of the edge's 8 handler threads forever;
+    // 8 such requests wedged the whole edge. The per-request compute
+    // deadline must free the thread AND cancel the in-flight jobs.
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val hang = spark.range(0, 8, 1, 2).as[Long].mapPartitions { it =>
+      // "never finishes" — but exits promptly once its task is KILLED,
+      // so the cancelled tasks don't squat local[4] cores for the rest
+      // of the test run (kill does not interrupt a sleeping thread by
+      // default; poll the kill flag instead)
+      val ctx = org.apache.spark.TaskContext.get()
+      while (ctx == null || !ctx.isInterrupted()) Thread.sleep(25)
+      Iterator.empty[Long]
+    }
+    sc.setJobGroup("graft-deadline-test", "wedged partition fixture")
+    val t0 = System.nanoTime()
+    try {
+      val pipe = new HttpEdge.PipelinedPartitions(hang, depth = 2,
+        computeTimeoutMs = 1200L)
+      intercept[HttpEdge.ComputeDeadlineException](pipe.iterator.hasNext)
+    } finally sc.clearJobGroup()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 20.0,
+      f"handler thread freed only after $elapsed%.1f s — deadline dead")
+    // the submitted partition jobs must reach a terminal state (the
+    // cancel propagated), promptly — poll the scoped job group so
+    // parallel suites' jobs can't pollute the assertion
+    val ids = sc.statusTracker.getJobIdsForGroup("graft-deadline-test")
+    assert(ids.nonEmpty, "fixture submitted no jobs")
+    val deadline = System.nanoTime() + 15e9.toLong
+    def allDone: Boolean = ids.forall { id =>
+      sc.statusTracker.getJobInfo(id).forall(
+        _.status() != org.apache.spark.JobExecutionStatus.RUNNING)
+    }
+    while (!allDone && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(allDone, "wedged partition jobs were not cancelled at the deadline")
+  }
+
+  test("the stall guard covers the terminating flush/close, not just frame writes") {
+    // r14 advice #1 (medium): flush() and the chunked body's final
+    // close() are blocking socket operations too — a client that stalls
+    // exactly at end-of-stream used to pin the handler because only
+    // write() armed the watchdog and the close ran AFTER the watchdog
+    // task was cancelled. Model the socket with a stream whose close()
+    // blocks until aborted (exactly what x.close() does to a blocked
+    // chunked-encoder write).
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val closeEntered = new java.util.concurrent.CountDownLatch(1)
+    val raw = new java.io.OutputStream {
+      override def write(b: Int): Unit = ()
+      override def close(): Unit = {
+        closeEntered.countDown()
+        while (!aborted.get()) Thread.sleep(10) // blocked client window
+        throw new java.io.IOException("severed")
+      }
+    }
+    val t0 = System.nanoTime()
+    // body writes fine and returns — the ONLY blocking point is close()
+    intercept[java.io.IOException] {
+      HttpEdge.stallGuarded(raw, () => aborted.set(true), 300L) { os =>
+        os.write("all frames fit the kernel buffers".getBytes("UTF-8"))
+      }
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(closeEntered.getCount == 0, "guarded stream was never closed in-scope")
+    assert(aborted.get(), "watchdog never fired on the blocked close")
+    assert(elapsed < 10.0,
+      f"blocked end-of-stream close pinned the thread $elapsed%.1f s")
+  }
+
   test("datasets browse returns JSON rows; a bad cube request is a clean 400") {
     val resp = get("/v1/datasets?instances=i1&status=ACTIVE&limit=10")
     assert(resp.statusCode() == 200)
