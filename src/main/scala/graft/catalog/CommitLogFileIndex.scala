@@ -2,9 +2,9 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BoundReference, EqualTo, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, StructType, TimestampType}
 
 /** A snapshot-backed [[org.apache.spark.sql.execution.datasources.FileIndex]]:
   * plans ONE parquet relation over a commit-log snapshot's live file set,
@@ -37,11 +37,17 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   * ([[TableLayout.statsColumn]]), [[listFiles]] also evaluates the pushed
   * DATA filters against each file's interval and enumerates only files
   * that can match — a time-windowed read over a 100-TB table opens the
-  * files inside the window instead of every live file's footer. Skipping
-  * is conservative and best-effort: only comparison shapes it can prove
-  * are judged, everything else (and any file without stats) is kept, and
-  * comparison predicates are null-rejecting so judging them by the
-  * non-null min/max is sound.
+  * files inside the window instead of every live file's footer. Since
+  * r15 the same move covers SPATIAL windows: tables with a
+  * [[TableLayout.bboxStatsColumn]] carry a per-file bbox ENVELOPE and
+  * `mayMatchBbox` judges the coarse-intersects half-planes against it
+  * (the reference's GIST geography index on datasets, create.sql:39) —
+  * a FindDatasets bbox browse over a 100-TB catalog enumerates only the
+  * files whose extent can intersect. Skipping is conservative and
+  * best-effort: only comparison shapes it can prove are judged,
+  * everything else (and any file without stats) is kept, and comparison
+  * predicates are null-rejecting so judging them by the non-null
+  * min/max is sound.
   *
   * The snapshot's files are immutable (tombstoned before vacuum for the
   * reader-horizon TTL), so the listing this index serves can never be
@@ -54,7 +60,10 @@ private[catalog] final class CommitLogFileIndex(
     override val partitionSchema: StructType,
     partitions: Seq[(InternalRow, Seq[FileStatus])],
     statsColumn: Option[String] = None,
-    fileStats: Map[String, (Long, Long)] = Map.empty) extends FileIndex {
+    fileStats: Map[String, (Long, Long)] = Map.empty,
+    bboxColumn: Option[String] = None,
+    fileBbox: Map[String, (Double, Double, Double, Double)] = Map.empty)
+    extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(tableDataDir)
 
@@ -78,12 +87,20 @@ private[catalog] final class CommitLogFileIndex(
         dataFilters.filter(referencesOnly(_, col))
       case _ => Nil
     }
-    if (skippers.isEmpty)
+    val bboxSkippers = bboxColumn match {
+      case Some(col) if dataFilters.nonEmpty =>
+        dataFilters.filter(referencesOnly(_, col))
+      case _ => Nil
+    }
+    if (skippers.isEmpty && bboxSkippers.isEmpty)
       pruned.map { case (values, files) => PartitionDirectory(values, files.toArray) }
     else pruned.map { case (values, files) =>
       PartitionDirectory(values, files.filter { st =>
-        fileStats.get(st.getPath.toString).forall { case (mn, mx) =>
+        val p = st.getPath.toString
+        fileStats.get(p).forall { case (mn, mx) =>
           skippers.forall(mayMatch(_, mn, mx))
+        } && fileBbox.get(p).forall { env =>
+          bboxSkippers.forall(mayMatchBbox(_, env))
         }
       }.toArray)
     }
@@ -122,6 +139,73 @@ private[catalog] final class CommitLogFileIndex(
   private object TsLit {
     def unapply(e: Expression): Option[Long] = e match {
       case Literal(v: Long, TimestampType) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Could a row inside the file's bbox ENVELOPE — (min xmin, min ymin,
+    * max xmax, max ymax) — satisfy `e`? Only the four half-plane shapes
+    * the coarse-intersects filter generates (`bboxIntersects`:
+    * `xmin <= qxmax && xmax >= qxmin && ymin <= qymax && ymax >= qymin`)
+    * are judged, each exactly decidable from the ONE envelope side it
+    * constrains: `xmin <= q` is satisfiable iff the file's SMALLEST xmin
+    * is <= q; `xmax >= q` iff its LARGEST xmax is >= q; likewise for y.
+    * Shapes needing the other side of a field's range (e.g. `xmin >= q`
+    * needs max(xmin), which the envelope deliberately doesn't carry) —
+    * and anything else — conservatively answer true. The comparisons are
+    * null-rejecting (a null bbox row satisfies none of them), so judging
+    * by the non-null envelope is exact. */
+  private def mayMatchBbox(e: Expression,
+      env: (Double, Double, Double, Double)): Boolean = {
+    val (minXmin, minYmin, maxXmax, maxYmax) = env
+    e match {
+      case And(l, r) => mayMatchBbox(l, env) && mayMatchBbox(r, env)
+      case Or(l, r) => mayMatchBbox(l, env) || mayMatchBbox(r, env)
+      case LessThanOrEqual(BboxField("xmin"), DblLit(q)) => minXmin <= q
+      case LessThan(BboxField("xmin"), DblLit(q)) => minXmin < q
+      case GreaterThanOrEqual(DblLit(q), BboxField("xmin")) => minXmin <= q
+      case GreaterThan(DblLit(q), BboxField("xmin")) => minXmin < q
+      case LessThanOrEqual(BboxField("ymin"), DblLit(q)) => minYmin <= q
+      case LessThan(BboxField("ymin"), DblLit(q)) => minYmin < q
+      case GreaterThanOrEqual(DblLit(q), BboxField("ymin")) => minYmin <= q
+      case GreaterThan(DblLit(q), BboxField("ymin")) => minYmin < q
+      case GreaterThanOrEqual(BboxField("xmax"), DblLit(q)) => maxXmax >= q
+      case GreaterThan(BboxField("xmax"), DblLit(q)) => maxXmax > q
+      case LessThanOrEqual(DblLit(q), BboxField("xmax")) => maxXmax >= q
+      case LessThan(DblLit(q), BboxField("xmax")) => maxXmax > q
+      case GreaterThanOrEqual(BboxField("ymax"), DblLit(q)) => maxYmax >= q
+      case GreaterThan(BboxField("ymax"), DblLit(q)) => maxYmax > q
+      case LessThanOrEqual(DblLit(q), BboxField("ymax")) => maxYmax >= q
+      case LessThan(DblLit(q), BboxField("ymax")) => maxYmax > q
+      case _ => true
+    }
+  }
+
+  /** Extract the field NAME of a bbox-struct access — resolved from the
+    * accessed attribute's own (possibly nested-schema-PRUNED) struct
+    * type by ordinal, so the match survives Spark's nested-column
+    * pruning rewriting ordinals. */
+  private object BboxField {
+    def unapply(e: Expression): Option[String] = e match {
+      case g: GetStructField => g.child match {
+        case a: Attribute if bboxColumn.exists(a.name.equalsIgnoreCase) =>
+          a.dataType match {
+            case st: StructType if g.ordinal >= 0 && g.ordinal < st.length =>
+              Some(st(g.ordinal).name.toLowerCase(java.util.Locale.ROOT))
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** A non-null, non-NaN double literal. NaN sorts ABOVE every double in
+    * Spark SQL — outside this envelope algebra's assumptions — so a NaN
+    * operand is never judged (the file is kept). */
+  private object DblLit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) if !v.isNaN => Some(v)
       case _ => None
     }
   }

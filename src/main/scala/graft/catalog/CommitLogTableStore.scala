@@ -102,7 +102,8 @@ import org.apache.spark.sql.types.StructType
   * deliberately.
   *
   * FORMAT COMPATIBILITY: since r14, ADD/FILE lines append `<size>` (and
-  * for stats tables `s<min>:<max>`) to the rel path — Delta's
+  * for stats tables `s<min>:<max>`; since r15 for bbox tables also the
+  * `b<4 doubles>` envelope) to the rel path — Delta's
   * `add.size`/per-file-stats analog. r14+ readers replay BOTH forms
   * (bare legacy lines fall back to one LIST per op dir, and checkpoints
   * self-upgrade them); pre-r14 readers of an r14-written log fail
@@ -184,9 +185,15 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       if (statsCol.isEmpty) Map.empty
       else rels.iterator.flatMap(r => meta.get(r).flatMap(_.stats)
         .map(s => new Path(dd, r).toString -> s)).toMap
+    val bboxCol = TableLayout.bboxStatsColumn(table)
+    val fileBbox: Map[String, (Double, Double, Double, Double)] =
+      if (bboxCol.isEmpty) Map.empty
+      else rels.iterator.flatMap(r => meta.get(r).flatMap(_.bbox)
+        .map(b => new Path(dd, r).toString -> b)).toMap
     val relation = HadoopFsRelation(
       new CommitLogFileIndex(dd, partitionSchema, groups,
-        statsCol.filter(_ => fileStats.nonEmpty), fileStats),
+        statsCol.filter(_ => fileStats.nonEmpty), fileStats,
+        bboxCol.filter(_ => fileBbox.nonEmpty), fileBbox),
       partitionSchema, dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
     // baseRelationToDataFrame lives on the classic (JVM-local) session —
     // the only kind this store can run against (it drives a Hadoop
@@ -654,8 +661,9 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     require(listed.forall(l => !new Path(l._1).isAbsolute),
       s"staging produced paths outside $stage")
     val stats = stagedStats(f, table, listed)
+    val bboxes = stagedBbox(f, table, listed)
     listed.map { case (r, st) =>
-      s"$opId/$r" -> FileMeta(st.getLen, stats.get(r)) }
+      s"$opId/$r" -> FileMeta(st.getLen, stats.get(r), bboxes.get(r)) }
   }
 
   /** Per-file (min, max) of `table`'s stats column in Spark-internal
@@ -676,6 +684,71 @@ final case class CommitLogTableStore(root: String) extends TableStore {
         import scala.jdk.CollectionConverters._
         out.asScala.toMap
     }
+
+  /** Per-file bbox ENVELOPE of `table`'s [[TableLayout.bboxStatsColumn]]
+    * from the freshly-staged parquet footers — empty for tables without
+    * one. One footer GET per staged file (datasets is catalog-scale),
+    * paid once at write time so every FindDatasets bbox window skips
+    * files for free. */
+  private def stagedBbox(f: FileSystem, table: String,
+      listed: Seq[(String, FileStatus)]): Map[String, (Double, Double, Double, Double)] =
+    TableLayout.bboxStatsColumn(table) match {
+      case None => Map.empty
+      case Some(colName) =>
+        val out = new java.util.concurrent.ConcurrentHashMap[
+          String, (Double, Double, Double, Double)]()
+        Catalog.applyConcurrently(listed) { case (r, st) =>
+          footerBbox(f, st, colName).foreach(mm => out.put(r, mm): Unit)
+        }
+        import scala.jdk.CollectionConverters._
+        out.asScala.toMap
+    }
+
+  /** The envelope (min xmin, min ymin, max xmax, max ymax) of one bbox
+    * struct column across a parquet file's row groups — None unless
+    * every row group carries usable non-null, non-NaN double statistics
+    * for all four leaves (skipping is an optimization, never a
+    * correctness dependency). Sound for the coarse-intersects shapes
+    * because those comparisons are null-rejecting and each constrains
+    * exactly one envelope side: min(xmin) decides `xmin <= q`,
+    * max(xmax) decides `xmax >= q`, likewise for y. */
+  private def footerBbox(f: FileSystem, st: FileStatus,
+      colName: String): Option[(Double, Double, Double, Double)] =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, f.getConf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) return None
+        var x0 = Double.MaxValue
+        var y0 = Double.MaxValue
+        var x1 = -Double.MaxValue
+        var y1 = -Double.MaxValue
+        blocks.foreach { b =>
+          val cols = b.getColumns.asScala
+          def minMax(leaf: String): Option[(Double, Double)] =
+            cols.find(_.getPath.toDotString
+              .equalsIgnoreCase(s"$colName.$leaf")).flatMap { c =>
+              val s = c.getStatistics
+              if (s == null || s.isEmpty || !s.hasNonNullValue) None
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (lo: java.lang.Double, hi: java.lang.Double)
+                    if !lo.isNaN && !hi.isNaN =>
+                  Some((lo.doubleValue, hi.doubleValue))
+                case _ => None
+              }
+            }
+          // any leaf without usable stats voids the whole envelope (the
+          // `return None` is non-local: out of footerBbox)
+          x0 = math.min(x0, minMax("xmin").getOrElse(return None)._1)
+          y0 = math.min(y0, minMax("ymin").getOrElse(return None)._1)
+          x1 = math.max(x1, minMax("xmax").getOrElse(return None)._2)
+          y1 = math.max(y1, minMax("ymax").getOrElse(return None)._2)
+        }
+        Some((x0, y0, x1, y1))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Min/max of one timestamp column across a parquet file's row groups,
     * normalized to Spark-internal MICROS — None unless every row group
@@ -945,23 +1018,44 @@ final case class CommitLogTableStore(root: String) extends TableStore {
   private def header(opId: String, kind: String): Vector[String] =
     Vector(s"OP $opId", s"KIND $kind")
 
-  /** One sized ADD/FILE line: `<verb> <rel> <size>[ s<min>:<max>]`. */
+  /** One sized ADD/FILE line:
+    * `<verb> <rel> <size>[ s<min>:<max>][ b<x0>:<y0>:<x1>:<y1>]`. */
   private[catalog] def entryLine(verb: String, rel: String, m: FileMeta): String =
-    s"$verb $rel ${m.size}" + m.stats.fold("") { case (mn, mx) => s" s$mn:$mx" }
+    s"$verb $rel ${m.size}" +
+      m.stats.fold("") { case (mn, mx) => s" s$mn:$mx" } +
+      m.bbox.fold("") { case (x0, y0, x1, y1) => s" b$x0:$y0:$x1:$y1" }
 
   /** Parse one ADD/REMOVE/FILE operand into (rel path, optional
     * [[CommitLogTableStore.FileMeta]]). Metadata tokens are parsed from
-    * the RIGHT — `s<min>:<max>` stats, then the all-digit `<size>` —
-    * which is unambiguous even though rel paths may contain spaces
-    * (string partition values are not space-escaped): a rel path always
-    * ENDS in a data-file name Spark generated (`part-…parquet`), never in
-    * an all-digit or `s<digits>:<digits>` token. Legacy lines (bare rel)
-    * parse unchanged, version-gating the format: old logs replay with no
-    * meta and fall back to the listing path. REMOVE lines are parsed
-    * through this too, so a REMOVE built by echoing a sized ADD operand
-    * still matches its live entry. */
+    * the RIGHT — the `b<4 doubles>` bbox envelope, then `s<min>:<max>`
+    * stats, then the all-digit `<size>` — which is unambiguous even
+    * though rel paths may contain spaces (string partition values are
+    * not space-escaped): a rel path always ENDS in a data-file name
+    * Spark generated (`part-…parquet`), never in an all-digit,
+    * `s<digits>:<digits>` or `b<4 doubles>` token. Legacy lines (bare
+    * rel) parse unchanged, version-gating the format: old logs replay
+    * with no meta and fall back to the listing path. REMOVE lines are
+    * parsed through this too, so a REMOVE built by echoing a sized ADD
+    * operand still matches its live entry. All-or-nothing: if no valid
+    * size token remains after stripping metadata, the WHOLE operand is
+    * the rel (a legacy line), whatever its tail looks like. */
   private[catalog] def parseEntry(rest: String): (String, Option[FileMeta]) = {
     var s = rest
+    var bbox: Option[(Double, Double, Double, Double)] = None
+    val k = s.lastIndexOf(' ')
+    if (k > 0) {
+      val t = s.substring(k + 1)
+      if (t.length >= 8 && t.charAt(0) == 'b') {
+        val parts = t.substring(1).split(':')
+        if (parts.length == 4) {
+          val ds = parts.map(_.toDoubleOption)
+          if (ds.forall(_.isDefined)) {
+            bbox = Some((ds(0).get, ds(1).get, ds(2).get, ds(3).get))
+            s = s.take(k)
+          }
+        }
+      }
+    }
     var stats: Option[(Long, Long)] = None
     val i = s.lastIndexOf(' ')
     if (i > 0) {
@@ -979,7 +1073,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     if (j > 0) {
       val t = s.substring(j + 1)
       if (t.nonEmpty && t.forall(_.isDigit) && t.length < 19)
-        return (s.take(j), Some(FileMeta(t.toLong, stats)))
+        return (s.take(j), Some(FileMeta(t.toLong, stats, bbox)))
     }
     (rest, None)
   }
@@ -1452,9 +1546,13 @@ object CommitLogTableStore {
     * `add.size`), and optionally the min/max of the table's stats column
     * ([[TableLayout.statsColumn]]) in Spark-internal micros for
     * file-level data skipping (Delta per-file stats; the reference's
-    * GIST datetime index, create.sql:39). */
+    * GIST datetime index, create.sql:39). Since r15, tables with a
+    * [[TableLayout.bboxStatsColumn]] also carry the file's bbox ENVELOPE
+    * — (min xmin, min ymin, max xmax, max ymax) — for spatial file
+    * skipping (the reference's GIST geography index). */
   private[catalog] final case class FileMeta(size: Long,
-      stats: Option[(Long, Long)])
+      stats: Option[(Long, Long)],
+      bbox: Option[(Double, Double, Double, Double)] = None)
 
   /** Replayed log state: `version` is the highest allocated version
     * (terminated or torn — torn commits consume their number), `live`

@@ -38,6 +38,19 @@ private[catalog] object TableLayout {
     case _ => None
   }
 
+  /** The bbox STRUCT column whose per-file ENVELOPE (min xmin, min ymin,
+    * max xmax, max ymax) rides the commit-log ADD lines — the spatial
+    * sibling of [[statsColumn]] (the reference backs FindDatasets with a
+    * GIST geography index the same way, create.sql:39). A
+    * FindDatasets bbox window then skips whole files: the coarse
+    * intersects filter is four half-plane comparisons, each exactly
+    * decidable from the one envelope side it constrains
+    * ([[CommitLogFileIndex]] `mayMatchBbox`). */
+  def bboxStatsColumn(table: String): Option[String] = table match {
+    case "datasets" => Some("bbox")
+    case _ => None
+  }
+
   final case class Derived(name: String, srcCol: String, derive: Column => Column)
 
   /** DERIVED partition columns — computed from a data column at write

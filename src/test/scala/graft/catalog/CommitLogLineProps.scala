@@ -46,13 +46,23 @@ object CommitLogLineProps extends Properties("commitlog-lines") {
     file <- genFile
   } yield (Seq(op) ++ part.toSeq :+ file).mkString("/")
 
+  /** Envelope doubles, adversarial: negatives, -0.0, scientific
+    * notation, extremes — everything Double.toString can emit (which is
+    * exactly what entryLine writes; toString round-trips). */
+  private val genDbl: Gen[Double] = Gen.oneOf(
+    Gen.choose(-180.0, 180.0), Gen.const(-0.0), Gen.const(1.23e-12),
+    Gen.const(-9.87e15), Gen.const(Double.MaxValue))
+
   private val genMeta: Gen[FileMeta] = for {
     size <- Gen.choose(0L, 999999999999999999L) // < 19 digits: real sizes
     stats <- Gen.option(for {
       mn <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
       span <- Gen.choose(0L, 1000000L)
     } yield (mn, mn + span))
-  } yield FileMeta(size, stats)
+    bbox <- Gen.option(for {
+      x0 <- genDbl; y0 <- genDbl; x1 <- genDbl; y1 <- genDbl
+    } yield (x0, y0, x1, y1))
+  } yield FileMeta(size, stats, bbox)
 
   property("sized lines round-trip") = forAll(genRel, genMeta) { (rel, m) =>
     val line = store.entryLine("ADD", rel, m)

@@ -750,6 +750,56 @@ class CommitLogProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(odd.count() == 30)
   }
 
+  test("file-level bbox skipping: a FindDatasets window enumerates only files whose envelope can intersect") {
+    // r14 next-round #4 (the reference's GIST geography index on
+    // datasets, create.sql:39, alongside the datetime one): ADD lines
+    // carry the file's bbox ENVELOPE and the FileIndex judges the
+    // coarse-intersects half-planes against it — a bbox browse over a
+    // 100-TB catalog opens only the files whose extent can intersect.
+    val s = CommitLogTableStore(s"$root/bskip")
+    val wkb = graft.geo.GeomOps.writeWkb(
+      graft.geo.GeomOps.polygonFromBBox(graft.geo.BBox(0, 0, 1, 1)))
+    def dsets(tag: String, x0: Double): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until 5).map { i =>
+        Row(s"$tag$i", s"r$i", "i1", s"mem://$tag$i", "", Seq(1), "ACTIVE",
+          null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, wkb, wkb,
+          4326, Row(x0 + i, 0.0, x0 + i + 1.0, 10.0))
+      }, 1), Schemas.all("datasets"))
+    // three one-file appends with disjoint x-extents: [0,5], [50,55], [100,105]
+    for ((t, x) <- Seq(("a", 0.0), ("b", 50.0), ("c", 100.0)))
+      s.append(dsets(t, x), "datasets")
+    def scanOf(df: DataFrame) =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in plan"))
+    val all = s.read(spark, "datasets")
+    assert(scanOf(all).selectedPartitions.totalNumberOfFiles == 3,
+      "test setup: expected one file per append")
+    // a window inside the middle batch: the other two files must not
+    // even be enumerated, and the row set is exact
+    val probe = s.read(spark, "datasets").filter(
+      graft.functions.SpatialExpressions.bboxIntersects(col("bbox"),
+        graft.geo.BBox(52, 1, 53, 2)))
+    assert(scanOf(probe).selectedPartitions.totalNumberOfFiles == 1,
+      "bbox window did not skip out-of-extent files")
+    assert(probe.select("id").collect().map(_.getString(0)).toSet ==
+      Set("b1", "b2", "b3")) // [51,52],[52,53],[53,54] touch [52,53]
+    // boundary soundness: a window whose left edge EQUALS the file's
+    // max xmax keeps the file (closed intersects), never skips it
+    val edge = s.read(spark, "datasets").filter(
+      graft.functions.SpatialExpressions.bboxIntersects(col("bbox"),
+        graft.geo.BBox(55, 0, 60, 5)))
+    assert(scanOf(edge).selectedPartitions.totalNumberOfFiles == 1)
+    assert(edge.select("id").collect().map(_.getString(0)).toSet == Set("b4"))
+    // a shape needing the OTHER side of a field's range (xmin >= q wants
+    // max(xmin), which the envelope deliberately doesn't carry) keeps
+    // everything — conservative, rows still exact
+    val odd = s.read(spark, "datasets")
+      .filter(col("bbox").getField("xmin") >= lit(10.0))
+    assert(scanOf(odd).selectedPartitions.totalNumberOfFiles == 3)
+    assert(odd.count() == 10)
+  }
+
   test("rewrite compacts: N appended op dirs fold into one") {
     val dir = s"$root/compact"
     val s = CommitLogTableStore(dir)
