@@ -144,7 +144,14 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     val snap = snapshot(f, table, inDoubtWaitMs = ReadInDoubtWaitMs)
     if (snap.live.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else readFiles(spark, f, table, snap.live, snap.meta)
+    else readFiles(spark, f, table, snap.live, snap.meta,
+      // full-live-set reads reuse the FileIndex built for this exact
+      // snapshot INSTANCE (replay memoization hands the same object back
+      // while the log listing is unchanged) — the steady-state serving
+      // read then skips rebuilding O(live files) Path/FileStatus/group
+      // structures per query (~0.6 s per 100k files, ~6 s at a 1M-file
+      // tiles table — a per-REQUEST cost before this cache)
+      reusable = Some((s"$root/$table", snap)))
   }
 
   /** ONE file-index-backed parquet relation over the whole live set —
@@ -157,43 +164,60 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * plan stays width-1 whether the table holds one op dir or ten
     * thousand. */
   private def readFiles(spark: SparkSession, f: FileSystem, table: String,
-      rels: Seq[String], meta: Map[String, FileMeta]): DataFrame = {
+      rels: Seq[String], meta: Map[String, FileMeta],
+      reusable: Option[(String, Snapshot)] = None): DataFrame = {
     val schema = TableLayout.readSchema(table)
     val pcOpt = TableLayout.partitionColumn(table)
-    val dd = f.makeQualified(dataDir(table))
-    val statuses = fileStatuses(f, dd, rels, meta)
-    val (partitionSchema, groups) = pcOpt match {
-      case Some(pc) =>
-        val field = schema(pc)
-        val parts = statuses.groupBy { case (rel, _) => partDirOf(rel) }
-          .toSeq.sortBy(_._1).map { case (dir, group) =>
-            (InternalRow(partitionValue(dir, pc, field.dataType)),
-              group.map(_._2))
-          }
-        (StructType(Seq(field)), parts)
-      case None =>
-        (StructType(Nil),
-          Seq((InternalRow.empty: InternalRow, statuses.map(_._2))))
-    }
     val dataSchema = StructType(schema.filterNot(fl => pcOpt.contains(fl.name)))
-    // per-file stats for the index's data skipping: qualified path →
-    // (min, max) of the stats column, for every live file whose ADD line
-    // carried them (the skipping is best-effort — unknown files are
-    // always enumerated)
-    val statsCol = TableLayout.statsColumn(table)
-    val fileStats: Map[String, (Long, Long)] =
-      if (statsCol.isEmpty) Map.empty
-      else rels.iterator.flatMap(r => meta.get(r).flatMap(_.stats)
-        .map(s => new Path(dd, r).toString -> s)).toMap
-    val bboxCol = TableLayout.bboxStatsColumn(table)
-    val fileBbox: Map[String, (Double, Double, Double, Double)] =
-      if (bboxCol.isEmpty) Map.empty
-      else rels.iterator.flatMap(r => meta.get(r).flatMap(_.bbox)
-        .map(b => new Path(dd, r).toString -> b)).toMap
-    val relation = HadoopFsRelation(
-      new CommitLogFileIndex(dd, partitionSchema, groups,
+    val cached = reusable.flatMap { case (key, snap) =>
+      Option(relationCache.get(key)).collect {
+        // the SNAPSHOT INSTANCE is the validity token: replay
+        // memoization returns the same object while the log listing
+        // fingerprint is unchanged, and every durable state change makes
+        // a new one. Uncacheable (unstable) replays always build a fresh
+        // Snapshot, so they can never hit here.
+        case (s, ps, idx) if s eq snap => (ps, idx)
+      }
+    }
+    val (partitionSchema, index) = cached.getOrElse {
+      val dd = f.makeQualified(dataDir(table))
+      val statuses = fileStatuses(f, dd, rels, meta)
+      val (partitionSchema, groups) = pcOpt match {
+        case Some(pc) =>
+          val field = schema(pc)
+          val parts = statuses.groupBy { case (rel, _) => partDirOf(rel) }
+            .toSeq.sortBy(_._1).map { case (dir, group) =>
+              (InternalRow(partitionValue(dir, pc, field.dataType)),
+                group.map(_._2))
+            }
+          (StructType(Seq(field)), parts)
+        case None =>
+          (StructType(Nil),
+            Seq((InternalRow.empty: InternalRow, statuses.map(_._2))))
+      }
+      // per-file stats for the index's data skipping: qualified path →
+      // (min, max) of the stats column, for every live file whose ADD line
+      // carried them (the skipping is best-effort — unknown files are
+      // always enumerated)
+      val statsCol = TableLayout.statsColumn(table)
+      val fileStats: Map[String, (Long, Long)] =
+        if (statsCol.isEmpty) Map.empty
+        else rels.iterator.flatMap(r => meta.get(r).flatMap(_.stats)
+          .map(s => new Path(dd, r).toString -> s)).toMap
+      val bboxCol = TableLayout.bboxStatsColumn(table)
+      val fileBbox: Map[String, (Double, Double, Double, Double)] =
+        if (bboxCol.isEmpty) Map.empty
+        else rels.iterator.flatMap(r => meta.get(r).flatMap(_.bbox)
+          .map(b => new Path(dd, r).toString -> b)).toMap
+      val idx = new CommitLogFileIndex(dd, partitionSchema, groups,
         statsCol.filter(_ => fileStats.nonEmpty), fileStats,
-        bboxCol.filter(_ => fileBbox.nonEmpty), fileBbox),
+        bboxCol.filter(_ => fileBbox.nonEmpty), fileBbox)
+      reusable.foreach { case (key, snap) =>
+        relationCachePut(key, snap, partitionSchema, idx)
+      }
+      (partitionSchema, idx)
+    }
+    val relation = HadoopFsRelation(index,
       partitionSchema, dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
     // baseRelationToDataFrame lives on the classic (JVM-local) session —
     // the only kind this store can run against (it drives a Hadoop
@@ -1709,6 +1733,41 @@ object CommitLogTableStore {
   private val SnapshotCacheMaxPaths = 1L << 21
   private val snapshotCachedPaths =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Built [[CommitLogFileIndex]]es for FULL-live-set reads, keyed by
+    * (root, table) and validated by SNAPSHOT INSTANCE identity: replay
+    * memoization hands back the same [[Snapshot]] object while the log
+    * listing fingerprint is unchanged, and every durable state change
+    * replays a new one — so `eq` is exactly "same snapshot, same files".
+    * Without this, EVERY read of a table rebuilds O(live files)
+    * Path/FileStatus/partition-group structures (~0.6 s per 100k files
+    * measured, ~6 s per read of a 1M-file tiles table) even when the
+    * replay itself was memoized — a per-request serving cost. Bounded by
+    * total cached file count with the same wholesale-reset discipline as
+    * the other caches. Partial reads (partition rewrites) never use it. */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Snapshot, StructType, CommitLogFileIndex)]()
+
+  /** Total files the relation cache may hold before a wholesale reset —
+    * a FileStatus+Path pair is a few hundred bytes, so ~1M files ≈ a few
+    * hundred MB, sized for one 100-TB tiles table per serving JVM. */
+  private val RelationCacheMaxFiles = 1L << 20
+  private val relationCachedFiles =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def relationCachePut(key: String, snap: Snapshot,
+      ps: StructType, idx: CommitLogFileIndex): Unit = {
+    val prev = relationCache.put(key, (snap, ps, idx))
+    val delta = snap.live.size.toLong -
+      (if (prev == null) 0L else prev._1.live.size.toLong)
+    if (relationCachedFiles.addAndGet(delta) > RelationCacheMaxFiles) {
+      relationCache.clear()
+      relationCache.put(key, (snap, ps, idx)): Unit
+      import scala.jdk.CollectionConverters._
+      relationCachedFiles.set(relationCache.values.asScala.iterator
+        .map(_._1.live.size.toLong).sum)
+    }
+  }
 
   /** Memoized per-op-directory data-file listings (qualified op dir →
     * rel path → status), shared across reads/tables/stores in this JVM.

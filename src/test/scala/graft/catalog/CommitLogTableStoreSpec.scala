@@ -1063,12 +1063,43 @@ class CommitLogCheckpointV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files == 100000, s"replayed $files of 100000 files")
     info(f"cold 100k-entry v2 replay + plan: $elapsed%.2f s")
     assert(elapsed < 30.0, f"cold replay took $elapsed%.1f s")
-    // warm (fingerprint-memoized) replay is ~free
-    val t1 = System.nanoTime()
-    assert(CommitLogTableStore(dir).read(spark, "tiles").inputFiles.length == 100000)
-    val warm = (System.nanoTime() - t1) / 1e9
-    info(f"warm (memoized) replay + plan: $warm%.2f s")
+    // warm (fingerprint-memoized) replay: the steady-state per-read cost
+    // a serving session pays on EVERY query of the table — measured over
+    // a few iterations so JIT noise decays (the last is the honest one)
+    var warm = 0.0
+    for (i <- 1 to 4) {
+      val t1 = System.nanoTime()
+      val df = CommitLogTableStore(dir).read(spark, "tiles")
+      warm = (System.nanoTime() - t1) / 1e9
+      if (i == 1) assert(df.inputFiles.length == 100000)
+      info(f"warm (memoized) read #$i: $warm%.3f s")
+    }
     assert(warm < elapsed + 1.0)
+  }
+
+  test("steady-state reads reuse ONE FileIndex per snapshot; any commit rebuilds it") {
+    // the relation cache behind the warm numbers above, asserted by
+    // IDENTITY (timing-free): while the log is unchanged, every read
+    // serves the same FileIndex instance (no O(live-files) rebuild per
+    // request); the first read after a commit builds a fresh one and
+    // sees the new rows — never a stale listing
+    val dir = s"$root/relcache"
+    val s = CommitLogTableStore(dir)
+    s.append(oneRow("r1"), "tasks")
+    def indexOf(df: DataFrame): AnyRef =
+      df.queryExecution.logical.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location
+      }.getOrElse(fail("no file relation in plan"))
+    val i1 = indexOf(s.read(spark, "tasks"))
+    val i2 = indexOf(s.read(spark, "tasks"))
+    assert(i1 eq i2, "steady-state read rebuilt the file index")
+    s.append(oneRow("r2"), "tasks")
+    val i3 = indexOf(s.read(spark, "tasks"))
+    assert(!(i3 eq i1), "a commit did not invalidate the cached file index")
+    assert(s.read(spark, "tasks").count() == 2)
   }
 
   test("a truncated v2 checkpoint is judged unreadable, never misparsed") {
