@@ -2017,12 +2017,35 @@ object RelationalQueries {
         col("datetime") < lit(new java.sql.Timestamp(t0 + 36 * 3600000L)))
       .select(lit("rec").as("kind"), col("id").as("key"),
         date_format(col("datetime"), "yyyy-MM-dd HH:mm").as("val"))
+    // datasets carry per-file bbox ENVELOPES on their ADD lines (r15):
+    // three single-file appends over disjoint x-ranges ([0,8], [8,16],
+    // [16,24]), then a FindDatasets-shaped coarse-intersects window
+    // [6,10] that SPANS the batch-0/1 boundary — spatial file skipping
+    // must prune batch 2 but never a boundary row, and the echoed
+    // integer extents pin the double round-trip through the line format
+    // (a skip-too-much or shifted-envelope bug is a hash mismatch)
+    val dwkb = graft.geo.GeomOps.writeWkb(
+      graft.geo.GeomOps.polygonFromBBox(graft.geo.BBox(0, 0, 1, 1)))
+    def dsetsDf(g: Int): DataFrame =
+      s.createDataFrame(s.sparkContext.parallelize((0 until 8).map { i =>
+        val x0 = g * 8.0 + i
+        Row(s"d$g$i", s"r$g-$i", "i1", s"mem://d$g$i", "", Seq(1), "ACTIVE",
+          null, "uint8", 255.0, 0.0, 254.0, 0.0, 254.0, 1.0, false, dwkb,
+          dwkb, 4326, Row(x0, 0.0, x0 + 1.0, 5.0))
+      }, 1), Schemas.all("datasets"))
+    for (g <- 0 until 3) st.append(dsetsDf(g), "datasets")
+    val dsets = st.read(s, "datasets")
+      .filter(graft.functions.SpatialExpressions.bboxIntersects(col("bbox"),
+        graft.geo.BBox(6, 0, 10, 5)))
+      .select(lit("ds").as("kind"), col("id").as("key"),
+        concat(col("bbox.xmin").cast("int").cast("string"), lit(":"),
+          col("bbox.xmax").cast("int").cast("string")).as("val"))
     val tasks = st.read(s, "tasks")
       .select(lit("task").as("kind"), col("id").as("key"), col("state").as("val"))
     val tiles = st.read(s, "tiles")
       .select(lit("tile").as("kind"), col("container_uri").as("key"),
         lit("").as("val"))
-    tasks.unionAll(tiles).unionAll(recs).orderBy("kind", "key")
+    tasks.unionAll(tiles).unionAll(recs).unionAll(dsets).orderBy("kind", "key")
   }
 
   def c7Gc(s: SparkSession, dir: String): DataFrame = {
@@ -2831,7 +2854,8 @@ object RelationalQueries {
            FROM generate_series(1, 20) s(i) WHERE s.i % 3 <> 0),
            r AS (SELECT CAST(h.i // 24 AS BIGINT) AS d,
                         CAST(h.i % 24 AS BIGINT) AS h, CAST(h.i AS BIGINT) AS i
-           FROM generate_series(12, 35) h(i))
+           FROM generate_series(12, 35) h(i)),
+           b AS (SELECT CAST(s.i AS BIGINT) AS i FROM generate_series(5, 10) s(i))
          SELECT kind, key, val FROM (
            SELECT 'task' AS kind, printf('t%03d', i) AS key,
                   CASE WHEN i % 4 = 1 THEN 'DONE' ELSE 'NEW' END AS val FROM t
@@ -2840,7 +2864,10 @@ object RelationalQueries {
            UNION ALL
            SELECT 'rec' AS kind, printf('r%d%02d', d, h) AS key,
                   strftime(TIMESTAMP '2024-01-01 00:00:00'
-                    + i * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS val FROM r)
+                    + i * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M') AS val FROM r
+           UNION ALL
+           SELECT 'ds' AS kind, printf('d%d%d', i // 8, i % 8) AS key,
+                  printf('%d:%d', i, i + 1) AS val FROM b)
          ORDER BY kind, key""",
     "c7_delete_job" ->
       """WITH odd AS (SELECT CAST(t.i AS BIGINT) AS i
