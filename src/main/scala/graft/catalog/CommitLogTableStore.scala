@@ -164,7 +164,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * plan stays width-1 whether the table holds one op dir or ten
     * thousand. */
   private def readFiles(spark: SparkSession, f: FileSystem, table: String,
-      rels: Seq[String], meta: Map[String, FileMeta],
+      rels: Seq[String], meta: scala.collection.Map[String, FileMeta],
       reusable: Option[(String, Snapshot)] = None): DataFrame = {
     val schema = TableLayout.readSchema(table)
     val pcOpt = TableLayout.partitionColumn(table)
@@ -185,11 +185,20 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       val (partitionSchema, groups) = pcOpt match {
         case Some(pc) =>
           val field = schema(pc)
-          val parts = statuses.groupBy { case (rel, _) => partDirOf(rel) }
-            .toSeq.sortBy(_._1).map { case (dir, group) =>
-              (InternalRow(partitionValue(dir, pc, field.dataType)),
-                group.map(_._2))
-            }
+          // one-pass mutable grouping (immutable groupBy built a fresh
+          // map node per insert — measurable at 10⁶ files); group count
+          // is the table's partition fan-out, small
+          val grouped = new java.util.LinkedHashMap[
+            String, scala.collection.mutable.ArrayBuffer[FileStatus]]()
+          statuses.foreach { case (rel, st) =>
+            grouped.computeIfAbsent(partDirOf(rel),
+              _ => new scala.collection.mutable.ArrayBuffer[FileStatus]) += st
+          }
+          import scala.jdk.CollectionConverters._
+          val parts = grouped.asScala.toSeq.sortBy(_._1).map { case (dir, group) =>
+            (InternalRow(partitionValue(dir, pc, field.dataType)),
+              group.toSeq)
+          }
           (StructType(Seq(field)), parts)
         case None =>
           (StructType(Nil),
@@ -267,7 +276,28 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     * live file absent from the memoized listing re-lists once
     * (never-observed in protocol; defensive against an external rm). */
   private def fileStatuses(f: FileSystem, dd: Path, rels: Seq[String],
-      meta: Map[String, FileMeta]): Seq[(String, FileStatus)] = {
+      meta: scala.collection.Map[String, FileMeta]): Seq[(String, FileStatus)] = {
+    // the common all-sized case builds chunk-parallel into a pre-sized
+    // array (order-preserving, no merge): Path construction alone is
+    // ~2 µs per file — ~2 s of single-threaded cold start at a
+    // million-file tiles table
+    if (rels.length >= ParallelReplayAt && rels.forall(meta.contains)) {
+      val idx = rels.toIndexedSeq
+      val out = new Array[(String, FileStatus)](idx.length)
+      val chunk = math.max(4096, idx.length / 32)
+      Catalog.applyConcurrently((0 until idx.length by chunk).map(lo =>
+        (lo, math.min(idx.length, lo + chunk)))) { case (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          val r = idx(i)
+          val m = meta(r)
+          out(i) =
+            r -> new FileStatus(m.size, false, 1, ScanBlockSize, 0L, new Path(dd, r))
+          i += 1
+        }
+      }
+      return scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
     val resolved =
       new java.util.concurrent.ConcurrentHashMap[String, Map[String, FileStatus]]()
     Catalog.applyConcurrently(
@@ -907,9 +937,13 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     // durably-voided versions: torn forever, even if a terminator
     // appears later (the marker is the arbiter — see [[voidPath]])
     val voided = entries.flatMap(versioned(_, VoidSuffix)).map(_._1).toSet
-    var live = Set.empty[String]
-    var tombs = Map.empty[String, Long]
-    var meta = Map.empty[String, FileMeta]
+    // MUTABLE during replay, frozen at Snapshot construction (the
+    // instance is published via the cache's ConcurrentHashMap put — a
+    // safe-publication barrier — and never mutated after): immutable-
+    // collection churn alone cost ~2 s of a million-entry cold start
+    val live = new scala.collection.mutable.HashSet[String]
+    val tombs = new scala.collection.mutable.HashMap[String, Long]
+    val meta = new scala.collection.mutable.HashMap[String, FileMeta]
     // newest readable+terminated checkpoint shortcuts the replay; an
     // unreadable/in-doubt one is skipped for the next older — sound,
     // because a checkpoint is derived state: replaying from an older one
@@ -918,19 +952,7 @@ final case class CommitLogTableStore(root: String) extends TableStore {
     val cp = checkpoints.reverseIterator.map { case (v, s) =>
       (v, try readCommit(f, s, inDoubtWaitMs) catch { case VanishedCommit => Torn })
     }.collectFirst { case (v, Terminated(lines)) => (v, lines) }
-    cp.foreach { case (_, lines) =>
-      lines.foreach { l =>
-        if (l.startsWith("FILE ")) {
-          val (r, fm) = parseEntry(l.drop(5))
-          live += r
-          fm.foreach(m => meta += r -> m)
-        } else if (l.startsWith("TOMB ")) {
-          val rest = l.drop(5)
-          val sp = rest.indexOf(' ')
-          tombs += rest.drop(sp + 1) -> rest.take(sp).toLong
-        }
-      }
-    }
+    cp.foreach { case (_, lines) => foldCheckpoint(lines, live, tombs, meta) }
     val from = cp.map(_._1).getOrElse(0L)
     // torn-without-marker is the one UNSTABLE judgment (see the note at
     // [[fingerprint]]): a replay containing one must not be cached
@@ -959,9 +981,75 @@ final case class CommitLogTableStore(root: String) extends TableStore {
       }
     }
     val version = math.max(commits.lastOption.map(_._1).getOrElse(0L), from)
-    val snap = Snapshot(version, live.toVector.sorted, tombs, meta)
+    val liveArr = live.toArray
+    java.util.Arrays.parallelSort(liveArr,
+      java.util.Comparator.naturalOrder[String]())
+    val snap = Snapshot(version,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(liveArr),
+      tombs, meta)
     if (!unstable) snapshotCachePut(cacheKey, fp, snap)
     snap
+  }
+
+  /** Fold one checkpoint's lines into the replay state. FILE/TOMB lines
+    * are mutually independent (a checkpoint is a SET dump, unlike a
+    * commit's ordered ADD/REMOVE), so big checkpoints parse
+    * chunk-parallel on the fs-ops pool — the parse (substring scans per
+    * line) dominates a million-entry cold replay single-threaded. The
+    * sequential fold into the builders stays on the caller's thread. */
+  private def foldCheckpoint(lines: Vector[String],
+      live: scala.collection.mutable.HashSet[String],
+      tombs: scala.collection.mutable.HashMap[String, Long],
+      meta: scala.collection.mutable.HashMap[String, FileMeta]): Unit = {
+    def tombOf(l: String): (String, Long) = {
+      val rest = l.drop(5)
+      val sp = rest.indexOf(' ')
+      (rest.drop(sp + 1), rest.take(sp).toLong)
+    }
+    if (lines.length < ParallelReplayAt)
+      lines.foreach { l =>
+        if (l.startsWith("FILE ")) {
+          val (r, fm) = parseEntry(l.drop(5))
+          live += r
+          fm.foreach(m => meta(r) = m)
+        } else if (l.startsWith("TOMB ")) {
+          val (r, t) = tombOf(l)
+          tombs(r) = t
+        }
+      }
+    else {
+      val arr = lines.toArray
+      val n = arr.length
+      val rels = new Array[String](n)
+      val metas = new Array[FileMeta](n) // null = line carries none
+      val kinds = new Array[Byte](n) // 0 other, 1 FILE, 2 TOMB
+      val tombAt = new Array[Long](n)
+      val chunk = math.max(4096, n / 32)
+      Catalog.applyConcurrently((0 until n by chunk).map(lo =>
+        (lo, math.min(n, lo + chunk)))) { case (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          val l = arr(i)
+          if (l.startsWith("FILE ")) {
+            val (r, fm) = parseEntry(l.drop(5))
+            kinds(i) = 1; rels(i) = r; metas(i) = fm.orNull
+          } else if (l.startsWith("TOMB ")) {
+            val (r, t) = tombOf(l)
+            kinds(i) = 2; rels(i) = r; tombAt(i) = t
+          }
+          i += 1
+        }
+      }
+      live.sizeHint(live.size + n)
+      var i = 0
+      while (i < n) {
+        if (kinds(i) == 1) {
+          live += rels(i)
+          if (metas(i) != null) meta(rels(i)) = metas(i)
+        } else if (kinds(i) == 2) tombs(rels(i)) = tombAt(i)
+        i += 1
+      }
+    }
   }
 
   /** Read one commit/checkpoint and judge it: [[Terminated]] with its
@@ -1580,13 +1668,18 @@ object CommitLogTableStore {
 
   /** Replayed log state: `version` is the highest allocated version
     * (terminated or torn — torn commits consume their number), `live`
-    * the current file set, `tombs` removed-but-not-vacuumed files with
-    * their removal time, `meta` the per-file size/stats for every live
-    * file whose ADD line carried them (absent for legacy entries, which
-    * fall back to one LIST per op directory). */
+    * the current file set SORTED (an array-backed IndexedSeq), `tombs`
+    * removed-but-not-vacuumed files with their removal time, `meta` the
+    * per-file size/stats for every live file whose ADD line carried them
+    * (absent for legacy entries, which fall back to one LIST per op
+    * directory). `tombs`/`meta` are typed read-only but BACKED BY
+    * MUTABLE maps built during replay (immutable-map churn cost ~2 s at
+    * a million entries): a Snapshot is frozen at construction, published
+    * through the cache's ConcurrentHashMap (a safe-publication barrier),
+    * and never mutated after. */
   private[CommitLogTableStore] case class Snapshot(version: Long,
-      live: Vector[String], tombs: Map[String, Long],
-      meta: Map[String, FileMeta])
+      live: IndexedSeq[String], tombs: scala.collection.Map[String, Long],
+      meta: scala.collection.Map[String, FileMeta])
 
   private val CommitSuffix = ".commit"
   private val CheckpointSuffix = ".checkpoint"
@@ -1683,6 +1776,11 @@ object CommitLogTableStore {
 
   /** Optimistic-retry bound for one mutation. */
   private val MaxAttempts = 50
+
+  /** Line/file count past which replay-side folds parallelize on the
+    * fs-ops pool (checkpoint parse, FileStatus construction) — below
+    * it the sequential path is faster than the fan-out overhead. */
+  private val ParallelReplayAt = 65536
 
   /** Block size stamped on snapshot-built [[FileStatus]]es. Split sizing
     * comes from `spark.sql.files.maxPartitionBytes`, not this; it only
