@@ -212,12 +212,13 @@ object Dedup {
       textCol: String, n: Int = 5): DataFrame = {
     val benchGrams = benchmark
       .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
-    // per-doc grams are array_distinct'd BEFORE the explode, so the rollup
-    // is a plain count — count_distinct would re-dedupe rows that are
-    // already unique per (doc, gram), paying the distinct-aggregate
+    // per-doc grams are distinct BEFORE the explode (wordNgrams emits an
+    // array_distinct'd array — no second array_distinct on top), so the
+    // rollup is a plain count — count_distinct would re-dedupe rows that
+    // are already unique per (doc, gram), paying the distinct-aggregate
     // machinery on the op's widest relation for nothing
     corpus.select(col(idCol),
-        explode(array_distinct(wordNgrams(col(textCol), n))).as("__g"))
+        explode(wordNgrams(col(textCol), n)).as("__g"))
       .join(broadcast(benchGrams), "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))

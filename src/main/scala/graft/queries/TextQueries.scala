@@ -19,6 +19,18 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** [[docs]] fanned out to the session parallelism for the queries whose
+    * per-row projection work (md5 minhashes, n-gram construction, window
+    * hashing) dominates their runtime — at bench scale the documents
+    * table is one single-row-group parquet file, i.e. a 1-task scan, and
+    * the heavy projection serializes on one core (guide §2.5 input skew).
+    * [[Tables.fanOutSmall]] is a no-op once the scan has >= cores
+    * partitions, so the 100 TB plan shape is unchanged. Light projections
+    * (text_tokens, fingerprints, simhash) measured FASTER without the
+    * exchange and keep the raw scan. */
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOutSmall(docs(s, dir))
+
   /** Non-empty whitespace tokens (text has trailing blanks). */
   private val tokensExpr = "filter(split(text, ' '), x -> x != '')"
   /** Distinct token set, sorted — the canonical shingle set. */
@@ -131,7 +143,7 @@ object TextQueries {
     val mh8 = (0 until 8).map { i =>
       s"mh$i" -> s"array_min(transform($tokenSetExpr, t -> md5(concat('$i|', t))))"
     }
-    val base = mh8.foldLeft(docs(s, dir)) {
+    val base = mh8.foldLeft(docsWide(s, dir)) {
       case (df, (name, e)) => df.withColumn(name, expr(e))
     }.withColumn("toks", expr(tokenSetExpr))
       .select(col("doc_id"), col("source"), col("toks"),
@@ -188,7 +200,7 @@ object TextQueries {
     * and perplexity. Model = one keyed agg + broadcast; the corpus
     * explode is map-side; only the per-doc rollup shuffles. */
   def textPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text",
+    graft.operators.TextAnalysis.unigramNll(docsWide(s, dir), "doc_id", "text",
         c => filter(split(c, " "), x => x =!= ""))
       .orderBy("doc_id")
 
@@ -251,7 +263,7 @@ object TextQueries {
     * with its shared-gram count. Benchmark grams broadcast; corpus rows
     * never shuffle — only the per-doc rollup does. */
   def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d = docsWide(s, dir)
     graft.operators.Dedup.decontaminate(
         d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
         "doc_id", "text", n = 3)
@@ -266,7 +278,7 @@ object TextQueries {
     * One keyed shuffle for the doc frequencies, broadcast back. */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.boilerplate(
-        docs(s, dir), "doc_id", "text", n = 3, minDocFrac = 0.006)
+        docsWide(s, dir), "doc_id", "text", n = 3, minDocFrac = 0.006)
       .orderBy("doc_id")
 
   /** dedup_components — near-dup pairs folded into dedup CLUSTERS
@@ -358,7 +370,7 @@ object TextQueries {
     * coverage (union of overlapping dup windows via a running-max
     * window). All-integer interval math, so the oracle is exact. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", k = 5)
+    graft.operators.Dedup.duplicateSpans(docsWide(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id")
 
   /** text_tfidf_cos — TF-IDF cosine rerank

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round measurement harness (guide §1): times isolated
+  * sub-plans of the expensive bench queries through the noop sink so the
+  * computation is measured, not the sink or the presentation sort. Not
+  * part of the bench contract — a diagnostic, like ReplayScaleMain.
+  *
+  *   sbt "Test/runMain graft.queries.ProfileMain /root/testdata/sf0.1"
+  */
+object ProfileMain {
+  private val tokensExpr = "filter(split(text, ' '), x -> x != '')"
+  private val tokenSetExpr = s"array_sort(array_distinct($tokensExpr))"
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(body: => Unit): Unit = {
+      // min of 2 after one warm run, matching the bench's min-of-passes
+      body
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $name%-40s ${ts.min}%8.3f s")
+      graft.operators.OperatorCaches.unpersistAll()
+      spark.catalog.clearCache()
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+
+    println(s"docs partitions=${docs.rdd.getNumPartitions} rows=${docs.count()}")
+
+    // ---- 1. the minhash signature projection: 1-task scan vs fanned out
+    val mh8 = (0 until 8).map { i =>
+      s"mh$i" -> s"array_min(transform($tokenSetExpr, t -> md5(concat('$i|', t))))"
+    }
+    def sig(df: DataFrame): DataFrame =
+      mh8.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+        .withColumn("toks", expr(tokenSetExpr))
+        .select(col("doc_id"), col("source"), col("toks"),
+          concat(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("band0"),
+          concat(col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("band1"))
+    time("minhash8 sig, as-is (1 task)") { noop(sig(docs)) }
+    time("minhash8 sig, repartition(cores)") {
+      noop(sig(docs.repartition(spark.sparkContext.defaultParallelism)))
+    }
+
+    // ---- 2. tokenset alone (how much is md5 vs tokenize)
+    time("tokenset only (1 task)") {
+      noop(docs.select(col("doc_id"), expr(tokenSetExpr).as("t")))
+    }
+
+    // ---- 3. word-3-gram construction (boilerplate/decontaminate unit)
+    val g3 = "CASE WHEN size(" + tokensExpr + ") >= 3 THEN array_distinct(" +
+      s"transform(sequence(1, size($tokensExpr) - 2), " +
+      s"i -> array_join(slice($tokensExpr, i, 3), ' '))) " +
+      "ELSE array() END"
+    time("word3grams (1 task)") {
+      noop(docs.select(col("doc_id"), expr(g3).as("g")))
+    }
+    time("word3grams repartition(cores)") {
+      noop(docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr(g3).as("g")))
+    }
+
+    // ---- 4. events JSON parse (p3 shape)
+    time("p3 json parse (1 task)") {
+      noop(events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("k") % 10 === 0)
+        .groupBy("k").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s")))
+    }
+    time("p3 json parse repartition(cores)") {
+      noop(events.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull && col("k") % 10 === 0)
+        .groupBy("k").agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s")))
+    }
+
+    // ---- 5. the full declared heavy queries, as-is, noop-sunk
+    for (name <- Seq("dedup_lsh_pairs", "dedup_components", "text_decontaminate",
+        "text_boilerplate", "dedup_spans", "p5_spatial_refine",
+        "f7_area_checksum", "text_perplexity", "g6_tile_aoi")) {
+      time(name) { noop(graft.SparkEntry.queries(name)(spark, dir)) }
+    }
+
+    // ---- 5b. A/B: canonical-cell dedup returns the same pair set as the
+    // old distinct() at sf0.1 (the oracle pins sf0.01/0.001; this pins the
+    // big SF too)
+    locally {
+      import graft.functions.SpatialExpressions.{st_interior_intersects, st_make_box}
+      def cellsAB(df: DataFrame): DataFrame = df
+        .withColumn("cx", explode(expr(
+          "sequence(cast(floor(xmin/10) as int), cast(floor(xmax/10) as int))")))
+        .withColumn("cy", explode(expr(
+          "sequence(cast(floor(ymin/10) as int), cast(floor(ymax/10) as int))")))
+      val a0 = cellsAB(part.select(col("p_partkey"),
+        (col("p_partkey") * 7 % 100).as("xmin"),
+        (col("p_partkey") * 13 % 100).as("ymin"),
+        (col("p_partkey") * 7 % 100 + col("p_size") % 10 + 1).as("xmax"),
+        (col("p_partkey") * 13 % 100 + col("p_size") % 7 + 1).as("ymax")))
+      val b0 = cellsAB(supplier.select(col("s_suppkey"),
+        (col("s_suppkey") * 17 % 100).as("xmin"),
+        (col("s_suppkey") * 29 % 100).as("ymin"),
+        (col("s_suppkey") * 17 % 100 + col("s_suppkey") % 5 + 1).as("xmax"),
+        (col("s_suppkey") * 29 % 100 + col("s_suppkey") % 3 + 1).as("ymax")))
+        .select(col("s_suppkey"), col("xmin").as("bxmin"), col("ymin").as("bymin"),
+          col("xmax").as("bxmax"), col("ymax").as("bymax"), col("cx"), col("cy"))
+      val joined = a0.join(b0, Seq("cx", "cy"))
+        .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
+          col("ymin") < col("bymax") && col("ymax") > col("bymin"))
+      val oldWay = joined
+        .select(col("p_partkey"), col("s_suppkey"),
+          col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+          col("bxmin"), col("bymin"), col("bxmax"), col("bymax"))
+        .distinct()
+        .filter(st_interior_intersects(
+          st_make_box(col("xmin").cast("double"), col("ymin").cast("double"),
+            col("xmax").cast("double"), col("ymax").cast("double")),
+          st_make_box(col("bxmin").cast("double"), col("bymin").cast("double"),
+            col("bxmax").cast("double"), col("bymax").cast("double"))))
+        .select(col("p_partkey"), col("s_suppkey"))
+      val newWay = graft.SparkEntry.queries("p5_spatial_refine")(spark, dir)
+      val nOld = oldWay.count()
+      val nNew = newWay.count()
+      val diff = oldWay.exceptAll(newWay.select(col("p_partkey"), col("s_suppkey"))).count() +
+        newWay.select(col("p_partkey"), col("s_suppkey")).exceptAll(oldWay).count()
+      println(s"PROFILE p5 A/B: old=$nOld new=$nNew exceptAll-diff=$diff " +
+        (if (nOld == nNew && diff == 0) "IDENTICAL" else "*** MISMATCH ***"))
+    }
+
+    // ---- 6. p5 coarse join + distinct vs canonical-cell dedup
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("cx", explode(expr(
+        "sequence(cast(floor(xmin/10) as int), cast(floor(xmax/10) as int))")))
+      .withColumn("cy", explode(expr(
+        "sequence(cast(floor(ymin/10) as int), cast(floor(ymax/10) as int))")))
+    val pa = cells(part.select(col("p_partkey"),
+      (col("p_partkey") * 7 % 100).as("xmin"),
+      (col("p_partkey") * 13 % 100).as("ymin"),
+      (col("p_partkey") * 7 % 100 + col("p_size") % 10 + 1).as("xmax"),
+      (col("p_partkey") * 13 % 100 + col("p_size") % 7 + 1).as("ymax")))
+    val pb = cells(supplier.select(col("s_suppkey"),
+      (col("s_suppkey") * 17 % 100).as("xmin"),
+      (col("s_suppkey") * 29 % 100).as("ymin"),
+      (col("s_suppkey") * 17 % 100 + col("s_suppkey") % 5 + 1).as("xmax"),
+      (col("s_suppkey") * 29 % 100 + col("s_suppkey") % 3 + 1).as("ymax")))
+      .select(col("s_suppkey"), col("xmin").as("bxmin"), col("ymin").as("bymin"),
+        col("xmax").as("bxmax"), col("ymax").as("bymax"), col("cx"), col("cy"))
+    val coarse = pa.join(pb, Seq("cx", "cy"))
+      .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
+        col("ymin") < col("bymax") && col("ymax") > col("bymin"))
+    time("p5 coarse+distinct") {
+      noop(coarse.select(col("p_partkey"), col("s_suppkey"),
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+        col("bxmin"), col("bymin"), col("bxmax"), col("bymax")).distinct())
+    }
+    time("p5 coarse+canonical-cell") {
+      noop(coarse.filter(
+        col("cx") === floor(greatest(col("xmin"), col("bxmin")) / 10).cast("int") &&
+        col("cy") === floor(greatest(col("ymin"), col("bymin")) / 10).cast("int")))
+    }
+
+    // ---- 7. lineitem md5 (f13 shape), 1 task vs fanned
+    time("lineitem md5 x1 (1 task)") {
+      noop(lineitem.select(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"))).as("h")))
+    }
+    time("lineitem md5 x1 repartition") {
+      noop(lineitem.repartition(spark.sparkContext.defaultParallelism)
+        .select(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("h")))
+    }
+
+    // ---- 8. embeddings band signature, 1 task vs fanned
+    val planes = SimilarityQueries.planes
+    def dot(a: org.apache.spark.sql.Column, p: Seq[Double]) =
+      graft.functions.ArrayExpressions.vec_dot(a, array(p.map(lit): _*))
+    def bandOf(lo: Int) = planes.slice(lo, lo + 4).zipWithIndex.map {
+      case (p, j) => when(dot(col("v"), p) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    time("embed band sig (1 task)") {
+      noop(emb.select(col("vec_id"), bandOf(0).as("b0"), bandOf(4).as("b1")))
+    }
+    time("embed band sig repartition") {
+      noop(emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), bandOf(0).as("b0"), bandOf(4).as("b1")))
+    }
+
+    spark.stop()
+  }
+}
