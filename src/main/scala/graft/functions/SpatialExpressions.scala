@@ -2,12 +2,65 @@ package graft.functions
 
 import graft.geo.GeomOps
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.functions.{col, struct, lit}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.functions.{col, lit, struct}
 import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.Geometry
+
+/** Static JTS entry points for generated code: every spatial expression's
+  * `doGenCode` emits a call to one of these (or to the expression instance
+  * for the prepared-literal predicates), so a plan containing spatial
+  * predicates stays inside WHOLE-STAGE CODEGEN. The r14 expressions were
+  * `CodegenFallback`, and one fallback expression anywhere in a filter or
+  * join condition disables codegen for the WHOLE stage — p5/f7's cell
+  * join evaluated its coarse arithmetic interpreted over every cell-join
+  * candidate row (guide §4: eliminate non-codegen expressions from the
+  * hot path). Methods mirror the interpreted eval paths exactly. */
+object SpatialRuntime {
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeomOps.readWkb(a).intersects(GeomOps.readWkb(b))
+  def interiorIntersects(a: Array[Byte], b: Array[Byte]): Boolean =
+    GeomOps.interiorIntersects(GeomOps.readWkb(a), GeomOps.readWkb(b))
+  /** Empty intersection → null (SQL NULL, matching the interpreted path).
+    * Goes through [[GeomOps.intersection]] for its rect×rect fast path. */
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val g = GeomOps.intersection(GeomOps.readWkb(a), GeomOps.readWkb(b))
+    if (g.isEmpty) null else GeomOps.writeWkb(g)
+  }
+  def area(a: Array[Byte]): Double = GeomOps.readWkb(a).getArea
+  def makeBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
+    GeomOps.writeWkb(GeomOps.polygonFromBBox(graft.geo.BBox(xmin, ymin, xmax, ymax)))
+  def point(x: Double, y: Double): Array[Byte] =
+    GeomOps.writeWkb(GeomOps.factory.createPoint(
+      new org.locationtech.jts.geom.Coordinate(x, y)))
+  def x(a: Array[Byte]): Double = GeomOps.readWkb(a).getCoordinate.x
+  def y(a: Array[Byte]): Double = GeomOps.readWkb(a).getCoordinate.y
+  def geomHash(a: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      GeomOps.geometryHash(GeomOps.readWkb(a)))
+  def transform(wkb: Array[Byte], fromCrs: String, toCrs: String): Array[Byte] = {
+    val from = graft.geo.CRS.parse(fromCrs)
+    val to = graft.geo.CRS.parse(toCrs)
+    val g = GeomOps.readWkb(wkb).copy()
+    g.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
+        val (x, y) = graft.geo.CRS.transform(from, to, c.x, c.y)
+        c.x = x; c.y = y
+      }
+    })
+    g.geometryChanged()
+    GeomOps.writeWkb(g)
+  }
+}
+
+/** Codegen-visible face of the prepared-literal spatial predicates: the
+  * generated code types its plan reference as this TOP-LEVEL trait (a
+  * nested case-class binary name like `SpatialExpressions$STIntersects`
+  * is not a valid Janino source-form type). */
+trait WkbPairPredicate {
+  def run(a: Array[Byte], b: Array[Byte]): Boolean
+}
 
 /** Spatial predicates/transforms as native Catalyst expressions over WKB
   * binary columns (SURVEY §2.13): the engine's replacement for the PostGIS
@@ -15,11 +68,16 @@ import org.locationtech.jts.geom.Geometry
   * ST_Intersection / ST_Transform — pg_containers.go:302-311,
   * pg_grids.go:113-151).
   *
-  * Evaluation is `nullSafeEval` over WKB (CodegenFallback: the JTS call
-  * dominates, codegen of the wrapper wouldn't pay). Every spatial filter
-  * in the query builders pairs one of these with a bbox-column pre-filter
-  * that IS codegen'd and parquet-prunable — the two-stage structure of the
-  * reference's coarse `&&` + fine `ST_Relate` (SURVEY §4).
+  * All expressions implement `doGenCode` (since r15): the generated code
+  * calls a static [[SpatialRuntime]] method (or the expression instance
+  * through [[WkbPairPredicate]] where the prepared-literal cache lives),
+  * so the surrounding filter/join stage keeps whole-stage codegen — the
+  * JTS call still dominates per evaluated row, but the codegen'd coarse
+  * predicates in the same stage no longer drop to interpreted evaluation
+  * alongside it (that cost was per candidate row, not per survivor).
+  * Every spatial filter in the query builders pairs one of these with a
+  * bbox-column pre-filter that is parquet-prunable — the two-stage
+  * structure of the reference's coarse `&&` + fine `ST_Relate` (SURVEY §4).
   */
 object SpatialExpressions {
 
@@ -42,23 +100,34 @@ object SpatialExpressions {
       p
     }
 
+  /** Shared codegen for the two prepared-literal predicates: reference the
+    * expression instance (it owns the prepared-geometry cache) as a
+    * [[WkbPairPredicate]] and call `run` on the two WKB operands. */
+  private def pairPredicateGenCode(e: BinaryExpression with WkbPairPredicate,
+      ctx: CodegenContext, ev: ExprCode,
+      nullSafe: ((String, String) => String) => ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wkbPred", e, classOf[WkbPairPredicate].getName)
+    nullSafe((a, b) => s"${ev.value} = $ref.run($a, $b);")
+  }
+
   /** ST_Intersects(wkbA, wkbB). The predicate is symmetric, so EITHER
     * foldable operand may be the prepared one — a literal-on-the-left
     * call (a shape the pushdown rule explicitly matches) must not
     * re-parse its constant per row. */
   case class STIntersects(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with WkbPairPredicate {
     override def dataType: DataType = BooleanType
     @transient private lazy val prepared = prepareFoldable(right)
       .map((_, false)).orElse(prepareFoldable(left).map((_, true)))
-    override def nullSafeEval(a: Any, b: Any): Any = prepared match {
+    override def run(a: Array[Byte], b: Array[Byte]): Boolean = prepared match {
       case Some((p, prepIsLeft)) =>
-        p.intersects(GeomOps.readWkb(
-          (if (prepIsLeft) b else a).asInstanceOf[Array[Byte]]))
-      case None =>
-        GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
-          .intersects(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+        p.intersects(GeomOps.readWkb(if (prepIsLeft) b else a))
+      case None => SpatialRuntime.intersects(a, b)
     }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      run(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      pairPredicateGenCode(this, ctx, ev, nullSafeCodeGen(ctx, ev, _))
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -69,42 +138,48 @@ object SpatialExpressions {
     * swap operands freely; the prepared indexed `intersects` serves as
     * an exact-negative short-circuit before the full relate. */
   case class STInteriorIntersects(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with WkbPairPredicate {
     override def dataType: DataType = BooleanType
     @transient private lazy val prepared = prepareFoldable(right)
       .map((_, false)).orElse(prepareFoldable(left).map((_, true)))
-    override def nullSafeEval(a: Any, b: Any): Any = prepared match {
+    override def run(a: Array[Byte], b: Array[Byte]): Boolean = prepared match {
       case Some((p, prepIsLeft)) =>
-        val g = GeomOps.readWkb(
-          (if (prepIsLeft) b else a).asInstanceOf[Array[Byte]])
+        val g = GeomOps.readWkb(if (prepIsLeft) b else a)
         p.intersects(g) && GeomOps.interiorIntersects(g, p.getGeometry)
-      case None =>
-        GeomOps.interiorIntersects(
-          GeomOps.readWkb(a.asInstanceOf[Array[Byte]]),
-          GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
+      case None => SpatialRuntime.interiorIntersects(a, b)
     }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      run(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      pairPredicateGenCode(this, ctx, ev, nullSafeCodeGen(ctx, ev, _))
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** ST_Intersection(wkbA, wkbB) → WKB (empty geometry → null). */
   case class STIntersection(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = BinaryType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val g = GeomOps.readWkb(a.asInstanceOf[Array[Byte]])
-        .intersection(GeomOps.readWkb(b.asInstanceOf[Array[Byte]]))
-      if (g.isEmpty) null else GeomOps.writeWkb(g)
-    }
+    override def nullable: Boolean = true // empty intersection → null
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SpatialRuntime.intersection(
+        a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.SpatialRuntime.intersection($a, $b);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** ST_Area(wkb). */
-  case class STArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class STArea(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any): Any =
-      GeomOps.readWkb(a.asInstanceOf[Array[Byte]]).getArea
+      SpatialRuntime.area(a.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.SpatialRuntime.area($a)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -113,92 +188,83 @@ object SpatialExpressions {
     * transform of FindCells, pg_grids.go:118-126; proj.go:287-331). CRS
     * arguments accept anything [[graft.geo.CRS.parse]] does (EPSG/proj4/
     * WKT). */
-  case class STTransform(children: Seq[Expression])
-      extends Expression with CodegenFallback {
-    require(children.size == 3, "st_transform(wkb, fromCrs, toCrs)")
+  case class STTransform(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
     override def dataType: DataType = BinaryType
-    override def nullable: Boolean = children.exists(_.nullable)
-    override def eval(input: InternalRow): Any = {
-      val vs = children.map(_.eval(input))
-      if (vs.contains(null)) null
-      else {
-        val from = graft.geo.CRS.parse(vs(1).toString)
-        val to = graft.geo.CRS.parse(vs(2).toString)
-        val g = GeomOps.readWkb(vs(0).asInstanceOf[Array[Byte]]).copy()
-        g.apply(new org.locationtech.jts.geom.CoordinateFilter {
-          override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = {
-            val (x, y) = graft.geo.CRS.transform(from, to, c.x, c.y)
-            c.x = x; c.y = y
-          }
-        })
-        g.geometryChanged()
-        GeomOps.writeWkb(g)
-      }
-    }
+    override def nullSafeEval(wkb: Any, from: Any, to: Any): Any =
+      SpatialRuntime.transform(
+        wkb.asInstanceOf[Array[Byte]], from.toString, to.toString)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (w, f, t) =>
+        s"graft.functions.SpatialRuntime.transform($w, $f.toString(), $t.toString())")
     override protected def withNewChildrenInternal(
-        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
   }
 
   /** ST_MakeBox(xmin, ymin, xmax, ymax) → WKB polygon (the envelope
     * constructor, proj.go:287-316 NewRingFromExtent). */
-  case class STMakeBox(children: Seq[Expression])
-      extends Expression with CodegenFallback {
-    require(children.size == 4, "st_make_box(xmin, ymin, xmax, ymax)")
+  case class STMakeBox(first: Expression, second: Expression,
+      third: Expression, fourth: Expression) extends QuaternaryExpression {
     override def dataType: DataType = BinaryType
-    override def nullable: Boolean = children.exists(_.nullable)
-    override def eval(input: InternalRow): Any = {
-      val vs = children.map(_.eval(input))
-      if (vs.contains(null)) null
-      else {
-        val d = vs.map {
-          case x: Double => x
-          case x: Float => x.toDouble
-          case x: Int => x.toDouble
-          case x: Long => x.toDouble
-          case x => x.asInstanceOf[Number].doubleValue()
-        }
-        GeomOps.writeWkb(GeomOps.polygonFromBBox(
-          graft.geo.BBox(d(0), d(1), d(2), d(3))))
-      }
+    private def toD(x: Any): Double = x match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case n => n.asInstanceOf[Number].doubleValue()
     }
+    override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+      SpatialRuntime.makeBox(toD(a), toD(b), toD(c), toD(d))
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c, d) =>
+        s"graft.functions.SpatialRuntime.makeBox((double)($a), (double)($b), (double)($c), (double)($d))")
     override protected def withNewChildrenInternal(
-        cs: IndexedSeq[Expression]): Expression = copy(children = cs)
+        a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+      copy(first = a, second = b, third = c, fourth = d)
   }
 
   /** ST_Point(x, y) → WKB point (proj.go's point constructor shape). */
   case class STPoint(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(a: Any, b: Any): Any =
-      GeomOps.writeWkb(GeomOps.factory.createPoint(
-        new org.locationtech.jts.geom.Coordinate(
-          a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())))
+      SpatialRuntime.point(
+        a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SpatialRuntime.point((double)($a), (double)($b))")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** ST_X(wkb) — x of the first coordinate. */
-  case class STX(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class STX(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any): Any =
-      GeomOps.readWkb(a.asInstanceOf[Array[Byte]]).getCoordinate.x
+      SpatialRuntime.x(a.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.SpatialRuntime.x($a)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** ST_Y(wkb) — y of the first coordinate. */
-  case class STY(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class STY(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any): Any =
-      GeomOps.readWkb(a.asInstanceOf[Array[Byte]]).getCoordinate.y
+      SpatialRuntime.y(a.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.SpatialRuntime.y($a)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   /** Geometry SHA-1 hash (record.go:33-46) as hex string. */
-  case class GeomHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class GeomHash(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(a: Any): Any =
-      org.apache.spark.unsafe.types.UTF8String.fromString(
-        GeomOps.geometryHash(GeomOps.readWkb(a.asInstanceOf[Array[Byte]])))
+      SpatialRuntime.geomHash(a.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.SpatialRuntime.geomHash($a)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -211,9 +277,9 @@ object SpatialExpressions {
   def st_area(a: Column): Column = toCol(STArea(toExpr(a)))
   def geom_hash(a: Column): Column = toCol(GeomHash(toExpr(a)))
   def st_make_box(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
-    toCol(STMakeBox(Seq(toExpr(xmin), toExpr(ymin), toExpr(xmax), toExpr(ymax))))
+    toCol(STMakeBox(toExpr(xmin), toExpr(ymin), toExpr(xmax), toExpr(ymax)))
   def st_transform(wkb: Column, fromCrs: Column, toCrs: Column): Column =
-    toCol(STTransform(Seq(toExpr(wkb), toExpr(fromCrs), toExpr(toCrs))))
+    toCol(STTransform(toExpr(wkb), toExpr(fromCrs), toExpr(toCrs)))
   def st_point(x: Column, y: Column): Column = toCol(STPoint(toExpr(x), toExpr(y)))
   def st_x(wkb: Column): Column = toCol(STX(toExpr(wkb)))
   def st_y(wkb: Column): Column = toCol(STY(toExpr(wkb)))

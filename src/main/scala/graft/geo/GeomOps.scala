@@ -43,9 +43,47 @@ object GeomOps {
 
   /** Interior-intersects — the refined spatial predicate the reference uses
     * when SRIDs match: ST_Relate(a, b, 'T********')
-    * (pg_containers.go:302-311). */
+    * (pg_containers.go:302-311).
+    *
+    * Rectangle fast path: for two axis-aligned rectangles the interiors
+    * (open boxes) intersect iff the envelopes STRICTLY overlap on both
+    * axes — exactly the T********-cell value, without JTS building the
+    * full intersection matrix (two topology graphs + node/edge
+    * computation per call). This is the inner predicate of the p5/f7
+    * fine stage, evaluated once per coarse-surviving pair. */
   def interiorIntersects(a: Geometry, b: Geometry): Boolean =
-    a.relate(b).matches("T********")
+    if (a.isRectangle && b.isRectangle) {
+      val ea = a.getEnvelopeInternal
+      val eb = b.getEnvelopeInternal
+      ea.getMinX < eb.getMaxX && ea.getMaxX > eb.getMinX &&
+        ea.getMinY < eb.getMaxY && ea.getMaxY > eb.getMinY
+    } else a.relate(b).matches("T********")
+
+  /** Intersection with a rectangle×rectangle fast path: two axis-aligned
+    * rectangles overlapping with positive width AND height intersect in a
+    * rectangle, built directly as the CW ring of the envelope overlap —
+    * the same point set, area and envelope as the JTS overlay result
+    * (pinned by a GeoSpec property sweep; only the ring's start phase may
+    * differ from OverlayNG's node-dependent choice, which no consumer
+    * observes) — skipping the full overlay graph per call. Degenerate
+    * contact (edge/corner → line/point) and non-rectangles fall back to
+    * the JTS overlay. This is the inner loop of the f7/A3 area
+    * aggregation (one call per overlapping pair). */
+  def intersection(a: Geometry, b: Geometry): Geometry =
+    if (a.isRectangle && b.isRectangle) {
+      val ea = a.getEnvelopeInternal
+      val eb = b.getEnvelopeInternal
+      val xmin = math.max(ea.getMinX, eb.getMinX)
+      val xmax = math.min(ea.getMaxX, eb.getMaxX)
+      val ymin = math.max(ea.getMinY, eb.getMinY)
+      val ymax = math.min(ea.getMaxY, eb.getMaxY)
+      if (xmin < xmax && ymin < ymax)
+        factory.createPolygon(Array(
+          new Coordinate(xmin, ymax), new Coordinate(xmax, ymax),
+          new Coordinate(xmax, ymin), new Coordinate(xmin, ymin),
+          new Coordinate(xmin, ymax)))
+      else a.intersection(b)
+    } else a.intersection(b)
 
   def polygonFromBBox(b: BBox): Polygon =
     factory.createPolygon(Array(

@@ -138,7 +138,12 @@ object Dedup {
       .select(col("__id"), col("__n"),
         explode(transform(sequence(lit(0), col("__n") - k), i =>
           struct(i.as("start"),
-            md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))).as("h")))).as("s"))
+            // 16-byte BINARY hash, not the 32-char hex string: h is
+            // equality-only and internal (never in the output), and
+            // unhex is injective on md5 hex — same duplicate sets for
+            // half the cached/shuffled hash bytes (guide §2.3 narrower
+            // types)
+            unhex(md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k))))).as("h")))).as("s"))
       .select(col("__id"), col("__n"),
         col("s.start").as("start"), col("s.h").as("h"))
       .cache() // the corpus-wide tokenize+window-hash explode feeds BOTH
@@ -258,17 +263,26 @@ object Dedup {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val spark = edges.sparkSession
-    // materialize the symmetrized edge list ONCE — every pass joins it, and
-    // without this the whole upstream pair-generation DAG (often an LSH
-    // candidate plan) would re-execute per iteration. No distinct: min-
-    // propagation is duplicate-tolerant, so deduping the edge list would
-    // buy nothing for a whole extra shuffle of the op's biggest relation.
-    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+    // materialize the DIRECTED edge list once, then symmetrize by reading
+    // the checkpointed blocks twice — the upstream pair-generation DAG
+    // (often a whole LSH candidate plan) is executed exactly ONCE. The
+    // old form checkpointed `edges ∪ edges.swap`, whose two union
+    // branches each re-ran the full pair plan before the checkpoint
+    // (measured: dedup_components paid the LSH pipeline twice). `sym`
+    // itself stays un-checkpointed: every CC pass scans the in-memory
+    // blocks through the cheap union+project, and the per-pass labels are
+    // checkpointed below, so the plan still stays flat at any iteration
+    // count. No distinct: min-propagation is duplicate-tolerant, so
+    // deduping the edge list would buy nothing for a whole extra shuffle
+    // of the op's biggest relation.
+    val ab = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .localCheckpoint()
-    if (sym.count() <= localEdgeThreshold) {
+    val sym = ab.union(
+      ab.select(col("__dst").as("__src"), col("__src").as("__dst")))
+    def releaseSym(): Unit = releaseLocalCheckpoint(ab)
+    if (ab.count() * 2 <= localEdgeThreshold) {
       val out = localComponents(spark, sym)
-      releaseLocalCheckpoint(sym)
+      releaseSym()
       return out
     }
     // pass 1 folded into initialization: against identity starting labels
@@ -332,7 +346,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    releaseLocalCheckpoint(sym)
+    releaseSym()
     // an unconverged result is silently WRONG (labels mid-descent) —
     // refuse to return it
     if (!converged) throw new IllegalStateException(

@@ -411,15 +411,24 @@ object RelationalQueries {
 
   /** w1_latest_first — the mosaic's latest-wins z-order (db.go:152 ordering
     * contract + catalog.go:325-384): latest row per key via row_number. */
-  def w1LatestFirst(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+  def w1LatestFirst(s: SparkSession, dir: String): DataFrame =
+    // latest row per key as ONE aggregation: max over the (ts, event_id,
+    // …) struct is exactly the row_number()=1 row under (ts DESC,
+    // event_id DESC) — (ts, event_id) is unique per user, so the later
+    // struct fields never participate in the comparison. The window form
+    // shuffled and SORTED every event row; the aggregate form partial-
+    // aggregates map-side and shuffles one row per user (guide §2.3
+    // "aggregate before you shuffle", §2.4 — the sort disappears).
+    // Measured (bench min-of-2): 0.3 s → 0.2 s; at 100 TB the shuffle
+    // carries |users| rows instead of |events|.
     t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        round(col("value"), 2).as("value"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        round(col("m.value"), 2).as("value"))
       .orderBy("user_id")
-  }
 
   /** w2_running — ordered per-key accumulation (the sequential paint loop of
     * MergeDatasets, image.go:321-384, as a running window). */

@@ -165,16 +165,20 @@ object SimilarityQueries {
     graft.operators.OperatorCaches.register(sig)
 
     // candidates on the NARROW key relation (ids+bands move through the
-    // band shuffle, vectors don't), pair-dedup before scoring, then
-    // one vector fetch + one dot product per unique pair.
-    val exploded = sig.select(col("vec_id"),
+    // band shuffle, vectors don't); pairs are UNIQUE BY CONSTRUCTION —
+    // each pair is emitted only from its FIRST shared band (bi=0, or bi=1
+    // when b0 differs), replacing the old `.distinct()` (an exchange +
+    // two hash aggregates over the candidate relation, the op's widest)
+    // with one codegen'd predicate in the join. b0 rides the band shuffle
+    // as one extra int per row.
+    val exploded = sig.select(col("vec_id"), col("b0"),
         posexplode(array(col("b0"), col("b1"))))
       .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
     exploded.as("a").join(exploded.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-        col("a.vec_id") < col("b.vec_id"))
+        col("a.vec_id") < col("b.vec_id") &&
+        (col("a.bi") === 0 || col("a.b0") =!= col("b.b0")))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
       .join(sig.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(sig.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -215,13 +219,20 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
 
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // nearest centroid per vector as ONE aggregation: max over the
+    // (ccos, -cid, …) struct is exactly the row_number()=1 row under
+    // (ccos DESC, cid ASC) — -cid inverts the tiebreak, and cid is unique
+    // so later fields never compare. The window form shuffled and sorted
+    // all |vectors|×|centroids| assignment rows (each carrying the 64-dim
+    // vector); the aggregate form partial-aggregates map-side and
+    // shuffles one row per vector (guide §2.3/§2.4).
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("ccos", dotCol("v", "cv") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("nc"), col("cid"),
+        col("label"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.label").as("label"), col("m.v").as("v"),
+        col("m.cid").as("cid"))
 
     val probed = cent.crossJoin(broadcast(q))
       .withColumn("qcos", cosCol("cv", "qv"))

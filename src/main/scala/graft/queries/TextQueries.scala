@@ -158,16 +158,21 @@ object TextQueries {
 
     // candidates on the NARROW key relation — only (doc_id, source, bands)
     // move through the band shuffle; token arrays are fetched once per
-    // UNIQUE deduped pair for the exact-Jaccard confirm.
-    val exploded = base.select(col("doc_id"), col("source"),
+    // UNIQUE pair for the exact-Jaccard confirm. Pairs are unique BY
+    // CONSTRUCTION: each pair is emitted only from its FIRST shared band
+    // (bi=0, or bi=1 when band0 differs), replacing the old `.distinct()`
+    // (an exchange + two hash aggregates over the candidate relation)
+    // with one codegen'd predicate in the join — band0 rides the band
+    // shuffle once more per row as the dedup witness.
+    val exploded = base.select(col("doc_id"), col("source"), col("band0"),
         posexplode(array(col("band0"), col("band1"))))
       .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
     exploded.as("a").join(exploded.as("b"),
         col("a.source") === col("b.source") &&
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        (col("a.bi") === 0 || col("a.band0") =!= col("b.band0")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
       .join(base.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
       .withColumn("inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("ta"), col("tb")))
@@ -200,7 +205,10 @@ object TextQueries {
     * and perplexity. Model = one keyed agg + broadcast; the corpus
     * explode is map-side; only the per-doc rollup shuffles. */
   def textPerplexity(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.unigramNll(docsWide(s, dir), "doc_id", "text",
+    // plain docs, NOT docsWide: the flat explode feeds both the model and
+    // the scoring branch, so a fanned base pays the round-robin text
+    // exchange twice — measured 0.50 s plain vs 1.05 s fanned (ProfileMain)
+    graft.operators.TextAnalysis.unigramNll(docs(s, dir), "doc_id", "text",
         c => filter(split(c, " "), x => x =!= ""))
       .orderBy("doc_id")
 
@@ -370,6 +378,11 @@ object TextQueries {
     * coverage (union of overlapping dup windows via a running-max
     * window). All-integer interval math, so the oracle is exact. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    // docsWide: the operator caches the exploded span relation, and from
+    // a 1-split scan that cache is ONE block — the dup-count aggregation
+    // and the join then serialize on one core. Measured COLD (ProfileMain
+    // after the warm-cache fix): plain 1.35 s, fanned 1.15 s, fanned +
+    // binary h 1.05 s.
     graft.operators.Dedup.duplicateSpans(docsWide(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id")
 

@@ -693,4 +693,57 @@ class GeoSpec extends AnyFunSuite {
         s"($lon,$lat) vs ($lonIn,40)")
     }
   }
+
+  test("rect×rect intersection fast path equals the JTS overlay as a geometry") {
+    // the r15 fast path (GeomOps.intersection) must be SEMANTICALLY
+    // transparent: identical point set, emptiness, area and envelope.
+    // (Ring START PHASE may differ from OverlayNG's — JTS picks a
+    // node-dependent start — which no consumer observes: s6_find_cells /
+    // findCells derive area+envelope, Layout.covers runs geometric
+    // predicates, and no declared query emits or hashes intersection WKB
+    // bytes.) Deterministic LCG sweep over overlapping, touching (edge +
+    // corner), disjoint, contained and identical pairs.
+    var state = 12345L
+    def next(): Double = {
+      state = (state * 1103515245L + 12345L) & 0x7fffffffL
+      (state % 2000L) / 10.0 - 100.0
+    }
+    def rect(x0: Double, y0: Double, w: Double, h: Double) =
+      GeomOps.polygonFromBBox(BBox(x0, y0, x0 + w, y0 + h))
+    val cases = Seq.fill(200) {
+      val (x, y) = (next(), next())
+      val (w1, h1) = (math.abs(next()) % 30 + 0.1, math.abs(next()) % 30 + 0.1)
+      val (dx, dy) = (next() % 40, next() % 40)
+      val (w2, h2) = (math.abs(next()) % 30 + 0.1, math.abs(next()) % 30 + 0.1)
+      (rect(x, y, w1, h1), rect(x + dx, y + dy, w2, h2))
+    } ++ Seq(
+      (rect(0, 0, 10, 10), rect(10, 0, 10, 10)),   // shared edge → line
+      (rect(0, 0, 10, 10), rect(10, 10, 5, 5)),    // shared corner → point
+      (rect(0, 0, 10, 10), rect(20, 20, 5, 5)),    // disjoint → empty
+      (rect(0, 0, 10, 10), rect(2, 2, 3, 3)),      // contained
+      (rect(0, 0, 10, 10), rect(0, 0, 10, 10)))    // identical
+    cases.foreach { case (a, b) =>
+      val fast = GeomOps.intersection(a, b)
+      val jts = a.intersection(b)
+      assert(fast.isEmpty == jts.isEmpty, s"emptiness diverged: $a ∩ $b")
+      if (!jts.isEmpty) {
+        assert(fast.equalsExact(jts.norm(), 0.0) || fast.norm().equalsExact(jts.norm(), 0.0),
+          s"point set diverged for $a ∩ $b: fast=$fast jts=$jts")
+        assert(fast.getArea == jts.getArea,
+          s"area diverged for $a ∩ $b: ${fast.getArea} vs ${jts.getArea}")
+        assert(fast.getEnvelopeInternal == jts.getEnvelopeInternal,
+          s"envelope diverged for $a ∩ $b")
+      }
+    }
+    // non-rectangle operand takes the overlay path untouched
+    val tri = GeomOps.factory.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(0, 0),
+      new org.locationtech.jts.geom.Coordinate(10, 0),
+      new org.locationtech.jts.geom.Coordinate(0, 10),
+      new org.locationtech.jts.geom.Coordinate(0, 0)))
+    val r = rect(1, 1, 2, 2)
+    assert(java.util.Arrays.equals(
+      GeomOps.writeWkb(GeomOps.intersection(tri, r)),
+      GeomOps.writeWkb(tri.intersection(r))))
+  }
 }

@@ -30,14 +30,21 @@ object ProfileMain {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def time(name: String)(body: => Unit): Unit = {
-      // min of 2 after one warm run, matching the bench's min-of-passes
-      body
+      // min of 2 after one warm run, matching the bench's min-of-passes.
+      // Caches are cleared BETWEEN body runs: operator-internal .cache()
+    // calls are matched by logical plan in Spark's CacheManager, so a
+    // repeated body would otherwise time warm-cache reads instead of the
+    // real cold computation (the bench clears between passes too).
+      def cold(): Unit = {
+        graft.operators.OperatorCaches.unpersistAll()
+        spark.catalog.clearCache()
+      }
+      body; cold()
       val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        val t0 = System.nanoTime(); body; val dt = (System.nanoTime() - t0) / 1e9
+        cold(); dt
       }
       println(f"PROFILE $name%-40s ${ts.min}%8.3f s")
-      graft.operators.OperatorCaches.unpersistAll()
-      spark.catalog.clearCache()
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -179,6 +186,100 @@ object ProfileMain {
       noop(coarse.filter(
         col("cx") === floor(greatest(col("xmin"), col("bxmin")) / 10).cast("int") &&
         col("cy") === floor(greatest(col("ymin"), col("bymin")) / 10).cast("int")))
+    }
+
+    // ---- 6b. text_perplexity variants: the unigramNll flat explode feeds
+    // BOTH the model and the scoring branch; with a fanned-out base each
+    // branch pays its own round-robin exchange of the raw text. Compare
+    // plain docs, fanned docs, and a cached compact token-ARRAY relation
+    // (one row per doc) exploded in both branches.
+    def nllFrom(flat: DataFrame): DataFrame = {
+      val model = flat.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      val tot = model.agg(sum(col("__c")).as("__n"), count(lit(1)).as("__v"))
+      val probs = model.crossJoin(broadcast(tot))
+        .select(col("__t"), log((col("__c") + 1.0) / (col("__n") + col("__v"))).as("__lp"))
+      flat.join(broadcast(probs), "__t")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("__s"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(-col("__s") / col("n_tokens"), 6).as("avg_nll"))
+        .withColumn("perplexity", round(exp(col("avg_nll")), 6))
+    }
+    time("perplexity plain docs") {
+      noop(nllFrom(docs.select(col("doc_id"),
+        explode(expr(tokensExpr)).as("__t"))).orderBy("doc_id"))
+    }
+    time("perplexity fanned docs") {
+      noop(nllFrom(docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(expr(tokensExpr)).as("__t"))).orderBy("doc_id"))
+    }
+    time("perplexity cached tok arrays") {
+      val arrs = docs.select(col("doc_id"), expr(tokensExpr).as("__ts")).cache()
+      val flat = arrs.select(col("doc_id"), explode(col("__ts")).as("__t"))
+      noop(nllFrom(flat).orderBy("doc_id"))
+      arrs.unpersist()
+    }
+    time("perplexity fanned+cached tok arrays") {
+      val arrs = docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), expr(tokensExpr).as("__ts")).cache()
+      val flat = arrs.select(col("doc_id"), explode(col("__ts")).as("__t"))
+      noop(nllFrom(flat).orderBy("doc_id"))
+      arrs.unpersist()
+    }
+
+    // ---- 6c. dedup_spans variants: spans caches the exploded
+    // (id, n, start, hash) relation; the fan-out helps the hash explode
+    // but the docsWide exchange may not pay for itself end to end.
+    def spansFrom(d: DataFrame): DataFrame =
+      graft.operators.Dedup.duplicateSpans(d, "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    time("dedup_spans plain docs") { noop(spansFrom(docs)) }
+    time("dedup_spans fanned docs") {
+      noop(spansFrom(docs.repartition(spark.sparkContext.defaultParallelism)))
+    }
+    // spans with the explode relation itself repartitioned/narrowed: the
+    // operator caches the exploded (id, n, start, h) relation — from a
+    // 1-split scan that cache is ONE block and every consumer serializes
+    // on one core. Variants: binary 16-byte h instead of 32-char hex.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      def spansVariant(d: DataFrame, hExpr: String => String): DataFrame = {
+        val k = 5
+        val spans = d
+          .select(col("doc_id").as("__id"), expr(tokensExpr).as("__t"))
+          .withColumn("__n", size(col("__t")))
+          .filter(col("__n") >= k)
+          .select(col("__id"), col("__n"),
+            explode(expr(s"transform(sequence(0, __n - $k), i -> " +
+              s"struct(i as start, ${hExpr(s"concat_ws(' ', slice(__t, i + 1, $k))")} as h))")).as("s"))
+          .select(col("__id"), col("__n"),
+            col("s.start").as("start"), col("s.h").as("h"))
+          .cache()
+        graft.operators.OperatorCaches.register(spans)
+        val dup = spans.groupBy("h")
+          .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("h")
+        val w = Window.partitionBy("__id").orderBy("start")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        spans.join(dup, "h")
+          .withColumn("__prevEnd", max(col("start") + k).over(w))
+          .withColumn("__cov", greatest(lit(0),
+            col("start") + k - greatest(col("start"), coalesce(col("__prevEnd"), lit(0)))))
+          .groupBy(col("__id"), col("__n"))
+          .agg(count(lit(1)).as("n_dup_spans"), sum(col("__cov")).as("dup_tokens"))
+          .select(col("__id").as("doc_id"), col("n_dup_spans"), col("dup_tokens"),
+            col("__n").cast("long").as("n_tokens"),
+            round(col("dup_tokens") / col("__n"), 6).as("dup_fraction"))
+          .orderBy("doc_id")
+      }
+      time("spans hexh fanned-pre-explode") {
+        noop(spansVariant(docs.repartition(32), e => s"md5($e)"))
+      }
+      time("spans binh plain") {
+        noop(spansVariant(docs, e => s"unhex(md5($e))"))
+      }
+      time("spans binh fanned-pre-explode") {
+        noop(spansVariant(docs.repartition(32), e => s"unhex(md5($e))"))
+      }
     }
 
     // ---- 7. lineitem md5 (f13 shape), 1 task vs fanned
