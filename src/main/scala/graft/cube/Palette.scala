@@ -129,6 +129,9 @@ object Palette {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
+    // memory-cached streams, not ImageIO's default temp-FILE cache —
+    // one disk round-trip per served tile otherwise (MediaCodec init)
+    graft.operators.MediaCodec.ensureMemoryCachedImageIO()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }

@@ -14,7 +14,24 @@ import java.awt.image.BufferedImage
   *    metadata-only and per-frame payloads go through the image path.
   */
 object MediaCodec {
-  locally { System.setProperty("java.awt.headless", "true") }
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    // ImageIO's DEFAULT stream cache is a TEMP FILE per encode/decode
+    // call (FileCacheImage{In,Out}putStream): the media queries run
+    // thousands of codec calls per pass, each paying a disk-file
+    // create/write/read/delete cycle — pure overhead, and the source of
+    // multi-second swings under co-tenant disk load (guide §1.2
+    // per-task work). Memory-cached streams produce identical bytes.
+    // Object init runs once per JVM; direct ImageIO call sites outside
+    // this object go through [[ensureMemoryCachedImageIO]].
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Forces this object's init (the `ImageIO.setUseCache(false)` above)
+    * from call sites that use `javax.imageio.ImageIO` directly — in a
+    * cluster deployment each executor JVM must flip the flag before its
+    * first codec call, not just the driver. */
+  def ensureMemoryCachedImageIO(): Unit = ()
 
   /** Decode an image container. Returns (width, height, channels,
     * band-planar samples) or None when ImageIO has no reader for the

@@ -1398,6 +1398,7 @@ object RelationalQueries {
         val png = graft.cube.XYZTile.getTileFromFile(
           sconf.value, path, "GTIFF_DIR:1", x, y, z)
           .getOrElse(throw new IllegalStateException(s"no tile for supplier $k"))
+        graft.operators.MediaCodec.ensureMemoryCachedImageIO()
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
         var chk = 0L
         var yy = 0
@@ -1499,6 +1500,7 @@ object RelationalQueries {
             x = x, y = y, z = z)
         else gc.getXyzTile("i1", x, y, z, recordIds = Seq("r1")))
         .getOrElse(throw new IllegalStateException(s"no tile for nation $k"))
+      graft.operators.MediaCodec.ensureMemoryCachedImageIO()
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
       var (cr, cg, cb, ca) = (0L, 0L, 0L, 0L)
       var yy = 0

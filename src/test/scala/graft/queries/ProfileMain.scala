@@ -282,6 +282,11 @@ object ProfileMain {
       }
     }
 
+    // ---- 6d. media codec queries (ImageIO stream-cache sensitivity)
+    for (name <- Seq("mm_featurize", "mm_resize", "mm_frames", "d5_xyz")) {
+      time(name) { noop(graft.SparkEntry.queries(name)(spark, dir)) }
+    }
+
     // ---- 7. lineitem md5 (f13 shape), 1 task vs fanned
     time("lineitem md5 x1 (1 task)") {
       noop(lineitem.select(md5(concat_ws("|",
