@@ -282,6 +282,78 @@ object ProfileMain {
       }
     }
 
+    // ---- 6c2. spans WITHOUT the operator cache (explode computed twice,
+    // fanned, binary h): trades the 1M-row cache materialization for a
+    // second parallel explode pass.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      def spansRaw(d: DataFrame): DataFrame = d
+        .select(col("doc_id").as("__id"), expr(tokensExpr).as("__t"))
+        .withColumn("__n", size(col("__t")))
+        .filter(col("__n") >= k)
+        .select(col("__id"), col("__n"),
+          explode(expr(s"transform(sequence(0, __n - $k), i -> " +
+            s"struct(i as start, unhex(md5(concat_ws(' ', slice(__t, i + 1, $k)))) as h))")).as("s"))
+        .select(col("__id"), col("__n"),
+          col("s.start").as("start"), col("s.h").as("h"))
+      time("spans binh fanned NO cache") {
+        val d = docs.repartition(spark.sparkContext.defaultParallelism)
+        val spans = spansRaw(d)
+        val dup = spansRaw(d).groupBy("h")
+          .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("h")
+        val w = Window.partitionBy("__id").orderBy("start")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        noop(spans.join(dup, "h")
+          .withColumn("__prevEnd", max(col("start") + k).over(w))
+          .withColumn("__cov", greatest(lit(0),
+            col("start") + k - greatest(col("start"), coalesce(col("__prevEnd"), lit(0)))))
+          .groupBy(col("__id"), col("__n"))
+          .agg(count(lit(1)).as("n_dup_spans"), sum(col("__cov")).as("dup_tokens"))
+          .select(col("__id").as("doc_id"), col("n_dup_spans"), col("dup_tokens"),
+            col("__n").cast("long").as("n_tokens"),
+            round(col("dup_tokens") / col("__n"), 6).as("dup_fraction"))
+          .orderBy("doc_id"))
+      }
+    }
+
+    // ---- 6e. lsh stage shares: signature-cache build alone, then the
+    // full query against an ALREADY-materialized cache (join+confirm
+    // share). Cold full = ~build + rest.
+    locally {
+      val mh8b = (0 until 8).map { i =>
+        s"mh$i" -> s"array_min(transform($tokenSetExpr, t -> md5(concat('$i|', t))))"
+      }
+      def sigBase(): DataFrame = mh8b.foldLeft(
+        docs.repartition(spark.sparkContext.defaultParallelism)) {
+        case (d, (n, e)) => d.withColumn(n, expr(e))
+      }.withColumn("toks", expr(tokenSetExpr))
+        .select(col("doc_id"), col("source"), col("toks"),
+          concat(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("band0"),
+          concat(col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("band1"))
+      time("lsh sig cache build only") {
+        val b = sigBase().cache()
+        graft.operators.OperatorCaches.register(b)
+        noop(b)
+      }
+      time("lsh full, cache pre-materialized") {
+        val b = sigBase().cache()
+        b.count() // warm the cache OUTSIDE the timed portion proxy
+        val t0 = System.nanoTime()
+        noop(graft.SparkEntry.queries("dedup_lsh_pairs")(spark, dir))
+        println(f"PROFILE   (inner, cache-warm path)        ${(System.nanoTime()-t0)/1e9}%8.3f s")
+        b.unpersist()
+      }
+    }
+
+    // ---- 6f. d5_xyz share: fixture+plan build vs execution
+    locally {
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries("d5_xyz")(spark, dir)
+      println(f"PROFILE d5 plan+fixture build              ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      time("d5 execute only") { noop(df) }
+    }
+
     // ---- 6d. media codec queries (ImageIO stream-cache sensitivity)
     for (name <- Seq("mm_featurize", "mm_resize", "mm_frames", "d5_xyz")) {
       time(name) { noop(graft.SparkEntry.queries(name)(spark, dir)) }
