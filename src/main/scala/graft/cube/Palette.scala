@@ -36,6 +36,12 @@ final case class Palette(name: String, points: Seq[Palette.ColorPoint]) {
 }
 
 object Palette {
+  // memory-cached ImageIO streams, not the default temp-FILE cache (one
+  // disk round-trip per served tile otherwise); process-global flag, set
+  // by every module that touches ImageIO in its own init so no call-site
+  // ordering discipline is needed (MediaCodec does the same)
+  locally { javax.imageio.ImageIO.setUseCache(false) }
+
   final case class ColorPoint(value: Float, r: Int, g: Int, b: Int, a: Int)
 
   /** Read a palette by name from the catalog's `palette` table
@@ -129,9 +135,6 @@ object Palette {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    // memory-cached streams, not ImageIO's default temp-FILE cache —
-    // one disk round-trip per served tile otherwise (MediaCodec init)
-    graft.operators.MediaCodec.ensureMemoryCachedImageIO()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }

@@ -114,10 +114,14 @@ object GraftSparkExtensions {
     "st_intersection" -> ((args: Seq[Expression]) => STIntersection(args(0), args(1))),
     "st_area" -> ((args: Seq[Expression]) => STArea(args(0))),
     "geom_hash" -> ((args: Seq[Expression]) => GeomHash(args(0))),
-    "st_make_box" -> ((args: Seq[Expression]) =>
-      STMakeBox(args(0), args(1), args(2), args(3))),
-    "st_transform" -> ((args: Seq[Expression]) =>
-      STTransform(args(0), args(1), args(2))),
+    "st_make_box" -> ((args: Seq[Expression]) => {
+      require(args.size == 4, "st_make_box(xmin, ymin, xmax, ymax)")
+      STMakeBox(args(0), args(1), args(2), args(3))
+    }),
+    "st_transform" -> ((args: Seq[Expression]) => {
+      require(args.size == 3, "st_transform(wkb, fromCrs, toCrs)")
+      STTransform(args(0), args(1), args(2))
+    }),
     "st_point" -> ((args: Seq[Expression]) => STPoint(args(0), args(1))),
     "st_x" -> ((args: Seq[Expression]) => STX(args(0))),
     "st_y" -> ((args: Seq[Expression]) => STY(args(0))),

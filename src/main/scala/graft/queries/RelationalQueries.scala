@@ -1385,9 +1385,8 @@ object RelationalQueries {
     // serving loop across cores instead of one scan partition (measured
     // 20.9 s → ~1 s at sf0.1). At scale the request list arrives
     // pre-partitioned; this mirrors that shape for a dim-driven fixture.
-    t(s, dir, "supplier")
-      .select(col("s_suppkey").cast("long")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.fanOutSmall(t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long"))).as[Long]
       .map { k =>
         // tiles chosen to sit strictly inside the source footprint
         val z = (4 + k % 2).toInt
@@ -2202,9 +2201,10 @@ object RelationalQueries {
   private def mmMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.MediaCodec
-    t(s, dir, "supplier")
-      .select(col("s_suppkey").cast("long")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism) // CPU-bound per-row codec; dim is 1 split
+    // CPU-bound per-row codec; the dim is 1 split — fanOutSmall spreads
+    // it and is a no-op on a wide source (guide §2.5)
+    Tables.fanOutSmall(t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long"))).as[Long]
       .map { k =>
         if (k % 2 == 0) {
           val px = Array.tabulate(256)(i =>
@@ -2254,9 +2254,8 @@ object RelationalQueries {
   def mmResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.MediaCodec
-    val media = t(s, dir, "supplier")
-      .select(col("s_suppkey").cast("long")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    val media = Tables.fanOutSmall(t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long"))).as[Long]
       .map { k =>
         if (k % 2 == 0) {
           val px = Array.tabulate(256)(i =>
@@ -2303,9 +2302,8 @@ object RelationalQueries {
   def mmFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.MediaCodec
-    val media = t(s, dir, "supplier")
-      .select(col("s_suppkey").cast("long")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    val media = Tables.fanOutSmall(t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long"))).as[Long]
       .map { k =>
         val nf = (4 + k % 5).toInt
         val frames = (0 until nf).map { fi =>
