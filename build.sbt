@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench contract needs its one-line JSON metric recoverable from the
+// tail of `sbt "runMain graft.Bench"` output. By default sbt logs the
+// forked JVM's stdout through its logger ("[info] " prefix) and appends a
+// "[success] Total time" epilogue — every BENCH_r*.json through r15 has
+// `parsed: null` because of exactly that wrapping. Pass forked output
+// through verbatim and drop the success banner so the metric line is the
+// literal last line of the run (r15 verdict, "Next round" #2).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not a task — exempt it from
+// the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

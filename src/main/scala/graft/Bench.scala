@@ -145,8 +145,12 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedJson}""")
+    // metric line printed AFTER spark.stop(): nothing (not even an
+    // ERROR-level teardown log) can land between it and EOF, so the
+    // driver's tail capture always ends on the bare JSON line (the
+    // build.sbt StdoutOutput strategy removes sbt's "[info] " prefix).
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedJson}""")
   }
 
   /** BASELINE.md §c: FindDatasets on a 10⁶-row datasets table must stay

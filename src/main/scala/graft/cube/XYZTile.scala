@@ -95,11 +95,12 @@ object XYZTile {
       try {
         def readAt(pos: Long, buf: Array[Byte], off: Int, n: Int): Unit =
           in.readFully(pos, buf, off, n)
-        val headers = graft.raster.GeoTiff.readHeadersRanged(readAt, len)
-        val srcIsGeo = headers.headOption.exists(_.crs.isGeographic)
-        val targetRes = if (srcIsGeo) tf.rx / 111320.0 else tf.rx
-        graft.raster.GeoTiff.readForResolutionRanged(readAt, len, subdir,
-          math.abs(targetRes))
+        // ONE head parse per request: the CRS probe and the overview
+        // choice share the same IFD walk — the old readHeadersRanged +
+        // readForResolutionRanged pair parsed the head twice per tile
+        // (guide §6; r15 candidate #7)
+        graft.raster.GeoTiff.readForResolutionRangedMeters(
+          readAt, len, subdir, tf.rx)
       } finally in.close()
     // identity value mapping over the source dtype; warp only reprojects
     val fmt = DataFormat(img.bitmap.dtype, noData,

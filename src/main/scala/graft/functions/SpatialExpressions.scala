@@ -276,11 +276,19 @@ object SpatialExpressions {
   def st_intersection(a: Column, b: Column): Column = toCol(STIntersection(toExpr(a), toExpr(b)))
   def st_area(a: Column): Column = toCol(STArea(toExpr(a)))
   def geom_hash(a: Column): Column = toCol(GeomHash(toExpr(a)))
+  // numeric children are cast to double IN THE BUILDER: STMakeBox/STPoint
+  // codegen emits `(double)($a)`, which is valid Java only for primitive
+  // numerics — a DecimalType child would fail Janino compilation (whole
+  // stage falls back interpreted, and the interpreted Number cast throws
+  // on Spark Decimal). The cast is a no-op for already-double inputs
+  // (optimizer removes same-type casts), so existing plans are unchanged.
   def st_make_box(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
-    toCol(STMakeBox(toExpr(xmin), toExpr(ymin), toExpr(xmax), toExpr(ymax)))
+    toCol(STMakeBox(toExpr(xmin.cast("double")), toExpr(ymin.cast("double")),
+      toExpr(xmax.cast("double")), toExpr(ymax.cast("double"))))
   def st_transform(wkb: Column, fromCrs: Column, toCrs: Column): Column =
     toCol(STTransform(toExpr(wkb), toExpr(fromCrs), toExpr(toCrs)))
-  def st_point(x: Column, y: Column): Column = toCol(STPoint(toExpr(x), toExpr(y)))
+  def st_point(x: Column, y: Column): Column =
+    toCol(STPoint(toExpr(x.cast("double")), toExpr(y.cast("double"))))
   def st_x(wkb: Column): Column = toCol(STX(toExpr(wkb)))
   def st_y(wkb: Column): Column = toCol(STY(toExpr(wkb)))
 

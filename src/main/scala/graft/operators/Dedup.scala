@@ -101,16 +101,22 @@ object Dedup {
       .map(_ => col("a.__shard") === col("b.__shard"))
       .foldLeft(col("a.__bi") === col("b.__bi") &&
         col("a.__bv") === col("b.__bv") && col("a.__id") < col("b.__id"))(_ && _)
+    // token fetch: both pair sides probe the IDENTICAL (__id, __toks)
+    // projection so the second broadcast build plans as a ReusedExchange
+    // of the first (per-side aliases used to make the canonical plans
+    // differ and each join shipped its own hashed relation — guide §3
+    // build-side reuse, same change as TextQueries.lshPairs).
+    val tok = base.select(col("__id"), col("__toks"))
     exploded.as("a").join(exploded.as("b"), cond)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-      .join(base.select(col("__id").as("id_a"), col("__toks").as("__ta")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__toks").as("__tb")), "id_b")
-      .withColumn("__inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("__ta"), col("__tb")))
+      .join(tok.as("fa"), col("id_a") === col("fa.__id"))
+      .join(tok.as("fb"), col("id_b") === col("fb.__id"))
+      .withColumn("__inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("fa.__toks"), col("fb.__toks")))
       .withColumn("jaccard", // two empty sets: 1.0 (ANSI 0/0 guard, see jaccard)
-        when(size(col("__ta")) + size(col("__tb")) === 0, lit(1.0))
+        when(size(col("fa.__toks")) + size(col("fb.__toks")) === 0, lit(1.0))
           .otherwise(col("__inter") /
-            (size(col("__ta")) + size(col("__tb")) - col("__inter"))))
+            (size(col("fa.__toks")) + size(col("fb.__toks")) - col("__inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -146,8 +152,15 @@ object Dedup {
             unhex(md5(concat_ws(" ", slice(col("__t"), i + 1, lit(k))))).as("h")))).as("s"))
       .select(col("__id"), col("__n"),
         col("s.start").as("start"), col("s.h").as("h"))
-      .cache() // the corpus-wide tokenize+window-hash explode feeds BOTH
-    OperatorCaches.register(spans) // the dup count and the join below
+    // the explode feeds BOTH the dup count and the join below and is
+    // RECOMPUTED for each (two parallel tokenize+hash passes), not cached:
+    // this is the op's widest relation (~24 bytes/window ≈ several × the
+    // corpus text), so at 100 TB a MEMORY_AND_DISK cache means writing and
+    // re-reading it through the block store (spill regime) where the
+    // recompute is one extra linear map-side pass over already-read text
+    // (guide §5: cache only when recompute costs more than the memory
+    // pressure). Measured at sf0.1 (ProfileMain 6c/6c2): no-cache 1.09 s
+    // vs cached 1.17–1.31 s — not slower even where the cache fits.
     val dup = spans.groupBy("h")
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("h")
     val w = Window.partitionBy("__id").orderBy("start")

@@ -274,6 +274,17 @@ object RelationalQueries {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  /** Coarse spatial grid cell of a coordinate — the ONE definition shared
+    * by the cover enumeration (`cells` explode) and the canonical-cell
+    * dedup filter in p5/f7. If the two ever disagreed (cell size or
+    * floor/cast semantics changed in one place only), the filter would
+    * pick a cell outside the cover and silently DROP overlapping pairs —
+    * no error, wrong results. PlanShapeSpec pins pair-set equality with a
+    * `.distinct()` reference. */
+  private val SpatialCellSize = 10
+  private[queries] def cellOf(c: Column): Column =
+    floor(c / SpatialCellSize).cast("int")
+
   /** p5_spatial_refine — the two-stage spatial predicate with the REAL
     * Catalyst/JTS expressions oracle-checked: boxes from part and supplier
     * explode to covered grid cells (coarse stage, equi-joinable), then the
@@ -285,10 +296,8 @@ object RelationalQueries {
   def p5SpatialRefine(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SpatialExpressions.{st_interior_intersects, st_make_box}
     def cells(df: DataFrame): DataFrame = df
-      .withColumn("cx", explode(expr(
-        "sequence(cast(floor(xmin/10) as int), cast(floor(xmax/10) as int))")))
-      .withColumn("cy", explode(expr(
-        "sequence(cast(floor(ymin/10) as int), cast(floor(ymax/10) as int))")))
+      .withColumn("cx", explode(sequence(cellOf(col("xmin")), cellOf(col("xmax")))))
+      .withColumn("cy", explode(sequence(cellOf(col("ymin")), cellOf(col("ymax")))))
     val a = cells(t(s, dir, "part").select(col("p_partkey"),
       (col("p_partkey") * 7 % 100).as("xmin"),
       (col("p_partkey") * 13 % 100).as("ymin"),
@@ -315,8 +324,8 @@ object RelationalQueries {
       // Measured (ProfileMain, sf0.1): coarse stage 0.38 s → 0.18 s.
       .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
         col("ymin") < col("bymax") && col("ymax") > col("bymin") &&
-        col("cx") === floor(greatest(col("xmin"), col("bxmin")) / 10).cast("int") &&
-        col("cy") === floor(greatest(col("ymin"), col("bymin")) / 10).cast("int"))
+        col("cx") === cellOf(greatest(col("xmin"), col("bxmin"))) &&
+        col("cy") === cellOf(greatest(col("ymin"), col("bymin"))))
       .select(col("p_partkey"), col("s_suppkey"),
         col("xmin"), col("ymin"), col("xmax"), col("ymax"),
         col("bxmin"), col("bymin"), col("bxmax"), col("bymax"))
@@ -342,10 +351,8 @@ object RelationalQueries {
   def f7AreaChecksum(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.SpatialExpressions.{st_area, st_intersection, st_make_box}
     def cells(df: DataFrame): DataFrame = df
-      .withColumn("cx", explode(expr(
-        "sequence(cast(floor(xmin/10) as int), cast(floor(xmax/10) as int))")))
-      .withColumn("cy", explode(expr(
-        "sequence(cast(floor(ymin/10) as int), cast(floor(ymax/10) as int))")))
+      .withColumn("cx", explode(sequence(cellOf(col("xmin")), cellOf(col("xmax")))))
+      .withColumn("cy", explode(sequence(cellOf(col("ymin")), cellOf(col("ymax")))))
     val a = cells(t(s, dir, "part").select(col("p_partkey"),
       (col("p_partkey") * 7 % 100).as("xmin"),
       (col("p_partkey") * 13 % 100).as("ymin"),
@@ -365,8 +372,8 @@ object RelationalQueries {
       // unique by construction and the distinct's exchange disappears.
       .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
         col("ymin") < col("bymax") && col("ymax") > col("bymin") &&
-        col("cx") === floor(greatest(col("xmin"), col("bxmin")) / 10).cast("int") &&
-        col("cy") === floor(greatest(col("ymin"), col("bymin")) / 10).cast("int"))
+        col("cx") === cellOf(greatest(col("xmin"), col("bxmin"))) &&
+        col("cy") === cellOf(greatest(col("ymin"), col("bymin"))))
       .select(col("p_partkey"), col("s_suppkey"),
         col("xmin"), col("ymin"), col("xmax"), col("ymax"),
         col("bxmin"), col("bymin"), col("bxmax"), col("bymax"))

@@ -157,6 +157,11 @@ object SimilarityQueries {
   /** The embedding near-dup pair list WITHOUT the presentation sort —
     * semantic-dedup clustering re-shuffles on its own keys. */
   private def embedPairs(s: SparkSession, dir: String): DataFrame = {
+    // INVARIANT the first-band dedup below leans on: exactly TWO bands,
+    // and b0/b1 null only together (both derive from the same `v`; the
+    // embeddings table has no null vectors, and a null v nulls both dot
+    // products). The join predicate (bi = 0 OR b0 ≠ b0) hard-codes both
+    // facts — see the matching note in TextQueries.lshPairs.
     val sig = emb(s, dir).select(col("vec_id"), col("v"),
       sqrt(dotCol("v", "v")).as("nrm"),
       bandCol(0).cast("int").as("b0"),
@@ -174,15 +179,23 @@ object SimilarityQueries {
     val exploded = sig.select(col("vec_id"), col("b0"),
         posexplode(array(col("b0"), col("b1"))))
       .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
+    // vector fetch: both pair sides probe the IDENTICAL (vec_id, v, nrm)
+    // projection — per-side aliases used to give the two broadcast builds
+    // different canonical plans, so each join built its own hashed
+    // relation over the same cache scan; one shared projection lets the
+    // second build plan as a ReusedExchange (guide §3, build-side reuse —
+    // r15 verdict #4; same change as TextQueries.lshPairs).
+    val vec = sig.select(col("vec_id"), col("v"), col("nrm"))
     exploded.as("a").join(exploded.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
         col("a.vec_id") < col("b.vec_id") &&
         (col("a.bi") === 0 || col("a.b0") =!= col("b.b0")))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .join(sig.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(sig.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .join(vec.as("fa"), col("id_a") === col("fa.vec_id"))
+      .join(vec.as("fb"), col("id_b") === col("fb.vec_id"))
       .select(col("id_a"), col("id_b"),
-        round(dotCol("va", "vb") / (col("na") * col("nb")), 6).as("cos"))
+        round(vec_dot(col("fa.v"), col("fb.v")) /
+          (col("fa.nrm") * col("fb.nrm")), 6).as("cos"))
       .filter(col("cos") >= 0.35)
   }
 

@@ -68,7 +68,15 @@ object Tables {
     * projection 1.40 s → 0.61 s; word-3-gram construction 1.81 s →
     * 0.32 s. NOT applied where the probe showed the shuffle costs more
     * than the projection (events JSON parse 0.70→0.99 s, lineitem md5
-    * 0.35→0.73 s, embedding band signatures 0.11→0.19 s). */
+    * 0.35→0.73 s, embedding band signatures 0.11→0.19 s).
+    *
+    * PRECONDITION — raw scans only: `df.rdd.getNumPartitions` instantiates
+    * the full RDD lineage at plan-BUILD time and reads the pre-AQE
+    * partition count. For a plain file scan that is a cheap driver-side
+    * constant; handed a shuffled/sorted/range-partitioned input it would
+    * physically plan that subtree per call (and a range partitioner would
+    * launch a sampling JOB during query construction). Every current call
+    * site passes a freshly-loaded table scan — keep it that way. */
   def fanOutSmall(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

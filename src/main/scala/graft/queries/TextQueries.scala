@@ -146,6 +146,15 @@ object TextQueries {
     val base = mh8.foldLeft(docsWide(s, dir)) {
       case (df, (name, e)) => df.withColumn(name, expr(e))
     }.withColumn("toks", expr(tokenSetExpr))
+      // INVARIANT the first-band dedup below leans on: exactly TWO bands,
+      // and band0/band1 are null only TOGETHER (both are concats of
+      // minhashes over the SAME token set — an empty set nulls every
+      // minhash, hence both bands). The join predicate
+      // (bi = 0 OR band0 ≠ band0) hard-codes both facts: a third band or
+      // an independently-nullable band would silently re-introduce
+      // duplicate (or dropped) candidate pairs that the replaced
+      // .distinct() used to absorb. Same invariant in
+      // SimilarityQueries.embedPairs.
       .select(col("doc_id"), col("source"), col("toks"),
         concat(col("mh0"), col("mh1"), col("mh2"), col("mh3")).as("band0"),
         concat(col("mh4"), col("mh5"), col("mh6"), col("mh7")).as("band1"))
@@ -167,17 +176,25 @@ object TextQueries {
     val exploded = base.select(col("doc_id"), col("source"), col("band0"),
         posexplode(array(col("band0"), col("band1"))))
       .withColumnRenamed("pos", "bi").withColumnRenamed("col", "bv")
+    // token fetch: BOTH pair sides probe the IDENTICAL (doc_id, toks)
+    // projection — aliasing the columns per side (doc_a/ta vs doc_b/tb)
+    // used to give the two broadcast builds different canonical plans, so
+    // each join built (and shipped) its own hashed relation over the same
+    // cache scan; with one shared projection the second build plans as a
+    // ReusedExchange (guide §3, build-side reuse — r15 verdict #4).
+    val tok = base.select(col("doc_id"), col("toks"))
     exploded.as("a").join(exploded.as("b"),
         col("a.source") === col("b.source") &&
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id") &&
         (col("a.bi") === 0 || col("a.band0") =!= col("b.band0")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .join(base.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
-      .withColumn("inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("ta"), col("tb")))
+      .join(tok.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(tok.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .withColumn("inter", graft.functions.ArrayExpressions.sorted_intersect_size(col("fa.toks"), col("fb.toks")))
       .withColumn("jaccard",
-        round(col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")), 6))
+        round(col("inter") /
+          (size(col("fa.toks")) + size(col("fb.toks")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -378,11 +395,11 @@ object TextQueries {
     * coverage (union of overlapping dup windows via a running-max
     * window). All-integer interval math, so the oracle is exact. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame =
-    // docsWide: the operator caches the exploded span relation, and from
-    // a 1-split scan that cache is ONE block — the dup-count aggregation
-    // and the join then serialize on one core. Measured COLD (ProfileMain
-    // after the warm-cache fix): plain 1.35 s, fanned 1.15 s, fanned +
-    // binary h 1.05 s.
+    // docsWide: the span explode is recomputed for both consumers (see
+    // duplicateSpans — the r16 no-cache decision), and from a 1-split
+    // scan both passes would serialize on one core. Measured COLD
+    // (ProfileMain): plain 1.35 s, fanned 1.15 s, fanned + binary h
+    // 1.05 s, fanned + binary h + no cache 1.09 s.
     graft.operators.Dedup.duplicateSpans(docsWide(s, dir), "doc_id", "text", k = 5)
       .orderBy("doc_id")
 

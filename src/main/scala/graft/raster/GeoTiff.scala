@@ -879,6 +879,35 @@ object GeoTiff {
     all(idx)
   }
 
+  /** [[readForResolutionRanged]] with the overview-selection resolution
+    * derived from the file's OWN CRS inside the same head parse: callers
+    * that need "is the source geographic?" before choosing a level (the
+    * XYZ tile path converts the tile grid's meters/px to degrees for
+    * geographic sources) used to pay readHeadersRanged THEN
+    * readForResolutionRanged — two full IFD walks (and two growth loops)
+    * over the head per request. `metersPerPx` is the target grid's
+    * resolution in meters; geographic sources convert via the equatorial
+    * factor, erring toward a finer level like GetCube.selectTileLevel.
+    * ONE head parse per request (guide §6 I/O). */
+  def readForResolutionRangedMeters(readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, subdir: String, metersPerPx: Double,
+      initial: Int = 256 * 1024): Image = {
+    val idx = subdirIndex(subdir)
+    val all = readAllForResolutionRangedBy(readAt, fileLen, initial,
+      only = Some(idx)) { ifds =>
+      // CRS probe on the FIRST directory — the one the old
+      // readHeadersRanged-then-read form keyed srcIsGeo on
+      // (headers.head). Its tag data spilling past the buffered head
+      // surfaces as IndexOutOfBounds and grows the buffer like any other
+      // truncation.
+      val crs = crsFromGeoKeys(tagShorts(ifds.head, TGeoKeyDirectory),
+        tagDoubles(ifds.head, TGeoDoubleParams),
+        tagAscii(ifds.head, TGeoAsciiParams))
+      math.abs(if (crs.isGeographic) metersPerPx / 111320.0 else metersPerPx)
+    }
+    all(idx)
+  }
+
   /** Every subdir's image at the adequate overview level through
     * POSITIONED RANGE READS — one head parse for the whole container
     * (NOT one per subdir), then only the chosen level's blocks per
@@ -886,7 +915,16 @@ object GeoTiff {
     * single-subdir form above). */
   def readAllForResolutionRanged(readAt: (Long, Array[Byte], Int, Int) => Unit,
       fileLen: Long, targetRes: Double = 0.0, initial: Int = 256 * 1024,
-      only: Option[Int] = None): Seq[Image] = {
+      only: Option[Int] = None): Seq[Image] =
+    readAllForResolutionRangedBy(readAt, fileLen, initial, only)(_ => targetRes)
+
+  /** Shared core: the target resolution is a FUNCTION of the parsed IFDs,
+    * evaluated inside the head-growth loop — lets the meters-aware entry
+    * point probe the CRS from the same parse that chooses the level. */
+  private def readAllForResolutionRangedBy(
+      readAt: (Long, Array[Byte], Int, Int) => Unit,
+      fileLen: Long, initial: Int, only: Option[Int])(
+      targetResOf: Seq[Map[Int, TagEntry]] => Double): Seq[Image] = {
     def fetch(off: Long, len: Long): Array[Byte] = {
       require(len <= Int.MaxValue, s"block of $len bytes exceeds 2 GiB")
       val b = new Array[Byte](len.toInt)
@@ -899,6 +937,7 @@ object GeoTiff {
     // re-inflate tile data.
     val (ifds, chosen) = parseHeadGrowing(readAt, fileLen, initial) { buf =>
       val ifds = scanIfds(buf)
+      val targetRes = targetResOf(ifds)
       val chains = chainIndices(ifds.map(t =>
         (tagVal(t, TWidth), tagVal(t, THeight), tagVal(t, TNewSubfileType, 0) == 1)))
       only.foreach(i => require(i >= 0 && i < chains.size,

@@ -269,6 +269,71 @@ class PlanShapeSpec extends AnyFunSuite {
     rm(new java.io.File(root))
   }
 
+  test("spatial expressions keep whole-stage codegen in the join stage (no CodegenFallback)") {
+    // r15 rewrote the ten spatial expressions with real doGenCode — one
+    // CodegenFallback expression anywhere in a join condition used to
+    // drop the WHOLE stage to interpreted execution over every cell-join
+    // candidate row. Pin it: with codegen fallback DISABLED a Janino
+    // failure throws instead of silently degrading, and the executed
+    // join stage must carry WholeStageCodegen spans.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      for (name <- Seq("p5_spatial_refine", "j4_bbox_join", "f7_area_checksum")) {
+        val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+        qe.executedPlan.execute().foreach(_ => ()) // finalize the adaptive plan
+        val plan = qe.executedPlan.toString
+        val joinLines = plan.linesIterator
+          .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin")).toSeq
+        assert(joinLines.nonEmpty, s"$name: no join in the executed plan")
+        assert(joinLines.exists(_.contains("*(")),
+          s"$name: no WholeStageCodegen span on the join stage —\n" +
+            joinLines.mkString("\n"))
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+    graft.operators.OperatorCaches.unpersistAll()
+  }
+
+  test("canonical-cell dedup emits exactly the distinct() pair set") {
+    // the cover explode and the canonical-cell filter share ONE cell
+    // definition (RelationalQueries.cellOf); this pins that a drift in
+    // either direction (dropped or duplicated pairs) is caught — the
+    // failure mode is silent wrong results, not an error
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cx", explode(sequence(
+        RelationalQueries.cellOf(col("xmin")), RelationalQueries.cellOf(col("xmax")))))
+      .withColumn("cy", explode(sequence(
+        RelationalQueries.cellOf(col("ymin")), RelationalQueries.cellOf(col("ymax")))))
+    // deterministic LCG boxes spanning multiple cells (sizes 1..23 around
+    // coordinates 0..99 over cell size 10)
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => (s * 1103515245L + 12345L) & 0x7fffffffL).drop(1)
+    val boxes = lcg(7L).grouped(4).take(300).zipWithIndex.map { case (r, i) =>
+      val x0 = (r(0) % 100).toDouble; val y0 = (r(1) % 100).toDouble
+      (i.toLong, x0, y0, x0 + 1 + (r(2) % 23), y0 + 1 + (r(3) % 23))
+    }.toSeq
+    val a = cells(boxes.toDF("id", "xmin", "ymin", "xmax", "ymax"))
+    val b = a.select(col("id").as("bid"), col("xmin").as("bxmin"),
+      col("ymin").as("bymin"), col("xmax").as("bxmax"), col("ymax").as("bymax"),
+      col("cx"), col("cy"))
+    val joined = a.join(b, Seq("cx", "cy"))
+      .filter(col("xmin") < col("bxmax") && col("xmax") > col("bxmin") &&
+        col("ymin") < col("bymax") && col("ymax") > col("bymin") &&
+        col("id") < col("bid"))
+    val canonical = joined
+      .filter(col("cx") === RelationalQueries.cellOf(greatest(col("xmin"), col("bxmin"))) &&
+        col("cy") === RelationalQueries.cellOf(greatest(col("ymin"), col("bymin"))))
+      .select("id", "bid")
+    val reference = joined.select("id", "bid").distinct()
+    val nCanon = canonical.count()
+    assert(nCanon == reference.count(), "pair counts differ")
+    assert(nCanon == canonical.distinct().count(), "canonical emits duplicates")
+    assert(canonical.exceptAll(reference).isEmpty &&
+      reference.exceptAll(canonical).isEmpty, "pair sets differ")
+    assert(nCanon > 0, "degenerate fixture: no overlapping pairs")
+  }
+
   test("the dedup/LSH family stays on keyed equi-joins end to end") {
     for (name <- Seq("dedup_lsh_pairs", "dedup_embed", "dedup_ngram",
         "sim_lsh_buckets", "mix_stratified")) {

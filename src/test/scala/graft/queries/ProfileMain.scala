@@ -384,6 +384,61 @@ object ProfileMain {
         .select(col("vec_id"), bandOf(0).as("b0"), bandOf(4).as("b1")))
     }
 
+    // ---- 9 (r16). connectedComponents DISTRIBUTED regime at sf0.1: the
+    // bench-scale pair list (~420 edges) takes the driver union-find
+    // path, so the min-label propagation loop never shows in the bench.
+    // Force it (localEdgeThreshold = 0) to measure the per-pass cost and
+    // whether the 32-partition shuffles need derived sizing (r15 verdict
+    // candidate #4) or AQE coalescing already handles them.
+    locally {
+      val edges = graft.SparkEntry.queries("dedup_lsh_pairs")(spark, dir)
+        .select("doc_a", "doc_b")
+      time("cc local regime (default)") {
+        noop(graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b"))
+      }
+      time("cc distributed regime (threshold=0)") {
+        noop(graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b",
+          localEdgeThreshold = 0))
+      }
+    }
+
+    // ---- 10 (r16). d5 ranged-read head parse: cost of the header walk
+    // that the readForResolutionRangedMeters merge removed (one walk per
+    // tile request instead of two). Driver-side loop over the same COG
+    // fixture d5_xyz serves, no Spark in the measurement.
+    locally {
+      import graft.core.DType
+      import graft.geo.{Affine, CRS}
+      import graft.raster.{Bitmap, GeoTiff}
+      import graft.layout.Grid
+      val rs = Grid.WebMercatorOrigin / 512
+      val px144 = Array.tabulate(144 * 144)(i =>
+        (((i % 144) * 7 + (i / 144) * 13) % 97).toDouble)
+      val tiff = GeoTiff.write(Seq(GeoTiff.Image(
+        new Bitmap(144, 144, 1, DType.UInt8, px144),
+        Affine.northUp(-8 * rs, Grid.WebMercatorOrigin / 4 + 8 * rs, rs, -rs),
+        CRS.WebMercator)), compress = true, tileSize = 16)
+      def readAt(pos: Long, buf: Array[Byte], off: Int, n: Int): Unit =
+        System.arraycopy(tiff, pos.toInt, buf, off, n)
+      def loop(n: Int)(body: => Unit): Double = {
+        body // warm
+        val t0 = System.nanoTime(); (1 to n).foreach(_ => body)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tHead = loop(100)(GeoTiff.readHeadersRanged(readAt, tiff.length))
+      val tOld = loop(100) {
+        val hs = GeoTiff.readHeadersRanged(readAt, tiff.length)
+        val geo = hs.headOption.exists(_.crs.isGeographic)
+        GeoTiff.readForResolutionRanged(readAt, tiff.length, "GTIFF_DIR:1",
+          math.abs(if (geo) rs * 2 / 111320.0 else rs * 2))
+      }
+      val tNew = loop(100)(GeoTiff.readForResolutionRangedMeters(
+        readAt, tiff.length, "GTIFF_DIR:1", rs * 2))
+      println(f"PROFILE d5 head-parse only x100            $tHead%8.3f s")
+      println(f"PROFILE d5 two-parse read x100             $tOld%8.3f s")
+      println(f"PROFILE d5 merged-parse read x100          $tNew%8.3f s")
+    }
+
     spark.stop()
   }
 }
